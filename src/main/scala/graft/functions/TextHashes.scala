@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit string hashing + the custom Catalyst expressions for
+  * document fingerprinting (SimHash) and MinHash signatures.
+  *
+  * Why custom expressions instead of built-in higher-order functions: a
+  * built-in formulation (`transform(sequence(1,k), i -> array_min(transform(
+  * tokens, t -> hash(t, i))))`) evaluates k passes over the token array per
+  * row and allocates k intermediate arrays; these expressions do one pass
+  * and no allocation beyond the output, which is what survives a 100 TB
+  * corpus. Hash family is Kirsch-Mitzenmacher double hashing
+  * (h_i = h1 + i*h2) over a FNV-1a/avalanche base — standard public
+  * constructions.
+  */
+object TextHashes {
+
+  /** FNV-1a 64-bit over UTF-8 bytes, finalized with the splitmix64
+    * avalanche so low bits are well-mixed (FNV alone has weak low bits).
+    */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** splitmix64 finalizer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** SimHash over a token array: per 64-bit position, tokens vote +1/-1 by
+    * their hash bit; the fingerprint sets bits with positive tallies.
+    * Near-duplicate texts differ in few bit positions (small Hamming
+    * distance).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature of length k over a token/shingle array, single pass:
+    * h_i(t) = h1(t) + i*h2(t) (double hashing), sig[i] = min over tokens.
+    * Empty/null-only arrays yield Long.MaxValue slots (no tokens observed).
+    */
+  def minhashSig(tokens: ArrayData, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h1 = hash64(tokens.getUTF8String(i))
+        val h2 = mix64(h1) | 1L // odd => full-period step
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < sig(j)) sig(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def popcount64(x: Long): Int = java.lang.Long.bitCount(x)
+
+  // ---- Column API ----------------------------------------------------
+
+  private def e(c: Column): Expression = Bridge.expression(c)
+
+  def simhash64(tokens: Column): Column = Bridge.column(SimHash64(e(tokens)))
+
+  def minhash_sig(tokens: Column, k: Int): Column =
+    Bridge.column(MinHashSig(e(tokens), k))
+
+  def hamming64(a: Column, b: Column): Column =
+    Bridge.column(Hamming64(e(a), e(b)))
+}
+
+/** 64-bit SimHash fingerprint of an array<string> of tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simhash(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHash signature (array<bigint>, length k) of an array<string>. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes.minhashSig(input.asInstanceOf[ArrayData], k))
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Hamming distance between two 64-bit fingerprints. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.popcount64(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}

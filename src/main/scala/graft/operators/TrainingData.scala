@@ -1,37 +1,367 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data pipeline operators over `documents` /
-  * `embeddings` (dedup, similarity search, text analysis, multimodal
-  * plumbing) — the 100 TB-scale extension surface (BASELINE.json north star).
+  * `embeddings`: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), and text analysis (language-ID, quality, tokens, fingerprints).
+  * The 100 TB-scale extension surface (BASELINE.json north star).
+  *
+  * Scale notes: every near-dup operator is blocked/bucketed (LSH bands,
+  * SimHash chunks, lang+length blocks) so candidate generation is a
+  * hash-shuffle join on small keys — never an unblocked O(n²)
+  * cross-product. Verification (exact Jaccard / cosine) runs only on
+  * bucket-collision pairs.
   */
 object TrainingData {
 
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Whitespace tokens. */
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles as strings (n fixed at plan time). */
+  private def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", words)))
+
+  /** Cosine similarity in double precision, sequential fold (deterministic
+    * and cross-engine reproducible, unlike float/parallel reductions).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def fold(z: Column) = aggregate(z, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x * y))
+    val na  = fold(transform(a, x => x * x))
+    val nb  = fold(transform(b, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def vecd(c: Column): Column = transform(c, _.cast("double"))
+
+  // Stopword list used by quality scoring + language-ID (public, standard).
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
   val all: Seq[Q] = Seq(
+
+    // ---- dedup ---------------------------------------------------------
 
     Q("q30_dedup_exact",
       "Exact dedup: hash-groupBy on content digest; keeps the smallest " +
-        "doc_id per group. md5 is identical across engines so the oracle " +
-        "hash-matches. At scale this is one shuffle on the digest.",
+        "doc_id per group. One shuffle on the digest at any scale; md5 is " +
+        "identical across engines so the oracle hash-matches.",
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      docs(s, d)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     },
+
+    Q.noOracle("q35_dedup_minhash_lsh",
+      "Near-dup detection, MinHash+LSH: 3-word shingles -> 96-hash MinHash " +
+        "signature (custom one-pass Catalyst expression) -> 24 bands of 4 " +
+        "-> bucket self-join on (band, band_key) -> exact shingle-set " +
+        "Jaccard on candidates only. Candidate generation is a hash join " +
+        "on band keys — no O(n^2) cross-product at scale.") { (s, d) =>
+      val base = docs(s, d)
+        .select(col("doc_id"),
+                array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        .withColumn("sig", minhash_sig(col("sh"), 96))
+      val bands = base.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(23)), b =>
+          struct(b.as("band"),
+                 aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+                           (acc, x) => shiftleft(acc, 7).bitwiseXOR(x)).as("bkey"))))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val pairs = bands.as("l")
+        .join(bands.as("r"),
+              col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+                col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct()
+      pairs
+        .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+                round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                      size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+    },
+
+    Q.noOracle("q36_simhash_fingerprint",
+      "SimHash 64-bit document fingerprint (custom Catalyst expression: " +
+        "per-bit token voting, one pass) + its 4x16-bit chunks for banded " +
+        "near-dup joins.") { (s, d) =>
+      docs(s, d)
+        .withColumn("simhash", simhash64(tokens(col("text"))))
+        .select(col("doc_id"), col("simhash"),
+                conv(col("simhash"), 10, 16).as("simhash_hex"))
+    },
+
+    Q.noOracle("q37_simhash_neardup",
+      "Near-dup pairs via SimHash: pigeonhole banding on 4x16-bit chunks " +
+        "(any pair within Hamming<=3 shares >=1 exact chunk), then exact " +
+        "Hamming verify. Bucketed self-join, no cross-product.") { (s, d) =>
+      val fp = docs(s, d).withColumn("simhash", simhash64(tokens(col("text"))))
+      val chunks = fp.select(
+        col("doc_id"), col("simhash"),
+        explode(transform(sequence(lit(0), lit(3)), i =>
+          struct(i.as("chunk"),
+                 // Scala shiftright() only takes an Int literal shift; the
+                 // SQL function form accepts a column expression
+                 call_function("shiftright", col("simhash"), i * 16)
+                   .bitwiseAND(lit(0xffffL)).as("ckey"))))
+          .as("cc"))
+        .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+      chunks.as("l")
+        .join(chunks.as("r"),
+              col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+                col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+                hamming64(col("l.simhash"), col("r.simhash")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+    },
+
+    Q("q38_ngram_jaccard",
+      "Near-dup by token-set Jaccard within (lang, length-band) blocks — " +
+        "blocked self-join, exact set similarity on candidates.",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |FROM (SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+        |JOIN (SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 20
+        |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9""".stripMargin) {
+      (s, d) =>
+        val t = docs(s, d).select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          array_distinct(tokens(col("text"))).as("tok"))
+        val j = round(
+          size(array_intersect(col("a.tok"), col("b.tok"))).cast("double") /
+            size(array_union(col("a.tok"), col("b.tok"))), 4)
+        t.as("a")
+          .join(t.as("b"),
+                col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+                  abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), j.as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+    },
+
+    Q.noOracle("q39_dedup_cosine",
+      "Embedding-cosine near-dup: SRP-LSH bucketing (sign of projections " +
+        "onto hash-derived +-1 hyperplanes), exact cosine verify within " +
+        "buckets, pairs above threshold.") { (s, d) =>
+      val srpBits = 12
+      val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      def bucket(v: Column): Column =
+        aggregate(
+          transform(sequence(lit(0), lit(srpBits - 1)), i => {
+            val proj = aggregate(
+              zip_with(v, sequence(lit(0), size(v) - 1),
+                       (x, j) => x * when(pmod(hash(i, j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+              lit(0.0), (acc, x) => acc + x)
+            when(proj >= 0, 1L).otherwise(0L)
+          }),
+          lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+      val bucketed = e.withColumn("bucket", bucket(col("v")))
+      bucketed.as("l")
+        .join(bucketed.as("r"),
+              col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+                round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+        // uniform random embeddings peak near |cos|~0.125; 0.15 keeps the
+        // operator observable on the synthetic corpus (raise for real data)
+        .filter(col("cos") >= 0.15)
+    },
+
+    // ---- similarity search --------------------------------------------
+
+    Q("q40_ann_brute",
+      "ANN baseline: brute-force cosine top-5 per query vector (query set " +
+        "broadcast; scan side stays partitioned — scales as one pass over " +
+        "the corpus per batch of queries).",
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |     s AS (SELECT qid, vec_id,
+        |             list_dot_product(qv, v) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q CROSS JOIN c WHERE qid <> vec_id)
+        |SELECT qid, vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
+        |WHERE rk <= 5""".stripMargin) { (s, d) =>
+      val c = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      c.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+                col("rk").cast("long").as("rk"))
+    },
+
+    Q.noOracle("q41_ann_lsh",
+      "ANN scale path: SRP-LSH candidate buckets (8-bit signatures, 4 " +
+        "hash tables) then exact cosine re-rank of candidates only — " +
+        "probes a constant number of buckets instead of the full corpus.") {
+      (s, d) =>
+        val bits = 8; val tables = 4
+        val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+        def sig(v: Column, table: Int): Column =
+          aggregate(
+            transform(sequence(lit(0), lit(bits - 1)), i => {
+              val proj = aggregate(
+                zip_with(v, sequence(lit(0), size(v) - 1),
+                         (x, j) => x * when(pmod(hash(lit(table), i, j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+                lit(0.0), (acc, x) => acc + x)
+              when(proj >= 0, 1L).otherwise(0L)
+            }),
+            lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+        val tabbed = e.select(
+          col("vec_id"), col("v"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), sig(col("v"), t).as("sig"))): _*)).as("ts"))
+          .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+        val q = tabbed.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("sig"))
+        val cand = tabbed.join(q, Seq("tbl", "sig"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+          .distinct()
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        cand.select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+                  col("rk").cast("long").as("rk"))
+    },
+
+    Q("q42_embed_stats",
+      "Embedding column stats: per-label count + mean L2 norm (per-row " +
+        "norms fold sequentially in double; group means rounded).",
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin) { (s, d) =>
+      val norm = sqrt(aggregate(transform(vecd(col("embedding")), x => x * x),
+                                lit(0.0), (acc, x) => acc + x))
+      embs(s, d)
+        .select(col("label"), norm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
+    },
+
+    // ---- text analysis -------------------------------------------------
 
     Q("q31_token_count",
       "Token counting: whitespace tokenization + per-doc counts.",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  n_chars
         |FROM documents""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
+      docs(s, d).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("n_chars"))
+    },
+
+    Q("q32_text_quality",
+      "Quality scoring: token stats + stopword ratio + mean token length " +
+        "-> composite score in [0,1] (identical closed-form in both engines).",
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(tok, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(tok), 4) AS stopword_ratio,
+        |  round(CAST(n_chars - len(tok) + 1 AS DOUBLE) / len(tok), 4) AS mean_tok_len,
+        |  round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)), 4) AS quality
+        |FROM t""".stripMargin) { (s, d) =>
+      val stopArr = array(enStop.map(lit): _*)
+      val tok = tokens(col("text"))
+      val nStop = size(filter(tok, t => array_contains(stopArr, t))).cast("double")
+      val nTok = size(tok)
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"), tok.as("tok"))
+        .select(
+          col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          round(size(filter(col("tok"), t => array_contains(stopArr, t))).cast("double") /
+                size(col("tok")), 4).as("stopword_ratio"),
+          round((col("n_chars") - size(col("tok")) + 1).cast("double") / size(col("tok")), 4)
+            .as("mean_tok_len"),
+          round(least(lit(1.0), size(col("tok")) / lit(64.0)) *
+                (lit(0.5) + size(filter(col("tok"), t => array_contains(stopArr, t))).cast("double") /
+                  size(col("tok"))), 4).as("quality"))
+    },
+
+    Q.noOracle("q33_langid",
+      "Language-ID by character/stopword n-gram heuristic: scores text " +
+        "against small per-language marker profiles (public stopword " +
+        "lists), argmax wins; emits prediction vs the labeled lang.") { (s, d) =>
+      // Marker-token profiles per language (public stopword fragments).
+      val profiles: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "and", "of", "is", "a"),
+        "fr" -> Seq("le", "la", "et", "de", "un"),
+        "es" -> Seq("el", "la", "y", "de", "un"),
+        "de" -> Seq("der", "die", "und", "das", "ein"),
+        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      val tok = tokens(col("text"))
+      val scores = array(profiles.map { case (lang, markers) =>
+        val m = array(markers.map(lit): _*)
+        struct(size(filter(tok, t => array_contains(m, t))).cast("double").as("score"),
+               lit(lang).as("lang"))
+      }: _*)
+      docs(s, d)
+        .withColumn("best", array_max(scores))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+                col("best.lang").as("predicted_lang"),
+                col("best.score").as("marker_hits"),
+                (col("best.lang") === col("lang")).as("agrees"))
+    },
+
+    Q("q34_fingerprint",
+      "Document fingerprinting: polynomial rolling hash over codepoints " +
+        "mod 1e9+7 (closed form reproducible in ANSI SQL via list_reduce).",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+                  lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fp"))
+    },
+
+    // ---- multimodal plumbing ------------------------------------------
+
+    Q("q43_multimodal_meta",
+      "Multimodal column plumbing: opaque binary payload + typed metadata " +
+        "(byte length, sha256 digest, head sample) — the decode step " +
+        "itself is stubbed deterministically in graft.cpms.Multimodal; " +
+        "this query proves the binary schema/partition path end to end.",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  left(text, 16) AS head
+        |FROM documents""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes"),
+        sha2(to_binary(col("text"), lit("utf-8")), 256).as("digest"),
+        substring(col("text"), 1, 16).as("head"))
     }
   )
 }
