@@ -1,0 +1,113 @@
+package graft.cpms
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The hot/cold dual-path ingest pipeline (reference src/ingestion.py +
+  * src/stream_processor.py + hot_path*.tf) as one Structured Streaming job:
+  *
+  *   raw JSON strings --from_json(PERMISSIVE)--> enriched events
+  *     ├─ COLD: append to the lake, partitioned by ingest date `dt`
+  *     │        (realizes the date-partitioning the reference only
+  *     │        comments about, ingestion.py:32-34 — K1)
+  *     └─ HOT:  drop keyless records (P4) -> per-batch latest state per
+  *              user (A3) -> merge into the keyed aggregates table (T3/K3)
+  *
+  * Semantics decisions (SURVEY §7.4.1): cross-batch "latest" is event-time
+  * arg-max — what the reference's serving read observes (main.py:58-61) —
+  * rather than arrival order; in-batch dedup also uses event time, with the
+  * divergence covered by tests. No watermark, matching T4: late records are
+  * retained but never served.
+  */
+object Streaming {
+
+  /** Parse + enrich one micro-batch/stream of raw JSON event strings
+    * (column `value`). PERMISSIVE parsing keeps corrupt payloads as NULL
+    * rows for counting/skipping (T6, stream_processor.py:42-43); ingestion
+    * enrichment adds event_id/timestamp when absent (ingestion.py:26-29).
+    */
+  def parseEvents(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("e", from_json(col("value"), Schemas.trackingV1))
+      .withColumn("corrupt", col("e").isNull)
+      .withColumn("event_id", coalesce(col("e.event_id"), expr("uuid()")))
+      .withColumn("ts", coalesce(
+        to_timestamp(from_unixtime(col("e.timestamp").cast("double"))), // F3
+        current_timestamp()))
+      .select(col("value"), col("corrupt"), col("event_id"), col("ts"),
+              col("e.user_id").as("user_id"),
+              col("e.heart_rate").as("heart_rate"),
+              col("e.steps").as("steps"),
+              col("e.calories").as("calories"))
+
+  /** Reduce a (micro-)batch to its latest record per user — event-time
+    * arg-max with event_id tie-break (A3; see divergence note above).
+    */
+  def latestPerUserInBatch(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && !col("corrupt")) // P4 + T6
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("heart_rate"), col("steps"), col("calories")),
+                  struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"), col("r.heart_rate").as("heart_rate"),
+              col("r.steps").as("steps"), col("r.calories").as("calories"))
+
+  /** Merge batch-latest rows into the keyed aggregates table: read-modify-
+    * write compaction keeping the event-time max per user (K3 upsert,
+    * last-write-wins by event time). Single-table overwrite here; at scale
+    * the table is hash-bucketed by user_id and only buckets containing
+    * batch keys rewrite (same merge expression per bucket).
+    */
+  def mergeAggregates(spark: SparkSession, batchLatest: DataFrame, aggDir: String): Unit = {
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs0.exists(new org.apache.hadoop.fs.Path(aggDir)))
+        spark.read.schema(Schemas.aggregates).parquet(aggDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.aggregates)
+    val merged = existing.unionByName(batchLatest)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("heart_rate"), col("steps"), col("calories")),
+                  col("ts")).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"), col("r.heart_rate").as("heart_rate"),
+              col("r.steps").as("steps"), col("r.calories").as("calories"))
+    // two-phase write: the overwritten table is also this batch's input
+    val tmp = aggDir + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(aggDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Start the dual-path query over a streaming DataFrame of raw JSON
+    * strings (column `value`). One stream, both sinks written per epoch in
+    * foreachBatch (T9); checkpointing gives exactly-once per sink epoch
+    * (T6).
+    */
+  def start(
+      spark: SparkSession,
+      rawStream: DataFrame,
+      lakeDir: String,
+      aggDir: String,
+      checkpointDir: String): StreamingQuery =
+    rawStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val events = parseEvents(batch).cache()
+        try {
+          // COLD path (K1): raw payload + ingest-date partition
+          events.select(col("value"), col("event_id"),
+                        to_date(col("ts")).as("dt"))
+            .write.mode("append").partitionBy("dt").parquet(lakeDir)
+          // HOT path (T3): latest state per user into the serving table
+          mergeAggregates(spark, latestPerUserInBatch(events), aggDir)
+        } finally events.unpersist()
+      }
+      .start()
+}

@@ -1,0 +1,74 @@
+package graft.cpms
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming hot/cold path semantics (SURVEY §2.9 T1-T9):
+  * batch dedup keeps the event-time-latest record per user, keyless and
+  * corrupt records are skipped not fatal, cross-batch serving state is the
+  * event-time arg-max, and the cold lake keeps every raw payload
+  * date-partitioned.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: String, epoch: Double, hr: Int, steps: Int = 100): String =
+    s"""{"event_id":"e-$user-$epoch","user_id":"$user","device_id":"dev_$user",
+       |"schema":"tracking_v1","cognitive_predict":false,"steps":$steps,
+       |"distance":0.01,"heart_rate":$hr,"calories":5,"timestamp":"$epoch"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("hot/cold dual path: dedup, skip rules, event-time latest served (T3/T6/T9)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val raw = mem.toDF().withColumnRenamed("value", "value")
+
+    // batch 1: u1 twice (later event-time wins), u2 once, one keyless,
+    // one corrupt payload
+    mem.addData(
+      ev("u1", 1000.0, hr = 70),
+      ev("u1", 2000.0, hr = 80),
+      ev("u2", 1500.0, hr = 90),
+      """{"schema":"tracking_v1","timestamp":"1700.0","heart_rate":55}""",
+      "not json at all{{{")
+    val q1 = Streaming.start(spark, raw, s"$dir/lake", s"$dir/agg", s"$dir/ckpt")
+    q1.awaitTermination()
+
+    val agg1 = spark.read.parquet(s"$dir/agg")
+    val byUser1 = agg1.collect().map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(byUser1 === Map("u1" -> 80, "u2" -> 90))
+
+    // batch 2: u1 late (older event-time) -> stored in lake, NOT served;
+    // u2 newer -> replaces
+    mem.addData(ev("u1", 500.0, hr = 60), ev("u2", 3000.0, hr = 95))
+    val q2 = Streaming.start(spark, raw, s"$dir/lake", s"$dir/agg", s"$dir/ckpt")
+    q2.awaitTermination()
+
+    val byUser2 = spark.read.parquet(s"$dir/agg").collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(byUser2 === Map("u1" -> 80, "u2" -> 95),
+           "late event must not overwrite newer served state (T4)")
+
+    // cold path keeps everything, including keyless + corrupt raw payloads
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() === 7)
+    assert(lake.columns.contains("dt"))
+  }
+
+  test("in-batch dedup is event-time argmax with event_id tiebreak (A3)") {
+    val batch = Seq(ev("u9", 100.0, 1), ev("u9", 300.0, 3), ev("u9", 200.0, 2))
+      .toDF("value")
+    val out = Streaming.latestPerUserInBatch(Streaming.parseEvents(batch)).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("heart_rate") === 3)
+  }
+
+  test("epoch-string timestamps normalize to TimestampType (F3)") {
+    val batch = Seq(ev("u1", 1714230000.5, 70)).toDF("value")
+    val ts = Streaming.parseEvents(batch).select("ts").head().getTimestamp(0)
+    assert(ts.toInstant.getEpochSecond === 1714230000L)
+  }
+}
