@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational batch: analytics the reference delegates wholesale to
+  * Postgres/DynamoDB generalized to their full Spark forms — sessionization,
+  * percentiles, statistical aggregates, pivot, subqueries, cube, range
+  * joins, analytic frames, sketches.
+  */
+object Relational2 {
+
+  private def ev(s: SparkSession, d: String)  = Tables.events(s, d)
+  private def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q24_sessionize",
+      "Sessionization: per-user session ids from >30min event gaps (lag + " +
+        "running conditional sum), then per-session stats. One shuffle on " +
+        "user_id serves both windows and the final group.",
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value,
+        |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ms, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value, min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      // epoch_ms(micros-truncated ts) == ts_ns div 1e6 (both floor)
+      val e = ev(s, d).withColumn("ms", expr("ts_ns div 1000000"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("brk",
+          when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"),
+             min("ms").as("start_ms"), max("ms").as("end_ms"))
+    },
+
+    Q("q25_percentiles",
+      "Exact percentiles (linear interpolation) per group — the full form " +
+        "of threshold analytics the reference hardcodes (score<50).",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type").agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+    },
+
+    Q("q26_stats_agg",
+      "Statistical aggregates: sample stddev/variance, correlation and " +
+        "covariance per group.",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag").agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+    },
+
+    Q("q27_pivot",
+      "Pivot: events wide by type per user (explicit value list keeps the " +
+        "output schema static — no extra distinct-values job at scale).",
+      """SELECT user_id,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      ev(s, d).groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(round(sum("value"), 2))
+    },
+
+    Q("q28_scalar_subquery",
+      "Scalar subquery: orders above the global average price (single-row " +
+        "aggregate broadcast against the scan — no per-row recompute).",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin) {
+      (s, d) =>
+        val o = ord(s, d)
+        val avgDf = o.agg(avg("o_totalprice").as("avg_price"))
+        o.join(broadcast(avgDf), col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    Q("q29_cube",
+      "CUBE grouping sets over two dimensions.",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) =>
+        li(s, d).cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+    },
+
+    Q("q44_range_join",
+      "Range join: events within 7 days after each order of the same key " +
+        "— equi-join on the key with the range as residual, so it plans as " +
+        "a hash join, not a cross-product.",
+      """SELECT o_orderkey,
+        |  count(e.event_id) AS n_events,
+        |  round(coalesce(sum(e.value), 0), 2) AS sum_value
+        |FROM orders o LEFT JOIN events e
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP_NS)
+        |  AND e.ts < CAST(o.o_orderdate + INTERVAL 7 DAY AS TIMESTAMP_NS)
+        |GROUP BY o_orderkey""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("event_id"), col("value"),
+                              col("ts_ns"))
+      val o = ord(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("lo"),
+        ((unix_micros(col("o_orderdate").cast("timestamp")) + 7L * 86400L * 1000000L) * 1000L).as("hi"))
+      o.join(e, col("user_id") === col("o_custkey") &&
+                col("ts_ns") >= col("lo") && col("ts_ns") < col("hi"), "left_outer")
+        .groupBy("o_orderkey")
+        .agg(count(col("event_id")).as("n_events"),
+             round(coalesce(sum("value"), lit(0.0)), 2).as("sum_value"))
+    },
+
+    Q("q45_analytic_frames",
+      "Analytic window frames: first/last/nth value over a bounded frame " +
+        "plus rank and dense_rank.",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRank = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        rank().over(wRank).cast("long").as("price_rank"))
+    },
+
+    Q.noOracle("q46_approx_distinct",
+      "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
+        "count — the scale path for distincts (exact is oracle-checked in " +
+        "q18; the sketch estimate is engine-specific by construction).") {
+      (s, d) =>
+        ev(s, d).groupBy("event_type").agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+    }
+  )
+}
