@@ -1,8 +1,8 @@
 package graft.cpms
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** The hot/cold dual-path ingest pipeline (reference src/ingestion.py +
   * src/stream_processor.py + hot_path*.tf) as one Structured Streaming job:
@@ -21,6 +21,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * retained but never served.
   */
 object Streaming {
+
+  /** F6: unwrap a base64 wire envelope (the reference consumes Kinesis
+    * records as base64 payloads, stream_processor.py:25) into the raw JSON
+    * `value` column expected by [[parseEvents]].
+    */
+  def decodeWire(wire: DataFrame): DataFrame =
+    wire.select(unbase64(col("value")).cast("string").as("value"))
 
   /** Parse + enrich one micro-batch/stream of raw JSON event strings
     * (column `value`). PERMISSIVE parsing keeps corrupt payloads as NULL
@@ -81,6 +88,41 @@ object Streaming {
     val dst = new org.apache.hadoop.fs.Path(aggDir)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** One parsed hot-path event (typed view of [[parseEvents]] output). */
+  final case class HotEvent(
+      user_id: String, event_id: String, ts: java.sql.Timestamp,
+      heart_rate: Option[Int], steps: Option[Int], calories: Option[Int])
+
+  /** Stateful alternative to the foreachBatch merge (SURVEY T3, K3):
+    * per-key state via flatMapGroupsWithState holding only the event-time
+    * max record per user — O(distinct keys) state in the state store,
+    * emitted on change (Update mode). This is the path that scales past a
+    * table rewrite: state lives partitioned in the checkpoint, no
+    * read-modify-write of the serving table per batch.
+    */
+  def latestStateStream(events: Dataset[HotEvent]): Dataset[HotEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HotEvent, HotEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[HotEvent], state: GroupState[HotEvent]) =>
+          val candidates = state.getOption.iterator ++ batch
+          val latest = candidates.maxBy(e => (e.ts.getTime, e.event_id))
+          if (state.getOption.contains(latest)) Iterator.empty
+          else { state.update(latest); Iterator.single(latest) }
+      }
+  }
+
+  /** Typed view of [[parseEvents]] for the stateful path. */
+  def toHotEvents(parsed: DataFrame): Dataset[HotEvent] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .filter(col("user_id").isNotNull && !col("corrupt"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("heart_rate"), col("steps"), col("calories"))
+      .as[HotEvent]
   }
 
   /** Start the dual-path query over a streaming DataFrame of raw JSON

@@ -169,6 +169,45 @@ object Relational2 {
         rank().over(wRank).cast("long").as("price_rank"))
     },
 
+    Q("q47_tumbling_window",
+      "Event-time tumbling window aggregation (SURVEY T5): 5-minute " +
+        "buckets per event_type — the batch form of the Structured " +
+        "Streaming `window()` aggregate (same expression runs on " +
+        "readStream with a watermark; see graft.cpms.Streaming tests).",
+      """SELECT event_type,
+        |  epoch_ms(time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))) AS window_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"),
+                 window(col("ts"), "5 minutes").getField("start").as("ws"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("event_type"),
+                (unix_micros(col("ws")) / 1000L).cast("long").as("window_start_ms"),
+                col("n"), col("total"))
+    },
+
+    Q("q48_sliding_window",
+      "Sliding event-time windows (10 min width, 5 min slide): each event " +
+        "contributes to two overlapping buckets.",
+      """SELECT s.window_start_ms, count(*) AS n,
+        |  round(round(sum(e.value), 2) / count(*), 4) AS avg_value
+        |FROM events e CROSS JOIN LATERAL (
+        |  SELECT unnest(ARRAY[
+        |    epoch_ms(time_bucket(INTERVAL 5 MINUTES, CAST(e.ts AS TIMESTAMP))),
+        |    epoch_ms(time_bucket(INTERVAL 5 MINUTES, CAST(e.ts AS TIMESTAMP))) - 300000
+        |  ]) AS window_start_ms) s
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").getField("start").as("ws"))
+        // avg from the 2dp-rounded sum: summation order differs across
+        // engines, and a raw avg can straddle a round-half boundary
+        .agg(count(lit(1)).as("n"),
+             round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value"))
+        .select((unix_micros(col("ws")) / 1000L).cast("long").as("window_start_ms"),
+                col("n"), col("avg_value"))
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +

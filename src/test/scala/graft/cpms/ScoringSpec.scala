@@ -62,6 +62,20 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("model artifact save/load roundtrip preserves predictions (K6)") {
+    val train = Scoring.assembleFeatures(requests, aggs)
+      .withColumn("label", lit(80.0) - $"screen_time" * 2)
+    val model = Scoring.train(train)
+    val dir = java.nio.file.Files.createTempDirectory("graft-k6").toString
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = Scoring.score(model, Scoring.assembleFeatures(requests, aggs))
+      .select("user_id", "cognitive_score").collect().map(_.toString).sorted
+    val b = Scoring.score(reloaded, Scoring.assembleFeatures(requests, aggs))
+      .select("user_id", "cognitive_score").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("dual append writes both tables with one shared timestamp (K4)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-k4").toString
     val scored = Scoring.scoreDemo(Scoring.assembleFeatures(requests, aggs))

@@ -66,9 +66,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Int]("heart_rate") === 3)
   }
 
+  test("stateful latest-state via flatMapGroupsWithState matches argmax (T3)") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val typed = Streaming.toHotEvents(Streaming.parseEvents(mem.toDF()))
+    val q = Streaming.latestStateStream(typed).writeStream
+      .outputMode("update").format("memory").queryName("state_out").start()
+    mem.addData(ev("s1", 1000.0, 70), ev("s1", 2000.0, 80), ev("s2", 1500.0, 90))
+    q.processAllAvailable()
+    mem.addData(ev("s1", 500.0, 60))  // late: must not emit an update
+    mem.addData(ev("s2", 3000.0, 95)) // newer: must emit
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("heart_rate"),
+        org.apache.spark.sql.functions.col("ts")).as("hr"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(served === Map("s1" -> 80, "s2" -> 95))
+    // late event for s1 emitted nothing: only the initial update exists
+    val s1Updates = spark.table("state_out").filter($"user_id" === "s1").count()
+    assert(s1Updates === 1, "late event must not re-emit state")
+  }
+
   test("epoch-string timestamps normalize to TimestampType (F3)") {
     val batch = Seq(ev("u1", 1714230000.5, 70)).toDF("value")
     val ts = Streaming.parseEvents(batch).select("ts").head().getTimestamp(0)
     assert(ts.toInstant.getEpochSecond === 1714230000L)
+  }
+
+  test("base64 wire envelope decodes to parseable JSON (F6)") {
+    val json = ev("u7", 1234.0, 66)
+    val b64 = java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    val parsed = Streaming.parseEvents(Streaming.decodeWire(Seq(b64).toDF("value")))
+    val r = parsed.head()
+    assert(!r.getAs[Boolean]("corrupt"))
+    assert(r.getAs[String]("user_id") === "u7")
+    assert(r.getAs[Int]("heart_rate") === 66)
   }
 }
