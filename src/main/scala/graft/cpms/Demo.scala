@@ -54,6 +54,16 @@ object Demo {
     println(s"[demo] streaming: aggregates=${aggs.count()} users, " +
       s"lake=${spark.read.parquet(s"$workDir/lake").count()} raw events")
 
+    // 3b. stateful hot path (flatMapGroupsWithState variant of T3)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    mem2.addData(raw.as[String].collect().toIndexedSeq)
+    val stateQ = Streaming.latestStateStream(
+        Streaming.toHotEvents(Streaming.parseEvents(mem2.toDF())))
+      .writeStream.outputMode("update").format("memory").queryName("demo_state").start()
+    stateQ.processAllAvailable(); stateQ.stop()
+    println(s"[demo] stateful latest-state: " +
+      s"${spark.table("demo_state").select("user_id").distinct().count()} users tracked")
+
     // 4. predict-readiness: features from live aggregates + request, demo
     //    scorer (setup_model.py parity) and a trained MLlib model
     val requests = userIds.map(u =>
