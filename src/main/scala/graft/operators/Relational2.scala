@@ -208,6 +208,22 @@ object Relational2 {
                 col("n"), col("avg_value"))
     },
 
+    Q("q49_salted_agg",
+      "Skew-resistant aggregation: two-phase salted groupBy for hot keys " +
+        "(event_type has only 5 values — a guaranteed shuffle skew). Phase " +
+        "1 aggregates on (key, salt16) spreading each hot key over 16 " +
+        "reducers; phase 2 combines the 16 partials. Result is identical " +
+        "to the plain GROUP BY the oracle runs.",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), round(sum("psum"), 2).as("total"))
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +
