@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TopKBy.top_k_by
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -222,6 +223,25 @@ object Relational2 {
         .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
         .groupBy("event_type")
         .agg(sum("pn").as("n"), round(sum("psum"), 2).as("total"))
+    },
+
+    Q("q50_topk_agg",
+      "Top-k per key via the custom bounded-state aggregate (top_k_by, a " +
+        "TypedImperativeAggregate): O(k) buffer per group with map-side " +
+        "partial aggregation — vs the window formulation (q11) that must " +
+        "sort every row of every group. Oracle-checked against the window " +
+        "spelling, so the heap path is proven equivalent.",
+      """SELECT user_id, event_id, value, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT user_id, event_id, value, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM events) WHERE rk <= 3""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(top_k_by(struct(col("event_id"), col("value")),
+                      struct(col("ts_ns"), col("event_id")), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), col("col.event_id").as("event_id"),
+                col("col.value").as("value"), (col("pos") + 1).cast("long").as("rk"))
     },
 
     Q.noOracle("q46_approx_distinct",
