@@ -244,6 +244,54 @@ object Relational2 {
                 col("col.value").as("value"), (col("pos") + 1).cast("long").as("rk"))
     },
 
+    Q("q51_fuzzy_match",
+      "Edit-distance fuzzy matching: Levenshtein over 32-char document " +
+        "prefixes within (lang, length-bucket) blocks — the same bucketed " +
+        "candidate generation as the dedup family, with the quadratic " +
+        "distance only on candidates.",
+      """WITH t AS (SELECT doc_id, lang, n_chars, left(text, 32) AS head,
+        |             CAST(floor(n_chars / 20) AS BIGINT) AS b FROM documents),
+        |     e AS (SELECT doc_id, lang, n_chars, head, unnest(ARRAY[b, b + 1]) AS bucket FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM e a JOIN e b ON a.lang = b.lang AND a.bucket = b.bucket
+        |WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+        |  AND levenshtein(a.head, b.head) <= 12
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 32).as("head"),
+        explode(array(floor(col("n_chars") / 20).cast("long"),
+                      floor(col("n_chars") / 20).cast("long") + 1)).as("bucket"))
+      t.as("a")
+        .join(t.as("b"), Seq("lang", "bucket"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+                abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
+        .filter(col("dist") <= 12)
+        .distinct()
+    },
+
+    Q("q52_date_arith",
+      "Date/interval arithmetic: truncation, offsets, month deltas, " +
+        "weekday extraction.",
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  o_orderdate + INTERVAL 30 DAY AS due_ts,
+        |  CAST(datediff('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS months_since_95,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow -- duckdb 0=Sun, spark 1=Sun
+        |FROM orders""".stripMargin) { (s, d) =>
+      ord(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
+        (months_between(date_trunc("month", col("o_orderdate")),
+                        lit("1995-01-01").cast("timestamp_ntz"))).cast("long")
+          .as("months_since_95"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +
