@@ -48,6 +48,40 @@ object Streaming {
               col("e.steps").as("steps"),
               col("e.calories").as("calories"))
 
+  /** Union-type event parsing (SURVEY §1.1): the stream mixes
+    * `tracking_v1` and `manual_entry_v1` payloads discriminated by their
+    * `schema` field. One pass parses against both StructTypes and routes on
+    * the discriminator; unknown/corrupt schemas surface as `corrupt` for
+    * the T6 skip-and-count path. Column sets are unioned (absent fields
+    * null), so downstream consumers see one stable wide schema.
+    */
+  def parseMixedEvents(raw: DataFrame): DataFrame = {
+    val t = from_json(col("value"), Schemas.trackingV1)
+    val m = from_json(col("value"), Schemas.manualEntryV1)
+    raw
+      .withColumn("schema_kind",
+        coalesce(get_json_object(col("value"), "$.schema"), lit("?")))
+      .withColumn("t", when(col("schema_kind") === "tracking_v1", t))
+      .withColumn("m", when(col("schema_kind") === "manual_entry_v1", m))
+      .withColumn("corrupt", col("t").isNull && col("m").isNull)
+      .select(
+        col("value"), col("schema_kind"), col("corrupt"),
+        coalesce(col("t.event_id"), col("m.event_id"), expr("uuid()")).as("event_id"),
+        coalesce(col("t.user_id"), col("m.user_id")).as("user_id"),
+        coalesce(
+          to_timestamp(from_unixtime(
+            coalesce(col("t.timestamp"), col("m.timestamp")).cast("double"))),
+          current_timestamp()).as("ts"),
+        col("t.heart_rate").as("heart_rate"), col("t.steps").as("steps"),
+        col("t.calories").as("calories"), col("t.distance").as("distance"),
+        col("m.sleep_duration").as("sleep_duration"),
+        col("m.stress_level").as("stress_level"),
+        col("m.caffeine_intake").as("caffeine_intake"),
+        col("m.screen_time").as("screen_time"),
+        coalesce(col("t.cognitive_predict"), col("m.cognitive_predict"))
+          .as("cognitive_predict"))
+  }
+
   /** Reduce a (micro-)batch to its latest record per user — event-time
     * arg-max with event_id tie-break (A3; see divergence note above).
     */

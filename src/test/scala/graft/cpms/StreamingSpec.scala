@@ -96,6 +96,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ts.toInstant.getEpochSecond === 1714230000L)
   }
 
+  private def manualEv(user: String, epoch: Double, stress: Int): String =
+    s"""{"event_id":"m-$user-$epoch","user_id":"$user","device_id":"phone_$user",
+       |"schema":"manual_entry_v1","cognitive_predict":true,"sleep_duration":7.5,
+       |"stress_level":$stress,"caffeine_intake":100,"screen_time":3.2,
+       |"timestamp":"$epoch"}""".stripMargin.replaceAll("\n", "")
+
+  test("mixed-schema stream routes on the discriminator (S2 union type)") {
+    val batch = Seq(
+      ev("u1", 1000.0, 70),
+      manualEv("u2", 2000.0, 8),
+      """{"schema":"unknown_v9","user_id":"u3"}""",
+      "garbage((").toDF("value")
+    val out = Streaming.parseMixedEvents(batch).collect()
+      .map(r => r.getAs[String]("schema_kind") -> r).toMap
+    assert(out("tracking_v1").getAs[Int]("heart_rate") === 70)
+    assert(out("tracking_v1").getAs[Any]("stress_level") === null)
+    assert(out("manual_entry_v1").getAs[Int]("stress_level") === 8)
+    assert(out("manual_entry_v1").getAs[Any]("heart_rate") === null)
+    assert(out("manual_entry_v1").getAs[Boolean]("cognitive_predict"))
+    assert(out("unknown_v9").getAs[Boolean]("corrupt"))
+    assert(out("?").getAs[Boolean]("corrupt"))
+  }
+
+  test("streaming windowed aggregation with watermark (T5 streaming form)") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val windowed = Streaming.parseEvents(mem.toDF())
+      .filter(!$"corrupt")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = windowed.writeStream.outputMode("update")
+      .format("memory").queryName("win_out").start()
+    // epochs 0 and 400 land in different 5-minute windows
+    mem.addData(ev("w1", 10.0, 70), ev("w1", 100.0, 71), ev("w1", 400.0, 72))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select($"window.start".cast("long").as("ws"), $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(0L -> 2L, 300L -> 1L))
+  }
+
+  test("cold lake reads prune on the dt partition (K1/partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    Seq(("a", java.sql.Date.valueOf("2024-01-01")),
+        ("b", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("value", "dt").write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"dt" === "2024-01-02")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-02"))
+    assert(pruned.count() === 1)
+  }
+
   test("base64 wire envelope decodes to parseable JSON (F6)") {
     val json = ev("u7", 1234.0, 66)
     val b64 = java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
