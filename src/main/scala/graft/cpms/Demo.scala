@@ -54,6 +54,14 @@ object Demo {
     println(s"[demo] streaming: aggregates=${aggs.count()} users, " +
       s"lake=${spark.read.parquet(s"$workDir/lake").count()} raw events")
 
+    // 3a'. mixed-schema parse (union type routing on the discriminator)
+    val mixed = Streaming.parseMixedEvents(
+      (raw.as[String].collect().toSeq :+
+        s"""{"user_id":"x","schema":"manual_entry_v1","stress_level":5,"timestamp":"99.0"}""")
+        .toDF("value"))
+    println(s"[demo] mixed parse: " + mixed.groupBy("schema_kind").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+
     // 3b. stateful hot path (flatMapGroupsWithState variant of T3)
     val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
     mem2.addData(raw.as[String].collect().toIndexedSeq)

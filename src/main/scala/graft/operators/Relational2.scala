@@ -292,6 +292,17 @@ object Relational2 {
         dayofweek(col("o_orderdate")).cast("long").as("dow"))
     },
 
+    Q("q53_except",
+      "Set op: EXCEPT (keys seen in purchases but never in errors).",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin) {
+      (s, d) =>
+        val e = ev(s, d)
+        e.filter(col("event_type") === "purchase").select("user_id")
+          .except(e.filter(col("event_type") === "error").select("user_id"))
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +

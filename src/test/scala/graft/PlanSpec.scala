@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the physical plans the scale story
+  * depends on must not silently degrade (broadcast joins for bounded
+  * dims, TakeOrderedAndProject for top-k, parquet filter pushdown).
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: predicate and projection reach the parquet scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+           s"filter not pushed:\n$p")
+    assert(!p.contains("l_quantity"), "column pruning lost — reads unneeded columns")
+  }
+
+  test("q03/q23: bounded dimension joins broadcast, not shuffle") {
+    assert(plan("q03_join_inner_agg").contains("BroadcastHashJoin"))
+    assert(plan("q23_dashboard_recent").contains("BroadcastHashJoin"))
+    assert(!plan("q23_dashboard_recent").contains("SortMergeJoin"))
+  }
+
+  test("q10/q23: global top-k plans TakeOrderedAndProject (no full sort)") {
+    assert(plan("q10_topk_global").contains("TakeOrderedAndProject"))
+    assert(plan("q23_dashboard_recent").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09: latest-per-key is an aggregate with map-side partials, not a window sort") {
+    val p = plan("q09_latest_per_key")
+    assert(p.contains("max_by") || p.contains("MaxBy") || p.contains("HashAggregate")
+             || p.contains("SortAggregate"),
+           s"expected aggregate plan:\n$p")
+    assert(!p.contains("Window"), s"latest-per-key regressed to a window sort:\n$p")
+  }
+
+  test("q50: custom top_k_by aggregates partially before the exchange") {
+    val p = plan("q50_topk_agg")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
+    val partialIdx = p.indexOf("partial_top_k_by")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$p")
+    // plans print top-down: the map-side partial sits BELOW the exchange
+    // in the tree, i.e. later in the string
+    assert(partialIdx > exchangeIdx,
+           "partial top_k_by must run map-side, before the shuffle")
+  }
+}

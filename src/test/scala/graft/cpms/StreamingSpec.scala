@@ -151,6 +151,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.count() === 1)
   }
 
+  test("hot path over real event data: to_json -> parse -> dedup == q09 argmax (F7/A3)") {
+    import org.apache.spark.sql.functions._
+    // serialize sf0.001 events as wire JSON (F7 to_json), run the streaming
+    // parse+dedup batch path, and cross-check against the oracle-verified
+    // q09 latest-per-key query over the same table
+    val dir = "/root/testdata/sf0.001"
+    val wire = graft.Tables.events(spark, dir).select(
+      to_json(struct(
+        concat(lit("e"), col("event_id")).as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        lit("tracking_v1").as("schema"),
+        col("value").cast("int").as("heart_rate"),
+        (unix_micros(col("ts")) / 1000000.0).cast("string").as("timestamp")))
+        .as("value"))
+    val served = Streaming.latestPerUserInBatch(Streaming.parseEvents(wire))
+      .select(col("user_id"), col("heart_rate")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val expected = graft.SparkEntry.queries("q09_latest_per_key")(spark, dir)
+      .select(col("user_id").cast("string"), col("value").cast("int")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(served === expected)
+  }
+
   test("base64 wire envelope decodes to parseable JSON (F6)") {
     val json = ev("u7", 1234.0, 66)
     val b64 = java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
