@@ -258,6 +258,73 @@ object TrainingData {
                   col("rk").cast("long").as("rk"))
     },
 
+    Q.noOracle("q54_ann_ivf",
+      "ANN, IVF variant: MLlib KMeans (fixed seed) partitions the corpus " +
+        "into 16 cells; each query probes its 2 nearest centroids and " +
+        "exact-reranks only those cells — at scale the index is built once " +
+        "and the probe touches ~2/16 of the corpus instead of all of it.") {
+      (s, d) =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+          .withColumn("features", array_to_vector(col("v")))
+        val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("features")
+          .fit(e)
+        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+        val assigned = model.transform(e).select(col("vec_id"), col("v"),
+                                                 col("prediction").as("cell"))
+        // per query: 2 nearest centroids (tiny driver-side table, broadcast)
+        val centersDf = s.createDataFrame(centers).toDF("cell", "cv")
+        val q = assigned.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val wCell = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+        val probe = q.crossJoin(broadcast(centersDf))
+          .withColumn("cdist",
+            aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+                      lit(0.0), (acc, x) => acc + x))
+          .withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 2)
+          .select(col("qid"), col("qv"), col("cell"))
+        val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        probe.join(assigned, Seq("cell"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+                  col("rk").cast("long").as("rk"))
+    },
+
+    Q("q55_tfidf",
+      "TF-IDF: term frequency x inverse document frequency over the " +
+        "corpus, top-3 characteristic terms per document. Two aggregates " +
+        "(per doc-term, per term) + a broadcast join of the term-df table.",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |WHERE rk <= 3""".stripMargin) { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"),
+                                  explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs(s, d).count().toDouble
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(dfT), "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
+    },
+
     Q("q42_embed_stats",
       "Embedding column stats: per-label count + mean L2 norm (per-row " +
         "norms fold sequentially in double; group means rounded).",
