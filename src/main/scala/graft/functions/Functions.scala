@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.LongType
+
+/** SQL registration for the engine's custom expressions, so pure-SQL users
+  * get the same surface as the Column API:
+  *
+  *   graft.functions.Functions.register(spark)
+  *   spark.sql("SELECT simhash64(split(text,' ')), minhash_sig(toks, 96) ...")
+  */
+object Functions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got: $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder)
+
+    add("simhash64", "simhash64(tokens) - 64-bit SimHash of array<string>") {
+      exprs => SimHash64(exprs.head)
+    }
+    add("minhash_sig", "minhash_sig(tokens, k) - MinHash signature array<bigint>") {
+      exprs => MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig"))
+    }
+    add("hamming64", "hamming64(a, b) - Hamming distance of two int64 fingerprints") {
+      // SQL integer literals are IntegerType; normalize to long here since
+      // the expression declares no input types (AbstractDataType is
+      // private[sql])
+      exprs => Hamming64(Cast(exprs.head, LongType), Cast(exprs(1), LongType))
+    }
+    add("top_k_by", "top_k_by(payload, ord, k) - k largest payloads by ord, descending") {
+      exprs => TopKByAgg(exprs.head, exprs(1), intArg(exprs(2), "top_k_by"))
+        .toAggregateExpression()
+    }
+  }
+}

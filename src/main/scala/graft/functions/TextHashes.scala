@@ -148,8 +148,10 @@ case class MinHashSig(child: Expression, k: Int)
 case class Hamming64(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // tolerate int inputs: no declared input types means no implicit Cast
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHashes.popcount64(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    TextHashes.popcount64(
+      a.asInstanceOf[Number].longValue ^ b.asInstanceOf[Number].longValue)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -303,6 +303,27 @@ object Relational2 {
           .except(e.filter(col("event_type") === "error").select("user_id"))
     },
 
+    Q("q56_sql_grouping_sets",
+      "SQL entry path (S5): spark.sql over a registered view, with " +
+        "explicit GROUPING SETS (finer-grained than rollup/cube) and " +
+        "grouping() null-disambiguation.",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) {
+      (s, d) =>
+        li(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  count(*) AS n, round(sum(l_quantity), 2) AS qty,
+            |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+            |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+            |FROM graft_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +

@@ -1,0 +1,29 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("custom functions are callable from pure SQL after register()") {
+    Functions.register(spark)
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+        (3L, "spark catalyst plans"))
+      .toDF("id", "text").createOrReplaceTempView("fn_docs")
+    val rows = spark.sql(
+      """SELECT id, simhash64(split(text, ' ')) AS sh,
+        |  size(minhash_sig(split(text, ' '), 32)) AS siglen
+        |FROM fn_docs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.find(_._1 == 1L).map(_._2) === rows.find(_._1 == 2L).map(_._2))
+    assert(rows.forall(_._3 === 32))
+
+    val ham = spark.sql("SELECT hamming64(7, 4)").head().getInt(0)
+    assert(ham === 2)
+
+    val top = spark.sql(
+      """SELECT top_k_by(text, id, 2) FROM fn_docs""").head().getSeq[String](0)
+    assert(top === Seq("spark catalyst plans", "the quick brown fox"))
+  }
+}
