@@ -124,6 +124,45 @@ object Streaming {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Bucketed variant of [[mergeAggregates]] — the 100 TB path: the
+    * serving table lives as `bucket=N/` hash partitions of `user_id`, and
+    * a batch only rewrites buckets that contain batch keys. Untouched
+    * buckets are never read or written, so per-batch cost is
+    * O(touched keys / nBuckets of the table), not O(table).
+    */
+  def mergeAggregatesBucketed(
+      spark: SparkSession,
+      batchLatest: DataFrame,
+      aggDir: String,
+      nBuckets: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val withBucket = batchLatest.withColumn(
+      "bucket", pmod(hash(col("user_id")), lit(nBuckets)))
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+    touched.foreach { b =>
+      val dir = s"$aggDir/bucket=$b"
+      val existing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+          spark.read.schema(Schemas.aggregates).parquet(dir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.aggregates)
+      val merged = existing
+        .unionByName(withBucket.filter(col("bucket") === b).drop("bucket"))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("ts"), col("heart_rate"), col("steps"), col("calories")),
+                    col("ts")).as("r"))
+        .select(col("user_id"), col("r.ts").as("ts"),
+                col("r.heart_rate").as("heart_rate"),
+                col("r.steps").as("steps"), col("r.calories").as("calories"))
+      val tmp = dir + ".staging"
+      merged.write.mode("overwrite").parquet(tmp)
+      val dst = new org.apache.hadoop.fs.Path(dir)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    }
+  }
+
   /** One parsed hot-path event (typed view of [[parseEvents]] output). */
   final case class HotEvent(
       user_id: String, event_id: String, ts: java.sql.Timestamp,

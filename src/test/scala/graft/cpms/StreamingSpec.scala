@@ -174,6 +174,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served === expected)
   }
 
+  test("bucketed aggregates merge rewrites only touched buckets (K3 at scale)") {
+    import org.apache.spark.sql.functions.{col, pmod, hash, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets").toString + "/agg"
+    def latest(rows: Seq[String]) =
+      Streaming.latestPerUserInBatch(Streaming.parseEvents(rows.toDF("value")))
+
+    // find two users hashing to different buckets (nBuckets = 4)
+    val users = (1 to 20).map(i => s"bu$i")
+    val bucketOf = users.map { u =>
+      u -> spark.range(1).select(pmod(hash(lit(u)), lit(4))).head().getInt(0)
+    }.toMap
+    val (uA, uB) = {
+      val byBucket = users.groupBy(bucketOf)
+      val ks = byBucket.keys.toSeq.sorted
+      (byBucket(ks.head).head, byBucket(ks.last).head)
+    }
+
+    Streaming.mergeAggregatesBucketed(spark, latest(Seq(ev(uA, 1000.0, 70))), dir, 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def mtime(b: Int) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+      if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+    }
+    val tA = mtime(bucketOf(uA))
+    assert(tA.isDefined && mtime(bucketOf(uB)).isEmpty)
+
+    Thread.sleep(1100) // fs mtime granularity
+    Streaming.mergeAggregatesBucketed(spark, latest(Seq(ev(uB, 2000.0, 90))), dir, 4)
+    assert(mtime(bucketOf(uA)) === tA, "untouched bucket must not be rewritten")
+    assert(mtime(bucketOf(uB)).isDefined)
+
+    val served = spark.read.schema(Schemas.aggregates)
+      .parquet(s"$dir/bucket=*").collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(served === Map(uA -> 70, uB -> 90))
+  }
+
   test("base64 wire envelope decodes to parseable JSON (F6)") {
     val json = ev("u7", 1234.0, 66)
     val b64 = java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
