@@ -72,6 +72,12 @@ object Demo {
     println(s"[demo] stateful latest-state: " +
       s"${spark.table("demo_state").select("user_id").distinct().count()} users tracked")
 
+    // 3c. generator-driven load (the reference's simulator scripts as
+    //     seeded DataFrames) through the batch hot path
+    val genServed = Streaming.latestPerUserInBatch(Streaming.parseEvents(
+      Generators.wearableEvents(spark, userIds.toSeq, 10000)))
+    println(s"[demo] generated load: 10000 events -> ${genServed.count()} latest states")
+
     // 4. predict-readiness: features from live aggregates + request, demo
     //    scorer (setup_model.py parity) and a trained MLlib model
     val requests = userIds.map(u =>
