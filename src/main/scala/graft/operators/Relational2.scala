@@ -268,8 +268,10 @@ object Relational2 {
         .filter(col("a.doc_id") < col("b.doc_id") &&
                 abs(col("a.n_chars") - col("b.n_chars")) <= 20)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-                levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
-        .filter(col("dist") <= 12)
+                // thresholded form: the DP early-exits (returns -1) once the
+                // distance provably exceeds 12 — most candidate pairs do
+                levenshtein(col("a.head"), col("b.head"), 13).cast("long").as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 12)
         .distinct()
     },
 
