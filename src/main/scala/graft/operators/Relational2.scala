@@ -326,6 +326,32 @@ object Relational2 {
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
 
+    Q.noOracle("q57_approx_quantiles",
+      "Sketch quantiles: approx_percentile (T-digest-style bounded-memory " +
+        "estimator) next to the exact interpolated percentiles of q25 — " +
+        "the 100 TB path where exact per-group sorts are unaffordable.") {
+      (s, d) =>
+        ev(s, d).groupBy("event_type").agg(
+          approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          approx_percentile(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
+          count(lit(1)).as("n"))
+    },
+
+    Q.noOracle("q58_hll_sketch",
+      "Mergeable HLL sketches (Apache DataSketches): per-type user sketches " +
+        "built once, unioned for the global distinct — the pattern that " +
+        "lets rollups reuse partial sketches instead of rescanning.") {
+      (s, d) =>
+        val perType = ev(s, d).groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+               countDistinct(col("user_id")).as("exact"))
+        val global = perType.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_estimate"))
+        perType.select(col("event_type"),
+                       hll_sketch_estimate(col("sk")).as("estimate"), col("exact"))
+          .crossJoin(broadcast(global))
+    },
+
     Q.noOracle("q46_approx_distinct",
       "Sketch aggregates: HLL++ approx_count_distinct next to the exact " +
         "count — the scale path for distincts (exact is oracle-checked in " +

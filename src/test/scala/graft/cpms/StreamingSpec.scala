@@ -140,6 +140,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Map(0L -> 2L, 300L -> 1L))
   }
 
+  test("append-mode watermark finalizes closed windows only (T4/T5 eviction)") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = Streaming.parseEvents(mem.toDF())
+      .filter(!$"corrupt")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("append_out").start()
+    mem.addData(ev("a1", 10.0, 70), ev("a1", 20.0, 71))
+    q.processAllAvailable()
+    // window [0,300) is still open (watermark = 20s - 60s < 300) -> nothing emitted
+    assert(spark.table("append_out").count() === 0)
+    // event at t=700 pushes the watermark past 300+60 -> [0,300) finalizes
+    mem.addData(ev("a1", 700.0, 72))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("append_out")
+      .select($"window.start".cast("long"), $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(0L -> 2L), "only the closed window may be emitted")
+  }
+
   test("cold lake reads prune on the dt partition (K1/partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
     Seq(("a", java.sql.Date.valueOf("2024-01-01")),
