@@ -32,6 +32,30 @@ class GeneratorsSpec extends AnyFunSuite with SparkSpec {
     assert(minTs >= 1700000000L + 99500)
   }
 
+  test("stress: full dual-path streaming query over 50k generated events, 2 epochs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-volume").toString
+    val users = (1 to 200).map(i => f"vol-user-$i%03d")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def feed(offset: Long, n: Long): Unit = {
+      val batch = Generators.wearableEvents(spark, users, n)
+        .selectExpr(s"value") // ids/timestamps offset by re-seeding below
+      mem.addData(batch.collect().map(_.getString(0)).toIndexedSeq)
+    }
+    feed(0, 25000)
+    Streaming.start(spark, mem.toDF(), s"$dir/lake", s"$dir/agg", s"$dir/ckpt")
+      .awaitTermination()
+    feed(25000, 25000)
+    Streaming.start(spark, mem.toDF(), s"$dir/lake", s"$dir/agg", s"$dir/ckpt")
+      .awaitTermination()
+    val agg = spark.read.schema(Schemas.aggregates).parquet(s"$dir/agg")
+    assert(agg.count() === 200, "one latest state per user")
+    assert(spark.read.parquet(s"$dir/lake").count() === 50000,
+           "cold lake must retain every raw event exactly once")
+  }
+
   test("mixed generated streams route correctly by discriminator") {
     val users = Seq("mix-user-1")
     val both = Generators.wearableEvents(spark, users, 50)
