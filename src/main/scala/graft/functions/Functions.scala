@@ -39,6 +39,9 @@ object Functions {
       // private[sql])
       exprs => Hamming64(Cast(exprs.head, LongType), Cast(exprs(1), LongType))
     }
+    add("word_shingles", "word_shingles(tokens, n) - distinct word n-gram shingles") {
+      exprs => WordShingles(exprs.head, intArg(exprs(1), "word_shingles"))
+    }
     add("top_k_by", "top_k_by(payload, ord, k) - k largest payloads by ord, descending") {
       exprs => TopKByAgg(exprs.head, exprs(1), intArg(exprs(2), "top_k_by"))
         .toAggregateExpression()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -112,6 +112,53 @@ object TextHashes {
 
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(Hamming64(e(a), e(b)))
+
+  def word_shingles(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(e(tokens), n))
+}
+
+/** Distinct word n-gram shingles of an array<string>, one pass.
+  *
+  * The built-in spelling (`array_distinct(transform(sequence(...), i =>
+  * concat_ws(' ', slice(words, i+1, n))))`) materializes a slice array per
+  * shingle and re-walks the token array n times per position; this builds
+  * each shingle string directly and dedups with one hash set. Shorter-
+  * than-n inputs yield the single joined shingle (the built-in helper's
+  * behavior, kept for parity).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && n <= 32, s"shingle width out of range: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    def join(from: Int, len: Int): UTF8String = {
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = if (toks.isNullAt(from + j)) UTF8String.EMPTY_UTF8
+                   else toks.getUTF8String(from + j)
+        j += 1
+      }
+      UTF8String.concatWs(sep, parts: _*)
+    }
+    if (m < n) return new GenericArrayData(Array[Any](join(0, m)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      seen.add(join(i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
 }
 
 /** 64-bit SimHash fingerprint of an array<string> of tokens.

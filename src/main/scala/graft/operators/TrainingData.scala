@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64}
+import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64, word_shingles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,13 +25,6 @@ object TrainingData {
 
   /** Whitespace tokens. */
   private def tokens(c: Column): Column = split(c, " ")
-
-  /** Word n-gram shingles as strings (n fixed at plan time). */
-  private def shingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", words)))
 
   /** Cosine similarity in double precision, sequential fold (deterministic
     * and cross-engine reproducible, unlike float/parallel reductions).
@@ -73,7 +66,7 @@ object TrainingData {
         "on band keys — no O(n^2) cross-product at scale.") { (s, d) =>
       val base = docs(s, d)
         .select(col("doc_id"),
-                array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+                word_shingles(tokens(col("text")), 3).as("sh"))
         .withColumn("sig", minhash_sig(col("sh"), 96))
       val bands = base.select(
         col("doc_id"),
@@ -390,10 +383,24 @@ object TrainingData {
                   size(col("tok"))), 4).as("quality"))
     },
 
-    Q.noOracle("q33_langid",
-      "Language-ID by character/stopword n-gram heuristic: scores text " +
-        "against small per-language marker profiles (public stopword " +
-        "lists), argmax wins; emits prediction vs the labeled lang.") { (s, d) =>
+    Q("q33_langid",
+      "Language-ID by marker-token profiles (public stopword fragments): " +
+        "per-language hit counts, argmax prediction (ties broken by " +
+        "lexicographically-last language — the struct-max order, mirrored " +
+        "explicitly in the oracle's CASE chain).",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(tok, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(tok, x -> x IN ('le','la','et','de','un'))) AS BIGINT) AS hits_fr,
+        |  CAST(len(list_filter(tok, x -> x IN ('el','la','y','de','un'))) AS BIGINT) AS hits_es,
+        |  CAST(len(list_filter(tok, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS hits_de,
+        |  CAST(len(list_filter(tok, x -> x IN ('de','shi','le','zai','he'))) AS BIGINT) AS hits_zh
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang, hits_en, hits_fr, hits_es, hits_de, hits_zh,
+        |  CASE greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh)
+        |    WHEN hits_zh THEN 'zh' WHEN hits_fr THEN 'fr' WHEN hits_es THEN 'es'
+        |    WHEN hits_en THEN 'en' ELSE 'de' END AS predicted_lang
+        |FROM h""".stripMargin) { (s, d) =>
       // Marker-token profiles per language (public stopword fragments).
       val profiles: Seq[(String, Seq[String])] = Seq(
         "en" -> Seq("the", "and", "of", "is", "a"),
@@ -402,17 +409,20 @@ object TrainingData {
         "de" -> Seq("der", "die", "und", "das", "ein"),
         "zh" -> Seq("de", "shi", "le", "zai", "he"))
       val tok = tokens(col("text"))
-      val scores = array(profiles.map { case (lang, markers) =>
+      def hits(markers: Seq[String]) = {
         val m = array(markers.map(lit): _*)
-        struct(size(filter(tok, t => array_contains(m, t))).cast("double").as("score"),
-               lit(lang).as("lang"))
+        size(filter(tok, t => array_contains(m, t))).cast("long")
+      }
+      val scores = array(profiles.map { case (lang, markers) =>
+        struct(hits(markers).as("score"), lit(lang).as("lang"))
       }: _*)
       docs(s, d)
         .withColumn("best", array_max(scores))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
-                col("best.lang").as("predicted_lang"),
-                col("best.score").as("marker_hits"),
-                (col("best.lang") === col("lang")).as("agrees"))
+                hits(profiles(0)._2).as("hits_en"), hits(profiles(1)._2).as("hits_fr"),
+                hits(profiles(2)._2).as("hits_es"), hits(profiles(3)._2).as("hits_de"),
+                hits(profiles(4)._2).as("hits_zh"),
+                col("best.lang").as("predicted_lang"))
     },
 
     Q("q34_fingerprint",

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.functions.TextHashes._
+import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64, word_shingles}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -36,6 +36,24 @@ class TextHashesSpec extends AnyFunSuite with SparkSpec {
     val got = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
       .select(hamming64($"a", $"b")).as[Int].collect()
     assert(got.sameElements(Array(64, 1, 0)))
+  }
+
+  test("word_shingles matches the built-in HOF spelling (distinct, ordered)") {
+    val df = Seq(
+      "a b c d e",
+      "a b",            // shorter than n -> single joined shingle
+      "x x x x",        // duplicate shingles collapse
+      "one"
+    ).toDF("text").withColumn("w", split($"text", " "))
+    val builtin = df.select(
+      array_distinct(
+        when(size($"w") >= 3,
+          transform(sequence(lit(0), size($"w") - 3),
+            i => concat_ws(" ", slice($"w", i + 1, lit(3)))))
+          .otherwise(array(concat_ws(" ", $"w")))).as("s"))
+    val custom = df.select(word_shingles($"w", 3).as("s"))
+    assert(custom.collect().map(_.getSeq[String](0)).toSeq ===
+           builtin.collect().map(_.getSeq[String](0)).toSeq)
   }
 
   test("hash64 avalanche: single-char difference flips ~half the bits") {
