@@ -115,6 +115,49 @@ object TextHashes {
 
   def word_shingles(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(e(tokens), n))
+
+  def srp_sig(vec: Column, bits: Int, table: Int): Column =
+    Bridge.column(SrpSig(e(vec), bits, table))
+}
+
+/** Signed-random-projection LSH signature of an array<double> vector:
+  * bit_i = sign(Σ_j v_j · s_ij) with s_ij = ±1 derived from splitmix64 of
+  * (table, i, j) — deterministic, no stored hyperplanes. One pass over the
+  * vector per row vs the higher-order-function spelling's bits×dims
+  * interpreted lambda evaluations.
+  */
+case class SrpSig(child: Expression, bits: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 63, s"srp bits out of range: $bits")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val acc = new Array[Double](bits)
+    var j = 0
+    while (j < dims) {
+      if (!v.isNullAt(j)) {
+        val x = v.getDouble(j)
+        var i = 0
+        while (i < bits) {
+          val sign = if ((TextHashes.mix64(
+            table.toLong * 0x9e3779b9L + i.toLong * 65537L + j) & 1L) == 0L) 1.0 else -1.0
+          acc(i) += x * sign
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out = (out << 1) | (if (acc(i) >= 0) 1L else 0L)
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
+  override def prettyName: String = "srp_sig"
 }
 
 /** Distinct word n-gram shingles of an array<string>, one pass.

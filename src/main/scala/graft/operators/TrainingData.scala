@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64, word_shingles}
+import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64, srp_sig, word_shingles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -173,19 +173,8 @@ object TrainingData {
       "Embedding-cosine near-dup: SRP-LSH bucketing (sign of projections " +
         "onto hash-derived +-1 hyperplanes), exact cosine verify within " +
         "buckets, pairs above threshold.") { (s, d) =>
-      val srpBits = 12
       val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-      def bucket(v: Column): Column =
-        aggregate(
-          transform(sequence(lit(0), lit(srpBits - 1)), i => {
-            val proj = aggregate(
-              zip_with(v, sequence(lit(0), size(v) - 1),
-                       (x, j) => x * when(pmod(hash(i, j), lit(2)) === 0, 1.0).otherwise(-1.0)),
-              lit(0.0), (acc, x) => acc + x)
-            when(proj >= 0, 1L).otherwise(0L)
-          }),
-          lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
-      val bucketed = e.withColumn("bucket", bucket(col("v")))
+      val bucketed = e.withColumn("bucket", srp_sig(col("v"), 12, 0))
       bucketed.as("l")
         .join(bucketed.as("r"),
               col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
@@ -227,22 +216,12 @@ object TrainingData {
         "hash tables) then exact cosine re-rank of candidates only — " +
         "probes a constant number of buckets instead of the full corpus.") {
       (s, d) =>
-        val bits = 8; val tables = 4
+        val tables = 4
         val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-        def sig(v: Column, table: Int): Column =
-          aggregate(
-            transform(sequence(lit(0), lit(bits - 1)), i => {
-              val proj = aggregate(
-                zip_with(v, sequence(lit(0), size(v) - 1),
-                         (x, j) => x * when(pmod(hash(lit(table), i, j), lit(2)) === 0, 1.0).otherwise(-1.0)),
-                lit(0.0), (acc, x) => acc + x)
-              when(proj >= 0, 1L).otherwise(0L)
-            }),
-            lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
         val tabbed = e.select(
           col("vec_id"), col("v"),
           explode(array((0 until tables).map(t =>
-            struct(lit(t).as("tbl"), sig(col("v"), t).as("sig"))): _*)).as("ts"))
+            struct(lit(t).as("tbl"), srp_sig(col("v"), 8, t).as("sig"))): _*)).as("ts"))
           .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
         val q = tabbed.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("sig"))
