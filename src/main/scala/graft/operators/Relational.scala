@@ -207,7 +207,7 @@ object Relational {
         "grouped aggregate (reference event-body JSON handling " +
         "ingestion.py:19, stream_processor.py:26).",
       """SELECT event_type,
-        |  sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       ev(s, d)

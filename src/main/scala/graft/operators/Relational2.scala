@@ -24,7 +24,7 @@ object Relational2 {
         "running conditional sum), then per-session stats. One shuffle on " +
         "user_id serves both windows and the final group.",
       """WITH g AS (
-        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value,
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value,
         |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
         |           - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
         |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -32,8 +32,8 @@ object Relational2 {
         |  FROM events),
         |s AS (
         |  SELECT user_id, ms, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value, min(ms) AS start_ms, max(ms) AS end_ms
@@ -41,7 +41,7 @@ object Relational2 {
       // epoch_ms(micros-truncated ts) == ts_ns div 1e6 (both floor)
       val e = ev(s, d).withColumn("ms", expr("ts_ns div 1000000"))
       val wOrd = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
-      val wRun = Window.partitionBy("user_id").orderBy(col("ms"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("brk",
           when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1).otherwise(0))
