@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -101,6 +101,66 @@ object TextHashes {
 
   def popcount64(x: Long): Int = java.lang.Long.bitCount(x)
 
+  /** Signed-random-projection signature body (see [[SrpSig]]). Static so the
+    * generated code can call it directly and the expression stays inside
+    * whole-stage codegen.
+    */
+  def srpSig(v: ArrayData, bits: Int, table: Int, isFloat: Boolean): Long = {
+    val dims = v.numElements()
+    val acc = new Array[Double](bits)
+    var j = 0
+    while (j < dims) {
+      if (!v.isNullAt(j)) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        var i = 0
+        while (i < bits) {
+          val sign = if ((mix64(
+            table.toLong * 0x9e3779b9L + i.toLong * 65537L + j) & 1L) == 0L) 1.0 else -1.0
+          acc(i) += x * sign
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out = (out << 1) | (if (acc(i) >= 0) 1L else 0L)
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingle body (see [[WordShingles]]). Static for
+    * codegen, same reason as [[srpSig]].
+    */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    def join(from: Int, len: Int): UTF8String = {
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = if (toks.isNullAt(from + j)) UTF8String.EMPTY_UTF8
+                   else toks.getUTF8String(from + j)
+        j += 1
+      }
+      UTF8String.concatWs(sep, parts: _*)
+    }
+    if (m < n) return new GenericArrayData(Array[Any](join(0, m)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      seen.add(join(i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----------------------------------------------------
 
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -127,35 +187,14 @@ object TextHashes {
   * interpreted lambda evaluations.
   */
 case class SrpSig(child: Expression, bits: Int, table: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with VecArg {
   require(bits > 0 && bits <= 63, s"srp bits out of range: $bits")
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val dims = v.numElements()
-    val acc = new Array[Double](bits)
-    var j = 0
-    while (j < dims) {
-      if (!v.isNullAt(j)) {
-        val x = v.getDouble(j)
-        var i = 0
-        while (i < bits) {
-          val sign = if ((TextHashes.mix64(
-            table.toLong * 0x9e3779b9L + i.toLong * 65537L + j) & 1L) == 0L) 1.0 else -1.0
-          acc(i) += x * sign
-          i += 1
-        }
-      }
-      j += 1
-    }
-    var out = 0L
-    var i = 0
-    while (i < bits) {
-      out = (out << 1) | (if (acc(i) >= 0) 1L else 0L)
-      i += 1
-    }
-    out
-  }
+  private lazy val cF = isFloatArray(child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.srpSig(input.asInstanceOf[ArrayData], bits, table, cF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.srpSig($c, $bits, $table, $cF)")
   override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   override def prettyName: String = "srp_sig"
 }
@@ -170,36 +209,13 @@ case class SrpSig(child: Expression, bits: Int, table: Int)
   * behavior, kept for parity).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0 && n <= 32, s"shingle width out of range: $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val m = toks.numElements()
-    val sep = UTF8String.fromString(" ")
-    def join(from: Int, len: Int): UTF8String = {
-      val parts = new Array[UTF8String](len)
-      var j = 0
-      while (j < len) {
-        parts(j) = if (toks.isNullAt(from + j)) UTF8String.EMPTY_UTF8
-                   else toks.getUTF8String(from + j)
-        j += 1
-      }
-      UTF8String.concatWs(sep, parts: _*)
-    }
-    if (m < n) return new GenericArrayData(Array[Any](join(0, m)))
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 0
-    while (i + n <= m) {
-      seen.add(join(i, n))
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.wordShingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   override def prettyName: String = "word_shingles"
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextHashes.{hamming64, minhash_sig, simhash64, srp_sig, word_shingles}
+import graft.functions.VectorMath.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,14 +29,12 @@ object TrainingData {
 
   /** Cosine similarity in double precision, sequential fold (deterministic
     * and cross-engine reproducible, unlike float/parallel reductions).
+    * Codegen'd expression over the raw float arrays — the HOF spelling
+    * (`aggregate(zip_with(...))`) is CodegenFallback and split whole-stage
+    * codegen at every ANN scan stage; fold order is identical so results
+    * (and the DuckDB oracle hashes) are unchanged.
     */
-  private def cosine(a: Column, b: Column): Column = {
-    def fold(z: Column) = aggregate(z, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(a, b, (x, y) => x * y))
-    val na  = fold(transform(a, x => x * x))
-    val nb  = fold(transform(b, x => x * x))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  private def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
   private def vecd(c: Column): Column = transform(c, _.cast("double"))
 
@@ -173,7 +172,7 @@ object TrainingData {
       "Embedding-cosine near-dup: SRP-LSH bucketing (sign of projections " +
         "onto hash-derived +-1 hyperplanes), exact cosine verify within " +
         "buckets, pairs above threshold.") { (s, d) =>
-      val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
       val bucketed = e.withColumn("bucket", srp_sig(col("v"), 12, 0))
       bucketed.as("l")
         .join(bucketed.as("r"),
@@ -200,7 +199,7 @@ object TrainingData {
         |SELECT qid, vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
         |WHERE rk <= 5""".stripMargin) { (s, d) =>
-      val c = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      val c = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       c.join(broadcast(q), col("qid") =!= col("vec_id"))
@@ -217,7 +216,7 @@ object TrainingData {
         "probes a constant number of buckets instead of the full corpus.") {
       (s, d) =>
         val tables = 4
-        val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+        val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
         val tabbed = e.select(
           col("vec_id"), col("v"),
           explode(array((0 until tables).map(t =>

@@ -39,6 +39,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"latest-per-key regressed to a window sort:\n$p")
   }
 
+  test("custom text/vector hash expressions stay inside whole-stage codegen") {
+    // A CodegenFallback child splits the stage: its Project prints without
+    // the codegen marker. Every line evaluating our expressions must carry
+    // the `*(n)` whole-stage prefix.
+    // AQE prints unfinalized stages without codegen markers; disable it so
+    // the whole plan shows its `*(n)` spans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, fn) <- Seq("q35_dedup_minhash_lsh" -> "word_shingles",
+                          "q39_dedup_cosine" -> "srp_sig",
+                          "q36_simhash_fingerprint" -> "simhash64")) {
+        val lines = plan(q).linesIterator
+          .filter(l => l.contains(fn + "(") && !l.contains("FileScan")).toSeq
+        assert(lines.nonEmpty, s"$q no longer evaluates $fn")
+        assert(lines.forall(l => l.contains("*(")),
+               s"$fn fell out of whole-stage codegen in $q:\n${lines.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
