@@ -294,10 +294,14 @@ object TrainingData {
                                   explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfT = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = docs(s, d).count().toDouble
+      // corpus size as an in-plan 1-row broadcast (q28 pattern) — a
+      // driver-side count() here would be a second full corpus pass
+      // before the query even starts
+      val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(dfT), "term")
-        .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
