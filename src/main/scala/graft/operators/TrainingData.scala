@@ -104,9 +104,14 @@ object TrainingData {
     },
 
     Q.noOracle("q37_simhash_neardup",
-      "Near-dup pairs via SimHash: pigeonhole banding on 4x16-bit chunks " +
-        "(any pair within Hamming<=3 shares >=1 exact chunk), then exact " +
-        "Hamming verify. Bucketed self-join, no cross-product.") { (s, d) =>
+      "Near-dup pairs via SimHash: pigeonhole banding on 4x16-bit chunks, " +
+        "then exact Hamming verify at <=3 (the standard 64-bit near-dup " +
+        "radius). EXACT by construction: any pair within Hamming<=3 " +
+        "differs in at most 3 of the 4 chunks, so it shares >=1 chunk " +
+        "verbatim and is guaranteed to collide in that band — the operator " +
+        "returns ALL qualifying pairs, not a sample (SimHashNearDupSpec " +
+        "proves it against the all-pairs scan). Bucketed self-join, no " +
+        "cross-product.") { (s, d) =>
       val fp = docs(s, d).withColumn("simhash", simhash64(tokens(col("text"))))
       val chunks = fp.select(
         col("doc_id"), col("simhash"),
@@ -125,7 +130,7 @@ object TrainingData {
         .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
                 hamming64(col("l.simhash"), col("r.simhash")).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 16)
+        .filter(col("hamming") <= 3)
     },
 
     Q("q38_ngram_jaccard",
@@ -211,11 +216,19 @@ object TrainingData {
     },
 
     Q.noOracle("q41_ann_lsh",
-      "ANN scale path: SRP-LSH candidate buckets (8-bit signatures, 4 " +
-        "hash tables) then exact cosine re-rank of candidates only — " +
-        "probes a constant number of buckets instead of the full corpus.") {
+      "ANN scale path: multi-probe SRP-LSH (8-bit signatures, 4 hash " +
+        "tables; each query also probes every bucket within Hamming<=2 of " +
+        "its signature — the standard multi-probe technique) then exact " +
+        "cosine re-rank of candidates only. Probe expansion happens on the " +
+        "QUERY side (37 buckets/table per query), so the corpus keeps one " +
+        "row per table and the candidate join stays a bucket equi-join; " +
+        "RecallSpec measures recall@5 against the q40 brute-force truth.") {
       (s, d) =>
         val tables = 4
+        // buckets within Hamming<=2 of the query signature: 1 + 8 + C(8,2)
+        val probeMasks: Seq[Long] =
+          0L +: ((0 until 8).map(b => 1L << b) ++
+                 (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b)))
         val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
         val tabbed = e.select(
           col("vec_id"), col("v"),
@@ -224,6 +237,8 @@ object TrainingData {
           .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
         val q = tabbed.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("sig"))
+          .withColumn("sig", explode(array(probeMasks.map(m =>
+            col("sig").bitwiseXOR(lit(m))): _*)))
         val cand = tabbed.join(q, Seq("tbl", "sig"))
           .filter(col("qid") =!= col("vec_id"))
           .select(col("qid"), col("qv"), col("vec_id"), col("v"))
@@ -238,9 +253,11 @@ object TrainingData {
 
     Q.noOracle("q54_ann_ivf",
       "ANN, IVF variant: MLlib KMeans (fixed seed) partitions the corpus " +
-        "into 16 cells; each query probes its 2 nearest centroids and " +
+        "into 16 cells; each query probes its 4 nearest centroids and " +
         "exact-reranks only those cells — at scale the index is built once " +
-        "and the probe touches ~2/16 of the corpus instead of all of it.") {
+        "and the probe touches ~4/16 of the corpus instead of all of it " +
+        "(nprobe trades recall for scan fraction; RecallSpec pins the " +
+        "floor).") {
       (s, d) =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -261,7 +278,7 @@ object TrainingData {
             aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
                       lit(0.0), (acc, x) => acc + x))
           .withColumn("crk", row_number().over(wCell))
-          .filter(col("crk") <= 2)
+          .filter(col("crk") <= 4)
           .select(col("qid"), col("qv"), col("cell"))
         val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         probe.join(assigned, Seq("cell"))

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.functions.TextHashes.{hamming64, simhash64, word_shingles}
+import graft.functions.VectorMath.cosine_sim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantitative correctness for the approximate operators the DuckDB
+  * oracle can't express (custom hash functions / engine-specific
+  * estimators). Each approximate query is measured against an exact
+  * ground truth computed here by brute force at small SF:
+  *
+  *  - q37 is proven EXACT (pigeonhole banding is complete for Hamming<=3).
+  *  - q35 (MinHash-LSH) recall is measured against the all-pairs shingle
+  *    Jaccard truth, stratified by similarity (LSH recall is a function
+  *    of j: P(candidate) = 1-(1-j^4)^24).
+  *  - q41 (SRP-LSH) / q54 (IVF) recall@5 is measured against q40's
+  *    oracle-verified brute-force top-5.
+  *  - q46/q57/q58 sketch estimates are bounded against their exact
+  *    companion columns.
+  */
+class RecallSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q37 simhash banding is complete: output equals the all-pairs Hamming<=3 scan") {
+    val fp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("h"))
+    val truth = fp.as("l").join(fp.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+              hamming64(col("l.h"), col("r.h")).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val truthSet = pairSet(truth, "id_a", "id_b")
+    val got = pairSet(run("q37_simhash_neardup"), "id_a", "id_b")
+    info(s"q37: truth=${truthSet.size} got=${got.size}")
+    assert(truthSet.nonEmpty, "testdata has no Hamming<=3 pairs — test is vacuous")
+    assert(got === truthSet)
+  }
+
+  test("q35 minhash-lsh recall vs exact shingle-jaccard truth, stratified") {
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), word_shingles(split(col("text"), " "), 3).as("sh"))
+    val inter = size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
+    val truth = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+              (inter / (size(col("l.sh")) + size(col("r.sh")) - inter)).as("j"))
+      .filter(col("j") >= 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = pairSet(run("q35_dedup_minhash_lsh"), "id_a", "id_b")
+    def recallAbove(t: Double): (Int, Double) = {
+      val strat = truth.filter(_._2 >= t).keySet
+      (strat.size, if (strat.isEmpty) 1.0 else strat.count(got).toDouble / strat.size)
+    }
+    val (n2, r2) = recallAbove(0.2)
+    val (n5, r5) = recallAbove(0.5)
+    val (n8, r8) = recallAbove(0.8)
+    info(f"q35 recall: j>=0.2 $r2%.3f (n=$n2), j>=0.5 $r5%.3f (n=$n5), j>=0.8 $r8%.3f (n=$n8)")
+    assert(n5 > 0, "no j>=0.5 truth pairs — stratum is vacuous")
+    // theory at 24 bands x 4 rows: P(cand) = 1-(1-j^4)^24 -> 0.79 at j=0.5,
+    // ~1.0 at j>=0.8; measured recall should not fall below a safe margin
+    assert(r5 >= 0.6, f"j>=0.5 recall $r5%.3f under floor 0.6")
+    assert(r8 >= 0.95, f"j>=0.8 recall $r8%.3f under floor 0.95")
+    // precision is 1.0 by construction (exact jaccard verify on candidates)
+    val falsePos = got.filterNot(truth.keySet)
+    assert(falsePos.isEmpty, s"q35 emitted pairs below the 0.2 threshold: $falsePos")
+  }
+
+  test("q41 srp-lsh and q54 ivf recall@5 vs q40 brute-force truth") {
+    def top5(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = top5(run("q40_ann_brute"))
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val rLsh = recall(top5(run("q41_ann_lsh")))
+    val rIvf = recall(top5(run("q54_ann_ivf")))
+    info(f"recall@5: srp-lsh $rLsh%.3f, kmeans-ivf $rIvf%.3f")
+    assert(rLsh >= 0.6, f"LSH recall@5 $rLsh%.3f under floor")
+    assert(rIvf >= 0.6, f"IVF recall@5 $rIvf%.3f under floor")
+  }
+
+  test("q46/q58 distinct-count sketches within relative-error bounds of exact") {
+    val q46 = run("q46_approx_distinct")
+      .select(col("exact_users").cast("double"), col("approx_users").cast("double"))
+      .collect()
+    q46.foreach { r =>
+      val rel = math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0)
+      assert(rel <= 0.1, f"approx_count_distinct off by ${rel * 100}%.1f%%")
+    }
+    val q58 = run("q58_hll_sketch").collect()
+    q58.foreach { r =>
+      val exact = r.getAs[Number]("exact").doubleValue
+      val est = r.getAs[Number]("estimate").doubleValue
+      val rel = math.abs(est - exact) / exact
+      assert(rel <= 0.1, f"hll_sketch estimate off by ${rel * 100}%.1f%%")
+    }
+    // the unioned global sketch vs the exact global distinct
+    val globalExact = graft.Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    val globalEst = q58.head.getAs[Number]("global_estimate").doubleValue
+    assert(math.abs(globalEst - globalExact) / globalExact <= 0.1,
+           s"global HLL union estimate $globalEst vs exact $globalExact")
+  }
+
+  test("q57 approx quantiles within bounds of exact interpolated percentiles") {
+    val exact = graft.Tables.events(spark, sf).groupBy("event_type").agg(
+      percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    run("q57_approx_quantiles").collect().foreach { r =>
+      val (p50, p99) = exact(r.getString(0))
+      val a50 = r.getAs[Double]("p50_approx")
+      val a99 = r.getAs[Double]("p99_approx")
+      assert(math.abs(a50 - p50) / math.max(math.abs(p50), 1e-9) <= 0.05,
+             s"p50 approx $a50 vs exact $p50")
+      assert(math.abs(a99 - p99) / math.max(math.abs(p99), 1e-9) <= 0.05,
+             s"p99 approx $a99 vs exact $p99")
+    }
+  }
+}
