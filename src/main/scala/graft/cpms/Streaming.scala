@@ -135,32 +135,48 @@ object Streaming {
       batchLatest: DataFrame,
       aggDir: String,
       nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val withBucket = batchLatest.withColumn(
       "bucket", pmod(hash(col("user_id")), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets — driver-safe
+    if (touched.isEmpty) return
+    // ONE job for all touched buckets: read them via partition pruning,
+    // union with the batch, merge, and write `partitionBy(bucket)` to a
+    // staging dir. (A per-bucket loop would serialize the epoch into
+    // O(touched) driver-scheduled jobs.) Untouched buckets are never read
+    // or written; the final swap is O(touched) metadata renames.
+    val existingTouched =
+      if (fs.exists(new Path(aggDir)))
+        spark.read.schema(Schemas.aggregates.add("bucket", "int"))
+          .parquet(aggDir)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.aggregates.add("bucket", "int"))
+    val merged = existingTouched
+      .unionByName(withBucket)
+      // bucket is functionally determined by user_id; grouping on both
+      // keeps it available for the partitioned write without a re-hash
+      .groupBy("bucket", "user_id")
+      .agg(max_by(struct(col("ts"), col("heart_rate"), col("steps"), col("calories")),
+                  col("ts")).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+              col("r.heart_rate").as("heart_rate"),
+              col("r.steps").as("steps"), col("r.calories").as("calories"),
+              col("bucket"))
+    val staging = new Path(aggDir + ".staging")
+    fs.delete(staging, true)
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
     touched.foreach { b =>
-      val dir = s"$aggDir/bucket=$b"
-      val existing =
-        if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-          spark.read.schema(Schemas.aggregates).parquet(dir)
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.aggregates)
-      val merged = existing
-        .unionByName(withBucket.filter(col("bucket") === b).drop("bucket"))
-        .groupBy("user_id")
-        .agg(max_by(struct(col("ts"), col("heart_rate"), col("steps"), col("calories")),
-                    col("ts")).as("r"))
-        .select(col("user_id"), col("r.ts").as("ts"),
-                col("r.heart_rate").as("heart_rate"),
-                col("r.steps").as("steps"), col("r.calories").as("calories"))
-      val tmp = dir + ".staging"
-      merged.write.mode("overwrite").parquet(tmp)
-      val dst = new org.apache.hadoop.fs.Path(dir)
+      val dst = new Path(s"$aggDir/bucket=$b")
       fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      fs.mkdirs(dst.getParent)
+      fs.rename(new Path(s"$staging/bucket=$b"), dst)
     }
+    fs.delete(staging, true)
   }
 
   /** One parsed hot-path event (typed view of [[parseEvents]] output). */
