@@ -2,7 +2,7 @@ package graft.cpms
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** The hot/cold dual-path ingest pipeline (reference src/ingestion.py +
   * src/stream_processor.py + hot_path*.tf) as one Structured Streaming job:
@@ -203,6 +203,46 @@ object Streaming {
           if (state.getOption.contains(latest)) Iterator.empty
           else { state.update(latest); Iterator.single(latest) }
       }
+  }
+
+  /** [[latestStateStream]] on the Spark 4 `transformWithState` API — the
+    * current-generation stateful operator (SPARK-49564): explicit typed
+    * state handles (ValueState here), RocksDB-backed, with per-state TTL
+    * and timers available where flatMapGroupsWithState offers only one
+    * state object and one timeout. Same semantics as the fMGWS path:
+    * event-time arg-max per key, emit only on change (proven equivalent
+    * under permutation in PropertiesSpec/StreamingSpec).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); callers set it on
+    * the session before starting the query.
+    */
+  def latestStateStreamTws(events: Dataset[HotEvent]): Dataset[HotEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new LatestEventProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-key latest-event state for [[latestStateStreamTws]]. */
+  final class LatestEventProcessor
+      extends StatefulProcessor[String, HotEvent, HotEvent] {
+    @transient private var latest: ValueState[HotEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[HotEvent](
+        "latest", org.apache.spark.sql.Encoders.product[HotEvent], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HotEvent],
+        timers: TimerValues): Iterator[HotEvent] = {
+      val prior = if (latest.exists()) Some(latest.get()) else None
+      val best = (prior.iterator ++ rows).maxBy(e => (e.ts.getTime, e.event_id))
+      if (prior.contains(best)) Iterator.empty
+      else { latest.update(best); Iterator.single(best) }
+    }
   }
 
   /** Typed view of [[parseEvents]] for the stateful path. */

@@ -90,6 +90,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(s1Updates === 1, "late event must not re-emit state")
   }
 
+  test("stateful latest-state via transformWithState matches the fMGWS path (T3)") {
+    implicit val sctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val typed = Streaming.toHotEvents(Streaming.parseEvents(mem.toDF()))
+      val q = Streaming.latestStateStreamTws(typed).writeStream
+        .outputMode("update").format("memory").queryName("tws_out").start()
+      mem.addData(ev("s1", 1000.0, 70), ev("s1", 2000.0, 80), ev("s2", 1500.0, 90))
+      q.processAllAvailable()
+      mem.addData(ev("s1", 500.0, 60))  // late: must not emit an update
+      mem.addData(ev("s2", 3000.0, 95)) // newer: must emit
+      q.processAllAvailable()
+      q.stop()
+      val served = spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.col("heart_rate"),
+          org.apache.spark.sql.functions.col("ts")).as("hr"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(served === Map("s1" -> 80, "s2" -> 95))
+      val s1Updates = spark.table("tws_out").filter($"user_id" === "s1").count()
+      assert(s1Updates === 1, "late event must not re-emit state")
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("epoch-string timestamps normalize to TimestampType (F3)") {
     val batch = Seq(ev("u1", 1714230000.5, 70)).toDF("value")
     val ts = Streaming.parseEvents(batch).select("ts").head().getTimestamp(0)
