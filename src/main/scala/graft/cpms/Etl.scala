@@ -87,4 +87,25 @@ object Etl {
     n.cognitiveScores.write.mode("overwrite").parquet(s"$outDir/cognitive_scores")
     n.trackingRisks.write.mode("overwrite").parquet(s"$outDir/tracking_risks")
   }
+
+  /** Persist the normalized star schema as MANAGED catalog tables (K5 DDL),
+    * fact tables hash-bucketed + sorted on `user_id` so every downstream
+    * keyed join/aggregate against them is co-located — no Exchange on the
+    * fact side at any scale (asserted on these production tables in
+    * EtlSpec). The dimension stays unbucketed: it broadcasts.
+    *
+    * `prefix` namespaces the tables (`<prefix>_users`, `<prefix>_scores`,
+    * `<prefix>_risks`); nBuckets is the scale knob — pick ~(fact size /
+    * target file size) at deploy time.
+    */
+  def saveAsTables(n: Normalized, prefix: String, nBuckets: Int): Unit = {
+    n.users.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_users")
+    n.cognitiveScores.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "user_id").sortBy("user_id")
+      .saveAsTable(s"${prefix}_scores")
+    n.trackingRisks.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "user_id").sortBy("user_id")
+      .saveAsTable(s"${prefix}_risks")
+  }
 }

@@ -65,6 +65,34 @@ class EtlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("saveAsTables bucketed layout joins the production facts without an Exchange (K5)") {
+    Seq("prod_users", "prod_scores", "prod_risks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Etl.saveAsTables(n, "prod", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // scores ⋈ risks on user_id: both facts bucketed on the key — the
+      // join must read co-located buckets, no hash exchange on either side
+      val joined = spark.table("prod_scores").select("user_id", "cognitive_score")
+        .join(spark.table("prod_risks").select(col("user_id"), col("heart_rate")),
+              "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+             s"bucketed fact join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+      // and the serving aggregate over one fact needs no re-shuffle either
+      val agg = spark.table("prod_scores").groupBy("user_id")
+        .agg(max("cognitive_score"))
+      assert(!agg.queryExecution.executedPlan.toString
+               .contains("Exchange hashpartitioning"),
+             "keyed aggregate over the bucketed fact re-shuffled")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("prod_users", "prod_scores", "prod_risks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("dashboardStats on an empty table serves avg 0 (main.py:172)") {
     val empty = n.cognitiveScores.filter(lit(false))
     val stats = Queries.dashboardStats(empty).collect().head
