@@ -41,6 +41,36 @@ object TrainingData {
   // Stopword list used by quality scoring + language-ID (public, standard).
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Build-once IVF index: (centroids, persisted cell assignment), cached
+    * per (corpus dir, k). The KMeans fit + corpus assignment pass run on
+    * the FIRST call in a session; every later query batch reuses them —
+    * the production shape, where the index amortizes across batches
+    * instead of refitting per query (IvfIndexSpec asserts the skip).
+    * Centroids to the driver are k x dims doubles — bounded.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Seq[(Int, Array[Double])], DataFrame)]
+
+  /** Number of KMeans fits actually executed (test observability). */
+  val ivfFits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def ivfIndex(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) =
+    ivfCache.getOrElseUpdate((d, k), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      ivfFits.incrementAndGet()
+      val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+        .withColumn("features", array_to_vector(col("v")))
+      val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+        .fit(e)
+      val centers = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        .persist()
+      (centers, assigned)
+    })
+
   val all: Seq[Q] = Seq(
 
     // ---- dedup ---------------------------------------------------------
@@ -259,16 +289,8 @@ object TrainingData {
         "(nprobe trades recall for scan fraction; RecallSpec pins the " +
         "floor).") {
       (s, d) =>
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-          .withColumn("features", array_to_vector(col("v")))
-        val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("features")
-          .fit(e)
-        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-        val assigned = model.transform(e).select(col("vec_id"), col("v"),
-                                                 col("prediction").as("cell"))
-        // per query: 2 nearest centroids (tiny driver-side table, broadcast)
+        val (centers, assigned) = ivfIndex(s, d, 16)
+        // per query: nearest centroids (tiny driver-side table, broadcast)
         val centersDf = s.createDataFrame(centers).toDF("cell", "cv")
         val q = assigned.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
