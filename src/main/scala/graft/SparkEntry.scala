@@ -10,7 +10,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    operators.Relational.all ++ operators.Relational2.all ++ operators.TrainingData.all
+    operators.Relational.all ++ operators.Relational2.all ++
+      operators.TrainingData.all ++ operators.Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's dashboard "recent checks" (main.py:139-151) shape.
