@@ -41,6 +41,22 @@ object TrainingData {
   // Stopword list used by quality scoring + language-ID (public, standard).
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** SRP-LSH embedding near-dup: bucket on the `bits`-bit signed-random-
+    * projection signature, exact cosine only on bucket collisions, keep
+    * pairs at or above `thr`. `e` must carry (vec_id, v: array<float|
+    * double>). Exposed for reuse and for RecallSpec's planted-duplicate
+    * assertions (q39 is this on the embeddings table).
+    */
+  def cosineNearDupPairs(e: DataFrame, bits: Int, table: Int, thr: Double): DataFrame = {
+    val bucketed = e.withColumn("bucket", srp_sig(col("v"), bits, table))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+            col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+              round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+      .filter(col("cos") >= thr)
+  }
+
   /** Corpus row count, cached per dir. One metadata-cheap pass (parquet
     * row-group counts; no data pages) amortized across every adaptive
     * operator in the session. This is a PLAN-SHAPING statistic (band
@@ -258,17 +274,14 @@ object TrainingData {
     Q.noOracle("q39_dedup_cosine",
       "Embedding-cosine near-dup: SRP-LSH bucketing (sign of projections " +
         "onto hash-derived +-1 hyperplanes), exact cosine verify within " +
-        "buckets, pairs above threshold.") { (s, d) =>
-      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val bucketed = e.withColumn("bucket", srp_sig(col("v"), 12, 0))
-      bucketed.as("l")
-        .join(bucketed.as("r"),
-              col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-                round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
-        // uniform random embeddings peak near |cos|~0.125; 0.15 keeps the
-        // operator observable on the synthetic corpus (raise for real data)
-        .filter(col("cos") >= 0.15)
+        "buckets, pairs above threshold. Recall guarantee: vectors whose " +
+        "projections all share signs (in particular exact duplicates and " +
+        "scaled copies) ALWAYS share a bucket — RecallSpec plants " +
+        "duplicates and asserts they are found.") { (s, d) =>
+      // uniform random embeddings peak near |cos|~0.125; 0.15 keeps the
+      // operator observable on the synthetic corpus (raise for real data)
+      cosineNearDupPairs(
+        embs(s, d).select(col("vec_id"), col("embedding").as("v")), 12, 0, 0.15)
     },
 
     // ---- similarity search --------------------------------------------

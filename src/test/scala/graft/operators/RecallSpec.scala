@@ -91,6 +91,28 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     assert(rIvf >= 0.6, f"IVF recall@5 $rIvf%.3f under floor")
   }
 
+  test("q39 srp bucketing finds every planted duplicate (guaranteed collision)") {
+    import spark.implicits._
+    // corpus of 200 deterministic 64-dim vectors + exact duplicates of the
+    // first 10 (ids 1000+i) and scaled copies of the next 10 (ids 2000+i).
+    // Scaling preserves every projection's sign, so all 20 planted pairs
+    // MUST share the original's bucket; cosine is 1.0 for both kinds.
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64)(j => math.sin(seed * 64 + j).toDouble)
+    val base = (0 until 200).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 10).map(i => (1000L + i, vec(i)))
+    val scaled = (10 until 20).map(i => (2000L + i, vec(i).map(_ * 0.5)))
+    val e = (base ++ dups ++ scaled).toDF("vec_id", "v")
+    val pairs = TrainingData.cosineNearDupPairs(e, 12, 0, 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"missed exact duplicate of $i")
+    }
+    (10 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 2000L + i)), s"missed scaled copy of $i")
+    }
+  }
+
   test("q46/q58 distinct-count sketches within relative-error bounds of exact") {
     val q46 = run("q46_approx_distinct")
       .select(col("exact_users").cast("double"), col("approx_users").cast("double"))
