@@ -105,6 +105,67 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
     },
 
+    Q("q64_dedup_clusters",
+      "Dedup cluster resolution: connected components over the q38 " +
+        "near-dup pair graph (iterative min-label propagation — the " +
+        "standard distributed CC pattern: each round is one shuffle " +
+        "join + min-aggregate, converging in O(component diameter) " +
+        "rounds, bounded here at 20 ~ graphs of 2^20 diameter). Output: " +
+        "every clustered doc with its canonical keeper (min doc_id in " +
+        "the component) — the final KEEP/DROP decision of corpus dedup. " +
+        "The DuckDB oracle recomputes components via a recursive-CTE " +
+        "transitive closure over the unblocked all-pairs graph, so the " +
+        "equivalence also re-proves the prefix filter end-to-end.",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS cluster_id,
+        |  CAST(a = min(b) AS BIGINT) AS keep
+        |FROM reach GROUP BY a""".stripMargin) { (s, d) =>
+      val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
+      // the edge list is read every round: materialize it once
+      val edges = pairs
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .persist()
+      // eager localCheckpoint each round truncates the iterative lineage —
+      // without it the logical plan doubles per iteration (labels appears
+      // in both the union and the convergence join) and analysis alone
+      // OOMs the driver long before execution. On a cluster, a reliable
+      // checkpoint dir gives the same truncation with fault tolerance.
+      var labels = edges.select(col("id_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val msgs = edges
+          .join(labels, edges("id_a") === labels("doc_id"))
+          .select(col("id_b").as("doc_id"), col("label"))
+        val next = labels.unionByName(msgs)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .filter(col("label") < col("prev")).isEmpty
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("doc_id"), col("label").as("cluster_id"),
+                    (col("doc_id") === col("label")).cast("long").as("keep"))
+    },
+
     Q("q63_source_caps",
       "Source-mix audit: per-source doc counts vs the mean, flagging " +
         "over-represented sources (>1.5x mean) for down-sampling. One " +

@@ -41,6 +41,57 @@ object TrainingData {
   // Stopword list used by quality scoring + language-ID (public, standard).
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** q38's pair generation, reusable (q64 builds dedup clusters on it).
+    *
+    * Candidates come from a LOSSLESS prefix filter (the PPJoin-family
+    * bound): sort each doc's distinct tokens by global document frequency
+    * (rarest first, ties by hash — one canonical order for the whole
+    * corpus); any pair with J >= 0.9 must share at least one token within
+    * the first floor(|tok|/10)+1 of BOTH docs. Joining on those prefix
+    * tokens makes block size track token rarity, not corpus density:
+    * unlike fixed-width length buckets (whose occupancy grows ~linearly
+    * with corpus size, so candidate pairs grow ~quadratically), prefix
+    * blocks stay small because the prefix is, by construction, each doc's
+    * RAREST tokens. The lang + |Δn_chars|<=20 predicate from the spec is
+    * applied on candidates; exact Jaccard verifies. Tokens are compared as
+    * 64-bit hashes, not strings: set sizes and overlap are collision-free
+    * in practice (xxhash64 over ~40-token sets), so the Jaccard values are
+    * identical to the string-set oracle at a fraction of the per-pair cost.
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"))
+    val tokDf = base.select(explode(col("tok")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("df"))
+    // rebuild each doc's (df, tk)-sorted prefix; both shuffles are on
+    // scalable keys (token, then doc_id)
+    val pref = base
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              size(col("tok")).as("ntok"), explode(col("tok")).as("tk"))
+      .join(tokDf, "tk")
+      .groupBy("doc_id", "lang", "n_chars", "ntok")
+      .agg(array_sort(collect_list(struct(col("df"), col("tk")))).as("sorted"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              explode(slice(col("sorted"), lit(1),
+                            (col("ntok") / 10).cast("int") + 1)).as("p"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p.tk").as("ptk"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), Seq("lang", "ptk"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+    val j = round(
+      inter / (size(col("tok_a")) + size(col("tok_b")) - inter), 4)
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+  }
+
   /** SRP-LSH embedding near-dup: bucket on the `bits`-bit signed-random-
     * projection signature, exact cosine only on bucket collisions, keep
     * pairs at or above `thr`. `e` must carry (vec_id, v: array<float|
@@ -210,8 +261,9 @@ object TrainingData {
     },
 
     Q("q38_ngram_jaccard",
-      "Near-dup by token-set Jaccard within (lang, length-band) blocks — " +
-        "blocked self-join, exact set similarity on candidates.",
+      "Near-dup by token-set Jaccard >= 0.9: lossless rare-token prefix " +
+        "filter for candidates (see jaccardPairs), exact set similarity " +
+        "verify. Oracle-identical to the unblocked all-pairs spelling.",
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
@@ -221,54 +273,7 @@ object TrainingData {
         |  AND abs(a.n_chars - b.n_chars) <= 20
         |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9""".stripMargin) {
-      (s, d) =>
-        // Candidate generation is a LOSSLESS prefix filter (the
-        // PPJoin-family bound): sort each doc's distinct tokens by global
-        // document frequency (rarest first, ties by hash — one canonical
-        // order for the whole corpus); any pair with J >= 0.9 must share
-        // at least one token within the first floor(|tok|/10)+1 of BOTH
-        // docs. Joining on those prefix tokens makes block size track
-        // token rarity, not corpus density: unlike fixed-width length
-        // buckets (whose occupancy grows ~linearly with corpus size, so
-        // candidate pairs grow ~quadratically), prefix blocks stay small
-        // because the prefix is, by construction, each doc's RAREST
-        // tokens. The lang + |Δn_chars|<=20 predicate from the spec is
-        // applied on candidates; exact Jaccard verifies.
-        // intersect 64-bit token hashes, not strings: set sizes and overlap
-        // are collision-free in practice (xxhash64 over ~40-token sets), so
-        // the Jaccard values are identical to the string-set oracle, at a
-        // fraction of the per-pair hashing cost
-        val base = docs(s, d).select(
-          col("doc_id"), col("lang"), col("n_chars"),
-          array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"))
-        val tokDf = base.select(explode(col("tok")).as("tk"))
-          .groupBy("tk").agg(count(lit(1)).as("df"))
-        // rebuild each doc's (df, tk)-sorted prefix; both shuffles are on
-        // scalable keys (token, then doc_id)
-        val pref = base
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-                  size(col("tok")).as("ntok"), explode(col("tok")).as("tk"))
-          .join(tokDf, "tk")
-          .groupBy("doc_id", "lang", "n_chars", "ntok")
-          .agg(array_sort(collect_list(struct(col("df"), col("tk")))).as("sorted"))
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-                  explode(slice(col("sorted"), lit(1),
-                                (col("ntok") / 10).cast("int") + 1)).as("p"))
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("p.tk").as("ptk"))
-        val cand = pref.as("a")
-          .join(pref.as("b"), Seq("lang", "ptk"))
-          .filter(col("a.doc_id") < col("b.doc_id") &&
-                  abs(col("a.n_chars") - col("b.n_chars")) <= 20)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
-        val j = round(
-          inter / (size(col("tok_a")) + size(col("tok_b")) - inter), 4)
-        cand
-          .join(base.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
-          .join(base.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
-          .select(col("id_a"), col("id_b"), j.as("jaccard"))
-          .filter(col("jaccard") >= 0.9)
+      (s, d) => jaccardPairs(s, d)
     },
 
     Q.noOracle("q39_dedup_cosine",
