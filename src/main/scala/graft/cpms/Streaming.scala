@@ -245,6 +245,45 @@ object Streaming {
     }
   }
 
+  /** Streaming ingest dedup (T6 extension): the reference's Kinesis
+    * delivery is at-least-once, so consumers can observe the same record
+    * twice. Dedup by event_id within the watermark horizon —
+    * dropDuplicatesWithinWatermark keeps O(ids within horizon) state and
+    * evicts it as the watermark advances, where a plain dropDuplicates on
+    * a stream would grow state forever.
+    */
+  def dedupStream(parsed: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("event_id").isNotNull)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream inner join (T2/T5 extension): correlate the
+    * wearable hot path with the manual self-report stream per user within
+    * a +-30min event-time window (the reference stores both and the
+    * backend correlates at read time, main.py:139-151; doing it in-stream
+    * serves the joined view directly). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so each side's buffered
+    * state is evicted once the other side's watermark passes — bounded
+    * state, the only way a stream-stream join survives at scale.
+    */
+  def correlateStreams(wearables: DataFrame, manual: DataFrame): DataFrame = {
+    val w = wearables
+      .select(col("user_id"), col("ts").as("w_ts"), col("heart_rate"))
+      .withWatermark("w_ts", "30 minutes")
+    val m = manual
+      .select(col("user_id").as("m_user"), col("ts").as("m_ts"),
+              col("stress_level"))
+      .withWatermark("m_ts", "30 minutes")
+    w.join(
+      m,
+      col("user_id") === col("m_user") &&
+        col("m_ts") >= col("w_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("m_ts") <= col("w_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("w_ts"), col("m_ts"),
+              col("heart_rate"), col("stress_level"))
+  }
+
   /** Typed view of [[parseEvents]] for the stateful path. */
   def toHotEvents(parsed: DataFrame): Dataset[HotEvent] = {
     import parsed.sparkSession.implicits._

@@ -121,6 +121,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("at-least-once delivery dedups by event_id within the watermark (T6)") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streaming.dedupStream(Streaming.parseEvents(mem.toDF()))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val e1 = ev("d1", 1000.0, 70) // fixed event_id comes from the payload
+    mem.addData(e1, e1)           // duplicate inside one batch
+    q.processAllAvailable()
+    mem.addData(e1)               // redelivery in a later batch
+    mem.addData(ev("d2", 1500.0, 80))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("dedup_out").groupBy("user_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(users === Map("d1" -> 1, "d2" -> 1), s"duplicates survived: $users")
+  }
+
+  test("watermarked stream-stream join correlates wearables with self-reports (T2/T5)") {
+    implicit val sctx = spark.sqlContext
+    val wear = MemoryStream[String]
+    val man = MemoryStream[String]
+    val joined = Streaming.correlateStreams(
+      Streaming.parseEvents(wear.toDF()),
+      Streaming.parseMixedEvents(man.toDF()))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    // u1: manual report 10 min after the wearable sample -> joins;
+    // u2: 2h apart -> outside the +-30min correlation window
+    wear.addData(ev("u1", 3600.0, 72), ev("u2", 3600.0, 90))
+    man.addData(manualEv("u1", 4200.0, 7), manualEv("u2", 10800.0, 3))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("corr_out")
+      .collect().map(r => (r.getAs[String]("user_id"),
+                           r.getAs[Int]("heart_rate"),
+                           r.getAs[Int]("stress_level")))
+    assert(rows.toSeq === Seq(("u1", 72, 7)), s"got: ${rows.toSeq}")
+  }
+
   test("epoch-string timestamps normalize to TimestampType (F3)") {
     val batch = Seq(ev("u1", 1714230000.5, 70)).toDF("value")
     val ts = Streaming.parseEvents(batch).select("ts").head().getTimestamp(0)
