@@ -59,6 +59,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q59/q61: hash-split and PII scrub are pure scan projections — zero shuffles") {
+    for (q <- Seq("q59_train_split", "q61_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a per-row projection:\n$p")
+      assert(!p.contains("Sort"), s"$q sorts needlessly:\n$p")
+    }
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
