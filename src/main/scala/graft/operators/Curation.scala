@@ -21,6 +21,56 @@ object Curation {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  /** Connected components over the near-dup pair graph (q64 body,
+    * reusable — q65 consumes the keep decision).
+    *
+    * Min-label propagation with POINTER JUMPING: each round every node
+    * adopts the min of (own label, neighbors' labels, label-of-label), so
+    * remaining path length halves per round and the loop converges in
+    * ~log2(component diameter) rounds. Eager localCheckpoint each round
+    * truncates the iterative lineage — without it the logical plan doubles
+    * per iteration (labels appears in both the union and the convergence
+    * join) and analysis alone OOMs the driver long before execution. On a
+    * cluster, a reliable checkpoint dir gives the same truncation with
+    * fault tolerance. Each round is one shuffle join + one min-aggregate —
+    * the shape that runs on a 100 TB edge list.
+    */
+  def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // the near-dup pair graph is a build-once artifact per corpus
+    // snapshot (like the IVF index): generation runs once per session
+    // and clustering/reporting reuse it — and the edge list is read
+    // every propagation round, so it must be materialized regardless
+    val edges = edgeCache.getOrElseUpdate(d, {
+      val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
+      pairs
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .persist()
+    })
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val msgs = edges
+        .join(labels, edges("id_a") === labels("doc_id"))
+        .select(col("id_b").as("doc_id"), col("label"))
+      val jump = labels.as("x")
+        .join(labels.select(col("doc_id").as("label"),
+                            col("label").as("label2")), Seq("label"))
+        .select(col("doc_id"), col("label2").as("label"))
+      val next = labels.unionByName(msgs).unionByName(jump)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+                  (col("doc_id") === col("label")).cast("long").as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q59_train_split",
@@ -138,47 +188,85 @@ object Curation {
         |SELECT a AS doc_id, min(b) AS cluster_id,
         |  CAST(a = min(b) AS BIGINT) AS keep
         |FROM reach GROUP BY a""".stripMargin) { (s, d) =>
-      // the near-dup pair graph is a build-once artifact per corpus
-      // snapshot (like the IVF index): generation runs once per session
-      // and clustering/reporting reuse it — and the edge list is read
-      // every propagation round, so it must be materialized regardless
-      val edges = edgeCache.getOrElseUpdate(d, {
-        val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
-        pairs
-          .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-          .persist()
-      })
-      // eager localCheckpoint each round truncates the iterative lineage —
-      // without it the logical plan doubles per iteration (labels appears
-      // in both the union and the convergence join) and analysis alone
-      // OOMs the driver long before execution. On a cluster, a reliable
-      // checkpoint dir gives the same truncation with fault tolerance.
-      var labels = edges.select(col("id_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val msgs = edges
-          .join(labels, edges("id_a") === labels("doc_id"))
-          .select(col("id_b").as("doc_id"), col("label"))
-        // pointer jump: also adopt the label of one's current label
-        // (label(label(doc))) — halves remaining path length per round,
-        // so rounds ~ log2(diameter) instead of diameter
-        val jump = labels.as("x")
-          .join(labels.select(col("doc_id").as("label"),
-                              col("label").as("label2")), Seq("label"))
-          .select(col("doc_id"), col("label2").as("label"))
-        val next = labels.unionByName(msgs).unionByName(jump)
-          .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .filter(col("label") < col("prev")).isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("doc_id"), col("label").as("cluster_id"),
-                    (col("doc_id") === col("label")).cast("long").as("keep"))
+      dedupClusters(s, d)
+    },
+
+    Q("q65_curate",
+      "The end-to-end curation verdict — what a user of this library runs " +
+        "nightly over the corpus: quality score (q32 formula) + repetition " +
+        "signal (q60) + near-dup cluster resolution (q64, canonical doc " +
+        "wins) + deterministic split (q59), composed into one per-doc " +
+        "KEEP/DROP decision. Everything joins on doc_id; the only " +
+        "iterative piece (clustering) reuses the session-cached pair " +
+        "graph. One DuckDB oracle re-derives the whole pipeline.",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)), 4) AS quality FROM t),
+        |tc AS (SELECT doc_id, unnest(tok) AS term FROM t),
+        |tcc AS (SELECT doc_id, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+        |        FROM tcc GROUP BY doc_id),
+        |td AS (SELECT doc_id, lang, n_chars, list_distinct(tok) AS dtok FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM td a JOIN td b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.dtok, b.dtok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.dtok, b.dtok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, CAST(a = min(b) AS BIGINT) AS dk
+        |       FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  q.quality, rep.top_share,
+        |  COALESCE(cl.dk, 1) AS dedup_keep,
+        |  CAST(q.quality >= 0.5 AND rep.top_share <= 0.2
+        |       AND COALESCE(cl.dk, 1) = 1 AS BIGINT) AS keep
+        |FROM documents d
+        |JOIN q USING (doc_id) JOIN rep USING (doc_id)
+        |LEFT JOIN cl USING (doc_id)""".stripMargin) { (s, d) =>
+      val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
+                              "to", "in", "is", "it").map(lit): _*)
+      val tok = split(col("text"), " ")
+      val quality = docs(s, d).select(
+        col("doc_id"),
+        round(least(lit(1.0), size(tok) / lit(64.0)) *
+              (lit(0.5) +
+                size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                  size(tok)), 4).as("quality"))
+      val rep = docs(s, d)
+        .select(col("doc_id"), explode(tok).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c"), 4).as("top_share"))
+      val clusters = dedupClusters(s, d)
+        .select(col("doc_id"), col("keep").as("dk"))
+      val h = substring(md5(col("text")), 1, 1)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+                when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+                  .as("split"))
+        .join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("split"),
+                col("quality"), col("top_share"),
+                coalesce(col("dk"), lit(1L)).as("dedup_keep"),
+                (col("quality") >= 0.5 && col("top_share") <= 0.2 &&
+                  coalesce(col("dk"), lit(1L)) === 1L).cast("long").as("keep"))
     },
 
     Q("q63_source_caps",
