@@ -21,6 +21,13 @@ object Curation {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  /** Resolved cluster labels per corpus dir — like the edge graph and the
+    * IVF index, cluster resolution is computed once per corpus snapshot
+    * and every consumer (q64, q65, reporting) reuses it.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
   /** Connected components over the near-dup pair graph (q64 body,
     * reusable — q65 consumes the keep decision).
     *
@@ -35,7 +42,8 @@ object Curation {
     * fault tolerance. Each round is one shuffle join + one min-aggregate —
     * the shape that runs on a 100 TB edge list.
     */
-  def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    clusterCache.getOrElseUpdate(d, {
     // the near-dup pair graph is a build-once artifact per corpus
     // snapshot (like the IVF index): generation runs once per session
     // and clustering/reporting reuse it — and the edge list is read
@@ -69,7 +77,7 @@ object Curation {
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
                   (col("doc_id") === col("label")).cast("long").as("keep"))
-  }
+  })
 
   val all: Seq[Q] = Seq(
 

@@ -258,21 +258,30 @@ object Relational2 {
         |WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
         |  AND levenshtein(a.head, b.head) <= 12
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d).select(
+      // Asymmetric probe join: the build side sits in its own length
+      // bucket once; the probe side fans out to {b-1, b, b+1}. Every
+      // |Δchars|<=20 pair differs by at most one bucket, so it matches on
+      // the build doc's bucket EXACTLY ONCE — no duplicate candidates, so
+      // no duplicate Levenshtein work and no distinct (the symmetric
+      // 2-bucket emission computed the DP on ~1.5x the true candidate
+      // set and deduped after).
+      val base = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("n_chars"),
         substring(col("text"), 1, 32).as("head"),
-        explode(array(floor(col("n_chars") / 20).cast("long"),
-                      floor(col("n_chars") / 20).cast("long") + 1)).as("bucket"))
-      t.as("a")
-        .join(t.as("b"), Seq("lang", "bucket"))
-        .filter(col("a.doc_id") < col("b.doc_id") &&
-                abs(col("a.n_chars") - col("b.n_chars")) <= 20)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        floor(col("n_chars") / 20).cast("long").as("bkt"))
+      val build = base.withColumnRenamed("bkt", "bucket")
+      val probe = base.select(
+        col("doc_id").as("p_id"), col("lang"), col("n_chars").as("p_chars"),
+        col("head").as("p_head"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bucket"))
+      build.join(probe, Seq("lang", "bucket"))
+        .filter(col("doc_id") < col("p_id") &&
+                abs(col("n_chars") - col("p_chars")) <= 20)
+        .select(col("doc_id").as("id_a"), col("p_id").as("id_b"),
                 // thresholded form: the DP early-exits (returns -1) once the
                 // distance provably exceeds 12 — most candidate pairs do
-                levenshtein(col("a.head"), col("b.head"), 13).cast("long").as("dist"))
+                levenshtein(col("head"), col("p_head"), 13).cast("long").as("dist"))
         .filter(col("dist") >= 0 && col("dist") <= 12)
-        .distinct()
     },
 
     Q("q52_date_arith",
