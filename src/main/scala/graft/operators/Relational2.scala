@@ -314,6 +314,84 @@ object Relational2 {
           .except(e.filter(col("event_type") === "error").select("user_id"))
     },
 
+    Q("q66_join_full_outer",
+      "Full outer join: union the key spaces of two per-user aggregates " +
+        "(purchasers vs error reporters), null-coalesced counts. Completes " +
+        "the join-type spectrum (inner/left/semi/anti/range/as-of here).",
+      """WITH p AS (SELECT user_id, count(*) AS n_purch FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1),
+        |     e AS (SELECT user_id, count(*) AS n_err FROM events
+        |           WHERE event_type = 'error' GROUP BY 1)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  COALESCE(n_purch, 0) AS n_purch, COALESCE(n_err, 0) AS n_err
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id""".stripMargin) {
+      (s, d) =>
+        val base = ev(s, d)
+        val p = base.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user")).agg(count(lit(1)).as("n_purch"))
+        val e = base.filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("e_user")).agg(count(lit(1)).as("n_err"))
+        p.join(e, col("p_user") === col("e_user"), "full_outer")
+          .select(coalesce(col("p_user"), col("e_user")).as("user_id"),
+                  coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+                  coalesce(col("n_err"), lit(0L)).as("n_err"))
+    },
+
+    Q("q67_analytic_ranks",
+      "The remaining analytic window family: ntile quartiles, " +
+        "percent_rank, cume_dist, nth_value — one window spec, one " +
+        "shuffle+sort on the partition key serves all four.",
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(nth_value(value, 2) OVER
+        |    (PARTITION BY user_id ORDER BY value, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |    AS second_lowest
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev(s, d).select(
+          col("event_id"), col("user_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(nth_value(col("value"), 2).over(wFull), 2).as("second_lowest"))
+    },
+
+    Q("q68_null_semantics",
+      "Null-comparison semantics: null-safe equality (<=> / IS NOT " +
+        "DISTINCT FROM), null-aware counts, and NULLS FIRST/LAST ranking " +
+        "— the SQL corners that silently diverge between engines unless " +
+        "pinned.",
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS pri,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(pri) AS BIGINT) AS n_pri,
+        |  CAST(count(*) FILTER (WHERE pri IS NOT DISTINCT FROM NULL) AS BIGINT)
+        |    AS n_null_safe_null,
+        |  CAST(count(*) FILTER (WHERE pri IS NOT DISTINCT FROM '1-URGENT') AS BIGINT)
+        |    AS n_urgent,
+        |  round(sum(COALESCE(price, 0)), 2) AS price_nvl
+        |FROM t""".stripMargin) { (s, d) =>
+      val t = ord(s, d).select(
+        when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderpriority")).as("pri"),
+        when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")).as("price"))
+      t.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pri")).as("n_pri"),
+        count(when(col("pri") <=> lit(null), 1)).as("n_null_safe_null"),
+        count(when(col("pri") <=> lit("1-URGENT"), 1)).as("n_urgent"),
+        round(sum(coalesce(col("price"), lit(0.0))), 2).as("price_nvl"))
+    },
+
     Q("q56_sql_grouping_sets",
       "SQL entry path (S5): spark.sql over a registered view, with " +
         "explicit GROUPING SETS (finer-grained than rollup/cube) and " +
