@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TopKBy.top_k_by
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -390,6 +390,75 @@ object Relational2 {
         count(when(col("pri") <=> lit(null), 1)).as("n_null_safe_null"),
         count(when(col("pri") <=> lit("1-URGENT"), 1)).as("n_urgent"),
         round(sum(coalesce(col("price"), lit(0.0))), 2).as("price_nvl"))
+    },
+
+    Q("q69_funnel",
+      "Funnel analysis: per-user view -> click -> purchase conversion in " +
+        "event-time order (first view, first click after it, first " +
+        "purchase after that), then per-stage counts. One shuffle on " +
+        "user_id; conditional min-aggregates, no self-joins.",
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_view
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, m.t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |             AND epoch_ms(CAST(ts AS TIMESTAMP)) >= m.t_view
+        |             THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_click
+        |  FROM events e JOIN m ON e.user_id = m.user_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT e.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             AND epoch_ms(CAST(ts AS TIMESTAMP)) >= c.t_click
+        |             THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(t_view) AS BIGINT) AS stage_view,
+        |  CAST(count(t_click) AS BIGINT) AS stage_click,
+        |  CAST(count(t_purchase) AS BIGINT) AS stage_purchase
+        |FROM p""".stripMargin) { (s, d) =>
+      val e = ev(s, d).withColumn("ms", expr("ts_ns div 1000000"))
+      def firstAfter(tpe: String, after: Column) =
+        min(when(col("event_type") === tpe && col("ms") >= after, col("ms")))
+      val m = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ms"))).as("t_view"))
+      val c = e.join(m, "user_id").groupBy("user_id", "t_view")
+        .agg(firstAfter("click", col("t_view")).as("t_click"))
+      val p = e.join(c, "user_id").groupBy("user_id", "t_view", "t_click")
+        .agg(firstAfter("purchase", col("t_click")).as("t_purchase"))
+      p.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("stage_view"),
+        count(col("t_click")).as("stage_click"),
+        count(col("t_purchase")).as("stage_purchase"))
+    },
+
+    Q("q70_retention",
+      "Cohort retention: users grouped by first-active day, counted per " +
+        "day-offset they return. Two aggregates (first-seen, then cohort x " +
+        "offset) — the standard retention matrix at any scale.",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS BIGINT)) AS d0
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.d0,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS BIGINT) - f.d0 AS offs
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT d0 AS cohort_day, offs AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val e = ev(s, d).withColumn("day", expr("(ts_ns div 1000000) div 86400000"))
+      val f = e.groupBy("user_id").agg(min("day").as("d0"))
+      e.join(f, "user_id")
+        .select(col("user_id"), col("d0"), (col("day") - col("d0")).as("offs"))
+        .distinct()
+        .groupBy(col("d0").as("cohort_day"), col("offs").as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
     },
 
     Q("q56_sql_grouping_sets",
