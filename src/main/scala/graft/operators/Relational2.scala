@@ -421,20 +421,25 @@ object Relational2 {
         |  CAST(count(t_click) AS BIGINT) AS stage_click,
         |  CAST(count(t_purchase) AS BIGINT) AS stage_purchase
         |FROM p""".stripMargin) { (s, d) =>
-      val e = ev(s, d).withColumn("ms", expr("ts_ns div 1000000"))
+      // one shuffle: the three stage times stack as whole-partition window
+      // aggregates over the same user_id partitioning (each references the
+      // previous stage's column), where the naive spelling is three
+      // groupBys + two re-joins of the full event table
+      val wU = Window.partitionBy("user_id")
       def firstAfter(tpe: String, after: Column) =
-        min(when(col("event_type") === tpe && col("ms") >= after, col("ms")))
-      val m = e.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("ms"))).as("t_view"))
-      val c = e.join(m, "user_id").groupBy("user_id", "t_view")
-        .agg(firstAfter("click", col("t_view")).as("t_click"))
-      val p = e.join(c, "user_id").groupBy("user_id", "t_view", "t_click")
-        .agg(firstAfter("purchase", col("t_click")).as("t_purchase"))
-      p.agg(
-        count(lit(1)).as("n_users"),
-        count(col("t_view")).as("stage_view"),
-        count(col("t_click")).as("stage_click"),
-        count(col("t_purchase")).as("stage_purchase"))
+        min(when(col("event_type") === tpe && col("ms") >= after, col("ms"))).over(wU)
+      ev(s, d).withColumn("ms", expr("ts_ns div 1000000"))
+        .withColumn("t_view", min(when(col("event_type") === "view", col("ms"))).over(wU))
+        .withColumn("t_click", firstAfter("click", col("t_view")))
+        .withColumn("t_purchase", firstAfter("purchase", col("t_click")))
+        .groupBy("user_id")
+        .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
+             first("t_purchase").as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("stage_view"),
+          count(col("t_click")).as("stage_click"),
+          count(col("t_purchase")).as("stage_purchase"))
     },
 
     Q("q70_retention",
