@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q69: funnel stages stack on one window partitioning — no joins") {
+    val p = plan("q69_funnel")
+    assert(!p.contains("Join"), s"funnel regressed to re-joins:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"funnel shuffles more than once:\n$p")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
