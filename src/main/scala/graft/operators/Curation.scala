@@ -79,6 +79,53 @@ object Curation {
                   (col("doc_id") === col("label")).cast("long").as("keep"))
   })
 
+  /** The q65 pipeline as a reusable function: per-doc curation verdict
+    * (quality + repetition + dedup-cluster keep + deterministic split).
+    * [[exportCurated]] is its terminal sink.
+    */
+  def curate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
+                            "to", "in", "is", "it").map(lit): _*)
+    val tok = split(col("text"), " ")
+    val quality = docs(s, d).select(
+      col("doc_id"),
+      round(least(lit(1.0), size(tok) / lit(64.0)) *
+            (lit(0.5) +
+              size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                size(tok)), 4).as("quality"))
+    val rep = docs(s, d)
+      .select(col("doc_id"), explode(tok).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 4).as("top_share"))
+    val clusters = dedupClusters(s, d)
+      .select(col("doc_id"), col("keep").as("dk"))
+    val h = substring(md5(col("text")), 1, 1)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+              when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+                .as("split"))
+      .join(quality, "doc_id")
+      .join(rep, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"),
+              col("quality"), col("top_share"),
+              coalesce(col("dk"), lit(1L)).as("dedup_keep"),
+              (col("quality") >= 0.5 && col("top_share") <= 0.2 &&
+                coalesce(col("dk"), lit(1L)) === 1L).cast("long").as("keep"))
+  }
+
+  /** Terminal sink of the curation pipeline: write the KEPT corpus (text
+    * joined back on) partitioned by split — `outDir/split=train|val|test`
+    * parquet a training job consumes directly. Partition-parallel write;
+    * the split column prunes at read time.
+    */
+  def exportCurated(s: SparkSession, d: String, outDir: String): Unit =
+    curate(s, d)
+      .filter(col("keep") === 1L)
+      .join(docs(s, d).select("doc_id", "text", "source", "n_chars"), "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   val all: Seq[Q] = Seq(
 
     Q("q59_train_split",
@@ -246,35 +293,7 @@ object Curation {
         |FROM documents d
         |JOIN q USING (doc_id) JOIN rep USING (doc_id)
         |LEFT JOIN cl USING (doc_id)""".stripMargin) { (s, d) =>
-      val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
-                              "to", "in", "is", "it").map(lit): _*)
-      val tok = split(col("text"), " ")
-      val quality = docs(s, d).select(
-        col("doc_id"),
-        round(least(lit(1.0), size(tok) / lit(64.0)) *
-              (lit(0.5) +
-                size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
-                  size(tok)), 4).as("quality"))
-      val rep = docs(s, d)
-        .select(col("doc_id"), explode(tok).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(round(max("c").cast("double") / sum("c"), 4).as("top_share"))
-      val clusters = dedupClusters(s, d)
-        .select(col("doc_id"), col("keep").as("dk"))
-      val h = substring(md5(col("text")), 1, 1)
-      docs(s, d)
-        .select(col("doc_id"), col("lang"),
-                when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
-                  .as("split"))
-        .join(quality, "doc_id")
-        .join(rep, "doc_id")
-        .join(clusters, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"), col("split"),
-                col("quality"), col("top_share"),
-                coalesce(col("dk"), lit(1L)).as("dedup_keep"),
-                (col("quality") >= 0.5 && col("top_share") <= 0.2 &&
-                  coalesce(col("dk"), lit(1L)) === 1L).cast("long").as("keep"))
+      curate(s, d)
     },
 
     Q("q63_source_caps",

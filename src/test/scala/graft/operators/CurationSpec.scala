@@ -35,6 +35,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exportCurated writes kept docs partitioned by split, consistent with q65") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    Curation.exportCurated(spark, sf, out)
+    val expected = Curation.curate(spark, sf)
+      .filter(col("keep") === 1L)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val written = spark.read.parquet(out)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(written === expected)
+    assert(written.values.sum > 0)
+    // the partition layout itself: one dir per split, prunable at read
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("split=")).toSet
+    assert(dirs === expected.keySet.map("split=" + _))
+    // dropped docs (keep=0) must not leak into the corpus
+    val total = Curation.curate(spark, sf).count()
+    assert(written.values.sum < total, "export kept everything — filter lost")
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
