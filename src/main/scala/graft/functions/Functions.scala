@@ -46,5 +46,17 @@ object Functions {
       exprs => TopKByAgg(exprs.head, exprs(1), intArg(exprs(2), "top_k_by"))
         .toAggregateExpression()
     }
+    add("srp_sig", "srp_sig(vec, bits, table) - signed-random-projection LSH signature") {
+      exprs => SrpSig(exprs.head, intArg(exprs(1), "srp_sig"), intArg(exprs(2), "srp_sig"))
+    }
+    add("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays") {
+      exprs => CosineSim(exprs.head, exprs(1))
+    }
+    add("sq_dist", "sq_dist(a, b) - squared euclidean distance of two numeric arrays") {
+      exprs => SqDist(exprs.head, exprs(1))
+    }
+    add("norm_sq", "norm_sq(a) - squared L2 norm of a numeric array") {
+      exprs => NormSq(exprs.head)
+    }
   }
 }

@@ -126,6 +126,35 @@ object Curation {
       .join(docs(s, d).select("doc_id", "text", "source", "n_chars"), "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Streaming corpus ingestion: the continuous-crawl path. Incoming docs
+    * (doc_id, text, lang, source, ts) are content-hash deduped within the
+    * watermark horizon (exact dedup of at-least-once delivery + re-crawled
+    * unchanged pages), scored in-stream with the same quality/split
+    * column math the batch verdict uses (pure projections — no state),
+    * and filtered to keepers. Near-dup clustering stays a batch compaction
+    * job over the accumulated corpus (q64): pair graphs need the whole
+    * corpus, not a stream window.
+    */
+  def ingestStream(docs: org.apache.spark.sql.DataFrame,
+                   horizon: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
+                            "to", "in", "is", "it").map(lit): _*)
+    val tok = split(col("text"), " ")
+    val h = substring(md5(col("text")), 1, 1)
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("quality",
+        round(least(lit(1.0), size(tok) / lit(64.0)) *
+              (lit(0.5) +
+                size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                  size(tok)), 4))
+      .withColumn("split",
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
+      .filter(col("quality") >= 0.5)
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q59_train_split",

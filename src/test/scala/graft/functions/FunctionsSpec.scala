@@ -25,5 +25,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val top = spark.sql(
       """SELECT top_k_by(text, id, 2) FROM fn_docs""").head().getSeq[String](0)
     assert(top === Seq("spark catalyst plans", "the quick brown fox"))
+
+    val vec = spark.sql(
+      """SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
+        |  sq_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS d,
+        |  norm_sq(array(3.0D, 4.0D)) AS n,
+        |  srp_sig(array(1.0D, -1.0D), 8, 0) AS sig""".stripMargin).head()
+    assert(vec.getDouble(0) === 1.0)
+    assert(vec.getDouble(1) === 25.0)
+    assert(vec.getDouble(2) === 25.0)
+    assert(vec.getLong(3) >= 0L)
   }
 }

@@ -56,6 +56,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(written.values.sum < total, "export kept everything — filter lost")
   }
 
+  test("ingestStream dedups re-crawled content and scores in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, java.sql.Timestamp)]
+    val named = mem.toDF().toDF("doc_id", "text", "lang", "source", "ts")
+    val q = Curation.ingestStream(named).writeStream
+      .outputMode("append").format("memory").queryName("ingest_out").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // goodText passes the quality gate (>=64 tokens, stopword-rich);
+    // shortText fails it (8 tokens -> quality ~0.1)
+    val goodText = Array.fill(32)("the value is").mkString(" ")
+    val shortText = "tiny fragment of text with no stopwords here at"
+    mem.addData((1L, goodText, "en", "crawl", ts))
+    mem.addData((2L, goodText, "en", "crawl", ts))  // re-crawl, same content
+    mem.addData((3L, shortText, "en", "crawl", ts))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_out").collect()
+    assert(out.length === 1, s"expected 1 kept doc, got ${out.length}")
+    assert(out.head.getAs[Long]("doc_id") === 1L)
+    assert(out.head.getAs[String]("split").nonEmpty)
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
