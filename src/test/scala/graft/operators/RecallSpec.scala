@@ -113,6 +113,16 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lsh geometry steps rows with corpus size and always tiles the 96-hash signature") {
+    for (n <- Seq(1L, 500L, 20000L, 20001L, 2000000L, 2000001L, 5000000000L)) {
+      val (bands, rows) = TrainingData.lshGeometry(n)
+      assert(bands * rows == 96, s"geometry at n=$n does not tile the signature")
+    }
+    assert(TrainingData.lshGeometry(500L) === ((24, 4)))
+    assert(TrainingData.lshGeometry(200000L) === ((16, 6)))
+    assert(TrainingData.lshGeometry(5000000000L) === ((12, 8)))
+  }
+
   test("q46/q58 distinct-count sketches within relative-error bounds of exact") {
     val q46 = run("q46_approx_distinct")
       .select(col("exact_users").cast("double"), col("approx_users").cast("double"))
