@@ -546,6 +546,26 @@ object TrainingData {
         length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes"),
         sha2(to_binary(col("text"), lit("utf-8")), 256).as("digest"),
         substring(col("text"), 1, 16).as("head"))
+    },
+
+    Q.noOracle("q71_multimodal_pipeline",
+      "The full multimodal path end to end: binary asset table -> batched " +
+        "partition-parallel decode (stubbed codec, real mapPartitions " +
+        "plumbing) -> resize column math -> frame sampling -> per-kind " +
+        "stats. Deterministic (stub decodes hash the payload), " +
+        "MultimodalSpec owns the per-stage assertions; this registers the " +
+        "pipeline with the driver.") { (s, d) =>
+      import graft.cpms.Multimodal
+      val assets = Multimodal.assetsFromDocuments(docs(s, d))
+      val decoded = Multimodal.decode(assets)
+      val resized = Multimodal.resize(decoded, 512)
+      Multimodal.sampleFrames(resized, everyK = 10, cap = 8)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_assets"),
+             round(avg(col("out_width") * col("out_height")), 2).as("avg_out_pixels"),
+             sum(size(col("frame_idx"))).cast("long").as("n_sampled_frames"),
+             round(avg(aggregate(col("feature"), lit(0.0),
+                                 (acc, x) => acc + x * x)), 6).as("avg_feat_norm_sq"))
     }
   )
 }
