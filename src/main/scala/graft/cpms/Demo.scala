@@ -94,6 +94,27 @@ object Demo {
     println(s"[demo] predict(mllib): ${mlScored.count()} scored, " +
       s"appended tr=${spark.read.parquet(s"$workDir/tracking_risks").count()} " +
       s"cs=${spark.read.parquet(s"$workDir/cognitive_scores").count()}")
+    // 5. production layout (K5): managed tables, facts bucketed on user_id
+    //    — the keyed join below plans without an Exchange on either side
+    Seq("demo_users", "demo_scores", "demo_risks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Etl.saveAsTables(n, "demo", 8)
+    val bucketJoin = spark.table("demo_scores").select("user_id", "cognitive_score")
+      .join(spark.table("demo_risks").select("user_id", "heart_rate"), "user_id")
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(bucketJoin.queryExecution.executedPlan.toString).length
+    println(s"[demo] bucketed star schema: fact join=${bucketJoin.count()} rows, " +
+      s"hash exchanges in plan=$nExchanges")
+
+    // 6. training-corpus curation: per-doc verdict + split-partitioned export
+    val sfDir = "/root/testdata/sf0.001"
+    val verdict = graft.operators.Curation.curate(spark, sfDir)
+    val kept = verdict.filter($"keep" === 1L).count()
+    graft.operators.Curation.exportCurated(spark, sfDir, s"$workDir/corpus")
+    val splits = spark.read.parquet(s"$workDir/corpus").groupBy("split").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[demo] curation: ${verdict.count()} docs -> $kept kept; exported $splits")
+
     println("[demo] OK")
     spark.stop()
   }
