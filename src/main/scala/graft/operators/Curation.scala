@@ -84,8 +84,7 @@ object Curation {
     * [[exportCurated]] is its terminal sink.
     */
   def curate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
-                            "to", "in", "is", "it").map(lit): _*)
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
     val quality = docs(s, d).select(
       col("doc_id"),
@@ -137,8 +136,7 @@ object Curation {
     */
   def ingestStream(docs: org.apache.spark.sql.DataFrame,
                    horizon: String = "1 hour"): org.apache.spark.sql.DataFrame = {
-    val stopArr = array(Seq("the", "a", "an", "and", "or", "of",
-                            "to", "in", "is", "it").map(lit): _*)
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
     val h = substring(md5(col("text")), 1, 1)
     docs

@@ -39,7 +39,8 @@ object TrainingData {
   private def vecd(c: Column): Column = transform(c, _.cast("double"))
 
   // Stopword list used by quality scoring + language-ID (public, standard).
-  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private[operators] val enStop =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** q38's pair generation, reusable (q64 builds dedup clusters on it).
     *
@@ -236,7 +237,7 @@ object TrainingData {
         "radius). EXACT by construction: any pair within Hamming<=3 " +
         "differs in at most 3 of the 4 chunks, so it shares >=1 chunk " +
         "verbatim and is guaranteed to collide in that band — the operator " +
-        "returns ALL qualifying pairs, not a sample (SimHashNearDupSpec " +
+        "returns ALL qualifying pairs, not a sample (RecallSpec " +
         "proves it against the all-pairs scan). Bucketed self-join, no " +
         "cross-product.") { (s, d) =>
       val fp = docs(s, d).withColumn("simhash", simhash64(tokens(col("text"))))
