@@ -466,6 +466,32 @@ object Relational2 {
         .agg(count(lit(1)).as("active_users"))
     },
 
+    Q("q72_posexplode",
+      "Ordinal-preserving generator (U3 extension): posexplode keeps each " +
+        "element's position — the building block for positional n-gram / " +
+        "alignment work that plain explode loses. Bigram reconstruction " +
+        "proves the ordinals are real.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+        |           FROM documents WHERE doc_id % 50 = 0),
+        |e AS (SELECT doc_id, pos, tok[pos + 1] AS term, len(tok) AS n
+        |      FROM t CROSS JOIN LATERAL unnest(range(len(tok))) AS u(pos))
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
+        |  CASE WHEN pos + 1 < n THEN term || ' ' ||
+        |    (SELECT e2.term FROM e e2 WHERE e2.doc_id = e.doc_id AND e2.pos = e.pos + 1)
+        |  END AS bigram
+        |FROM e""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      t.select(col("doc_id"), size(col("tok")).as("n"),
+               posexplode(col("tok")).as(Seq("pos", "term")),
+               col("tok"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"),
+                when(col("pos") + 1 < col("n"),
+                     concat(col("term"), lit(" "),
+                            element_at(col("tok"), col("pos") + 2))).as("bigram"))
+    },
+
     Q("q56_sql_grouping_sets",
       "SQL entry path (S5): spark.sql over a registered view, with " +
         "explicit GROUPING SETS (finer-grained than rollup/cube) and " +
