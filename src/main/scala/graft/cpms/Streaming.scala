@@ -303,7 +303,8 @@ object Streaming {
       rawStream: DataFrame,
       lakeDir: String,
       aggDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      nBuckets: Int = 0): StreamingQuery =
     rawStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -315,8 +316,14 @@ object Streaming {
           events.select(col("value"), col("event_id"),
                         to_date(col("ts")).as("dt"))
             .write.mode("append").partitionBy("dt").parquet(lakeDir)
-          // HOT path (T3): latest state per user into the serving table
-          mergeAggregates(spark, latestPerUserInBatch(events), aggDir)
+          // HOT path (T3): latest state per user into the serving table.
+          // nBuckets > 0 selects the 100 TB layout: the table lives as
+          // bucket=N hash partitions and a batch rewrites only touched
+          // buckets in one job; 0 keeps the single-table rewrite (small
+          // deployments, simpler reads)
+          val latest = latestPerUserInBatch(events)
+          if (nBuckets > 0) mergeAggregatesBucketed(spark, latest, aggDir, nBuckets)
+          else mergeAggregates(spark, latest, aggDir)
         } finally events.unpersist()
       }
       .start()

@@ -121,6 +121,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dual path with bucketed serving layout: full pipeline, bucket=N dirs (T9+K3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dualbkt").toString
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(ev("b1", 1000.0, 70), ev("b1", 2000.0, 85), ev("b2", 1500.0, 90))
+    Streaming.start(spark, mem.toDF(), s"$dir/lake", s"$dir/agg", s"$dir/ckpt",
+                    nBuckets = 4).awaitTermination()
+    val served = spark.read.schema(Schemas.aggregates)
+      .parquet(s"$dir/agg/bucket=*").collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(served === Map("b1" -> 85, "b2" -> 90))
+    val bucketDirs = new java.io.File(s"$dir/agg").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).length
+    assert(bucketDirs > 0 && bucketDirs <= 4)
+  }
+
   test("at-least-once delivery dedups by event_id within the watermark (T6)") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
