@@ -492,6 +492,23 @@ object Relational2 {
                             element_at(col("tok"), col("pos") + 2))).as("bigram"))
     },
 
+    Q("q73_like_predicates",
+      "Pattern predicates: LIKE prefix/contains (both push to the parquet " +
+        "scan as StringStartsWith/StringContains), case-insensitive ILIKE, " +
+        "and an RLIKE regex class — counted side by side.",
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE c_name LIKE 'Customer%') AS BIGINT) AS n_prefix,
+        |  CAST(count(*) FILTER (WHERE c_name LIKE '%9%') AS BIGINT) AS n_contains,
+        |  CAST(count(*) FILTER (WHERE c_mktsegment ILIKE 'bUiLdInG') AS BIGINT) AS n_ilike,
+        |  CAST(count(*) FILTER (WHERE regexp_matches(c_name, '[13579]$')) AS BIGINT) AS n_rlike
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).agg(
+        count(when(col("c_name").like("Customer%"), 1)).as("n_prefix"),
+        count(when(col("c_name").like("%9%"), 1)).as("n_contains"),
+        count(when(col("c_mktsegment").ilike("bUiLdInG"), 1)).as("n_ilike"),
+        count(when(col("c_name").rlike("[13579]$"), 1)).as("n_rlike"))
+    },
+
     Q("q56_sql_grouping_sets",
       "SQL entry path (S5): spark.sql over a registered view, with " +
         "explicit GROUPING SETS (finer-grained than rollup/cube) and " +
