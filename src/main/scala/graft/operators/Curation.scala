@@ -323,6 +323,27 @@ object Curation {
       curate(s, d)
     },
 
+    Q("q74_normalize",
+      "Text normalization — the cleaning pass that runs before dedup so " +
+        "trivially-different copies (case, punctuation, spacing) hash " +
+        "identically: casefold + punctuation strip + whitespace collapse " +
+        "+ trim, with the normalized content hash. Pure codegen'd " +
+        "projection, zero shuffles.",
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_hash
+        |FROM documents""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      docs(s, d).select(
+        col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_hash"))
+    },
+
     Q("q63_source_caps",
       "Source-mix audit: per-source doc counts vs the mean, flagging " +
         "over-represented sources (>1.5x mean) for down-sampling. One " +
