@@ -166,6 +166,58 @@ object TrainingData {
       (centers, assigned)
     })
 
+  /** MinHash band projection for the streaming incremental dedup:
+    * (doc_id, sh, band, bkey) from a (doc_id, text) frame, carrying the
+    * shingle array through the band explode so verification needs no
+    * second pass (single-pass streaming shape). Batch q35 keeps its
+    * narrower spelling instead — there, re-joining the shingle table is
+    * cheaper than duplicating each array across 24 band rows. Pure
+    * codegen'd projections + explode, identical over batch and streams.
+    */
+  def minhashBands(docsDf: DataFrame, nBands: Int, rows: Int): DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), col("text"),
+              word_shingles(tokens(col("text")), 3).as("sh"))
+      .withColumn("sig", minhash_sig(col("sh"), 96))
+    base.select(
+      col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        struct(b.as("band"),
+               aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
+                         (acc, x) => shiftleft(acc, 7).bitwiseXOR(x)).as("bkey"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Incremental near-dup: a STREAM of incoming docs checked against the
+    * static corpus's LSH band index via a stream-static equi-join on
+    * (band, bkey) — the arriving doc probes only its own buckets, never
+    * the whole corpus. Exact Jaccard verifies candidates in-stream.
+    * Returns (doc_id, matched_id, jaccard) for flagged near-duplicates.
+    * The static side rebuilds per micro-batch plan from the corpus dir —
+    * at scale it is a persisted band table, refreshed by compaction.
+    */
+  def incrementalNearDup(streamDocs: DataFrame, s: SparkSession, d: String,
+                         threshold: Double = 0.9): DataFrame = {
+    val (nBands, rows) = lshGeometry(corpusCount(s, d))
+    val corpus = minhashBands(
+      docs(s, d).select(col("doc_id"), col("text")), nBands, rows)
+      .select(col("doc_id").as("matched_id"), col("sh").as("sh_c"),
+              col("band"), col("bkey"))
+    val incoming = minhashBands(streamDocs, nBands, rows)
+    val inter = size(array_intersect(col("sh"), col("sh_c"))).cast("double")
+    incoming.join(corpus, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("matched_id"))
+      .select(col("doc_id"), col("matched_id"),
+              round(inter / (size(col("sh")) + size(col("sh_c")) - inter), 4)
+                .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      // NOTE: a pair surfaces once per colliding band (bounded by the band
+      // count). A streaming dropDuplicates here would hold unbounded
+      // state; sinks dedupe per micro-batch (foreachBatch .distinct) where
+      // exact-once pairs matter.
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- dedup ---------------------------------------------------------

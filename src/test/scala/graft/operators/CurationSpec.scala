@@ -80,6 +80,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[String]("split").nonEmpty)
   }
 
+  test("incrementalNearDup flags a re-ingested corpus doc via stream-static band join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // a doc copied verbatim from the corpus MUST collide in every band;
+    // a novel doc shares no shingles with anything
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") === 7L).head()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = TrainingData.incrementalNearDup(stream, spark, sf)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incdup_out").start()
+    mem.addData((900001L, src.getString(1)), (900002L, "utterly novel content here"))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("incdup_out")
+      .select("doc_id", "matched_id", "jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.exists(f => f._1 == 900001L && f._2 == 7L && f._3 == 1.0),
+           s"verbatim copy not flagged against its source: ${flagged.toSeq}")
+    assert(!flagged.exists(_._1 == 900002L), "novel doc falsely flagged")
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
