@@ -509,6 +509,50 @@ object Relational2 {
         count(when(col("c_name").rlike("[13579]$"), 1)).as("n_rlike"))
     },
 
+    Q("q75_outliers",
+      "Anomaly detection: per-type z-scores against the type's own " +
+        "mean/stddev (window aggregates, one shuffle), outliers at |z|>3 " +
+        "counted with their extremes.",
+      """WITH z AS (
+        |  SELECT event_type, value,
+        |    (value - avg(value) OVER (PARTITION BY event_type)) /
+        |      stddev_samp(value) OVER (PARTITION BY event_type) AS zscore
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) FILTER (WHERE abs(zscore) > 3) AS BIGINT) AS n_outliers,
+        |  round(min(zscore), 4) AS min_z, round(max(zscore), 4) AS max_z
+        |FROM z GROUP BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type")
+      ev(s, d)
+        .withColumn("zscore",
+          (col("value") - avg("value").over(w)) / stddev_samp(col("value")).over(w))
+        .groupBy("event_type")
+        .agg(count(when(abs(col("zscore")) > 3, 1)).as("n_outliers"),
+             round(min("zscore"), 4).as("min_z"),
+             round(max("zscore"), 4).as("max_z"))
+    },
+
+    Q("q76_transitions",
+      "Sequence analytics: per-user event-type transition counts (the " +
+        "first-order Markov matrix of user behavior) via lag over " +
+        "event-time order — integer counts, exactly reproducible.",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      ev(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     Q("q56_sql_grouping_sets",
       "SQL entry path (S5): spark.sql over a registered view, with " +
         "explicit GROUPING SETS (finer-grained than rollup/cube) and " +
