@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
 /** Training-corpus curation operators over `documents`: the selection /
   * splitting / cleaning steps a large-scale LLM data pipeline runs after
   * dedup and quality scoring (public recipes: C4, Gopher, RefinedWeb).
-  * All five are deterministic — content-hash driven, never RNG — so every
-  * one is DuckDB-oracled, and re-running a 100 TB pipeline reproduces the
-  * same corpus bit-for-bit (the property that makes training runs
-  * comparable).
+  * Every operator here is deterministic — content-hash driven, never RNG
+  * — so each is DuckDB-oracled, and re-running a 100 TB pipeline
+  * reproduces the same corpus bit-for-bit (the property that makes
+  * training runs comparable). The batch surface (split / repetition /
+  * scrub / sample / caps / normalization / clustering / verdict) pairs
+  * with [[exportCurated]] as the corpus sink and [[ingestStream]] as the
+  * continuous-crawl entry.
   */
 object Curation {
 
