@@ -347,6 +347,67 @@ object Curation {
         col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_hash"))
     },
 
+    Q("q77_source_mixing",
+      "Data mixing: down-sample each source at its own rate (web 50%, " +
+        "wiki 100%, ...) DETERMINISTICALLY — a doc is kept iff its content " +
+        "hash, read as a uniform in [0,1), falls under the source's rate. " +
+        "Rates become fixed-width hex cutoffs compared lexicographically, " +
+        "so the mix is reproducible across runs, engines, and " +
+        "partitionings; zero shuffles.",
+      """SELECT doc_id, source,
+        |  CAST(substr(md5(text), 1, 8) <
+        |    CASE WHEN source LIKE 'src_0%' THEN '40000000'
+        |         WHEN source LIKE 'src_1%' THEN 'c0000000'
+        |         ELSE 'ffffffff' END AS BIGINT) AS kept
+        |FROM documents""".stripMargin) { (s, d) =>
+      // rate -> 8-hex-digit cutoff: floor(rate * 2^32) as %08x (0.25 ->
+      // '40000000', 0.75 -> 'c0000000'); md5 hex is uniform so
+      // P(prefix < cutoff) = rate
+      val h = substring(md5(col("text")), 1, 8)
+      val cutoff = when(col("source").like("src_0%"), "40000000")
+        .when(col("source").like("src_1%"), "c0000000")
+        .otherwise("ffffffff")
+      docs(s, d).select(col("doc_id"), col("source"),
+                        (h < cutoff).cast("long").as("kept"))
+    },
+
+    Q("q78_token_budget",
+      "Token-budget selection: rank docs by quality and keep the prefix " +
+        "whose cumulative token count fits the budget — how a training " +
+        "mix is assembled ('best 10k tokens'). One global ordered window; " +
+        "at scale the same cut runs per-partition with a budget share per " +
+        "stratum (lang/source), which is the q62 blocking pattern.",
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 10000""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), size(tok).as("n_tokens"),
+                round(least(lit(1.0), size(tok) / lit(64.0)) *
+                      (lit(0.5) +
+                        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                          size(tok)), 4).as("quality"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= 10000)
+        .select(col("doc_id"), col("quality"),
+                col("n_tokens").cast("long").as("n_tokens"),
+                col("cum_tokens").cast("long").as("cum_tokens"))
+    },
+
     Q("q63_source_caps",
       "Source-mix audit: per-source doc counts vs the mean, flagging " +
         "over-represented sources (>1.5x mean) for down-sampling. One " +
