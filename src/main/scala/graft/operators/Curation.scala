@@ -356,16 +356,16 @@ object Curation {
         "partitionings; zero shuffles.",
       """SELECT doc_id, source,
         |  CAST(substr(md5(text), 1, 8) <
-        |    CASE WHEN source LIKE 'src_0%' THEN '40000000'
-        |         WHEN source LIKE 'src_1%' THEN 'c0000000'
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN '40000000'
+        |         WHEN source IN ('src3', 'src4', 'src5') THEN 'c0000000'
         |         ELSE 'ffffffff' END AS BIGINT) AS kept
         |FROM documents""".stripMargin) { (s, d) =>
       // rate -> 8-hex-digit cutoff: floor(rate * 2^32) as %08x (0.25 ->
       // '40000000', 0.75 -> 'c0000000'); md5 hex is uniform so
       // P(prefix < cutoff) = rate
       val h = substring(md5(col("text")), 1, 8)
-      val cutoff = when(col("source").like("src_0%"), "40000000")
-        .when(col("source").like("src_1%"), "c0000000")
+      val cutoff = when(col("source").isin("src0", "src1", "src2"), "40000000")
+        .when(col("source").isin("src3", "src4", "src5"), "c0000000")
         .otherwise("ffffffff")
       docs(s, d).select(col("doc_id"), col("source"),
                         (h < cutoff).cast("long").as("kept"))
