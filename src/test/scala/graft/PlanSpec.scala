@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q59/q61: hash-split and PII scrub are pure scan projections — zero shuffles") {
-    for (q <- Seq("q59_train_split", "q61_pii_scrub")) {
+    for (q <- Seq("q59_train_split", "q61_pii_scrub", "q77_source_mixing")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles a per-row projection:\n$p")
       assert(!p.contains("Sort"), s"$q sorts needlessly:\n$p")

@@ -113,6 +113,31 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming band projection matches q35's batch banding exactly") {
+    // the stream-static incremental dedup and the batch self-join must
+    // bucket identically or incremental results drift from compaction
+    val (nBands, rows) = TrainingData.lshGeometry(TrainingData.corpusCount(spark, sf))
+    val streamSpelling = TrainingData.minhashBands(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      nBands, rows)
+      .select("doc_id", "band", "bkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // q35's inline banding, re-derived
+    import graft.functions.TextHashes.{minhash_sig, word_shingles}
+    val batchSpelling = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), word_shingles(split(col("text"), " "), 3).as("sh"))
+      .withColumn("sig", minhash_sig(col("sh"), 96))
+      .select(col("doc_id"),
+              explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+                struct(b.as("band"),
+                       aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
+                                 (acc, x) => shiftleft(acc, 7).bitwiseXOR(x)).as("bkey"))))
+                .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamSpelling === batchSpelling)
+  }
+
   test("lsh geometry steps rows with corpus size and always tiles the 96-hash signature") {
     for (n <- Seq(1L, 500L, 20000L, 20001L, 2000000L, 2000001L, 5000000000L)) {
       val (bands, rows) = TrainingData.lshGeometry(n)
