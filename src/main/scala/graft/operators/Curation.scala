@@ -237,10 +237,41 @@ object Curation {
         |                           ORDER BY md5(text), doc_id) AS rk
         |      FROM documents)
         |WHERE rk <= 20""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
-      docs(s, d)
+      // Scale shape: a bare Window.partitionBy(lang) funnels every doc of a
+      // language through ONE task (~5 langs = ~5 tasks). Because rank order
+      // IS the hash order, the top-k of a stratum are exactly its k
+      // smallest hashes — so a scan-parallel hash-prefix cutoff prunes the
+      // stratum to ~8x·k candidates first, and the window only ever sorts
+      // that bounded candidate set. The in-plan n_cand guard makes the
+      // pruning LOSSLESS: a stratum whose candidate pool undershoots k
+      // (possible only at extreme skew of the uniform hash) falls back to
+      // ranking all its rows, so output is bit-identical to the naive
+      // spelling at any scale.
+      val k = 20
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+                                   md5(col("text")).as("h"))
+      val counts = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      // rate -> 8-hex cutoff (the q77 trick): keep ~8k/n of the stratum
+      val cutoff = lower(lpad(hex(
+        least(lit(4294967295L),
+              ceil(lit(8.0 * k) / col("n_lang") * lit(4294967296.0)))
+          .cast("long")), 8, "0"))
+      val cand = base
+        .join(broadcast(counts), "lang")
+        .filter(col("n_lang") <= 8 * k || substring(col("h"), 1, 8) < cutoff)
+      val candCounts = cand.groupBy("lang").agg(count(lit(1)).as("n_cand"))
+      // pool: strata whose candidate set covers k; rescue: strata it does
+      // not (take ALL their rows — disjoint with pool by construction)
+      val pool = cand.join(broadcast(candCounts), "lang")
+        .filter(col("n_cand") >= k)
+        .select("doc_id", "lang", "h")
+      val rescue = base.join(broadcast(candCounts), Seq("lang"), "left")
+        .filter(coalesce(col("n_cand"), lit(0L)) < k)
+        .select("doc_id", "lang", "h")
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      pool.unionByName(rescue)
         .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
-        .filter(col("rk") <= 20)
+        .filter(col("rk") <= k)
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
     },
 
@@ -374,9 +405,17 @@ object Curation {
     Q("q78_token_budget",
       "Token-budget selection: rank docs by quality and keep the prefix " +
         "whose cumulative token count fits the budget — how a training " +
-        "mix is assembled ('best 10k tokens'). One global ordered window; " +
-        "at scale the same cut runs per-partition with a budget share per " +
-        "stratum (lang/source), which is the q62 blocking pattern.",
+        "mix is assembled ('best 10k tokens'). Two-phase so NO data-sized " +
+        "single-partition window exists: (1) per-quality-value token " +
+        "totals (map-side partial aggregation; quality is rounded to 4 " +
+        "decimals so the bucket table is DOMAIN-bounded at <=15k rows " +
+        "regardless of corpus size) with an exclusive prefix sum over " +
+        "that tiny table locating the budget boundary; (2) the exact " +
+        "per-row running sum only over rows of buckets whose prefix is " +
+        "still under budget — a set bounded by the BUDGET (every doc " +
+        "carries >=1 token), not the corpus. Prefix-closure of the " +
+        "candidate set makes phase 2 bit-identical to the naive global " +
+        "window. See q79 for the per-stratum variant.",
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |    round(least(1.0, len(string_split(text, ' ')) / 64.0) *
@@ -391,19 +430,87 @@ object Curation {
         |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 10000""".stripMargin) { (s, d) =>
+      val budget = 10000L
       val stopArr = array(TrainingData.enStop.map(lit): _*)
       val tok = split(col("text"), " ")
-      val w = Window.orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
-        .select(col("doc_id"), size(tok).as("n_tokens"),
+      val perDoc = docs(s, d)
+        .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
                 round(least(lit(1.0), size(tok) / lit(64.0)) *
                       (lit(0.5) +
                         size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
                           size(tok)), 4).as("quality"))
+      // phase 1: domain-bounded bucket table (one value per distinct
+      // rounded quality) + exclusive prefix sum over it. The single
+      // partition this window runs on holds <=15k rows at ANY corpus size.
+      val wb = Window.orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val liveBuckets = perDoc
+        .groupBy("quality").agg(sum("n_tokens").as("bucket_tokens"))
+        .withColumn("cum_before", coalesce(sum("bucket_tokens").over(wb), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .select("quality", "cum_before")
+      // phase 2: exact running sum, but only over budget-bounded
+      // candidates. Any row preceding a candidate (higher quality, or same
+      // quality and lower doc_id) is itself a candidate, so per-row
+      // cum_tokens here equals the naive global-window value exactly.
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(broadcast(liveBuckets.select("quality")), "quality")
         .withColumn("cum_tokens", sum("n_tokens").over(w))
-        .filter(col("cum_tokens") <= 10000)
+        .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("quality"),
+                col("n_tokens").cast("long").as("n_tokens"),
+                col("cum_tokens").cast("long").as("cum_tokens"))
+    },
+
+    Q("q79_stratum_budget",
+      "Per-stratum token budget: each language gets its own budget share " +
+        "and the best-quality prefix of each stratum fills it — how a " +
+        "multilingual training mix holds its language ratios while still " +
+        "taking only the best documents. Same two-phase shape as q78, " +
+        "blocked by stratum: the bucket table keys on (lang, quality) so " +
+        "its prefix-sum window holds <=15k rows per lang partition, and " +
+        "the exact per-row window runs per lang over candidates bounded " +
+        "by that lang's budget. Parallelism is across strata AND within " +
+        "the scan; no task ever sees more than one budget's worth of rows.",
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, quality, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 2000""".stripMargin) { (s, d) =>
+      val budget = 2000L
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val perDoc = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(tok).cast("long").as("n_tokens"),
+                round(least(lit(1.0), size(tok) / lit(64.0)) *
+                      (lit(0.5) +
+                        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                          size(tok)), 4).as("quality"))
+      val wb = Window.partitionBy("lang").orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val liveBuckets = perDoc
+        .groupBy("lang", "quality").agg(sum("n_tokens").as("bucket_tokens"))
+        .withColumn("cum_before", coalesce(sum("bucket_tokens").over(wb), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .select("lang", "quality")
+      val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(broadcast(liveBuckets), Seq("lang", "quality"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("lang"), col("quality"),
                 col("n_tokens").cast("long").as("n_tokens"),
                 col("cum_tokens").cast("long").as("cum_tokens"))
     },

@@ -511,8 +511,11 @@ object Relational2 {
 
     Q("q75_outliers",
       "Anomaly detection: per-type z-scores against the type's own " +
-        "mean/stddev (window aggregates, one shuffle), outliers at |z|>3 " +
-        "counted with their extremes.",
+        "mean/stddev. The stats come from a groupBy (map-side partial " +
+        "aggregation, a handful of output rows) broadcast-joined back onto " +
+        "the events, so scoring stays a scan-parallel projection — NOT a " +
+        "window partitioned by the ~5 event types, which would funnel " +
+        "every row of a type through one task at scale.",
       """WITH z AS (
         |  SELECT event_type, value,
         |    (value - avg(value) OVER (PARTITION BY event_type)) /
@@ -522,10 +525,12 @@ object Relational2 {
         |  CAST(count(*) FILTER (WHERE abs(zscore) > 3) AS BIGINT) AS n_outliers,
         |  round(min(zscore), 4) AS min_z, round(max(zscore), 4) AS max_z
         |FROM z GROUP BY event_type""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("event_type")
+      val stats = ev(s, d)
+        .groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
       ev(s, d)
-        .withColumn("zscore",
-          (col("value") - avg("value").over(w)) / stddev_samp(col("value")).over(w))
+        .join(broadcast(stats), "event_type")
+        .withColumn("zscore", (col("value") - col("mu")) / col("sigma"))
         .groupBy("event_type")
         .agg(count(when(abs(col("zscore")) > 3, 1)).as("n_outliers"),
              round(min("zscore"), 4).as("min_z"),

@@ -74,6 +74,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 1, s"funnel shuffles more than once:\n$p")
   }
 
+  test("q75: outlier stats are a partial-aggregating groupBy + broadcast join — no window") {
+    val p = plan("q75_outliers")
+    assert(!p.contains("Window"),
+           s"q75 regressed to a low-cardinality window partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast back:\n$p")
+  }
+
+  test("q78/q79: no single-partition exchange over raw data; windows see only bounded inputs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps the plan in unfinalized stages; disable it so the full
+    // physical tree is walkable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q78_token_budget", "q79_stratum_budget", "q62_stratified_sample")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        // every single-partition shuffle must carry a bounded row set: its
+        // input subtree aggregates (domain-bounded bucket table) or joins
+        // against the broadcast candidate filter (budget-bounded rows) —
+        // never the raw corpus scan
+        p.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 => e
+        }.foreach { e =>
+          val bounded = e.child.collectFirst {
+            case a: BaseAggregateExec => a
+            case j: BroadcastHashJoinExec => j
+          }
+          assert(bounded.isDefined,
+                 s"$q: single-partition exchange fed by unbounded data:\n$e")
+        }
+        // every window's input is pre-pruned the same way
+        p.collect { case w: WindowExec => w }.foreach { w =>
+          val bounded = w.child.collectFirst {
+            case a: BaseAggregateExec => a
+            case j: BroadcastHashJoinExec => j
+          }
+          assert(bounded.isDefined,
+                 s"$q: window consumes an unpruned scan:\n$w")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
