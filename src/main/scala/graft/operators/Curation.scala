@@ -156,6 +156,34 @@ object Curation {
       .filter(col("quality") >= 0.5)
   }
 
+  /** Terminal sink of the STREAMING curation path — [[ingestStream]]'s
+    * keepers landing in the same split-partitioned corpus layout
+    * [[exportCurated]] writes, closing the crawl -> corpus loop end to
+    * end. Each epoch writes under its own `epoch=<batchId>` partition
+    * with dynamic partition overwrite, so a replayed epoch (foreachBatch
+    * is at-least-once on retry) overwrites exactly its own output —
+    * effective exactly-once without read-modify-write of the corpus.
+    * Training jobs read the whole dir; `split=...` still prunes.
+    */
+  def startCurationIngest(docsStream: org.apache.spark.sql.DataFrame,
+                          corpusDir: String,
+                          checkpointDir: String,
+                          horizon: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStream(docsStream, horizon).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch
+          .withColumn("epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "split")
+          .parquet(corpusDir)
+      }
+      .start()
+
   val all: Seq[Q] = Seq(
 
     Q("q59_train_split",

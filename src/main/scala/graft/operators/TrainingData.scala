@@ -189,21 +189,77 @@ object TrainingData {
       .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Materialize the corpus's LSH band index to a parquet table — built
+    * ONCE per corpus snapshot (and re-built by compaction via
+    * [[refreshBandIndex]]), then probed by every streaming micro-batch of
+    * [[incrementalNearDup]]. Without it each trigger re-shingles and
+    * re-signs the ENTIRE static corpus inside its own plan — a full-corpus
+    * scan per micro-batch, which defeats incremental dedup. The band
+    * geometry the index was built with travels alongside the data (an
+    * underscore-prefixed sidecar parquet readers ignore) so probes always
+    * sign incoming docs with the SAME geometry. At production scale this
+    * is a catalog-registered table bucketed on (band, bkey); plain
+    * parquet keeps the local harness self-contained.
+    */
+  def buildBandIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val (nBands, rows) = lshGeometry(corpusCount(s, d))
+    minhashBands(docs(s, d).select(col("doc_id"), col("text")), nBands, rows)
+      .select(col("doc_id").as("matched_id"), col("sh").as("sh_c"),
+              col("band"), col("bkey"))
+      .write.mode("overwrite").parquet(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(indexDir, "_lsh_geometry"), true)
+    try out.write(s"$nBands $rows".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Compaction hook: rebuild the persisted band index after the corpus
+    * changed (new docs merged, deletes compacted). Geometry re-adapts to
+    * the new corpus size.
+    */
+  def refreshBandIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    statsCache.remove(d) // corpus changed — re-measure before re-banding
+    buildBandIndex(s, d, indexDir)
+  }
+
+  private def bandIndexGeometry(s: SparkSession, indexDir: String): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_lsh_geometry"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(b, r) = txt.trim.split(" ")
+    (b.toInt, r.toInt)
+  }
+
   /** Incremental near-dup: a STREAM of incoming docs checked against the
     * static corpus's LSH band index via a stream-static equi-join on
     * (band, bkey) — the arriving doc probes only its own buckets, never
     * the whole corpus. Exact Jaccard verifies candidates in-stream.
     * Returns (doc_id, matched_id, jaccard) for flagged near-duplicates.
-    * The static side rebuilds per micro-batch plan from the corpus dir —
-    * at scale it is a persisted band table, refreshed by compaction.
+    *
+    * With `indexDir` set (the production shape), the static side is the
+    * band table [[buildBandIndex]] persisted — each micro-batch plans a
+    * SCAN OF THE INDEX, not of `documents`, and signs incoming docs with
+    * the geometry recorded in the index. Without it (ad-hoc/dev), the
+    * band projection is rebuilt from the corpus dir inside every
+    * micro-batch plan.
     */
   def incrementalNearDup(streamDocs: DataFrame, s: SparkSession, d: String,
-                         threshold: Double = 0.9): DataFrame = {
-    val (nBands, rows) = lshGeometry(corpusCount(s, d))
-    val corpus = minhashBands(
-      docs(s, d).select(col("doc_id"), col("text")), nBands, rows)
-      .select(col("doc_id").as("matched_id"), col("sh").as("sh_c"),
-              col("band"), col("bkey"))
+                         threshold: Double = 0.9,
+                         indexDir: Option[String] = None): DataFrame = {
+    val (corpus, nBands, rows) = indexDir match {
+      case Some(dir) =>
+        val (b, r) = bandIndexGeometry(s, dir)
+        (s.read.parquet(dir), b, r)
+      case None =>
+        val (b, r) = lshGeometry(corpusCount(s, d))
+        (minhashBands(docs(s, d).select(col("doc_id"), col("text")), b, r)
+           .select(col("doc_id").as("matched_id"), col("sh").as("sh_c"),
+                   col("band"), col("bkey")),
+         b, r)
+    }
     val incoming = minhashBands(streamDocs, nBands, rows)
     val inter = size(array_intersect(col("sh"), col("sh_c"))).cast("double")
     incoming.join(corpus, Seq("band", "bkey"))

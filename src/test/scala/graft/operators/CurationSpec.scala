@@ -104,6 +104,72 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!flagged.exists(_._1 == 900002L), "novel doc falsely flagged")
   }
 
+  test("persisted band index: micro-batches scan the index table, never re-shingle the corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    TrainingData.buildBandIndex(spark, sf, idx)
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") === 7L).head()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = TrainingData.incrementalNearDup(stream, spark, sf, indexDir = Some(idx))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incdup_idx_out").start()
+    mem.addData((900001L, src.getString(1)))
+    q.processAllAvailable()
+    mem.addData((900002L, "utterly novel content here"))
+    q.processAllAvailable()
+    // the SECOND micro-batch's physical plan: static side must be a scan
+    // of the persisted band table, not of documents.parquet
+    val se = q.getClass.getMethod("streamingQuery").invoke(q)
+    val le = se.getClass.getMethod("lastExecution").invoke(se)
+    val lastPlan = le.getClass.getMethod("executedPlan").invoke(le).toString
+    q.stop()
+    assert(!lastPlan.contains("documents.parquet"),
+           s"micro-batch still rescans the corpus:\n$lastPlan")
+    assert(lastPlan.contains("graft-bandidx"),
+           s"micro-batch does not scan the band index:\n$lastPlan")
+    // semantics unchanged vs the index-less path
+    val flagged = spark.table("incdup_idx_out")
+      .select("doc_id", "matched_id", "jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.exists(f => f._1 == 900001L && f._2 == 7L && f._3 == 1.0),
+           s"verbatim copy not flagged via the index: ${flagged.toSeq}")
+    assert(!flagged.exists(_._1 == 900002L), "novel doc falsely flagged")
+  }
+
+  test("startCurationIngest lands keepers split-partitioned, exactly-once across epochs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft-stream-corpus").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val textA = Array.fill(32)("the value is").mkString(" ") // quality-pass
+    val textB = Array.fill(40)("it is a fact").mkString(" ") // quality-pass
+    val mem = MemoryStream[(Long, String, String, String, java.sql.Timestamp)]
+    val named = mem.toDF().toDF("doc_id", "text", "lang", "source", "ts")
+    // epoch 1
+    mem.addData((1L, textA, "en", "crawl", ts))
+    Curation.startCurationIngest(named, corpus, ckpt).awaitTermination()
+    // epoch 2: one new doc + one re-crawl of epoch-1 content (must dedup
+    // across epochs via checkpointed watermark state)
+    mem.addData((2L, textB, "en", "crawl", ts), (3L, textA, "en", "crawl", ts))
+    Curation.startCurationIngest(named, corpus, ckpt).awaitTermination()
+    val out = spark.read.parquet(corpus)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L), s"expected exactly docs 1 and 2 once each, got $ids")
+    assert(out.select("split").distinct().collect()
+             .forall(r => Set("train", "val", "test")(r.getString(0))))
+    assert(out.select("epoch").distinct().count() === 2, "each epoch owns its partition")
+    // layout: epoch dirs at the top, split dirs under them
+    val epochDirs = new java.io.File(corpus).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("epoch=")).toSeq
+    assert(epochDirs.size === 2, s"epoch partitions: $epochDirs")
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
