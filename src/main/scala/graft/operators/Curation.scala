@@ -31,6 +31,27 @@ object Curation {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  /** The block-manager RDD behind a localCheckpoint'ed frame (the thing
+    * `Dataset.unpersist` does NOT release — checkpoint storage is
+    * RDD-level, invisible to the SQL cache manager).
+    */
+  private def ckptRdd(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Release everything this module holds for a corpus dir — the
+    * compaction hook: after the corpus changes (docs merged, deletes
+    * applied), cached edge graphs and cluster labels are stale AND pinned
+    * in executor memory; without eviction a long session curating many
+    * corpus snapshots grows block-manager state without bound. The next
+    * [[dedupClusters]] call re-resolves from the new corpus.
+    */
+  def invalidate(d: String): Unit = {
+    edgeCache.remove(d).foreach(_.unpersist())
+    clusterCache.remove(d).foreach(df => ckptRdd(df).foreach(_.unpersist(false)))
+  }
+
   /** Connected components over the near-dup pair graph (q64 body,
     * reusable — q65 consumes the keep decision).
     *
@@ -75,6 +96,10 @@ object Curation {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") < col("prev")).isEmpty
+      // the convergence check was the last consumer of the previous round's
+      // checkpoint — release its blocks now, or the loop pins O(rounds)
+      // corpus-sized label tables in executor memory at once
+      ckptRdd(labels).foreach(_.unpersist(false))
       labels = next
       iter += 1
     }
