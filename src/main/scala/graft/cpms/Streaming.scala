@@ -101,8 +101,8 @@ object Streaming {
     * batch keys rewrite (same merge expression per bucket).
     */
   def mergeAggregates(spark: SparkSession, batchLatest: DataFrame, aggDir: String): Unit = {
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs0 = new org.apache.hadoop.fs.Path(aggDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
       if (fs0.exists(new org.apache.hadoop.fs.Path(aggDir)))
         spark.read.schema(Schemas.aggregates).parquet(aggDir)
@@ -114,14 +114,21 @@ object Streaming {
                   col("ts")).as("r"))
       .select(col("user_id"), col("r.ts").as("ts"), col("r.heart_rate").as("heart_rate"),
               col("r.steps").as("steps"), col("r.calories").as("calories"))
-    // two-phase write: the overwritten table is also this batch's input
+    // two-phase write: the overwritten table is also this batch's input.
+    // Swap is rename-aside-then-rename-in: a crash never leaves the table
+    // deleted-but-unreplaced — either the old dir is still live, or the
+    // aside copy survives next to the fully-written staging dir for
+    // recovery (delete-then-rename had a window with NEITHER present).
     val tmp = aggDir + ".staging"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(aggDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(aggDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(dst)) fs.rename(dst, aside)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"aggregate swap failed: $tmp -> $dst")
+    fs.delete(aside, true)
   }
 
   /** Bucketed variant of [[mergeAggregates]] — the 100 TB path: the
@@ -136,7 +143,7 @@ object Streaming {
       aggDir: String,
       nBuckets: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withBucket = batchLatest.withColumn(
       "bucket", pmod(hash(col("user_id")), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct()
@@ -171,10 +178,18 @@ object Streaming {
     fs.delete(staging, true)
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
     touched.foreach { b =>
+      // per-bucket rename-aside swap: the old bucket moves to a
+      // dot-prefixed dir (invisible to parquet readers) before the new one
+      // renames in, so a crash leaves either the old or the new bucket
+      // recoverable — never a deleted-but-unreplaced hole
       val dst = new Path(s"$aggDir/bucket=$b")
-      fs.delete(dst, true)
+      val aside = new Path(s"$aggDir/.swap_bucket=$b")
+      fs.delete(aside, true)
       fs.mkdirs(dst.getParent)
-      fs.rename(new Path(s"$staging/bucket=$b"), dst)
+      if (fs.exists(dst)) fs.rename(dst, aside)
+      if (!fs.rename(new Path(s"$staging/bucket=$b"), dst))
+        throw new java.io.IOException(s"bucket swap failed: bucket=$b")
+      fs.delete(aside, true)
     }
     fs.delete(staging, true)
   }

@@ -50,6 +50,7 @@ object Curation {
   def invalidate(d: String): Unit = {
     edgeCache.remove(d).foreach(_.unpersist())
     clusterCache.remove(d).foreach(df => ckptRdd(df).foreach(_.unpersist(false)))
+    TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
   }
 
   /** Connected components over the near-dup pair graph (q64 body,
@@ -465,10 +466,11 @@ object Curation {
         "regardless of corpus size) with an exclusive prefix sum over " +
         "that tiny table locating the budget boundary; (2) the exact " +
         "per-row running sum only over rows of buckets whose prefix is " +
-        "still under budget — a set bounded by the BUDGET (every doc " +
-        "carries >=1 token), not the corpus. Prefix-closure of the " +
-        "candidate set makes phase 2 bit-identical to the naive global " +
-        "window. See q79 for the per-stratum variant.",
+        "still under budget — a set bounded by the BUDGET plus the one " +
+        "straddling bucket (corpus-independent unless a single rounded " +
+        "quality value ties across a corpus-sized share of docs). " +
+        "Prefix-closure of the candidate set makes phase 2 bit-identical " +
+        "to the naive global window. See q79 for the per-stratum variant.",
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |    round(least(1.0, len(string_split(text, ' ')) / 64.0) *

@@ -149,6 +149,21 @@ object TrainingData {
   /** Number of KMeans fits actually executed (test observability). */
   val ivfFits = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Evict everything this module caches for a corpus dir — the
+    * compaction hook's TrainingData half (see [[Curation.invalidate]],
+    * which chains here): after the corpus changes, the cached row count
+    * is stale and the IVF cell assignments both describe the old corpus
+    * AND pin executor memory. Drops the stats entry and unpersists +
+    * removes every (d, k) IVF index; the next [[ivfIndex]] call refits
+    * against the new corpus.
+    */
+  def invalidate(d: String): Unit = {
+    statsCache.remove(d)
+    ivfCache.keys.filter(_._1 == d).foreach { key =>
+      ivfCache.remove(key).foreach { case (_, assigned) => assigned.unpersist() }
+    }
+  }
+
   def ivfIndex(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) =
     ivfCache.getOrElseUpdate((d, k), {
       import org.apache.spark.ml.clustering.KMeans
@@ -203,15 +218,32 @@ object TrainingData {
     */
   def buildBandIndex(s: SparkSession, d: String, indexDir: String): Unit = {
     val (nBands, rows) = lshGeometry(corpusCount(s, d))
+    // Build into a staging dir (geometry sidecar written BEFORE the swap)
+    // and rename into place, so a reader never observes an index whose
+    // parquet and geometry disagree — mode(overwrite) straight onto
+    // indexDir would delete the old index before the new one is complete.
+    // The rename swap is atomic on HDFS-like filesystems; object stores
+    // get a short old->missing->new window, so compaction must not run
+    // [[refreshBandIndex]] while a stream probing indexDir is active.
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    // resolve the FS that OWNS indexDir, not the default FS — with e.g.
+    // an s3a:// index over an hdfs:// defaultFS they differ
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
     minhashBands(docs(s, d).select(col("doc_id"), col("text")), nBands, rows)
       .select(col("doc_id").as("matched_id"), col("sh").as("sh_c"),
               col("band"), col("bkey"))
-      .write.mode("overwrite").parquet(indexDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
+      .write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(
-      new org.apache.hadoop.fs.Path(indexDir, "_lsh_geometry"), true)
+      new org.apache.hadoop.fs.Path(staging, "_lsh_geometry"), true)
     try out.write(s"$nBands $rows".getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target)) fs.rename(target, aside)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"band-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
   }
 
   /** Compaction hook: rebuild the persisted band index after the corpus
@@ -219,13 +251,15 @@ object TrainingData {
     * the new corpus size.
     */
   def refreshBandIndex(s: SparkSession, d: String, indexDir: String): Unit = {
-    statsCache.remove(d) // corpus changed — re-measure before re-banding
+    // corpus changed — drop every cached per-corpus artifact (row count,
+    // IVF indexes) before re-banding against the new snapshot
+    invalidate(d)
     buildBandIndex(s, d, indexDir)
   }
 
   private def bandIndexGeometry(s: SparkSession, indexDir: String): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_lsh_geometry"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()

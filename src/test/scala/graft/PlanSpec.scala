@@ -45,6 +45,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the `*(n)` whole-stage prefix.
     // AQE prints unfinalized stages without codegen markers; disable it so
     // the whole plan shows its `*(n)` spans.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for ((q, fn) <- Seq("q35_dedup_minhash_lsh" -> "word_shingles",
@@ -56,7 +57,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         assert(lines.forall(l => l.contains("*(")),
                s"$fn fell out of whole-stage codegen in $q:\n${lines.mkString("\n")}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("q59/q61: hash-split and PII scrub are pure scan projections — zero shuffles") {
@@ -88,6 +89,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     // AQE wraps the plan in unfinalized stages; disable it so the full
     // physical tree is walkable.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Seq("q78_token_budget", "q79_stratum_budget", "q62_stratified_sample")) {
@@ -116,7 +118,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
                  s"$q: window consumes an unpruned scan:\n$w")
         }
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("q50: custom top_k_by aggregates partially before the exchange") {

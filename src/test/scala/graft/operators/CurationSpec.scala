@@ -123,9 +123,14 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     q.processAllAvailable()
     // the SECOND micro-batch's physical plan: static side must be a scan
     // of the persisted band table, not of documents.parquet
-    val se = q.getClass.getMethod("streamingQuery").invoke(q)
-    val le = se.getClass.getMethod("lastExecution").invoke(se)
-    val lastPlan = le.getClass.getMethod("executedPlan").invoke(le).toString
+    val lastPlan = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.lastExecution.executedPlan.toString
+      case other => fail(
+        s"StreamingQuery is a ${other.getClass.getName}, not the " +
+          "StreamingQueryWrapper this plan assertion expects — a Spark " +
+          "upgrade moved the internal wrapper; update this cast.")
+    }
     q.stop()
     assert(!lastPlan.contains("documents.parquet"),
            s"micro-batch still rescans the corpus:\n$lastPlan")
@@ -175,5 +180,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .groupBy("lang").count().collect().map(r => r.getLong(1))
     assert(perLang.forall(_ <= 20))
     assert(perLang.nonEmpty)
+  }
+
+  test("invalidate releases per-corpus cached state and forces re-resolution") {
+    // own corpus dir so cross-suite cache keys can't interfere with the
+    // shared session's counters
+    val dir = "/root/testdata/sf0.001"
+    val clustersBefore = Curation.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TrainingData.ivfIndex(spark, dir, 4)._2.count() // materialize the persist
+    val fitsAfterBuild = TrainingData.ivfFits.get()
+    TrainingData.ivfIndex(spark, dir, 4) // cached — no refit
+    assert(TrainingData.ivfFits.get() === fitsAfterBuild)
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Curation.invalidate(dir)
+    val released = idsBefore -- spark.sparkContext.getPersistentRDDs.keySet
+    // edge graph + cluster checkpoint + IVF assignment all unpinned
+    assert(released.size >= 3,
+           s"expected >=3 persisted RDDs released, got ${released.size}")
+    // re-resolution actually happens: the IVF index refits...
+    TrainingData.ivfIndex(spark, dir, 4)
+    assert(TrainingData.ivfFits.get() === fitsAfterBuild + 1,
+           "ivfIndex did not refit after invalidate")
+    // ...and clustering re-resolves to the same (deterministic) labels
+    val clustersAfter = Curation.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustersAfter === clustersBefore)
   }
 }
