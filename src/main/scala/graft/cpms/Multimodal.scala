@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * payloads + typed metadata, with decode / feature-extraction / resize /
   * frame-sampling as partition-parallel transforms.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * payload bytes. Everything around the stub — the asset schema, the
-  * batched mapPartitions plumbing, partitioning, and output shapes — is
-  * the real production path; swapping `fakeDecode` for a JNI/ffmpeg/etc.
-  * call changes no plan shape.
+  * The decode step dispatches on payload magic bytes: uncompressed 24-bit
+  * BMP and binary PPM (P6) payloads go through a REAL pure-JVM codec
+  * ([[decodeBmp]]/[[decodePpm]] — header parse + full pixel scan into
+  * mean-color/luma features); any other format falls back to the
+  * documented STUB ([[fakeDecode]], deterministic fake features from the
+  * payload bytes) because this environment ships no image/audio
+  * libraries. Everything around the codec — the asset schema, the batched
+  * mapPartitions plumbing, partitioning, and output shapes — is the real
+  * production path; adding a JNI/ffmpeg/etc. branch next to the BMP/PPM
+  * ones changes no plan shape.
   */
 object Multimodal {
 
@@ -65,6 +69,124 @@ object Multimodal {
     Row(assetId, kind, width, height, frames, feat.toSeq)
   }
 
+  /** 8-float feature vector from decoded RGB pixels: channel means, luma
+    * mean/std (all /255), squareness, and the dimension shares — real
+    * content-derived features with a fixed, schema-stable width.
+    */
+  private def pixelFeatures(w: Int, h: Int,
+                            sumR: Long, sumG: Long, sumB: Long,
+                            sumLuma: Double, sumLuma2: Double): Array[Float] = {
+    val n = w.toLong * h
+    val mR = sumR.toDouble / n
+    val mG = sumG.toDouble / n
+    val mB = sumB.toDouble / n
+    val mL = sumLuma / n
+    val varL = math.max(0.0, sumLuma2 / n - mL * mL)
+    Array((mR / 255.0).toFloat, (mG / 255.0).toFloat, (mB / 255.0).toFloat,
+          (mL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+          (math.min(w, h).toDouble / math.max(w, h)).toFloat,
+          (w.toDouble / (w + h)).toFloat, (h.toDouble / (w + h)).toFloat)
+  }
+
+  private def luma(r: Int, g: Int, b: Int): Double =
+    0.299 * r + 0.587 * g + 0.114 * b
+
+  /** REAL codec: uncompressed 24-bit bottom-up-or-top-down BMP
+    * (BITMAPINFOHEADER). Parses the header for dimensions and scans every
+    * pixel (BGR byte order, rows padded to 4 bytes) for the feature
+    * vector. Returns None when the payload is not a BMP this codec
+    * handles (wrong magic/bpp/compression or truncated pixel data).
+    */
+  private[cpms] def decodeBmp(assetId: Long, content: Array[Byte]): Option[Row] = {
+    def u16(i: Int) = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def i32(i: Int) = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8) |
+      ((content(i + 2) & 0xff) << 16) | ((content(i + 3) & 0xff) << 24)
+    if (content.length < 54 || content(0) != 'B' || content(1) != 'M') return None
+    val pixOff = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val h = math.abs(hRaw)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowBytes.toLong * h > content.length) return None
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var (sumL, sumL2) = (0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      // negative height = top-down row order; positive = bottom-up
+      val row = pixOff + (if (hRaw < 0) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = content(row + x * 3) & 0xff
+        val g = content(row + x * 3 + 1) & 0xff
+        val r = content(row + x * 3 + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        val l = luma(r, g, b)
+        sumL += l; sumL2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    Some(Row(assetId, "image", w, h, 1,
+             pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2).toSeq))
+  }
+
+  /** REAL codec: binary PPM (P6, maxval <= 255). Parses the ASCII header
+    * (with # comments) and scans the RGB triples. None when not a P6 this
+    * codec handles.
+    */
+  private[cpms] def decodePpm(assetId: Long, content: Array[Byte]): Option[Row] = {
+    if (content.length < 2 || content(0) != 'P' || content(1) != '6') return None
+    var i = 2
+    def skipSpace(): Unit = {
+      var more = true
+      while (more && i < content.length) {
+        val c = content(i).toChar
+        if (c.isWhitespace) i += 1
+        else if (c == '#') { while (i < content.length && content(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipSpace()
+      var v = 0
+      var any = false
+      while (i < content.length && content(i).toChar.isDigit) {
+        v = v * 10 + (content(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = int(); val h = int(); val maxval = int()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // single whitespace after maxval, then binary data
+    if (i + 3L * w * h > content.length) return None
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var (sumL, sumL2) = (0.0, 0.0)
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val r = content(i + p * 3) & 0xff
+      val g = content(i + p * 3 + 1) & 0xff
+      val b = content(i + p * 3 + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      val l = luma(r, g, b)
+      sumL += l; sumL2 += l * l
+      p += 1
+    }
+    Some(Row(assetId, "image", w, h, 1,
+             pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2).toSeq))
+  }
+
+  /** One payload through the codec chain: real BMP/PPM decode when the
+    * magic bytes match, else the stub.
+    */
+  private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row =
+    decodeBmp(assetId, content)
+      .orElse(decodePpm(assetId, content))
+      .getOrElse(fakeDecode(assetId, kind, content))
+
   /** Partition-parallel batch decode: the Scala analogue of a batched
     * `mapInPandas` — one iterator pass per partition, constant memory,
     * no driver involvement. Repartition upstream by size/kind when codec
@@ -74,7 +196,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedSchema)
     assets.select("asset_id", "kind", "content")
       .mapPartitions { rows =>
-        rows.map { r => fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)) }
+        rows.map { r => decodeOne(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)) }
       }(enc)
   }
 

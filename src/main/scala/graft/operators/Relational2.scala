@@ -17,6 +17,60 @@ object Relational2 {
   private def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** q51's pair generation with skew-salted blocks (exposed so tests can
+    * force salting with a tiny `maxBlock`).
+    *
+    * The plain bucketed self-join keys on (lang, length-bucket); a hot
+    * block — one dominant language at one dominant length — routes its
+    * entire B^2 candidate workload through ONE join task. Salting splits
+    * it: a per-block size statistic (map-side-partial aggregate over a
+    * domain-bounded key space, broadcast back) assigns each block
+    * nsalt = ceil(size / maxBlock) sub-blocks; the build side lands in
+    * sub-block hash(doc_id) % nsalt, the probe side fans out to all of
+    * them. Every (build, probe) pair still meets exactly once — the build
+    * doc's salt is a function of its id, and the probe enumerates salts
+    * exhaustively — so the candidate SET is identical to the unsalted
+    * join; only its distribution over tasks changes. Cold blocks get
+    * nsalt = 1 and pay nothing. Probe fanout to the {b-1, b, b+1} length
+    * buckets is unchanged (every |Δchars| <= 20 pair differs by at most
+    * one bucket, so it matches on the build doc's bucket exactly once —
+    * no distinct needed).
+    */
+  def fuzzyPairs(s: SparkSession, d: String, maxBlock: Int = 4096): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      substring(col("text"), 1, 32).as("head"),
+      floor(col("n_chars") / 20).cast("long").as("bkt"))
+    // block-size stats: keyed by (lang, length-bucket) — domain-bounded
+    // (#langs x #distinct-length-buckets), so tiny and broadcastable at
+    // any corpus size even though it aggregates every row
+    val salts = base
+      .groupBy(col("lang"), col("bkt").as("bucket"))
+      .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int").as("nsalt"))
+    val build = base.withColumnRenamed("bkt", "bucket")
+      .join(broadcast(salts), Seq("lang", "bucket"))
+      .withColumn("salt", pmod(hash(col("doc_id")), col("nsalt")))
+      .drop("nsalt")
+    val probe = base.select(
+        col("doc_id").as("p_id"), col("lang"), col("n_chars").as("p_chars"),
+        col("head").as("p_head"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bucket"))
+      // inner join doubles as existence pruning: probes into empty
+      // neighbor buckets (no build rows -> no stats row) are dropped here
+      // instead of shuffling to a matchless join task
+      .join(broadcast(salts), Seq("lang", "bucket"))
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+      .drop("nsalt")
+    build.join(probe, Seq("lang", "bucket", "salt"))
+      .filter(col("doc_id") < col("p_id") &&
+              abs(col("n_chars") - col("p_chars")) <= 20)
+      .select(col("doc_id").as("id_a"), col("p_id").as("id_b"),
+              // thresholded form: the DP early-exits (returns -1) once the
+              // distance provably exceeds 12 — most candidate pairs do
+              levenshtein(col("head"), col("p_head"), 13).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 12)
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q24_sessionize",
@@ -258,30 +312,12 @@ object Relational2 {
         |WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
         |  AND levenshtein(a.head, b.head) <= 12
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
-      // Asymmetric probe join: the build side sits in its own length
-      // bucket once; the probe side fans out to {b-1, b, b+1}. Every
-      // |Δchars|<=20 pair differs by at most one bucket, so it matches on
-      // the build doc's bucket EXACTLY ONCE — no duplicate candidates, so
-      // no duplicate Levenshtein work and no distinct (the symmetric
-      // 2-bucket emission computed the DP on ~1.5x the true candidate
-      // set and deduped after).
-      val base = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), col("n_chars"),
-        substring(col("text"), 1, 32).as("head"),
-        floor(col("n_chars") / 20).cast("long").as("bkt"))
-      val build = base.withColumnRenamed("bkt", "bucket")
-      val probe = base.select(
-        col("doc_id").as("p_id"), col("lang"), col("n_chars").as("p_chars"),
-        col("head").as("p_head"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bucket"))
-      build.join(probe, Seq("lang", "bucket"))
-        .filter(col("doc_id") < col("p_id") &&
-                abs(col("n_chars") - col("p_chars")) <= 20)
-        .select(col("doc_id").as("id_a"), col("p_id").as("id_b"),
-                // thresholded form: the DP early-exits (returns -1) once the
-                // distance provably exceeds 12 — most candidate pairs do
-                levenshtein(col("head"), col("p_head"), 13).cast("long").as("dist"))
-        .filter(col("dist") >= 0 && col("dist") <= 12)
+      // Asymmetric probe join with skew salting — see [[fuzzyPairs]]:
+      // build side sits in its own length bucket once, probe fans out to
+      // {b-1, b, b+1}, and oversize (lang, bucket) blocks are split into
+      // hash-salted sub-blocks so no join task ever holds more than
+      // ~maxBlock build rows.
+      fuzzyPairs(s, d)
     },
 
     Q("q52_date_arith",

@@ -38,6 +38,94 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- real-codec fixtures -------------------------------------------
+  // A 3x2 24-bit bottom-up BMP, built byte-by-byte: top row R,G,B;
+  // bottom row white,black,gray(128). Row stride = 3*3 -> padded to 12.
+  private def bmpFixture: Array[Byte] = {
+    val rowBytes = 12
+    val pixOff = 54
+    val size = pixOff + rowBytes * 2
+    val out = Array.ofDim[Byte](size)
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, pixOff)
+    le32(14, 40) // BITMAPINFOHEADER
+    le32(18, 3); le32(22, 2) // width, height (bottom-up)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    le32(30, 0) // BI_RGB
+    // pixel rows are BGR; file stores BOTTOM row first
+    val bottom = Seq((255, 255, 255), (0, 0, 0), (128, 128, 128))
+    val top = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)) // R, G, B
+    for ((row, y) <- Seq(bottom, top).zipWithIndex; ((r, g, b), x) <- row.zipWithIndex) {
+      val o = pixOff + y * rowBytes + x * 3
+      out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+    }
+    out
+  }
+
+  // A 2x2 binary PPM (P6) with a comment line: all four pixels (10,20,30).
+  private def ppmFixture: Array[Byte] = {
+    val header = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII")
+    header ++ Array.fill(4)(Array(10.toByte, 20.toByte, 30.toByte)).flatten
+  }
+
+  test("real BMP codec: header dims + pixel-scan features from a crafted fixture") {
+    val row = Multimodal.decodeBmp(7L, bmpFixture)
+      .getOrElse(fail("BMP fixture not recognized by the real codec"))
+    assert(row.getInt(2) === 3 && row.getInt(3) === 2) // width, height
+    val feat = row.getSeq[Float](5)
+    // channel means over {R,G,B,white,black,gray}: each channel sums to
+    // 255 (own primary) + 255 (white) + 128 (gray) = 638 -> 638/6/255
+    val expected = 638.0 / 6 / 255
+    assert(math.abs(feat(0) - expected) < 1e-6)
+    assert(math.abs(feat(1) - expected) < 1e-6)
+    assert(math.abs(feat(2) - expected) < 1e-6)
+    assert(feat(4) > 0.0f, "luma std must be positive for a non-flat image")
+    assert(math.abs(feat(5) - 2.0f / 3) < 1e-6) // squareness min/max
+  }
+
+  test("real PPM codec: P6 with comments decodes to exact flat-color features") {
+    val row = Multimodal.decodePpm(8L, ppmFixture)
+      .getOrElse(fail("PPM fixture not recognized by the real codec"))
+    assert(row.getInt(2) === 2 && row.getInt(3) === 2)
+    val feat = row.getSeq[Float](5)
+    assert(math.abs(feat(0) - 10f / 255) < 1e-6)
+    assert(math.abs(feat(1) - 20f / 255) < 1e-6)
+    assert(math.abs(feat(2) - 30f / 255) < 1e-6)
+    assert(feat(4) === 0.0f, "flat image has zero luma std")
+  }
+
+  test("decode dispatches per payload: real codec for BMP/PPM, stub for the rest") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "image", bmpFixture),
+      (2L, "image", ppmFixture),
+      (3L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("asset_id", "kind", "content")
+    val out = Multimodal.decode(mixed).orderBy("asset_id").collect()
+    assert(out(0).getInt(2) === 3 && out(0).getInt(3) === 2) // real BMP dims
+    assert(out(1).getInt(2) === 2 && out(1).getInt(3) === 2) // real PPM dims
+    // the stub's synthetic dims start at 64 — proves row 3 fell through
+    assert(out(2).getInt(2) >= 64 && out(2).getInt(3) >= 64)
+    // and the whole frame keeps the decoded schema
+    assert(out.forall(_.getSeq[Float](5).length === 8))
+  }
+
+  test("truncated/forged headers are rejected to the stub, not crashed on") {
+    val truncated = bmpFixture.take(30) // cuts inside the DIB header
+    val forged = "BM then just text that is not a bitmap".getBytes("UTF-8")
+    assert(Multimodal.decodeBmp(1L, truncated).isEmpty)
+    assert(Multimodal.decodeBmp(2L, forged).isEmpty)
+    val badPpm = "P6\n9999 9999\n255\nxx".getBytes("US-ASCII") // data too short
+    assert(Multimodal.decodePpm(3L, badPpm).isEmpty)
+    // end-to-end they still decode (via the stub) instead of throwing
+    assert(Multimodal.decodeOne(4L, "image", truncated) != null)
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()

@@ -171,6 +171,39 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
            s"global HLL union estimate $globalEst vs exact $globalExact")
   }
 
+  test("q51 salted fuzzy join: forced salting yields the identical pair set") {
+    // maxBlock=8 forces every real (lang, bucket) block at sf0.01 to split
+    // into multiple salted sub-blocks; the result must be row-identical to
+    // the effectively-unsalted spelling (maxBlock large enough that every
+    // nsalt is 1)
+    def rows(mb: Int): Set[(Long, Long, Long)] =
+      Relational2.fuzzyPairs(spark, sf, mb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(1 << 30)
+    val salted = rows(8)
+    assert(plain.nonEmpty, "testdata has no fuzzy pairs — test is vacuous")
+    assert(salted === plain)
+    // and the salting actually bounds build sub-blocks: every
+    // (lang, bucket, salt) group on the build side holds <= ceil avg
+    // implied by nsalt = ceil(size / 8) — i.e. no group exceeds its
+    // unsalted size and hot blocks are genuinely split
+    val base = graft.Tables.documents(spark, sf).select(
+      col("lang"), floor(col("n_chars") / 20).cast("long").as("bucket"),
+      col("doc_id"))
+    val sizes = base.groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > 8).count()
+    assert(hot > 0, "no block larger than maxBlock=8 — salting never fired")
+    val subSizes = base
+      .join(sizes.withColumn("nsalt",
+        ceil(col("n").cast("double") / 8).cast("int")), Seq("lang", "bucket"))
+      .withColumn("salt", pmod(hash(col("doc_id")), col("nsalt")))
+      .groupBy("lang", "bucket", "salt").agg(count(lit(1)).as("sub"))
+      .agg(max("sub")).head().getLong(0)
+    // hash-uniform split: sub-blocks stay within ~4x the target even on
+    // the hottest block (salt assignment is hash(doc_id) % nsalt)
+    assert(subSizes <= 32, s"hottest salted sub-block holds $subSizes rows")
+  }
+
   test("q57 approx quantiles within bounds of exact interpolated percentiles") {
     val exact = graft.Tables.events(spark, sf).groupBy("event_type").agg(
       percentile(col("value"), lit(0.5)).as("p50"),
