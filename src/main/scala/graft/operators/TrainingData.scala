@@ -691,6 +691,134 @@ object TrainingData {
         substring(col("text"), 1, 16).as("head"))
     },
 
+    Q("q80_decontaminate",
+      "Dataset decontamination: which held-out (test-split) documents " +
+        "share an 8-gram with any training-split document — the standard " +
+        "pre-release train/test overlap audit. Splits are the q59 " +
+        "deterministic hash split; 8-grams come from a windowed slice " +
+        "over the token array (pure codegen column math, no UDF). Both " +
+        "sides shuffle on the N-GRAM — a high-cardinality, " +
+        "near-unique-by-construction key (8 tokens of context), so " +
+        "blocks stay tiny at any corpus size; per-doc rollups then " +
+        "shuffle on doc_id. Output: every test doc with its distinct " +
+        "8-gram count, how many of those appear verbatim in train, and " +
+        "the contamination share.",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok,
+        |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split, unnest(list_transform(
+        |    generate_series(1, greatest(len(tok) - 7, 0)),
+        |    i -> array_to_string(tok[i:i+7], ' '))) AS ngram
+        |  FROM t),
+        |tr AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_contaminated
+        |  FROM g JOIN tr USING (ngram) WHERE g.split = 'test' GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g
+        |        WHERE split = 'test' GROUP BY 1)
+        |SELECT doc_id, n_ngrams, COALESCE(n_contaminated, 0) AS n_contaminated,
+        |  round(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams, 4)
+        |    AS contamination
+        |FROM tot LEFT JOIN hits USING (doc_id)""".stripMargin) { (s, d) =>
+      val n = 8
+      val tok = tokens(col("text"))
+      val split8 = substring(md5(col("text")), 1, 1)
+      val splitCol = when(split8 <= "b", "train")
+        .when(split8 <= "d", "val").otherwise("test")
+      val grams = docs(s, d)
+        .select(col("doc_id"), splitCol.as("split"),
+                explode(when(size(tok) >= n,
+                  transform(sequence(lit(1), size(tok) - (n - 1)),
+                            i => concat_ws(" ", slice(tok, i, lit(n)))))
+                  .otherwise(array())).as("ngram"))
+        .distinct()
+      val trainG = grams.filter(col("split") === "train").select("ngram").distinct()
+      val testG = grams.filter(col("split") === "test").select("doc_id", "ngram")
+      val hits = testG.join(trainG, "ngram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      testG.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+                coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+                round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+                        col("n_ngrams"), 4).as("contamination"))
+    },
+
+    Q("q81_pack_sequences",
+      "Sequence packing (concat-and-chunk): lay the corpus out as a " +
+        "deterministic token stream and cut it into fixed 512-token " +
+        "training sequences — each doc gets (bucket, seq_no, seq_off): " +
+        "which sequence its first token lands in and at what offset. " +
+        "Packing is per hash-bucket (md5 first hex digit, 16 buckets " +
+        "here; the bucket count is the scale knob — 100k buckets at " +
+        "100 TB keeps every packing window's partition at corpus/buckets " +
+        "rows, unlike a q62-style intrinsic low-cardinality key), docs " +
+        "ordered by doc_id within a bucket, so the layout is reproducible " +
+        "across runs and engines. Docs straddling a 512 boundary " +
+        "continue into the next sequence (standard pre-training " +
+        "packing).",
+      """WITH t AS (
+        |  SELECT doc_id, substr(md5(text), 1, 1) AS bucket,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS begin
+        |  FROM t)
+        |SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(begin / 512) AS BIGINT) AS seq_no,
+        |  CAST(begin % 512 AS BIGINT) AS seq_off
+        |FROM c""".stripMargin) { (s, d) =>
+      val seqLen = 512
+      val tok = tokens(col("text"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), substring(md5(col("text")), 1, 1).as("bucket"),
+                size(tok).cast("long").as("n_tokens"))
+        .withColumn("begin", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+                floor(col("begin") / seqLen).cast("long").as("seq_no"),
+                (col("begin") % seqLen).cast("long").as("seq_off"))
+    },
+
+    Q("q82_unigram_logprob",
+      "Unigram-LM quality filter (the KenLM-style perplexity gate's " +
+        "first-order form): score every doc by its mean token " +
+        "log-probability under the corpus's own unigram distribution — " +
+        "boilerplate and natural text score high, token soup scores low. " +
+        "One aggregate builds the unigram table (shuffle on term), the " +
+        "corpus token total rides as an in-plan 1-row broadcast (q28 " +
+        "pattern), and scoring is explode + join on term + per-doc avg. " +
+        "The unigram join broadcasts here (vocab << corpus); at " +
+        "open-web-vocabulary scale it falls back to a shuffle join on " +
+        "term — same plan otherwise.",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |u AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT sum(c) AS total FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(c AS DOUBLE) / total)), 4) AS avg_logp
+        |FROM tok JOIN u USING (term) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"),
+                                  explode(tokens(col("text"))).as("term"))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val total = uni.agg(sum("c").cast("double").as("total"))
+      tok.join(broadcast(uni), "term")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             round(avg(log(col("c").cast("double") / col("total"))), 4)
+               .as("avg_logp"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +

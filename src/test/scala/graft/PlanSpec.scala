@@ -121,6 +121,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q80/q81/q82: new pipeline ops keep scale-safe shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q81: the packing window must be PARTITIONED (by hash bucket) —
+      // an empty partition spec would be the q78-style global
+      // single-partition sort over the raw corpus
+      val p81 = SparkEntry.queries("q81_pack_sequences")(spark, sf)
+        .queryExecution.executedPlan
+      val wins = p81.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"q81 packing window is unpartitioned:\n$w"))
+      // q80/q82: no single-partition shuffle anywhere except a broadcast
+      // build or final tiny aggregate fed by an aggregate
+      for (q <- Seq("q80_decontaminate", "q82_unigram_logprob")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        p.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 => e
+        }.foreach { e =>
+          val agg = e.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }
+          assert(agg.isDefined,
+                 s"$q: single-partition exchange over unaggregated data:\n$e")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
