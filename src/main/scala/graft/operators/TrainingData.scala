@@ -819,6 +819,86 @@ object TrainingData {
                .as("avg_logp"))
     },
 
+    Q("q83_boilerplate_share",
+      "Boilerplate detection: 5-grams appearing (distinctly) in 2+ " +
+        "documents are shared template text — headers, footers, licence " +
+        "blocks; each doc is scored by the share of its distinct 5-grams " +
+        "that are shared. Same n-gram machinery as q80: shuffles on the " +
+        "n-gram key, then per-doc rollups. A doc with a high share is a " +
+        "near-dup or template page even when no single pair passes the " +
+        "q38 threshold.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(tok) - 4, 0)),
+        |        i -> array_to_string(tok[i:i+4], ' '))) AS ngram FROM t),
+        |c AS (SELECT ngram, count(*) AS nd FROM g GROUP BY 1),
+        |sh AS (SELECT g.doc_id, count(*) AS n_shared
+        |       FROM g JOIN c USING (ngram) WHERE c.nd >= 2 GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY 1)
+        |SELECT doc_id, n_ngrams, COALESCE(n_shared, 0) AS n_shared,
+        |  round(CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_ngrams, 4)
+        |    AS boilerplate_share
+        |FROM tot LEFT JOIN sh USING (doc_id)""".stripMargin) { (s, d) =>
+      val n = 5
+      val tok = tokens(col("text"))
+      val grams = docs(s, d)
+        .select(col("doc_id"),
+                explode(when(size(tok) >= n,
+                  transform(sequence(lit(1), size(tok) - (n - 1)),
+                            i => concat_ws(" ", slice(tok, i, lit(n)))))
+                  .otherwise(array())).as("ngram"))
+        .distinct()
+      val shared = grams.groupBy("ngram").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("ngram")
+      val perDoc = grams.join(shared, "ngram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      grams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+                coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+                round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+                        col("n_ngrams"), 4).as("boilerplate_share"))
+    },
+
+    Q("q84_label_coherence",
+      "Embedding-space cluster coherence: per-label centroid (elementwise " +
+        "mean via posexplode over (label, dim) — high-cardinality shuffle " +
+        "keys, map-side partials) and each vector's cosine to its label " +
+        "centroid, rolled up to per-label mean coherence. The audit a " +
+        "training mix runs over labelled/semantic shards: low coherence = " +
+        "a mixed-up shard, high = redundant. No arrays cross the oracle " +
+        "boundary — only scalar invariants (centroid norm, mean cosine).",
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1),
+        |per AS (
+        |  SELECT e.vec_id, e.label, sum(e.x * cent.c) AS dot,
+        |    sqrt(sum(e.x * e.x)) AS nv
+        |  FROM e JOIN cent USING (label, i) GROUP BY 1, 2)
+        |SELECT per.label, CAST(count(*) AS BIGINT) AS n,
+        |  round(any_value(cn.nc), 4) AS centroid_norm,
+        |  round(avg(per.dot / (per.nv * cn.nc)), 4) AS mean_cos
+        |FROM per JOIN cn USING (label)
+        |GROUP BY per.label""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+        .select(col("vec_id"), col("label"),
+                posexplode(vecd(col("embedding"))).as(Seq("i", "x")))
+      val cent = e.groupBy("label", "i").agg(avg("x").as("c"))
+      val cn = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("nc"))
+      val per = e.join(cent, Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("c")).as("dot"),
+             sqrt(sum(col("x") * col("x"))).as("nv"))
+      per.join(broadcast(cn), "label")
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n"),
+             round(first("nc"), 4).as("centroid_norm"),
+             round(avg(col("dot") / (col("nv") * col("nc"))), 4).as("mean_cos"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +
