@@ -105,12 +105,16 @@ object Multimodal {
     val pixOff = i32(10)
     val w = i32(18)
     val hRaw = i32(22)
+    if (hRaw == Int.MinValue) return None // abs() would stay negative
     val h = math.abs(hRaw)
     val bpp = u16(28)
     val compression = i32(30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (pixOff < 54 || pixOff.toLong + rowBytes.toLong * h > content.length) return None
+    // stride in Long: w near 2^31/3 overflows the Int product, which would
+    // make rowBytes negative and slip past the bounds check below
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowBytesL * h > content.length) return None
+    val rowBytes = rowBytesL.toInt // <= content.length after the check above
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
     var (sumL, sumL2) = (0.0, 0.0)
     var y = 0
@@ -151,16 +155,20 @@ object Multimodal {
     }
     def int(): Int = {
       skipSpace()
-      var v = 0
+      var v = 0L
       var any = false
       while (i < content.length && content(i).toChar.isDigit) {
-        v = v * 10 + (content(i) - '0'); i += 1; any = true
+        v = math.min(v * 10 + (content(i) - '0'), 1L << 30); i += 1; any = true
       }
-      if (any) v else -1
+      if (any) v.toInt else -1
     }
     val w = int(); val h = int(); val maxval = int()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-    i += 1 // single whitespace after maxval, then binary data
+    // exactly one whitespace after maxval, then binary data — but tolerate
+    // the \r\n some Windows writers emit; anything else is not a P6 header
+    if (i >= content.length || !content(i).toChar.isWhitespace) return None
+    if (content(i) == '\r' && i + 1 < content.length && content(i + 1) == '\n') i += 2
+    else i += 1
     if (i + 3L * w * h > content.length) return None
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
     var (sumL, sumL2) = (0.0, 0.0)
@@ -180,12 +188,16 @@ object Multimodal {
   }
 
   /** One payload through the codec chain: real BMP/PPM decode when the
-    * magic bytes match, else the stub.
+    * magic bytes match, else the stub. Codec exceptions on forged payloads
+    * fall through to the stub rather than failing the Spark task —
+    * untrusted binary is exactly what this path ingests.
     */
-  private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row =
-    decodeBmp(assetId, content)
-      .orElse(decodePpm(assetId, content))
+  private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row = {
+    import scala.util.Try
+    Try(decodeBmp(assetId, content)).toOption.flatten
+      .orElse(Try(decodePpm(assetId, content)).toOption.flatten)
       .getOrElse(fakeDecode(assetId, kind, content))
+  }
 
   /** Partition-parallel batch decode: the Scala analogue of a batched
     * `mapInPandas` — one iterator pass per partition, constant memory,

@@ -103,6 +103,16 @@ object Streaming {
   def mergeAggregates(spark: SparkSession, batchLatest: DataFrame, aggDir: String): Unit = {
     val fs0 = new org.apache.hadoop.fs.Path(aggDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a crash between rename(dst, aside) and
+    // rename(staging, dst) leaves only the aside copy — restore it before
+    // merging, or the exists-check below would silently reset the table to
+    // just this batch (and the aside delete would destroy the last copy)
+    locally {
+      val dst0 = new org.apache.hadoop.fs.Path(aggDir)
+      val aside0 = new org.apache.hadoop.fs.Path(aggDir + ".old")
+      if (!fs0.exists(dst0) && fs0.exists(aside0) && !fs0.rename(aside0, dst0))
+        throw new java.io.IOException(s"aggregate recovery failed: $aside0 -> $dst0")
+    }
     val existing =
       if (fs0.exists(new org.apache.hadoop.fs.Path(aggDir)))
         spark.read.schema(Schemas.aggregates).parquet(aggDir)
@@ -125,7 +135,10 @@ object Streaming {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = new org.apache.hadoop.fs.Path(aggDir + ".old")
     fs.delete(aside, true)
-    if (fs.exists(dst)) fs.rename(dst, aside)
+    // a failed aside rename must abort: if dst survives it, the rename-in
+    // below would nest staging INSIDE dst and report success
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"aggregate aside failed: $dst -> $aside")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(s"aggregate swap failed: $tmp -> $dst")
     fs.delete(aside, true)
@@ -144,6 +157,20 @@ object Streaming {
       nBuckets: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a crash mid-swap leaves `bucket=N` missing with only
+    // the `.swap_bucket=N` aside surviving — restore any such orphan before
+    // reading, or the bucket silently reads empty and the aside delete
+    // below destroys its last copy
+    if (fs.exists(new Path(aggDir))) {
+      fs.listStatus(new Path(aggDir)).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(".swap_bucket=")) {
+          val dst = new Path(aggDir, "bucket=" + nm.stripPrefix(".swap_bucket="))
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"bucket recovery failed: $nm")
+        }
+      }
+    }
     val withBucket = batchLatest.withColumn(
       "bucket", pmod(hash(col("user_id")), lit(nBuckets)))
     val touched = withBucket.select("bucket").distinct()
@@ -186,7 +213,8 @@ object Streaming {
       val aside = new Path(s"$aggDir/.swap_bucket=$b")
       fs.delete(aside, true)
       fs.mkdirs(dst.getParent)
-      if (fs.exists(dst)) fs.rename(dst, aside)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        throw new java.io.IOException(s"bucket aside failed: bucket=$b")
       if (!fs.rename(new Path(s"$staging/bucket=$b"), dst))
         throw new java.io.IOException(s"bucket swap failed: bucket=$b")
       fs.delete(aside, true)

@@ -240,7 +240,10 @@ object TrainingData {
     try out.write(s"$nBands $rows".getBytes("UTF-8")) finally out.close()
     val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
     fs.delete(aside, true)
-    if (fs.exists(target)) fs.rename(target, aside)
+    // abort on a failed aside rename — if target survives it, the rename-in
+    // below would nest staging inside it and "succeed" with both live
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"band-index aside failed: $target -> $aside")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"band-index swap failed: $staging -> $target")
     fs.delete(aside, true)

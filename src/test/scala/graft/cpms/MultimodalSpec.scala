@@ -126,6 +126,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeOne(4L, "image", truncated) != null)
   }
 
+  test("forged BMP dims that overflow Int arithmetic are rejected, not crashed on") {
+    def le32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    // width > ~715M: w*3+3 overflows Int, which would make the row stride
+    // negative and slip the bounds check — must reject on a ~58-byte payload
+    val hugeW = bmpFixture.clone()
+    le32(hugeW, 18, 0x40000000); le32(hugeW, 22, 1)
+    assert(Multimodal.decodeBmp(1L, hugeW).isEmpty)
+    // height = Int.MinValue: abs() stays negative — must reject
+    val minH = bmpFixture.clone()
+    le32(minH, 22, Int.MinValue)
+    assert(Multimodal.decodeBmp(2L, minH).isEmpty)
+    // and the full chain falls back to the stub instead of throwing
+    assert(Multimodal.decodeOne(3L, "image", hugeW).getSeq[Float](5).length === 8)
+    assert(Multimodal.decodeOne(4L, "image", minH).getSeq[Float](5).length === 8)
+  }
+
+  test("PPM header terminated by \\r\\n decodes with unshifted pixels") {
+    val crlf = "P6\n2 2\r\n255\r\n".getBytes("US-ASCII") ++
+      Array.fill(4)(Array(10.toByte, 20.toByte, 30.toByte)).flatten
+    val row = Multimodal.decodePpm(9L, crlf)
+      .getOrElse(fail("CRLF PPM header not recognized"))
+    val feat = row.getSeq[Float](5)
+    assert(math.abs(feat(0) - 10f / 255) < 1e-6, "pixel reads must not shift by one")
+    assert(math.abs(feat(1) - 20f / 255) < 1e-6)
+    assert(math.abs(feat(2) - 30f / 255) < 1e-6)
+    // a non-whitespace byte right after maxval is not a P6 header
+    val bad = "P6\n2 2\n255X".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    assert(Multimodal.decodePpm(10L, bad).isEmpty)
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()

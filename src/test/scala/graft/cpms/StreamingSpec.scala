@@ -323,6 +323,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served === Map(uA -> 70, uB -> 90))
   }
 
+  test("aggregates merge auto-recovers a crashed mid-swap table from its aside") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def latest(rows: Seq[String]) =
+      Streaming.latestPerUserInBatch(Streaming.parseEvents(rows.toDF("value")))
+
+    // flat table: simulate a crash between rename(dst, aside) and
+    // rename(staging, dst) — only the aside survives
+    val dir = java.nio.file.Files.createTempDirectory("graft-recover").toString + "/agg"
+    Streaming.mergeAggregates(spark, latest(Seq(ev("ra", 1000.0, 70))), dir)
+    assert(fs.rename(new Path(dir), new Path(dir + ".old")))
+    Streaming.mergeAggregates(spark, latest(Seq(ev("rb", 2000.0, 90))), dir)
+    val flat = spark.read.schema(Schemas.aggregates).parquet(dir).collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(flat === Map("ra" -> 70, "rb" -> 90),
+           "pre-crash rows must survive recovery, not reset to the new batch")
+
+    // bucketed table: same crash shape on one bucket
+    val bdir = java.nio.file.Files.createTempDirectory("graft-recover-b").toString + "/agg"
+    Streaming.mergeAggregatesBucketed(spark, latest(Seq(ev("rc", 1000.0, 60))), bdir, 4)
+    val b = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit("rc")),
+        org.apache.spark.sql.functions.lit(4))).head().getInt(0)
+    assert(fs.rename(new Path(s"$bdir/bucket=$b"), new Path(s"$bdir/.swap_bucket=$b")))
+    Streaming.mergeAggregatesBucketed(spark, latest(Seq(ev("rd", 2000.0, 80))), bdir, 4)
+    val bucketed = spark.read.schema(Schemas.aggregates)
+      .parquet(s"$bdir/bucket=*").collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Int]("heart_rate")).toMap
+    assert(bucketed === Map("rc" -> 60, "rd" -> 80),
+           "orphaned .swap_bucket must be restored before the next merge")
+  }
+
   test("base64 wire envelope decodes to parseable JSON (F6)") {
     val json = ev("u7", 1234.0, 66)
     val b64 = java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
