@@ -115,7 +115,7 @@ object Curation {
   def curate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
-    val quality = docs(s, d).select(
+    val quality = TrainingData.spread(docs(s, d)).select(
       col("doc_id"),
       round(least(lit(1.0), size(tok) / lit(64.0)) *
             (lit(0.5) +
@@ -488,7 +488,7 @@ object Curation {
       val budget = 10000L
       val stopArr = array(TrainingData.enStop.map(lit): _*)
       val tok = split(col("text"), " ")
-      val perDoc = docs(s, d)
+      val perDoc = TrainingData.spread(docs(s, d))
         .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
                 round(least(lit(1.0), size(tok) / lit(64.0)) *
                       (lit(0.5) +
@@ -546,7 +546,7 @@ object Curation {
       val budget = 2000L
       val stopArr = array(TrainingData.enStop.map(lit): _*)
       val tok = split(col("text"), " ")
-      val perDoc = docs(s, d)
+      val perDoc = TrainingData.spread(docs(s, d))
         .select(col("doc_id"), col("lang"),
                 size(tok).cast("long").as("n_tokens"),
                 round(least(lit(1.0), size(tok) / lit(64.0)) *
@@ -568,6 +568,94 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("quality"),
                 col("n_tokens").cast("long").as("n_tokens"),
                 col("cum_tokens").cast("long").as("cum_tokens"))
+    },
+
+    Q("q87_weighted_sample",
+      "Deterministic probability-proportional-to-size sampling: each doc " +
+        "is kept with probability proportional to its token count (capped " +
+        "at 1, scaled by rate 0.5), driven by a content-hash uniform — " +
+        "md5's first 6 hex digits as a 24-bit fraction — so the sample is " +
+        "reproducible across runs AND engines (no RNG, no seed plumbing). " +
+        "The Poisson/PPS spelling is fully scan-parallel: zero shuffles, " +
+        "zero windows — every row decides its own fate from its own " +
+        "bytes, which is why it is THE sampling shape at 100 TB (a " +
+        "sort-based or reservoir sample would serialize). Length-biased " +
+        "sampling is the standard token-budget-aware downsample: keeping " +
+        "probability tracks each doc's token contribution.",
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |    list_reduce(list_transform(string_split(substr(md5(text), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(least(1.0, n_tokens / 80.0) * 0.5, 6) AS p
+        |FROM t WHERE u < least(1.0, n_tokens / 80.0) * 0.5""".stripMargin) { (s, d) =>
+      val nTok = size(split(col("text"), " "))
+      // 24-bit md5 prefix as an exact dyadic fraction: integer / 2^24 is
+      // exactly representable, so the comparison is bit-identical to the
+      // oracle's digit-fold spelling of the same integer
+      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
+        lit(16777216.0)
+      val p = least(lit(1.0), nTok.cast("double") / lit(80.0)) * lit(0.5)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"),
+                u.as("u"), p.as("p"))
+        .filter(col("u") < col("p"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                round(col("p"), 6).as("p"))
+    },
+
+    Q("q88_quality_deciles",
+      "Exact quality decile / cumulative-share assignment without a " +
+        "global sort: the q78 bounded-domain two-phase trick applied to " +
+        "CUME_DIST. Quality rounds to 4dp, so the VALUE domain is <= 15k " +
+        "rows at any corpus size — phase 1 aggregates per-value counts " +
+        "(map-side partials) and runs the cumulative window over that " +
+        "tiny value table; phase 2 broadcast-joins each doc to its " +
+        "value's cumulative rank. Ties share a value, so value-level " +
+        "CUME_DIST is exactly row-level CUME_DIST — the oracle says it " +
+        "with a global window, we say it with a bounded one. Decile " +
+        "arithmetic keeps one fp spelling (cum * 10.0 / total) on both " +
+        "engines: dividing first (cume_dist * 10) flips floor() at exact " +
+        "tile boundaries (150/500 * 10 = 2.999...).",
+      """WITH t AS (
+        |  SELECT doc_id, round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |d AS (SELECT doc_id, quality,
+        |        count(*) OVER (ORDER BY quality) AS cum,
+        |        count(*) OVER () AS total
+        |      FROM t)
+        |SELECT doc_id, quality, round(CAST(cum AS DOUBLE) / total, 4) AS cume_dist,
+        |  CAST(least(floor(cum * 10.0 / total), 9) AS BIGINT) AS decile
+        |FROM d""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val perDoc = TrainingData.spread(docs(s, d))
+        .select(col("doc_id"),
+                round(least(lit(1.0), size(tok) / lit(64.0)) *
+                      (lit(0.5) +
+                        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                          size(tok)), 4).as("quality"))
+      // phase 1: per-value counts + cumulative count over the bounded
+      // value domain (single partition of <= 15k rows at ANY corpus size)
+      val wv = Window.orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = perDoc.groupBy("quality").agg(count(lit(1)).as("c"))
+      val valTable = vals
+        .withColumn("cum", sum("c").over(wv))
+        .crossJoin(broadcast(vals.agg(sum("c").as("total"))))
+        .select(col("quality"),
+                round(col("cum").cast("double") / col("total"), 4).as("cume_dist"),
+                least(floor(col("cum") * lit(10.0) / col("total")), lit(9))
+                  .cast("long").as("decile"))
+      // phase 2: every doc picks up its value's rank — broadcast join,
+      // scan-parallel, no doc-level window anywhere
+      perDoc.join(broadcast(valTable), "quality")
+        .select("doc_id", "quality", "cume_dist", "decile")
     },
 
     Q("q63_source_caps",

@@ -27,6 +27,21 @@ object TrainingData {
   /** Whitespace tokens. */
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Decouple CPU-bound per-row work from input-split count. A small
+    * corpus arrives as fewer parquet splits than cores (locally: one
+    * file, one task), which serializes expression-heavy projections —
+    * per-token hashing, n-gram fingerprinting — onto a single core while
+    * the rest idle. When the scan plans fewer tasks than
+    * defaultParallelism, spread rows round-robin first; at production
+    * scale the scan already has more splits than cores and this adds
+    * NOTHING (no shuffle). The explicit numPartitions pins AQE so it
+    * cannot coalesce the small exchange back to one task.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Cosine similarity in double precision, sequential fold (deterministic
     * and cross-engine reproducible, unlike float/parallel reductions).
     * Codegen'd expression over the raw float arrays — the HOF spelling
@@ -60,7 +75,7 @@ object TrainingData {
     * identical to the string-set oracle at a fraction of the per-pair cost.
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(
+    val base = spread(docs(s, d)).select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"))
     val tokDf = base.select(explode(col("tok")).as("tk"))
@@ -309,6 +324,33 @@ object TrainingData {
       // count). A streaming dropDuplicates here would hold unbounded
       // state; sinks dedupe per micro-batch (foreachBatch .distinct) where
       // exact-once pairs matter.
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. SIGMOD'03) of `(doc_id,
+    * text)` rows: hash every k-shingle (16-hex-char md5 prefix —
+    * collision-free in practice, lexicographically ordered the same in
+    * every engine), then keep the minimum hash of each w-wide window.
+    * Guarantee: two docs sharing a token run of length >= k + w - 1
+    * share at least one fingerprint, because the run contains a full
+    * window of identical shingle hashes whose minimum both sides select.
+    * Output: (doc_id, fp), distinct per doc. Scan-parallel — one
+    * projection + explode, no shuffle.
+    */
+  def winnowFingerprints(docFrame0: DataFrame, k: Int, w: Int): DataFrame = {
+    val docFrame = spread(docFrame0)
+    val tok = tokens(col("text"))
+    val hs = when(size(tok) >= k,
+      transform(sequence(lit(1), size(tok) - (k - 1)),
+                i => substring(md5(concat_ws(" ", slice(tok, i, lit(k)))), 1, 16)))
+      .otherwise(array())
+    docFrame
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+              explode(when(size(col("hs")) >= w,
+                array_distinct(transform(
+                  sequence(lit(1), size(col("hs")) - (w - 1)),
+                  i => array_min(slice(col("hs"), i, lit(w))))))
+                .otherwise(array())).as("fp"))
   }
 
   val all: Seq[Q] = Seq(
@@ -732,7 +774,7 @@ object TrainingData {
       val split8 = substring(md5(col("text")), 1, 1)
       val splitCol = when(split8 <= "b", "train")
         .when(split8 <= "d", "val").otherwise("test")
-      val grams = docs(s, d)
+      val grams = spread(docs(s, d))
         .select(col("doc_id"), splitCol.as("split"),
                 explode(when(size(tok) >= n,
                   transform(sequence(lit(1), size(tok) - (n - 1)),
@@ -844,7 +886,7 @@ object TrainingData {
         |FROM tot LEFT JOIN sh USING (doc_id)""".stripMargin) { (s, d) =>
       val n = 5
       val tok = tokens(col("text"))
-      val grams = docs(s, d)
+      val grams = spread(docs(s, d))
         .select(col("doc_id"),
                 explode(when(size(tok) >= n,
                   transform(sequence(lit(1), size(tok) - (n - 1)),
@@ -900,6 +942,82 @@ object TrainingData {
         .agg(count(lit(1)).cast("long").as("n"),
              round(first("nc"), 4).as("centroid_norm"),
              round(avg(col("dot") / (col("nv") * col("nc"))), 4).as("mean_cos"))
+    },
+
+    Q("q85_winnowing_overlap",
+      "Winnowing fingerprint overlap (the MOSS local-fingerprinting " +
+        "scheme, Schleimer et al. SIGMOD'03): hash every 4-shingle, keep " +
+        "the minimum hash of each 4-wide window — guaranteeing any " +
+        "shared run of >= 7 tokens leaves at least one shared " +
+        "fingerprint — and report doc pairs sharing >= 2 distinct " +
+        "fingerprints. Unlike q35's MinHash (whole-doc similarity), " +
+        "winnowing localizes PARTIAL overlap: a copied paragraph inside " +
+        "an otherwise-unrelated doc still collides. Scale shape: " +
+        "fingerprints are a high-cardinality equi-join key; postings " +
+        "with df > 50 (ubiquitous template text) are dropped before the " +
+        "pair join — the standard posting cap that keeps the self-join " +
+        "linear in matches, not quadratic in df — and the pair rollup " +
+        "shuffles on (doc_a, doc_b). String min over the window is " +
+        "engine-portable (lexicographic md5), so the whole op is " +
+        "DuckDB-oracled, unlike hash-seeded MinHash.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |         generate_series(1, greatest(len(tok) - 3, 0)),
+        |         i -> substr(md5(array_to_string(tok[i:i+3], ' ')), 1, 16)) AS hs
+        |       FROM t),
+        |fp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, greatest(len(hs) - 3, 0)),
+        |         i -> list_aggregate(hs[i:i+3], 'min'))) AS fp
+        |       FROM sh),
+        |rare AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_shared
+        |          FROM f2 a JOIN f2 b USING (fp)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM pairs WHERE n_shared >= 2""".stripMargin) { (s, d) =>
+      val cap = 50; val minShared = 2
+      val fps = winnowFingerprints(docs(s, d), k = 4, w = 4)
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("fp")
+      val f2 = fps.join(rare, "fp")
+      f2.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    },
+
+    Q("q86_keyword_search",
+      "Conjunctive keyword search over an inverted-index layout: find " +
+        "documents containing ALL query terms, scored by total term " +
+        "frequency — the serving query of a corpus search/audit tool " +
+        "('which training docs mention these three identifiers'). The " +
+        "term IN filter runs before any shuffle (scan-parallel, " +
+        "pre-explode the row count drops to matching docs only), " +
+        "(doc_id, term) partial counts combine map-side, and the AND is " +
+        "a count-distinct-terms == |query| rollup on doc_id — no " +
+        "self-join per term, one shuffle regardless of query arity. At " +
+        "100 TB the same plan probes a PERSISTED postings table " +
+        "(term-bucketed parquet of this query's first aggregate) " +
+        "instead of re-scanning text.",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |m AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |      WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM m GROUP BY 1 HAVING count(*) = 3""".stripMargin) { (s, d) =>
+      val terms = Seq("hash", "join", "scan")
+      docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("score"),
+             count(lit(1)).cast("long").as("n_terms"))
+        .filter(col("n_terms") === terms.size)
     },
 
     Q.noOracle("q71_multimodal_pipeline",

@@ -153,6 +153,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q85-q88: round-5 ops keep scale-safe shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q87: PPS sampling is a pure scan projection — zero shuffles, no sort
+      val p87 = plan("q87_weighted_sample")
+      assert(!p87.contains("Exchange"), s"q87 shuffles a per-row decision:\n$p87")
+      assert(!p87.contains("Sort"), s"q87 sorts needlessly:\n$p87")
+      // q88: no window over doc-level rows — the only window input is the
+      // aggregated (bounded) value table; docs come back via broadcast join
+      val p88 = SparkEntry.queries("q88_quality_deciles")(spark, sf)
+        .queryExecution.executedPlan
+      val wins88 = p88.collect { case w: WindowExec => w }
+      assert(wins88.nonEmpty)
+      wins88.foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+               s"q88 window consumes unaggregated doc rows:\n$w")
+      }
+      assert(p88.toString.contains("BroadcastHashJoin"),
+             "q88 docs must rejoin the value table by broadcast")
+      // q85: the pair generation is an equi-join on the fingerprint —
+      // never a nested-loop/cartesian pair scan
+      val p85 = plan("q85_winnowing_overlap")
+      assert(!p85.contains("CartesianProduct") &&
+               !p85.contains("BroadcastNestedLoopJoin"),
+             s"q85 pair generation degenerated to a cross product:\n$p85")
+      // q86: term filter applies before the first aggregate's exchange
+      // (scan-parallel pre-filter), and (doc_id, term) counts are partial
+      val p86 = plan("q86_keyword_search")
+      val partialIdx = p86.indexOf("partial_count")
+      val exchangeIdx = p86.indexOf("Exchange hashpartitioning")
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+             s"q86 must partially aggregate map-side before its shuffle:\n$p86")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")

@@ -113,6 +113,33 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q85 winnowing guarantee: a shared k+w-1 token run always leaves a shared fingerprint") {
+    import spark.implicits._
+    // k=4, w=4: any shared run of >= 7 tokens contains a full window of
+    // identical shingle hashes, whose min both docs must select. Plant a
+    // 7-token run inside two otherwise-disjoint 40-token streams.
+    val run = (0 until 7).map(i => s"shared$i").mkString(" ")
+    def noise(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"${noise("alpha", 20)} $run ${noise("beta", 13)}"),
+      (2L, s"${noise("gamma", 5)} $run ${noise("delta", 28)}"),
+      (3L, noise("omega", 40)), // no overlap with anyone
+      // doc 4 shares only a 3-token sub-run with doc 1 — below k, so no
+      // common shingle exists at all
+      (4L, s"shared0 shared1 shared2 ${noise("zeta", 37)}"))
+      .toDF("doc_id", "text")
+    val fp = TrainingData.winnowFingerprints(docsDf, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+           "docs sharing a 7-token run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(1L) & byDoc(4L)).isEmpty,
+           "a sub-shingle (3-token) overlap must not collide")
+    // density sanity: winnowing keeps ~2/(w+1) of positions, never none
+    assert(byDoc.forall(_._2.nonEmpty))
+  }
+
   test("streaming band projection matches q35's batch banding exactly") {
     // the stream-static incremental dedup and the batch self-join must
     // bucket identically or incremental results drift from compaction
