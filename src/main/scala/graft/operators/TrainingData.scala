@@ -353,6 +353,61 @@ object TrainingData {
                 .otherwise(array())).as("fp"))
   }
 
+  /** q80/q90's shared stage: distinct (doc_id, split, ngram) with the q59
+    * deterministic split labels. The n-gram key is near-unique by
+    * construction (n tokens of context), so downstream shuffles on it
+    * stay tiny-blocked at any corpus size.
+    */
+  private def contaminationGrams(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val tok = tokens(col("text"))
+    val split8 = substring(md5(col("text")), 1, 1)
+    val splitCol = when(split8 <= "b", "train")
+      .when(split8 <= "d", "val").otherwise("test")
+    spread(docs(s, d))
+      .select(col("doc_id"), splitCol.as("split"),
+              explode(when(size(tok) >= n,
+                transform(sequence(lit(1), size(tok) - (n - 1)),
+                          i => concat_ws(" ", slice(tok, i, lit(n)))))
+                .otherwise(array())).as("ngram"))
+      .distinct()
+  }
+
+  /** One oracle for q80 AND q90: the Bloom prune is output-invariant (the
+    * exact join after it removes every false positive), so both spellings
+    * must hash-match the same SQL.
+    */
+  private val contaminationOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok,
+      |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, split, unnest(list_transform(
+      |    generate_series(1, greatest(len(tok) - 7, 0)),
+      |    i -> array_to_string(tok[i:i+7], ' '))) AS ngram
+      |  FROM t),
+      |tr AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS n_contaminated
+      |  FROM g JOIN tr USING (ngram) WHERE g.split = 'test' GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g
+      |        WHERE split = 'test' GROUP BY 1)
+      |SELECT doc_id, n_ngrams, COALESCE(n_contaminated, 0) AS n_contaminated,
+      |  round(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams, 4)
+      |    AS contamination
+      |FROM tot LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  /** q80/q90's shared rollup: per-test-doc totals + contaminated counts. */
+  private def contaminationReport(testG: DataFrame, hits: DataFrame): DataFrame =
+    testG.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+                      col("n_ngrams"), 4).as("contamination"))
+
   val all: Seq[Q] = Seq(
 
     // ---- dedup ---------------------------------------------------------
@@ -748,49 +803,13 @@ object TrainingData {
         "shuffle on doc_id. Output: every test doc with its distinct " +
         "8-gram count, how many of those appear verbatim in train, and " +
         "the contamination share.",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tok,
-        |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
-        |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, split, unnest(list_transform(
-        |    generate_series(1, greatest(len(tok) - 7, 0)),
-        |    i -> array_to_string(tok[i:i+7], ' '))) AS ngram
-        |  FROM t),
-        |tr AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
-        |hits AS (
-        |  SELECT g.doc_id, count(*) AS n_contaminated
-        |  FROM g JOIN tr USING (ngram) WHERE g.split = 'test' GROUP BY 1),
-        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g
-        |        WHERE split = 'test' GROUP BY 1)
-        |SELECT doc_id, n_ngrams, COALESCE(n_contaminated, 0) AS n_contaminated,
-        |  round(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams, 4)
-        |    AS contamination
-        |FROM tot LEFT JOIN hits USING (doc_id)""".stripMargin) { (s, d) =>
-      val n = 8
-      val tok = tokens(col("text"))
-      val split8 = substring(md5(col("text")), 1, 1)
-      val splitCol = when(split8 <= "b", "train")
-        .when(split8 <= "d", "val").otherwise("test")
-      val grams = spread(docs(s, d))
-        .select(col("doc_id"), splitCol.as("split"),
-                explode(when(size(tok) >= n,
-                  transform(sequence(lit(1), size(tok) - (n - 1)),
-                            i => concat_ws(" ", slice(tok, i, lit(n)))))
-                  .otherwise(array())).as("ngram"))
-        .distinct()
+      contaminationOracle) { (s, d) =>
+      val grams = contaminationGrams(s, d)
       val trainG = grams.filter(col("split") === "train").select("ngram").distinct()
       val testG = grams.filter(col("split") === "test").select("doc_id", "ngram")
       val hits = testG.join(trainG, "ngram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-      testG.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_ngrams"),
-                coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-                round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
-                        col("n_ngrams"), 4).as("contamination"))
+      contaminationReport(testG, hits)
     },
 
     Q("q81_pack_sequences",
@@ -1018,6 +1037,60 @@ object TrainingData {
         .agg(sum("tf").cast("long").as("score"),
              count(lit(1)).cast("long").as("n_terms"))
         .filter(col("n_terms") === terms.size)
+    },
+
+    Q("q89_bpe_token_count",
+      "Subword-style token counting: a BPE-ish regex (leading-space word " +
+        "/ number / punctuation-run classes — the GPT-2 pre-tokenizer " +
+        "shape, minus RE2-unsupported lookahead) counted per doc next to " +
+        "the whitespace count, plus chars-per-token — the compression " +
+        "proxy a training-cost estimate runs over the corpus. Pure " +
+        "scan-parallel column math; the regex class splits identically " +
+        "under Java regex and RE2, so the op is oracled, not just " +
+        "rows-checked.",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(n_chars AS DOUBLE) /
+        |    len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 4)
+        |    AS chars_per_token
+        |FROM documents""".stripMargin) { (s, d) =>
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        nBpe.cast("long").as("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / nBpe, 4).as("chars_per_token"))
+    },
+
+    Q("q90_bloom_decontaminate",
+      "q80's decontamination with the 100 TB probe-prune: a Bloom filter " +
+        "over the train-side 8-grams is built IN-PLAN (native " +
+        "BloomFilterAggregate — per-partition sketches merge map-side, " +
+        "one corpus pass) and referenced as a scalar subquery, so test " +
+        "n-grams that cannot possibly match never enter the shuffle " +
+        "join. On a mostly-clean corpus that is ~98% of the probe side " +
+        "eliminated at scan time for ~1 MB of sketch. False positives " +
+        "survive the prune but die in the exact join that follows — " +
+        "output is bit-identical to q80, and the driver checks both " +
+        "against the SAME oracle.",
+      contaminationOracle) { (s, d) =>
+      import graft.functions.Bloom
+      val grams = contaminationGrams(s, d)
+      val trainG = grams.filter(col("split") === "train").select("ngram").distinct()
+      val testG = grams.filter(col("split") === "test").select("doc_id", "ngram")
+      // ~1M expected items x 8 bits -> <3% false-positive rate; sized for
+      // the bench corpus, a config knob at production scale
+      val bloom = trainG.agg(
+        Bloom.bloomAgg(xxhash64(col("ngram")), 1L << 20, 1L << 23).as("bf"))
+      val pruned = testG.filter(Bloom.mightContain(bloom, xxhash64(col("ngram"))))
+      val hits = pruned.join(trainG, "ngram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      // totals come from the UNPRUNED test side — the prune may only ever
+      // shrink the join, never the denominator
+      contaminationReport(testG, hits)
     },
 
     Q.noOracle("q71_multimodal_pipeline",

@@ -192,6 +192,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q90: bloom prune runs as an in-plan scalar subquery before the exact join") {
+    val p = plan("q90_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+           s"bloom must be an in-plan subquery, not a driver-collected literal:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+           s"bloom build must be the native distributed aggregate:\n$p")
+    // the prune is a Filter on the probe side BELOW the join: the
+    // might_contain predicate must not sit above any join operator
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    val joinIdx = lines.indexWhere(l => l.contains("SortMergeJoin") ||
+                                        l.contains("ShuffledHashJoin") ||
+                                        l.contains("BroadcastHashJoin"))
+    assert(probeIdx >= 0 && joinIdx >= 0 && probeIdx > joinIdx,
+           "might_contain must filter the probe side beneath the exact join")
+    // and q90 must agree with q80 row-for-row (bloom is output-invariant)
+    val a = SparkEntry.queries("q80_decontaminate")(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString)
+    val b = SparkEntry.queries("q90_bloom_decontaminate")(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b), "bloom-pruned output diverged from q80")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
