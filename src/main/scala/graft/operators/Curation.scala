@@ -658,6 +658,58 @@ object Curation {
         .select("doc_id", "quality", "cume_dist", "decile")
     },
 
+    Q("q93_cluster_keep_best",
+      "Quality-aware dedup resolution: within each near-dup cluster " +
+        "(q64's connected components), keep the HIGHEST-QUALITY member " +
+        "instead of the arbitrary min-id canonical — the policy real " +
+        "pipelines want (the best-written copy survives, mirrors die). " +
+        "Composes the session-cached cluster labels with the q32 quality " +
+        "formula; the argmax is a window over cluster_id — a " +
+        "high-cardinality key with component-bounded partitions, the " +
+        "safe window shape (q69 pattern), not a q62-style 5-key funnel. " +
+        "The oracle re-derives clusters via the recursive-CTE closure, " +
+        "so the equivalence re-proves blocking + clustering + policy " +
+        "end to end.",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+        |       list_distinct(string_split(text, ' ')) AS tok,
+        |       round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |         (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |            ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |     FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |c AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |SELECT c.doc_id, c.cluster_id, t.quality,
+        |  CAST(row_number() OVER (PARTITION BY c.cluster_id
+        |         ORDER BY t.quality DESC, c.doc_id) = 1 AS BIGINT) AS keep_best
+        |FROM c JOIN t USING (doc_id)""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val quality = docs(s, d).select(
+        col("doc_id"),
+        round(least(lit(1.0), size(tok) / lit(64.0)) *
+              (lit(0.5) +
+                size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                  size(tok)), 4).as("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      dedupClusters(s, d).select("doc_id", "cluster_id")
+        .join(quality, "doc_id")
+        .withColumn("keep_best", (row_number().over(w) === 1).cast("long"))
+    },
+
     Q("q63_source_caps",
       "Source-mix audit: per-source doc counts vs the mean, flagging " +
         "over-represented sources (>1.5x mean) for down-sampling. One " +

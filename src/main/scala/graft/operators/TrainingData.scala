@@ -1093,6 +1093,75 @@ object TrainingData {
       contaminationReport(testG, hits)
     },
 
+    Q("q91_intradoc_repetition",
+      "Intra-document n-gram repetition (the Gopher/C4 'duplicated " +
+        "n-gram fraction' filter, complementing q60's top-term share): " +
+        "share of a doc's 2-grams that are repeats of an earlier 2-gram " +
+        "in the SAME doc — looping generation, boilerplate stutter, " +
+        "copy-paste padding all score high. Entirely per-row column math " +
+        "(array build + distinct inside one projection): zero shuffles, " +
+        "zero joins, the ideal 100 TB shape.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id, list_transform(
+        |        generate_series(1, greatest(len(tok) - 1, 0)),
+        |        i -> array_to_string(tok[i:i+1], ' ')) AS grams FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+        |    AS dup_fraction
+        |FROM g WHERE len(grams) > 0""".stripMargin) { (s, d) =>
+      // n_distinct via the codegen'd WordShingles expression (one pass,
+      // one hash set — the HOF spelling re-slices per position and falls
+      // out of whole-stage codegen); space-joined shingles over
+      // space-split tokens are injective, so distinct counts are exact
+      val tok = tokens(col("text"))
+      spread(docs(s, d))
+        .select(col("doc_id"),
+                (size(tok) - 1).cast("long").as("n_grams"),
+                size(word_shingles(tok, 2)).cast("long").as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+                round(lit(1.0) -
+                        col("n_distinct").cast("double") / col("n_grams"), 4)
+                  .as("dup_fraction"))
+    },
+
+    Q("q92_vocab_audit",
+      "Corpus vocabulary audit: vocab size, hapax-legomena share, and " +
+        "top-100-term coverage — the Zipf sanity check a tokenizer/mix " +
+        "decision reads first (tiny vocab or near-1 top-k coverage = " +
+        "TEMPLATE corpus; huge hapax share = OCR noise or tokenizer " +
+        "mismatch). One term aggregate (map-side partials on a " +
+        "high-cardinality key), a 1-row rollup, and the top-100 via " +
+        "ordered LIMIT (per-partition heaps, no global sort).",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |u AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total, count(*) AS vocab,
+        |               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax FROM u),
+        |top AS (SELECT sum(c) AS top_c FROM (
+        |          SELECT c FROM u ORDER BY c DESC, term LIMIT 100))
+        |SELECT CAST(vocab AS BIGINT) AS vocab_size,
+        |  CAST(hapax AS BIGINT) AS n_hapax,
+        |  round(CAST(hapax AS DOUBLE) / vocab, 4) AS hapax_share,
+        |  round(CAST(top_c AS DOUBLE) / total, 4) AS top100_coverage
+        |FROM tot CROSS JOIN top""".stripMargin) { (s, d) =>
+      val u = docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = u.agg(sum("c").as("total"), count(lit(1)).as("vocab"),
+                      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      val top = u.orderBy(col("c").desc, col("term")).limit(100)
+        .agg(sum("c").as("top_c"))
+      tot.crossJoin(broadcast(top))
+        .select(col("vocab").cast("long").as("vocab_size"),
+                col("hapax").cast("long").as("n_hapax"),
+                round(col("hapax").cast("double") / col("vocab"), 4)
+                  .as("hapax_share"),
+                round(col("top_c").cast("double") / col("total"), 4)
+                  .as("top100_coverage"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +
