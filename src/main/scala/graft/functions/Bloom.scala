@@ -41,4 +41,13 @@ object Bloom {
     Bridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomDf.queryExecution.analyzed),
       Bridge.expression(h)))
+
+  /** Predicate over a pre-built sketch carried as a literal — the shape
+    * for STREAMING probes, where the filter is a broadcast artifact built
+    * once per corpus snapshot (scalar subqueries re-execute per
+    * micro-batch plan; a literal does not).
+    */
+  def mightContainLit(bloomBytes: Array[Byte], h: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes), Bridge.expression(h)))
 }

@@ -50,6 +50,7 @@ object Curation {
   def invalidate(d: String): Unit = {
     edgeCache.remove(d).foreach(_.unpersist())
     clusterCache.remove(d).foreach(df => ckptRdd(df).foreach(_.unpersist(false)))
+    bloomCache.remove(d)
     TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
   }
 
@@ -181,6 +182,40 @@ object Curation {
         when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
       .filter(col("quality") >= 0.5)
   }
+
+  /** Corpus content-membership sketch: a Bloom filter over
+    * `xxhash64(text)` of every corpus doc, built in ONE distributed
+    * aggregate pass (native `BloomFilterAggregate`, per-partition
+    * sketches merging map-side) and collected once — a ~1 MB broadcast
+    * artifact like the IVF centroids, cached per corpus snapshot and
+    * refreshed by compaction via [[invalidate]]. Never rebuilt per
+    * micro-batch.
+    */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  def corpusBloom(s: SparkSession, d: String,
+                  expectedItems: Long = 1L << 20,
+                  numBits: Long = 1L << 23): Array[Byte] =
+    bloomCache.getOrElseUpdate(d,
+      docs(s, d)
+        .agg(graft.functions.Bloom
+          .bloomAgg(xxhash64(col("text")), expectedItems, numBits).as("bf"))
+        .head().getAs[Array[Byte]](0))
+
+  /** Crawl-frontier prune against the ACCUMULATED corpus (the band index
+    * catches near-dups; this catches exact re-crawls): incoming docs
+    * whose content hash might already be in the corpus are dropped by a
+    * literal sketch probe — no join, no per-key streaming state, O(1 MB)
+    * per executor regardless of corpus size. False positives cost ~2% of
+    * genuinely-new docs (frontier semantics: the cheap prune wins, a
+    * later re-crawl catches up); when that loss is unacceptable, route
+    * the flagged docs through an exact stream-static anti-join on the
+    * content hash instead and keep this filter as its pre-prune.
+    */
+  def bloomFrontierFilter(stream: org.apache.spark.sql.DataFrame,
+                          bloomBytes: Array[Byte]): org.apache.spark.sql.DataFrame =
+    stream.filter(
+      !graft.functions.Bloom.mightContainLit(bloomBytes, xxhash64(col("text"))))
 
   /** Terminal sink of the STREAMING curation path — [[ingestStream]]'s
     * keepers landing in the same split-partitioned corpus layout

@@ -104,6 +104,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!flagged.exists(_._1 == 900002L), "novel doc falsely flagged")
   }
 
+  test("bloomFrontierFilter drops re-crawled corpus content in-stream, keeps new docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // the sketch is a build-once broadcast artifact: bytes cached per dir
+    val bloom = Curation.corpusBloom(spark, sf)
+    assert(bloom.length > 0)
+    assert(Curation.corpusBloom(spark, sf) eq bloom,
+           "corpus bloom must be cached per snapshot, not rebuilt")
+    // every corpus text must hit the filter (no false negatives, ever)
+    val corpus = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val survivors = Curation.bloomFrontierFilter(corpus, bloom).count()
+    assert(survivors === 0, s"$survivors re-crawled docs slipped the sketch")
+    // streaming: re-ingested corpus text dropped, novel text passes
+    val src = corpus.filter(col("doc_id") === 7L).head().getString(1)
+    val mem = MemoryStream[(Long, String)]
+    val out = Curation.bloomFrontierFilter(mem.toDF().toDF("doc_id", "text"), bloom)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_frontier_out").start()
+    mem.addData((900001L, src), (900002L, "utterly novel frontier content"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("bloom_frontier_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(900001L), "re-crawled doc must be pruned")
+    assert(kept.contains(900002L), "novel doc must pass the frontier filter")
+  }
+
   test("persisted band index: micro-batches scan the index table, never re-shingle the corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -186,6 +214,7 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // own corpus dir so cross-suite cache keys can't interfere with the
     // shared session's counters
     val dir = "/root/testdata/sf0.001"
+    val bloomBefore = Curation.corpusBloom(spark, dir)
     val clustersBefore = Curation.dedupClusters(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     TrainingData.ivfIndex(spark, dir, 4)._2.count() // materialize the persist
@@ -206,5 +235,10 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val clustersAfter = Curation.dedupClusters(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(clustersAfter === clustersBefore)
+    // the membership sketch also rebuilds (same content -> same bits)
+    val bloomAfter = Curation.corpusBloom(spark, dir)
+    assert(!(bloomAfter eq bloomBefore), "bloom cache must evict on invalidate")
+    assert(java.util.Arrays.equals(bloomAfter, bloomBefore),
+           "rebuilt sketch must be deterministic for an unchanged corpus")
   }
 }
