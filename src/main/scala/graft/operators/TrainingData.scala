@@ -1162,6 +1162,42 @@ object TrainingData {
                   .as("top100_coverage"))
     },
 
+    Q("q94_quantize_embeddings",
+      "Int8 scalar quantization audit: per-vector symmetric quantization " +
+        "(scale = max|x|/127, code = round(x/scale)) and the cosine " +
+        "between each vector and its dequantized self — the 4x storage " +
+        "compression a 100 TB embedding store takes, with the recall-loss " +
+        "proxy measured in the same pass. Scan-parallel column math; the " +
+        "quantizer uses floor(v/scale + 0.5) in BOTH engines (one " +
+        "rounding spelling, no HALF_UP-vs-banker's divergence), and " +
+        "cosine is the sequential double fold that is bit-identical to " +
+        "DuckDB's list_dot_product.",
+      """WITH e AS (SELECT vec_id, label,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |     FROM embeddings),
+        |s AS (SELECT vec_id, label, x,
+        |        list_reduce(list_transform(x, v -> abs(v)),
+        |                    (a, b) -> greatest(a, b)) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, label, x, scale,
+        |        list_transform(x, v -> floor(v / scale + 0.5) * scale) AS deq
+        |      FROM s)
+        |SELECT vec_id, label, round(scale, 6) AS scale,
+        |  round(list_dot_product(x, deq) /
+        |        (sqrt(list_dot_product(x, x)) *
+        |         sqrt(list_dot_product(deq, deq))), 6) AS cos_sim
+        |FROM q""".stripMargin) { (s, d) =>
+      val xd = vecd(col("embedding"))
+      embs(s, d)
+        .select(col("vec_id"), col("label"), xd.as("x"))
+        .withColumn("scale",
+          aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))) / lit(127.0))
+        .withColumn("deq",
+          transform(col("x"), v => floor(v / col("scale") + lit(0.5)) * col("scale")))
+        .select(col("vec_id"), col("label"),
+                round(col("scale"), 6).as("scale"),
+                round(cosine(col("x"), col("deq")), 6).as("cos_sim"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +

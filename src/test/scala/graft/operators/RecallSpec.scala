@@ -91,6 +91,37 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     assert(rIvf >= 0.6, f"IVF recall@5 $rIvf%.3f under floor")
   }
 
+  test("q94 int8 quantization preserves retrieval: quantized brute-force recall@5 >= 0.95") {
+    import org.apache.spark.sql.expressions.Window
+    def top5(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = top5(run("q40_ann_brute"))
+    // q40's exact search, but over int8-dequantized corpus AND query
+    // vectors — the store a 100 TB deployment actually serves from
+    val xd = transform(col("embedding"), _.cast("double"))
+    val deq = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), xd.as("x"))
+      .withColumn("scale",
+        aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))) / lit(127.0))
+      .select(col("vec_id"),
+              transform(col("x"),
+                        v => floor(v / col("scale") + lit(0.5)) * col("scale")).as("v"))
+    val q = deq.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val quantTop = deq.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+              graft.functions.VectorMath.cosine_sim(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    val per = truth.map { case (qid, t) =>
+      top5(quantTop).getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    info(f"int8-quantized brute recall@5: $recall%.3f")
+    assert(recall >= 0.95, f"quantization recall@5 $recall%.3f under floor")
+  }
+
   test("q39 srp bucketing finds every planted duplicate (guaranteed collision)") {
     import spark.implicits._
     // corpus of 200 deterministic 64-dim vectors + exact duplicates of the
