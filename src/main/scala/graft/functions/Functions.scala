@@ -58,5 +58,21 @@ object Functions {
     add("norm_sq", "norm_sq(a) - squared L2 norm of a numeric array") {
       exprs => NormSq(exprs.head)
     }
+    // Bloom build/probe for SQL users. Probe-side note: might_contain
+    // requires its filter argument to be a constant or an uncorrelated
+    // scalar subquery — `might_contain((SELECT bloom_agg(h) FROM b), h2)`
+    // — the same restriction Spark's own runtime filters obey.
+    add("bloom_agg",
+        "bloom_agg(h, items, bits) - Bloom filter (binary) over int64 hashes") {
+      exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2)).toAggregateExpression()
+    }
+    add("might_contain",
+        "might_contain(bloom, h) - h possibly in the sketch; no false negatives") {
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+    }
   }
 }

@@ -1198,6 +1198,55 @@ object TrainingData {
                 round(cosine(col("x"), col("deq")), 6).as("cos_sim"))
     },
 
+    Q("q95_fuzzy_decontaminate",
+      "Fuzzy train/test decontamination: held-out docs that are " +
+        "NEAR-DUPLICATES (token-set Jaccard >= 0.9) of any training " +
+        "doc — the leakage q80's exact 8-gram audit misses when the " +
+        "leaked copy was lightly edited (the reason production " +
+        "decontamination runs fuzzy passes alongside exact ones). Pure " +
+        "composition: the oracle-exact q38 pair machinery (lossless " +
+        "prefix-filter candidates, exact verify) joined to the q59 " +
+        "split labels, keeping only test<->train pairs. Output: " +
+        "(test_doc, train_doc, jaccard).",
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok,
+        |             CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |                  WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |                  ELSE 'test' END AS split
+        |           FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.split AS split_a, b.split AS split_b,
+        |    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9)
+        |SELECT CASE WHEN split_a = 'test' THEN id_a ELSE id_b END AS test_doc,
+        |       CASE WHEN split_a = 'test' THEN id_b ELSE id_a END AS train_doc,
+        |       jaccard
+        |FROM p
+        |WHERE (split_a = 'test' AND split_b = 'train')
+        |   OR (split_a = 'train' AND split_b = 'test')""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("text")), 1, 1)
+      val splits = docs(s, d).select(
+        col("doc_id"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      jaccardPairs(s, d)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .filter((col("split_a") === "test" && col("split_b") === "train") ||
+                (col("split_a") === "train" && col("split_b") === "test"))
+        .select(
+          when(col("split_a") === "test", col("id_a")).otherwise(col("id_b"))
+            .as("test_doc"),
+          when(col("split_a") === "test", col("id_b")).otherwise(col("id_a"))
+            .as("train_doc"),
+          col("jaccard"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +

@@ -35,5 +35,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(vec.getDouble(1) === 25.0)
     assert(vec.getDouble(2) === 25.0)
     assert(vec.getLong(3) >= 0L)
+
+    // bloom build + probe end to end in SQL: the filter rides as an
+    // uncorrelated scalar subquery (the shape might_contain requires)
+    val bloomHits = spark.sql(
+      """SELECT id FROM fn_docs
+        |WHERE might_contain(
+        |  (SELECT bloom_agg(xxhash64(text), 100L, 8192L)
+        |   FROM fn_docs WHERE id = 3),
+        |  xxhash64(text))""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomHits === Set(3L), s"bloom SQL probe returned $bloomHits")
   }
 }
