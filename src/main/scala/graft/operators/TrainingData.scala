@@ -38,6 +38,7 @@ object TrainingData {
     * cannot coalesce the small exchange back to one task.
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planning sizes stream tasks
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -262,6 +263,67 @@ object TrainingData {
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"band-index swap failed: $staging -> $target")
     fs.delete(aside, true)
+  }
+
+  /** Persist the corpus's winnowing fingerprint index: (matched_id, fp)
+    * rows with the df <= cap posting bound applied at BUILD time (a
+    * ubiquitous template fingerprint would otherwise fan every probe out
+    * to its whole posting list). Same lifecycle as the LSH band table:
+    * staging write + geometry sidecar + rename swap, rebuilt by
+    * compaction. [[incrementalOverlap]] probes it stream-static.
+    */
+  def buildFingerprintIndex(s: SparkSession, d: String, indexDir: String,
+                            k: Int = 4, w: Int = 4, cap: Int = 50): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val fps = winnowFingerprints(docs(s, d).select(col("doc_id"), col("text")), k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("fp")
+    fps.join(rare, "fp")
+      .select(col("doc_id").as("matched_id"), col("fp"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_winnow_geometry"), true)
+    try out.write(s"$k $w $cap".getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"fingerprint-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"fingerprint-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  private def fingerprintGeometry(s: SparkSession, indexDir: String): (Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_winnow_geometry"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(k, w, cap) = txt.trim.split(" ")
+    (k.toInt, w.toInt, cap.toInt)
+  }
+
+  /** Streaming PARTIAL-overlap probe: arriving docs are fingerprinted
+    * with the index's own geometry and probe the persisted posting table
+    * via a stream-static equi-join on fp — each doc touches only its own
+    * fingerprints' postings, never the corpus. Catches a copied span
+    * (>= k + w - 1 tokens) inside an otherwise-novel doc, which
+    * whole-doc banding ([[incrementalNearDup]]) misses by design. Emits
+    * one row per (doc_id, matched_id, fp) hit; sinks aggregate per
+    * micro-batch (foreachBatch) where a shared-count threshold matters —
+    * a streaming groupBy here would hold unbounded state, the same
+    * rationale as incrementalNearDup's per-band emission.
+    */
+  def incrementalOverlap(streamDocs: DataFrame, s: SparkSession,
+                         indexDir: String): DataFrame = {
+    val (k, w, _) = fingerprintGeometry(s, indexDir)
+    winnowFingerprints(streamDocs, k, w)
+      .join(s.read.parquet(indexDir), "fp")
+      .filter(col("doc_id") =!= col("matched_id"))
+      .select(col("doc_id"), col("matched_id"), col("fp"))
   }
 
   /** Compaction hook: rebuild the persisted band index after the corpus

@@ -132,6 +132,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(kept.contains(900002L), "novel doc must pass the frontier filter")
   }
 
+  test("incrementalOverlap flags a copied span inside an otherwise-novel streamed doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-fpidx").toString + "/fp"
+    TrainingData.buildFingerprintIndex(spark, sf, idx)
+    // a 12-token span copied from corpus doc 7 (>= k+w-1 = 7 guarantees a
+    // shared fingerprint) embedded in novel surroundings
+    val span = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7L).head().getAs[String]("text")
+      .split(" ").take(12).mkString(" ")
+    val plagiarized = s"totally fresh opening words here $span and a novel tail too"
+    val mem = MemoryStream[(Long, String)]
+    val out = TrainingData.incrementalOverlap(
+      mem.toDF().toDF("doc_id", "text"), spark, idx)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("overlap_out").start()
+    mem.addData((900001L, plagiarized), (900002L, "utterly novel words only nothing shared"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("overlap_out")
+      .groupBy("doc_id", "matched_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.exists(h => h._1 == 900001L && h._2 == 7L && h._3 >= 1),
+           s"copied span not flagged: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 900002L), "novel doc falsely flagged")
+  }
+
   test("persisted band index: micro-batches scan the index table, never re-shingle the corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
