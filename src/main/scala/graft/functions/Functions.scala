@@ -74,5 +74,11 @@ object Functions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))
     }
+    add("heavy_hitters",
+        "heavy_hitters(item, k) - SpaceSaving frequent-items sketch; " +
+          "array<struct<term,est,err>> desc, est-err <= true <= est") {
+      exprs => HeavyHittersAgg(exprs.head, intArg(exprs(1), "heavy_hitters"))
+        .toAggregateExpression()
+    }
   }
 }

@@ -1309,6 +1309,32 @@ object TrainingData {
           col("jaccard"))
     },
 
+    Q("q96_heavy_hitters",
+      "One-pass frequent-terms sketch: the custom SpaceSaving aggregate " +
+        "(k counters per partial buffer, map-side combine, mergeable per " +
+        "Agarwal et al. PODS'12) — at 100 TB this finds every term with " +
+        "frequency > N/k WITHOUT the full term shuffle exact counting " +
+        "needs. Here k=64 exceeds the corpus vocabulary, so the sketch " +
+        "is provably exact (nothing evicts, err=0) and the DuckDB oracle " +
+        "checks it verbatim; HeavyHittersSpec pins the lossy-regime " +
+        "guarantees (no false negatives above N/k, est-err <= true <= " +
+        "est) on skewed synthetic data under adversarial partitioning.",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |u AS (SELECT term, count(*) AS c FROM tok GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+        |    AS rank,
+        |  term, CAST(c AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+        |FROM u""".stripMargin) { (s, d) =>
+      import graft.functions.HeavyHitters.heavy_hitters
+      docs(s, d).select(explode(tokens(col("text"))).as("term"))
+        .agg(heavy_hitters(col("term"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+                col("e.term").as("term"), col("e.est").as("est"),
+                col("e.err").as("err"))
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +
