@@ -55,6 +55,26 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2) === out.map(_._2).sorted(Ordering[Long].reverse))
   }
 
+  test("sketch accumulates across micro-batches as a streaming complete-mode aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("term")
+      .groupBy().agg(heavy_hitters(col("term"), 16).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    mem.addData(Seq.fill(5)("a") ++ Seq.fill(2)("b"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(3)("a") ++ Seq.fill(4)("c"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hh_stream").select(explode(col("hh")).as("e"))
+      .select("e.term", "e.est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 8L, "b" -> 2L, "c" -> 4L),
+           s"streaming sketch state did not accumulate exactly: $out")
+  }
+
   test("sketch is callable from pure SQL and partially aggregates map-side") {
     Functions.register(spark)
     skewed.createOrReplaceTempView("hh_terms")
