@@ -75,6 +75,36 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
            s"streaming sketch state did not accumulate exactly: $out")
   }
 
+  test("property: guarantees hold for random streams, k, and partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen: Gen[(List[String], Int, Int)] = for {
+      nDistinct <- Gen.choose(2, 40)
+      n <- Gen.choose(20, 400)
+      items <- Gen.listOfN(n, Gen.choose(1, nDistinct).map(i => s"w$i"))
+      k <- Gen.choose(2, 24)
+      parts <- Gen.choose(1, 9)
+    } yield (items, k, parts)
+    (1 to 25).foreach { seed =>
+      val (items, k, parts) = sample(gen, seed)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val out = sketch(items.toDF("term").repartition(parts), k)
+      assert(out.size <= k, s"seed $seed: size ${out.size} > k $k")
+      out.foreach { case (t, est, err) =>
+        val tr = truth.getOrElse(t, 0L)
+        assert(est >= tr && est - err <= tr && err <= n / k,
+               s"seed $seed (k=$k,parts=$parts): $t est=$est err=$err true=$tr N/k=${n / k}")
+      }
+      truth.filter(_._2 > n / k).keys.foreach { heavy =>
+        assert(out.exists(_._1 == heavy),
+               s"seed $seed (k=$k,parts=$parts): heavy $heavy (${truth(heavy)}) missing")
+      }
+    }
+  }
+
   test("sketch is callable from pure SQL and partially aggregates map-side") {
     Functions.register(spark)
     skewed.createOrReplaceTempView("hh_terms")
