@@ -745,6 +745,67 @@ object Curation {
         .withColumn("keep_best", (row_number().over(w) === 1).cast("long"))
     },
 
+    Q("q97_corpus_report",
+      "The one-row nightly corpus report: doc/token/dup/lang/source " +
+        "counts, vocabulary size, and mean quality — the summary a " +
+        "pipeline owner reads before approving a training run. All " +
+        "1-row aggregates cross-joined (q28 pattern); the mean is " +
+        "summed in FIXED POINT (per-doc quality scaled to int 1e4) so " +
+        "the result is partition-order-independent — a raw double avg " +
+        "is not bit-stable under re-partitioning, which breaks both " +
+        "reproducibility and the oracle hash.",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |base AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT md5(text)) AS n_unique_texts,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+        |q AS (SELECT CAST(sum(CAST(floor(
+        |        round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |          (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |             ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |           / len(string_split(text, ' '))), 4) * 10000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS q_scaled
+        |  FROM documents)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dups,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(vocab AS BIGINT) AS vocab_size,
+        |  round(q_scaled / 10000.0 / n_docs, 4) AS mean_quality
+        |FROM base CROSS JOIN v CROSS JOIN q""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+        (lit(0.5) +
+          size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+            size(tok)), 4)
+      val base = docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tok)).cast("long").as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val v = docs(s, d)
+        .select(explode(tok).as("term"))
+        .agg(countDistinct(col("term")).as("vocab"))
+      val q = docs(s, d).agg(
+        sum(floor(quality * lit(10000) + lit(0.5)).cast("long"))
+          .cast("long").as("q_scaled"))
+      base.crossJoin(broadcast(v)).crossJoin(broadcast(q))
+        .select(col("n_docs").cast("long").as("n_docs"), col("n_tokens"),
+                (col("n_docs") - col("n_unique_texts")).cast("long")
+                  .as("n_exact_dups"),
+                col("n_langs").cast("long").as("n_langs"),
+                col("n_sources").cast("long").as("n_sources"),
+                col("vocab").cast("long").as("vocab_size"),
+                round(col("q_scaled") / lit(10000.0) / col("n_docs"), 4)
+                  .as("mean_quality"))
+    },
+
     Q("q63_source_caps",
       "Source-mix audit: per-source doc counts vs the mean, flagging " +
         "over-represented sources (>1.5x mean) for down-sampling. One " +
