@@ -75,7 +75,19 @@ object TrainingData {
     * in practice (xxhash64 over ~40-token sets), so the Jaccard values are
     * identical to the string-set oracle at a fraction of the per-pair cost.
     */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** The verified near-dup pair set is a build-once artifact per corpus
+    * snapshot — q38 reports it, q64 clusters it, q95 cross-checks it
+    * against splits; a production pipeline computes it once per
+    * compaction, not once per consumer. Cached (persisted) per dir,
+    * evicted by [[invalidate]]; [[jaccardPairsPlan]] is the uncached
+    * plan for audits.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d, jaccardPairsPlan(s, d).persist())
+
+  def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val base = spread(docs(s, d)).select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(transform(tokens(col("text")), w => xxhash64(w))).as("tok"))
@@ -175,6 +187,7 @@ object TrainingData {
     */
   def invalidate(d: String): Unit = {
     statsCache.remove(d)
+    pairsCache.remove(d).foreach(_.unpersist())
     ivfCache.keys.filter(_._1 == d).foreach { key =>
       ivfCache.remove(key).foreach { case (_, assigned) => assigned.unpersist() }
     }
