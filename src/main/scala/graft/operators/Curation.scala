@@ -693,6 +693,58 @@ object Curation {
         .select("doc_id", "quality", "cume_dist", "decile")
     },
 
+    Q("q99_grouped_deciles",
+      "q88's exact-decile assignment PER SOURCE — the stratified " +
+        "calibration a mixed-corpus pipeline needs (a 0.6-quality doc " +
+        "can be a top decile in a weak crawl and a bottom decile in a " +
+        "curated source; per-stratum ranks make quality floors " +
+        "comparable across sources). Same bounded-domain two-phase " +
+        "shape: the window runs over the (source, quality) VALUE table " +
+        "— per-source partitions bounded by the 4dp value domain " +
+        "(<= 15k rows each) regardless of corpus size, so this is NOT " +
+        "the q62-style low-cardinality window trap: doc rows never " +
+        "enter a window, they broadcast-join their stratum's rank. " +
+        "Per-source totals ride the same value table (sum over the " +
+        "bounded domain), and decile arithmetic keeps the single " +
+        "cum * 10.0 / total fp spelling.",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))), 4) AS quality
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, quality,
+        |        count(*) OVER (PARTITION BY source ORDER BY quality) AS cum,
+        |        count(*) OVER (PARTITION BY source) AS total
+        |      FROM t)
+        |SELECT doc_id, source, quality,
+        |  round(CAST(cum AS DOUBLE) / total, 4) AS cume_dist,
+        |  CAST(least(floor(cum * 10.0 / total), 9) AS BIGINT) AS decile
+        |FROM d""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val perDoc = TrainingData.spread(docs(s, d))
+        .select(col("doc_id"), col("source"),
+                round(least(lit(1.0), size(tok) / lit(64.0)) *
+                      (lit(0.5) +
+                        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+                          size(tok)), 4).as("quality"))
+      val wv = Window.partitionBy("source").orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = perDoc.groupBy("source", "quality").agg(count(lit(1)).as("c"))
+      val totals = vals.groupBy("source").agg(sum("c").as("total"))
+      val valTable = vals
+        .withColumn("cum", sum("c").over(wv))
+        .join(broadcast(totals), "source")
+        .select(col("source"), col("quality"),
+                round(col("cum").cast("double") / col("total"), 4).as("cume_dist"),
+                least(floor(col("cum") * lit(10.0) / col("total")), lit(9))
+                  .cast("long").as("decile"))
+      perDoc.join(broadcast(valTable), Seq("source", "quality"))
+        .select("doc_id", "source", "quality", "cume_dist", "decile")
+    },
+
     Q("q93_cluster_keep_best",
       "Quality-aware dedup resolution: within each near-dup cluster " +
         "(q64's connected components), keep the HIGHEST-QUALITY member " +

@@ -1348,6 +1348,140 @@ object TrainingData {
                 col("e.err").as("err"))
     },
 
+    Q("q98_bm25_rank",
+      "BM25-ranked retrieval (Robertson/Okapi, the Lucene default): " +
+        "q86's conjunctive search upgraded to the standard probabilistic " +
+        "ranking — per-term idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf " +
+        "saturation k1=1.2, length normalization b=0.75 against the " +
+        "corpus mean doc length. Scale shape mirrors q86: the term IN " +
+        "filter prunes before any shuffle, (doc, term) partials combine " +
+        "map-side, df and the (N, avgdl) scalars are 1-row/4-row " +
+        "broadcasts, and the top-20 is TakeOrderedAndProject — no global " +
+        "sort. Cross-engine float discipline: avgdl is spelled " +
+        "CAST(sum AS DOUBLE)/count (exact integer inputs), per-term " +
+        "contributions land in FIXED-ORDER conditional sums (adding 0.0 " +
+        "is exact, so partition order cannot reorder the fp additions), " +
+        "and the ordering key is the ROUNDED score with a doc_id " +
+        "tie-break.",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |           FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'scan', 'window')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+        |          (tf.tf * 2.2) /
+        |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / g.avgdl)) AS w
+        |      FROM tf JOIN df USING (term) JOIN t USING (doc_id)
+        |      CROSS JOIN g),
+        |s AS (SELECT doc_id,
+        |        sum(CASE WHEN term = 'hash' THEN w ELSE 0.0 END) AS w1,
+        |        sum(CASE WHEN term = 'join' THEN w ELSE 0.0 END) AS w2,
+        |        sum(CASE WHEN term = 'scan' THEN w ELSE 0.0 END) AS w3,
+        |        sum(CASE WHEN term = 'window' THEN w ELSE 0.0 END) AS w4,
+        |        CAST(count(*) AS BIGINT) AS n_terms
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, round(w1 + w2 + w3 + w4, 4) AS score, n_terms
+        |FROM s
+        |ORDER BY round(w1 + w2 + w3 + w4, 4) DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("hash", "join", "scan", "window")
+      val t = docs(s, d).select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      val g = t.agg(count(lit(1)).cast("double").as("n"),
+                    sum("dl").cast("double").as("sumdl"))
+        .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
+      val tf = spread(docs(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val w = tf.join(broadcast(dfT), "term").join(t, "doc_id")
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"), col("term"),
+                (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+                       (col("df") + lit(0.5))) *
+                   (col("tf") * lit(2.2)) /
+                   (col("tf") + lit(1.2) *
+                     (lit(1.0) - lit(0.75) +
+                       lit(0.75) * col("dl") / col("avgdl")))).as("w"))
+      def part(term: String, alias: String) =
+        sum(when(col("term") === term, col("w")).otherwise(lit(0.0))).as(alias)
+      w.groupBy("doc_id")
+        .agg(part("hash", "w1"), part("join", "w2"), part("scan", "w3"),
+             part("window", "w4"), count(lit(1)).cast("long").as("n_terms"))
+        .select(col("doc_id"),
+                round(col("w1") + col("w2") + col("w3") + col("w4"), 4)
+                  .as("score"),
+                col("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    Q("q100_pmi_collocations",
+      "Pointwise-mutual-information collocations: which term PAIRS " +
+        "co-occur in documents more than their marginal frequencies " +
+        "predict — the corpus-health probe that surfaces templated " +
+        "boilerplate (suspiciously associated pairs) and topic clumps " +
+        "before training. PMI = ln((n_ab * N) / (n_a * n_b)) over " +
+        "doc-level presence. Scale shape: the df BAND filter (5 <= df " +
+        "<= 0.9N, dropping hapaxes and ubiquitous terms) runs BEFORE " +
+        "pair generation, bounding per-doc fanout to banded terms only; " +
+        "the pair self-join shuffles on high-cardinality doc_id; " +
+        "marginals come back as a broadcast. All counts stay exact " +
+        "integers until one double division (products < 2^53 at any " +
+        "plausible corpus size), so only ln's last ulp separates " +
+        "engines — absorbed by round(4) on both the value and the " +
+        "ordering key.",
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_distinct(string_split(text, ' '))) AS term
+        |           FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |band AS (SELECT term, df FROM df, n WHERE df >= 5 AND df <= 0.9 * n.n),
+        |tb AS (SELECT t.doc_id, t.term FROM t JOIN band USING (term)),
+        |p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |      FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND a.term < b.term
+        |      GROUP BY 1, 2),
+        |j AS (SELECT p.term_a, p.term_b, p.n_ab, da.df AS n_a, db.df AS n_b
+        |      FROM p JOIN band da ON p.term_a = da.term
+        |             JOIN band db ON p.term_b = db.term)
+        |SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(ln((CAST(n_ab AS DOUBLE) * n.n) /
+        |           (CAST(n_a AS DOUBLE) * n_b)), 4) AS pmi
+        |FROM j, n WHERE n_ab >= 5
+        |ORDER BY pmi DESC, n_ab DESC, term_a, term_b
+        |LIMIT 30""".stripMargin) { (s, d) =>
+      val t = spread(docs(s, d))
+        .select(col("doc_id"),
+                explode(array_distinct(tokens(col("text")))).as("term"))
+      val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val dfT = t.groupBy("term").agg(count(lit(1)).as("df"))
+      val band = dfT.crossJoin(broadcast(n))
+        .filter(col("df") >= 5 && col("df") <= lit(0.9) * col("n"))
+        .select("term", "df")
+      val tb = t.join(broadcast(band.select("term")), "term")
+      val p = tb.select(col("doc_id"), col("term").as("term_a"))
+        .join(tb.select(col("doc_id"), col("term").as("term_b")), "doc_id")
+        .filter(col("term_a") < col("term_b"))
+        .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      p.join(broadcast(band.select(col("term").as("term_a"),
+                                   col("df").as("n_a"))), "term_a")
+        .join(broadcast(band.select(col("term").as("term_b"),
+                                    col("df").as("n_b"))), "term_b")
+        .crossJoin(broadcast(n))
+        .select(col("term_a"), col("term_b"), col("n_ab").cast("long").as("n_ab"),
+                round(log((col("n_ab").cast("double") * col("n")) /
+                          (col("n_a").cast("double") * col("n_b"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("n_ab").desc, col("term_a"), col("term_b"))
+        .limit(30)
+    },
+
     Q.noOracle("q71_multimodal_pipeline",
       "The full multimodal path end to end: binary asset table -> batched " +
         "partition-parallel decode (stubbed codec, real mapPartitions " +

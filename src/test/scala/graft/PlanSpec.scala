@@ -192,6 +192,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q98-q100: round-6 ops keep scale-safe shapes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q98: top-20 is TakeOrderedAndProject (never a global sort), and the
+      // term IN prune runs scan-side — partial (doc, term) counts sit below
+      // their exchange exactly like q86
+      val p98 = plan("q98_bm25_rank")
+      assert(p98.contains("TakeOrderedAndProject"),
+             s"q98 top-k degenerated to a global sort:\n$p98")
+      val partialIdx = p98.indexOf("partial_count")
+      val exchangeIdx = p98.indexOf("Exchange hashpartitioning")
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+             s"q98 must partially aggregate map-side before its shuffle:\n$p98")
+      // q99: same contract as q88 — windows only ever consume the bounded
+      // aggregated value table, docs rejoin by broadcast
+      val p99 = SparkEntry.queries("q99_grouped_deciles")(spark, sf)
+        .queryExecution.executedPlan
+      val wins99 = p99.collect { case w: WindowExec => w }
+      assert(wins99.nonEmpty)
+      wins99.foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+               s"q99 window consumes unaggregated doc rows:\n$w")
+      }
+      assert(p99.toString.contains("BroadcastHashJoin"),
+             "q99 docs must rejoin the value table by broadcast")
+      // q100: pair generation is an equi-join on doc_id; the df-band
+      // prefilter and marginals come back as broadcasts — the only
+      // nested-loop allowed is the 1-row corpus-count scalar
+      val p100 = plan("q100_pmi_collocations")
+      assert(!p100.contains("CartesianProduct"),
+             s"q100 pair generation degenerated to a cross product:\n$p100")
+      assert(p100.contains("BroadcastHashJoin"),
+             s"q100 band/marginal joins must broadcast:\n$p100")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q90: bloom prune runs as an in-plan scalar subquery before the exact join") {
     val p = plan("q90_bloom_decontaminate")
     assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
