@@ -309,6 +309,126 @@ object TrainingData {
     fs.delete(aside, true)
   }
 
+  /** BM25 scoring core shared by q98 (in-line corpus scan) and
+    * [[bm25Search]] (persisted postings probe) — ONE expression spelling,
+    * so the two paths rank bit-identically on the same corpus snapshot.
+    * `matches` = (doc_id, term, tf DOUBLE, dl), `g` = 1-row (n DOUBLE,
+    * avgdl DOUBLE). df re-derives from `matches` (posting-list length per
+    * term — only the query terms' lists are ever counted). Per-term
+    * contributions land in FIXED-ORDER conditional sums (adding 0.0 is
+    * exact, so partition order cannot reorder the fp additions); the
+    * ordering key is the ROUNDED score with a doc_id tie-break, and the
+    * top-k is TakeOrderedAndProject — never a global sort.
+    */
+  private[operators] def bm25Rank(matches: DataFrame, g: DataFrame,
+                                  terms: Seq[String], topK: Int): DataFrame = {
+    val dfT = matches.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = matches.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("term"),
+              (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+                     (col("df") + lit(0.5))) *
+                 (col("tf") * lit(2.2)) /
+                 (col("tf") + lit(1.2) *
+                   (lit(1.0) - lit(0.75) +
+                     lit(0.75) * col("dl") / col("avgdl")))).as("w"))
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w")).otherwise(lit(0.0))).as(s"w$i")
+    }
+    val score = terms.indices.map(i => col(s"w$i")).reduceLeft(_ + _)
+    w.groupBy("doc_id")
+      .agg(parts.head, (parts.tail :+ count(lit(1)).cast("long").as("n_terms")): _*)
+      .select(col("doc_id"), round(score, 4).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Persist the corpus's inverted index: (term, doc_id, tf, dl) postings
+    * TERM-CLUSTERED (repartitioned on term, sorted within partitions) so
+    * a query-term probe prunes parquet row groups on term min/max stats,
+    * plus a `_postings_stats` sidecar carrying the exact corpus scalars
+    * (doc count, summed doc length) BM25 length-normalization needs —
+    * the persisted postings table q86/q98's docs promise at 100 TB,
+    * where search must not re-tokenize the corpus per query. Same
+    * staging + sidecar + rename-swap lifecycle as the LSH band and
+    * winnowing indexes; at production scale this is a catalog table
+    * bucketed on term, refreshed by compaction.
+    */
+  def buildPostingsIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    spread(base)
+      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+              explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"), first("dl").as("dl"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(staging.toString)
+    val stats = base
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(size(tokens(col("text")))).cast("long").as("sumdl"))
+      .head()
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_postings_stats"), true)
+    try out.write(s"${stats.getLong(0)} ${stats.getLong(1)}".getBytes("UTF-8"))
+    finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"postings-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"postings-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  private def postingsStats(s: SparkSession, indexDir: String): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_postings_stats"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(n, sumdl) = txt.trim.split(" ")
+    (n.toLong, sumdl.toLong)
+  }
+
+  /** BM25 probe of the persisted postings index — the SERVING path of
+    * q98: reads ONLY the index (the term IN predicate pushes down to the
+    * postings scan; corpus scalars come from the sidecar, not a corpus
+    * pass) and reproduces the in-line ranking bit-for-bit on the same
+    * snapshot (PostingsSpec asserts row equality and that `documents`
+    * never appears in the probe plan).
+    */
+  def bm25Search(s: SparkSession, indexDir: String, terms: Seq[String],
+                 topK: Int = 20): DataFrame = {
+    val (n, sumdl) = postingsStats(s, indexDir)
+    // exact integers divided once in double — the identical IEEE op q98
+    // spells in-plan as CAST(sum(dl) AS DOUBLE) / count(*)
+    val g = s.range(1).select(lit(n.toDouble).as("n"),
+                              lit(sumdl.toDouble / n.toDouble).as("avgdl"))
+    val matches = s.read.parquet(indexDir)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"),
+              col("dl"))
+    bm25Rank(matches, g, terms, topK)
+  }
+
+  /** Conjunctive keyword probe of the postings index — q86's serving
+    * path: AND via the count-distinct-terms == arity rollup, touching
+    * only the query terms' posting lists.
+    */
+  def searchKeywords(s: SparkSession, indexDir: String,
+                     terms: Seq[String]): DataFrame =
+    s.read.parquet(indexDir)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("score"),
+           count(lit(1)).cast("long").as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+
   private def fingerprintGeometry(s: SparkSession, indexDir: String): (Int, Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1395,31 +1515,12 @@ object TrainingData {
       val g = t.agg(count(lit(1)).cast("double").as("n"),
                     sum("dl").cast("double").as("sumdl"))
         .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
-      val tf = spread(docs(s, d))
+      val matches = spread(docs(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val w = tf.join(broadcast(dfT), "term").join(t, "doc_id")
-        .crossJoin(broadcast(g))
-        .select(col("doc_id"), col("term"),
-                (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-                       (col("df") + lit(0.5))) *
-                   (col("tf") * lit(2.2)) /
-                   (col("tf") + lit(1.2) *
-                     (lit(1.0) - lit(0.75) +
-                       lit(0.75) * col("dl") / col("avgdl")))).as("w"))
-      def part(term: String, alias: String) =
-        sum(when(col("term") === term, col("w")).otherwise(lit(0.0))).as(alias)
-      w.groupBy("doc_id")
-        .agg(part("hash", "w1"), part("join", "w2"), part("scan", "w3"),
-             part("window", "w4"), count(lit(1)).cast("long").as("n_terms"))
-        .select(col("doc_id"),
-                round(col("w1") + col("w2") + col("w3") + col("w4"), 4)
-                  .as("score"),
-                col("n_terms"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+        .join(t, "doc_id")
+      bm25Rank(matches, g, terms, 20)
     },
 
     Q("q100_pmi_collocations",

@@ -269,4 +269,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(java.util.Arrays.equals(bloomAfter, bloomBefore),
            "rebuilt sketch must be deterministic for an unchanged corpus")
   }
+
+  test("postings index: probes scan only the index, push the term filter, and match the in-line rankings") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-postings")
+      .toString + "/postings"
+    TrainingData.buildPostingsIndex(spark, sf, idx)
+    val terms = Seq("hash", "join", "scan", "window")
+    val probe = TrainingData.bm25Search(spark, idx, terms)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+           s"BM25 probe re-scans the corpus:\n$plan")
+    assert(plan.contains("graft-postings"),
+           s"BM25 probe does not scan the postings table:\n$plan")
+    assert(plan.contains("In(term") || plan.contains("In(`term`"),
+           s"term predicate not pushed to the postings scan:\n$plan")
+    // serving path == in-line q98, row for row (same snapshot, same fp
+    // spelling — bit-identical scores, same rounded-score/doc_id order)
+    val inline = SparkEntry.queries("q98_bm25_rank")(spark, sf)
+      .collect().map(_.toString)
+    assert(probe.collect().map(_.toString).sameElements(inline),
+           "postings-index BM25 diverged from the in-line ranking")
+    // conjunctive probe == in-line q86 on the same snapshot
+    val kw = TrainingData.searchKeywords(spark, idx, Seq("hash", "join", "scan"))
+      .orderBy("doc_id").collect().map(_.toString)
+    val q86 = SparkEntry.queries("q86_keyword_search")(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(kw.sameElements(q86),
+           "postings-index keyword search diverged from the in-line q86")
+  }
 }
