@@ -155,6 +155,34 @@ object Curation {
       .join(docs(s, d).select("doc_id", "text", "source", "n_chars"), "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Read-optimize a corpus snapshot: rewrite `documents` hive-partitioned
+    * by lang (partition pruning at read time for the per-language scans
+    * most curation ops start with) with rows quality-sorted within each
+    * file, so parquet row-group min/max stats on `quality` skip whole row
+    * groups under a quality-floor predicate — the dominant curation
+    * filter shape. This is the compaction that follows streaming ingest:
+    * many small epoch files become at most `filesPerLang` read-optimal
+    * files per partition (each (lang, salt) cell lands in exactly one
+    * shuffle task, so the bound is structural, not AQE-dependent).
+    * Callers refresh the
+    * persisted indexes and per-corpus caches against the new snapshot
+    * afterwards ([[invalidate]], TrainingData.refreshBandIndex, ...).
+    */
+  def compactCorpus(s: SparkSession, d: String, outDir: String,
+                    filesPerLang: Int = 1): Unit = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+      (lit(0.5) +
+        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+          size(tok)), 4)
+    docs(s, d)
+      .withColumn("quality", quality)
+      .repartition(col("lang"), pmod(xxhash64(col("doc_id")), lit(filesPerLang)))
+      .sortWithinPartitions(col("lang"), col("quality").desc)
+      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+  }
+
   /** Streaming corpus ingestion: the continuous-crawl path. Incoming docs
     * (doc_id, text, lang, source, ts) are content-hash deduped within the
     * watermark horizon (exact dedup of at-least-once delivery + re-crawled
