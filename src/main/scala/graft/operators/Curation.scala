@@ -183,6 +183,19 @@ object Curation {
       .write.mode("overwrite").partitionBy("lang").parquet(outDir)
   }
 
+  /** Compact into a corpus DIRECTORY layout: the rewritten snapshot lands
+    * at `<newDir>/documents.parquet` — a partitioned directory the
+    * standard loaders read transparently (parquet partition discovery) —
+    * so the compacted output is a DROP-IN corpus dir for every operator
+    * and index builder in the engine: ingest -> compact -> re-point
+    * consumers and rebuild indexes, zero reader changes.
+    * CompactionSpec proves registry queries return identical results on
+    * the compacted snapshot.
+    */
+  def compactInto(s: SparkSession, d: String, newDir: String,
+                  filesPerLang: Int = 1): Unit =
+    compactCorpus(s, d, s"$newDir/documents.parquet", filesPerLang)
+
   /** Streaming corpus ingestion: the continuous-crawl path. Incoming docs
     * (doc_id, text, lang, source, ts) are content-hash deduped within the
     * watermark horizon (exact dedup of at-least-once delivery + re-crawled

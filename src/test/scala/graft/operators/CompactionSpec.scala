@@ -62,4 +62,31 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     assert(qs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
            "compacted file is not quality-sorted")
   }
+
+  test("compactInto: the compacted snapshot is a drop-in corpus dir for the whole engine") {
+    val newDir = java.nio.file.Files.createTempDirectory("graft-corpus2").toString
+    Curation.compactInto(spark, sf, newDir)
+
+    // registry queries are layout-transparent: identical results on the
+    // original file and the compacted partitioned directory
+    for (q <- Seq("q32_text_quality", "q86_keyword_search", "q30_dedup_exact")) {
+      val a = graft.SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted
+      val b = graft.SparkEntry.queries(q)(spark, newDir)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$q diverged on the compacted snapshot")
+    }
+
+    // index builders consume the compacted snapshot directly; the probe
+    // matches the in-line ranking computed FROM that snapshot
+    val idx = newDir + "/postings"
+    TrainingData.buildPostingsIndex(spark, newDir, idx)
+    val terms = Seq("hash", "join", "scan", "window")
+    val probe = TrainingData.bm25Search(spark, idx, terms)
+      .collect().map(_.toString)
+    val inline = graft.SparkEntry.queries("q98_bm25_rank")(spark, newDir)
+      .collect().map(_.toString)
+    assert(probe.sameElements(inline),
+           "postings probe diverged on the compacted snapshot")
+  }
 }
