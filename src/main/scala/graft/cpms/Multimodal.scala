@@ -113,7 +113,13 @@ object Multimodal {
     // stride in Long: w near 2^31/3 overflows the Int product, which would
     // make rowBytes negative and slip past the bounds check below
     val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
-    if (pixOff < 54 || pixOff.toLong + rowBytesL * h > content.length) return None
+    if (pixOff < 54) return None
+    // reject BEFORE multiplying: rowBytesL * h overflows Long for forged
+    // w,h both near 2^31, and a negative product would slip past the
+    // bounds check below (h >= 1 and rowBytesL >= 4 here, so the
+    // division is safe)
+    if (h > (Long.MaxValue - pixOff) / rowBytesL) return None
+    if (pixOff.toLong + rowBytesL * h > content.length) return None
     val rowBytes = rowBytesL.toInt // <= content.length after the check above
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
     var (sumL, sumL2) = (0.0, 0.0)

@@ -20,16 +20,20 @@ object Curation {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** Bidirectional near-dup edge list, persisted per corpus dir (see q64). */
+  /** Bidirectional near-dup edge list, persisted per (session, corpus
+    * dir) — the session is part of the key so a frame bound to a
+    * stopped/replaced SparkSession is never served to a new one (see
+    * q64).
+    */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  /** Resolved cluster labels per corpus dir — like the edge graph and the
-    * IVF index, cluster resolution is computed once per corpus snapshot
-    * and every consumer (q64, q65, reporting) reuses it.
+  /** Resolved cluster labels per (session, corpus dir) — like the edge
+    * graph and the IVF index, cluster resolution is computed once per
+    * corpus snapshot and every consumer (q64, q65, reporting) reuses it.
     */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
   /** The block-manager RDD behind a localCheckpoint'ed frame (the thing
     * `Dataset.unpersist` does NOT release — checkpoint storage is
@@ -48,9 +52,16 @@ object Curation {
     * [[dedupClusters]] call re-resolves from the new corpus.
     */
   def invalidate(d: String): Unit = {
-    edgeCache.remove(d).foreach(_.unpersist())
-    clusterCache.remove(d).foreach(df => ckptRdd(df).foreach(_.unpersist(false)))
-    bloomCache.remove(d)
+    // dir-scoped eviction across ALL sessions (compaction staled every
+    // session's entry); unpersist tolerates already-stopped sessions
+    edgeCache.keys.filter(_._2 == d).foreach { key =>
+      edgeCache.remove(key).foreach(df => scala.util.Try(df.unpersist()))
+    }
+    clusterCache.keys.filter(_._2 == d).foreach { key =>
+      clusterCache.remove(key).foreach(df =>
+        scala.util.Try(ckptRdd(df).foreach(_.unpersist(false))))
+    }
+    bloomCache.keys.filter(_._2 == d).foreach(bloomCache.remove)
     TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
   }
 
@@ -69,12 +80,12 @@ object Curation {
     * the shape that runs on a 100 TB edge list.
     */
   def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.getOrElseUpdate(d, {
+    clusterCache.getOrElseUpdate((s, d), {
     // the near-dup pair graph is a build-once artifact per corpus
     // snapshot (like the IVF index): generation runs once per session
     // and clustering/reporting reuse it — and the edge list is read
     // every propagation round, so it must be materialized regardless
-    val edges = edgeCache.getOrElseUpdate(d, {
+    val edges = edgeCache.getOrElseUpdate((s, d), {
       val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
       pairs
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -186,15 +197,36 @@ object Curation {
   /** Compact into a corpus DIRECTORY layout: the rewritten snapshot lands
     * at `<newDir>/documents.parquet` — a partitioned directory the
     * standard loaders read transparently (parquet partition discovery) —
-    * so the compacted output is a DROP-IN corpus dir for every operator
-    * and index builder in the engine: ingest -> compact -> re-point
-    * consumers and rebuild indexes, zero reader changes.
-    * CompactionSpec proves registry queries return identical results on
+    * and every OTHER table of the source dir (embeddings, events, the
+    * relational tables) is copied alongside, so the compacted output is
+    * a DROP-IN corpus dir for every operator and index builder in the
+    * engine — including the embeddings-backed (q39-q41, q54, q94) and
+    * events-backed queries — not just the documents-backed ones:
+    * ingest -> compact -> re-point consumers and rebuild indexes, zero
+    * reader changes. The copies are byte-level file copies through the
+    * Hadoop FileSystem API (no decode/re-encode pass; on an object
+    * store this is a server-side copy); only `documents` is rewritten
+    * because compaction's sort/partition guarantees are about the
+    * curation scan path. CompactionSpec proves registry queries —
+    * documents- and embeddings-backed — return identical results on
     * the compacted snapshot.
     */
   def compactInto(s: SparkSession, d: String, newDir: String,
-                  filesPerLang: Int = 1): Unit =
+                  filesPerLang: Int = 1): Unit = {
     compactCorpus(s, d, s"$newDir/documents.parquet", filesPerLang)
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(d)
+    val fs = src.getFileSystem(conf)
+    val dst = new Path(newDir)
+    val dstFs = dst.getFileSystem(conf)
+    fs.listStatus(src)
+      .filter(st => st.getPath.getName != "documents.parquet")
+      .foreach { st =>
+        FileUtil.copy(fs, st.getPath, dstFs, new Path(dst, st.getPath.getName),
+                      false /* keep source */, true /* overwrite */, conf)
+      }
+  }
 
   /** Streaming corpus ingestion: the continuous-crawl path. Incoming docs
     * (doc_id, text, lang, source, ts) are content-hash deduped within the
@@ -228,20 +260,34 @@ object Curation {
     * `xxhash64(text)` of every corpus doc, built in ONE distributed
     * aggregate pass (native `BloomFilterAggregate`, per-partition
     * sketches merging map-side) and collected once — a ~1 MB broadcast
-    * artifact like the IVF centroids, cached per corpus snapshot and
-    * refreshed by compaction via [[invalidate]]. Never rebuilt per
-    * micro-batch.
+    * artifact like the IVF centroids, cached per (session, corpus
+    * snapshot) and refreshed by compaction via [[invalidate]]. Never
+    * rebuilt per micro-batch.
+    *
+    * SIZED FROM THE CORPUS, not a fixed default: `expectedItems` <= 0
+    * (the default) derives capacity from the cached corpus row-count
+    * stat with 2x headroom for post-build ingest, and bits follow at 8
+    * bits/item (~2% fpp at capacity) — a fixed 2^20 default would let
+    * the false-positive rate (which DROPS genuinely-new docs in
+    * [[bloomFrontierFilter]]) climb silently past the documented ~2%
+    * bound on corpora beyond ~1M docs. Explicit sizes still win when
+    * passed.
     */
   private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Byte]]
   def corpusBloom(s: SparkSession, d: String,
-                  expectedItems: Long = 1L << 20,
-                  numBits: Long = 1L << 23): Array[Byte] =
-    bloomCache.getOrElseUpdate(d,
+                  expectedItems: Long = 0L,
+                  numBits: Long = 0L): Array[Byte] =
+    bloomCache.getOrElseUpdate((s, d), {
+      val items =
+        if (expectedItems > 0L) expectedItems
+        else math.max(TrainingData.corpusCount(s, d) * 2, 1L << 16)
+      val bits = if (numBits > 0L) numBits else items * 8L
       docs(s, d)
         .agg(graft.functions.Bloom
-          .bloomAgg(xxhash64(col("text")), expectedItems, numBits).as("bf"))
-        .head().getAs[Array[Byte]](0))
+          .bloomAgg(xxhash64(col("text")), items, bits).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    })
 
   /** Crawl-frontier prune against the ACCUMULATED corpus (the band index
     * catches near-dups; this catches exact re-crawls): incoming docs

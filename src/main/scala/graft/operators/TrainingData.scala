@@ -78,14 +78,16 @@ object TrainingData {
   /** The verified near-dup pair set is a build-once artifact per corpus
     * snapshot — q38 reports it, q64 clusters it, q95 cross-checks it
     * against splits; a production pipeline computes it once per
-    * compaction, not once per consumer. Cached (persisted) per dir,
-    * evicted by [[invalidate]]; [[jaccardPairsPlan]] is the uncached
-    * plan for audits.
+    * compaction, not once per consumer. Cached (persisted) per
+    * (session, dir) — the session is part of the key so a cached frame
+    * bound to a stopped/replaced SparkSession is never served to a new
+    * one — evicted by [[invalidate]]; [[jaccardPairsPlan]] is the
+    * uncached plan for audits.
     */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(d, jaccardPairsPlan(s, d).persist())
+    pairsCache.getOrElseUpdate((s, d), jaccardPairsPlan(s, d).persist())
 
   def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val base = spread(docs(s, d)).select(
@@ -144,9 +146,22 @@ object TrainingData {
     * anti-pattern of a driver-side count feeding a literal does not apply:
     * at production scale this number comes from catalog/table metadata.
     */
-  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   def corpusCount(s: SparkSession, d: String): Long =
-    statsCache.getOrElseUpdate(d, docs(s, d).count())
+    statsCache.getOrElseUpdate((s, d), docs(s, d).count())
+
+  /** Corpus vocabulary size (distinct whitespace tokens), cached per
+    * (session, dir) like [[corpusCount]] — another plan-shaping
+    * statistic (it sizes q96's exact-regime sketch); at production
+    * scale it comes from table metadata / an NDV sketch, not a scan.
+    */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  def vocabSize(s: SparkSession, d: String): Long =
+    vocabCache.getOrElseUpdate((s, d),
+      docs(s, d).select(explode(tokens(col("text"))).as("term"))
+        .distinct().count())
 
   /** Corpus-adaptive MinHash-LSH band geometry over a 96-hash signature:
     * (bands, rowsPerBand). Expected background (false-candidate) pairs are
@@ -172,7 +187,7 @@ object TrainingData {
     * Centroids to the driver are k x dims doubles — bounded.
     */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (Seq[(Int, Array[Double])], DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), (Seq[(Int, Array[Double])], DataFrame)]
 
   /** Number of KMeans fits actually executed (test observability). */
   val ivfFits = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -186,15 +201,24 @@ object TrainingData {
     * against the new corpus.
     */
   def invalidate(d: String): Unit = {
-    statsCache.remove(d)
-    pairsCache.remove(d).foreach(_.unpersist())
-    ivfCache.keys.filter(_._1 == d).foreach { key =>
-      ivfCache.remove(key).foreach { case (_, assigned) => assigned.unpersist() }
+    // dir-scoped eviction across ALL sessions that touched the corpus —
+    // compaction changes the data, so every session's entry is stale
+    statsCache.keys.filter(_._2 == d).foreach(statsCache.remove)
+    vocabCache.keys.filter(_._2 == d).foreach(vocabCache.remove)
+    pairsCache.keys.filter(_._2 == d).foreach { key =>
+      // unpersist throws on a frame whose session already stopped; the
+      // entry is garbage either way, so dropping it is the whole point
+      pairsCache.remove(key).foreach(df => scala.util.Try(df.unpersist()))
+    }
+    ivfCache.keys.filter(_._2 == d).foreach { key =>
+      ivfCache.remove(key).foreach { case (_, assigned) =>
+        scala.util.Try(assigned.unpersist())
+      }
     }
   }
 
   def ivfIndex(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) =
-    ivfCache.getOrElseUpdate((d, k), {
+    ivfCache.getOrElseUpdate((s, d, k), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       ivfFits.incrementAndGet()
@@ -1447,11 +1471,15 @@ object TrainingData {
         "(k counters per partial buffer, map-side combine, mergeable per " +
         "Agarwal et al. PODS'12) — at 100 TB this finds every term with " +
         "frequency > N/k WITHOUT the full term shuffle exact counting " +
-        "needs. Here k=64 exceeds the corpus vocabulary, so the sketch " +
-        "is provably exact (nothing evicts, err=0) and the DuckDB oracle " +
-        "checks it verbatim; HeavyHittersSpec pins the lossy-regime " +
-        "guarantees (no false negatives above N/k, est-err <= true <= " +
-        "est) on skewed synthetic data under adversarial partitioning.",
+        "needs. Here k is DERIVED from the cached corpus vocabulary " +
+        "stat (next power of two >= vocab, min 64), so the sketch is " +
+        "provably exact at ANY scale factor (nothing evicts, err=0) and " +
+        "the no-LIMIT DuckDB oracle stays valid by construction instead " +
+        "of by a silent vocab<=64 assumption; a guard raises a clear " +
+        "precondition error if the vocabulary outgrows the exact-regime " +
+        "ceiling. HeavyHittersSpec pins the lossy-regime guarantees " +
+        "(no false negatives above N/k, est-err <= true <= est) on " +
+        "skewed synthetic data under adversarial partitioning.",
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |u AS (SELECT term, count(*) AS c FROM tok GROUP BY 1)
@@ -1460,8 +1488,15 @@ object TrainingData {
         |  term, CAST(c AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
         |FROM u""".stripMargin) { (s, d) =>
       import graft.functions.HeavyHitters.heavy_hitters
+      val vocab = vocabSize(s, d)
+      require(vocab <= (1L << 16),
+        s"q96 exact-regime precondition: corpus vocabulary ($vocab) exceeds " +
+          "the 65536-counter ceiling; the no-eviction oracle only holds when " +
+          "every term gets a counter — use the sketch directly with a fixed " +
+          "k and the HeavyHittersSpec error bounds for larger corpora")
+      val k = math.max(64, java.lang.Long.highestOneBit(vocab - 1) << 1).toInt
       docs(s, d).select(explode(tokens(col("text"))).as("term"))
-        .agg(heavy_hitters(col("term"), 64).as("hh"))
+        .agg(heavy_hitters(col("term"), k).as("hh"))
         .select(posexplode(col("hh")).as(Seq("pos", "e")))
         .select((col("pos") + 1).cast("long").as("rank"),
                 col("e.term").as("term"), col("e.est").as("est"),

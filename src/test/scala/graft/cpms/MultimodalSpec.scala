@@ -140,6 +140,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val minH = bmpFixture.clone()
     le32(minH, 22, Int.MinValue)
     assert(Multimodal.decodeBmp(2L, minH).isEmpty)
+    // w AND h both near 2^31: rowBytesL (~8.6e9) * h overflows LONG to a
+    // negative product, which would slip the bounds check if the reject
+    // happened after the multiply — must reject cleanly (not via a
+    // swallowed AIOOBE falling through to the stub)
+    val hugeWH = bmpFixture.clone()
+    le32(hugeWH, 18, Int.MaxValue); le32(hugeWH, 22, Int.MaxValue)
+    assert(Multimodal.decodeBmp(5L, hugeWH).isEmpty)
     // and the full chain falls back to the stub instead of throwing
     assert(Multimodal.decodeOne(3L, "image", hugeW).getSeq[Float](5).length === 8)
     assert(Multimodal.decodeOne(4L, "image", minH).getSeq[Float](5).length === 8)

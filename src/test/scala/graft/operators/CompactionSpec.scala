@@ -68,8 +68,11 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     Curation.compactInto(spark, sf, newDir)
 
     // registry queries are layout-transparent: identical results on the
-    // original file and the compacted partitioned directory
-    for (q <- Seq("q32_text_quality", "q86_keyword_search", "q30_dedup_exact")) {
+    // original file and the compacted partitioned directory — including
+    // the EMBEDDINGS- and EVENTS-backed ones, which read the tables
+    // compactInto copies alongside the rewritten documents
+    for (q <- Seq("q32_text_quality", "q86_keyword_search", "q30_dedup_exact",
+                  "q40_ann_brute", "q94_quantize_embeddings", "q69_funnel")) {
       val a = graft.SparkEntry.queries(q)(spark, sf)
         .collect().map(_.toString).sorted
       val b = graft.SparkEntry.queries(q)(spark, newDir)

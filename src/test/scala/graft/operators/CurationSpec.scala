@@ -113,6 +113,14 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(bloom.length > 0)
     assert(Curation.corpusBloom(spark, sf) eq bloom,
            "corpus bloom must be cached per snapshot, not rebuilt")
+    // the cache key is (session, dir): a different session must NOT be
+    // served an artifact built by (and bound to) another session
+    val other = spark.newSession()
+    val bloomOther = Curation.corpusBloom(other, sf)
+    assert(!(bloomOther eq bloom),
+           "per-corpus cache leaked an artifact across sessions")
+    assert(java.util.Arrays.equals(bloomOther, bloom),
+           "same corpus must yield an identical sketch in any session")
     // every corpus text must hit the filter (no false negatives, ever)
     val corpus = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val survivors = Curation.bloomFrontierFilter(corpus, bloom).count()
