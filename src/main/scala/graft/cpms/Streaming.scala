@@ -327,6 +327,29 @@ object Streaming {
               col("heart_rate"), col("stress_level"))
   }
 
+  /** Streaming sessionization (T5 extension; the in-stream spelling of
+    * q24's batch lag-gap-cumsum): `session_window` groups each user's
+    * events into dynamically-merging sessions that CLOSE after `gap` of
+    * event-time silence — a late-but-in-watermark event that lands
+    * between two provisional sessions merges them, which no fixed
+    * tumbling/sliding window can express. State per key is one open
+    * session (bounded); the watermark finalizes and evicts closed
+    * sessions, so append mode emits each exactly once. At scale this
+    * shuffles on (user_id, session) like any keyed streaming aggregate —
+    * no global ordering, no cross-user state.
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       horizon: String = "1 hour"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", horizon)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"))
+
   /** Typed view of [[parseEvents]] for the stateful path. */
   def toHotEvents(parsed: DataFrame): Dataset[HotEvent] = {
     import parsed.sparkSession.implicits._

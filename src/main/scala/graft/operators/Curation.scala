@@ -960,6 +960,54 @@ object Curation {
         .select(col("source"), col("n"),
                 round(col("n") / col("mean_n"), 4).as("ratio"),
                 (col("n") > lit(1.5) * col("mean_n")).cast("long").as("over_cap"))
+    },
+
+    Q("q101_source_overlap",
+      "Cross-source contamination matrix: near-duplicate pair counts " +
+        "between every pair of sources — the audit that catches two " +
+        "crawls scraping the same sites (or a vendor reselling another's " +
+        "corpus) BEFORE both copies dilute the training mix. Pure " +
+        "composition over the build-once verified pair set (q38's " +
+        "lossless prefix-filter machinery, cached per corpus snapshot): " +
+        "two equi-joins on doc id attach sources (the pair set is " +
+        "usually the small side — AQE broadcasts it when it fits, " +
+        "shuffles on the scalable doc-id key when it doesn't), then one " +
+        "aggregate on the unordered source pair — the matrix is at most " +
+        "n_sources^2 rows regardless of corpus size.",
+      """WITH t AS (SELECT doc_id, source, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |p AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9
+        |    AND a.source <> b.source)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(sum(CAST(round(jaccard * 10000, 0) AS BIGINT))
+        |        / count(*) + 0.5) / 10000.0 AS mean_jaccard
+        |FROM p GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      TrainingData.jaccardPairs(s, d)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+                 greatest(col("sa"), col("sb")).as("source_b"))
+        // mean over the 4dp-scaled INTEGER sum, with the half-up rounding
+        // done EXPLICITLY in scaled space (floor(x + 0.5)) where the .5
+        // boundary is an exactly-representable double — engine round()
+        // implementations disagree on exact halves (this corpus really
+        // hits mean = 0.95625), and avg() of rounded doubles adds an
+        // accumulation-order hazard on top
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             (floor(sum(round(col("jaccard") * 10000, 0).cast("long"))
+                    / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_jaccard"))
     }
   )
 }

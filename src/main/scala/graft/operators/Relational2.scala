@@ -650,6 +650,35 @@ object Relational2 {
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           count(lit(1)).as("n"))
+    },
+
+    Q("q104_decayed_engagement",
+      "Time-decayed per-user engagement: every event contributes " +
+        "0.5^(age_weeks) against the corpus's newest event date — the " +
+        "recency-weighted activity feature scoring/retention models " +
+        "consume (a user with 10 events last week outranks one with 10 " +
+        "events last quarter). Scale shape: the anchor date is an " +
+        "in-plan 1-row broadcast (q28 pattern), the weight is a " +
+        "codegen'd projection, and the rollup is one shuffle on " +
+        "high-cardinality user_id with map-side partials. Cross-engine " +
+        "fp discipline: age buckets are INTEGER weeks, so every weight " +
+        "is an exactly-representable power of two and the sum is " +
+        "order-independent — no libm or accumulation-order hazard.",
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
+        |           FROM events),
+        |a AS (SELECT max(dt) AS anchor FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(power(0.5, date_diff('day', dt, anchor) // 7)), 6)
+        |    AS decayed_score
+        |FROM e CROSS JOIN a
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), to_date(col("ts")).as("dt"))
+      val anchor = e.agg(max("dt").as("anchor"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("age_weeks", (datediff(col("anchor"), col("dt")) / 7).cast("int"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+             round(sum(pow(lit(0.5), col("age_weeks"))), 6).as("decayed_score"))
     }
   )
 }

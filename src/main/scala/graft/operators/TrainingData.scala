@@ -1636,6 +1636,124 @@ object TrainingData {
              sum(size(col("frame_idx"))).cast("long").as("n_sampled_frames"),
              round(avg(aggregate(col("feature"), lit(0.0),
                                  (acc, x) => acc + x * x)), 6).as("avg_feat_norm_sq"))
+    },
+
+    Q("q102_topk_diversity",
+      "Retrieval-redundancy audit: the mean pairwise cosine BETWEEN the " +
+        "members of each query's top-5 result list (q40's brute-force " +
+        "truth). A list of five mutual near-duplicates scores ~1 — the " +
+        "retrieval served one document five times; RAG and hard-negative " +
+        "mining pipelines track exactly this number per query batch. " +
+        "Scale shape: top lists are k rows per query (bounded), so the " +
+        "within-list pair join is a self-join on qid with C(k,2)=10 " +
+        "pairs per query — candidate generation is the distributed " +
+        "part, the audit never grows past k^2 rows per query.",
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT qid, vec_id,
+        |        list_dot_product(qv, v) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |      FROM q CROSS JOIN c WHERE qid <> vec_id),
+        |top AS (SELECT qid, vec_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |          FROM s) WHERE rk <= 5),
+        |p AS (SELECT t1.qid,
+        |        list_dot_product(c1.v, c2.v) /
+        |          (sqrt(list_dot_product(c1.v, c1.v)) *
+        |           sqrt(list_dot_product(c2.v, c2.v))) AS pcos
+        |      FROM top t1 JOIN top t2 ON t1.qid = t2.qid AND t1.vec_id < t2.vec_id
+        |      JOIN c c1 ON c1.vec_id = t1.vec_id
+        |      JOIN c c2 ON c2.vec_id = t2.vec_id)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(pcos), 4) AS mean_pairwise_cos
+        |FROM p GROUP BY qid""".stripMargin) { (s, d) =>
+      val c = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val top = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("v"), cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("v"))
+      top.as("a")
+        .join(top.as("b"),
+              col("a.qid") === col("b.qid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.qid").as("qid"), cosine(col("a.v"), col("b.v")).as("pcos"))
+        .groupBy("qid")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             round(avg("pcos"), 4).as("mean_pairwise_cos"))
+    },
+
+    Q.noOracle("q103_mmr_rerank",
+      "Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, " +
+        "SIGIR'98): greedy top-5 selection maximizing lambda*rel(q,d) - " +
+        "(1-lambda)*max_{s in S} sim(d,s) over a brute-force top-20 " +
+        "candidate pool per query — the standard diversity fix for the " +
+        "redundancy q102 measures. Scale shape: candidate generation is " +
+        "the distributed pass (one corpus scan, broadcast queries — or " +
+        "the q41 LSH path at billion-vector scale); the greedy loop is " +
+        "O(k*pool) per query over a BOUNDED pool, run per-group via " +
+        "mapGroups (the documented per-partition-imperative exception: " +
+        "iterative argmax over <=20 rows has no declarative spelling). " +
+        "MmrSpec proves lambda=1 reproduces q40's top-5 exactly and " +
+        "lambda=0.5 never increases q102's mean intra-list cosine.") {
+      (s, d) => mmrRerank(s, d, lambda = 0.5, pool = 20, k = 5)
     }
   )
+
+  /** q103 body, parameterized for MmrSpec's lambda sweep. */
+  def mmrRerank(s: SparkSession, d: String, lambda: Double, pool: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val c = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+    val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val cand = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("v"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= pool)
+      .select(col("qid"), col("vec_id"), col("cos"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic greedy: candidates sorted by (rel desc, vec_id);
+        // the strict > in the argmax then breaks score ties the same way
+        val cands = it.toArray.sortBy(t => (-t._3, t._2))
+          .map(t => (t._2, t._3, t._4.toArray))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val scores = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (picked.length < k && picked.length < cands.length) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!picked.contains(i)) {
+              val (_, rel, v) = cands(i)
+              // penalty = max similarity to anything already selected
+              // (NegativeInfinity start so all-negative sims still rank)
+              var maxSim = Double.NegativeInfinity
+              picked.foreach { j =>
+                val sim = cosLocal(v, cands(j)._3)
+                if (sim > maxSim) maxSim = sim
+              }
+              val score =
+                if (picked.isEmpty) lambda * rel
+                else lambda * rel - (1 - lambda) * maxSim
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          picked += bestIdx
+          scores += bestScore
+        }
+        picked.zipWithIndex.map { case (idx, r) =>
+          (qid, cands(idx)._1, (r + 1).toLong,
+           math.rint(scores(r) * 10000) / 10000)
+        }
+      }
+      .toDF("qid", "vec_id", "rk", "mmr_score")
+  }
 }

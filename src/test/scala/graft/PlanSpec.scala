@@ -231,6 +231,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q101/q102/q104: round-7 ops keep scale-safe shapes") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q101: source attachment is equi-joins on the doc-id keys plus the
+      // final aggregate — no cross product anywhere
+      val p101 = plan("q101_source_overlap")
+      assert(!p101.contains("CartesianProduct"),
+             s"q101 must stay equi-join shaped:\n$p101")
+      val partial101 = p101.indexOf("partial_count")
+      val exch101 = p101.indexOf("Exchange hashpartitioning")
+      assert(partial101 >= 0 && exch101 >= 0 && partial101 > exch101,
+             s"q101 matrix aggregate must combine map-side:\n$p101")
+      // q102: query set broadcasts against the corpus scan, and the
+      // within-list pair join stays an equi-join on qid
+      val p102 = plan("q102_topk_diversity")
+      assert(p102.contains("BroadcastNestedLoopJoin") ||
+               p102.contains("BroadcastHashJoin"),
+             s"q102 query set must broadcast:\n$p102")
+      assert(!p102.contains("CartesianProduct"),
+             s"q102 pair join degenerated to a cross product:\n$p102")
+      // q104: the anchor date is a 1-row broadcast (q28 pattern), the
+      // weight projection is codegen'd, and the user rollup partially
+      // aggregates before its exchange
+      val p104 = plan("q104_decayed_engagement")
+      assert(p104.contains("BroadcastNestedLoopJoin"),
+             s"q104 anchor must ride as a broadcast scalar:\n$p104")
+      val partial104 = p104.indexOf("partial_count")
+      val exch104 = p104.indexOf("Exchange hashpartitioning")
+      assert(partial104 >= 0 && exch104 >= 0 && partial104 > exch104,
+             s"q104 user rollup must combine map-side:\n$p104")
+      // executedPlan.toString marks codegen stages with "*(n)"; the weight
+      // projection (POWER over the age bucket) must carry the marker
+      val weightLine = p104.linesIterator
+        .find(l => l.contains("Project") && l.contains("age_weeks"))
+      assert(weightLine.exists(_.contains("*(")),
+             s"q104 weight math must stay inside codegen:\n$p104")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q90: bloom prune runs as an in-plan scalar subquery before the exact join") {
     val p = plan("q90_bloom_decontaminate")
     assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")

@@ -252,6 +252,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Map(0L -> 2L), "only the closed window may be emitted")
   }
 
+  test("sessionizeStream: cross-batch session merge, gap split, watermark-finalized emit (T5)") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val out = Streaming.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts"), gap = "30 minutes", horizon = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // batch 1 opens a provisional session [10:00, 10:35)
+    mem.addData((1L, t(0)), (1L, t(5)))
+    q.processAllAvailable()
+    // batch 2: 10:20 lands INSIDE the gap -> merges the provisional
+    // session (what a fixed tumbling window cannot do); 11:30 is >30min
+    // after 10:20 -> a second session
+    mem.addData((1L, t(20)), (1L, t(90)))
+    q.processAllAvailable()
+    // nothing finalized yet: watermark = 11:30 - 1h = 10:30 < 10:50 end
+    assert(spark.table("sessions_out").count() === 0)
+    // 14:00 pushes the watermark to 13:00 -> both u1 sessions close;
+    // u2's own session stays open and must NOT appear
+    mem.addData((2L, t(240)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_out")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set(
+      (1L, t(0), t(50), 3L),    // merged: 10:00,10:05,10:20 -> ends 10:20+30m
+      (1L, t(90), t(120), 1L)), // split: 11:30 alone -> ends 12:00
+      s"unexpected session set: $rows")
+  }
+
   test("cold lake reads prune on the dt partition (K1/partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
     Seq(("a", java.sql.Date.valueOf("2024-01-01")),
