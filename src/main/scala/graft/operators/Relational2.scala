@@ -679,6 +679,41 @@ object Relational2 {
         .groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("n_events"),
              round(sum(pow(lit(0.5), col("age_weeks"))), 6).as("decayed_score"))
+    },
+
+    Q("q105_session_windows",
+      "Sessionization via the native session_window operator (the same " +
+        "gap semantics Streaming.sessionizeStream runs in-stream), " +
+        "cross-validated against q24's lag-gap-cumsum spelling by the " +
+        "shared DuckDB oracle: a session closes when the NEXT event is " +
+        ">= 30 minutes after the last (session_window's end bound is " +
+        "exclusive, so the oracle's break predicate is >= on MICROsecond " +
+        "diffs — spelling the diff in a coarser unit would disagree on " +
+        "exact-boundary gaps). One shuffle on user_id; session assembly " +
+        "is Spark's merging aggregate, not a window sort.",
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+             round(sum("value"), 2).as("session_value"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("start_us"),
+                unix_micros(col("session_window.end")).as("end_us"),
+                col("n_events"), col("session_value"))
     }
   )
 }

@@ -1698,6 +1698,38 @@ object TrainingData {
         "MmrSpec proves lambda=1 reproduces q40's top-5 exactly and " +
         "lambda=0.5 never increases q102's mean intra-list cosine.") {
       (s, d) => mmrRerank(s, d, lambda = 0.5, pool = 20, k = 5)
+    },
+
+    Q("q106_hapax_share",
+      "Hapax-legomenon share per document: the fraction of a doc's " +
+        "distinct tokens that appear NOWHERE else in the corpus (df=1 " +
+        "after per-doc dedup) — the classic OCR-garbage/mojibake signal " +
+        "(corrupted text mints unique token soup; clean text reuses the " +
+        "corpus vocabulary). Complements q82's unigram log-prob, which " +
+        "needs a frequency model — hapax share is pure df plumbing. " +
+        "Scale shape: the same two token shuffles as q38's prefix stage " +
+        "(explode -> df on term, rejoin on term, rollup on doc_id), all " +
+        "map-side-partial aggregates on scalable keys; the df table " +
+        "joins by shuffle at open-web vocabulary, broadcast here.",
+      """WITH g AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+        |             string_split(text, ' '))) AS term FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_hapax,
+        |  round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*), 4)
+        |    AS hapax_share
+        |FROM g JOIN df USING (term)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val g = spread(docs(s, d))
+        .select(col("doc_id"),
+                explode(array_distinct(tokens(col("text")))).as("term"))
+      val df = g.groupBy("term").agg(count(lit(1)).as("df"))
+      g.join(df, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+             sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+             round(sum(when(col("df") === 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+               .as("hapax_share"))
     }
   )
 
