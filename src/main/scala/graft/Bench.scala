@@ -10,8 +10,14 @@ import org.apache.spark.sql.SparkSession
   *  - results are materialized through the `noop` sink — a bare `count()`
   *    lets Catalyst answer scan-shaped queries from parquet footers
   *    without reading data, which would under-report scan cost;
-  *  - one untimed warmup action amortizes session/codegen/JIT startup,
-  *    then each query runs twice and reports the min (steady-state);
+  *  - untimed warmups (one per major table/codegen family) amortize
+  *    session/codegen/JIT startup;
+  *  - each query samples at least twice and reports the min; when the two
+  *    best samples disagree by more than 25% the query re-samples (up to 4
+  *    total) — on a shared VM a single descheduled sample otherwise shows
+  *    up as a fake multi-x "regression" (the round-6 bench recorded 3-5x
+  *    on nine queries that two clean back-to-back runs could not
+  *    reproduce);
   *  - local[32] with shuffle.partitions=32 and AQE mirrors the grading
   *    harness and the per-executor parallelism of a real cluster.
   */
@@ -34,13 +40,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: touch every table + spin up codegen once
-    SparkEntry.queries.get("q12_group_agg_wide").foreach(q => runOnce(q))
+    // warmup: touch every major table family + spin up codegen/JIT once
+    // (lineitem/orders via q12, documents + text-hash codegen via q37,
+    // embeddings + vector math via q40)
+    for (w <- Seq("q12_group_agg_wide", "q37_simhash_neardup", "q40_ann_brute"))
+      SparkEntry.queries.get(w).foreach(q => runOnce(q))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
-        try math.min(runOnce(fn), runOnce(fn))
-        catch { case _: Throwable => -1.0 }
+        try {
+          val samples = scala.collection.mutable.ArrayBuffer(runOnce(fn), runOnce(fn))
+          // stability gate: the two best samples must agree within 25%,
+          // else keep sampling (cap 4) — filters one-off VM hiccups
+          while (samples.length < 4 && {
+                   val s = samples.sorted; s(1) > s(0) * 1.25
+                 }) samples += runOnce(fn)
+          samples.min
+        } catch { case _: Throwable => -1.0 }
       name -> t
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * frame-sampling as partition-parallel transforms.
   *
   * The decode step dispatches on payload magic bytes: uncompressed 24-bit
-  * BMP and binary PPM (P6) payloads go through a REAL pure-JVM codec
-  * ([[decodeBmp]]/[[decodePpm]] — header parse + full pixel scan into
+  * BMP, binary PPM (P6), and 8-bit RGB/RGBA PNG payloads go through a
+  * REAL pure-JVM codec ([[decodeBmp]]/[[decodePpm]]/[[decodePng]] —
+  * header parse + full pixel scan into
   * mean-color/luma features); any other format falls back to the
   * documented STUB ([[fakeDecode]], deterministic fake features from the
   * payload bytes) because this environment ships no image/audio
@@ -193,15 +194,138 @@ object Multimodal {
              pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2).toSeq))
   }
 
-  /** One payload through the codec chain: real BMP/PPM decode when the
-    * magic bytes match, else the stub. Codec exceptions on forged payloads
-    * fall through to the stub rather than failing the Spark task —
-    * untrusted binary is exactly what this path ingests.
+  /** REAL codec: PNG, 8-bit truecolor RGB (type 2) or RGBA (type 6),
+    * non-interlaced — the shape virtually all web/crawl PNGs take. Pure
+    * JVM: signature + IHDR parse, IDAT concatenation through
+    * `java.util.zip.Inflater` (PNG's zlib stream), then the standard
+    * per-row unfilter (None/Sub/Up/Average/Paeth) feeding the same
+    * pixel-feature accumulator as BMP/PPM (alpha ignored in features).
+    * None when the payload is not a PNG this codec handles — bad magic,
+    * palette/gray/16-bit/interlaced, forged dimensions (decompressed
+    * size is bounded BEFORE allocation), truncated chunks or a short
+    * zlib stream.
+    */
+  private[cpms] def decodePng(assetId: Long, content: Array[Byte]): Option[Row] = {
+    // 8-byte signature + IHDR(25) + at least an empty IDAT(12)
+    if (content.length < 45) return None
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    var si = 0
+    while (si < 8) {
+      if ((content(si) & 0xff) != sig(si)) return None
+      si += 1
+    }
+    def u32(p: Int): Long =
+      ((content(p) & 0xffL) << 24) | ((content(p + 1) & 0xffL) << 16) |
+        ((content(p + 2) & 0xffL) << 8) | (content(p + 3) & 0xffL)
+    // IHDR must be the first chunk, length exactly 13
+    if (u32(8) != 13L || content(12) != 'I' || content(13) != 'H' ||
+        content(14) != 'D' || content(15) != 'R') return None
+    val w = u32(16)
+    val h = u32(20)
+    val bitDepth = content(24) & 0xff
+    val colorType = content(25) & 0xff
+    if (content(26) != 0 || content(27) != 0 || content(28) != 0) return None
+    if (w <= 0 || h <= 0 || bitDepth != 8) return None
+    val bpp = colorType match {
+      case 2 => 3 // RGB
+      case 6 => 4 // RGBA
+      case _ => return None
+    }
+    // forged-dimension guard: bound the decompressed size (h rows of
+    // 1 filter byte + w*bpp samples) BEFORE any allocation — all in Long
+    val rawLen = h * (w * bpp + 1L)
+    if (rawLen > (1L << 28)) return None // 256 MiB cap
+    // walk chunks, concatenating the IDAT zlib stream
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 33
+    var ended = false
+    while (!ended && p + 8 <= content.length) {
+      val len = u32(p)
+      // truncated chunk (len + 4-byte CRC past the payload) is a forgery
+      if (len > content.length.toLong - p - 12) return None
+      val typ = new String(content, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(content, p + 8, len.toInt)
+      else if (typ == "IEND") ended = true
+      p += 12 + len.toInt
+    }
+    if (!ended || idat.size() == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // short/garbled zlib stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // per-row unfilter + feature accumulation (cur/prev in Int 0..255)
+    val wi = w.toInt
+    val hi = h.toInt
+    val stride = wi * bpp
+    var prev = new Array[Int](stride)
+    var cur = new Array[Int](stride)
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var (sumL, sumL2) = (0.0, 0.0)
+    var y = 0
+    while (y < hi) {
+      val rowOff = y * (stride + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val rb = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prev(x) else 0
+        val v = ft match {
+          case 0 => rb
+          case 1 => (rb + a) & 0xff
+          case 2 => (rb + b) & 0xff
+          case 3 => (rb + ((a + b) >> 1)) & 0xff
+          case _ => // Paeth
+            val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (rb + pred) & 0xff
+        }
+        cur(x) = v
+        x += 1
+      }
+      var px = 0
+      while (px < wi) {
+        val r = cur(px * bpp)
+        val g = cur(px * bpp + 1)
+        val bl = cur(px * bpp + 2)
+        sumR += r; sumG += g; sumB += bl
+        val l = luma(r, g, bl)
+        sumL += l; sumL2 += l * l
+        px += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    Some(Row(assetId, "image", wi, hi, 1,
+             pixelFeatures(wi, hi, sumR, sumG, sumB, sumL, sumL2).toSeq))
+  }
+
+  /** One payload through the codec chain: real BMP/PPM/PNG decode when
+    * the magic bytes match, else the stub. Codec exceptions on forged
+    * payloads fall through to the stub rather than failing the Spark
+    * task — untrusted binary is exactly what this path ingests.
     */
   private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row = {
     import scala.util.Try
     Try(decodeBmp(assetId, content)).toOption.flatten
       .orElse(Try(decodePpm(assetId, content)).toOption.flatten)
+      .orElse(Try(decodePng(assetId, content)).toOption.flatten)
       .getOrElse(fakeDecode(assetId, kind, content))
   }
 

@@ -86,8 +86,31 @@ object TrainingData {
     */
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    sweepStoppedSessions()
     pairsCache.getOrElseUpdate((s, d), jaccardPairsPlan(s, d).persist())
+  }
+
+  /** Drop cache entries whose owning SparkSession's context has stopped —
+    * without this, a long-lived app creating sessions over the same corpus
+    * accumulates strongly-referenced dead sessions and their persisted
+    * frames without bound. Called opportunistically on every cache access
+    * (a TrieMap scan over a handful of keys); [[invalidate]] remains the
+    * corpus-change eviction path.
+    */
+  private[operators] def sweepStoppedSessions(): Unit = {
+    def dead(s: SparkSession) = s.sparkContext.isStopped
+    statsCache.keys.filter(k => dead(k._1)).foreach(statsCache.remove)
+    vocabCache.keys.filter(k => dead(k._1)).foreach(vocabCache.remove)
+    pairsCache.keys.filter(k => dead(k._1)).foreach { k =>
+      // the frame's blocks died with the context; dropping the entry is
+      // the point, unpersist is best-effort bookkeeping
+      pairsCache.remove(k).foreach(df => scala.util.Try(df.unpersist()))
+    }
+    ivfCache.keys.filter(k => dead(k._1)).foreach { k =>
+      ivfCache.remove(k).foreach { case (_, a) => scala.util.Try(a.unpersist()) }
+    }
+  }
 
   def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val base = spread(docs(s, d)).select(
@@ -148,8 +171,10 @@ object TrainingData {
     */
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  def corpusCount(s: SparkSession, d: String): Long =
+  def corpusCount(s: SparkSession, d: String): Long = {
+    sweepStoppedSessions()
     statsCache.getOrElseUpdate((s, d), docs(s, d).count())
+  }
 
   /** Corpus vocabulary size (distinct whitespace tokens), cached per
     * (session, dir) like [[corpusCount]] — another plan-shaping
@@ -158,10 +183,12 @@ object TrainingData {
     */
   private val vocabCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  def vocabSize(s: SparkSession, d: String): Long =
+  def vocabSize(s: SparkSession, d: String): Long = {
+    sweepStoppedSessions()
     vocabCache.getOrElseUpdate((s, d),
       docs(s, d).select(explode(tokens(col("text"))).as("term"))
         .distinct().count())
+  }
 
   /** Corpus-adaptive MinHash-LSH band geometry over a 96-hash signature:
     * (bands, rowsPerBand). Expected background (false-candidate) pairs are
@@ -215,24 +242,120 @@ object TrainingData {
         scala.util.Try(assigned.unpersist())
       }
     }
+    // a persisted IVF index of the old corpus must not be silently served
+    // after the data changed — deregister; [[refreshIvfIndex]] re-registers
+    ivfIndexLocations.keys.filter(_._1 == d).foreach(ivfIndexLocations.remove)
   }
 
-  def ivfIndex(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) =
+  /** Where the persisted IVF index for (corpus dir, k) lives. In
+    * production this mapping is the catalog's job (the index is a
+    * registered table); a JVM-wide registry keeps the local harness
+    * self-contained. Populated by [[buildIvfIndex]], cleared by
+    * [[invalidate]].
+    */
+  private val ivfIndexLocations =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  /** Fit the IVF structure for (corpus, k): KMeans centroids + the
+    * corpus-wide cell assignment frame. The only KMeans entry point —
+    * both the ad-hoc in-memory path and [[buildIvfIndex]] go through it.
+    */
+  private def fitIvf(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    ivfFits.incrementAndGet()
+    val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+      .fit(e)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    (centers, assigned)
+  }
+
+  /** Serve the IVF index for (session, corpus, k): session cache first,
+    * then the PERSISTED index if one is registered (a fresh session then
+    * reads centroids from the sidecar and the assignment from parquet —
+    * zero KMeans fits, the amortization a production index exists for),
+    * and only then an ad-hoc in-session fit.
+    */
+  def ivfIndex(s: SparkSession, d: String, k: Int): (Seq[(Int, Array[Double])], DataFrame) = {
+    sweepStoppedSessions()
     ivfCache.getOrElseUpdate((s, d, k), {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      ivfFits.incrementAndGet()
-      val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-        .withColumn("features", array_to_vector(col("v")))
-      val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
-        .fit(e)
-      val centers = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-        .persist()
-      (centers, assigned)
+      ivfIndexLocations.get((d, k)) match {
+        case Some(dir) =>
+          val (centers, assigned) = loadIvfIndex(s, dir)
+          (centers, assigned.persist())
+        case None =>
+          val (centers, assigned) = fitIvf(s, d, k)
+          (centers, assigned.persist())
+      }
     })
+  }
+
+  /** Persist the IVF index for (corpus, k): cell assignment as parquet +
+    * centroids in an underscore-prefixed text sidecar (parquet readers
+    * ignore it), with the same staging -> sidecar-before-swap -> rename
+    * lifecycle as the band and fingerprint indexes, so a reader never
+    * observes an assignment whose centroids disagree. Registers the
+    * location so every session's [[ivfIndex]] serves from it.
+    */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String, k: Int = 16): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val (centers, assigned) = fitIvf(s, d, k)
+    assigned.write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_ivf_centroids"), true)
+    // Double.toString round-trips exactly, so loaded centroids are
+    // bit-identical to the fitted ones
+    val txt = centers.map { case (cell, v) =>
+      cell.toString + " " + v.map(java.lang.Double.toString).mkString(" ")
+    }.mkString("\n")
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"ivf-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"ivf-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+    // in-memory entries for (d, k) now duplicate the persisted truth;
+    // drop them so every session converges on the index on next access
+    ivfCache.keys.filter(key => key._2 == d && key._3 == k).foreach { key =>
+      ivfCache.remove(key).foreach { case (_, a) => scala.util.Try(a.unpersist()) }
+    }
+    ivfIndexLocations.put((d, k), indexDir)
+  }
+
+  /** Load a persisted IVF index: centroids from the sidecar, assignment
+    * as a plain parquet scan (schema: vec_id, v, cell).
+    */
+  def loadIvfIndex(s: SparkSession, indexDir: String): (Seq[(Int, Array[Double])], DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_ivf_centroids"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val centers = txt.trim.linesIterator.map { line =>
+      val parts = line.trim.split(" ")
+      (parts.head.toInt, parts.tail.map(java.lang.Double.parseDouble))
+    }.toSeq
+    (centers, s.read.parquet(indexDir))
+  }
+
+  /** Compaction hook: after the corpus changed, drop every stale cached
+    * artifact and refit + re-persist the IVF index against the new
+    * snapshot (same contract as [[refreshBandIndex]]).
+    */
+  def refreshIvfIndex(s: SparkSession, d: String, indexDir: String, k: Int = 16): Unit = {
+    invalidate(d)
+    buildIvfIndex(s, d, indexDir, k)
+  }
 
   /** MinHash band projection for the streaming incremental dedup:
     * (doc_id, sh, band, bkey) from a (doc_id, text) frame, carrying the
@@ -786,27 +909,8 @@ object TrainingData {
         "row per table and the candidate join stays a bucket equi-join; " +
         "RecallSpec measures recall@5 against the q40 brute-force truth.") {
       (s, d) =>
-        val tables = 4
-        // buckets within Hamming<=2 of the query signature: 1 + 8 + C(8,2)
-        val probeMasks: Seq[Long] =
-          0L +: ((0 until 8).map(b => 1L << b) ++
-                 (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b)))
-        val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
-        val tabbed = e.select(
-          col("vec_id"), col("v"),
-          explode(array((0 until tables).map(t =>
-            struct(lit(t).as("tbl"), srp_sig(col("v"), 8, t).as("sig"))): _*)).as("ts"))
-          .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-        val q = tabbed.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("sig"))
-          .withColumn("sig", explode(array(probeMasks.map(m =>
-            col("sig").bitwiseXOR(lit(m))): _*)))
-        val cand = tabbed.join(q, Seq("tbl", "sig"))
-          .filter(col("qid") =!= col("vec_id"))
-          .select(col("qid"), col("qv"), col("vec_id"), col("v"))
-          .distinct()
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        cand.select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+        lshCandidates(s, d)
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
           .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
@@ -1560,59 +1664,83 @@ object TrainingData {
 
     Q("q100_pmi_collocations",
       "Pointwise-mutual-information collocations: which term PAIRS " +
-        "co-occur in documents more than their marginal frequencies " +
-        "predict — the corpus-health probe that surfaces templated " +
-        "boilerplate (suspiciously associated pairs) and topic clumps " +
-        "before training. PMI = ln((n_ab * N) / (n_a * n_b)) over " +
-        "doc-level presence. Scale shape: the df BAND filter (5 <= df " +
-        "<= 0.9N, dropping hapaxes and ubiquitous terms) runs BEFORE " +
-        "pair generation, bounding per-doc fanout to banded terms only; " +
-        "the pair self-join shuffles on high-cardinality doc_id; " +
-        "marginals come back as a broadcast. All counts stay exact " +
-        "integers until one double division (products < 2^53 at any " +
-        "plausible corpus size), so only ln's last ulp separates " +
-        "engines — absorbed by round(4) on both the value and the " +
-        "ordering key.",
-      """WITH t AS (SELECT doc_id,
-        |             unnest(list_distinct(string_split(text, ' '))) AS term
-        |           FROM documents),
+        "co-occur within a +-4-token window more than their marginal " +
+        "frequencies predict — the corpus-health probe that surfaces " +
+        "templated boilerplate (suspiciously associated pairs) and " +
+        "topic clumps before training. PMI = ln((n_ab * T) / " +
+        "(n_a * n_b)) over window co-occurrence events (T = total " +
+        "tokens, n_x = token counts). Scale shape: pair generation is " +
+        "a pure higher-order-function projection over each doc's token " +
+        "array (each position pairs with at most the next 4) — LINEAR " +
+        "in doc length, no self-join, so a 100k-token page emits " +
+        "~400k events, not the ~12.5M its distinct-term square would; " +
+        "the df BAND filter (5 <= df <= 0.9N) broadcasts against the " +
+        "event stream, the event aggregate shuffles on the (term_a, " +
+        "term_b) key with map-side partials, and the marginal attach " +
+        "broadcasts the BOUNDED post-aggregate pair table into the " +
+        "vocabulary-sized tf table — never the reverse. All counts " +
+        "stay exact integers until one double division (products < " +
+        "2^53 at any plausible corpus size), so only ln's last ulp " +
+        "separates engines — absorbed by round(4) on both the value " +
+        "and the ordering key.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |tk AS (SELECT doc_id, pos, tok[pos + 1] AS term
+        |       FROM t CROSS JOIN LATERAL unnest(range(len(tok))) AS u(pos)),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |df AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
-        |band AS (SELECT term, df FROM df, n WHERE df >= 5 AND df <= 0.9 * n.n),
-        |tb AS (SELECT t.doc_id, t.term FROM t JOIN band USING (term)),
-        |p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
-        |      FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND a.term < b.term
-        |      GROUP BY 1, 2),
-        |j AS (SELECT p.term_a, p.term_b, p.n_ab, da.df AS n_a, db.df AS n_b
-        |      FROM p JOIN band da ON p.term_a = da.term
-        |             JOIN band db ON p.term_b = db.term)
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        |band AS (SELECT term FROM df, n WHERE df >= 5 AND df <= 0.9 * n.n),
+        |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tk),
+        |p AS (SELECT least(a.term, b.term) AS term_a,
+        |             greatest(a.term, b.term) AS term_b, count(*) AS n_ab
+        |      FROM tk a JOIN tk b
+        |        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 4
+        |       AND a.term <> b.term
+        |      JOIN band ba ON a.term = ba.term
+        |      JOIN band bb ON b.term = bb.term
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
-        |  round(ln((CAST(n_ab AS DOUBLE) * n.n) /
-        |           (CAST(n_a AS DOUBLE) * n_b)), 4) AS pmi
-        |FROM j, n WHERE n_ab >= 5
+        |  round(ln((CAST(n_ab AS DOUBLE) * tot.t) /
+        |           (CAST(ta.tf AS DOUBLE) * tb.tf)), 4) AS pmi
+        |FROM p JOIN tf ta ON p.term_a = ta.term
+        |       JOIN tf tb ON p.term_b = tb.term
+        |CROSS JOIN tot
         |ORDER BY pmi DESC, n_ab DESC, term_a, term_b
         |LIMIT 30""".stripMargin) { (s, d) =>
-      val t = spread(docs(s, d))
-        .select(col("doc_id"),
-                explode(array_distinct(tokens(col("text")))).as("term"))
+      val base = spread(docs(s, d)).select(col("doc_id"), tokens(col("text")).as("arr"))
+      val tok = base.select(explode(col("arr")).as("term"))
       val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
-      val dfT = t.groupBy("term").agg(count(lit(1)).as("df"))
+      val dfT = base
+        .select(explode(array_distinct(col("arr"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
       val band = dfT.crossJoin(broadcast(n))
         .filter(col("df") >= 5 && col("df") <= lit(0.9) * col("n"))
-        .select("term", "df")
-      val tb = t.join(broadcast(band.select("term")), "term")
-      val p = tb.select(col("doc_id"), col("term").as("term_a"))
-        .join(tb.select(col("doc_id"), col("term").as("term_b")), "doc_id")
-        .filter(col("term_a") < col("term_b"))
+        .select("term")
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("t"))
+      // window-bounded events: position i pairs with positions i+1..i+4
+      // (1-based slice start i+2), entirely inside codegen'd array HOFs
+      val events = base.select(explode(flatten(transform(col("arr"), (x, i) =>
+          transform(filter(slice(col("arr"), i + lit(2), lit(4)), y => y =!= x),
+                    y => struct(least(x, y).as("ta"), greatest(x, y).as("tb"))))))
+        .as("e"))
+        .select(col("e.ta").as("term_a"), col("e.tb").as("term_b"))
+      val p = events
+        .join(broadcast(band.select(col("term").as("term_a"))), "term_a")
+        .join(broadcast(band.select(col("term").as("term_b"))), "term_b")
         .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
-      p.join(broadcast(band.select(col("term").as("term_a"),
-                                   col("df").as("n_a"))), "term_a")
-        .join(broadcast(band.select(col("term").as("term_b"),
-                                    col("df").as("n_b"))), "term_b")
-        .crossJoin(broadcast(n))
+      // marginal attach: broadcast the bounded pair table into the
+      // vocabulary-sized tf scan (tf may not fit in a broadcast at
+      // open-web vocabulary; p always fits after the n_ab floor)
+      val withA = tf.select(col("term").as("term_a"), col("tf").as("n_a"))
+        .join(broadcast(p), "term_a")
+      val withB = tf.select(col("term").as("term_b"), col("tf").as("n_b"))
+        .join(broadcast(withA), "term_b")
+      withB
+        .crossJoin(broadcast(tot))
         .select(col("term_a"), col("term_b"), col("n_ab").cast("long").as("n_ab"),
-                round(log((col("n_ab").cast("double") * col("n")) /
+                round(log((col("n_ab").cast("double") * col("t")) /
                           (col("n_a").cast("double") * col("n_b"))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("n_ab").desc, col("term_a"), col("term_b"))
         .limit(30)
@@ -1665,7 +1793,8 @@ object TrainingData {
         |      JOIN c c1 ON c1.vec_id = t1.vec_id
         |      JOIN c c2 ON c2.vec_id = t2.vec_id)
         |SELECT qid, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(avg(pcos), 4) AS mean_pairwise_cos
+        |  floor(sum(CAST(round(pcos * 10000, 0) AS BIGINT)) / count(*) + 0.5)
+        |    / 10000.0 AS mean_pairwise_cos
         |FROM p GROUP BY qid""".stripMargin) { (s, d) =>
       val c = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1680,8 +1809,14 @@ object TrainingData {
               col("a.qid") === col("b.qid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.qid").as("qid"), cosine(col("a.v"), col("b.v")).as("pcos"))
         .groupBy("qid")
+        // q101's cross-engine spelling: sum 4dp-scaled integers, then
+        // explicit half-up division — avg() of doubles adds an
+        // accumulation-order hazard and round() implementations disagree
+        // on exact halves
         .agg(count(lit(1)).cast("long").as("n_pairs"),
-             round(avg("pcos"), 4).as("mean_pairwise_cos"))
+             (floor(sum(round(col("pcos") * 10000, 0).cast("long"))
+                    / count(lit(1)) + lit(0.5)) / lit(10000.0))
+               .as("mean_pairwise_cos"))
     },
 
     Q.noOracle("q103_mmr_rerank",
@@ -1690,8 +1825,9 @@ object TrainingData {
         "(1-lambda)*max_{s in S} sim(d,s) over a brute-force top-20 " +
         "candidate pool per query — the standard diversity fix for the " +
         "redundancy q102 measures. Scale shape: candidate generation is " +
-        "the distributed pass (one corpus scan, broadcast queries — or " +
-        "the q41 LSH path at billion-vector scale); the greedy loop is " +
+        "the distributed pass (one corpus scan, broadcast queries — " +
+        "q107 is the same greedy over the q41 LSH pool, the " +
+        "billion-vector spelling); the greedy loop is " +
         "O(k*pool) per query over a BOUNDED pool, run per-group via " +
         "mapGroups (the documented per-partition-imperative exception: " +
         "iterative argmax over <=20 rows has no declarative spelling). " +
@@ -1730,12 +1866,58 @@ object TrainingData {
              sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
              round(sum(when(col("df") === 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
                .as("hapax_share"))
+    },
+
+    Q.noOracle("q107_mmr_lsh",
+      "q103's MMR re-rank with its candidate pool drawn from the q41 " +
+        "multi-probe LSH path instead of the brute-force corpus scan — " +
+        "the composition that actually runs at billion-vector scale, " +
+        "where no brute pool exists. Candidate generation stays a bucket " +
+        "equi-join (probe expansion on the query side), the greedy loop " +
+        "stays O(k*pool) per query over the bounded pool. MmrSpec bounds " +
+        "it against ORACLED truth: the lambda=1 selection's recall vs " +
+        "q40's brute top-5 meets the q41 floor (>=0.6), and lambda=0.5 " +
+        "lists are never meaningfully more redundant than the " +
+        "brute-pooled q103 ones.") {
+      (s, d) => mmrRerankLsh(s, d, lambda = 0.5, pool = 20, k = 5)
     }
   )
 
-  /** q103 body, parameterized for MmrSpec's lambda sweep. */
+  /** q41's multi-probe SRP-LSH candidate set, reusable: every (query,
+    * corpus-vector) pair sharing a probed bucket in any of the 4 hash
+    * tables, with exact cosine attached — (qid, vec_id, cos, v). The
+    * probe expansion (Hamming<=2, 37 buckets/table) stays on the QUERY
+    * side so the candidate join is a bucket equi-join; q41 rank-filters
+    * this to its top-5, [[mmrRerankLsh]] draws its re-rank pool from it.
+    */
+  def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val tables = 4
+    // buckets within Hamming<=2 of the query signature: 1 + 8 + C(8,2)
+    val probeMasks: Seq[Long] =
+      0L +: ((0 until 8).map(b => 1L << b) ++
+             (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1L << a) | (1L << b)))
+    val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val tabbed = e.select(
+      col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), srp_sig(col("v"), 8, t).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val q = tabbed.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("sig"))
+      .withColumn("sig", explode(array(probeMasks.map(m =>
+        col("sig").bitwiseXOR(lit(m))): _*)))
+    tabbed.join(q, Seq("tbl", "sig"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"),
+              col("v"))
+  }
+
+  /** q103 body, parameterized for MmrSpec's lambda sweep: greedy MMR over
+    * the brute-force top-`pool` candidates.
+    */
   def mmrRerank(s: SparkSession, d: String, lambda: Double, pool: Int, k: Int): DataFrame = {
-    import s.implicits._
     val c = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
     val q = c.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
@@ -1744,7 +1926,32 @@ object TrainingData {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= pool)
       .select(col("qid"), col("vec_id"), col("cos"), col("v"))
-      .as[(Long, Long, Double, Seq[Double])]
+    mmrGreedy(s, cand, lambda, k)
+  }
+
+  /** q107 body: MMR whose candidate pool comes from the q41 multi-probe
+    * LSH path instead of the brute-force scan — the spelling that
+    * survives billion-vector corpora, where the brute pool is
+    * unavailable. Same greedy, same bounds machinery (MmrSpec ties its
+    * recall to q40's oracled truth via the q41 floor).
+    */
+  def mmrRerankLsh(s: SparkSession, d: String, lambda: Double, pool: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val cand = lshCandidates(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= pool)
+      .select(col("qid"), col("vec_id"), col("cos"), vecd(col("v")).as("v"))
+    mmrGreedy(s, cand, lambda, k)
+  }
+
+  /** Shared greedy MMR selection over a BOUNDED per-query candidate frame
+    * (qid, vec_id, cos, v) — the documented per-partition-imperative
+    * exception: iterative argmax over <=pool rows has no declarative
+    * spelling.
+    */
+  private def mmrGreedy(s: SparkSession, candDf: DataFrame, lambda: Double, k: Int): DataFrame = {
+    import s.implicits._
+    val cand = candDf.as[(Long, Long, Double, Seq[Double])]
     def cosLocal(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -1782,8 +1989,10 @@ object TrainingData {
           scores += bestScore
         }
         picked.zipWithIndex.map { case (idx, r) =>
+          // repo rounding convention (q101): explicit half-up, not
+          // rint's half-to-even — keeps q103 oracle-able later
           (qid, cands(idx)._1, (r + 1).toLong,
-           math.rint(scores(r) * 10000) / 10000)
+           math.floor(scores(r) * 10000 + 0.5) / 10000)
         }
       }
       .toDF("qid", "vec_id", "rk", "mmr_score")

@@ -220,18 +220,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       }
       assert(p99.toString.contains("BroadcastHashJoin"),
              "q99 docs must rejoin the value table by broadcast")
-      // q100: pair generation is an equi-join on doc_id; the df-band
-      // prefilter and marginals come back as broadcasts — the only
-      // nested-loop allowed is the 1-row corpus-count scalar
+      // q100: window-bounded pair generation is a pure array-HOF
+      // projection (linear in doc length — no doc_id self-join anywhere);
+      // the df-band prefilter and the bounded pair table broadcast, and
+      // the only nested-loop allowed is the 1-row token-total scalar
       val p100 = plan("q100_pmi_collocations")
       assert(!p100.contains("CartesianProduct"),
              s"q100 pair generation degenerated to a cross product:\n$p100")
+      assert(!p100.contains("SortMergeJoin"),
+             s"q100 must not shuffle-join (band/pair tables broadcast):\n$p100")
       assert(p100.contains("BroadcastHashJoin"),
              s"q100 band/marginal joins must broadcast:\n$p100")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
-  test("q101/q102/q104: round-7 ops keep scale-safe shapes") {
+  test("q101/q102/q104: round-6 ops keep scale-safe shapes") {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -268,6 +271,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         .find(l => l.contains("Project") && l.contains("age_weeks"))
       assert(weightLine.exists(_.contains("*(")),
              s"q104 weight math must stay inside codegen:\n$p104")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("q40/q102: per-qid top-k keeps a partial WindowGroupLimit below the shuffle") {
+    // Spark 4 plans `row_number() <= k` as a pair of WindowGroupLimit
+    // nodes — a map-side Partial BELOW the qid exchange and a Final above
+    // it — so each input partition forwards at most k rows per qid into
+    // the shuffle. qid is low-cardinality by construction, so losing the
+    // partial (e.g. by filtering on a derived rank column Catalyst can't
+    // see through) silently degrades to a full per-qid sort of the whole
+    // candidate set. Pin it for the per-qid top-k family (q40, q41, q54,
+    // q102, q103 candidate gen — q40/q102 stand in for the shared shape).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q40_ann_brute", "q102_topk_diversity")) {
+        val lines = plan(q).linesIterator.toSeq
+        val limits = lines.zipWithIndex.collect {
+          case (l, i) if l.contains("WindowGroupLimit") => i
+        }
+        assert(limits.length >= 2,
+               s"$q lost the WindowGroupLimit rank-limit pattern:\n${lines.mkString("\n")}")
+        val exch = lines.indexWhere(l =>
+          l.contains("Exchange hashpartitioning(qid"))
+        assert(exch >= 0, s"$q window exchange not found:\n${lines.mkString("\n")}")
+        // plans print top-down: the map-side partial sits BELOW the
+        // exchange in the tree, i.e. later in the string
+        assert(limits.last > exch,
+               s"$q partial WindowGroupLimit must run map-side, before the shuffle:\n${lines.mkString("\n")}")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 

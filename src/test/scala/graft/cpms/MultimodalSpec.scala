@@ -166,6 +166,138 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodePpm(10L, bad).isEmpty)
   }
 
+  // --- PNG fixtures ----------------------------------------------------
+  // Test-side PNG ENCODER: builds a spec-correct PNG byte-by-byte with a
+  // chosen filter type per scanline, so every unfilter branch
+  // (None/Sub/Up/Average/Paeth) is exercised against known pixels.
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length)
+    bb.put(typ.getBytes("US-ASCII"))
+    bb.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def pngFixture(w: Int, h: Int, colorType: Int, filters: Seq[Int],
+                         px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val rows = Array.tabulate(h) { y =>
+      val r = new Array[Int](stride)
+      for (x <- 0 until w) {
+        val (rr, gg, bb) = px(x, y)
+        r(x * bpp) = rr; r(x * bpp + 1) = gg; r(x * bpp + 2) = bb
+        if (bpp == 4) r(x * bpp + 3) = 255
+      }
+      r
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = filters(y % filters.length)
+      filtered.write(ft)
+      for (x <- 0 until stride) {
+        val a = if (x >= bpp) rows(y)(x - bpp) else 0
+        val b = if (y > 0) rows(y - 1)(x) else 0
+        val c = if (x >= bpp && y > 0) rows(y - 1)(x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered.write((rows(y)(x) - pred) & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte); ihdr.put(colorType.toByte)
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", comp.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private val pngPx: (Int, Int) => (Int, Int, Int) =
+    (x, y) => ((x * 40 + y * 10) % 256, (x * 7 + y * 90) % 256, (x * 130 + y * 3) % 256)
+
+  test("real PNG codec: every filter type (0-4) unfilters to exact pixel features") {
+    val w = 3; val h = 5
+    val row = Multimodal.decodePng(11L, pngFixture(w, h, 2, Seq(0, 1, 2, 3, 4), pngPx))
+      .getOrElse(fail("PNG fixture not recognized by the real codec"))
+    assert(row.getInt(2) === w && row.getInt(3) === h)
+    val feat = row.getSeq[Float](5)
+    val pix = for { y <- 0 until h; x <- 0 until w } yield pngPx(x, y)
+    val n = (w * h).toDouble
+    assert(math.abs(feat(0) - pix.map(_._1).sum / n / 255) < 1e-6)
+    assert(math.abs(feat(1) - pix.map(_._2).sum / n / 255) < 1e-6)
+    assert(math.abs(feat(2) - pix.map(_._3).sum / n / 255) < 1e-6)
+    assert(feat(4) > 0.0f, "luma std must be positive for a non-flat image")
+  }
+
+  test("real PNG codec: RGBA decodes with alpha ignored — features equal the RGB twin") {
+    val rgb = Multimodal.decodePng(12L, pngFixture(4, 4, 2, Seq(1, 4), pngPx))
+      .getOrElse(fail("RGB PNG not recognized"))
+    val rgba = Multimodal.decodePng(13L, pngFixture(4, 4, 6, Seq(1, 4), pngPx))
+      .getOrElse(fail("RGBA PNG not recognized"))
+    assert(rgb.getSeq[Float](5) === rgba.getSeq[Float](5))
+  }
+
+  test("real PNG codec: agrees with a reference encoder (ImageIO) on random content") {
+    val rnd = new scala.util.Random(42)
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+      sumR += r; sumG += g; sumB += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out), "ImageIO PNG writer unavailable")
+    val row = Multimodal.decodePng(14L, out.toByteArray)
+      .getOrElse(fail("ImageIO-encoded PNG not recognized by the real codec"))
+    assert(row.getInt(2) === w && row.getInt(3) === h)
+    val feat = row.getSeq[Float](5)
+    val n = (w * h).toDouble
+    assert(math.abs(feat(0) - sumR / n / 255) < 1e-6)
+    assert(math.abs(feat(1) - sumG / n / 255) < 1e-6)
+    assert(math.abs(feat(2) - sumB / n / 255) < 1e-6)
+  }
+
+  test("forged/unsupported PNGs are rejected to the stub, not crashed on") {
+    val good = pngFixture(3, 3, 2, Seq(0), pngPx)
+    // forged IHDR dims: decompressed size must be bounded BEFORE allocation
+    val huge = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(huge)
+    bb.putInt(16, 0x40000000); bb.putInt(20, 0x40000000)
+    assert(Multimodal.decodePng(1L, huge).isEmpty)
+    // truncated IDAT (short zlib stream) and truncated chunk framing
+    assert(Multimodal.decodePng(2L, good.dropRight(20)).isEmpty)
+    // interlaced and palette images are not this codec's business
+    val interlaced = good.clone(); interlaced(28) = 1
+    assert(Multimodal.decodePng(3L, interlaced).isEmpty)
+    val palette = good.clone(); palette(25) = 3
+    assert(Multimodal.decodePng(4L, palette).isEmpty)
+    // the full chain falls back to the stub instead of throwing
+    assert(Multimodal.decodeOne(5L, "image", huge).getSeq[Float](5).length === 8)
+    // and a well-formed PNG dispatches to the REAL codec end to end
+    assert(Multimodal.decodeOne(6L, "image", good).getInt(2) === 3)
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()

@@ -89,4 +89,38 @@ class MmrSpec extends AnyFunSuite with SparkSpec {
     assert(divMmr.keys.exists(k => divMmr(k) < divTop(k) - 1e-6),
            "diversity term had no effect on any query list")
   }
+
+  test("q107: LSH-pooled MMR meets the q41 recall floor vs oracled truth, stays diverse") {
+    // lambda=1 collapses to relevance-only, i.e. the q41 top-5 — its
+    // recall against q40's ORACLE-VERIFIED brute top-5 must meet the
+    // same floor RecallSpec pins for q41
+    val brute = SparkEntry.queries("q40_ann_brute")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshTop = TrainingData.mmrRerankLsh(spark, sf, lambda = 1.0, pool = 20, k = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lshTop.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.6, f"LSH-pooled MMR recall $recall%.3f below the q41 floor 0.6")
+
+    // lambda=0.5: k distinct picks per query, and never meaningfully more
+    // redundant than the brute-pooled q103 variant (the pools differ, so
+    // allow a small eps rather than strict dominance)
+    val mmrLsh = TrainingData.mmrRerankLsh(spark, sf, lambda = 0.5, pool = 20, k = 5)
+    mmrLsh.groupBy("qid")
+      .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("nd"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 5L && r.getLong(2) === 5L,
+               s"qid ${r.getLong(0)}: expected 5 distinct picks")
+      }
+    val divLsh = meanPairwiseCos(mmrLsh.select("qid", "vec_id"))
+    val divBrutePool = meanPairwiseCos(
+      TrainingData.mmrRerank(spark, sf, lambda = 0.5, pool = 20, k = 5)
+        .select("qid", "vec_id"))
+    assert(divLsh.keySet === divBrutePool.keySet)
+    divLsh.keys.foreach { k =>
+      assert(divLsh(k) <= divBrutePool(k) + 0.05,
+             s"qid $k: LSH-pooled MMR list redundant beyond eps of the brute-pooled one")
+    }
+  }
 }
