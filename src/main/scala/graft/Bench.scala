@@ -12,12 +12,17 @@ import org.apache.spark.sql.SparkSession
   *    without reading data, which would under-report scan cost;
   *  - untimed warmups (one per major table/codegen family) amortize
   *    session/codegen/JIT startup;
-  *  - each query samples at least twice and reports the min; when the two
-  *    best samples disagree by more than 25% the query re-samples (up to 4
-  *    total) — on a shared VM a single descheduled sample otherwise shows
-  *    up as a fake multi-x "regression" (the round-6 bench recorded 3-5x
-  *    on nine queries that two clean back-to-back runs could not
-  *    reproduce);
+  *  - sampling is organized as FULL INTERLEAVED PASSES over the whole
+  *    registry (two passes, then up to two retry passes over queries whose
+  *    best two samples still disagree by >25%), and each query reports its
+  *    min across passes. Back-to-back samples of the same query share any
+  *    sustained slow phase of a noisy shared VM (GC, a co-tenant burst),
+  *    which round 6/7 measured as fake 3-5x "regressions" sweeping
+  *    DIFFERENT contiguous registry ranges on consecutive runs (per-run
+  *    totals 44.71 vs 44.72 s, per-query swings 5x both directions;
+  *    min across the two runs landed within 3% of the round-5 shared-set
+  *    total). Interleaving puts ~minutes between a query's samples, so a
+  *    slow phase must span the entire bench to bias a min;
   *  - local[32] with shuffle.partitions=32 and AQE mirrors the grading
   *    harness and the per-executor parallelism of a real cluster.
   */
@@ -46,18 +51,24 @@ object Bench {
     for (w <- Seq("q12_group_agg_wide", "q37_simhash_neardup", "q40_ann_brute"))
       SparkEntry.queries.get(w).foreach(q => runOnce(q))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t =
-        try {
-          val samples = scala.collection.mutable.ArrayBuffer(runOnce(fn), runOnce(fn))
-          // stability gate: the two best samples must agree within 25%,
-          // else keep sampling (cap 4) — filters one-off VM hiccups
-          while (samples.length < 4 && {
-                   val s = samples.sorted; s(1) > s(0) * 1.25
-                 }) samples += runOnce(fn)
-          samples.min
-        } catch { case _: Throwable => -1.0 }
-      name -> t
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    def sample(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+      for ((name, fn) <- subset)
+        try samples(name) += runOnce(fn)
+        catch { case _: Throwable => samples(name) += -1.0 }
+    def unstable = queries.filter { case (n, _) =>
+      val s = samples(n).filter(_ >= 0).sorted
+      s.length < 2 || s(1) > s(0) * 1.25
+    }
+    sample(queries) // pass 1
+    sample(queries) // pass 2, minutes later for any given query
+    var retries = 0
+    while (retries < 2 && unstable.nonEmpty) { sample(unstable); retries += 1 }
+    val results = queries.map { case (name, _) =>
+      val ok = samples(name).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // The grading harness keeps only the last ~2000 chars of stdout, so the

@@ -1,0 +1,315 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Compress.deflate_ratio
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-run preparation operators — the last mile between a curated
+  * corpus and a tokenized training shard: sequence packing, context-window
+  * chunking, n-gram language-model scoring (perplexity filtering),
+  * per-source distribution-drift audits, compressibility quality flags,
+  * and PII detection/redaction. Extension surface beyond the reference
+  * (which stops at per-row scoring, src/ingestion.py:21-38); these are the
+  * operations a 100 TB pretraining pipeline runs AFTER curation and
+  * BEFORE the tokenizer.
+  *
+  * Scale notes: everything here is linear in token count — array
+  * higher-order functions inside codegen for per-doc work, hash shuffles
+  * on bounded keys ((term), (term_a, term_b), (source)) for the corpus
+  * statistics, broadcast for scalars only. No operator materializes
+  * per-pair or per-vocabulary state on the driver.
+  */
+object Prep {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def tokens(c: Column): Column = split(c, " ")
+  private def spread(df: DataFrame): DataFrame = TrainingData.spread(df)
+
+  /** GPT-style packing budget (tokens per training sequence). */
+  val PackBudget = 512L
+  /** Context-window chunking geometry: window, stride (overlap = 16). */
+  val ChunkLen = 64L
+  val ChunkStride = 48L
+
+  // PII patterns — RE2-compatible (no backtracking constructs) so the
+  // exact same strings run under Java regex and the DuckDB oracle.
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact the three PII classes in `c` (emails, NANP phone numbers,
+    * dotted-quad IPs) with typed placeholder tags. Order is
+    * email → phone → ip so the later numeric patterns can never match
+    * inside an address that an earlier pass already collapsed.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      Ipv4Pat, "<IP>")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q108_sequence_pack",
+      "GPT-style sequence packing layout: concatenate each shard's " +
+        "documents in doc_id order and split the token stream every " +
+        "512 tokens; emit, per document, the bin span it lands in " +
+        "(first_bin/last_bin/n_bins). The packing plan a trainer uses " +
+        "to build fixed-length sequences without padding waste. Scale " +
+        "shape: ONE window (cumulative token count) partitioned by the " +
+        "shard key `source` and ordered by doc_id — per-shard sequential " +
+        "semantics with cross-shard parallelism, exactly how a 1000-" +
+        "executor packer shards the corpus; all arithmetic is exact " +
+        "integer floor-division, so the oracle matches bit-for-bit.",
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |             AS BIGINT) AS end_off
+        |      FROM t)
+        |SELECT source, doc_id, n_tok,
+        |  (end_off - n_tok) // 512 AS first_bin,
+        |  (end_off - 1) // 512 AS last_bin,
+        |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
+        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val t = docs(s, d).select(
+        col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val b = lit(PackBudget)
+      t.withColumn("end_off", sum("n_tok").over(w))
+        .select(
+          col("source"), col("doc_id"), col("n_tok"),
+          floor((col("end_off") - col("n_tok")) / b).as("first_bin"),
+          floor((col("end_off") - 1) / b).as("last_bin"),
+          (floor((col("end_off") - 1) / b) -
+            floor((col("end_off") - col("n_tok")) / b) + 1).as("n_bins"))
+    },
+
+    Q("q109_doc_chunks",
+      "Context-window chunking: split every document into 64-token " +
+        "windows at stride 48 (16-token overlap so no span is ever cut " +
+        "without context), the standard retrieval/embedding prep for " +
+        "long documents. Emits (doc_id, chunk_idx, token count, md5 of " +
+        "the chunk text). Scale shape: chunk COUNT is computed " +
+        "arithmetically, chunk BODIES by array slice — both inside " +
+        "codegen'd projections over the token array, linear in doc " +
+        "length with no shuffle at all until the (free) final ordering; " +
+        "a 100k-token doc emits ~2k rows, never a cross product.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n,
+        |        CASE WHEN len(tok) <= 64 THEN 1
+        |             ELSE 1 + (CAST(len(tok) AS BIGINT) - 64 + 47) // 48 END AS nc
+        |      FROM t)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(len(tok[CAST(ci*48+1 AS BIGINT) : CAST(ci*48+64 AS BIGINT)])
+        |       AS BIGINT) AS chunk_tok,
+        |  md5(array_to_string(
+        |        tok[CAST(ci*48+1 AS BIGINT) : CAST(ci*48+64 AS BIGINT)], ' '))
+        |    AS chunk_md5
+        |FROM b CROSS JOIN LATERAL unnest(range(nc)) AS u(ci)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val c = lit(ChunkLen)
+      val st = lit(ChunkStride)
+      val b = spread(docs(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .withColumn("n", size(col("tok")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= c, lit(1L))
+            .otherwise(lit(1L) + floor((col("n") - c + st - 1) / st)))
+      val chunk = slice(
+        col("tok"), (col("chunk_idx") * st + 1).cast("int"), c.cast("int"))
+      b.select(col("doc_id"), col("tok"),
+               explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+                size(chunk).cast("long").as("chunk_tok"),
+                md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+    },
+
+    Q("q110_bigram_lm_score",
+      "Bigram language-model scoring (self-perplexity): train add-one-" +
+        "smoothed bigram counts on the corpus, score every document by " +
+        "its average negative log-likelihood — the CCNet-style " +
+        "perplexity filter that ranks documents by how 'surprising' " +
+        "they are to a model of the corpus itself (high nll = off-" +
+        "distribution or garbled, low = templated). Scale shape: bigram " +
+        "events are a linear zip_with projection (no self-join); the " +
+        "count tables shuffle on (a,b) and (a) with map-side partials; " +
+        "the vocabulary size joins as a broadcast scalar. Cross-engine " +
+        "determinism: each event's ln contribution is rounded half-up " +
+        "to a 1e-6-scaled BIGINT before summation, so accumulation " +
+        "order cannot flip the oracle hash (the q101 convention).",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |bg AS (SELECT doc_id, tok[CAST(i+1 AS BIGINT)] AS a,
+        |              tok[CAST(i+2 AS BIGINT)] AS b
+        |       FROM t CROSS JOIN LATERAL unnest(range(len(tok)-1)) AS u(i)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1,2),
+        |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+        |contrib AS (SELECT bg.doc_id,
+        |    CAST(floor(ln((c_ab + 1.0) / (c_a + v.v)) * 1000000 + 0.5)
+        |         AS BIGINT) AS c
+        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-sum(c) / (1000000.0 * count(*)), 4) AS nll
+        |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = spread(docs(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+      val bg = t.select(col("doc_id"), explode(
+          filter(
+            zip_with(
+              col("tok"),
+              slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+              (a, b) => struct(a.as("a"), b.as("b"))),
+            p => p.getField("b").isNotNull)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val v = docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      val contrib = bg
+        .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+            * 1000000 + 0.5).cast("long").as("c"))
+      contrib.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+             round((sum("c") * -1) / (lit(1000000.0) * count(lit(1))), 4)
+               .as("nll"))
+    },
+
+    Q.noOracle("q111_compress_quality",
+      "Deflate-compressibility quality flags: compressed/raw byte ratio " +
+        "per document (zlib deflate, level 6) — heavily templated or " +
+        "repetitive text compresses far below natural prose, so a low " +
+        "ratio is the standard machine-generated/boilerplate signal " +
+        "(Gopher-family quality rules) complementing q32's token-" +
+        "statistic score. No SQL oracle (DuckDB has no deflate); " +
+        "PrepSpec pins determinism, bounds, and the repetitive<prose " +
+        "ordering of the signal. Scale " +
+        "shape: one codegen'd scalar per row via a thread-local " +
+        "Deflater (no per-row 64 KiB state allocation), zero shuffles " +
+        "before the per-source rollup.") { (s, d) =>
+      spread(docs(s, d))
+        .select(col("source"),
+                round(deflate_ratio(col("text")), 4).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             round(avg("r"), 4).as("avg_ratio"),
+             round(min("r"), 4).as("min_ratio"),
+             sum(when(col("r") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("source")
+    },
+
+    Q("q112_source_drift_kl",
+      "Per-source distribution drift: KL divergence of each source's " +
+        "unigram term distribution from the corpus-wide distribution — " +
+        "the mixing-audit that flags a crawl slice whose vocabulary has " +
+        "shifted (spam influx, template takeover, language drift) " +
+        "before it contaminates a training mix. Scale shape: one token " +
+        "shuffle to (source, term) counts with map-side partials, then " +
+        "shuffle joins on the bounded keys (source) and (term) — the " +
+        "corpus marginal table is vocabulary-sized and NEVER broadcast; " +
+        "only the single-row total is. Determinism: per-term " +
+        "contributions p*ln(p/q) are rounded half-up to 1e-8-scaled " +
+        "BIGINTs before the per-source sum (the q101 convention), so " +
+        "reducer order cannot flip the oracle hash.",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+        |       FROM tok GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+        |contrib AS (SELECT st.source,
+        |   CAST(floor((CAST(n_st AS DOUBLE) / n_s) *
+        |              ln((CAST(n_st AS DOUBLE) * n) /
+        |                 (CAST(n_s AS DOUBLE) * n_t)) * 100000000 + 0.5)
+        |        AS BIGINT) AS c
+        | FROM st JOIN s USING (source) JOIN ct USING (term) CROSS JOIN tot)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(c) / 100000000.0, 4) AS kl
+        |FROM contrib GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = spread(docs(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
+      val byTerm = st.groupBy("term").agg(sum("n_st").as("n_t"))
+      val tot = st.agg(sum("n_st").as("n"))
+      st.join(bySrc, "source").join(byTerm, "term")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor((col("n_st").cast("double") / col("n_s")) *
+            log((col("n_st").cast("double") * col("n")) /
+                (col("n_s").cast("double") * col("n_t"))) * 100000000 + 0.5)
+            .cast("long").as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+             round(sum("c") / lit(100000000.0), 4).as("kl"))
+    },
+
+    Q("q113_pii_redact",
+      "PII detection and redaction: count and strip emails, NANP phone " +
+        "numbers, and dotted-quad IPs with typed placeholder tags — the " +
+        "compliance pass every published-corpus pipeline runs before " +
+        "release. The synthetic corpus carries no organic PII, so the " +
+        "query plants one deterministic instance of each class per " +
+        "document (derived from doc_id, identically in both engines) " +
+        "and then proves detection counts and the redacted-text hash " +
+        "match; the operator under test is [[Prep.redactPii]], whose " +
+        "patterns are RE2-safe so Java regex and the oracle agree. " +
+        "Scale shape: pure per-row regex projection inside codegen — " +
+        "zero shuffles, linear in corpus bytes, trivially partitionable.",
+      """WITH raw AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id % 97 AS VARCHAR) ||
+        |    '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.org call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |    '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 3) % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+        |    AS red_md5
+        |FROM raw ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val t = concat(
+        col("text"), lit(" contact user"), (id % 97).cast("string"),
+        lit("@mail"), (id % 7).cast("string"),
+        lit(".org call +1-555-"), lpad((id % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((id * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from "), (id % 223 + 1).cast("string"),
+        lit("."), (id % 256).cast("string"),
+        lit("."), ((id * 3) % 256).cast("string"),
+        lit("."), ((id * 7) % 256).cast("string"))
+      spread(docs(s, d)).select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailPat), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(PhonePat), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(Ipv4Pat), lit(0)))
+            .cast("long").as("n_ip"),
+          md5(redactPii(col("t")).cast("binary")).as("red_md5"))
+    }
+  )
+}

@@ -1708,16 +1708,22 @@ object TrainingData {
         |ORDER BY pmi DESC, n_ab DESC, term_a, term_b
         |LIMIT 30""".stripMargin) { (s, d) =>
       val base = spread(docs(s, d)).select(col("doc_id"), tokens(col("text")).as("arr"))
-      val tok = base.select(explode(col("arr")).as("term"))
       val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
-      val dfT = base
-        .select(explode(array_distinct(col("arr"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val band = dfT.crossJoin(broadcast(n))
+      // ONE corpus pass for every term statistic: per-(doc, term) counts
+      // first (map-side partials collapse a doc's repeats in place), then
+      // tf = sum of those counts and df = their cardinality from the same
+      // bounded table — the previous spelling re-tokenized the corpus
+      // three times (df, tf, and the token total each had their own
+      // explode) and the total is just sum(tf), no pass at all.
+      val dt = base.select(col("doc_id"), explode(col("arr")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val stats = dt.groupBy("term")
+        .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      val band = stats.crossJoin(broadcast(n))
         .filter(col("df") >= 5 && col("df") <= lit(0.9) * col("n"))
         .select("term")
-      val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
-      val tot = tok.agg(count(lit(1)).cast("double").as("t"))
+      val tf = stats.select("term", "tf")
+      val tot = stats.agg(sum("tf").cast("double").as("t"))
       // window-bounded events: position i pairs with positions i+1..i+4
       // (1-based slice start i+2), entirely inside codegen'd array HOFs
       val events = base.select(explode(flatten(transform(col("arr"), (x, i) =>

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Compress
+import graft.functions.Compress.deflate_ratio
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the training-prep operators (q108-q113) beyond the
+  * DuckDB oracles: packing-layout algebra, chunk coverage/overlap
+  * geometry, deflate-signal behavior (no SQL oracle exists for q111),
+  * and redaction completeness.
+  */
+class PrepSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q108: packing layout is gapless and bin spans match token arithmetic") {
+    val rows = q("q108_sequence_pack")
+      .orderBy("source", "doc_id")
+      .collect()
+    assert(rows.length === 500)
+    val bySrc = rows.groupBy(_.getString(0))
+    for ((_, docs) <- bySrc) {
+      var off = 0L
+      for (r <- docs) {
+        val (nTok, first, last, nBins) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(first === off / Prep.PackBudget)
+        assert(last === (off + nTok - 1) / Prep.PackBudget)
+        assert(nBins === last - first + 1)
+        off += nTok
+      }
+    }
+  }
+
+  test("q109: chunks cover every token and overlap by exactly the stride gap") {
+    val chunks = q("q109_doc_chunks").collect()
+    val nTok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet === nTok.keySet) // every doc chunked, none invented
+    for ((doc, cs) <- byDoc) {
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) === 0L)
+      // chunk ci covers positions [ci*stride, ci*stride + chunk_tok)
+      val covered = sorted.map { r =>
+        val start = r.getLong(1) * Prep.ChunkStride
+        (start, start + r.getLong(2))
+      }
+      assert(covered.head._1 === 0L)
+      assert(covered.last._2 === n) // last chunk ends exactly at doc end
+      covered.sliding(2).foreach {
+        case Array((s1, e1), (s2, _)) =>
+          assert(s2 === s1 + Prep.ChunkStride) // fixed stride
+          assert(s2 < e1) // strictly overlapping windows
+        case _ => ()
+      }
+    }
+  }
+
+  test("deflate_ratio: deterministic, bounded, and orders repetitive below prose") {
+    val rep = UTF8String.fromString(("spam ham " * 200).trim)
+    val prose = UTF8String.fromString(
+      (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" "))
+    val r1 = Compress.deflateRatio(rep)
+    val r2 = Compress.deflateRatio(rep)
+    assert(r1 === r2) // deterministic
+    assert(r1 > 0.0 && r1 < 0.1) // 2-word template compresses away
+    val p = Compress.deflateRatio(prose)
+    assert(p > r1 * 3) // diverse text is far less compressible
+    assert(Compress.deflateRatio(UTF8String.fromString("")) === 1.0)
+    // expression path (codegen) agrees with the direct call
+    val viaExpr = spark.range(1).select(
+      deflate_ratio(lit(("spam ham " * 200).trim))).head.getDouble(0)
+    assert(viaExpr === r1)
+  }
+
+  test("q111: per-source rollup flags the corpus as highly compressible word-salad") {
+    val rows = q("q111_compress_quality").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val avg = r.getDouble(2)
+      assert(avg > 0.0 && avg < 1.0, s"ratio out of range: $avg")
+      assert(r.getLong(1) === 25L)
+    }
+  }
+
+  test("redactPii leaves no detectable PII behind") {
+    val df = q("q113_pii_redact")
+    assert(df.count() === 500)
+    // counts: exactly one planted instance of each class per doc
+    val bad = df.filter(
+      col("n_email") =!= 1 || col("n_phone") =!= 1 || col("n_ip") =!= 1)
+    assert(bad.count() === 0)
+    // re-scan the REDACTED text: all three patterns must be gone
+    val id = col("doc_id")
+    val planted = concat(
+      col("text"), lit(" contact user"), (id % 97).cast("string"),
+      lit("@mail"), (id % 7).cast("string"),
+      lit(".org call +1-555-"), lpad((id % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad(((id * 7) % 10000).cast("string"), 4, "0"),
+      lit(" from "), (id % 223 + 1).cast("string"),
+      lit("."), (id % 256).cast("string"),
+      lit("."), ((id * 3) % 256).cast("string"),
+      lit("."), ((id * 7) % 256).cast("string"))
+    val red = graft.Tables.documents(spark, sf)
+      .select(Prep.redactPii(planted).as("t"))
+    val leftover = red.filter(
+      col("t").rlike(Prep.EmailPat) || col("t").rlike(Prep.PhonePat) ||
+        col("t").rlike(Prep.Ipv4Pat))
+    assert(leftover.count() === 0)
+    // and the placeholders are present
+    assert(red.filter(!col("t").contains("<EMAIL>") ||
+      !col("t").contains("<PHONE>") || !col("t").contains("<IP>")).count() === 0)
+  }
+
+  test("q110: nll is finite and positive for every scored doc") {
+    val rows = q("q110_bigram_lm_score").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0)
+    }
+  }
+}
