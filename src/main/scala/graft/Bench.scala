@@ -36,6 +36,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; 113 queries x
+      // several codegen stages each evict EVERYTHING between a query's
+      // interleaved samples, so every sample would re-pay janino
+      // compilation (~0.1-0.2 s/stage — a uniform +45% on the first
+      // interleaved run). Steady-state execution is what the bench is
+      // after; compilation amortizes to nothing over a real corpus.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -236,13 +236,23 @@ object Curation {
     * and filtered to keepers. Near-dup clustering stays a batch compaction
     * job over the accumulated corpus (q64): pair graphs need the whole
     * corpus, not a stream window.
+    *
+    * `redactPii = true` runs [[Prep.redactPii]] BEFORE the content hash,
+    * so two crawls of the same page differing only in injected PII
+    * (rotating session emails, per-visitor IPs in footers) dedup together
+    * — redact-then-hash is the order a compliance pipeline wants, and the
+    * same codegen'd expression serves the batch q113 path bit-identically.
     */
   def ingestStream(docs: org.apache.spark.sql.DataFrame,
-                   horizon: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+                   horizon: String = "1 hour",
+                   redactPii: Boolean = false): org.apache.spark.sql.DataFrame = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
     val h = substring(md5(col("text")), 1, 1)
-    docs
+    val base =
+      if (redactPii) docs.withColumn("text", Prep.redactPii(col("text")))
+      else docs
+    base
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")

@@ -241,7 +241,12 @@ object Prep {
         .select(col("source"), explode(tokens(col("text"))).as("term"))
       val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
       val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
+      // the term marginal is vocabulary-sized: hint it onto the shuffle
+      // path (co-partitioned with st on term, no sort) — the planner's
+      // auto-broadcast at toy scale is exactly the shape that OOMs the
+      // executors at open-web vocabulary, and PlanSpec pins it out
       val byTerm = st.groupBy("term").agg(sum("n_st").as("n_t"))
+        .hint("shuffle_hash")
       val tot = st.agg(sum("n_st").as("n"))
       st.join(bySrc, "source").join(byTerm, "term")
         .crossJoin(broadcast(tot))

@@ -328,6 +328,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b), "bloom-pruned output diverged from q80")
   }
 
+  test("q108/q109/q112/q113: round-7 prep ops keep scale-safe shapes") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q108: the packing layout is ONE hash shuffle (the per-shard
+      // window on `source`) — any second hashpartitioning exchange means
+      // the cumulative sum stopped reusing the shard partitioning
+      val p108 = plan("q108_sequence_pack")
+      val shuffles108 = p108.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles108 === 1,
+             s"q108 must shuffle exactly once (the shard window):\n$p108")
+      assert(p108.contains("Window"), s"q108 lost its window:\n$p108")
+      // q109/q113: pure per-row projections — chunk generation and PII
+      // redaction must not shuffle at all (spread()'s round-robin rebalance
+      // is not a hash shuffle and carries no per-key state)
+      for (q <- Seq("q109_doc_chunks", "q113_pii_redact")) {
+        val p = plan(q)
+        assert(!p.contains("Exchange hashpartitioning"),
+               s"$q is per-row work and must not hash-shuffle:\n$p")
+      }
+      // q111's deflate scalar must stay inside whole-stage codegen
+      val p111 = plan("q111_compress_quality")
+      val defLine = p111.linesIterator
+        .filter(l => l.contains("deflate_ratio(") && !l.contains("FileScan")).toSeq
+      assert(defLine.nonEmpty && defLine.forall(_.contains("*(")),
+             s"deflate_ratio fell out of codegen:\n$p111")
+      // q112: only the 1-row corpus total broadcasts; the vocabulary-sized
+      // (term) marginal join must stay a shuffle join, never a broadcast
+      val p112 = plan("q112_source_drift_kl")
+      assert(p112.contains("BroadcastNestedLoopJoin"),
+             s"q112 total must ride as a broadcast scalar:\n$p112")
+      val termBroadcast = p112.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("term"))
+      assert(termBroadcast.isEmpty,
+             s"q112 vocabulary marginal must not broadcast:\n${termBroadcast.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")

@@ -120,6 +120,29 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
       !col("t").contains("<PHONE>") || !col("t").contains("<IP>")).count() === 0)
   }
 
+  test("ingestStream(redactPii=true): redact-then-hash dedups re-crawls that differ only in PII") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, java.sql.Timestamp)]
+    val named = mem.toDF().toDF("doc_id", "text", "lang", "source", "ts")
+    val q = Curation.ingestStream(named, redactPii = true).writeStream
+      .outputMode("append").format("memory").queryName("prep_ingest_out").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val page = Array.fill(32)("the value is").mkString(" ")
+    // same page crawled twice with rotating injected PII — only the
+    // session email/IP differ, so redact-then-hash must collapse them
+    mem.addData((1L, page + " contact a@x.org from 10.1.2.3", "en", "crawl", ts))
+    mem.addData((2L, page + " contact b@y.org from 10.9.9.9", "en", "crawl", ts))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("prep_ingest_out").collect()
+    assert(out.length === 1, s"expected 1 kept doc after PII-blind dedup, got ${out.length}")
+    val text = out.head.getAs[String]("text")
+    assert(text.contains("<EMAIL>") && text.contains("<IP>"))
+    assert(!text.contains("a@x.org") && !text.contains("10.1.2.3"))
+  }
+
   test("q110: nll is finite and positive for every scored doc") {
     val rows = q("q110_bigram_lm_score").collect()
     assert(rows.length === 500)
