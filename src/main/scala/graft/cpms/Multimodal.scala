@@ -10,13 +10,13 @@ import org.apache.spark.sql.types._
   * frame-sampling as partition-parallel transforms.
   *
   * The decode step dispatches on payload magic bytes: uncompressed 24-bit
-  * BMP, binary PPM (P6), and 8-bit RGB/RGBA PNG payloads go through a
-  * REAL pure-JVM codec ([[decodeBmp]]/[[decodePpm]]/[[decodePng]] —
-  * header parse + full pixel scan into
-  * mean-color/luma features); any other format falls back to the
-  * documented STUB ([[fakeDecode]], deterministic fake features from the
-  * payload bytes) because this environment ships no image/audio
-  * libraries. Everything around the codec — the asset schema, the batched
+  * BMP, binary PPM (P6), 8-bit RGB/RGBA PNG, and 16-bit PCM RIFF/WAVE
+  * payloads go through a REAL pure-JVM codec
+  * ([[decodeBmp]]/[[decodePpm]]/[[decodePng]]/[[decodeWav]] — header
+  * parse + full pixel/sample scan into content features); any other
+  * format falls back to the documented STUB ([[fakeDecode]],
+  * deterministic fake features from the payload bytes) because this
+  * environment ships no image/audio libraries. Everything around the codec — the asset schema, the batched
   * mapPartitions plumbing, partitioning, and output shapes — is the real
   * production path; adding a JNI/ffmpeg/etc. branch next to the BMP/PPM
   * ones changes no plan shape.
@@ -316,16 +316,96 @@ object Multimodal {
              pixelFeatures(wi, hi, sumR, sumG, sumB, sumL, sumL2).toSeq))
   }
 
-  /** One payload through the codec chain: real BMP/PPM/PNG decode when
-    * the magic bytes match, else the stub. Codec exceptions on forged
-    * payloads fall through to the stub rather than failing the Spark
-    * task — untrusted binary is exactly what this path ingests.
+  /** REAL audio codec: RIFF/WAVE, 16-bit PCM (the interchange format a
+    * crawl actually yields uncompressed audio in). Parses the fmt chunk
+    * for geometry, scans every sample for content features, and fills the
+    * decoded schema per-kind: width = sample rate (Hz), height =
+    * channels, n_frames = sample-frame count, feature = [rms, peak,
+    * zero-crossing rate, mean (DC offset), duration_sec/60 clipped,
+    * channels/2, reserved 0, reserved 0] — all normalized to [-1, 1].
+    * Returns None (→ stub) on wrong magic, non-PCM encodings, bit depths
+    * other than 16, or any declared chunk size that runs past the
+    * payload (forged-header guard in Long arithmetic, like the image
+    * codecs).
+    */
+  private[cpms] def decodeWav(assetId: Long, content: Array[Byte]): Option[Row] = {
+    if (content.length < 44) return None
+    def tag(p: Int, s: String): Boolean =
+      s.indices.forall(i => (content(p + i) & 0xff) == s.charAt(i).toInt)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    def u32(p: Int): Long =
+      (content(p) & 0xffL) | ((content(p + 1) & 0xffL) << 8) |
+        ((content(p + 2) & 0xffL) << 16) | ((content(p + 3) & 0xffL) << 24)
+    def u16(p: Int): Int = (content(p) & 0xff) | ((content(p + 1) & 0xff) << 8)
+    // chunk walk: need one fmt and one data chunk, sizes in-bounds
+    var p = 12
+    var sampleRate = 0L; var channels = 0; var bits = 0; var fmtSeen = false
+    var dataOff = -1; var dataLen = 0L
+    while (p + 8 <= content.length && dataOff < 0) {
+      val len = u32(p + 4)
+      if (len > content.length.toLong - p - 8) return None // forged size
+      if (tag(p, "fmt ")) {
+        if (len < 16) return None
+        if (u16(p + 8) != 1) return None // PCM only
+        channels = u16(p + 10)
+        sampleRate = u32(p + 12)
+        bits = u16(p + 22)
+        fmtSeen = true
+      } else if (tag(p, "data")) { dataOff = p + 8; dataLen = len }
+      p += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtSeen || dataOff < 0) return None
+    if (channels < 1 || channels > 8 || bits != 16 ||
+        sampleRate < 1 || sampleRate > 384000) return None
+    val bytesPerFrame = channels * 2L
+    if (dataLen < bytesPerFrame || dataLen % bytesPerFrame != 0) return None
+    val nFrames = dataLen / bytesPerFrame
+    if (nFrames > Int.MaxValue) return None
+    // one pass over the samples (channel-averaged per frame)
+    var sum = 0.0; var sum2 = 0.0; var peak = 0.0
+    var crossings = 0L; var lastSign = 0
+    var i = 0L
+    while (i < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val off = dataOff + (i * bytesPerFrame).toInt + c * 2
+        val s = ((content(off) & 0xff) | (content(off + 1) << 8)).toShort
+        acc += s / 32768.0
+        c += 1
+      }
+      val v = acc / channels
+      sum += v; sum2 += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      val sign = if (v > 0) 1 else if (v < 0) -1 else lastSign
+      if (sign != 0 && lastSign != 0 && sign != lastSign) crossings += 1
+      if (sign != 0) lastSign = sign
+      i += 1
+    }
+    val mean = sum / nFrames
+    val rms = math.sqrt(math.max(0.0, sum2 / nFrames))
+    val zcr = crossings.toDouble / math.max(1L, nFrames - 1)
+    val durSec = nFrames.toDouble / sampleRate
+    val feat = Array(
+      rms.toFloat, peak.toFloat, zcr.toFloat, mean.toFloat,
+      math.min(1.0, durSec / 60.0).toFloat, (channels / 2.0f).min(1.0f),
+      0.0f, 0.0f)
+    Some(Row(assetId, "audio", sampleRate.toInt, channels, nFrames.toInt,
+             feat.toSeq))
+  }
+
+  /** One payload through the codec chain: real BMP/PPM/PNG/WAV decode
+    * when the magic bytes match, else the stub. Codec exceptions on
+    * forged payloads fall through to the stub rather than failing the
+    * Spark task — untrusted binary is exactly what this path ingests.
     */
   private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row = {
     import scala.util.Try
     Try(decodeBmp(assetId, content)).toOption.flatten
       .orElse(Try(decodePpm(assetId, content)).toOption.flatten)
       .orElse(Try(decodePng(assetId, content)).toOption.flatten)
+      .orElse(Try(decodeWav(assetId, content)).toOption.flatten)
       .getOrElse(fakeDecode(assetId, kind, content))
   }
 

@@ -315,6 +315,72 @@ object Prep {
           size(regexp_extract_all(col("t"), lit(Ipv4Pat), lit(0)))
             .cast("long").as("n_ip"),
           md5(redactPii(col("t")).cast("binary")).as("red_md5"))
+    },
+
+    Q("q114_zipf_slope",
+      "Zipf-law fit of the vocabulary: OLS slope of ln(term frequency) " +
+        "on ln(rank) over the top-200 terms. Natural language sits near " +
+        "-1; a shallow slope flags template/word-salad corpora, a steep " +
+        "one a vocabulary collapsed onto boilerplate — the one-number " +
+        "corpus-health gauge next to q92's vocab audit (this synthetic " +
+        "corpus measures -0.179: near-uniform, as a generator's flat " +
+        "draw should). Scale shape: term counts are one map-side-" +
+        "partial token shuffle; ranking touches only the top-200 (a " +
+        "TakeOrdered, then a window over those <=200 rows — the " +
+        "bounded-domain exception q62 documents); the regression sums " +
+        "are per-rank contributions rounded half-up to 1e-6-scaled " +
+        "BIGINTs, so both engines fit identical integers and the final " +
+        "double algebra is bit-identical.",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |top AS (SELECT term, tf,
+        |          CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS r
+        |        FROM tf ORDER BY tf DESC, term LIMIT 200),
+        |c AS (SELECT
+        |   CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS x,
+        |   CAST(floor(ln(tf) * 1000000 + 0.5) AS BIGINT) AS y,
+        |   CAST(floor(ln(r) * ln(r) * 1000000 + 0.5) AS BIGINT) AS xx,
+        |   CAST(floor(ln(r) * ln(tf) * 1000000 + 0.5) AS BIGINT) AS xy
+        | FROM top),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |        CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |        CAST(CAST(sum(xx) AS BIGINT) AS DOUBLE) AS sxx,
+        |        CAST(CAST(sum(xy) AS BIGINT) AS DOUBLE) AS sxy
+        |      FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy / 1000000.0 - sx * sy / 1000000000000.0) /
+        |        (n * sxx / 1000000.0 - sx * sx / 1000000000000.0), 4) AS slope,
+        |  round((sy / 1000000.0 -
+        |         ((n * sxy / 1000000.0 - sx * sy / 1000000000000.0) /
+        |          (n * sxx / 1000000.0 - sx * sx / 1000000000000.0)) *
+        |           sx / 1000000.0) / n, 4) AS intercept
+        |FROM s""".stripMargin) { (s, d) =>
+      val tok = spread(docs(s, d))
+        .select(explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+      val top = tf.orderBy(col("tf").desc, col("term")).limit(200)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+      val c = top.select(
+        floor(log(col("r")) * 1000000 + 0.5).cast("long").as("x"),
+        floor(log(col("tf")) * 1000000 + 0.5).cast("long").as("y"),
+        floor(log(col("r")) * log(col("r")) * 1000000 + 0.5).cast("long").as("xx"),
+        floor(log(col("r")) * log(col("tf")) * 1000000 + 0.5).cast("long").as("xy"))
+      val agg = c.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum("xx").cast("double").as("sxx"), sum("xy").cast("double").as("sxy"))
+      val slope =
+        (col("n") * col("sxy") / lit(1000000.0) -
+          col("sx") * col("sy") / lit(1000000000000.0)) /
+        (col("n") * col("sxx") / lit(1000000.0) -
+          col("sx") * col("sx") / lit(1000000000000.0))
+      agg.select(
+        col("n").cast("long").as("n_terms"),
+        round(slope, 4).as("slope"),
+        round((col("sy") / lit(1000000.0) - slope * col("sx") / lit(1000000.0)) /
+                col("n"), 4).as("intercept"))
     }
   )
 }

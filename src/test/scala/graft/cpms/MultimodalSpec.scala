@@ -298,6 +298,78 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeOne(6L, "image", good).getInt(2) === 3)
   }
 
+  /** 16-bit PCM RIFF/WAVE fixture from a per-frame sample function
+    * (values in [-1, 1], channel-interleaved).
+    */
+  private def wavFixture(sampleRate: Int, channels: Int, nFrames: Int)
+                        (sample: (Int, Int) => Double): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until nFrames; c <- 0 until channels)
+      bb.putShort(math.round(sample(i, c) * 32767).toShort)
+    bb.array()
+  }
+
+  test("real WAV codec: sine fixture yields exact geometry and textbook signal features") {
+    val sr = 8000; val n = 4000 // 0.5 s
+    val amp = 0.5
+    val wav = wavFixture(sr, 1, n)((i, _) => amp * math.sin(2 * math.Pi * 440 * i / sr))
+    val row = Multimodal.decodeWav(21L, wav)
+      .getOrElse(fail("WAV fixture not recognized by the real codec"))
+    assert(row.getString(1) === "audio")
+    assert(row.getInt(2) === sr && row.getInt(3) === 1 && row.getInt(4) === n)
+    val feat = row.getSeq[Float](5)
+    assert(math.abs(feat(0) - amp / math.sqrt(2)) < 0.01, s"rms off: ${feat(0)}")
+    assert(math.abs(feat(1) - amp) < 0.01, s"peak off: ${feat(1)}")
+    // a 440 Hz tone at 8 kHz crosses zero ~2*440 times per second
+    assert(math.abs(feat(2) - 2.0 * 440 / sr) < 0.01, s"zcr off: ${feat(2)}")
+    assert(math.abs(feat(3)) < 0.01, s"sine must have ~zero DC offset: ${feat(3)}")
+    assert(math.abs(feat(4) - 0.5 / 60.0) < 1e-4, s"duration share off: ${feat(4)}")
+  }
+
+  test("real WAV codec: stereo averages channels; DC fixture shows offset not rms surprise") {
+    val wav = wavFixture(16000, 2, 100)((_, c) => if (c == 0) 0.4 else -0.4)
+    val row = Multimodal.decodeWav(22L, wav).getOrElse(fail("stereo WAV rejected"))
+    assert(row.getInt(3) === 2)
+    val feat = row.getSeq[Float](5)
+    assert(math.abs(feat(0)) < 1e-4, "opposite-phase channels must cancel")
+    val dc = Multimodal.decodeWav(23L, wavFixture(16000, 1, 100)((_, _) => 0.25))
+      .getOrElse(fail("DC WAV rejected"))
+    assert(math.abs(dc.getSeq[Float](5).apply(3) - 0.25) < 0.01)
+  }
+
+  test("forged/unsupported WAVs are rejected to the stub, not crashed on") {
+    val good = wavFixture(8000, 1, 64)((i, _) => math.sin(i * 0.1))
+    // forged data-chunk length running past the payload
+    val forged = good.clone()
+    java.nio.ByteBuffer.wrap(forged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    assert(Multimodal.decodeWav(1L, forged).isEmpty)
+    // truncated payload (data chunk shorter than declared)
+    assert(Multimodal.decodeWav(2L, good.dropRight(16)).isEmpty)
+    // non-PCM (format tag 3 = IEEE float) and 8-bit depth are not ours
+    val float32 = good.clone()
+    java.nio.ByteBuffer.wrap(float32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3)
+    assert(Multimodal.decodeWav(3L, float32).isEmpty)
+    val bits8 = good.clone()
+    java.nio.ByteBuffer.wrap(bits8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 8)
+    assert(Multimodal.decodeWav(4L, bits8).isEmpty)
+    // the full chain falls back to the stub instead of throwing...
+    assert(Multimodal.decodeOne(5L, "audio", forged).getSeq[Float](5).length === 8)
+    // ...and a well-formed WAV dispatches to the REAL codec end to end
+    assert(Multimodal.decodeOne(6L, "audio", good).getInt(2) === 8000)
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()
