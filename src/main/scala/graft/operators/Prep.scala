@@ -138,8 +138,10 @@ object Prep {
         "they are to a model of the corpus itself (high nll = off-" +
         "distribution or garbled, low = templated). Scale shape: bigram " +
         "events are a linear zip_with projection (no self-join); the " +
-        "count tables shuffle on (a,b) and (a) with map-side partials; " +
-        "the vocabulary size joins as a broadcast scalar. Cross-engine " +
+        "bigram table shuffles ONCE on (a,b) with map-side partials and " +
+        "the history counts derive from it (c_a = sum_b c_ab, no extra " +
+        "corpus pass); the vocabulary size is the cached corpus stat " +
+        "(q96's metadata pattern). Cross-engine " +
         "determinism: each event's ln contribution is rounded half-up " +
         "to a 1e-6-scaled BIGINT before summation, so accumulation " +
         "order cannot flip the oracle hash (the q101 convention).",
@@ -169,15 +171,18 @@ object Prep {
             p => p.getField("b").isNotNull)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      val ca = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
-      val v = docs(s, d)
-        .select(explode(tokens(col("text"))).as("term"))
-        .agg(count_distinct(col("term")).as("v"))
+      // history counts are a DERIVATION of the bigram table (c_a = Σ_b
+      // c_ab by definition), not another pass over the corpus events —
+      // and the vocabulary size comes from the cached corpus stat (the
+      // q96 pattern: a plan-shaping statistic read from metadata), so
+      // scoring re-tokenizes the corpus twice (events + count build),
+      // not four times
+      val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val v = lit(TrainingData.vocabSize(s, d))
       val contrib = bg
         .join(cab, Seq("a", "b")).join(ca, Seq("a"))
-        .crossJoin(broadcast(v))
         .select(col("doc_id"),
-          floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v")))
+          floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + v))
             * 1000000 + 0.5).cast("long").as("c"))
       contrib.groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -237,7 +242,13 @@ object Prep {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
         |  round(sum(c) / 100000000.0, 4) AS kl
         |FROM contrib GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      // the explicit isNotNull mirrors the constraint the inner joins
+      // push into their branches: with it, every consumer of `st` hangs
+      // off ONE canonical scan+explode+shuffle subtree, and AQE's stage
+      // reuse computes the corpus pass once (the probe without it showed
+      // two stage-reuse groups split by the pushed filter)
       val tok = spread(docs(s, d))
+        .filter(col("source").isNotNull)
         .select(col("source"), explode(tokens(col("text"))).as("term"))
       val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
       val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
@@ -247,7 +258,9 @@ object Prep {
       // executors at open-web vocabulary, and PlanSpec pins it out
       val byTerm = st.groupBy("term").agg(sum("n_st").as("n_t"))
         .hint("shuffle_hash")
-      val tot = st.agg(sum("n_st").as("n"))
+      // corpus total from the BOUNDED per-source table — a derivation,
+      // not another corpus pass
+      val tot = bySrc.agg(sum("n_s").as("n"))
       st.join(bySrc, "source").join(byTerm, "term")
         .crossJoin(broadcast(tot))
         .select(col("source"),

@@ -968,7 +968,16 @@ object TrainingData {
       val tok = docs(s, d).select(col("doc_id"),
                                   explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      // df DERIVES from the per-(doc, term) table — one row per doc that
+      // contains the term, so a plain count per term IS the distinct-doc
+      // count, and the corpus is tokenized once instead of twice (AQE
+      // reuses tf's exchange between the df build and the join probe).
+      // The always-true tf > 0 keeps the tf column referenced in this
+      // branch: without it the optimizer rewrites the branch to a
+      // DISTINCT aggregate, whose partial stage no longer canonicalizes
+      // equal to the probe's partial_count — and the stage reuse is lost
+      val dfT = tf.filter(col("tf") > 0)
+        .groupBy("term").agg(count(lit(1)).as("df"))
       // corpus size as an in-plan 1-row broadcast (q28 pattern) — a
       // driver-side count() here would be a second full corpus pass
       // before the query even starts

@@ -367,6 +367,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q110/q112: AQE computes the corpus statistics pass once and reuses it") {
+    // the (source, term) / (a, b) count tables feed several aggregates
+    // and the final join; without stage reuse each consumer re-tokenizes
+    // the corpus. The branches are written so their subtrees canonicalize
+    // identically (explicit isNotNull matching the join constraint,
+    // derivations instead of fresh corpus passes) and AQE then runs the
+    // heavy exchange once. This pins the ReusedExchange, which disappears
+    // if a branch's filters/projections drift out of canonical equality.
+    val df112 = SparkEntry.queries("q112_source_drift_kl")(spark, sf)
+    df112.collect()
+    val p112 = df112.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p112).length >= 3,
+           s"q112 stopped reusing the corpus statistics stage:\n$p112")
+    val df110 = SparkEntry.queries("q110_bigram_lm_score")(spark, sf)
+    df110.collect()
+    val p110 = df110.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p110).nonEmpty,
+           s"q110 stopped reusing the bigram-count stage:\n$p110")
+    // q55: the df branch must keep the probe's partial_count shape (the
+    // no-op tf > 0 pin) — a DISTINCT rewrite silently doubles the
+    // corpus tokenize pass
+    val df55 = SparkEntry.queries("q55_tfidf")(spark, sf)
+    df55.collect()
+    val p55 = df55.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p55).nonEmpty,
+           s"q55 stopped reusing the tokenize+count stage:\n$p55")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
