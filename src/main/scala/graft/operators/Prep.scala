@@ -39,6 +39,30 @@ object Prep {
   val PhonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** q109's body, reusable on any (doc_id, text) frame — BATCH OR STREAM:
+    * the whole pipeline is stateless per-row projection + generator, so
+    * the same plan chunks a crawl stream micro-batch by micro-batch
+    * (PrepSpec proves it under MemoryStream composed after
+    * [[Curation.ingestStream]]).
+    */
+  def chunkDocs(docs: DataFrame): DataFrame = {
+    val c = lit(ChunkLen)
+    val st = lit(ChunkStride)
+    val b = docs
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")).cast("long"))
+      .withColumn("nc",
+        when(col("n") <= c, lit(1L))
+          .otherwise(lit(1L) + floor((col("n") - c + st - 1) / st)))
+    val chunk = slice(
+      col("tok"), (col("chunk_idx") * st + 1).cast("int"), c.cast("int"))
+    b.select(col("doc_id"), col("tok"),
+             explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+              size(chunk).cast("long").as("chunk_tok"),
+              md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
     * dotted-quad IPs) with typed placeholder tags. Order is
     * email → phone → ip so the later numeric patterns can never match
@@ -113,21 +137,7 @@ object Prep {
         |    AS chunk_md5
         |FROM b CROSS JOIN LATERAL unnest(range(nc)) AS u(ci)
         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
-      val c = lit(ChunkLen)
-      val st = lit(ChunkStride)
-      val b = spread(docs(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("tok"))
-        .withColumn("n", size(col("tok")).cast("long"))
-        .withColumn("nc",
-          when(col("n") <= c, lit(1L))
-            .otherwise(lit(1L) + floor((col("n") - c + st - 1) / st)))
-      val chunk = slice(
-        col("tok"), (col("chunk_idx") * st + 1).cast("int"), c.cast("int"))
-      b.select(col("doc_id"), col("tok"),
-               explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-                size(chunk).cast("long").as("chunk_tok"),
-                md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+      chunkDocs(spread(docs(s, d)))
     },
 
     Q("q110_bigram_lm_score",

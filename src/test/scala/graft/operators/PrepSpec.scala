@@ -143,6 +143,30 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     assert(!text.contains("a@x.org") && !text.contains("10.1.2.3"))
   }
 
+  test("chunkDocs chunks a crawl stream micro-batch by micro-batch (ingest composition)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, java.sql.Timestamp)]
+    val named = mem.toDF().toDF("doc_id", "text", "lang", "source", "ts")
+    val q = Prep.chunkDocs(Curation.ingestStream(named)).writeStream
+      .outputMode("append").format("memory").queryName("prep_chunk_out").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // 100 tokens -> two 64/48 windows: [0, 64) and [48, 100)
+    val page = Array.fill(25)("the value is a").mkString(" ")
+    mem.addData((1L, page, "en", "crawl", ts))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("prep_chunk_out")
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(64L, 52L))
+    // stream chunks equal the batch spelling on the same doc
+    val batch = Prep.chunkDocs(
+      Seq((1L, page)).toDF("doc_id", "text")).orderBy("chunk_idx").collect()
+    assert(out.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("q110: nll is finite and positive for every scored doc") {
     val rows = q("q110_bigram_lm_score").collect()
     assert(rows.length === 500)
