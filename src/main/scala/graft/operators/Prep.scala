@@ -340,6 +340,47 @@ object Prep {
           md5(redactPii(col("t")).cast("binary")).as("red_md5"))
     },
 
+    Q("q115_chunk_dedup",
+      "Paragraph-granularity dedup: exact-duplicate CHUNKS (the q109 " +
+        "64/48 windows) across the corpus, reported as each document's " +
+        "duplicated-chunk share — the signal that catches shared " +
+        "boilerplate sections and quoted passages inside otherwise-" +
+        "distinct documents, which whole-doc dedup (q30) and near-dup " +
+        "banding (q35) both pass over. Scale shape: chunk bodies never " +
+        "shuffle — only their md5 digests do (one hash shuffle to chunk " +
+        "counts, one digest equi-join back), so network cost is " +
+        "16 bytes/chunk regardless of chunk width; ordering key is the " +
+        "ROUNDED share with a doc_id tie-break.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n,
+        |        CASE WHEN len(tok) <= 64 THEN 1
+        |             ELSE 1 + (CAST(len(tok) AS BIGINT) - 64 + 47) // 48 END AS nc
+        |      FROM t),
+        |ch AS (SELECT doc_id,
+        |         md5(array_to_string(
+        |               tok[CAST(ci*48+1 AS BIGINT) : CAST(ci*48+64 AS BIGINT)],
+        |               ' ')) AS h
+        |       FROM b CROSS JOIN LATERAL unnest(range(nc)) AS u(ci)),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN g.cnt > 1 THEN 1.0 ELSE 0.0 END) / count(*), 4)
+        |    AS dup_share
+        |FROM ch JOIN g USING (h)
+        |GROUP BY 1 ORDER BY dup_share DESC, doc_id LIMIT 50""".stripMargin) {
+      (s, d) =>
+      val ch = chunkDocs(spread(docs(s, d)))
+        .select(col("doc_id"), col("chunk_md5").as("h"))
+      val g = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
+      ch.join(g, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+             sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+             round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+               .as("dup_share"))
+        .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
+    },
+
     Q("q114_zipf_slope",
       "Zipf-law fit of the vocabulary: OLS slope of ln(term frequency) " +
         "on ln(rank) over the top-200 terms. Natural language sits near " +
