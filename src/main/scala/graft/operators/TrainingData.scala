@@ -249,12 +249,98 @@ object TrainingData {
     (cb, coded)
   }
 
+  /** Serve the PQ index for (session, corpus): session cache first, then
+    * the PERSISTED index if one is registered (a fresh session reads the
+    * codebook sidecar + encoded corpus from parquet — zero KMeans fits),
+    * and only then an ad-hoc in-session fit. Same precedence as
+    * [[ivfIndex]].
+    */
   def pqIndex(s: SparkSession, d: String): (Array[Array[Double]], DataFrame) = {
     sweepStoppedSessions()
     pqCache.getOrElseUpdate((s, d), {
-      val (cb, coded) = fitPq(s, d)
-      (cb, coded.persist())
+      pqIndexLocations.get(d) match {
+        case Some(dir) =>
+          val (cb, coded) = loadPqIndex(s, dir)
+          (cb, coded.persist())
+        case None =>
+          val (cb, coded) = fitPq(s, d)
+          (cb, coded.persist())
+      }
     })
+  }
+
+  /** Where the persisted PQ index for a corpus dir lives (the catalog's
+    * job in production, a JVM-wide registry here — see
+    * [[ivfIndexLocations]]). Populated by [[buildPqIndex]], cleared by
+    * [[invalidate]].
+    */
+  private val pqIndexLocations =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Persist the PQ index: encoded corpus (vec_id, v, codes) as parquet +
+    * the codebook in an underscore-prefixed text sidecar (geometry line
+    * "m k sub", then one flattened-doubles line per subspace), with the
+    * staging -> sidecar-before-swap -> rename lifecycle shared by the
+    * band/fingerprint/postings/IVF indexes, so a reader never observes
+    * codes whose codebook disagrees. Registers the location so every
+    * session's [[pqIndex]] serves from it.
+    */
+  def buildPqIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val (cb, coded) = fitPq(s, d)
+    coded.write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_pq_codebook"), true)
+    // Double.toString round-trips exactly — loaded codebooks are
+    // bit-identical to the fitted ones, so ADC scores cannot drift
+    val txt = (s"$PqM $PqK $PqSub" +:
+      cb.toSeq.map(_.map(java.lang.Double.toString).mkString(" ")))
+      .mkString("\n")
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"pq-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"pq-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+    // in-memory entries for d now duplicate the persisted truth
+    pqCache.keys.filter(_._2 == d).foreach { key =>
+      pqCache.remove(key).foreach { case (_, a) => scala.util.Try(a.unpersist()) }
+    }
+    pqIndexLocations.put(d, indexDir)
+  }
+
+  /** Load a persisted PQ index: codebook from the sidecar (geometry
+    * validated against the compiled-in kernel parameters), encoded corpus
+    * as a plain parquet scan (schema: vec_id, v, codes).
+    */
+  def loadPqIndex(s: SparkSession, indexDir: String): (Array[Array[Double]], DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_pq_codebook"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val lines = txt.trim.linesIterator.toSeq
+    val geo = lines.head.trim.split(" ").map(_.toInt)
+    require(geo.sameElements(Array(PqM, PqK, PqSub)),
+            s"persisted PQ geometry ${geo.mkString("x")} != compiled ${PqM}x${PqK}x$PqSub")
+    val cb = lines.tail.map(_.trim.split(" ").map(java.lang.Double.parseDouble)).toArray
+    require(cb.length == PqM && cb.forall(_.length == PqK * PqSub),
+            "persisted PQ codebook shape mismatch")
+    (cb, s.read.parquet(indexDir))
+  }
+
+  /** Compaction hook: drop every stale cached artifact for the corpus and
+    * refit + re-persist the PQ index against the new snapshot (same
+    * contract as [[refreshIvfIndex]]).
+    */
+  def refreshPqIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    invalidate(d)
+    buildPqIndex(s, d, indexDir)
   }
 
   /** Corpus-adaptive MinHash-LSH band geometry over a 96-hash signature:
@@ -314,9 +400,11 @@ object TrainingData {
         scala.util.Try(coded.unpersist())
       }
     }
-    // a persisted IVF index of the old corpus must not be silently served
-    // after the data changed — deregister; [[refreshIvfIndex]] re-registers
+    // a persisted IVF/PQ index of the old corpus must not be silently
+    // served after the data changed — deregister; [[refreshIvfIndex]] /
+    // [[refreshPqIndex]] re-register
     ivfIndexLocations.keys.filter(_._1 == d).foreach(ivfIndexLocations.remove)
+    pqIndexLocations.remove(d)
   }
 
   /** Where the persisted IVF index for (corpus dir, k) lives. In

@@ -89,7 +89,7 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5: srp-lsh $rLsh%.3f, kmeans-ivf $rIvf%.3f")
     assert(rLsh >= 0.6, f"LSH recall@5 $rLsh%.3f under floor")
     assert(rIvf >= 0.6, f"IVF recall@5 $rIvf%.3f under floor")
-    // PQ: ADC top-20 pool + exact re-rank; codebook fits amortize
+    // PQ: ADC top-50 pool + exact re-rank; codebook fits amortize
     val fitsBefore = TrainingData.pqFits.get()
     val rPq = recall(top5(run("q116_ann_pq")))
     val rPq2 = recall(top5(run("q116_ann_pq")))
