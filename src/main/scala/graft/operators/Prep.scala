@@ -381,6 +381,97 @@ object Prep {
         .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
     },
 
+    Q("q117_dsir_select",
+      "DSIR-style data selection (Xie et al., NeurIPS 2023): score every " +
+        "document by the log-likelihood ratio of its hashed-n-gram " +
+        "features under a TARGET-domain bag-of-ngrams model vs the raw-" +
+        "corpus model, and keep the top-50 — the importance-resampling " +
+        "recipe for tilting a 100 TB crawl toward a target distribution " +
+        "(here: the English slice as the target) without training a " +
+        "classifier. Features are unigrams + bigrams hashed into 1024 " +
+        "buckets (2^20 at production scale — still broadcastable); both " +
+        "models are add-one-smoothed bucket distributions. Scale shape: " +
+        "ONE tokenize pass to the (doc, bucket) count table; the " +
+        "target/raw bucket stats and both totals are DERIVATIONS of " +
+        "that table (no second corpus pass); the score table is bounded " +
+        "at B rows and broadcasts into the probe; top-50 via " +
+        "TakeOrdered. Cross-engine determinism: the bucket hash is the " +
+        "first 6 md5 hex digits (identical in both engines), per-bucket " +
+        "log-ratios round half-up to 1e-6-scaled BIGINTs before the " +
+        "per-doc weighted sum (exact integer arithmetic, accumulation-" +
+        "order-proof — the q101 convention), and the final 4dp division " +
+        "happens once in integer space.",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |             string_split(text, ' ') AS tok FROM documents),
+        |ev0 AS (
+        |  SELECT doc_id, tgt, unnest(tok) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, tgt,
+        |    tok[CAST(i+1 AS BIGINT)] || ' ' || tok[CAST(i+2 AS BIGINT)] AS g
+        |  FROM t CROSS JOIN LATERAL unnest(range(len(tok)-1)) AS u(i)
+        |),
+        |ev AS (SELECT doc_id, tgt,
+        |         CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+        |       FROM ev0),
+        |cdb AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1,2,3),
+        |bk AS (SELECT b,
+        |         COALESCE(sum(c) FILTER (WHERE tgt), 0) AS ct,
+        |         sum(c) AS cr
+        |       FROM cdb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bk),
+        |sc AS (SELECT b,
+        |         CAST(floor((ln((ct + 1.0) / (tt + 1024))
+        |                     - ln((cr + 1.0) / (tr + 1024)))
+        |              * 1000000 + 0.5) AS BIGINT) AS s
+        |       FROM bk CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  floor(sum(c * s) / 100.0 + 0.5) / 10000 AS logratio
+        |FROM cdb JOIN sc USING (b)
+        |GROUP BY 1
+        |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      // unigrams ++ bigrams as ONE array projection -> one explode -> one
+      // corpus scan (a uni/bi union would scan the parquet twice); concat
+      // of a null neighbor nulls the bigram, so the last position drops
+      val t = spread(docs(s, d))
+        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+                tokens(col("text")).as("tok"))
+      val ev = t.select(
+          col("doc_id"), col("tgt"),
+          explode(concat(
+            col("tok"),
+            filter(
+              zip_with(
+                col("tok"),
+                slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+                (a, b) => concat(a, lit(" "), b)),
+              g => g.isNotNull))).as("g"))
+        .select(
+          col("doc_id"), col("tgt"),
+          (conv(substring(md5(col("g").cast("binary")), 1, 6), 16, 10)
+            .cast("long") % 1024).as("b"))
+        // align with the constraint the sc probe join pushes down, so the
+        // bk branch and the probe branch stay canonically equal and AQE
+        // reuses ONE tokenize+count stage for both (the q112 lesson)
+        .filter(col("b").isNotNull)
+      val cdb = ev.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("c"))
+      val bk = cdb.groupBy("b").agg(
+        coalesce(sum(when(col("tgt"), col("c"))), lit(0L)).as("ct"),
+        sum("c").as("cr"))
+      val tot = bk.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val sc = bk.crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor((log((col("ct") + lit(1.0)) / (col("tt") + lit(1024)))
+                 - log((col("cr") + lit(1.0)) / (col("tr") + lit(1024))))
+            * 1000000 + 0.5).cast("long").as("s"))
+      cdb.join(broadcast(sc), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_grams"),
+             (floor(sum(col("c") * col("s")) / lit(100.0) + 0.5) / lit(10000))
+               .as("logratio"))
+        .orderBy(col("logratio").desc, col("doc_id")).limit(50)
+    },
+
     Q("q114_zipf_slope",
       "Zipf-law fit of the vocabulary: OLS slope of ln(term frequency) " +
         "on ln(rank) over the top-200 terms. Natural language sits near " +

@@ -393,6 +393,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p55 = df55.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p55).nonEmpty,
            s"q55 stopped reusing the tokenize+count stage:\n$p55")
+    // q117: the (doc, bucket) count table feeds both the bucket-stats
+    // branch and the probe join, and the bucket stats feed both the
+    // score table and the totals — TWO reused exchanges, so the corpus
+    // tokenizes once and the bucket table aggregates once
+    val df117 = SparkEntry.queries("q117_dsir_select")(spark, sf)
+    df117.collect()
+    val p117 = df117.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p117).length >= 2,
+           s"q117 stopped reusing the tokenize/bucket-stats stages:\n$p117")
   }
 
   test("q50: custom top_k_by aggregates partially before the exchange") {
