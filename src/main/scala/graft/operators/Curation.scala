@@ -91,6 +91,19 @@ object Curation {
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .persist()
     })
+    val labels = connectedComponents(edges)
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+                  (col("doc_id") === col("label")).cast("long").as("keep"))
+  })
+
+  /** Min-label connected components over an UNDIRECTED edge list that
+    * already contains both orientations of every pair (columns id_a,
+    * id_b; the caller must have it persisted — every round re-reads it).
+    * Returns (doc_id, label) for every node with at least one edge,
+    * label = the component's min node id. The iterative engine behind
+    * [[dedupClusters]] and the semantic-dedup operator.
+    */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
@@ -116,9 +129,8 @@ object Curation {
       labels = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-                  (col("doc_id") === col("label")).cast("long").as("keep"))
-  })
+    labels
+  }
 
   /** The q65 pipeline as a reusable function: per-doc curation verdict
     * (quality + repetition + dedup-cluster keep + deterministic split).

@@ -2075,6 +2075,29 @@ object TrainingData {
         "approximate family: LSH 0.725, IVF 0.675), floors it at the " +
         "q41 bar (>=0.6), and asserts the cache amortizes the fits.") {
       (s, d) => annPq(s, d, pool = 50, k = 5)
+    },
+
+    Q.noOracle("q118_semdedup",
+      "SemDeDup (Abbas et al. 2023): semantic deduplication inside " +
+        "embedding-space clusters — pairs above a cosine threshold " +
+        "WITHIN each IVF cell form duplicate groups (connected " +
+        "components), and each group keeps its most centroid-DISTANT " +
+        "member (the paper's diversity-preserving rule; ties to the " +
+        "lowest vec_id). Complements q39: SRP bucketing needs sign-" +
+        "identical projections, while cell-scoped comparison catches " +
+        "moderately-similar semantic duplicates that hash apart. Scale " +
+        "shape: the quadratic step is confined to single cells (k " +
+        "scales with the corpus so n/k stays bounded — the paper runs " +
+        "50k clusters on LAION); the cell assignment is the PERSISTED " +
+        "q54 IVF index (zero extra KMeans fits), centroids broadcast, " +
+        "components via the q64 min-label/pointer-jumping engine " +
+        "(O(log diameter) shuffle rounds). Threshold 0.4 keeps the " +
+        "operator observable on this synthetic corpus (uniform random " +
+        "embeddings top out near cos 0.48; raise to ~0.95 for real " +
+        "data). SemDedupSpec proves the group/keeper semantics on " +
+        "crafted cells; determinism across runs.") { (s, d) =>
+      val (centers, assigned) = ivfIndex(s, d, 16)
+      semDedupCells(s, assigned, centers, tau = 0.4)
     }
   )
 
@@ -2100,6 +2123,47 @@ object TrainingData {
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
               col("rk").cast("long").as("rk"))
+  }
+
+  /** q118 body, parameterized for SemDedupSpec: semantic dedup over a
+    * pre-clustered corpus. `assigned` carries (vec_id, v, cell); `centers`
+    * the per-cell centroid. Output: every vector in a duplicate group —
+    * (vec_id, cluster_id = min vec_id of the group, cos_centroid, keep),
+    * keep = 1 for the group's most centroid-distant member (min cosine to
+    * centroid, vec_id tie-break).
+    */
+  def semDedupCells(s: SparkSession, assigned: DataFrame,
+                    centers: Seq[(Int, Array[Double])],
+                    tau: Double): DataFrame = {
+    import s.implicits._
+    val a = assigned.select(col("vec_id"), col("v"), col("cell"))
+    // within-cell pairs above the threshold; both orientations for the
+    // component engine
+    val pairs = a.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(a.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb")),
+            Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    val labels = Curation.connectedComponents(edges)
+    // labels is localCheckpoint'ed (materialized) by the engine, so the
+    // edge list is no longer needed
+    edges.unpersist()
+    val cdf = centers.map { case (cell, cv) => (cell, cv) }
+      .toDF("cell", "cv")
+    val withC = a.join(broadcast(cdf), Seq("cell"))
+      .select(col("vec_id"), cosine(col("v"), col("cv")).as("ccos"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("ccos").asc, col("vec_id"))
+    labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .join(withC, Seq("vec_id"))
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select(col("vec_id"), col("cluster_id"),
+              round(col("ccos"), 4).as("cos_centroid"), col("keep"))
+      .orderBy("cluster_id", "vec_id")
   }
 
   /** q41's multi-probe SRP-LSH candidate set, reusable: every (query,
