@@ -44,6 +44,25 @@ object Curation {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Drop cache entries whose SparkSession has stopped — the frames'
+    * blocks died with the context, so the entries only pin dead session
+    * objects (TrainingData's sweep, applied to this module's caches; a
+    * long-lived app creating many sessions over the same corpus would
+    * otherwise accumulate them without bound). Called on every cache
+    * access, like [[TrainingData.sweepStoppedSessions]].
+    */
+  private[operators] def sweepStoppedSessions(): Unit = {
+    def dead(s: SparkSession) = s.sparkContext.isStopped
+    edgeCache.keys.filter(k => dead(k._1)).foreach { k =>
+      edgeCache.remove(k).foreach(df => scala.util.Try(df.unpersist()))
+    }
+    clusterCache.keys.filter(k => dead(k._1)).foreach { k =>
+      clusterCache.remove(k).foreach(df =>
+        scala.util.Try(ckptRdd(df).foreach(_.unpersist(false))))
+    }
+    bloomCache.keys.filter(k => dead(k._1)).foreach(bloomCache.remove)
+  }
+
   /** Release everything this module holds for a corpus dir — the
     * compaction hook: after the corpus changes (docs merged, deletes
     * applied), cached edge graphs and cluster labels are stale AND pinned
@@ -79,7 +98,8 @@ object Curation {
     * fault tolerance. Each round is one shuffle join + one min-aggregate —
     * the shape that runs on a 100 TB edge list.
     */
-  def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+  def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    sweepStoppedSessions()
     clusterCache.getOrElseUpdate((s, d), {
     // the near-dup pair graph is a build-once artifact per corpus
     // snapshot (like the IVF index): generation runs once per session
@@ -95,6 +115,7 @@ object Curation {
     labels.select(col("doc_id"), col("label").as("cluster_id"),
                   (col("doc_id") === col("label")).cast("long").as("keep"))
   })
+  }
 
   /** Min-label connected components over an UNDIRECTED edge list that
     * already contains both orientations of every pair (columns id_a,
@@ -299,7 +320,8 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Byte]]
   def corpusBloom(s: SparkSession, d: String,
                   expectedItems: Long = 0L,
-                  numBits: Long = 0L): Array[Byte] =
+                  numBits: Long = 0L): Array[Byte] = {
+    sweepStoppedSessions()
     bloomCache.getOrElseUpdate((s, d), {
       val items =
         if (expectedItems > 0L) expectedItems
@@ -310,6 +332,7 @@ object Curation {
           .bloomAgg(xxhash64(col("text")), items, bits).as("bf"))
         .head().getAs[Array[Byte]](0)
     })
+  }
 
   /** Crawl-frontier prune against the ACCUMULATED corpus (the band index
     * catches near-dups; this catches exact re-crawls): incoming docs
