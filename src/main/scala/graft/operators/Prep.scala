@@ -472,6 +472,78 @@ object Prep {
         .orderBy(col("logratio").desc, col("doc_id")).limit(50)
     },
 
+    Q("q119_novelty_curve",
+      "Corpus saturation audit: the share of each document's distinct " +
+        "trigrams seen for the FIRST time in that document, reported by " +
+        "corpus decile (ingest order = doc_id) — the curve that tells a " +
+        "data pipeline when additional crawl stops buying novel " +
+        "n-grams (dedup ROI, scaling-law data budgeting). A healthy " +
+        "growing corpus decays smoothly (0.92 -> 0.36 here); a cliff " +
+        "means a duplicated ingest batch. Scale shape: trigram events " +
+        "are one linear array projection; the (doc, gram) DISTINCT and " +
+        "the first-doc table are one exchange each on vocab-bounded " +
+        "keys; first-doc attaches by a same-key shuffle join (never " +
+        "broadcast — the gram table is vocabulary-sized); deciles come " +
+        "from broadcast min/max scalars, so no global window ever " +
+        "funnels the corpus through one task. Counts stay exact " +
+        "integers until one division, rounded at 4dp in both engines.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |tg AS (SELECT DISTINCT doc_id,
+        |         tok[CAST(i+1 AS BIGINT)] || ' ' || tok[CAST(i+2 AS BIGINT)]
+        |           || ' ' || tok[CAST(i+3 AS BIGINT)] AS g
+        |       FROM t CROSS JOIN LATERAL unnest(range(len(tok)-2)) AS u(i)
+        |       WHERE len(tok) >= 3),
+        |fd AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY 1),
+        |ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |ev AS (SELECT tg.doc_id,
+        |         CAST(tg.doc_id = fd.first_doc AS BIGINT) AS novel,
+        |         least(9, CAST(floor((tg.doc_id - ids.lo) * 10.0 /
+        |                             (ids.hi - ids.lo + 1)) AS BIGINT)) AS decile
+        |       FROM tg JOIN fd USING (g) CROSS JOIN ids)
+        |SELECT decile, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(novel) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(novel) AS DOUBLE) / count(*), 4) AS novelty
+        |FROM ev GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+      val t = spread(docs(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 3)
+      // trigrams via two padded zips — null neighbors null the gram, so
+      // the tail positions drop and the projection stays token-linear
+      val tg = t.select(col("doc_id"), explode(
+          filter(
+            zip_with(
+              zip_with(
+                col("tok"),
+                slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+                (a, b) => concat(a, lit(" "), b)),
+              slice(col("tok"), lit(3), greatest(size(col("tok")) - 2, lit(0))),
+              (ab, c) => concat(ab, lit(" "), c)),
+            g => g.isNotNull)).as("g"))
+        // align with the join-pushed constraint (the q112/q117 lesson)
+        .filter(col("g").isNotNull)
+        .distinct()
+      // the first-doc table is VOCABULARY-sized: broadcasting it is the
+      // q112 OOM-at-scale hazard the static planner happily picks at toy
+      // scale — force the co-partitioned hash join (both sides already
+      // shuffle on g, no sort needed); PlanSpec pins it
+      val fd = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
+        .hint("shuffle_hash")
+      val ids = docs(s, d).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val ev = tg.join(fd, Seq("g")).crossJoin(broadcast(ids))
+        .select(col("doc_id"),
+          (col("doc_id") === col("first_doc")).cast("long").as("novel"),
+          least(lit(9),
+            floor((col("doc_id") - col("lo")) * lit(10.0)
+                  / (col("hi") - col("lo") + 1)).cast("long")).as("decile"))
+      ev.groupBy("decile")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+             count(lit(1)).cast("long").as("n_grams"),
+             sum("novel").as("n_novel"),
+             round(sum("novel") / count(lit(1)).cast("double"), 4).as("novelty"))
+        .orderBy("decile")
+    },
+
     Q("q114_zipf_slope",
       "Zipf-law fit of the vocabulary: OLS slope of ln(term frequency) " +
         "on ln(rank) over the top-200 terms. Natural language sits near " +

@@ -402,6 +402,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p117 = df117.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p117).length >= 2,
            s"q117 stopped reusing the tokenize/bucket-stats stages:\n$p117")
+    // q119: the (doc, gram) DISTINCT exchange feeds both the first-doc
+    // aggregate and the probe join — one tokenize pass; and the
+    // vocabulary-sized first-doc table must NEVER broadcast (q112's
+    // OOM-at-scale hazard — the static planner picks it at toy scale)
+    val df119 = SparkEntry.queries("q119_novelty_curve")(spark, sf)
+    df119.collect()
+    val p119 = df119.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p119).nonEmpty,
+           s"q119 stopped reusing the trigram DISTINCT stage:\n$p119")
+    val gramBroadcast = p119.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("first_doc"))
+    assert(gramBroadcast.isEmpty,
+           s"q119 first-doc table must not broadcast:\n${gramBroadcast.mkString("\n")}")
   }
 
   test("q50: custom top_k_by aggregates partially before the exchange") {
