@@ -544,6 +544,105 @@ object Prep {
         .orderBy("decile")
     },
 
+    Q("q120_heaps_law",
+      "Heaps'-law fit: OLS slope of ln(cumulative distinct trigrams) on " +
+        "ln(cumulative trigram occurrences) across corpus deciles — the " +
+        "vocabulary-growth exponent beta (0.8193 here; natural text " +
+        "sits ~0.5-0.8, beta near 0 means a saturated/duplicated " +
+        "corpus, near 1 word-salad). The one-number companion to " +
+        "q119's per-decile curve and q114's Zipf slope. Scale shape: " +
+        "ONE trigram pass to the (decile, gram) count table; per-" +
+        "decile token totals AND per-gram first-decile both DERIVE " +
+        "from it (AQE reuses the exchange); everything after is 10-row " +
+        "algebra (the bounded-domain window exception). Determinism: " +
+        "q114's convention — per-point ln contributions round half-up " +
+        "to 1e-6-scaled BIGINTs, so both engines fit identical " +
+        "integers.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |ev AS (SELECT least(9, CAST(floor((doc_id - ids.lo) * 10.0 /
+        |                (ids.hi - ids.lo + 1)) AS BIGINT)) AS dec,
+        |         tok[CAST(i+1 AS BIGINT)] || ' ' || tok[CAST(i+2 AS BIGINT)]
+        |           || ' ' || tok[CAST(i+3 AS BIGINT)] AS g
+        |       FROM t CROSS JOIN ids
+        |       CROSS JOIN LATERAL unnest(range(len(tok)-2)) AS u(i)
+        |       WHERE len(tok) >= 3),
+        |cdt AS (SELECT dec, g, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1,2),
+        |tokd AS (SELECT dec, CAST(sum(c) AS BIGINT) AS nt FROM cdt GROUP BY 1),
+        |fd AS (SELECT g, min(dec) AS fdec FROM cdt GROUP BY 1),
+        |nvd AS (SELECT fdec AS dec, CAST(count(*) AS BIGINT) AS nv FROM fd GROUP BY 1),
+        |cum AS (SELECT tokd.dec,
+        |          CAST(sum(nt) OVER (ORDER BY tokd.dec) AS BIGINT) AS ct,
+        |          CAST(sum(COALESCE(nv, 0)) OVER (ORDER BY tokd.dec) AS BIGINT) AS cv
+        |        FROM tokd LEFT JOIN nvd USING (dec)),
+        |c AS (SELECT
+        |   CAST(floor(ln(ct) * 1000000 + 0.5) AS BIGINT) AS x,
+        |   CAST(floor(ln(cv) * 1000000 + 0.5) AS BIGINT) AS y,
+        |   CAST(floor(ln(ct) * ln(ct) * 1000000 + 0.5) AS BIGINT) AS xx,
+        |   CAST(floor(ln(ct) * ln(cv) * 1000000 + 0.5) AS BIGINT) AS xy
+        | FROM cum),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |        CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |        CAST(CAST(sum(xx) AS BIGINT) AS DOUBLE) AS sxx,
+        |        CAST(CAST(sum(xy) AS BIGINT) AS DOUBLE) AS sxy
+        |      FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_deciles,
+        |  round((n * sxy / 1000000.0 - sx * sy / 1000000000000.0) /
+        |        (n * sxx / 1000000.0 - sx * sx / 1000000000000.0), 4) AS beta,
+        |  round((sy / 1000000.0 -
+        |         ((n * sxy / 1000000.0 - sx * sy / 1000000000000.0) /
+        |          (n * sxx / 1000000.0 - sx * sx / 1000000000000.0)) *
+        |           sx / 1000000.0) / n, 4) AS intercept
+        |FROM s""".stripMargin) { (s, d) =>
+      val t = spread(docs(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 3)
+      val ids = docs(s, d).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val ev = t.crossJoin(broadcast(ids)).select(
+          least(lit(9),
+            floor((col("doc_id") - col("lo")) * lit(10.0)
+                  / (col("hi") - col("lo") + 1)).cast("long")).as("dec"),
+          explode(
+            filter(
+              zip_with(
+                zip_with(
+                  col("tok"),
+                  slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+                  (a, b) => concat(a, lit(" "), b)),
+                slice(col("tok"), lit(3), greatest(size(col("tok")) - 2, lit(0))),
+                (ab, cc) => concat(ab, lit(" "), cc)),
+              g => g.isNotNull)).as("g"))
+      val cdt = ev.groupBy("dec", "g").agg(count(lit(1)).as("c"))
+      val tokd = cdt.groupBy("dec").agg(sum("c").as("nt"))
+      val fd = cdt.groupBy("g").agg(min("dec").as("fdec"))
+      val nvd = fd.groupBy(col("fdec").as("dec")).agg(count(lit(1)).as("nv"))
+      val wc = Window.orderBy("dec")
+      val cum = tokd.join(nvd, Seq("dec"), "left")
+        .select(col("dec"),
+                sum("nt").over(wc).cast("long").as("ct"),
+                sum(coalesce(col("nv"), lit(0L))).over(wc).cast("long").as("cv"))
+      val c = cum.select(
+        floor(log(col("ct")) * 1000000 + 0.5).cast("long").as("x"),
+        floor(log(col("cv")) * 1000000 + 0.5).cast("long").as("y"),
+        floor(log(col("ct")) * log(col("ct")) * 1000000 + 0.5).cast("long").as("xx"),
+        floor(log(col("ct")) * log(col("cv")) * 1000000 + 0.5).cast("long").as("xy"))
+      val agg = c.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum("xx").cast("double").as("sxx"), sum("xy").cast("double").as("sxy"))
+      val slope =
+        (col("n") * col("sxy") / lit(1000000.0)
+          - col("sx") * col("sy") / lit(1000000000000.0)) /
+        (col("n") * col("sxx") / lit(1000000.0)
+          - col("sx") * col("sx") / lit(1000000000000.0))
+      agg.select(
+        col("n").cast("long").as("n_deciles"),
+        round(slope, 4).as("beta"),
+        round((col("sy") / lit(1000000.0) - slope * col("sx") / lit(1000000.0))
+                / col("n"), 4).as("intercept"))
+    },
+
     Q("q114_zipf_slope",
       "Zipf-law fit of the vocabulary: OLS slope of ln(term frequency) " +
         "on ln(rank) over the top-200 terms. Natural language sits near " +
