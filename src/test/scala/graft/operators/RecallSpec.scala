@@ -89,15 +89,17 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     info(f"recall@5: srp-lsh $rLsh%.3f, kmeans-ivf $rIvf%.3f")
     assert(rLsh >= 0.6, f"LSH recall@5 $rLsh%.3f under floor")
     assert(rIvf >= 0.6, f"IVF recall@5 $rIvf%.3f under floor")
-    // PQ: ADC top-50 pool + exact re-rank; codebook fits amortize
-    val fitsBefore = TrainingData.pqFits.get()
+    // PQ: ADC top-50 pool + exact re-rank; codebook fits amortize (the
+    // "exactly one fit" form would be order-dependent — another suite
+    // touching q116 on the shared session warms the cache first)
     val rPq = recall(top5(run("q116_ann_pq")))
+    val fitsAfterFirst = TrainingData.pqFits.get()
     val rPq2 = recall(top5(run("q116_ann_pq")))
     info(f"recall@5: pq-adc+rerank $rPq%.3f")
     assert(rPq >= 0.6, f"PQ recall@5 $rPq%.3f under floor")
     assert(rPq === rPq2, "PQ results unstable across runs")
-    assert(TrainingData.pqFits.get() === fitsBefore + 1,
-           "PQ codebook must fit once per (session, corpus), then amortize")
+    assert(TrainingData.pqFits.get() === fitsAfterFirst,
+           "second q116 invocation refit the PQ codebook instead of reusing it")
   }
 
   test("q94 int8 quantization preserves retrieval: quantized brute-force recall@5 >= 0.95") {
