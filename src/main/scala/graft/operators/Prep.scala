@@ -29,6 +29,32 @@ object Prep {
 
   /** GPT-style packing budget (tokens per training sequence). */
   val PackBudget = 512L
+
+  /** DSIR hashed-n-gram feature space (bucket count). 1024 here; the
+    * paper's production setting is 2^20 — the score artifact stays
+    * bounded by B either way.
+    */
+  val DsirB = 1024
+
+  /** unigrams ++ bigrams of a token array as ONE array projection —
+    * concat of a null-padded neighbor nulls the bigram, so tail
+    * positions drop and the projection stays token-linear (shared by
+    * the q117 batch scorer and the streaming ingest scorer, which MUST
+    * featurize identically).
+    */
+  private[operators] def gramArray(tok: Column): Column =
+    concat(
+      tok,
+      filter(
+        zip_with(tok, slice(tok, lit(2), greatest(size(tok) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull))
+
+  /** Feature bucket of a gram: first 6 md5 hex digits mod B — the same
+    * spelling DuckDB evaluates in the q117 oracle.
+    */
+  private[operators] def dsirBucket(g: Column): Column =
+    conv(substring(md5(g.cast("binary")), 1, 6), 16, 10).cast("long") % DsirB
   /** Context-window chunking geometry: window, stride (overlap = 16). */
   val ChunkLen = 64L
   val ChunkStride = 48L
@@ -431,25 +457,13 @@ object Prep {
         |GROUP BY 1
         |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
       // unigrams ++ bigrams as ONE array projection -> one explode -> one
-      // corpus scan (a uni/bi union would scan the parquet twice); concat
-      // of a null neighbor nulls the bigram, so the last position drops
+      // corpus scan (a uni/bi union would scan the parquet twice)
       val t = spread(docs(s, d))
         .select(col("doc_id"), (col("lang") === "en").as("tgt"),
                 tokens(col("text")).as("tok"))
       val ev = t.select(
-          col("doc_id"), col("tgt"),
-          explode(concat(
-            col("tok"),
-            filter(
-              zip_with(
-                col("tok"),
-                slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-                (a, b) => concat(a, lit(" "), b)),
-              g => g.isNotNull))).as("g"))
-        .select(
-          col("doc_id"), col("tgt"),
-          (conv(substring(md5(col("g").cast("binary")), 1, 6), 16, 10)
-            .cast("long") % 1024).as("b"))
+          col("doc_id"), col("tgt"), explode(gramArray(col("tok"))).as("g"))
+        .select(col("doc_id"), col("tgt"), dsirBucket(col("g")).as("b"))
         // align with the constraint the sc probe join pushes down, so the
         // bk branch and the probe branch stay canonically equal and AQE
         // reuses ONE tokenize+count stage for both (the q112 lesson)
@@ -461,8 +475,8 @@ object Prep {
       val tot = bk.agg(sum("ct").as("tt"), sum("cr").as("tr"))
       val sc = bk.crossJoin(broadcast(tot))
         .select(col("b"),
-          floor((log((col("ct") + lit(1.0)) / (col("tt") + lit(1024)))
-                 - log((col("cr") + lit(1.0)) / (col("tr") + lit(1024))))
+          floor((log((col("ct") + lit(1.0)) / (col("tt") + lit(DsirB)))
+                 - log((col("cr") + lit(1.0)) / (col("tr") + lit(DsirB))))
             * 1000000 + 0.5).cast("long").as("s"))
       cdb.join(broadcast(sc), Seq("b"))
         .groupBy("doc_id")
@@ -709,4 +723,99 @@ object Prep {
                 col("n"), 4).as("intercept"))
     }
   )
+
+  /** The q117 bucket score table over ALL DsirB buckets — absent buckets
+    * carry the smoothed prior score ln((0+1)/(Tt+B)) - ln((0+1)/(Tr+B)),
+    * which q117 itself never probes (its events only hit observed
+    * buckets) but an ingest stream MUST have (new documents contain
+    * unseen grams). 1e-6-scaled integers, the q101 convention; exactly
+    * B rows.
+    */
+  def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val t = spread(docs(s, d))
+      .select((col("lang") === "en").as("tgt"), tokens(col("text")).as("tok"))
+    val ev = t.select(col("tgt"), explode(gramArray(col("tok"))).as("g"))
+      .select(col("tgt"), dsirBucket(col("g")).as("b"))
+    val bk = ev.groupBy("b").agg(
+      coalesce(sum(when(col("tgt"), 1L)), lit(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = bk.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    s.range(DsirB).select(col("id").as("b"))
+      .join(bk, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor((log((coalesce(col("ct"), lit(0L)) + lit(1.0))
+                   / (col("tt") + lit(DsirB)))
+               - log((coalesce(col("cr"), lit(0L)) + lit(1.0))
+                     / (col("tr") + lit(DsirB))))
+          * 1000000 + 0.5).cast("long").as("sc"))
+  }
+
+  /** Persist the DSIR score table: B rows of (b, sc) as parquet with a
+    * geometry sidecar, under the staging -> sidecar-before-swap -> rename
+    * lifecycle shared by the band/fingerprint/postings/IVF/PQ indexes.
+    * The artifact a scoring-at-ingest stream loads once per run.
+    */
+  def buildDsirIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    dsirScores(s, d).write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_dsir_geometry"), true)
+    try out.write(s"$DsirB 1000000".getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"dsir-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"dsir-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  /** Load a persisted DSIR score table as a dense array indexed by
+    * bucket (bounded: B longs on the driver — the POINT of hashed
+    * features is that this artifact never grows with the corpus).
+    */
+  def loadDsirIndex(s: SparkSession, indexDir: String): Array[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_dsir_geometry"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val geo = txt.trim.split(" ").map(_.toLong)
+    require(geo.sameElements(Array(DsirB.toLong, 1000000L)),
+            s"persisted DSIR geometry ${geo.mkString("x")} != compiled ${DsirB}x1000000")
+    val rows = s.read.parquet(indexDir).collect()
+    require(rows.length == DsirB, s"DSIR index has ${rows.length} rows, want $DsirB")
+    val arr = new Array[Long](DsirB)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Scoring-at-ingest: DSIR log-likelihood-ratio per arriving document
+    * as a PURE PROJECTION over a (doc_id, text) stream — featurize with
+    * the exact batch gram/bucket spelling, look each gram's score up in
+    * the B-long literal array, sum in exact integer space, one final 4dp
+    * division. No shuffle, no watermark, no state store: the plan stays
+    * append-mode-legal by construction, so ingest routing (keep / review
+    * / drop by threshold) composes with any sink. At B = 2^20 the 8 MB
+    * literal still ships once per executor; beyond that, swap the array
+    * for a stream-static broadcast join on the persisted table — same
+    * semantics, one extra plan node.
+    */
+  def dsirScoreStream(stream: DataFrame, scores: Array[Long]): DataFrame = {
+    val arr = lit(scores)
+    stream
+      .withColumn("grams", gramArray(tokens(col("text"))))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("grams"),
+            g => element_at(arr, (dsirBucket(g) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("ssum"))
+      .select(col("doc_id"), col("n_grams"),
+        (floor(col("ssum") / lit(100.0) + 0.5) / lit(10000)).as("logratio"))
+  }
 }
