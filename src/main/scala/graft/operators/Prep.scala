@@ -30,6 +30,13 @@ object Prep {
   /** GPT-style packing budget (tokens per training sequence). */
   val PackBudget = 512L
 
+  /** q108 two-phase packing: docs per doc_id bucket. Each packing task
+    * sees at most this many rows; the bucket-offset table is corpus/width
+    * sized (tiny rows), the only place a per-shard sequential pass
+    * remains. At production scale widen to ~1M docs/bucket.
+    */
+  val PackBucketWidth = 64L
+
   /** DSIR hashed-n-gram feature space (bucket count). 1024 here; the
     * paper's production setting is 2^20 — the score artifact stays
     * bounded by B either way.
@@ -109,11 +116,19 @@ object Prep {
         "512 tokens; emit, per document, the bin span it lands in " +
         "(first_bin/last_bin/n_bins). The packing plan a trainer uses " +
         "to build fixed-length sequences without padding waste. Scale " +
-        "shape: ONE window (cumulative token count) partitioned by the " +
-        "shard key `source` and ordered by doc_id — per-shard sequential " +
-        "semantics with cross-shard parallelism, exactly how a 1000-" +
-        "executor packer shards the corpus; all arithmetic is exact " +
-        "integer floor-division, so the oracle matches bit-for-bit.",
+        "shape: TWO-PHASE (the q78 bounded-window pattern) — a bare " +
+        "window partitioned by low-cardinality `source` would funnel " +
+        "every document of a source through ONE task (the q62 hazard). " +
+        "Instead: (1) per-(source, doc_id-bucket) token subtotals " +
+        "(map-side partials; the bucket table is corpus/width-sized tiny " +
+        "rows) with an exclusive per-source prefix sum over THAT table " +
+        "only; (2) the exact per-doc running sum windowed by (source, " +
+        "bucket) — every packing task sees at most PackBucketWidth " +
+        "rows, and the (source, bucket) shuffle join partitioning is " +
+        "reused by the window, so the doc side shuffles once. Bucket " +
+        "offsets + within-bucket prefix sums are exact integer addition, " +
+        "bit-identical to the naive global window; bins use true " +
+        "integral DIV, so the oracle matches bit-for-bit.",
       """WITH t AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |           FROM documents),
@@ -126,18 +141,40 @@ object Prep {
         |  (end_off - 1) // 512 AS last_bin,
         |  (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
         |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      // doc_id >= 0, so DIV (integral trunc) == floor; bucket index is
+      // monotone in doc_id, so per-bucket doc_id order concatenates to
+      // the global per-source order.
       val t = docs(s, d).select(
         col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val b = lit(PackBudget)
-      t.withColumn("end_off", sum("n_tok").over(w))
+        .withColumn("bkt", expr(s"doc_id DIV $PackBucketWidth"))
+      // phase 1: bucket subtotals (map-side partials) and an exclusive
+      // per-source prefix sum — the ONLY window partitioned by source
+      // alone, and it runs over the corpus/width-sized bucket table, not
+      // over documents.
+      val wb = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("source", "bkt")
+        .agg(sum("n_tok").as("bucket_tokens"))
+        .withColumn("bucket_off",
+                    coalesce(sum("bucket_tokens").over(wb), lit(0L)))
+        .select("source", "bkt", "bucket_off")
+      // phase 2: exact within-bucket running sum. The offsets table scales
+      // with corpus/width, so it must NEVER broadcast (the q112 hazard);
+      // the shuffle join's (source, bkt) partitioning is exactly the
+      // window's requirement, so no further exchange of the doc side.
+      val w = Window.partitionBy("source", "bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val b = PackBudget
+      t.hint("shuffle_merge")
+        .join(offsets.hint("shuffle_merge"), Seq("source", "bkt"))
+        .withColumn("end_off", col("bucket_off") + sum("n_tok").over(w))
         .select(
           col("source"), col("doc_id"), col("n_tok"),
-          floor((col("end_off") - col("n_tok")) / b).as("first_bin"),
-          floor((col("end_off") - 1) / b).as("last_bin"),
-          (floor((col("end_off") - 1) / b) -
-            floor((col("end_off") - col("n_tok")) / b) + 1).as("n_bins"))
+          expr(s"(end_off - n_tok) DIV $b").as("first_bin"),
+          expr(s"(end_off - 1) DIV $b").as("last_bin"),
+          expr(s"(end_off - 1) DIV $b - (end_off - n_tok) DIV $b + 1")
+            .as("n_bins"))
     },
 
     Q("q109_doc_chunks",

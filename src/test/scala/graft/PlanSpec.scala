@@ -332,15 +332,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // q108: the packing layout is ONE hash shuffle (the per-shard
-      // window on `source`) — any second hashpartitioning exchange means
-      // the cumulative sum stopped reusing the shard partitioning
+      // q108: two-phase packing (r8). A window partitioned solely by
+      // low-cardinality `source` over raw documents funnels each source
+      // through ONE task — the q62 hazard. Pin: every Window whose
+      // partition spec is [source] alone runs over the BUCKET-SUBTOTAL
+      // table (its frame sums bucket_tokens), the per-doc running sum
+      // windows by (source, bkt), and the doc side reuses the join's
+      // (source, bkt) partitioning — no Exchange between the SMJ and the
+      // doc-side Window. The corpus/width-sized offsets table must
+      // never broadcast (the q112 hazard).
       val p108 = plan("q108_sequence_pack")
-      val shuffles108 = p108.linesIterator
-        .count(_.contains("Exchange hashpartitioning"))
-      assert(shuffles108 === 1,
-             s"q108 must shuffle exactly once (the shard window):\n$p108")
-      assert(p108.contains("Window"), s"q108 lost its window:\n$p108")
+      val lines108 = p108.linesIterator.toSeq
+      // the doc-side window is windowspecdefinition(source, bkt, doc_id
+      // ASC ...); a source-solo spec never mentions doc_id in its line
+      val soloSourceWins = lines108.filter(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(source#") &&
+          !l.contains("doc_id#"))
+      assert(soloSourceWins.nonEmpty && soloSourceWins.forall(_.contains("bucket_tokens")),
+             s"q108: a source-solo window left the bounded bucket table:\n$p108")
+      val docWinIdx = lines108.indexWhere(l =>
+        l.contains("Window") && l.contains("bkt#") &&
+          l.contains("doc_id#") && l.contains("sum(n_tok#"))
+      assert(docWinIdx >= 0,
+             s"q108 per-doc window must partition by (source, bkt):\n$p108")
+      val smjIdx = lines108.indexWhere(_.contains("SortMergeJoin"))
+      assert(smjIdx > docWinIdx,
+             s"q108 offsets join must sit beneath the per-doc window:\n$p108")
+      assert(!lines108.slice(docWinIdx, smjIdx).exists(_.contains("Exchange")),
+             s"q108 per-doc window must reuse the join's (source, bkt) partitioning:\n$p108")
+      assert(!p108.contains("BroadcastHashJoin"),
+             s"q108 offsets table scales with corpus/width and must not broadcast:\n$p108")
       // q109/q113: pure per-row projections — chunk generation and PII
       // redaction must not shuffle at all (spread()'s round-robin rebalance
       // is not a hash shuffle and carries no per-key state)
