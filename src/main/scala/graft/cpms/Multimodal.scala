@@ -44,14 +44,19 @@ object Multimodal {
       struct(col("source"),
              octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Decoded-image schema produced by the (stub) decoder. */
+  /** Decoded-image schema produced by the (stub) decoder. `dhash` is the
+    * 64-bit difference-hash of the decoded luma grid (real codecs only;
+    * null for audio and stub decodes) — the perceptual fingerprint image
+    * near-dup bands on.
+    */
   val decodedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("kind", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("feature", ArrayType(FloatType, containsNull = false))))
+    StructField("feature", ArrayType(FloatType, containsNull = false)),
+    StructField("dhash", LongType, nullable = true)))
 
   /** STUB decode: deterministic pseudo-decode of a payload. A real
     * implementation calls the codec here — per partition, batched — and
@@ -67,7 +72,7 @@ object Multimodal {
     val feat = Array.tabulate(8) { j =>
       (math.floorMod(graft.functions.TextHashes.mix64(h + j), 2000) / 1000.0f) - 1.0f
     }
-    Row(assetId, kind, width, height, frames, feat.toSeq)
+    Row(assetId, kind, width, height, frames, feat.toSeq, null)
   }
 
   /** 8-float feature vector from decoded RGB pixels: channel means, luma
@@ -91,6 +96,59 @@ object Multimodal {
 
   private def luma(r: Int, g: Int, b: Int): Double =
     0.299 * r + 0.587 * g + 0.114 * b
+
+  /** dHash grid geometry: 8 rows x 9 cols of mean luma, 64 horizontal-
+    * gradient bits. Gradients are invariant to uniform brightness/
+    * contrast shifts and to the pixel-exact re-encodes (PPM<->BMP<->PNG)
+    * a crawl dedup actually meets, which is why dHash is the standard
+    * crawl-scale perceptual fingerprint.
+    */
+  private val DhRows = 8
+  private val DhCols = 9
+
+  /** Shared per-pixel accumulator for the image codecs: channel/luma
+    * feature sums plus the dHash cell grid, one `add` per pixel inside
+    * each codec's existing scan loop (no second pass over pixels).
+    */
+  private final class PixelAcc(w: Int, h: Int) {
+    private var sumR = 0L; private var sumG = 0L; private var sumB = 0L
+    private var sumL = 0.0; private var sumL2 = 0.0
+    private val cellSum = new Array[Double](DhRows * DhCols)
+    private val cellCnt = new Array[Long](DhRows * DhCols)
+    def add(x: Int, y: Int, r: Int, g: Int, b: Int): Unit = {
+      sumR += r; sumG += g; sumB += b
+      val l = luma(r, g, b)
+      sumL += l; sumL2 += l * l
+      // Long products: w,h can be near 2^31 on forged-but-bounded input
+      val cy = ((y.toLong * DhRows) / h).toInt
+      val cx = ((x.toLong * DhCols) / w).toInt
+      val c = cy * DhCols + cx
+      cellSum(c) += l; cellCnt(c) += 1
+    }
+    /** 64-bit difference hash: bit r*8+c set iff cell (r, c+1) is
+      * brighter than cell (r, c). Cells an image smaller than the grid
+      * never touches read as luma 0.
+      */
+    def dhash: Long = {
+      var bits = 0L
+      var r = 0
+      while (r < DhRows) {
+        var c = 0
+        while (c < DhCols - 1) {
+          val a = if (cellCnt(r * DhCols + c) == 0) 0.0
+                  else cellSum(r * DhCols + c) / cellCnt(r * DhCols + c)
+          val b = if (cellCnt(r * DhCols + c + 1) == 0) 0.0
+                  else cellSum(r * DhCols + c + 1) / cellCnt(r * DhCols + c + 1)
+          if (b > a) bits |= 1L << (r * (DhCols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+    def features: Array[Float] =
+      pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2)
+  }
 
   /** REAL codec: uncompressed 24-bit bottom-up-or-top-down BMP
     * (BITMAPINFOHEADER). Parses the header for dimensions and scans every
@@ -122,8 +180,7 @@ object Multimodal {
     if (h > (Long.MaxValue - pixOff) / rowBytesL) return None
     if (pixOff.toLong + rowBytesL * h > content.length) return None
     val rowBytes = rowBytesL.toInt // <= content.length after the check above
-    var (sumR, sumG, sumB) = (0L, 0L, 0L)
-    var (sumL, sumL2) = (0.0, 0.0)
+    val acc = new PixelAcc(w, h)
     var y = 0
     while (y < h) {
       // negative height = top-down row order; positive = bottom-up
@@ -133,15 +190,12 @@ object Multimodal {
         val b = content(row + x * 3) & 0xff
         val g = content(row + x * 3 + 1) & 0xff
         val r = content(row + x * 3 + 2) & 0xff
-        sumR += r; sumG += g; sumB += b
-        val l = luma(r, g, b)
-        sumL += l; sumL2 += l * l
+        acc.add(x, y, r, g, b)
         x += 1
       }
       y += 1
     }
-    Some(Row(assetId, "image", w, h, 1,
-             pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2).toSeq))
+    Some(Row(assetId, "image", w, h, 1, acc.features.toSeq, acc.dhash))
   }
 
   /** REAL codec: binary PPM (P6, maxval <= 255). Parses the ASCII header
@@ -177,21 +231,17 @@ object Multimodal {
     if (content(i) == '\r' && i + 1 < content.length && content(i + 1) == '\n') i += 2
     else i += 1
     if (i + 3L * w * h > content.length) return None
-    var (sumR, sumG, sumB) = (0L, 0L, 0L)
-    var (sumL, sumL2) = (0.0, 0.0)
+    val acc = new PixelAcc(w, h)
     var p = 0
     val n = w * h
     while (p < n) {
       val r = content(i + p * 3) & 0xff
       val g = content(i + p * 3 + 1) & 0xff
       val b = content(i + p * 3 + 2) & 0xff
-      sumR += r; sumG += g; sumB += b
-      val l = luma(r, g, b)
-      sumL += l; sumL2 += l * l
+      acc.add(p % w, p / w, r, g, b)
       p += 1
     }
-    Some(Row(assetId, "image", w, h, 1,
-             pixelFeatures(w, h, sumR, sumG, sumB, sumL, sumL2).toSeq))
+    Some(Row(assetId, "image", w, h, 1, acc.features.toSeq, acc.dhash))
   }
 
   /** REAL codec: PNG, 8-bit truecolor RGB (type 2) or RGBA (type 6),
@@ -270,8 +320,7 @@ object Multimodal {
     val stride = wi * bpp
     var prev = new Array[Int](stride)
     var cur = new Array[Int](stride)
-    var (sumR, sumG, sumB) = (0L, 0L, 0L)
-    var (sumL, sumL2) = (0.0, 0.0)
+    val acc = new PixelAcc(wi, hi)
     var y = 0
     while (y < hi) {
       val rowOff = y * (stride + 1)
@@ -304,16 +353,13 @@ object Multimodal {
         val r = cur(px * bpp)
         val g = cur(px * bpp + 1)
         val bl = cur(px * bpp + 2)
-        sumR += r; sumG += g; sumB += bl
-        val l = luma(r, g, bl)
-        sumL += l; sumL2 += l * l
+        acc.add(px, y, r, g, bl)
         px += 1
       }
       val t = prev; prev = cur; cur = t
       y += 1
     }
-    Some(Row(assetId, "image", wi, hi, 1,
-             pixelFeatures(wi, hi, sumR, sumG, sumB, sumL, sumL2).toSeq))
+    Some(Row(assetId, "image", wi, hi, 1, acc.features.toSeq, acc.dhash))
   }
 
   /** REAL audio codec: RIFF/WAVE, 16-bit PCM (the interchange format a
@@ -337,21 +383,24 @@ object Multimodal {
       (content(p) & 0xffL) | ((content(p + 1) & 0xffL) << 8) |
         ((content(p + 2) & 0xffL) << 16) | ((content(p + 3) & 0xffL) << 24)
     def u16(p: Int): Int = (content(p) & 0xff) | ((content(p + 1) & 0xff) << 8)
-    // chunk walk: need one fmt and one data chunk, sizes in-bounds
+    // chunk walk: need one fmt and one data chunk, sizes in-bounds. Keep
+    // walking past 'data' until 'fmt ' is also seen — RIFF does not
+    // order chunks, and a legal fmt-after-data WAV must not fall back to
+    // the stub (the first 'data'/'fmt ' of each wins).
     var p = 12
     var sampleRate = 0L; var channels = 0; var bits = 0; var fmtSeen = false
     var dataOff = -1; var dataLen = 0L
-    while (p + 8 <= content.length && dataOff < 0) {
+    while (p + 8 <= content.length && (dataOff < 0 || !fmtSeen)) {
       val len = u32(p + 4)
       if (len > content.length.toLong - p - 8) return None // forged size
-      if (tag(p, "fmt ")) {
+      if (tag(p, "fmt ") && !fmtSeen) {
         if (len < 16) return None
         if (u16(p + 8) != 1) return None // PCM only
         channels = u16(p + 10)
         sampleRate = u32(p + 12)
         bits = u16(p + 22)
         fmtSeen = true
-      } else if (tag(p, "data")) { dataOff = p + 8; dataLen = len }
+      } else if (tag(p, "data") && dataOff < 0) { dataOff = p + 8; dataLen = len }
       p += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (!fmtSeen || dataOff < 0) return None
@@ -392,7 +441,7 @@ object Multimodal {
       math.min(1.0, durSec / 60.0).toFloat, (channels / 2.0f).min(1.0f),
       0.0f, 0.0f)
     Some(Row(assetId, "audio", sampleRate.toInt, channels, nFrames.toInt,
-             feat.toSeq))
+             feat.toSeq, null))
   }
 
   /** One payload through the codec chain: real BMP/PPM/PNG/WAV decode
@@ -440,4 +489,144 @@ object Multimodal {
       when(col("kind") === "video",
            slice(sequence(lit(0), col("n_frames") - 1, lit(everyK)), 1, cap))
         .otherwise(array(lit(0))))
+
+  // ---------------------------------------------------------------- encoders
+
+  /** Binary PPM (P6) encoder; `rgb` is row-major top-down r,g,b triples. */
+  private[graft] def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, "rgb length mismatch")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Uncompressed 24-bit bottom-up BMP encoder (BITMAPINFOHEADER); `rgb`
+    * is row-major top-down r,g,b triples (BMP stores BGR, rows padded to
+    * 4 bytes, bottom row first).
+    */
+  private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, "rgb length mismatch")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def le16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+    def le32(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+      out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h) // positive height = bottom-up
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + (h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val src = (y * w + x) * 3
+        out(dst + x * 3) = rgb(src + 2)     // B
+        out(dst + x * 3 + 1) = rgb(src + 1) // G
+        out(dst + x * 3 + 2) = rgb(src)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------- perceptual image dedup
+
+  /** asset_id offset for the planted re-encodes [[syntheticImageAssets]]
+    * emits, far above any doc_id in the test tables.
+    */
+  val NearDupOffset = 1000000L
+
+  private def polySeed(bytes: Array[Byte]): Long = {
+    var hsh = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { hsh = 31 * hsh + (bytes(i) & 0xff); i += 1 }
+    hsh
+  }
+
+  /** Deterministic image corpus derived from `documents` — REAL encoded
+    * payloads (P6 bytes seeded by each doc's content hash) so the full
+    * decode → dhash → band path runs on genuine codec output, plus a
+    * planted near-duplicate for every `dupEvery`-th doc: the SAME pixels
+    * brightness-shifted +8 and RE-ENCODED as BMP (different container,
+    * different bytes, perceptually identical). Components stay <= 240 so
+    * the shift never clamps — luma moves uniformly (+8 exactly, the
+    * coefficients sum to 1) and every dHash gradient is preserved: the
+    * planted pair is the re-encode/brightness case perceptual dedup
+    * exists to catch, invisible to exact (q30) and token (q35) dedup.
+    */
+  def syntheticImageAssets(docs: DataFrame, dupEvery: Int = 10): DataFrame = {
+    val enc = RowEncoder.encoderFor(assetSchema)
+    val w = 24; val h = 16
+    docs.select("doc_id", "text", "source").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val seed = polySeed(r.getString(1).getBytes("UTF-8"))
+        val base = new Array[Byte](3 * w * h)
+        val shifted = new Array[Byte](3 * w * h)
+        var p = 0
+        while (p < w * h) {
+          val v = graft.functions.TextHashes.mix64(seed + p)
+          var c = 0
+          while (c < 3) {
+            val raw = ((v >>> (8 * c)) & 0xff).toInt
+            val comp = raw - (raw >> 4) // 0..240: headroom for +8, no clamp
+            base(p * 3 + c) = comp.toByte
+            shifted(p * 3 + c) = (comp + 8).toByte
+            c += 1
+          }
+          p += 1
+        }
+        val src = r.getString(2)
+        val ppm = encodePpm(w, h, base)
+        val main = Row(docId, "image", ppm,
+                       Row(src, ppm.length.toLong))
+        if (docId % dupEvery == 0) {
+          val bmp = encodeBmp(w, h, shifted)
+          main :: Row(docId + NearDupOffset, "image", bmp,
+                      Row(src, bmp.length.toLong)) :: Nil
+        } else main :: Nil
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup: pigeonhole banding of the 64-bit dHash
+    * into 4x16-bit chunks, then exact Hamming verify — the q37 SimHash
+    * machinery pointed at the decoded luma grid. EXACT for radius <= 3:
+    * a pair within Hamming<=3 differs in at most 3 chunks, so it shares
+    * >=1 chunk verbatim and collides in that band; bucketed self-join,
+    * no cross product, only (asset_id, dhash) ever shuffles. Identical-
+    * hash masses (flat images) are the exact-dup case — route them
+    * through a hash groupBy first at production scale, as q30 does for
+    * text.
+    */
+  def imageNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.TextHashes.hamming64
+    val fp = decoded
+      .filter(col("kind") === "image" && col("dhash").isNotNull)
+      .select(col("asset_id"), col("dhash"))
+    val chunks = fp.select(
+      col("asset_id"), col("dhash"),
+      explode(transform(sequence(lit(0), lit(3)), i =>
+        struct(i.as("chunk"),
+               call_function("shiftright", col("dhash"), i * 16)
+                 .bitwiseAND(lit(0xffffL)).as("ckey")))).as("cc"))
+      .select(col("asset_id"), col("dhash"),
+              col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    chunks.as("l")
+      .join(chunks.as("r"),
+            col("l.chunk") === col("r.chunk") &&
+              col("l.ckey") === col("r.ckey") &&
+              col("l.asset_id") < col("r.asset_id"))
+      .select(col("l.asset_id").as("id_a"), col("r.asset_id").as("id_b"),
+              hamming64(col("l.dhash"), col("r.dhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

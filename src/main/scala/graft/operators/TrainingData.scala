@@ -828,6 +828,57 @@ object TrainingData {
       // exact-once pairs matter.
   }
 
+  /** Embedding-space near-dup AT INGEST — the semantic gate
+    * [[incrementalNearDup]] (token bands) and the frontier bloom (exact
+    * re-crawls) both miss: a paraphrased or re-encoded arrival whose
+    * token surface changed but whose embedding did not. A STREAM of
+    * (vec_id, embedding) rows probes the PERSISTED IVF index
+    * ([[buildIvfIndex]]) stream-static: each arrival scores the k
+    * centroids from the index sidecar (a literal array in the plan — no
+    * fit, no shuffle, no state), explodes to its `nProbe` nearest cells,
+    * equi-joins the cell assignment table, and exact-cosine-verifies
+    * only those cells' members. Returns (vec_id, matched_id, cos) for
+    * over-threshold arrivals — route to quarantine/drop in the ingest
+    * sink. Zero KMeans fits in the streaming session (the index is the
+    * amortization; EmbedDedupStreamSpec pins the fit counter), and each
+    * micro-batch scans ~nProbe/k of the coded corpus, never all of it.
+    * A corpus vector lives in exactly one cell, so no pair ever
+    * surfaces twice (unlike band collisions). Standard IVF recall
+    * caveat: a match whose cell is outside the arrival's nProbe nearest
+    * is missed — near-identical vectors share nearest cells except on
+    * cell boundaries, which nProbe >= 2 covers (SemDeDup, Abbas et al.
+    * 2023, makes the same cell-confinement trade for q118).
+    */
+  def embeddingNearDupStream(streamVecs: DataFrame, s: SparkSession,
+                             ivfIndexDir: String, threshold: Double = 0.9,
+                             nProbe: Int = 2): DataFrame = {
+    val (centers, assigned) = loadIvfIndex(s, ivfIndexDir)
+    val k = centers.length
+    // centroids ride as a plan literal (k x dim doubles — kilobytes); the
+    // per-arrival cell ranking is a bounded array_sort over k structs,
+    // never a window (streams cannot window, and don't need to at k=16)
+    val cvs = typedLit(centers.sortBy(_._1).map(_._2.toSeq))
+    val cellStructs = transform(sequence(lit(0), lit(k - 1)), i =>
+      struct(
+        aggregate(zip_with(col("qv"), element_at(cvs, (i + 1).cast("int")),
+                           (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (acc, x) => acc + x).as("cdist"),
+        i.as("cell")))
+    val probed = streamVecs
+      .select(col("vec_id"), vecd(col("embedding")).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(cellStructs), 1, nProbe),
+                          c => c.getField("cell"))))
+    probed
+      .join(assigned.select(col("vec_id").as("matched_id"), col("v"),
+                            col("cell")),
+            Seq("cell"))
+      .filter(col("vec_id") =!= col("matched_id"))
+      .select(col("vec_id"), col("matched_id"),
+              round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Winnowing fingerprints (Schleimer et al. SIGMOD'03) of `(doc_id,
     * text)` rows: hash every k-shingle (16-hex-char md5 prefix —
     * collision-free in practice, lexicographically ordered the same in
@@ -1939,6 +1990,25 @@ object TrainingData {
              sum(size(col("frame_idx"))).cast("long").as("n_sampled_frames"),
              round(avg(aggregate(col("feature"), lit(0.0),
                                  (acc, x) => acc + x * x)), 6).as("avg_feat_norm_sq"))
+    },
+
+    Q.noOracle("q121_image_neardup",
+      "Perceptual image near-dup — the dedup family's image modality: a " +
+        "deterministic image corpus derived from `documents` (real P6 " +
+        "payloads seeded by content hash, plus a planted brightness-" +
+        "shifted BMP RE-ENCODE for every 10th doc) goes through the real " +
+        "codec chain to a 64-bit dHash of the decoded luma grid, then " +
+        "the q37 pigeonhole machinery (4x16-bit bands, exact Hamming " +
+        "verify <= 3) surfaces every near-duplicate pair. dHash " +
+        "gradients are invariant to the container swap and the uniform " +
+        "brightness shift, so each planted pair lands at Hamming 0 while " +
+        "unrelated noise images sit near the 32-bit expectation — " +
+        "MultimodalSpec owns the planted-pair/recall assertions; no SQL " +
+        "oracle (DuckDB cannot decode image payloads).") { (s, d) =>
+      import graft.cpms.Multimodal
+      val assets = Multimodal.syntheticImageAssets(docs(s, d))
+      Multimodal.imageNearDup(Multimodal.decode(assets))
+        .orderBy("id_a", "id_b")
     },
 
     Q("q102_topk_diversity",

@@ -370,6 +370,82 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeOne(6L, "audio", good).getInt(2) === 8000)
   }
 
+  test("WAV chunk walk tolerates fmt after data (RIFF does not order chunks)") {
+    val good = wavFixture(8000, 1, 64)((i, _) => math.sin(i * 0.1))
+    // rebuild with the data chunk BEFORE fmt: RIFF header, data, fmt
+    val dataLen = 64 * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.put(good, 44, dataLen)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2)
+      .putShort(16)
+    val row = Multimodal.decodeWav(30L, bb.array())
+      .getOrElse(fail("fmt-after-data WAV fell back to the stub"))
+    assert(row.getInt(2) === 8000 && row.getInt(4) === 64)
+    // features equal the fmt-first spelling bit for bit
+    val ref = Multimodal.decodeWav(31L, good).get
+    assert(row.getSeq[Float](5) === ref.getSeq[Float](5))
+  }
+
+  // --- perceptual dHash ----------------------------------------------
+
+  /** Deterministic 24x16 RGB noise, components <= 240 (shift headroom). */
+  private def noisePixels(seed: Long): Array[Byte] = {
+    val rgb = new Array[Byte](3 * 24 * 16)
+    for (p <- 0 until 24 * 16; c <- 0 until 3) {
+      val raw = ((graft.functions.TextHashes.mix64(seed + p) >>> (8 * c)) & 0xff).toInt
+      rgb(p * 3 + c) = (raw - (raw >> 4)).toByte
+    }
+    rgb
+  }
+
+  test("dHash is invariant to container re-encode and uniform brightness shift") {
+    val base = noisePixels(42L)
+    val shifted = base.map(b => ((b & 0xff) + 8).toByte)
+    val ppm = Multimodal.decodeOne(1L, "image", Multimodal.encodePpm(24, 16, base))
+    val bmp = Multimodal.decodeOne(2L, "image", Multimodal.encodeBmp(24, 16, base))
+    val bright = Multimodal.decodeOne(3L, "image", Multimodal.encodeBmp(24, 16, shifted))
+    val hPpm = ppm.getLong(6)
+    assert(hPpm === bmp.getLong(6), "re-encode must not move the dHash")
+    assert(hPpm === bright.getLong(6), "+8 brightness (no clamp) must not move the dHash")
+    // an unrelated noise image sits near the 32-bit Hamming expectation
+    val other = Multimodal.decodeOne(4L, "image",
+      Multimodal.encodePpm(24, 16, noisePixels(4242L)))
+    val dist = java.lang.Long.bitCount(hPpm ^ other.getLong(6))
+    assert(dist > 10, s"unrelated images too close: Hamming $dist")
+    // audio and stub decodes carry a null dhash
+    val wav = Multimodal.decodeOne(5L, "audio",
+      wavFixture(8000, 1, 16)((i, _) => math.sin(i * 0.3)))
+    assert(wav.isNullAt(6))
+    assert(Multimodal.decodeOne(6L, "image", "not an image".getBytes).isNullAt(6))
+  }
+
+  test("q121: planted re-encoded near-dup pairs found, unrelated images not paired") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    val pairs = graft.SparkEntry.queries("q121_image_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+    // every planted (doc, doc + offset) pair surfaces, at Hamming 0
+    val plantedPairs = pairs.filter(r =>
+      r.getLong(1) === r.getLong(0) + Multimodal.NearDupOffset)
+    assert(plantedPairs.length === planted,
+           s"expected $planted planted pairs, got ${plantedPairs.length}")
+    assert(plantedPairs.forall(_.getInt(2) === 0),
+           "planted brightness-shift re-encodes must land at Hamming 0")
+    // no unrelated pair sneaks under the radius (noise images are far)
+    assert(pairs.length === plantedPairs.length,
+           s"unrelated images paired: ${pairs.filterNot(r =>
+             r.getLong(1) === r.getLong(0) + Multimodal.NearDupOffset).mkString(", ")}")
+    // determinism across partitionings
+    val again = graft.SparkEntry.queries("q121_image_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(pairs.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()
