@@ -199,6 +199,94 @@ object Curation {
       .join(docs(s, d).select("doc_id", "text", "source", "n_chars"), "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Per-split token budget for [[trainingSetVerdict]]: the best-quality
+    * prefix of each split's kept docs that fits this many tokens.
+    */
+  val SplitBudget = 4000L
+
+  /** The full "materialize a training-ready dataset" verdict — curate
+    * (q65) -> per-split token budget (the q79 two-phase shape) -> packing
+    * layout (the q108 two-phase shape, partitioned by split) — as ONE
+    * per-document frame: (doc_id, lang, split, quality, n_tok, keep,
+    * first_bin/last_bin/n_bins). `keep` = passed curation AND selected
+    * by the split's quality-ranked token budget; bin columns are the
+    * packing span of kept docs (null otherwise). Every window follows
+    * the repo's bounded-domain patterns: budget windows run over
+    * (split, 4dp-quality) buckets and budget-bounded candidates; packing
+    * windows over (split, doc_id-bucket) with per-task rows bounded by
+    * [[Prep.PackBucketWidth]] — no corpus-sized single partition
+    * anywhere, at any scale.
+    */
+  def trainingSetVerdict(s: SparkSession, d: String,
+                         splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+    val nTok = docs(s, d).select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val base = curate(s, d).join(nTok, "doc_id")
+      .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
+    val kept = base.filter(col("keep") === 1L)
+    // budget phase 1: (split, quality) bucket table — domain-bounded at
+    // <=15k rows per split — with an exclusive per-split prefix sum
+    val wb = Window.partitionBy("split").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val liveBuckets = kept.groupBy("split", "quality")
+      .agg(sum("n_tok").as("bucket_tokens"))
+      .withColumn("cum_before",
+                  coalesce(sum("bucket_tokens").over(wb), lit(0L)))
+      .filter(col("cum_before") < splitBudget)
+      .select("split", "quality")
+    // budget phase 2: exact running sum over budget-bounded candidates
+    // (prefix-closed, so bit-identical to the naive global window)
+    val wq = Window.partitionBy("split")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = kept.join(broadcast(liveBuckets), Seq("split", "quality"))
+      .withColumn("cum_tok", sum("n_tok").over(wq))
+      .filter(col("cum_tok") <= splitBudget)
+      .select("doc_id")
+    // packing: q108's two-phase running sum, sharded by split
+    val selDocs = base.join(sel, "doc_id")
+      .select(col("doc_id"), col("split"), col("n_tok"))
+      .withColumn("bkt", expr(s"doc_id DIV ${Prep.PackBucketWidth}"))
+    val wbp = Window.partitionBy("split").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = selDocs.groupBy("split", "bkt")
+      .agg(sum("n_tok").as("bucket_tokens"))
+      .withColumn("bucket_off",
+                  coalesce(sum("bucket_tokens").over(wbp), lit(0L)))
+      .select("split", "bkt", "bucket_off")
+    val wp = Window.partitionBy("split", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = Prep.PackBudget
+    val packed = selDocs.hint("shuffle_merge")
+      .join(offsets.hint("shuffle_merge"), Seq("split", "bkt"))
+      .withColumn("end_off", col("bucket_off") + sum("n_tok").over(wp))
+      .select(col("doc_id"),
+              expr(s"(end_off - n_tok) DIV $b").as("first_bin"),
+              expr(s"(end_off - 1) DIV $b").as("last_bin"),
+              expr(s"(end_off - 1) DIV $b - (end_off - n_tok) DIV $b + 1")
+                .as("n_bins"))
+    base.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"), col("quality"),
+              col("n_tok"),
+              (col("keep") === 1L && col("first_bin").isNotNull)
+                .cast("long").as("keep"),
+              col("first_bin"), col("last_bin"), col("n_bins"))
+  }
+
+  /** Terminal sink of the training-set path: materialize the
+    * [[trainingSetVerdict]] keepers with text joined back, parquet
+    * partitioned by split and carrying the packing span — the directory
+    * a trainer consumes (read split=train, order by first_bin, fill
+    * 512-token sequences with zero padding waste). Partition-parallel
+    * write; CurationSpec proves layout and bin consistency with q122.
+    */
+  def exportTrainingSet(s: SparkSession, d: String, outDir: String,
+                        splitBudget: Long = SplitBudget): Unit =
+    trainingSetVerdict(s, d, splitBudget)
+      .filter(col("keep") === 1L)
+      .join(docs(s, d).select("doc_id", "text", "source"), "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   /** Read-optimize a corpus snapshot: rewrite `documents` hive-partitioned
     * by lang (partition pruning at read time for the per-language scans
     * most curation ops start with) with rows quality-sorted within each
@@ -576,6 +664,80 @@ object Curation {
         |JOIN q USING (doc_id) JOIN rep USING (doc_id)
         |LEFT JOIN cl USING (doc_id)""".stripMargin) { (s, d) =>
       curate(s, d)
+    },
+
+    Q("q122_training_set",
+      "Materialize-a-training-set verdict — the single API a user runs to " +
+        "go from raw corpus to trainer-ready shards: curation keep/split " +
+        "(q65) -> per-split quality-ranked token budget (q79) -> packing " +
+        "layout (q108), composed into one row per document: keep = " +
+        "curated AND within the split's 4000-token budget; kept docs " +
+        "carry their 512-token bin span. exportTrainingSet writes the " +
+        "keepers split-partitioned; this query is its oracled verdict. " +
+        "Scale shape inherits its three stages' bounded-window patterns " +
+        "verbatim — no corpus-sized partition anywhere.",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)), 4) AS quality FROM t),
+        |tc AS (SELECT doc_id, unnest(tok) AS term FROM t),
+        |tcc AS (SELECT doc_id, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+        |        FROM tcc GROUP BY doc_id),
+        |td AS (SELECT doc_id, lang, n_chars, list_distinct(tok) AS dtok FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM td a JOIN td b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.dtok, b.dtok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.dtok, b.dtok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, CAST(a = min(b) AS BIGINT) AS dk
+        |       FROM reach GROUP BY a),
+        |base AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    q.quality,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(q.quality >= 0.5 AND rep.top_share <= 0.2
+        |         AND COALESCE(cl.dk, 1) = 1 AS BIGINT) AS ckeep
+        |  FROM documents d
+        |  JOIN q USING (doc_id) JOIN rep USING (doc_id)
+        |  LEFT JOIN cl USING (doc_id)),
+        |bsel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      sum(n_tok) OVER (PARTITION BY split
+        |        ORDER BY quality DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |    FROM base WHERE ckeep = 1)
+        |  WHERE cum_tok <= 4000),
+        |packed AS (
+        |  SELECT doc_id,
+        |    (end_off - n_tok) // 512 AS first_bin,
+        |    (end_off - 1) // 512 AS last_bin,
+        |    (end_off - 1) // 512 - (end_off - n_tok) // 512 + 1 AS n_bins
+        |  FROM (SELECT b.doc_id, b.n_tok,
+        |          CAST(sum(b.n_tok) OVER (PARTITION BY b.split
+        |            ORDER BY b.doc_id) AS BIGINT) AS end_off
+        |        FROM base b JOIN bsel USING (doc_id)))
+        |SELECT b.doc_id, b.lang, b.split, b.quality, b.n_tok,
+        |  CAST(b.ckeep = 1 AND pk.first_bin IS NOT NULL AS BIGINT) AS keep,
+        |  pk.first_bin, pk.last_bin, pk.n_bins
+        |FROM base b LEFT JOIN packed pk USING (doc_id)""".stripMargin) { (s, d) =>
+      trainingSetVerdict(s, d)
     },
 
     Q("q74_normalize",

@@ -239,6 +239,43 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(epochDirs.size === 2, s"epoch partitions: $epochDirs")
   }
 
+  test("exportTrainingSet lands keepers split-partitioned, bins consistent with q122") {
+    val out = java.nio.file.Files.createTempDirectory("graft-trainset").toString + "/set"
+    Curation.exportTrainingSet(spark, sf, out)
+    // layout: one hive partition per split that kept any docs
+    val verdict = SparkEntry.queries("q122_training_set")(spark, sf)
+      .filter(col("keep") === 1L).collect()
+    assert(verdict.nonEmpty, "budget kept nothing — fixture too small")
+    val splits = verdict.map(_.getAs[String]("split")).distinct.sorted
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === splits.toSeq.map(s => s"split=$s"),
+           s"partition layout $dirs != kept splits $splits")
+    // read-back rows equal the verdict's keepers, bins included
+    val back = spark.read.parquet(out)
+      .select("doc_id", "split", "n_tok", "first_bin", "last_bin", "n_bins")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val want = verdict
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+                 r.getAs[Long]("n_tok"), r.getAs[Long]("first_bin"),
+                 r.getAs[Long]("last_bin"), r.getAs[Long]("n_bins"))).toSet
+    assert(back === want, "exported rows diverge from the q122 verdict")
+    // per split: budget respected, packing gapless from bin 0
+    verdict.groupBy(_.getAs[String]("split")).foreach { case (sp, rows) =>
+      val total = rows.map(_.getAs[Long]("n_tok")).sum
+      assert(total <= Curation.SplitBudget, s"$sp over budget: $total")
+      assert(rows.map(_.getAs[Long]("first_bin")).min === 0L,
+             s"$sp packing must start at bin 0")
+      assert(rows.map(_.getAs[Long]("last_bin")).max ===
+               (total - 1) / Prep.PackBudget,
+             s"$sp packing must be gapless (no empty trailing bins)")
+    }
+    // text rides along for the trainer
+    assert(spark.read.parquet(out).columns.contains("text"))
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
