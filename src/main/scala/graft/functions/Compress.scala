@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Compress {
 
+  // Lifetime note: these Deflaters are never end()ed — each pins ~64 KiB
+  // of native zlib state per executor THREAD for the JVM's life. Bounded
+  // by the task-thread pool (a few MiB total on a 32-core executor) and
+  // reused across all tasks, which is the point; an executor with heavy
+  // thread churn would want a Cleaner-registered holder instead.
   private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6, true)

@@ -108,27 +108,46 @@ object Pq {
   private def e(c: Column): Expression = Bridge.expression(c)
 
   def pq_encode(vec: Column, cb: Array[Array[Double]], m: Int, k: Int): Column =
-    Bridge.column(PqEncode(e(vec), cb, m, k))
+    Bridge.column(PqEncode(e(vec), new Codebook(cb), m, k))
 
   def pq_dist_table(vec: Column, cb: Array[Array[Double]], m: Int, k: Int): Column =
-    Bridge.column(PqDistTable(e(vec), cb, m, k))
+    Bridge.column(PqDistTable(e(vec), new Codebook(cb), m, k))
 
   def pq_adc(codes: Column, dtab: Column, k: Int): Column =
     Bridge.column(PqAdc(e(codes), e(dtab), k))
 }
 
+/** Codebook holder with VALUE equality/hashing. A bare
+  * Array[Array[Double]] case-class field compares by reference, so two
+  * semantically identical PqEncode expressions never canonicalize equal
+  * and Catalyst's common-subexpression elimination misses them (a
+  * projection repeating pq_encode would encode twice). The kernels still
+  * read the raw `rows` array — equality is the only thing this wrapper
+  * changes.
+  */
+final class Codebook(val rows: Array[Array[Double]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case c: Codebook =>
+      rows.length == c.rows.length &&
+        rows.indices.forall(i => java.util.Arrays.equals(rows(i), c.rows(i)))
+    case _ => false
+  }
+  override val hashCode: Int =
+    rows.foldLeft(17)((h, r) => 31 * h + java.util.Arrays.hashCode(r))
+}
+
 /** PQ code assignment (array<int>, length m) of an array<float|double>
   * vector against a driver-built codebook.
   */
-case class PqEncode(child: Expression, cb: Array[Array[Double]], m: Int, k: Int)
+case class PqEncode(child: Expression, cb: Codebook, m: Int, k: Int)
     extends UnaryExpression with VecArg {
   require(m > 0 && k > 0, s"bad PQ geometry: m=$m k=$k")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private lazy val cF = isFloatArray(child.dataType)
   override def nullSafeEval(input: Any): Any =
-    Pq.encode(input.asInstanceOf[ArrayData], cb, m, k, cF)
+    Pq.encode(input.asInstanceOf[ArrayData], cb.rows, m, k, cF)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("pqcb", cb, "double[][]")
+    val ref = ctx.addReferenceObj("pqcb", cb.rows, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.Pq.encode($c, $ref, $m, $k, $cF)")
   }
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
@@ -136,15 +155,15 @@ case class PqEncode(child: Expression, cb: Array[Array[Double]], m: Int, k: Int)
 }
 
 /** Per-query ADC distance table (array<double>, length m*k). */
-case class PqDistTable(child: Expression, cb: Array[Array[Double]], m: Int, k: Int)
+case class PqDistTable(child: Expression, cb: Codebook, m: Int, k: Int)
     extends UnaryExpression with VecArg {
   require(m > 0 && k > 0, s"bad PQ geometry: m=$m k=$k")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   private lazy val cF = isFloatArray(child.dataType)
   override def nullSafeEval(input: Any): Any =
-    Pq.distTable(input.asInstanceOf[ArrayData], cb, m, k, cF)
+    Pq.distTable(input.asInstanceOf[ArrayData], cb.rows, m, k, cF)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("pqcb", cb, "double[][]")
+    val ref = ctx.addReferenceObj("pqcb", cb.rows, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.Pq.distTable($c, $ref, $m, $k, $cF)")
   }
   override protected def withNewChildInternal(c: Expression): PqDistTable = copy(child = c)

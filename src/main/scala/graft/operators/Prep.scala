@@ -84,9 +84,12 @@ object Prep {
     val b = docs
       .select(col("doc_id"), tokens(col("text")).as("tok"))
       .withColumn("n", size(col("tok")).cast("long"))
+      // true integral DIV, like the oracle's `//` — floor((a)/b) over
+      // doubles is only exact below 2^53 (the ADVICE caveat q108 closed)
       .withColumn("nc",
         when(col("n") <= c, lit(1L))
-          .otherwise(lit(1L) + floor((col("n") - c + st - 1) / st)))
+          .otherwise(expr(
+            s"1 + (n - $ChunkLen + $ChunkStride - 1) DIV $ChunkStride")))
     val chunk = slice(
       col("tok"), (col("chunk_idx") * st + 1).cast("int"), c.cast("int"))
     b.select(col("doc_id"), col("tok"),

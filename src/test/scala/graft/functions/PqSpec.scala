@@ -77,6 +77,23 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) === 0.0)
   }
 
+  test("equal-valued codebooks canonicalize equal — CSE can merge repeated kernels") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // a deep copy: same values, different array identity. With bare
+    // Array fields these would compare by reference and never merge.
+    val cbCopy = cb.map(_.clone())
+    val child = Literal.create(Array.fill(M * Sub)(0.5), ArrayType(DoubleType))
+    val a = PqEncode(child, new Codebook(cb), M, K)
+    val b = PqEncode(child, new Codebook(cbCopy), M, K)
+    assert(a.semanticEquals(b),
+           "value-equal codebooks must make semantically equal expressions")
+    // and a different codebook must NOT collapse into the same kernel
+    val cbDiff = cb.map(_.clone()); cbDiff(0)(0) += 1.0
+    val c = PqEncode(child, new Codebook(cbDiff), M, K)
+    assert(!a.semanticEquals(c), "different codebooks must stay distinct")
+  }
+
   test("interpreted and codegen paths are bit-identical (double and float)") {
     val vs = randVecs(11, 200)
     def run(): Seq[(Seq[Int], Seq[Double], Double, Seq[Int])] =
