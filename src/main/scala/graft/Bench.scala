@@ -77,6 +77,25 @@ object Bench {
       val ok = samples(name).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    // Cache-backed queries: the first run BUILDS a session artifact (the
+    // near-dup pair graph, LSH/SRP tables, IVF/PQ fits, corpus stats)
+    // that every later sample serves from, so their min reports the WARM
+    // serve cost. Preserve each one's FIRST pass-1 sample as `cold` in
+    // BENCH_DETAIL so index/graph build cost stays visible instead of
+    // hiding behind the cache. Attribution note: an artifact shared by
+    // several queries (the q38 pair graph behind q64/q65/q93/q122, the
+    // IVF fit behind q54/q118) is paid by whichever of them runs FIRST
+    // in registry order — `cold` is per-session-artifact, not per-query.
+    val cacheBacked = Set(
+      "q35_dedup_minhash_lsh", "q39_dedup_cosine", "q41_ann_lsh",
+      "q54_ann_ivf", "q64_dedup_clusters", "q65_curate",
+      "q93_cluster_keep_best", "q103_mmr_rerank", "q107_mmr_lsh",
+      "q110_bigram_lm_score", "q116_ann_pq", "q117_dsir_select",
+      "q118_semdedup", "q122_training_set")
+    val colds = queries.collect {
+      case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
+        name -> samples(name).find(_ >= 0).get
+    }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // The grading harness keeps only the last ~2000 chars of stdout, so the
     // final JSON line must stay short: compact keys ("q01" for
@@ -87,8 +106,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val full = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val coldJson = colds.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"cold":$coldJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
