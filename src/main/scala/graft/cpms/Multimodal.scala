@@ -619,8 +619,13 @@ object Multimodal {
                  .bitwiseAND(lit(0xffffL)).as("ckey")))).as("cc"))
       .select(col("asset_id"), col("dhash"),
               col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
-    chunks.as("l")
-      .join(chunks.as("r"),
+    // both band sides are the SAME subtree; forcing the shuffle join (no
+    // broadcast) makes their (chunk, ckey) exchanges canonicalize equal,
+    // so AQE runs the decode -> dhash -> band pipeline ONCE and reuses
+    // the exchange for the other side (ReusedExchange, pinned in
+    // PlanSpec) — decode is the expensive stage and must not run twice
+    chunks.as("l").hint("shuffle_merge")
+      .join(chunks.as("r").hint("shuffle_merge"),
             col("l.chunk") === col("r.chunk") &&
               col("l.ckey") === col("r.ckey") &&
               col("l.asset_id") < col("r.asset_id"))

@@ -423,6 +423,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p117 = df117.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p117).length >= 2,
            s"q117 stopped reusing the tokenize/bucket-stats stages:\n$p117")
+    // q121: both sides of the dHash band self-join are the same
+    // decode -> dhash -> band subtree forced onto the shuffle path, so
+    // AQE must run the (expensive) codec pipeline ONCE and reuse its
+    // exchange — a broadcast or canonicalization drift would decode the
+    // image corpus twice
+    val df121 = SparkEntry.queries("q121_image_neardup")(spark, sf)
+    df121.collect()
+    val p121 = df121.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p121).nonEmpty,
+           s"q121 stopped reusing the decode/band stage:\n$p121")
     // q119: the (doc, gram) DISTINCT exchange feeds both the first-doc
     // aggregate and the probe join — one tokenize pass; and the
     // vocabulary-sized first-doc table must NEVER broadcast (q112's
