@@ -596,6 +596,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** dHash pigeonhole band geometry: 4 chunks x 16 bits — exact for
+    * Hamming radius <= 3 (a pair within 3 differs in at most 3 chunks,
+    * so it shares >= 1 verbatim).
+    */
+  val DhashChunks = 4
+  val DhashChunkBits = 16
+
+  /** Band projection of decoded image dhashes: one (asset_id, dhash,
+    * chunk, ckey) row per 16-bit chunk — the shared candidate-generation
+    * shape of the batch self-join, the index build, and the stream probe.
+    */
+  private def dhashBands(decoded: DataFrame): DataFrame =
+    decoded
+      .filter(col("kind") === "image" && col("dhash").isNotNull)
+      .select(
+        col("asset_id"), col("dhash"),
+        explode(transform(sequence(lit(0), lit(DhashChunks - 1)), i =>
+          struct(i.as("chunk"),
+                 call_function("shiftright", col("dhash"), i * DhashChunkBits)
+                   .bitwiseAND(lit((1L << DhashChunkBits) - 1)).as("ckey"))))
+          .as("cc"))
+      .select(col("asset_id"), col("dhash"),
+              col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+
   /** Perceptual image near-dup: pigeonhole banding of the 64-bit dHash
     * into 4x16-bit chunks, then exact Hamming verify — the q37 SimHash
     * machinery pointed at the decoded luma grid. EXACT for radius <= 3:
@@ -608,17 +632,7 @@ object Multimodal {
     */
   def imageNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.functions.TextHashes.hamming64
-    val fp = decoded
-      .filter(col("kind") === "image" && col("dhash").isNotNull)
-      .select(col("asset_id"), col("dhash"))
-    val chunks = fp.select(
-      col("asset_id"), col("dhash"),
-      explode(transform(sequence(lit(0), lit(3)), i =>
-        struct(i.as("chunk"),
-               call_function("shiftright", col("dhash"), i * 16)
-                 .bitwiseAND(lit(0xffffL)).as("ckey")))).as("cc"))
-      .select(col("asset_id"), col("dhash"),
-              col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    val chunks = dhashBands(decoded)
     // both band sides are the SAME subtree; forcing the shuffle join (no
     // broadcast) makes their (chunk, ckey) exchanges canonicalize equal,
     // so AQE runs the decode -> dhash -> band pipeline ONCE and reuses
@@ -632,6 +646,83 @@ object Multimodal {
       .select(col("l.asset_id").as("id_a"), col("r.asset_id").as("id_b"),
               hamming64(col("l.dhash"), col("r.dhash")).as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persist the image corpus's dHash band table — decoded ONCE at build
+    * time, then probed by every streaming micro-batch of
+    * [[imageNearDupStream]] (without it, each trigger would re-decode
+    * the ENTIRE static corpus inside its own plan — the band-index
+    * lesson from text dedup, TrainingData.buildBandIndex). Rows:
+    * (matched_id, dhash, chunk, ckey); band geometry travels in a
+    * `_dhash_geometry` sidecar written BEFORE the staging -> rename swap
+    * (the shared index lifecycle), so probes always band with the
+    * geometry the index was built with.
+    */
+  def buildDhashIndex(s: org.apache.spark.sql.SparkSession, assets: DataFrame,
+                      indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    dhashBands(decode(assets))
+      .select(col("asset_id").as("matched_id"), col("dhash"),
+              col("chunk"), col("ckey"))
+      .repartition(col("chunk"), col("ckey"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_dhash_geometry"), true)
+    try out.write(s"$DhashChunks $DhashChunkBits".getBytes("UTF-8"))
+    finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"dhash-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"dhash-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  private def dhashGeometry(s: org.apache.spark.sql.SparkSession,
+                            indexDir: String): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_dhash_geometry"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(c, b) = txt.trim.split(" ")
+    (c.toInt, b.toInt)
+  }
+
+  /** Perceptual image dedup AT INGEST — the third modality of the
+    * at-ingest dedup triad (token bands: incrementalNearDup; embeddings:
+    * embeddingNearDupStream; images: this). A STREAM of asset rows
+    * (asset_id, kind, content) is decoded per micro-batch (stateless
+    * mapPartitions — the codec boundary), dHash-banded with the
+    * geometry recorded in the index sidecar, and probed stream-static
+    * against the persisted band table: an arriving re-encode /
+    * brightness-tweaked copy of a corpus image collides in >= 1 band
+    * and verifies by exact Hamming <= maxHamming. Returns (asset_id,
+    * matched_id, hamming); a pair surfaces once per colliding band
+    * (bounded by DhashChunks) — sinks dedupe per micro-batch where
+    * exact-once matters, as with incrementalNearDup.
+    */
+  def imageNearDupStream(streamAssets: DataFrame,
+                         s: org.apache.spark.sql.SparkSession,
+                         indexDir: String, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.TextHashes.hamming64
+    val (chunks, bits) = dhashGeometry(s, indexDir)
+    require(chunks == DhashChunks && bits == DhashChunkBits,
+            s"dhash index geometry ${chunks}x$bits does not match this " +
+              s"build's ${DhashChunks}x$DhashChunkBits banding")
+    val corpus = s.read.parquet(indexDir)
+      .select(col("matched_id"), col("dhash").as("dhash_c"),
+              col("chunk"), col("ckey"))
+    dhashBands(decode(streamAssets))
+      .join(corpus, Seq("chunk", "ckey"))
+      .filter(col("asset_id") =!= col("matched_id"))
+      .select(col("asset_id"), col("matched_id"),
+              hamming64(col("dhash"), col("dhash_c")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

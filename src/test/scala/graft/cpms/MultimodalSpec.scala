@@ -446,6 +446,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("imageNearDupStream: re-encoded arrival flagged via the persisted dhash index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-dhashidx").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // corpus index: the base images only (no planted dups)
+    Multimodal.buildDhashIndex(
+      spark, Multimodal.syntheticImageAssets(docs, dupEvery = Int.MaxValue), idx)
+    // arrivals: a brightness-shifted BMP re-encode of corpus image 5's
+    // pixels (same seed the corpus builder used), and unrelated noise
+    val seed5 = docs.filter(col("doc_id") === 5L).head().getAs[String]("text")
+    val base = {
+      val rgb = new Array[Byte](3 * 24 * 16)
+      var hsh = 1125899906842597L
+      seed5.getBytes("UTF-8").foreach(b => hsh = 31 * hsh + (b & 0xff))
+      for (p <- 0 until 24 * 16; c <- 0 until 3) {
+        val raw = ((graft.functions.TextHashes.mix64(hsh + p) >>> (8 * c)) & 0xff).toInt
+        rgb(p * 3 + c) = ((raw - (raw >> 4)) + 8).toByte
+      }
+      rgb
+    }
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    mem.addData(
+      (800001L, "image", Multimodal.encodeBmp(24, 16, base)),
+      (800002L, "image", Multimodal.encodePpm(24, 16, noisePixels(999L))))
+    val out = Multimodal.imageNearDupStream(
+      mem.toDF().toDF("asset_id", "kind", "content"), spark, idx)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("img_dups").start()
+    try q.processAllAvailable() finally q.stop()
+    val flagged = spark.table("img_dups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(flagged.exists(f => f._1 === 800001L && f._2 === 5L && f._3 === 0),
+           s"re-encoded arrival not flagged against corpus image 5: ${flagged.toSeq}")
+    assert(!flagged.exists(_._1 === 800002L),
+           s"unrelated noise image falsely flagged: ${flagged.toSeq}")
+    // a forged geometry sidecar must be rejected, never silently probed
+    val p = new org.apache.hadoop.fs.Path(idx, "_dhash_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sout = fs.create(p, true)
+    try sout.write("8 8".getBytes("UTF-8")) finally sout.close()
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupStream(
+        mem.toDF().toDF("asset_id", "kind", "content"), spark, idx)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()
