@@ -44,10 +44,12 @@ object Multimodal {
       struct(col("source"),
              octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Decoded-image schema produced by the (stub) decoder. `dhash` is the
-    * 64-bit difference-hash of the decoded luma grid (real codecs only;
-    * null for audio and stub decodes) — the perceptual fingerprint image
-    * near-dup bands on.
+  /** Decoded-asset schema produced by the (stub) decoder. `dhash` is the
+    * 64-bit perceptual difference-hash the near-dup operators band on
+    * (real codecs only; null for stub decodes): images hash luma
+    * GRADIENTS over an 8x9 cell grid, audio hashes energy DELTAS over 65
+    * time windows — both invariant to the uniform-shift transforms
+    * (brightness, volume) a re-encode applies.
     */
   val decodedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -105,6 +107,11 @@ object Multimodal {
     */
   private val DhRows = 8
   private val DhCols = 9
+
+  /** Audio dHash geometry: 65 equal time windows -> 64 energy-delta sign
+    * bits (the temporal analogue of the image gradient grid).
+    */
+  private val AudioDhWindows = 64
 
   /** Shared per-pixel accumulator for the image codecs: channel/luma
     * feature sums plus the dHash cell grid, one `add` per pixel inside
@@ -410,7 +417,13 @@ object Multimodal {
     if (dataLen < bytesPerFrame || dataLen % bytesPerFrame != 0) return None
     val nFrames = dataLen / bytesPerFrame
     if (nFrames > Int.MaxValue) return None
-    // one pass over the samples (channel-averaged per frame)
+    // one pass over the samples (channel-averaged per frame). Alongside
+    // the scalar features, accumulate per-window energies for the audio
+    // dHash: 65 equal time windows -> 64 energy-DELTA sign bits. Energy
+    // ratios are invariant to uniform gain, so a volume-normalized or
+    // amplitude-scaled re-encode keeps its fingerprint — the audio
+    // analogue of the image dHash's brightness invariance.
+    val eWin = new Array[Double](AudioDhWindows + 1)
     var sum = 0.0; var sum2 = 0.0; var peak = 0.0
     var crossings = 0L; var lastSign = 0
     var i = 0L
@@ -425,12 +438,19 @@ object Multimodal {
       }
       val v = acc / channels
       sum += v; sum2 += v * v
+      eWin(((i * (AudioDhWindows + 1)) / nFrames).toInt) += v * v
       val a = math.abs(v)
       if (a > peak) peak = a
       val sign = if (v > 0) 1 else if (v < 0) -1 else lastSign
       if (sign != 0 && lastSign != 0 && sign != lastSign) crossings += 1
       if (sign != 0) lastSign = sign
       i += 1
+    }
+    var dh = 0L
+    var w = 0
+    while (w < AudioDhWindows) {
+      if (eWin(w + 1) > eWin(w)) dh |= 1L << w
+      w += 1
     }
     val mean = sum / nFrames
     val rms = math.sqrt(math.max(0.0, sum2 / nFrames))
@@ -441,7 +461,7 @@ object Multimodal {
       math.min(1.0, durSec / 60.0).toFloat, (channels / 2.0f).min(1.0f),
       0.0f, 0.0f)
     Some(Row(assetId, "audio", sampleRate.toInt, channels, nFrames.toInt,
-             feat.toSeq, null))
+             feat.toSeq, dh))
   }
 
   /** One payload through the codec chain: real BMP/PPM/PNG/WAV decode
@@ -536,6 +556,22 @@ object Multimodal {
     out
   }
 
+  /** 16-bit PCM RIFF/WAVE encoder (mono), samples as raw shorts. */
+  private[graft] def encodeWav(sampleRate: Int,
+                               samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   // -------------------------------------------------- perceptual image dedup
 
   /** asset_id offset for the planted re-encodes [[syntheticImageAssets]]
@@ -603,13 +639,16 @@ object Multimodal {
   val DhashChunks = 4
   val DhashChunkBits = 16
 
-  /** Band projection of decoded image dhashes: one (asset_id, dhash,
-    * chunk, ckey) row per 16-bit chunk — the shared candidate-generation
-    * shape of the batch self-join, the index build, and the stream probe.
+  /** Band projection of decoded asset dhashes of one `kind`: one
+    * (asset_id, dhash, chunk, ckey) row per 16-bit chunk — the shared
+    * candidate-generation shape of the batch self-joins, the index
+    * build, and the stream probe. Modalities never cross-band: an image
+    * gradient hash and an audio energy hash colliding numerically would
+    * be a false pair.
     */
-  private def dhashBands(decoded: DataFrame): DataFrame =
+  private def dhashBands(decoded: DataFrame, kind: String): DataFrame =
     decoded
-      .filter(col("kind") === "image" && col("dhash").isNotNull)
+      .filter(col("kind") === kind && col("dhash").isNotNull)
       .select(
         col("asset_id"), col("dhash"),
         explode(transform(sequence(lit(0), lit(DhashChunks - 1)), i =>
@@ -619,6 +658,52 @@ object Multimodal {
           .as("cc"))
       .select(col("asset_id"), col("dhash"),
               col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+
+  /** Deterministic audio corpus derived from `documents`: per doc, a
+    * mono 16-bit PCM WAV of a two-sine mixture whose frequencies,
+    * amplitudes, and envelope derive from the content hash (real encoded
+    * payloads through the real codec), plus a planted near-duplicate for
+    * every `dupEvery`-th doc — the SAME signal at HALF volume
+    * (re-quantized, so bytes differ everywhere). Window-energy DELTAS
+    * scale uniformly under gain, so the energy-delta fingerprint holds:
+    * the volume-normalized re-encode case audio dedup exists to catch.
+    */
+  def syntheticAudioAssets(docs: DataFrame, dupEvery: Int = 10): DataFrame = {
+    val enc = RowEncoder.encoderFor(assetSchema)
+    val sr = 8000; val n = 2048
+    docs.select("doc_id", "text", "source").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val seed = polySeed(r.getString(1).getBytes("UTF-8"))
+        def h(k: Int) = graft.functions.TextHashes.mix64(seed + k)
+        val f1 = 100 + math.floorMod(h(1), 1500).toInt
+        val f2 = 100 + math.floorMod(h(2), 1500).toInt
+        val a1 = 0.2 + math.floorMod(h(3), 1000) / 4000.0
+        val a2 = 0.2 + math.floorMod(h(4), 1000) / 4000.0
+        // per-window amplitude staircase (65 steps matching the
+        // fingerprint windows): rich, doc-specific energy structure —
+        // a smooth AM envelope alone leaves adjacent-window deltas too
+        // correlated across docs and unrelated fingerprints collide
+        val steps = Array.tabulate(65)(w =>
+          0.3 + 0.7 * math.floorMod(h(100 + w), 1000) / 1000.0)
+        def sample(i: Int, gain: Double): Short = {
+          val t = i.toDouble / sr
+          val env = steps((i * 65) / n)
+          val v = env * (a1 * math.sin(2 * math.Pi * f1 * t) +
+                         a2 * math.sin(2 * math.Pi * f2 * t))
+          math.round(v * gain * 32767).toShort
+        }
+        val full = encodeWav(sr, Array.tabulate(n)(i => sample(i, 1.0)))
+        val src = r.getString(2)
+        val main = Row(docId, "audio", full, Row(src, full.length.toLong))
+        if (docId % dupEvery == 0) {
+          val half = encodeWav(sr, Array.tabulate(n)(i => sample(i, 0.5)))
+          main :: Row(docId + NearDupOffset, "audio", half,
+                      Row(src, half.length.toLong)) :: Nil
+        } else main :: Nil
+      }
+    }(enc)
+  }
 
   /** Perceptual image near-dup: pigeonhole banding of the 64-bit dHash
     * into 4x16-bit chunks, then exact Hamming verify — the q37 SimHash
@@ -630,9 +715,20 @@ object Multimodal {
     * through a hash groupBy first at production scale, as q30 does for
     * text.
     */
-  def imageNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDup(decoded, "image", maxHamming)
+
+  /** Audio near-dup on the energy-delta fingerprint — same banding, same
+    * exactness bound; catches volume-scaled / re-encoded duplicates of
+    * the same recording (MultimodalSpec plants both).
+    */
+  def audioNearDup(decoded: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDup(decoded, "audio", maxHamming)
+
+  private def hashNearDup(decoded: DataFrame, kind: String,
+                          maxHamming: Int): DataFrame = {
     import graft.functions.TextHashes.hamming64
-    val chunks = dhashBands(decoded)
+    val chunks = dhashBands(decoded, kind)
     // both band sides are the SAME subtree; forcing the shuffle join (no
     // broadcast) makes their (chunk, ckey) exchanges canonicalize equal,
     // so AQE runs the decode -> dhash -> band pipeline ONCE and reuses
@@ -665,7 +761,7 @@ object Multimodal {
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
     fs.delete(staging, true)
-    dhashBands(decode(assets))
+    dhashBands(decode(assets), "image")
       .select(col("asset_id").as("matched_id"), col("dhash"),
               col("chunk"), col("ckey"))
       .repartition(col("chunk"), col("ckey"))
@@ -718,7 +814,7 @@ object Multimodal {
     val corpus = s.read.parquet(indexDir)
       .select(col("matched_id"), col("dhash").as("dhash_c"),
               col("chunk"), col("ckey"))
-    dhashBands(decode(streamAssets))
+    dhashBands(decode(streamAssets), "image")
       .join(corpus, Seq("chunk", "ckey"))
       .filter(col("asset_id") =!= col("matched_id"))
       .select(col("asset_id"), col("matched_id"),

@@ -1992,6 +1992,24 @@ object TrainingData {
                                  (acc, x) => acc + x * x)), 6).as("avg_feat_norm_sq"))
     },
 
+    Q.noOracle("q123_audio_neardup",
+      "Perceptual AUDIO near-dup — the dedup family's audio modality: a " +
+        "deterministic audio corpus derived from `documents` (real mono " +
+        "PCM WAVs, two-sine carriers under a per-window amplitude " +
+        "staircase seeded by content hash, plus a planted HALF-VOLUME " +
+        "re-quantized duplicate for " +
+        "every 10th doc) decodes through the real WAV codec to a 64-bit " +
+        "energy-delta fingerprint (65 time windows, sign of adjacent " +
+        "energy deltas — gain-invariant), then the same 4x16-bit " +
+        "pigeonhole banding as q37/q121 surfaces every pair within " +
+        "Hamming <= 3. MultimodalSpec owns the planted-pair/invariance " +
+        "assertions; no SQL oracle (DuckDB cannot decode WAV payloads).") { (s, d) =>
+      import graft.cpms.Multimodal
+      val assets = Multimodal.syntheticAudioAssets(docs(s, d))
+      Multimodal.audioNearDup(Multimodal.decode(assets))
+        .orderBy("id_a", "id_b")
+    },
+
     Q.noOracle("q121_image_neardup",
       "Perceptual image near-dup — the dedup family's image modality: a " +
         "deterministic image corpus derived from `documents` (real P6 " +

@@ -417,11 +417,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.encodePpm(24, 16, noisePixels(4242L)))
     val dist = java.lang.Long.bitCount(hPpm ^ other.getLong(6))
     assert(dist > 10, s"unrelated images too close: Hamming $dist")
-    // audio and stub decodes carry a null dhash
+    // stub decodes carry a null dhash; audio carries the energy hash
     val wav = Multimodal.decodeOne(5L, "audio",
-      wavFixture(8000, 1, 16)((i, _) => math.sin(i * 0.3)))
-    assert(wav.isNullAt(6))
+      wavFixture(8000, 1, 160)((i, _) => math.sin(i * 0.3)))
+    assert(!wav.isNullAt(6), "real WAV decode must carry the energy dhash")
     assert(Multimodal.decodeOne(6L, "image", "not an image".getBytes).isNullAt(6))
+  }
+
+  test("audio dhash is gain-invariant; q123 finds planted half-volume re-encodes") {
+    // same waveform at three gains -> identical energy-delta fingerprint
+    def wav(gain: Double) = wavFixture(8000, 1, 2048)((i, _) =>
+      gain * (0.4 * math.sin(2 * math.Pi * 300 * i / 8000.0) +
+              0.3 * math.sin(2 * math.Pi * 7 * i / 8000.0)))
+    val h1 = Multimodal.decodeWav(1L, wav(1.0)).get.getLong(6)
+    val h2 = Multimodal.decodeWav(2L, wav(0.5)).get.getLong(6)
+    val h3 = Multimodal.decodeWav(3L, wav(0.25)).get.getLong(6)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3, "half volume moved the fingerprint")
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 3, "quarter volume moved the fingerprint")
+    // a different waveform lands far away
+    val other = Multimodal.decodeWav(4L, wavFixture(8000, 1, 2048)((i, _) =>
+      0.5 * math.sin(2 * math.Pi * 1100 * i / 8000.0) *
+        math.sin(2 * math.Pi * 13 * i / 8000.0))).get.getLong(6)
+    assert(java.lang.Long.bitCount(h1 ^ other) > 10,
+           s"unrelated audio too close: ${java.lang.Long.bitCount(h1 ^ other)}")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    val pairs = graft.SparkEntry.queries("q123_audio_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+    val plantedPairs = pairs.filter(r =>
+      r.getLong(1) === r.getLong(0) + Multimodal.NearDupOffset)
+    assert(plantedPairs.length === planted,
+           s"expected $planted planted audio pairs, got ${plantedPairs.length}")
+    assert(pairs.length === plantedPairs.length,
+           s"unrelated audio paired: ${pairs.filterNot(r =>
+             r.getLong(1) === r.getLong(0) + Multimodal.NearDupOffset).mkString(", ")}")
   }
 
   test("q121: planted re-encoded near-dup pairs found, unrelated images not paired") {
