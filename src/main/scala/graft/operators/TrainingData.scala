@@ -879,6 +879,99 @@ object TrainingData {
       .filter(col("cos") >= threshold)
   }
 
+  /** Persist the composed IVF-PQ table: (vec_id, cell, codes, v) — the
+    * IVF cell assignment joined with the PQ codes ONCE at build time, so
+    * the streaming probe's hot scan reads only (vec_id, cell, codes) —
+    * ~12 bytes/row after parquet column pruning, 1B vectors ≈ 12 GB
+    * instead of the 256 GB float payload. The full vector column rides
+    * in the same files for offline exact re-ranks (column-pruned away on
+    * the probe path). Both sidecars travel with the table in the shared
+    * staging -> sidecar -> rename lifecycle: `_ivf_centroids` (the IVF
+    * format) and `_pq_codebook` (the PQ format), so the probe bands and
+    * scores with exactly the artifacts the table was built from.
+    */
+  def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String,
+                      k: Int = 16): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val (centers, assigned) = ivfIndex(s, d, k)
+    val (cb, coded) = pqIndex(s, d)
+    assigned.select(col("vec_id"), col("cell"), col("v"))
+      .join(coded.select(col("vec_id"), col("codes")), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val co = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_ivf_centroids"), true)
+    val ctxt = centers.map { case (cell, v) =>
+      cell.toString + " " + v.map(java.lang.Double.toString).mkString(" ")
+    }.mkString("\n")
+    try co.write(ctxt.getBytes("UTF-8")) finally co.close()
+    val po = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_pq_codebook"), true)
+    val ptxt = (s"$PqM $PqK $PqSub" +:
+      cb.toSeq.map(_.map(java.lang.Double.toString).mkString(" ")))
+      .mkString("\n")
+    try po.write(ptxt.getBytes("UTF-8")) finally po.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"ivfpq-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"ivfpq-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  /** Coded (memory-true) variant of [[embeddingNearDupStream]]: the
+    * probe's static side is the IVF-PQ table's (vec_id, cell, codes)
+    * projection — 32x smaller than the float payload — and candidates
+    * score by ASYMMETRIC distance: one ADC table per arrival
+    * (PqDistTable, codebook from the sidecar as a plan constant), m
+    * lookups per cell member. On unit vectors adc ≈ ||q - x||² =
+    * 2 - 2·cos, so the gate keeps adc <= 2(1 - threshold) + `adcSlack`
+    * (slack absorbs quantization error; EmbedDedupStreamSpec proves the
+    * exact path's flags are a subset of the coded flags at the default
+    * slack — no false negatives vs exact). Returns the ADC-estimated
+    * cosine — this is the coarse IN-STREAM gate; a sink wanting exact
+    * scores re-ranks the (few) flagged candidates against the index's
+    * vector column per micro-batch, never the corpus. Zero KMeans/PQ
+    * fits in the streaming session, like the exact path.
+    */
+  def embeddingNearDupStreamCoded(streamVecs: DataFrame, s: SparkSession,
+                                  ivfPqIndexDir: String,
+                                  threshold: Double = 0.9,
+                                  nProbe: Int = 2,
+                                  adcSlack: Double = 0.15): DataFrame = {
+    import graft.functions.Pq.{pq_adc, pq_dist_table}
+    val (centers, _) = loadIvfIndex(s, ivfPqIndexDir)
+    val (cb, _) = loadPqIndex(s, ivfPqIndexDir)
+    val k = centers.length
+    val cvs = typedLit(centers.sortBy(_._1).map(_._2.toSeq))
+    val cellStructs = transform(sequence(lit(0), lit(k - 1)), i =>
+      struct(
+        aggregate(zip_with(col("qn"), element_at(cvs, (i + 1).cast("int")),
+                           (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (acc, x) => acc + x).as("cdist"),
+        i.as("cell")))
+    val probed = streamVecs
+      .select(col("vec_id"), normed(col("embedding")).as("qn"))
+      .withColumn("dtab", pq_dist_table(col("qn"), cb, PqM, PqK))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(cellStructs), 1, nProbe),
+                          c => c.getField("cell"))))
+    val codes = s.read.parquet(ivfPqIndexDir)
+      .select(col("vec_id").as("matched_id"), col("cell"), col("codes"))
+    probed
+      .join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("matched_id"))
+      .select(col("vec_id"), col("matched_id"),
+              pq_adc(col("codes"), col("dtab"), PqK).as("adc"))
+      .filter(col("adc") <= lit(2.0 * (1.0 - threshold) + adcSlack))
+      .select(col("vec_id"), col("matched_id"),
+              round(lit(1.0) - col("adc") / 2.0, 4).as("cos_est"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. SIGMOD'03) of `(doc_id,
     * text)` rows: hash every k-shingle (16-hex-char md5 prefix —
     * collision-free in practice, lexicographically ordered the same in

@@ -66,5 +66,31 @@ class EmbedDedupStreamSpec extends AnyFunSuite with SparkSpec {
     val batch = TrainingData.embeddingNearDupStream(batchIn, spark, dir, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batch === flagged.toSet, "stream flags must equal batch flags")
+
+    // --- coded (IVF-PQ) path: 12-byte/row static scan, ADC gate -----
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-embdup-pq")
+      .toString + "/ivfpq_index"
+    TrainingData.buildIvfPqIndex(spark, sf, pqDir)
+    val fitsBeforeCoded =
+      (TrainingData.ivfFits.get(), TrainingData.pqFits.get())
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    mem2.addData(para :+ unrelated: _*)
+    val q2 = TrainingData.embeddingNearDupStreamCoded(
+        mem2.toDF().toDF("vec_id", "embedding"), spark, pqDir, threshold = 0.9)
+      .writeStream.format("memory").queryName("emb_dups_coded")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert((TrainingData.ivfFits.get(), TrainingData.pqFits.get())
+             === fitsBeforeCoded,
+           "coded streaming probe must serve from the persisted index, not refit")
+    val coded = spark.table("emb_dups_coded").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false negatives vs the exact path at default slack...
+    val exactPairs = flagged.map(f => (f._1, f._2)).toSet
+    assert(exactPairs.subsetOf(coded),
+           s"coded gate dropped exact flags: ${(exactPairs -- coded).mkString(",")}")
+    // ...and the unrelated arrival still passes the ADC gate untouched
+    assert(!coded.exists(_._1 === unrelated._1),
+           s"unrelated vector falsely flagged by ADC: ${coded.filter(_._1 === unrelated._1)}")
   }
 }
