@@ -157,15 +157,26 @@ object Curation {
     * (quality + repetition + dedup-cluster keep + deterministic split).
     * [[exportCurated]] is its terminal sink.
     */
-  def curate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def curate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    curate(s, d, withTokens = false)
+
+  /** As [[curate]]; `withTokens = true` additionally emits `n_tok` from
+    * the SAME tokenize pass the quality score runs (q122's composition
+    * would otherwise re-tokenize the corpus just to count) — kept off
+    * the default path so q65's oracled schema is unchanged.
+    */
+  private[operators] def curate(s: SparkSession, d: String,
+                                withTokens: Boolean): org.apache.spark.sql.DataFrame = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
-    val quality = TrainingData.spread(docs(s, d)).select(
+    val qualityCols = Seq(
       col("doc_id"),
       round(least(lit(1.0), size(tok) / lit(64.0)) *
             (lit(0.5) +
               size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
-                size(tok)), 4).as("quality"))
+                size(tok)), 4).as("quality")) ++
+      (if (withTokens) Seq(size(tok).cast("long").as("n_tok")) else Nil)
+    val quality = TrainingData.spread(docs(s, d)).select(qualityCols: _*)
     val rep = docs(s, d)
       .select(col("doc_id"), explode(tok).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -174,6 +185,12 @@ object Curation {
     val clusters = dedupClusters(s, d)
       .select(col("doc_id"), col("keep").as("dk"))
     val h = substring(md5(col("text")), 1, 1)
+    val outCols = Seq(col("doc_id"), col("lang"), col("split"),
+              col("quality"), col("top_share"),
+              coalesce(col("dk"), lit(1L)).as("dedup_keep"),
+              (col("quality") >= 0.5 && col("top_share") <= 0.2 &&
+                coalesce(col("dk"), lit(1L)) === 1L).cast("long").as("keep")) ++
+      (if (withTokens) Seq(col("n_tok")) else Nil)
     docs(s, d)
       .select(col("doc_id"), col("lang"),
               when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
@@ -181,11 +198,7 @@ object Curation {
       .join(quality, "doc_id")
       .join(rep, "doc_id")
       .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("split"),
-              col("quality"), col("top_share"),
-              coalesce(col("dk"), lit(1L)).as("dedup_keep"),
-              (col("quality") >= 0.5 && col("top_share") <= 0.2 &&
-                coalesce(col("dk"), lit(1L)) === 1L).cast("long").as("keep"))
+      .select(outCols: _*)
   }
 
   /** Terminal sink of the curation pipeline: write the KEPT corpus (text
@@ -219,9 +232,9 @@ object Curation {
     */
   def trainingSetVerdict(s: SparkSession, d: String,
                          splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
-    val nTok = docs(s, d).select(
-      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val base = curate(s, d).join(nTok, "doc_id")
+    // n_tok rides out of curate's own tokenize pass (withTokens) — a
+    // separate count-join would re-tokenize the corpus per consumer
+    val base = curate(s, d, withTokens = true)
       .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
     val kept = base.filter(col("keep") === 1L)
     // budget phase 1: (split, quality) bucket table — domain-bounded at
@@ -239,13 +252,14 @@ object Curation {
     val wq = Window.partitionBy("split")
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the selection carries its own (split, n_tok) forward — re-joining
+    // `base` just to refetch them would re-derive the curate subtree
     val sel = kept.join(broadcast(liveBuckets), Seq("split", "quality"))
       .withColumn("cum_tok", sum("n_tok").over(wq))
       .filter(col("cum_tok") <= splitBudget)
-      .select("doc_id")
+      .select("doc_id", "split", "n_tok")
     // packing: q108's two-phase running sum, sharded by split
-    val selDocs = base.join(sel, "doc_id")
-      .select(col("doc_id"), col("split"), col("n_tok"))
+    val selDocs = sel
       .withColumn("bkt", expr(s"doc_id DIV ${Prep.PackBucketWidth}"))
     val wbp = Window.partitionBy("split").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

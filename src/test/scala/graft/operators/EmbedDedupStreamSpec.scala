@@ -79,7 +79,26 @@ class EmbedDedupStreamSpec extends AnyFunSuite with SparkSpec {
         mem2.toDF().toDF("vec_id", "embedding"), spark, pqDir, threshold = 0.9)
       .writeStream.format("memory").queryName("emb_dups_coded")
       .outputMode("append").start()
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      q2.processAllAvailable()
+      // micro-batch plan: static side scans the IVF-PQ table with the
+      // vector column PRUNED (the 12-byte/row promise), and never
+      // touches embeddings.parquet
+      val lastPlan = q2 match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          w.streamingQuery.lastExecution.executedPlan.toString
+        case other => fail(s"unexpected StreamingQuery impl ${other.getClass}")
+      }
+      assert(!lastPlan.contains("embeddings.parquet"),
+             s"coded probe rescans the raw embeddings:\n$lastPlan")
+      assert(lastPlan.contains("ivfpq_index"),
+             s"coded probe does not scan the IVF-PQ table:\n$lastPlan")
+      val idxScan = lastPlan.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("ivfpq_index"))
+        .mkString("\n")
+      assert(!idxScan.contains("v#") && !idxScan.contains(",v,"),
+             s"coded probe's index scan must prune the vector column:\n$idxScan")
+    } finally q2.stop()
     assert((TrainingData.ivfFits.get(), TrainingData.pqFits.get())
              === fitsBeforeCoded,
            "coded streaming probe must serve from the persisted index, not refit")
