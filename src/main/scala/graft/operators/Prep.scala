@@ -72,6 +72,64 @@ object Prep {
   val PhonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** Per-(event-time window, source, term) counts — the shared core of
+    * the batch drift audit (q124) and the streaming monitor
+    * [[driftTermCountsStream]]: one projection + explode + one windowed
+    * aggregate with map-side partials. Input needs (ts, source, text).
+    */
+  def windowedTermCounts(frame: DataFrame, windowDur: String): DataFrame =
+    frame
+      .filter(col("source").isNotNull)
+      .select(col("ts"), col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("term"))
+      .agg(count(lit(1)).cast("long").as("n_wt"))
+      .select((unix_micros(col("window.start")) / 1000L).cast("long").as("win_ms"),
+              col("source"), col("term"), col("n_wt"))
+
+  /** STREAMING drift core: [[windowedTermCounts]] under a watermark —
+    * append mode emits a (window, source, term) count row exactly once,
+    * when the watermark closes its window; state is bounded by the live
+    * windows' vocabularies. Pair with [[driftReport]] per closed batch
+    * (foreachBatch) for the in-stream KL monitor; DriftStreamSpec pins
+    * stream counts == batch counts and report parity with q124.
+    */
+  def driftTermCountsStream(stream: DataFrame, windowDur: String,
+                            watermarkDelay: String): DataFrame =
+    windowedTermCounts(stream.withWatermark("ts", watermarkDelay), windowDur)
+
+  /** KL drift of each (window, source) slice against the CORPUS
+    * reference distribution (add-one smoothed over the corpus
+    * vocabulary, the DSIR convention — a window term the corpus has
+    * never seen carries the smoothed floor instead of an infinity).
+    * Batch over any windowed-count frame — the second stage of the
+    * streaming monitor and the body of q124. Scale shape mirrors q112:
+    * per-slice totals derive from the count table (no second pass), the
+    * vocabulary-sized reference joins on the shuffle path (never
+    * broadcast), only the 1-row corpus scalars broadcast, and per-term
+    * contributions round half-up to 1e-8-scaled BIGINTs before the
+    * per-slice sum so reducer order cannot move the result.
+    */
+  def driftReport(counts: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val ref = docs(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("n_t"))
+    val tot = ref.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
+    val bySlice = counts.groupBy("win_ms", "source")
+      .agg(sum("n_wt").as("n_ws"))
+    val p = col("n_wt").cast("double") / col("n_ws")
+    val q = (coalesce(col("n_t"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n") + col("v")).cast("double")
+    counts
+      .join(bySlice, Seq("win_ms", "source"))
+      .join(ref.hint("shuffle_hash"), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("win_ms"), col("source"),
+              floor(p * log(p / q) * 100000000 + 0.5).cast("long").as("c"))
+      .groupBy("win_ms", "source")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+           round(sum("c") / lit(100000000.0), 4).as("kl"))
+  }
+
   /** q109's body, reusable on any (doc_id, text) frame — BATCH OR STREAM:
     * the whole pipeline is stateless per-row projection + generator, so
     * the same plan chunks a crawl stream micro-batch by micro-batch
@@ -347,6 +405,53 @@ object Prep {
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_terms"),
              round(sum("c") / lit(100000000.0), 4).as("kl"))
+    },
+
+    Q("q124_source_drift_windows",
+      "Windowed source-drift monitor (batch form of the streaming " +
+        "ingest monitor): per (hourly event-time window, source), the " +
+        "KL divergence of the slice's term distribution against the " +
+        "add-one-smoothed whole-corpus reference — q112's mixing audit " +
+        "made CONTINUOUS, the dashboard a crawl operator watches for a " +
+        "source going spammy mid-ingest. Event times derive " +
+        "deterministically from doc_id (one doc per minute) so both " +
+        "engines window identically; window starts export as epoch " +
+        "millis (the q47 convention). The same core runs under a " +
+        "watermark in driftTermCountsStream; DriftStreamSpec pins " +
+        "stream==batch parity. Scale shape: one token pass into " +
+        "(window, source, term) counts with map-side partials, slice " +
+        "totals derived (no second pass), vocabulary-sized reference " +
+        "join hinted off the broadcast path, scaled-int contributions.",
+      """WITH t AS (SELECT doc_id, source,
+        |    TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+        |    text FROM documents),
+        |tok AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |          source, unnest(string_split(text, ' ')) AS term FROM t),
+        |wt AS (SELECT win_ms, source, term, CAST(count(*) AS BIGINT) AS n_wt
+        |       FROM tok GROUP BY 1, 2, 3),
+        |ws AS (SELECT win_ms, source, CAST(sum(n_wt) AS BIGINT) AS n_ws
+        |       FROM wt GROUP BY 1, 2),
+        |ref AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |              FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS v FROM ref),
+        |contrib AS (SELECT wt.win_ms, wt.source,
+        |   CAST(floor((CAST(n_wt AS DOUBLE) / n_ws) *
+        |              ln((CAST(n_wt AS DOUBLE) / n_ws) /
+        |                 (CAST(COALESCE(n_t, 0) + 1 AS DOUBLE) / (n + v)))
+        |              * 100000000 + 0.5) AS BIGINT) AS c
+        | FROM wt JOIN ws USING (win_ms, source)
+        | LEFT JOIN ref USING (term) CROSS JOIN tot)
+        |SELECT win_ms, source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(c) / 100000000.0, 4) AS kl
+        |FROM contrib GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val framed = spread(docs(s, d)).select(
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
+          .as("ts"),
+        col("source"), col("text"))
+      driftReport(windowedTermCounts(framed, "1 hour"), s, d)
     },
 
     Q("q113_pii_redact",

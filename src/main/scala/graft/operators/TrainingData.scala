@@ -923,6 +923,19 @@ object TrainingData {
     fs.delete(aside, true)
   }
 
+  /** Compaction hook: after the corpus changed, drop every stale cached
+    * artifact and rebuild + re-persist the composed IVF-PQ table against
+    * the new snapshot (same contract as [[refreshIvfIndex]] /
+    * [[refreshPqIndex]] — run it alongside them; the composed table
+    * duplicates their artifacts and must never outlive a refresh of
+    * either).
+    */
+  def refreshIvfPqIndex(s: SparkSession, d: String, indexDir: String,
+                        k: Int = 16): Unit = {
+    invalidate(d)
+    buildIvfPqIndex(s, d, indexDir, k)
+  }
+
   /** Coded (memory-true) variant of [[embeddingNearDupStream]]: the
     * probe's static side is the IVF-PQ table's (vec_id, cell, codes)
     * projection — 32x smaller than the float payload — and candidates
