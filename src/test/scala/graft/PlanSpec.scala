@@ -385,6 +385,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         l.contains("BroadcastHashJoin") && l.contains("term"))
       assert(termBroadcast.isEmpty,
              s"q112 vocabulary marginal must not broadcast:\n${termBroadcast.mkString("\n")}")
+      // q124: same hazard, windowed — the corpus reference join is
+      // vocabulary-sized and must stay on the shuffle path; only the
+      // 1-row (n, v) scalar table broadcasts
+      val p124 = plan("q124_source_drift_windows")
+      assert(p124.contains("BroadcastNestedLoopJoin"),
+             s"q124 corpus scalars must ride as a broadcast:\n$p124")
+      val refBroadcast = p124.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("term"))
+      assert(refBroadcast.isEmpty,
+             s"q124 corpus reference must not broadcast:\n${refBroadcast.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
