@@ -130,6 +130,41 @@ object Prep {
            round(sum("c") / lit(100000000.0), 4).as("kl"))
   }
 
+  /** q112's body, reusable: per-source KL divergence of each source's
+    * term distribution from the corpus marginal — (source, n_terms, kl).
+    * One token shuffle with map-side partials; the explicit isNotNull
+    * keeps every consumer on ONE canonical scan subtree for AQE stage
+    * reuse; the vocabulary-sized term marginal is hinted onto the
+    * shuffle path (PlanSpec pins the no-broadcast edge); contributions
+    * are 1e-8-scaled-int, reducer-order-proof.
+    */
+  def sourceKl(s: SparkSession, d: String): DataFrame = {
+    val tok = spread(docs(s, d))
+      .filter(col("source").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+    val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    // the term marginal is vocabulary-sized: hint it onto the shuffle
+    // path (co-partitioned with st on term, no sort) — the planner's
+    // auto-broadcast at toy scale is exactly the shape that OOMs the
+    // executors at open-web vocabulary, and PlanSpec pins it out
+    val byTerm = st.groupBy("term").agg(sum("n_st").as("n_t"))
+      .hint("shuffle_hash")
+    // corpus total from the BOUNDED per-source table — a derivation,
+    // not another corpus pass
+    val tot = bySrc.agg(sum("n_s").as("n"))
+    st.join(bySrc, "source").join(byTerm, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor((col("n_st").cast("double") / col("n_s")) *
+          log((col("n_st").cast("double") * col("n")) /
+              (col("n_s").cast("double") * col("n_t"))) * 100000000 + 0.5)
+          .cast("long").as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+           round(sum("c") / lit(100000000.0), 4).as("kl"))
+  }
+
   /** q109's body, reusable on any (doc_id, text) frame — BATCH OR STREAM:
     * the whole pipeline is stateless per-row projection + generator, so
     * the same plan chunks a crawl stream micro-batch by micro-batch
@@ -381,30 +416,77 @@ object Prep {
       // off ONE canonical scan+explode+shuffle subtree, and AQE's stage
       // reuse computes the corpus pass once (the probe without it showed
       // two stage-reuse groups split by the pushed filter)
-      val tok = spread(docs(s, d))
-        .filter(col("source").isNotNull)
-        .select(col("source"), explode(tokens(col("text"))).as("term"))
-      val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
-      val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
-      // the term marginal is vocabulary-sized: hint it onto the shuffle
-      // path (co-partitioned with st on term, no sort) — the planner's
-      // auto-broadcast at toy scale is exactly the shape that OOMs the
-      // executors at open-web vocabulary, and PlanSpec pins it out
-      val byTerm = st.groupBy("term").agg(sum("n_st").as("n_t"))
-        .hint("shuffle_hash")
-      // corpus total from the BOUNDED per-source table — a derivation,
-      // not another corpus pass
-      val tot = bySrc.agg(sum("n_s").as("n"))
-      st.join(bySrc, "source").join(byTerm, "term")
-        .crossJoin(broadcast(tot))
-        .select(col("source"),
-          floor((col("n_st").cast("double") / col("n_s")) *
-            log((col("n_st").cast("double") * col("n")) /
-                (col("n_s").cast("double") * col("n_t"))) * 100000000 + 0.5)
-            .cast("long").as("c"))
+      sourceKl(s, d)
+    },
+
+    Q("q125_mixture_weights",
+      "Training-mix weight assignment — the decision artifact the " +
+        "quality/drift audits exist to feed: per source, mean document " +
+        "quality (q32's formula) discounted by distribution drift " +
+        "(q112's KL) into a normalized sampling weight, weight_s ∝ " +
+        "mean_quality_s / (1 + kl_s). A clean on-distribution source " +
+        "gets its quality share; a drifted (spammy/templated) source is " +
+        "down-weighted before it contaminates the mix — the " +
+        "deterministic core of DoReMi-style mixture tuning, without the " +
+        "proxy-model loop. Cross-engine float discipline: per-doc 4dp " +
+        "qualities are bit-identical in both engines, source means use " +
+        "the q101 scaled-int half-up convention, raw weights round to " +
+        "1e-8-scaled BIGINTs and NORMALIZE over their integer sum, so " +
+        "no double accumulation order can move the hash. Scale shape: " +
+        "everything is per-source (bounded) after one quality pass and " +
+        "the q112 KL pass.",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |q AS (SELECT source,
+        |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |    AS DOUBLE) AS mean_quality,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY 1),
+        |tok2 AS (SELECT source, unnest(tok) AS term FROM t),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+        |       FROM tok2 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+        |contrib AS (SELECT st.source,
+        |   CAST(floor((CAST(n_st AS DOUBLE) / n_s) *
+        |              ln((CAST(n_st AS DOUBLE) * n) /
+        |                 (CAST(n_s AS DOUBLE) * n_t)) * 100000000 + 0.5)
+        |        AS BIGINT) AS c
+        | FROM st JOIN s USING (source) JOIN ct USING (term) CROSS JOIN tot),
+        |kl AS (SELECT source, round(sum(c) / 100000000.0, 4) AS kl
+        |       FROM contrib GROUP BY 1),
+        |w AS (SELECT q.source, q.n_docs, q.mean_quality, kl.kl,
+        |        CAST(floor(q.mean_quality / (1 + kl.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM q JOIN kl USING (source)),
+        |tw AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, mean_quality, kl,
+        |  round(CAST(w_int AS DOUBLE) / tw, 6) AS weight
+        |FROM w CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
+      val stopArr = array(TrainingData.enStop.map(lit): _*)
+      val tok = split(col("text"), " ")
+      val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+        (lit(0.5) +
+          size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+            size(tok)), 4)
+      val q = spread(docs(s, d))
+        .select(col("source"), quality.as("quality"))
         .groupBy("source")
-        .agg(count(lit(1)).cast("long").as("n_terms"),
-             round(sum("c") / lit(100000000.0), 4).as("kl"))
+        .agg((floor(sum(round(col("quality") * 10000, 0).cast("long"))
+                / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_quality"),
+             count(lit(1)).cast("long").as("n_docs"))
+      val w = q.join(sourceKl(s, d).select("source", "kl"), "source")
+        .withColumn("w_int",
+          floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
+                + 0.5).cast("long"))
+      val tw = w.agg(sum("w_int").as("tw"))
+      w.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_docs"), col("mean_quality"), col("kl"),
+                round(col("w_int").cast("double") / col("tw"), 6).as("weight"))
     },
 
     Q("q124_source_drift_windows",
