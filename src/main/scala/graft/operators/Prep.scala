@@ -165,6 +165,37 @@ object Prep {
            round(sum("c") / lit(100000000.0), 4).as("kl"))
   }
 
+  /** End-to-end drift-monitor sink: [[driftTermCountsStream]] under a
+    * watermark, each closed micro-batch rolled into its KL report
+    * ([[driftReport]] against the corpus reference) and APPENDED to
+    * `reportDir` parquet partitioned by epoch — the dashboard table a
+    * crawl operator tails. Exactly-once per window: append mode emits a
+    * window's counts in exactly one micro-batch, so each (win_ms,
+    * source) report row lands in exactly one epoch partition; a crashed
+    * epoch replays idempotently through the dynamic partition overwrite
+    * (the startCurationIngest convention). DriftStreamSpec proves the
+    * landed rows equal the batch audit's.
+    */
+  def startDriftMonitor(docsStream: DataFrame, s: SparkSession, d: String,
+                        reportDir: String, checkpointDir: String,
+                        windowDur: String = "1 hour",
+                        watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    driftTermCountsStream(docsStream, windowDur, watermarkDelay).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          driftReport(batch, s, d)
+            .withColumn("epoch", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(reportDir)
+      }
+      .start()
+
   /** q109's body, reusable on any (doc_id, text) frame — BATCH OR STREAM:
     * the whole pipeline is stateless per-row projection + generator, so
     * the same plan chunks a crawl stream micro-batch by micro-batch

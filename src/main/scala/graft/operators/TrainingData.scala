@@ -1217,6 +1217,52 @@ object TrainingData {
                 col("rk").cast("long").as("rk"))
     },
 
+    Q("q126_contrastive_mining",
+      "Contrastive-pair mining — the training-data op behind retrieval/ " +
+        "embedding fine-tunes (DPR/Contriever recipes): per query " +
+        "vector, the top-2 SAME-label neighbors (positives) and the " +
+        "top-5 DIFFERENT-label near-neighbors (HARD negatives — similar " +
+        "enough to confuse the model, which is exactly what makes them " +
+        "worth training on). Scale shape mirrors q40: the query batch " +
+        "broadcasts against the partitioned corpus scan, per-qid ranks " +
+        "plan as map-side WindowGroupLimits, output is bounded at 7 " +
+        "rows per query.",
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+        |             embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        |     c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |     s AS (SELECT qid, vec_id, qlabel, label,
+        |             list_dot_product(qv, v) /
+        |               (sqrt(list_dot_product(qv, qv)) *
+        |                sqrt(list_dot_product(v, v))) AS cos
+        |           FROM q CROSS JOIN c WHERE qid <> vec_id),
+        |     pos AS (SELECT qid, vec_id, cos, 'pos' AS role,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY cos DESC, vec_id) AS rk
+        |             FROM s WHERE qlabel = label),
+        |     neg AS (SELECT qid, vec_id, cos, 'neg' AS role,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY cos DESC, vec_id) AS rk
+        |             FROM s WHERE qlabel <> label)
+        |SELECT qid, vec_id, round(cos, 4) AS cos, role, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT * FROM pos WHERE rk <= 2
+        |      UNION ALL SELECT * FROM neg WHERE rk <= 5)""".stripMargin) { (s, d) =>
+      val c = embs(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+      val q = c.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                col("v").as("qv"))
+      val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("qlabel"), col("label"),
+                cosine(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      def ranked(f: Column, role: String, k: Int) = scored.filter(f)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+                lit(role).as("role"), col("rk").cast("long").as("rk"))
+      ranked(col("qlabel") === col("label"), "pos", 2)
+        .unionByName(ranked(col("qlabel") =!= col("label"), "neg", 5))
+    },
+
     Q.noOracle("q41_ann_lsh",
       "ANN scale path: multi-probe SRP-LSH (8-bit signatures, 4 hash " +
         "tables; each query also probes every bucket within Hamming<=2 of " +

@@ -76,4 +76,32 @@ class DriftStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spamKl.nonEmpty && spamKl.min > organicMax,
            s"spam slice (${spamKl.toSeq}) must out-score organic max $organicMax")
   }
+
+  test("startDriftMonitor lands closed-window KL reports equal to the batch audit") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(minutes: Long) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (ts(r.getLong(0)), r.getString(1), r.getString(2)))
+    val reportDir = java.nio.file.Files
+      .createTempDirectory("graft-drift-report").toString + "/reports"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    mem.addData(docs.toSeq: _*)
+    mem.addData((ts(1000000L), "sentinel", "x"))
+    Prep.startDriftMonitor(mem.toDF().toDF("ts", "source", "text"),
+                           spark, sf, reportDir, ckpt)
+      .awaitTermination()
+    val landed = spark.read.parquet(reportDir)
+      .select("win_ms", "source", "n_terms", "kl")
+      .collect().map(_.toString).sorted.toSeq
+    val q124 = graft.SparkEntry.queries("q124_source_drift_windows")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(landed === q124,
+           "landed drift reports diverge from the batch audit")
+  }
 }
