@@ -1734,6 +1734,81 @@ object TrainingData {
         .filter(col("n_terms") === terms.size)
     },
 
+    Q("q127_phrase_search",
+      "Positional PHRASE search — q86's conjunctive search upgraded to " +
+        "exact token-sequence match ('find training docs containing this " +
+        "verbatim identifier chain'): documents where the tokens 'table " +
+        "hash' appear ADJACENT, with match count and first position. " +
+        "Scale shape is the inverted-index phrase-query join: posexplode " +
+        "to (doc_id, pos, term), the term IN filter prunes to the " +
+        "phrase's posting rows before any shuffle, then one equi-join on " +
+        "(doc_id, pos) aligns term2's positions shifted by -1 against " +
+        "term1's — candidate volume is bounded by the phrase terms' " +
+        "frequencies, never the corpus, and arity-k phrases chain k-1 " +
+        "such joins. At 100 TB the same plan probes a positions-bearing " +
+        "postings table (the q86/q98 index + a pos column) instead of " +
+        "re-tokenizing text.",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |m AS (SELECT doc_id,
+        |        list_filter(range(1, len(tok)),
+        |                    i -> tok[i] = 'table' AND tok[i + 1] = 'hash') AS hits
+        |      FROM t)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  CAST(hits[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(hits) > 0""".stripMargin) { (s, d) =>
+      val pos = docs(s, d)
+        .select(col("doc_id"),
+                posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(col("term").isin("table", "hash"))
+      val p1 = pos.filter(col("term") === "table").select(col("doc_id"), col("pos"))
+      val p2 = pos.filter(col("term") === "hash")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+             // oracle positions are 1-based list indices
+             (min("pos") + 1).cast("long").as("first_pos"))
+    },
+
+    Q("q128_vocab_coverage",
+      "Vocabulary-size decision curve — what q92's audit scalars feed " +
+        "into: the top-256 corpus terms by frequency with each prefix's " +
+        "CUMULATIVE share of all token occurrences ('how big must the " +
+        "tokenizer vocab be for 95% word coverage'). Scale shape: one " +
+        "term aggregate with map-side partials; the ordered top-256 is " +
+        "per-partition heaps (TakeOrderedAndProject), and the running " +
+        "sum windows over exactly 256 rows — a bounded domain, the " +
+        "q114 convention, never the vocabulary. The corpus token total " +
+        "derives from the SAME aggregate via a 1-row broadcast (no " +
+        "second tokenize pass).",
+      """WITH u AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |                 FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+        |top AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rk
+        |        FROM u ORDER BY c DESC, term LIMIT 256)
+        |SELECT CAST(rk AS BIGINT) AS rk, term, c,
+        |  round(CAST(sum(c) OVER (ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n, 6)
+        |    AS cum_coverage
+        |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val u = docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
+      val tot = u.agg(sum("c").as("n"))
+      val wr = Window.orderBy(col("c").desc, col("term"))
+      val wcum = Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // top-256 via ordered LIMIT (per-partition heaps); the rank and
+      // running sum then window over those 256 rows only
+      u.orderBy(col("c").desc, col("term")).limit(256)
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("term"), col("c"),
+                round(sum("c").over(wcum).cast("double") / col("n"), 6)
+                  .as("cum_coverage"))
+    },
+
     Q("q89_bpe_token_count",
       "Subword-style token counting: a BPE-ish regex (leading-space word " +
         "/ number / punctuation-run classes — the GPT-2 pre-tokenizer " +
