@@ -304,6 +304,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q127/q128: phrase join prunes terms pre-shuffle; top-256 plans ordered heaps") {
+    // q127: the phrase terms' IN filter must run scan-side, beneath the
+    // (doc_id, pos) join — a post-join filter would shuffle every
+    // position of every document
+    val p127 = plan("q127_phrase_search")
+    val lines127 = p127.linesIterator.toSeq
+    val joinIdx = lines127.indexWhere(l => l.contains("SortMergeJoin") ||
+                                           l.contains("ShuffledHashJoin") ||
+                                           l.contains("BroadcastHashJoin"))
+    val termFilterIdx = lines127.indexWhere(l =>
+      l.contains("Filter") && l.contains("table") && l.contains("hash"))
+    assert(joinIdx >= 0 && termFilterIdx > joinIdx,
+           s"q127 term filter must prune beneath the position join:\n$p127")
+    assert(!p127.contains("CartesianProduct"),
+           s"q127 must stay an equi-join on (doc_id, pos):\n$p127")
+    // q128: the top-256 must plan as TakeOrderedAndProject (per-partition
+    // heaps), never a full vocabulary sort
+    val p128 = plan("q128_vocab_coverage")
+    assert(p128.contains("TakeOrderedAndProject"),
+           s"q128 top-256 lost the ordered-heap plan:\n$p128")
+  }
+
   test("q90: bloom prune runs as an in-plan scalar subquery before the exact join") {
     val p = plan("q90_bloom_decontaminate")
     assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
