@@ -230,12 +230,15 @@ object Curation {
     * [[Prep.PackBucketWidth]] — no corpus-sized single partition
     * anywhere, at any scale.
     */
-  def trainingSetVerdict(s: SparkSession, d: String,
-                         splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
-    // n_tok rides out of curate's own tokenize pass (withTokens) — a
-    // separate count-join would re-tokenize the corpus per consumer
-    val base = curate(s, d, withTokens = true)
-      .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
+  /** Budget-selected docs with their EXACT pack offsets: (doc_id, split,
+    * n_tok, end_off) — end_off is the exclusive token offset of the doc
+    * in its split's concatenated stream. The shared core of the q122
+    * verdict (bins derive from offsets) and q129's sequence
+    * materialization (slices derive from offsets). Both phases follow
+    * the bounded-window patterns documented on [[trainingSetVerdict]].
+    */
+  private def selectedOffsets(base: org.apache.spark.sql.DataFrame,
+                              splitBudget: Long): org.apache.spark.sql.DataFrame = {
     val kept = base.filter(col("keep") === 1L)
     // budget phase 1: (split, quality) bucket table — domain-bounded at
     // <=15k rows per split — with an exclusive per-split prefix sum
@@ -270,10 +273,20 @@ object Curation {
       .select("split", "bkt", "bucket_off")
     val wp = Window.partitionBy("split", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val b = Prep.PackBudget
-    val packed = selDocs.hint("shuffle_merge")
+    selDocs.hint("shuffle_merge")
       .join(offsets.hint("shuffle_merge"), Seq("split", "bkt"))
       .withColumn("end_off", col("bucket_off") + sum("n_tok").over(wp))
+      .select("doc_id", "split", "n_tok", "end_off")
+  }
+
+  def trainingSetVerdict(s: SparkSession, d: String,
+                         splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+    // n_tok rides out of curate's own tokenize pass (withTokens) — a
+    // separate count-join would re-tokenize the corpus per consumer
+    val base = curate(s, d, withTokens = true)
+      .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
+    val b = Prep.PackBudget
+    val packed = selectedOffsets(base, splitBudget)
       .select(col("doc_id"),
               expr(s"(end_off - n_tok) DIV $b").as("first_bin"),
               expr(s"(end_off - 1) DIV $b").as("last_bin"),
@@ -285,6 +298,49 @@ object Curation {
               (col("keep") === 1L && col("first_bin").isNotNull)
                 .cast("long").as("keep"),
               col("first_bin"), col("last_bin"), col("n_bins"))
+  }
+
+  /** The packing's LAST MILE: the actual fixed-length training sequences.
+    * Every budget-selected doc is sliced along its bin boundaries
+    * (arithmetic over [[selectedOffsets]] — a doc spanning bins emits one
+    * piece per bin, never a cross product) and each (split, bin)
+    * reassembles its pieces in stream order into ONE token array: every
+    * bin except each split's last holds exactly [[Prep.PackBudget]]
+    * tokens, zero padding waste. Reassembly is one (split, bin) shuffle
+    * whose groups are bounded at PackBudget tokens; in-bin piece order
+    * is restored by sort_array over the carried start offsets
+    * (collect_list order is partition-dependent — never trust it). q129
+    * oracles (split, bin, n_tokens, content_md5) against DuckDB's
+    * independent spelling of the same assembly.
+    */
+  def packedSequences(s: SparkSession, d: String,
+                      splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+    val base = curate(s, d, withTokens = true)
+      .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
+    val b = Prep.PackBudget
+    val off = selectedOffsets(base, splitBudget)
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+    val pieces = off
+      .join(docs(s, d).select("doc_id", "text"), "doc_id")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("bin",
+        explode(sequence(expr(s"start_off DIV $b"),
+                         expr(s"(end_off - 1) DIV $b"))))
+      .withColumn("p_start", greatest(col("start_off"), col("bin") * b))
+      .withColumn("p_end", least(col("end_off"), (col("bin") + 1) * b))
+      .select(col("split"), col("bin"), col("p_start"),
+              slice(col("tok"),
+                    (col("p_start") - col("start_off") + 1).cast("int"),
+                    (col("p_end") - col("p_start")).cast("int")).as("piece"))
+    pieces.groupBy("split", "bin")
+      .agg(flatten(transform(
+             sort_array(collect_list(struct(col("p_start"), col("piece")))),
+             x => x.getField("piece"))).as("tokens"))
+      .select(col("split"), col("bin").cast("long").as("bin"),
+              size(col("tokens")).cast("long").as("n_tokens"),
+              md5(array_join(col("tokens"), " ").cast("binary"))
+                .as("content_md5"),
+              col("tokens"))
   }
 
   /** Terminal sink of the training-set path: materialize the
@@ -752,6 +808,95 @@ object Curation {
         |  pk.first_bin, pk.last_bin, pk.n_bins
         |FROM base b LEFT JOIN packed pk USING (doc_id)""".stripMargin) { (s, d) =>
       trainingSetVerdict(s, d)
+    },
+
+    Q("q129_packed_sequences",
+      "The packing pipeline's terminal artifact — the actual fixed-" +
+        "length training sequences: every budget-selected doc (q122's " +
+        "keepers) sliced along its 512-token bin boundaries and each " +
+        "(split, bin) reassembled in stream order into one sequence; " +
+        "every bin but each split's last holds exactly 512 tokens, zero " +
+        "padding waste. Output is the verifiable digest (split, bin, " +
+        "n_tokens, content_md5) — DuckDB re-assembles the same " +
+        "sequences independently (string_agg over ordered pieces) and " +
+        "the hashes must agree, which proves slice arithmetic, piece " +
+        "ordering, AND the upstream budget/packing composition in one " +
+        "oracle. Scale shape: slice explode is per-row arithmetic; " +
+        "reassembly is one (split, bin) shuffle with groups bounded at " +
+        "512 tokens; piece order inside a bin is restored by " +
+        "sort_array, never collect_list order.",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)), 4) AS quality FROM t),
+        |tc AS (SELECT doc_id, unnest(tok) AS term FROM t),
+        |tcc AS (SELECT doc_id, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+        |        FROM tcc GROUP BY doc_id),
+        |td AS (SELECT doc_id, lang, n_chars, list_distinct(tok) AS dtok FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM td a JOIN td b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.dtok, b.dtok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.dtok, b.dtok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, CAST(a = min(b) AS BIGINT) AS dk
+        |       FROM reach GROUP BY a),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    q.quality,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(q.quality >= 0.5 AND rep.top_share <= 0.2
+        |         AND COALESCE(cl.dk, 1) = 1 AS BIGINT) AS ckeep
+        |  FROM documents d
+        |  JOIN q USING (doc_id) JOIN rep USING (doc_id)
+        |  LEFT JOIN cl USING (doc_id)),
+        |bsel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      sum(n_tok) OVER (PARTITION BY split
+        |        ORDER BY quality DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |    FROM base WHERE ckeep = 1)
+        |  WHERE cum_tok <= 4000),
+        |off AS (
+        |  SELECT b.doc_id, b.split, b.n_tok,
+        |    CAST(sum(b.n_tok) OVER (PARTITION BY b.split
+        |      ORDER BY b.doc_id) AS BIGINT) AS end_off
+        |  FROM base b JOIN bsel USING (doc_id)),
+        |ox AS (
+        |  SELECT o.doc_id, o.split, o.end_off, o.end_off - o.n_tok AS start_off,
+        |         t.tok
+        |  FROM off o JOIN t USING (doc_id)),
+        |pieces AS (
+        |  SELECT split, u.bin,
+        |    greatest(start_off, u.bin * 512) AS p_start,
+        |    tok[CAST(greatest(start_off, u.bin * 512) - start_off + 1 AS BIGINT)
+        |        : CAST(least(end_off, (u.bin + 1) * 512) - start_off AS BIGINT)]
+        |      AS piece
+        |  FROM ox CROSS JOIN LATERAL
+        |    unnest(generate_series(start_off // 512, (end_off - 1) // 512))
+        |      AS u(bin))
+        |SELECT split, CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY p_start))
+        |    AS content_md5
+        |FROM pieces GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      packedSequences(s, d).drop("tokens")
     },
 
     Q("q74_normalize",

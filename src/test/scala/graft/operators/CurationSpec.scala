@@ -276,6 +276,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(out).columns.contains("text"))
   }
 
+  test("packedSequences: full bins hold exactly 512 tokens; streams reassemble losslessly") {
+    val seqs = Curation.packedSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getSeq[String](4)))
+    assert(seqs.nonEmpty)
+    seqs.groupBy(_._1).foreach { case (sp, rows) =>
+      val maxBin = rows.map(_._2).max
+      rows.foreach { case (_, bin, n, toks) =>
+        assert(n === toks.length.toLong)
+        if (bin < maxBin)
+          assert(n === Prep.PackBudget, s"$sp bin $bin not full: $n")
+      }
+      // bins are contiguous from 0
+      assert(rows.map(_._2).sorted.toSeq === (0L to maxBin).toSeq,
+             s"$sp has bin gaps")
+      // the concatenated stream equals the kept docs' tokens in doc_id
+      // order — no token lost, duplicated, or reordered by the slicing
+      val stream = rows.sortBy(_._2).flatMap(_._4).toSeq
+      val verdict = SparkEntry.queries("q122_training_set")(spark, sf)
+        .filter(col("keep") === 1L && col("split") === sp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val docsTok = graft.Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(verdict: _*))
+        .select("doc_id", "text").collect()
+        .sortBy(_.getLong(0)).flatMap(_.getString(1).split(" ")).toSeq
+      assert(stream === docsTok, s"$sp reassembled stream diverges")
+    }
+  }
+
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
     val perLang = SparkEntry.queries("q62_stratified_sample")(spark, sf)
       .groupBy("lang").count().collect().map(r => r.getLong(1))
