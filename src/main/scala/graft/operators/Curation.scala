@@ -343,6 +343,17 @@ object Curation {
               col("tokens"))
   }
 
+  /** Write [[packedSequences]] split-partitioned — the shard directory a
+    * trainer reads DIRECTLY (split=train/bin-ordered rows of exactly
+    * PackBudget tokens each): the terminal artifact of the whole
+    * curate → budget → pack pipeline, one parquet write past q129's
+    * oracled digest.
+    */
+  def exportPackedSequences(s: SparkSession, d: String, outDir: String,
+                            splitBudget: Long = SplitBudget): Unit =
+    packedSequences(s, d, splitBudget)
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   /** Terminal sink of the training-set path: materialize the
     * [[trainingSetVerdict]] keepers with text joined back, parquet
     * partitioned by split and carrying the packing span — the directory

@@ -303,6 +303,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .sortBy(_.getLong(0)).flatMap(_.getString(1).split(" ")).toSeq
       assert(stream === docsTok, s"$sp reassembled stream diverges")
     }
+    // the export sink lands the same sequences split-partitioned
+    val out = java.nio.file.Files.createTempDirectory("graft-packed").toString + "/seqs"
+    Curation.exportPackedSequences(spark, sf, out)
+    val back = spark.read.parquet(out)
+      .select("split", "bin", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back === seqs.map(t => (t._1, t._2, t._3)).toSet,
+           "exported sequences diverge from packedSequences")
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("split=")),
+           "export must be split-partitioned")
   }
 
   test("q62 samples exactly k per stratum (or the whole stratum when smaller)") {
