@@ -596,6 +596,8 @@ object Multimodal {
     * coefficients sum to 1) and every dHash gradient is preserved: the
     * planted pair is the re-encode/brightness case perceptual dedup
     * exists to catch, invisible to exact (q30) and token (q35) dedup.
+    * `dupEvery <= 0` disables planting (doc 0 would otherwise match any
+    * modulus — the index-build path wants a clean corpus).
     */
   def syntheticImageAssets(docs: DataFrame, dupEvery: Int = 10): DataFrame = {
     val enc = RowEncoder.encoderFor(assetSchema)
@@ -623,7 +625,7 @@ object Multimodal {
         val ppm = encodePpm(w, h, base)
         val main = Row(docId, "image", ppm,
                        Row(src, ppm.length.toLong))
-        if (docId % dupEvery == 0) {
+        if (dupEvery > 0 && docId % dupEvery == 0) {
           val bmp = encodeBmp(w, h, shifted)
           main :: Row(docId + NearDupOffset, "image", bmp,
                       Row(src, bmp.length.toLong)) :: Nil
@@ -696,7 +698,7 @@ object Multimodal {
         val full = encodeWav(sr, Array.tabulate(n)(i => sample(i, 1.0)))
         val src = r.getString(2)
         val main = Row(docId, "audio", full, Row(src, full.length.toLong))
-        if (docId % dupEvery == 0) {
+        if (dupEvery > 0 && docId % dupEvery == 0) {
           val half = encodeWav(sr, Array.tabulate(n)(i => sample(i, 0.5)))
           main :: Row(docId + NearDupOffset, "audio", half,
                       Row(src, half.length.toLong)) :: Nil

@@ -1853,8 +1853,15 @@ object TrainingData {
       val testG = grams.filter(col("split") === "test").select("doc_id", "ngram")
       // ~1M expected items x 8 bits -> <3% false-positive rate; sized for
       // the bench corpus, a config knob at production scale
+      // size the sketch from the corpus statistic, not a constant: a
+      // fixed 1M-item bloom saturates ~10x past the bench corpus (the
+      // sf10 audit measured the prune degrading exactly there) — ~60
+      // train 8-grams per doc here, 8 bits each, floored at the bench
+      // setting so small corpora keep the original <3% fp geometry
+      val expectedGrams = math.max(1L << 20, corpusCount(s, d) * 64)
       val bloom = trainG.agg(
-        Bloom.bloomAgg(xxhash64(col("ngram")), 1L << 20, 1L << 23).as("bf"))
+        Bloom.bloomAgg(xxhash64(col("ngram")), expectedGrams,
+                       expectedGrams * 8).as("bf"))
       val pruned = testG.filter(Bloom.mightContain(bloom, xxhash64(col("ngram"))))
       val hits = pruned.join(trainG, "ngram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))

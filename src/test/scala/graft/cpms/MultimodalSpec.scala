@@ -484,7 +484,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // corpus index: the base images only (no planted dups)
     Multimodal.buildDhashIndex(
-      spark, Multimodal.syntheticImageAssets(docs, dupEvery = Int.MaxValue), idx)
+      spark, Multimodal.syntheticImageAssets(docs, dupEvery = 0), idx)
     // arrivals: a brightness-shifted BMP re-encode of corpus image 5's
     // pixels (same seed the corpus builder used), and unrelated noise
     val seed5 = docs.filter(col("doc_id") === 5L).head().getAs[String]("text")
