@@ -66,6 +66,12 @@ object Prep {
   val ChunkLen = 64L
   val ChunkStride = 48L
 
+  /** Minimum duplicated-run width (tokens) for exact-substring dedup
+    * (q130) — the token-granularity analogue of Lee et al.'s 50-byte
+    * ExactSubstr threshold.
+    */
+  val SubstrG = 20L
+
   // PII patterns — RE2-compatible (no backtracking constructs) so the
   // exact same strings run under Java regex and the DuckDB oracle.
   val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -221,6 +227,57 @@ object Prep {
       .select(col("doc_id"), col("chunk_idx"),
               size(chunk).cast("long").as("chunk_tok"),
               md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
+  }
+
+  /** q130's body, reusable on any (doc_id, text) frame: exact-substring
+    * duplication spans at [[SubstrG]]-token granularity. A gram position
+    * is duplicated when its 20-token run occurs more than once anywhere
+    * in the frame (including twice within one document); overlapping or
+    * adjacent duplicated runs merge into maximal spans (the q24 islands
+    * shape — lag + running sum per doc). Returns one row per document
+    * that carries at least one duplicated run: (doc_id, n_spans,
+    * dup_tokens, dup_share). Only 16-byte digests and (doc_id, pos)
+    * pairs shuffle; span windows are bounded by single-doc length.
+    */
+  def substringDedup(docFrame: DataFrame): DataFrame = {
+    val G = SubstrG
+    // ONE gram-generation pass. The naive spelling (count per digest via
+    // groupBy, join the counts back) runs the expensive tokenize+slice+md5
+    // subtree TWICE — the two consumers need different partitionings, so
+    // AQE cannot reuse the exchange — and broadcasts an unbounded dup-
+    // digest set. Instead: per-digest multiplicity as a whole-partition
+    // window over the digest shuffle (the distributed analogue of the
+    // paper's suffix-array sort — one global digest sort, partitions are
+    // near-singleton because cnt > 1 is the rare case), and the doc
+    // length rides along as 8 bytes/gram so no corpus-sized doc join.
+    val gr = docFrame
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")).cast("long"))
+      .filter(col("n") >= G)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0L), col("n") - G),
+          i => md5(array_join(
+            slice(col("tok"), (i + 1).cast("int"), lit(G.toInt)), " ")
+            .cast("binary")))))
+      .select(col("doc_id"), col("n"),
+              col("pos").cast("long").as("p"), col("col").as("h"))
+    val dup = gr
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") > 1)
+      .select("doc_id", "n", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dup
+      .withColumn("ns",
+        when(lag(col("p"), 1).over(w).isNull
+          .or(col("p") > lag(col("p"), 1).over(w) + G), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy("doc_id", "n", "sid")
+      .agg(min("p").as("p0"), (max(col("p")) + G).as("p1"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+           sum(col("p1") - col("p0")).cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens") * lit(1.0) / col("n"), 4).as("dup_share"))
   }
 
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
@@ -662,6 +719,54 @@ object Prep {
              sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
              round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
                .as("dup_share"))
+        .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
+    },
+
+    Q("q130_substring_dedup",
+      "Exact-substring duplication audit (Lee et al. 2021's ExactSubstr, " +
+        "at token granularity): every 20-token run occurring more than " +
+        "once ANYWHERE in the corpus marks its positions duplicated, and " +
+        "overlapping/adjacent marked runs merge into maximal duplicated " +
+        "spans — per doc: span count, duplicated-token total, duplicated " +
+        "share. Catches long verbatim quotes and licence blocks that the " +
+        "q115 fixed chunk grid straddles (a duplicated passage split " +
+        "across two 64-token cells matches neither cell exactly) and " +
+        "that whole-doc (q30) / near-dup banding (q35) pass over. Scale " +
+        "shape: gram bodies collapse to 16-byte md5 digests inside the " +
+        "scan projection, so the per-gram count shuffle and the digest " +
+        "equi-join back ship digest + (doc_id, pos) per token — the " +
+        "paper's suffix-array global sort replaced by two hash shuffles " +
+        "that AQE coalesces; span merging is a lag/running-sum window " +
+        "per doc_id (bounded by doc length, the q24 islands shape); the " +
+        "O(G) slice per position is the price of oracle-exact md5 gram " +
+        "identity — swap in TextHashes' rolling fingerprint when digest " +
+        "identity can stay engine-local and the scan drops to O(n).",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t),
+        |gr AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         md5(array_to_string(
+        |               tok[CAST(i+1 AS BIGINT) : CAST(i+20 AS BIGINT)], ' ')) AS h
+        |       FROM b CROSS JOIN LATERAL unnest(range(n - 19)) AS u(i)
+        |       WHERE n >= 20),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM gr GROUP BY 1),
+        |d AS (SELECT doc_id, p FROM gr JOIN g USING (h) WHERE cnt > 1),
+        |s AS (SELECT doc_id, p,
+        |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |               OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 20
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM d),
+        |s2 AS (SELECT doc_id, p,
+        |         sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM s),
+        |sp AS (SELECT doc_id, sid, min(p) AS p0, max(p) + 20 AS p1
+        |       FROM s2 GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(sum(p1 - p0) AS BIGINT) AS dup_tokens
+        |        FROM sp GROUP BY 1)
+        |SELECT per.doc_id, n_spans, dup_tokens,
+        |  round(dup_tokens * 1.0 / n, 4) AS dup_share
+        |FROM per JOIN b USING (doc_id)
+        |ORDER BY dup_share DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      substringDedup(spread(docs(s, d)))
         .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
     },
 

@@ -480,6 +480,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q119 first-doc table must not broadcast:\n${gramBroadcast.mkString("\n")}")
   }
 
+  test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
+    val p = plan("q130_substring_dedup")
+    // the naive spelling runs tokenize+slice+md5 twice (count subtree +
+    // occurrence subtree) and broadcasts an unbounded dup-digest set;
+    // the window-over-digest shape must keep ONE Generate and ZERO joins
+    assert("Generate".r.findAllIn(p).length === 1,
+           s"q130 gram generation must run once:\n$p")
+    assert(!p.contains("Join"), s"q130 must not join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+           s"q130 must not broadcast (dup-digest set is unbounded):\n$p")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")

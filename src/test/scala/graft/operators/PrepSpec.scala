@@ -175,4 +175,48 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
       assert(!nll.isNaN && !nll.isInfinite && nll > 0.0)
     }
   }
+
+  test("q130: planted shared passage yields one exact span in each carrier") {
+    import spark.implicits._
+    // 30 shared tokens → gram positions p..p+10 all duplicated → ONE
+    // merged span of exactly 30 tokens in each carrier document.
+    val shared = (0 until 30).map(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a = filler("a", 25) + " " + shared + " " + filler("z", 25)
+    val b = shared + " " + filler("b", 40)
+    val c = filler("c", 80)
+    val out = Prep.substringDedup(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    for (r <- out) {
+      assert(r.getLong(1) === 1L, "one maximal span")
+      assert(r.getLong(2) === 30L, "span covers exactly the shared passage")
+    }
+    val share1 = out.find(_.getLong(0) == 1L).get.getDouble(3)
+    assert(share1 === 30.0 / 80.0, "span share of the 80-token carrier")
+  }
+
+  test("q130: intra-doc repeat is caught; adjacency merges, gaps do not") {
+    import spark.implicits._
+    val run = (0 until 20).map(i => s"r$i").mkString(" ")
+    // Back-to-back copies: duplicated gram positions 0 and 20 are
+    // adjacent (p == prev + G) — one merged span covering the whole
+    // 40-token doc.
+    val adjacent = run + " " + run
+    val out = Prep.substringDedup(Seq((7L, adjacent)).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.getLong(2) === 40L)
+    assert(out.head.getDouble(3) === 1.0)
+    // A 10-token unique gap keeps the occurrences as SEPARATE spans —
+    // the gap tokens are not duplicated and must not be counted.
+    val gap = (0 until 10).map(i => s"g$i").mkString(" ")
+    val out2 = Prep.substringDedup(
+      Seq((8L, run + " " + gap + " " + run)).toDF("doc_id", "text"))
+      .collect()
+    assert(out2.head.getLong(1) === 2L)
+    assert(out2.head.getLong(2) === 40L)
+  }
 }
