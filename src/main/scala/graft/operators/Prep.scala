@@ -229,6 +229,131 @@ object Prep {
               md5(array_join(chunk, " ").cast("binary")).as("chunk_md5"))
   }
 
+  /** Teacher-label thresholds and model geometry for q132's distilled
+    * quality classifier. Docs with closed-form quality >= Hi train as
+    * positives, <= Lo as negatives; the middle band is excluded (the
+    * standard distillation margin). 2^15 hashed features — the fastText
+    * regime; each LBFGS partial aggregate is one 256 KB dense vector.
+    */
+  val QcHi = 0.55
+  val QcLo = 0.30
+  val QcNumFeatures = 1 << 15
+
+  /** Train the distilled quality classifier: logistic regression over
+    * hashed unigram term frequencies, labeled by the q32 closed-form
+    * quality signal — the production recipe for scaling an expensive
+    * quality judgment (an LLM judge, a human-labeled sample) to a
+    * 100 TB corpus: compute the teacher on a bounded sample, distill
+    * into a linear model, serve the model as a pure projection at
+    * ingest. Training cost is maxIter treeAggregate passes over the
+    * labeled slice (each partial one dense 2^15 vector); the fitted
+    * model broadcasts whole. Deterministic given fixed input
+    * partitioning (LBFGS with ordered tree aggregation).
+    */
+  def trainQualityModel(docFrame: DataFrame): org.apache.spark.ml.PipelineModel = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = tokens(col("text"))
+    val teacher = docFrame.select(col("doc_id"), tok.as("tok"),
+      (least(lit(1.0), size(tok) / lit(64.0)) *
+        (lit(0.5) + size(filter(tok, t => array_contains(stopArr, t)))
+          .cast("double") / size(tok))).as("q"))
+    val train = teacher
+      .withColumn("label",
+        when(col("q") >= QcHi, 1.0).when(col("q") <= QcLo, 0.0))
+      .filter(col("label").isNotNull)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("tok").setOutputCol("features")
+      .setNumFeatures(QcNumFeatures)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(20).setRegParam(0.01)
+    new org.apache.spark.ml.Pipeline().setStages(Array(tf, lr)).fit(train)
+  }
+
+  /** Score a (doc_id, ..., text) frame with a fitted quality model:
+    * hashing + dot product only — no shuffle, no state, stream-legal.
+    * Adds `p_hi`, the 4dp probability the doc is high-quality.
+    */
+  def scoreQuality(model: org.apache.spark.ml.PipelineModel,
+                   frame: DataFrame): DataFrame =
+    model.transform(frame.withColumn("tok", tokens(col("text"))))
+      .withColumn("p_hi",
+        round(element_at(
+          org.apache.spark.ml.functions.vector_to_array(col("probability")), 2), 4))
+      .drop("tok", "features", "rawPrediction", "probability", "prediction")
+
+  /** Number of BPE merges q131 learns. Production tokenizers learn
+    * 30k-100k; the loop shape (vocab-bounded distributed passes, 1-row
+    * argmax per step on the driver) is identical at any K.
+    */
+  val BpeK = 16
+
+  /** One BPE merge applied to a symbol array as a codegen'd fold —
+    * greedy left-to-right, non-overlapping, exactly the sequential
+    * tokenizer-training semantics: append each symbol unless the
+    * accumulator tail is `l` and the symbol is `r`, in which case the
+    * tail becomes the merged symbol. A tail merged THIS pass can never
+    * re-merge (that would need l == l+r, impossible for nonempty r).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 and
+             element_at(acc, -1) === lit(l) and (s === lit(r)),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** q131's body: learn the first `k` byte-pair-encoding merges over the
+    * corpus, distributed — the tokenizer-training step of a pretraining
+    * pipeline (Sennrich et al. 2016). All per-iteration work is bounded
+    * by the WORD VOCABULARY, not the corpus: the (word, count) table is
+    * built in one corpus pass, cached, and each step runs (1) a pair
+    * count over the exploded adjacent-symbol pairs weighted by word
+    * count — one vocab-sized shuffle with map-side partials — and (2) a
+    * pure projection applying the winning merge. Only the 1-row argmax
+    * crosses to the driver per step (the KMeans/IVF iteration shape, not
+    * a collect-the-data loop); ties break (count desc, left, right) so
+    * the merge list is deterministic on any cluster. Returns (step,
+    * left, right, pair_count), one row per learned merge.
+    */
+  def bpeMerges(docFrame: DataFrame, k: Int): DataFrame = {
+    val spark = docFrame.sparkSession
+    import spark.implicits._
+    val vocab = docFrame
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
+    var cur = vocab.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var done = false
+    while (step <= k && !done) {
+      val top = cur
+        .select(col("wc"), explode(filter(zip_with(
+            col("syms"),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r"))),
+          p => p.getField("r").isNotNull)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, c))
+        val next = cur
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("wc"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
   /** q130's body, reusable on any (doc_id, text) frame: exact-substring
     * duplication spans at [[SubstrG]]-token granularity. A gram position
     * is duplicated when its 20-token run occurs more than once anywhere
@@ -768,6 +893,45 @@ object Prep {
         |ORDER BY dup_share DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
       substringDedup(spread(docs(s, d)))
         .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
+    },
+
+    Q.noOracle("q131_bpe_merges",
+      "Tokenizer training: learn the first 16 byte-pair-encoding merges " +
+        "over the corpus (Sennrich et al. 2016) — the step that turns a " +
+        "curated corpus into the tokenizer the training run uses. " +
+        "Distributed shape: all per-iteration work is bounded by the " +
+        "word VOCABULARY (one corpus tokenize pass builds the cached " +
+        "(word, count) table; open-web vocab is ~1e8 rows — executor-" +
+        "sized, never driver-sized); each step is one vocab-sized pair-" +
+        "count shuffle with map-side partials plus a pure projection " +
+        "applying the winning merge, and only the 1-ROW argmax crosses " +
+        "to the driver (the KMeans iteration shape). Ties break (count " +
+        "desc, left, right) so the merge list is byte-deterministic on " +
+        "any cluster. No SQL oracle (iterative argmax is not ANSI-" +
+        "expressible); BpeSpec pins the full merge list against an " +
+        "independent sequential reference implementation on both a " +
+        "planted corpus and the sf0.001 table.") { (s, d) =>
+      bpeMerges(spread(docs(s, d)), BpeK)
+    },
+
+    Q.noOracle("q132_quality_distill",
+      "Distilled quality classifier: label the corpus with the q32 " +
+        "closed-form quality signal (top band positive, bottom band " +
+        "negative — the teacher), train hashed-unigram logistic " +
+        "regression on the labels (the student), and rank every doc by " +
+        "the student's high-quality probability. The GPT-3/LLaMA " +
+        "quality-filter recipe: the expensive judgment runs once on a " +
+        "bounded sample; the linear model scores 100 TB as a PURE " +
+        "PROJECTION (hashing + one dot product per doc, broadcast " +
+        "model, no shuffle — stream-legal at ingest). No SQL oracle " +
+        "(LBFGS is not ANSI-expressible); QualityDistillSpec pins held-" +
+        "out accuracy >= 0.75 against teacher labels, refit " +
+        "determinism, teacher-band separation, and the no-exchange " +
+        "scoring plan.") { (s, d) =>
+      val model = trainQualityModel(spread(docs(s, d)))
+      scoreQuality(model, spread(docs(s, d)).select("doc_id", "source", "text"))
+        .select(col("doc_id"), col("source"), col("p_hi"))
+        .orderBy(col("p_hi").desc, col("doc_id")).limit(50)
     },
 
     Q("q117_dsir_select",

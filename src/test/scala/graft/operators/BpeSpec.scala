@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q131 BPE-merge learning vs an INDEPENDENT sequential reference
+  * (imperative scan-and-rebuild, the textbook Sennrich et al. algorithm)
+  * — the ConnectedComponentsSpec pattern: the distributed implementation
+  * must reproduce the reference's full merge list exactly, on a planted
+  * corpus exercising tie-breaks and merged-symbol reuse, and on the real
+  * sf0.001 table.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  /** Textbook sequential BPE over a word-frequency map. */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.split("").toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var halt = false
+    while (step <= k && !halt) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) halt = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step, l, r, c))
+        vocab = vocab.map { case (syms, wc) => (mergeOnce(syms, l, r), wc) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right non-overlapping replacement of (l, r). */
+  private def mergeOnce(s: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += s(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def sparkMerges(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    Prep.bpeMerges(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  private def refFromTexts(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] =
+    refBpe(
+      texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupMapReduce(identity)(_ => 1L)(_ + _),
+      k)
+
+  test("planted corpus: merge list matches the sequential reference exactly") {
+    // 'aa' dominates; 'aaa' exercises overlap (greedy takes one merge,
+    // leaves a bare 'a'); after step 1 the merged symbol 'aa' must be
+    // eligible as a LEFT side; 'bc'/'bd' counts tie to exercise the
+    // lexicographic break.
+    val texts = Seq(
+      "aaaa aaaa aaa banana banana bc bd",
+      "aaaa banana bc bd cab cab")
+    val got = sparkMerges(texts, 8)
+    val want = refFromTexts(texts, 8)
+    assert(got === want)
+    // the winning first merge is the dominant (a, a)
+    assert(got.head._2 === "a" && got.head._3 === "a")
+    // some later merge consumes a previously-merged symbol (left or
+    // right side longer than one char) — the recursion that makes BPE
+    // subword, not bigram
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
+
+  test("tie-break is lexicographic on (left, right) at equal count") {
+    // xy and xz appear exactly twice each, nothing else repeats a pair
+    // twice: (x, y) < (x, z) must win step 1 deterministically.
+    val texts = Seq("xy xy xz xz")
+    val got = sparkMerges(texts, 1)
+    assert(got.length === 1)
+    assert(got.head._2 === "x" && got.head._3 === "y")
+    assert(got.head._4 === 2L)
+    assert(got === refFromTexts(texts, 1))
+  }
+
+  test("sf0.001 corpus: full 16-merge list matches the reference") {
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val got = sparkMerges(texts, Prep.BpeK)
+    val want = refFromTexts(texts, Prep.BpeK)
+    assert(got.length === Prep.BpeK)
+    assert(got === want)
+  }
+}
