@@ -97,7 +97,9 @@ object Bench {
       "q54_ann_ivf", "q64_dedup_clusters", "q65_curate",
       "q93_cluster_keep_best", "q103_mmr_rerank", "q107_mmr_lsh",
       "q110_bigram_lm_score", "q116_ann_pq", "q117_dsir_select",
-      "q118_semdedup", "q122_training_set")
+      "q118_semdedup", "q122_training_set",
+      // q131 trains the BPE merge list; q133 serves from the same cache
+      "q131_bpe_merges", "q133_bpe_apply")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

@@ -318,12 +318,24 @@ object Prep {
   def bpeMerges(docFrame: DataFrame, k: Int): DataFrame = {
     val spark = docFrame.sparkSession
     import spark.implicits._
+    spark.createDataset(bpeMergeList(docFrame, k))
+      .toDF("step", "left", "right", "pair_count")
+  }
+
+  /** [[bpeMerges]]' engine, returning the merge list as a driver value
+    * (K rows — bounded by construction). ONE Spark job per learned
+    * merge: the argmax action on step i also materializes the persisted
+    * step-i vocab projection, so the previous generation unpersists one
+    * step late instead of paying a dedicated count() job.
+    */
+  def bpeMergeList(docFrame: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     val vocab = docFrame
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).cast("long").as("wc"))
       .select(split(col("w"), "").as("syms"), col("wc"))
     var cur = vocab.persist()
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1L
     var done = false
@@ -337,6 +349,9 @@ object Prep {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("wc").as("c"))
         .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      // the collect above materialized `cur`'s cache; the previous
+      // generation can no longer be needed by anything
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) done = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -344,14 +359,55 @@ object Prep {
         val next = cur
           .select(applyMerge(col("syms"), l, r).as("syms"), col("wc"))
           .persist()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
         step += 1
       }
     }
+    if (prev != null) prev.unpersist()
     cur.unpersist()
-    merges.toSeq.toDF("step", "left", "right", "pair_count")
+    merges.toSeq
+  }
+
+  /** Merge lists are tiny driver values (K rows) but cost K distributed
+    * passes to learn — cached per (session, corpus) like the index
+    * caches (TrainingData.scala:101 convention, incl. the dead-session
+    * sweep) so q131 (the list) and q133 (its application) train once.
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
+
+  def bpeMergesCached(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    bpeCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeCache.remove)
+    bpeCache.getOrElseUpdate((s, d), bpeMergeList(spread(docs(s, d)), BpeK))
+  }
+
+  /** q133's body: tokenize the corpus with a LEARNED merge list — the
+    * apply side of [[bpeMerges]], closing the tokenizer loop (learn on
+    * the corpus, then count real subword tokens per document; q89's
+    * regex heuristic becomes exact). Scale shape: the merges fold runs
+    * over the DISTINCT-WORD table only (vocab-bounded, K chained
+    * codegen folds), then per-doc counts come from one corpus-token
+    * shuffle joined to the vocab-sized subword-count table — hinted
+    * onto the shuffle path (q112 convention: an open-web vocabulary
+    * must never be planned broadcast).
+    */
+  def bpeTokenCounts(docFrame: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docFrame.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val sub = merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
+        (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._1, m._2)))
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+      .hint("shuffle_hash")
+    docFrame.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(sub, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+           sum("n_sub").cast("long").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords") * lit(1.0) / col("n_words"), 4)
+          .as("subwords_per_word"))
   }
 
   /** q130's body, reusable on any (doc_id, text) frame: exact-substring
@@ -364,18 +420,14 @@ object Prep {
     * dup_tokens, dup_share). Only 16-byte digests and (doc_id, pos)
     * pairs shuffle; span windows are bounded by single-doc length.
     */
-  def substringDedup(docFrame: DataFrame): DataFrame = {
+  /** Shared gram pass for q130/q134: every [[SubstrG]]-token run as
+    * (doc_id, n, p, h) — gram bodies collapse to 16-byte md5 digests
+    * inside the scan projection; the doc length rides along as
+    * 8 bytes/gram so no downstream corpus-sized doc join is needed.
+    */
+  private def substrGrams(docFrame: DataFrame): DataFrame = {
     val G = SubstrG
-    // ONE gram-generation pass. The naive spelling (count per digest via
-    // groupBy, join the counts back) runs the expensive tokenize+slice+md5
-    // subtree TWICE — the two consumers need different partitionings, so
-    // AQE cannot reuse the exchange — and broadcasts an unbounded dup-
-    // digest set. Instead: per-digest multiplicity as a whole-partition
-    // window over the digest shuffle (the distributed analogue of the
-    // paper's suffix-array sort — one global digest sort, partitions are
-    // near-singleton because cnt > 1 is the rare case), and the doc
-    // length rides along as 8 bytes/gram so no corpus-sized doc join.
-    val gr = docFrame
+    docFrame
       .select(col("doc_id"), tokens(col("text")).as("tok"))
       .withColumn("n", size(col("tok")).cast("long"))
       .filter(col("n") >= G)
@@ -386,23 +438,95 @@ object Prep {
             .cast("binary")))))
       .select(col("doc_id"), col("n"),
               col("pos").cast("long").as("p"), col("col").as("h"))
-    val dup = gr
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("cnt") > 1)
-      .select("doc_id", "n", "p")
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    dup
+  }
+
+  /** Merge duplicated gram positions into maximal spans — the q24
+    * islands shape, windows bounded by single-doc length. `extraKeys`
+    * lets q134 keep separate span classes per document.
+    */
+  private def substrSpans(pos: DataFrame, extraKeys: String*): DataFrame = {
+    val G = SubstrG
+    val keys = "doc_id" +: extraKeys
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("p")
+    pos
       .withColumn("ns",
         when(lag(col("p"), 1).over(w).isNull
           .or(col("p") > lag(col("p"), 1).over(w) + G), 1L).otherwise(0L))
       .withColumn("sid", sum(col("ns")).over(w))
-      .groupBy("doc_id", "n", "sid")
+      .groupBy(("sid" +: keys).map(col): _*)
       .agg(min("p").as("p0"), (max(col("p")) + G).as("p1"))
+  }
+
+  def substringDedup(docFrame: DataFrame): DataFrame = {
+    // ONE gram-generation pass. The naive spelling (count per digest via
+    // groupBy, join the counts back) runs the expensive tokenize+slice+md5
+    // subtree TWICE — the two consumers need different partitionings, so
+    // AQE cannot reuse the exchange — and broadcasts an unbounded dup-
+    // digest set. Instead: per-digest multiplicity as a whole-partition
+    // window over the digest shuffle (the distributed analogue of the
+    // paper's suffix-array sort — one global digest sort, partitions are
+    // near-singleton because cnt > 1 is the rare case).
+    val gr = substrGrams(docFrame)
+    val dup = gr
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") > 1)
+      .select("doc_id", "n", "p")
+    substrSpans(dup, "n")
       .groupBy("doc_id", "n")
       .agg(count(lit(1)).cast("long").as("n_spans"),
            sum(col("p1") - col("p0")).cast("long").as("dup_tokens"))
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
         round(col("dup_tokens") * lit(1.0) / col("n"), 4).as("dup_share"))
+  }
+
+  /** q134's body: the REMOVAL transform for exact-substring dedup (the
+    * apply side of q130, Lee et al.'s actual cleanup). Per duplicated
+    * gram, the canonical occurrence is the global (doc_id, p) minimum;
+    * non-canonical positions form REMOVABLE spans, canonical positions
+    * of duplicated grams form PROTECTED spans, and a token survives iff
+    * it is outside every removable span OR inside a protected one — so
+    * exactly one copy of each duplicated passage survives intact even
+    * when self-overlapping repetition (period-1 runs) makes the two
+    * classes overlap. Returns every doc as (doc_id, n_tokens,
+    * kept_tokens, cleaned_md5) — the digest proves the reassembled
+    * text, not just counts. Scale shape: same single gram pass as q130;
+    * canonical rank and multiplicity are two window functions over ONE
+    * digest exchange; span classes collapse per doc to bounded arrays;
+    * the cleanup itself is a positional-lambda filter projection —
+    * tokens never join row-by-row against spans.
+    */
+  def substringDedupApply(docFrame: DataFrame): DataFrame = {
+    val b = docFrame
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")).cast("long"))
+    val wh = Window.partitionBy("h")
+    val rk = substrGrams(docFrame)
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("rn", row_number().over(wh.orderBy("doc_id", "p")))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("p"),
+              when(col("rn") > 1, lit("r")).otherwise(lit("p")).as("cls"))
+    val spans = substrSpans(rk, "cls")
+      .groupBy("doc_id")
+      .agg(
+        collect_list(when(col("cls") === "r", struct(col("p0"), col("p1"))))
+          .as("rem"),
+        collect_list(when(col("cls") === "p", struct(col("p0"), col("p1"))))
+          .as("prot"))
+    val emptySpans = array().cast("array<struct<p0:bigint,p1:bigint>>")
+    val inSpan = (sp: Column, i: Column) =>
+      exists(sp, s => i >= s.getField("p0") and i < s.getField("p1"))
+    val kept = filter(col("tok"), (x, i) =>
+      not(inSpan(col("rem"), i.cast("long")))
+        .or(inSpan(col("prot"), i.cast("long"))))
+    // the span table is corpus-row-sized (one row per doc carrying any
+    // duplication) — keep it off the planner's broadcast path
+    b.join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("rem", coalesce(col("rem"), emptySpans))
+      .withColumn("prot", coalesce(col("prot"), emptySpans))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(kept).cast("long").as("kept_tokens"),
+        md5(array_join(kept, " ").cast("binary")).as("cleaned_md5"))
   }
 
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
@@ -895,6 +1019,66 @@ object Prep {
         .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
     },
 
+    Q("q134_substring_dedup_apply",
+      "The REMOVAL transform for exact-substring dedup — the apply side " +
+        "of q130 (Lee et al.'s actual cleanup): for every duplicated " +
+        "20-token run, the global (doc_id, pos)-minimum occurrence is " +
+        "canonical; text covered only by NON-canonical occurrences is " +
+        "cut, and exactly one copy of each duplicated passage survives " +
+        "intact (protected spans win where self-overlapping repetition " +
+        "makes the classes overlap). Every doc reports its cleaned " +
+        "reassembly as (n_tokens, kept_tokens, cleaned_md5) — the " +
+        "oracle hash-matches the TRANSFORMED TEXT, not just counts. " +
+        "Scale shape: q130's single gram pass; rank + multiplicity as " +
+        "two window functions over ONE digest exchange; span classes " +
+        "collapse to bounded per-doc arrays (shuffle_hash-hinted doc " +
+        "join, never broadcast); the cleanup is a positional-lambda " +
+        "filter projection — tokens never join row-by-row against " +
+        "spans (the oracle's range join is the semantic spec, not the " +
+        "plan).",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t),
+        |gr AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         md5(array_to_string(
+        |               tok[CAST(i+1 AS BIGINT) : CAST(i+20 AS BIGINT)], ' ')) AS h
+        |       FROM b CROSS JOIN LATERAL unnest(range(n - 19)) AS u(i)
+        |       WHERE n >= 20),
+        |rk AS (SELECT doc_id, p,
+        |         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, p) > 1
+        |              THEN 'r' ELSE 'p' END AS cls,
+        |         count(*) OVER (PARTITION BY h) AS cnt
+        |       FROM gr),
+        |pos AS (SELECT doc_id, p, cls FROM rk WHERE cnt > 1),
+        |s AS (SELECT doc_id, cls, p,
+        |        CASE WHEN lag(p) OVER (PARTITION BY doc_id, cls ORDER BY p) IS NULL
+        |               OR p > lag(p) OVER (PARTITION BY doc_id, cls ORDER BY p) + 20
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM pos),
+        |s2 AS (SELECT doc_id, cls, p,
+        |         sum(ns) OVER (PARTITION BY doc_id, cls ORDER BY p) AS sid FROM s),
+        |sp AS (SELECT doc_id, cls, min(p) AS p0, max(p) + 20 AS p1
+        |       FROM s2 GROUP BY doc_id, cls, sid),
+        |ix AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+        |         tok[CAST(i+1 AS BIGINT)] AS tkn
+        |       FROM b CROSS JOIN LATERAL unnest(range(n)) AS u(i)),
+        |cov AS (SELECT ix.doc_id, ix.n, ix.i, ix.tkn,
+        |          coalesce(bool_or(sp.cls = 'r'), false) AS remc,
+        |          coalesce(bool_or(sp.cls = 'p'), false) AS protc
+        |        FROM ix LEFT JOIN sp
+        |          ON sp.doc_id = ix.doc_id AND ix.i >= sp.p0 AND ix.i < sp.p1
+        |        GROUP BY 1, 2, 3, 4),
+        |kept AS (SELECT doc_id, i, tkn FROM cov WHERE NOT remc OR protc),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kt,
+        |          md5(array_to_string(array_agg(tkn ORDER BY i), ' ')) AS h
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  CAST(coalesce(agg.kt, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(agg.h, md5('')) AS cleaned_md5
+        |FROM b LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      substringDedupApply(spread(docs(s, d))).orderBy("doc_id")
+    },
+
     Q.noOracle("q131_bpe_merges",
       "Tokenizer training: learn the first 16 byte-pair-encoding merges " +
         "over the corpus (Sennrich et al. 2016) — the step that turns a " +
@@ -911,7 +1095,27 @@ object Prep {
         "expressible); BpeSpec pins the full merge list against an " +
         "independent sequential reference implementation on both a " +
         "planted corpus and the sf0.001 table.") { (s, d) =>
-      bpeMerges(spread(docs(s, d)), BpeK)
+      import s.implicits._
+      s.createDataset(bpeMergesCached(s, d))
+        .toDF("step", "left", "right", "pair_count")
+    },
+
+    Q.noOracle("q133_bpe_apply",
+      "Tokenize with the LEARNED merges — the apply side of q131, " +
+        "closing the tokenizer loop: per document, whitespace-word " +
+        "count and exact subword count under the trained 16-merge BPE " +
+        "vocabulary (q89's regex heuristic made exact). The merges " +
+        "fold runs over the DISTINCT-WORD table only (vocab-bounded, " +
+        "16 chained codegen folds — at a 100 TB corpus the fold cost " +
+        "is vocabulary-sized, not corpus-sized); per-doc counts are " +
+        "one corpus-token shuffle joined to the vocab-sized subword " +
+        "table, hinted shuffle_hash (the q112 no-broadcast-vocabulary " +
+        "convention). Shares q131's per-(session, corpus) merge cache " +
+        "— one training run serves both (BENCH_DETAIL cold map). " +
+        "BpeSpec pins per-doc counts against the sequential reference " +
+        "tokenizer.") { (s, d) =>
+      bpeTokenCounts(spread(docs(s, d)),
+        bpeMergesCached(s, d).map(m => (m._2, m._3)))
     },
 
     Q.noOracle("q132_quality_distill",

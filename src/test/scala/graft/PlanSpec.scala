@@ -492,6 +492,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q130 must not broadcast (dup-digest set is unbounded):\n$p")
   }
 
+  test("q134: one gram pass, span join shuffled — never broadcast") {
+    val p = plan("q134_substring_dedup_apply")
+    assert("Generate".r.findAllIn(p).length === 1,
+           s"q134 gram generation must run once:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+           s"q134 span join must be a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+           s"q134 must not broadcast the corpus-row-sized span table:\n$p")
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")

@@ -98,4 +98,32 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got.length === Prep.BpeK)
     assert(got === want)
   }
+
+  /** Sequential reference tokenizer: apply the merge list in order. */
+  private def refTokenize(word: String, merges: Seq[(String, String)]): Int =
+    merges.foldLeft(word.split("").toVector) {
+      case (syms, (l, r)) => mergeOnce(syms, l, r)
+    }.length
+
+  test("q133 apply: per-doc subword counts match the reference tokenizer") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val merges = refFromTexts(texts, Prep.BpeK).map(m => (m._2, m._3))
+    val frame = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Prep.bpeTokenCounts(frame, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val words = t.split(" ").filter(_.nonEmpty)
+      val wantSub = words.map(w => refTokenize(w, merges).toLong).sum
+      assert(got(i.toLong) === ((words.length.toLong, wantSub)),
+             s"doc $i subword count mismatch")
+    }
+    // merges actually compress: strictly fewer subwords than characters,
+    // strictly more than words
+    val totSub = got.values.map(_._2).sum
+    val totW = got.values.map(_._1).sum
+    assert(totSub > totW, "subwords must exceed whitespace words")
+  }
 }

@@ -219,4 +219,47 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     assert(out2.head.getLong(1) === 2L)
     assert(out2.head.getLong(2) === 40L)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q134 apply: the earlier carrier keeps the passage, the later loses it") {
+    import spark.implicits._
+    val shared = (0 until 30).map(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a = filler("a", 25) + " " + shared + " " + filler("z", 25)
+    val bTail = filler("b", 40)
+    val out = Prep.substringDedupApply(
+      Seq((1L, a), (2L, shared + " " + bTail), (3L, filler("c", 80)))
+        .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    // doc 1 carries the canonical occurrence: nothing removed
+    assert(out(0).getLong(2) === 80L)
+    assert(out(0).getString(3) === md5hex(a))
+    // doc 2's copy is cut: span [0, 30) removed, the 40 filler tokens stay
+    assert(out(1).getLong(2) === 40L)
+    assert(out(1).getString(3) === md5hex(bTail))
+    // doc 3 untouched
+    assert(out(2).getLong(2) === 80L)
+  }
+
+  test("q134 apply: one copy survives period-1 repetition; exact dup doc empties") {
+    import spark.implicits._
+    // 50 identical tokens: every gram identical; canonical [0,20) is
+    // protected, removable [1,50) — exactly the first G-token run survives
+    val xs = Seq.fill(50)("x").mkString(" ")
+    val uniq = (0 until 40).map(i => s"u$i").mkString(" ")
+    val out = Prep.substringDedupApply(
+      Seq((1L, xs), (2L, uniq), (3L, uniq)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === Prep.SubstrG)
+    assert(out(0).getString(3) ===
+      md5hex(Seq.fill(Prep.SubstrG.toInt)("x").mkString(" ")))
+    // doc 2 is canonical for all of doc 3's grams: doc 3 empties entirely
+    assert(out(1).getLong(2) === 40L)
+    assert(out(1).getString(3) === md5hex(uniq))
+    assert(out(2).getLong(2) === 0L)
+    assert(out(2).getString(3) === md5hex(""))
+  }
 }
