@@ -529,6 +529,49 @@ object Prep {
         md5(array_join(kept, " ").cast("binary")).as("cleaned_md5"))
   }
 
+  /** q135 geometry: shard count for the training-loader layout, and the
+    * hash-prefix width (hex chars) that buckets each shard's hash order
+    * for the two-phase position assignment. Widen the prefix as the
+    * corpus grows — the offsets table has S * 16^width tiny rows and
+    * every within-bucket window stays corpus/(S*16^width)-bounded.
+    */
+  val ShuffleShards = 32
+  val ShufflePrefixLen = 2
+
+  /** q135's body: deterministic global shuffle + shard assignment — the
+    * terminal data-loading layout (Dolma/DataComp style): every doc
+    * lands in one of S shards by content-free hash, in hash order
+    * within the shard, so training order is reproducible, uniform, and
+    * free of source/time locality. Two-phase position assignment (the
+    * q108 pattern in hash space): phase 1 counts per (shard,
+    * hash-prefix bucket) — bounded tiny rows — and prefix-sums offsets
+    * per shard; phase 2 ranks only within each bucket. No window ever
+    * partitions solely by shard over raw docs.
+    */
+  def shardShuffle(docFrame: DataFrame): DataFrame = {
+    val s = lit(ShuffleShards)
+    val hv = md5(col("doc_id").cast("string").cast("binary"))
+    val base = docFrame.select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard",
+        (conv(substring(col("hv"), 1, 6), 16, 10).cast("long") % s).cast("long"))
+      .withColumn("bkt", substring(col("hv"), 7, ShufflePrefixLen))
+    // bounded: S * 16^prefixLen rows of (shard, bkt, count)
+    val counts = base.groupBy("shard", "bkt")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wOff = Window.partitionBy("shard").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("shard", "bkt", "off")
+    val wRank = Window.partitionBy("shard", "bkt").orderBy("hv", "doc_id")
+    base
+      // offsets is BOUNDED (S * 16^prefixLen rows) — broadcast is the
+      // right side, unlike the unbounded vocab/span tables elsewhere
+      .join(broadcast(offsets), Seq("shard", "bkt"))
+      .withColumn("pos", col("off") + row_number().over(wRank) - 1)
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+  }
+
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
     * dotted-quad IPs) with typed placeholder tags. Order is
     * email → phone → ip so the later numeric patterns can never match
@@ -1077,6 +1120,45 @@ object Prep {
         |FROM b LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       substringDedupApply(spread(docs(s, d))).orderBy("doc_id")
+    },
+
+    Q("q135_shard_shuffle",
+      "Deterministic global shuffle + shard assignment — the terminal " +
+        "data-loading layout (Dolma/DataComp style): every doc lands in " +
+        "one of 32 shards by content-free md5 hash, positioned in hash " +
+        "order within its shard, so training order is reproducible, " +
+        "near-uniform, and free of source/time locality (a corpus " +
+        "written in crawl order would otherwise feed the loader long " +
+        "single-source runs). Two-phase position assignment — the q108 " +
+        "pattern in HASH space: per-(shard, 2-hex-prefix bucket) counts " +
+        "(bounded 32*256 tiny rows) prefix-sum to bucket offsets; ranks " +
+        "run only within buckets, so no window ever partitions solely " +
+        "by shard over raw docs and every sort is corpus/8192-bounded. " +
+        "Widen the prefix as the corpus grows. The md5-hex hash and " +
+        "conv() bucket spelling are the q117 cross-engine pair, so the " +
+        "full permutation is DuckDB-oracled bit-for-bit.",
+      """WITH base AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hv
+        |              FROM documents),
+        |b2 AS (SELECT doc_id, hv,
+        |         CAST(CAST(concat('0x', substr(hv, 1, 6)) AS BIGINT) % 32
+        |           AS BIGINT) AS shard,
+        |         substr(hv, 7, 2) AS bkt
+        |       FROM base),
+        |counts AS (SELECT shard, bkt, CAST(count(*) AS BIGINT) AS c
+        |           FROM b2 GROUP BY 1, 2),
+        |offs AS (SELECT shard, bkt,
+        |           coalesce(sum(c) OVER (PARTITION BY shard ORDER BY bkt
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS off
+        |         FROM counts),
+        |r AS (SELECT doc_id, shard, bkt, hv,
+        |        row_number() OVER (PARTITION BY shard, bkt
+        |                           ORDER BY hv, doc_id) AS rn
+        |      FROM b2)
+        |SELECT r.doc_id, r.shard, CAST(offs.off + r.rn - 1 AS BIGINT) AS pos
+        |FROM r JOIN offs USING (shard, bkt)
+        |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      shardShuffle(spread(docs(s, d))).orderBy("shard", "pos")
     },
 
     Q.noOracle("q131_bpe_merges",

@@ -262,4 +262,25 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getLong(2) === 0L)
     assert(out(2).getString(3) === md5hex(""))
   }
+
+  test("q135: shard positions are a dense bijection, stable across partitionings") {
+    val a = q("q135_shard_shuffle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(a.length.toLong === nDocs, "every doc assigned exactly once")
+    assert(a.map(_._1).distinct.length === a.length)
+    // within each shard: positions are exactly 0..count-1
+    for ((shard, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+             s"shard $shard positions not dense")
+    // repartitioning the input must not move a single doc
+    val b = Prep.shardShuffle(
+        graft.Tables.documents(spark, sf).repartition(7, col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sorted.toSeq === b.toSeq)
+    // hash order breaks doc_id locality: consecutive positions in some
+    // shard are non-consecutive doc_ids
+    val byShard = a.groupBy(_._2).values.maxBy(_.length).sortBy(_._3).map(_._1)
+    assert(byShard.sliding(2).exists(p => math.abs(p(1) - p(0)) > 1))
+  }
 }
