@@ -98,8 +98,9 @@ object Bench {
       "q93_cluster_keep_best", "q103_mmr_rerank", "q107_mmr_lsh",
       "q110_bigram_lm_score", "q116_ann_pq", "q117_dsir_select",
       "q118_semdedup", "q122_training_set",
-      // q131 trains the BPE merge list; q133 serves from the same cache
-      "q131_bpe_merges", "q133_bpe_apply")
+      // q131 trains the BPE merge list; q133 serves from the same cache;
+      // q132 fits its distilled model once per (session, corpus)
+      "q131_bpe_merges", "q133_bpe_apply", "q132_quality_distill")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

