@@ -67,4 +67,30 @@ class QualityDistillSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
     assert(!plan.contains("HashAggregate"), s"scoring must not aggregate:\n$plan")
   }
+
+  test("scoring at ingest: streamed p_hi equals batch p_hi for every doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val small = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = Prep.trainQualityModel(small)
+    val batch = Prep.scoreQuality(model, small.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("p_hi"))).toMap
+    val rows = small.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    // append mode with no watermark is only legal because scoring is a
+    // pure projection — the claim q132's docstring makes, proven live
+    val q = Prep.scoreQuality(model, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qc_scores")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("qc_scores")
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("p_hi"))).toMap
+    assert(got.size === rows.size, "stream dropped or duplicated documents")
+    batch.foreach { case (id, v) =>
+      assert(got(id) === v, s"doc $id: stream ${got(id)} != batch $v")
+    }
+  }
 }
