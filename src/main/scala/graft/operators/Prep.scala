@@ -541,6 +541,38 @@ object Prep {
         md5(array_join(kept, " ").cast("binary")).as("cleaned_md5"))
   }
 
+  /** q136 geometry: the token budget the epoch plan splits across
+    * sources (exact integer allocation by weight share) and the
+    * data-constrained repeat cap (Muennighoff et al. 2023's ~4-epoch
+    * rule).
+    */
+  val EpochBudget = 100000L
+  val MaxEpochs = 4L
+
+  /** q125's core, shared with q136: per source, the scaled-int mean
+    * quality, q112's KL drift, and the 1e-8-scaled integer mixture
+    * weight w_int ∝ mean_quality / (1 + kl) — normalization happens in
+    * each consumer over the integer sum.
+    */
+  def mixtureWeightsCore(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+      (lit(0.5) +
+        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+          size(tok)), 4)
+    val q = spread(docs(s, d))
+      .select(col("source"), quality.as("quality"))
+      .groupBy("source")
+      .agg((floor(sum(round(col("quality") * 10000, 0).cast("long"))
+              / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_quality"),
+           count(lit(1)).cast("long").as("n_docs"))
+    q.join(sourceKl(s, d).select("source", "kl"), "source")
+      .withColumn("w_int",
+        floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
+              + 0.5).cast("long"))
+  }
+
   /** q135 geometry: shard count for the training-loader layout, and the
     * hash-prefix width (hex chars) that buckets each shard's hash order
     * for the two-phase position assignment. Widen the prefix as the
@@ -859,26 +891,85 @@ object Prep {
         |SELECT source, n_docs, mean_quality, kl,
         |  round(CAST(w_int AS DOUBLE) / tw, 6) AS weight
         |FROM w CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
-      val stopArr = array(TrainingData.enStop.map(lit): _*)
-      val tok = split(col("text"), " ")
-      val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
-        (lit(0.5) +
-          size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
-            size(tok)), 4)
-      val q = spread(docs(s, d))
-        .select(col("source"), quality.as("quality"))
-        .groupBy("source")
-        .agg((floor(sum(round(col("quality") * 10000, 0).cast("long"))
-                / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_quality"),
-             count(lit(1)).cast("long").as("n_docs"))
-      val w = q.join(sourceKl(s, d).select("source", "kl"), "source")
-        .withColumn("w_int",
-          floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
-                + 0.5).cast("long"))
+      val w = mixtureWeightsCore(s, d)
       val tw = w.agg(sum("w_int").as("tw"))
       w.crossJoin(broadcast(tw))
         .select(col("source"), col("n_docs"), col("mean_quality"), col("kl"),
                 round(col("w_int").cast("double") / col("tw"), 6).as("weight"))
+    },
+
+    Q("q136_epoch_plan",
+      "Data-constrained epoch plan — q125's mixture weights made " +
+        "EXECUTABLE (Muennighoff et al. 2023): split a token budget " +
+        "across sources by integer weight share, then cap each source " +
+        "at 4 epochs of its available tokens (the paper's rule: up to " +
+        "~4 repeats of fresh data hold value, beyond that returns " +
+        "decay). Per source: available tokens, the budget's target, " +
+        "the planned grant after the cap, realized epochs, and a " +
+        "capped flag — the sampling plan a 100 TB run hands its data " +
+        "loader. All allocation arithmetic is exact integer (budget * " +
+        "w_int DIV total-weight, the q109 integral-DIV convention); " +
+        "epochs is the only division, rounded 4dp identically in both " +
+        "engines. Scale shape: one token-count pass; everything after " +
+        "is per-source bounded algebra on q125's cached statistics.",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |q AS (SELECT source,
+        |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |    AS DOUBLE) AS mean_quality,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY 1),
+        |tok2 AS (SELECT source, unnest(tok) AS term FROM t),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+        |       FROM tok2 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+        |contrib AS (SELECT st.source,
+        |   CAST(floor((CAST(n_st AS DOUBLE) / n_s) *
+        |              ln((CAST(n_st AS DOUBLE) * n) /
+        |                 (CAST(n_s AS DOUBLE) * n_t)) * 100000000 + 0.5)
+        |        AS BIGINT) AS c
+        | FROM st JOIN s USING (source) JOIN ct USING (term) CROSS JOIN tot),
+        |kl AS (SELECT source, round(sum(c) / 100000000.0, 4) AS kl
+        |       FROM contrib GROUP BY 1),
+        |w AS (SELECT q.source, q.n_docs, q.mean_quality, kl.kl,
+        |        CAST(floor(q.mean_quality / (1 + kl.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM q JOIN kl USING (source)),
+        |tw AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM w),
+        |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
+        |          FROM t GROUP BY 1),
+        |plan AS (SELECT w.source, avail.avail_tokens,
+        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |         FROM w CROSS JOIN tw JOIN avail USING (source))
+        |SELECT source, avail_tokens, target_tokens,
+        |  CAST(least(target_tokens, 4 * avail_tokens) AS BIGINT) AS planned_tokens,
+        |  round(CAST(least(target_tokens, 4 * avail_tokens) AS DOUBLE)
+        |        / avail_tokens, 4) AS epochs,
+        |  CAST(CASE WHEN target_tokens > 4 * avail_tokens THEN 1 ELSE 0 END
+        |    AS BIGINT) AS capped
+        |FROM plan ORDER BY source""".stripMargin) { (s, d) =>
+      val w = mixtureWeightsCore(s, d)
+      val tw = w.agg(sum("w_int").as("tw"))
+      val avail = spread(docs(s, d))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
+      w.crossJoin(broadcast(tw))
+        .join(avail, "source")
+        .withColumn("target_tokens",
+          expr(s"CAST(($EpochBudget * w_int) DIV tw AS BIGINT)"))
+        .select(col("source"), col("avail_tokens"), col("target_tokens"),
+          least(col("target_tokens"), lit(MaxEpochs) * col("avail_tokens"))
+            .cast("long").as("planned_tokens"),
+          round(least(col("target_tokens"), lit(MaxEpochs) * col("avail_tokens"))
+            .cast("double") / col("avail_tokens"), 4).as("epochs"),
+          when(col("target_tokens") > lit(MaxEpochs) * col("avail_tokens"), 1L)
+            .otherwise(0L).as("capped"))
+        .orderBy("source")
     },
 
     Q("q124_source_drift_windows",
