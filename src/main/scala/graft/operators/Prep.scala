@@ -616,6 +616,66 @@ object Prep {
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
 
+  /** Engine-local gram hashes for the streaming substring probe: one
+    * xxhash64 per [[SubstrG]]-token run (no md5 — nothing here needs
+    * cross-engine identity, and the probe is the hot ingest path).
+    */
+  private def gramHashArr(tok: Column): Column = {
+    val G = SubstrG
+    when(size(tok) >= G,
+      transform(sequence(lit(0L), size(tok).cast("long") - G),
+        i => xxhash64(array_join(
+          slice(tok, (i + 1).cast("int"), lit(G.toInt)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Build the corpus substring-contamination Bloom: one distributed
+    * pass over every 20-gram's xxhash64, sized from the CORPUS
+    * STATISTIC (the q90 lesson — a fixed sketch saturates and stops
+    * pruning as the corpus grows; ~8 bits/gram ≈ 2% FP). The sketch
+    * returns as driver-held bytes — the dsirScoreStream convention: a
+    * literal ships once per executor and keeps the stream plan
+    * stateless; at 100 TB gram counts swap the literal for a
+    * stream-static join against a partitioned sketch table, same
+    * semantics.
+    */
+  def buildSubstrBloom(s: SparkSession, d: String): Array[Byte] = {
+    val toks = docs(s, d).select(tokens(col("text")).as("tok"))
+    val nGrams = math.max(1L << 20,
+      toks.agg(sum(greatest(size(col("tok")).cast("long") - SubstrG + 1, lit(0L))))
+        .collect()(0).getLong(0))
+    toks.select(explode(gramHashArr(col("tok"))).as("h"))
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), nGrams, nGrams * 8).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Substring contamination AT INGEST: probe each arriving document's
+    * 20-gram hashes against the corpus Bloom — a PURE PROJECTION (the
+    * sketch rides as a literal; no shuffle, no state, no watermark —
+    * append-legal by construction), completing the at-ingest dedup
+    * family's fourth modality: token bands (incrementalNearDup),
+    * embeddings (embeddingNearDupStream), images (imageNearDupStream),
+    * and now verbatim substrings. Emits per doc: gram count, Bloom
+    * hits, hit share, and a flag at `minShare` — share-based because
+    * Bloom FPs (~2%/gram) scale with doc length, so an absolute hit
+    * count would over-flag long documents; a real copied passage of L
+    * tokens contributes L-19 consecutive hits and dominates the FP
+    * floor. False negatives: never (Bloom guarantee).
+    */
+  def substrContaminationStream(stream: DataFrame, bloom: Array[Byte],
+                                minShare: Double = 0.3): DataFrame =
+    stream
+      .withColumn("gh", gramHashArr(tokens(col("text"))))
+      .select(col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(filter(col("gh"),
+          h => graft.functions.Bloom.mightContainLit(bloom, h)))
+          .cast("long").as("hits"))
+      .withColumn("hit_share",
+        when(col("n_grams") > 0,
+          round(col("hits") * lit(1.0) / col("n_grams"), 4)).otherwise(0.0))
+      .withColumn("flagged", col("hit_share") >= minShare)
+
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
     * dotted-quad IPs) with typed placeholder tags. Order is
     * email → phone → ip so the later numeric patterns can never match
