@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -58,7 +59,7 @@ object Bench {
     for (w <- Seq("q12_group_agg_wide", "q37_simhash_neardup", "q40_ann_brute"))
       SparkEntry.queries.get(w).foreach(q =>
         // a scaling-audit dir may carry only the tables the subset needs
-        try runOnce(q) catch { case _: Throwable => () })
+        try runOnce(q) catch { case NonFatal(_) => () })
 
     // optional subset (comma-separated names) for focused scaling runs
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -70,7 +71,7 @@ object Bench {
     def sample(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
       for ((name, fn) <- subset)
         try samples(name) += runOnce(fn)
-        catch { case _: Throwable => samples(name) += -1.0 }
+        catch { case NonFatal(_) => samples(name) += -1.0 }
     def unstable = queries.filter { case (n, _) =>
       val s = samples(n).filter(_ >= 0).sorted
       s.length < 2 || s(1) > s(0) * 1.25
@@ -125,7 +126,7 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

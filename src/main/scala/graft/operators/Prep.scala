@@ -181,6 +181,15 @@ object Prep {
     * epoch replays idempotently through the dynamic partition overwrite
     * (the startCurationIngest convention). DriftStreamSpec proves the
     * landed rows equal the batch audit's.
+    *
+    * Caveat (inherent to append mode): the final OPEN window — the one
+    * containing the max event time seen so far — is withheld until a
+    * LATER arrival advances the watermark past its end (watermark =
+    * max ts - delay < window end at the moment the window's own data
+    * arrives). Under AvailableNow that means the newest window's report
+    * lands only on the next run's data, or when the feed appends a
+    * beyond-window sentinel/heartbeat row (DriftStreamSpec's far-future
+    * sentinel demonstrates the pattern). Closed windows are unaffected.
     */
   def startDriftMonitor(docsStream: DataFrame, s: SparkSession, d: String,
                         reportDir: String, checkpointDir: String,
@@ -641,8 +650,12 @@ object Prep {
     */
   def buildSubstrBloom(s: SparkSession, d: String): Array[Byte] = {
     val toks = docs(s, d).select(tokens(col("text")).as("tok"))
+    // coalesce: sum(...) is NULL on an empty corpus (or one where every
+    // doc has < SubstrG tokens) — the 1<<20 floor must still apply
     val nGrams = math.max(1L << 20,
-      toks.agg(sum(greatest(size(col("tok")).cast("long") - SubstrG + 1, lit(0L))))
+      toks.agg(coalesce(
+          sum(greatest(size(col("tok")).cast("long") - SubstrG + 1, lit(0L))),
+          lit(0L)))
         .collect()(0).getLong(0))
     toks.select(explode(gramHashArr(col("tok"))).as("h"))
       .agg(graft.functions.Bloom.bloomAgg(col("h"), nGrams, nGrams * 8).as("bf"))

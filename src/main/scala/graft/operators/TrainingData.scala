@@ -960,15 +960,22 @@ object TrainingData {
     val (centers, _) = loadIvfIndex(s, ivfPqIndexDir)
     val (cb, _) = loadPqIndex(s, ivfPqIndexDir)
     val k = centers.length
+    // Cell ranking happens in RAW vector space (qv) — fitIvf clusters raw
+    // vectors and the persisted assignment lives in that space, so probing
+    // with the normalized query could rank cells inconsistently with the
+    // index's own assignment on a non-unit-norm corpus and silently lose
+    // recall. Only the PQ distance table takes the normalized form (the
+    // adc ≈ 2 - 2·cos identity needs unit vectors).
     val cvs = typedLit(centers.sortBy(_._1).map(_._2.toSeq))
     val cellStructs = transform(sequence(lit(0), lit(k - 1)), i =>
       struct(
-        aggregate(zip_with(col("qn"), element_at(cvs, (i + 1).cast("int")),
+        aggregate(zip_with(col("qv"), element_at(cvs, (i + 1).cast("int")),
                            (x, y) => (x - y) * (x - y)),
                   lit(0.0), (acc, x) => acc + x).as("cdist"),
         i.as("cell")))
     val probed = streamVecs
-      .select(col("vec_id"), normed(col("embedding")).as("qn"))
+      .select(col("vec_id"), vecd(col("embedding")).as("qv"),
+              normed(col("embedding")).as("qn"))
       .withColumn("dtab", pq_dist_table(col("qn"), cb, PqM, PqK))
       .withColumn("cell",
         explode(transform(slice(array_sort(cellStructs), 1, nProbe),
@@ -1555,9 +1562,10 @@ object TrainingData {
         "One aggregate builds the unigram table (shuffle on term), the " +
         "corpus token total rides as an in-plan 1-row broadcast (q28 " +
         "pattern), and scoring is explode + join on term + per-doc avg. " +
-        "The unigram join broadcasts here (vocab << corpus); at " +
-        "open-web-vocabulary scale it falls back to a shuffle join on " +
-        "term — same plan otherwise.",
+        "The unigram join is shuffle_hash-hinted — the vocabulary-sized " +
+        "marginal is NEVER broadcast (the q112/q119 rule): at open-web " +
+        "vocabulary scale a broadcast would OOM driver and executors, " +
+        "while the shuffle-hash join co-partitions tok and uni on term.",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |u AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
@@ -1570,7 +1578,7 @@ object TrainingData {
                                   explode(tokens(col("text"))).as("term"))
       val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
       val total = uni.agg(sum("c").cast("double").as("total"))
-      tok.join(broadcast(uni), "term")
+      tok.join(uni.hint("shuffle_hash"), "term")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
@@ -1600,12 +1608,23 @@ object TrainingData {
         |FROM tot LEFT JOIN sh USING (doc_id)""".stripMargin) { (s, d) =>
       val n = 5
       val tok = tokens(col("text"))
+      // explicit isNotNulls at the base (the q112 canonicalization
+      // recipe): the final `tot LEFT JOIN perDoc` infers
+      // isnotnull(doc_id) on its RIGHT side only and the grams⋈shared
+      // join infers isnotnull(ngram) on its probe side; pushed beneath
+      // the distinct exchange those fork that branch's subtree away
+      // from the other consumers' canonical form and AQE re-tokenizes
+      // the corpus for it. Pre-filtering makes every inferred predicate
+      // redundant, so all three consumers share ONE distinct exchange
+      // (PlanSpec pins the reuse).
       val grams = spread(docs(s, d))
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"),
                 explode(when(size(tok) >= n,
                   transform(sequence(lit(1), size(tok) - (n - 1)),
                             i => concat_ws(" ", slice(tok, i, lit(n)))))
                   .otherwise(array())).as("ngram"))
+        .filter(col("ngram").isNotNull)
         .distinct()
       val shared = grams.groupBy("ngram").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("ngram")

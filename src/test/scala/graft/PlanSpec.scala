@@ -420,6 +420,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q82: unigram table joins on the shuffle path — vocabulary never broadcast") {
+    // the q112/q119 rule: the corpus unigram (term, c) table scales with
+    // open-web vocabulary and must NEVER broadcast; only the 1-row token
+    // total rides as a broadcast scalar. The static planner would happily
+    // broadcast it at toy scale, so pin with AQE off.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q82_unigram_logprob")
+      val termBroadcast = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("term"))
+      assert(termBroadcast.isEmpty,
+             s"q82 unigram table must not broadcast:\n${termBroadcast.mkString("\n")}")
+      assert(p.contains("ShuffledHashJoin"),
+             s"q82 unigram join must be a shuffled hash join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+             s"q82 corpus total must ride as a broadcast scalar:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q110/q112: AQE computes the corpus statistics pass once and reuses it") {
     // the (source, term) / (a, b) count tables feed several aggregates
     // and the final join; without stage reuse each consumer re-tokenizes
@@ -478,6 +498,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       l.contains("BroadcastHashJoin") && l.contains("first_doc"))
     assert(gramBroadcast.isEmpty,
            s"q119 first-doc table must not broadcast:\n${gramBroadcast.mkString("\n")}")
+    // q83: the distinct (doc_id, ngram) exchange feeds THREE consumers
+    // (shared-gram agg, probe join, per-doc totals). The base isNotNulls
+    // keep all three on one canonical subtree; without them the final
+    // left join's inferred isnotnull(doc_id) forks the probe branch and
+    // AQE silently re-tokenizes the corpus. Pin: exactly ONE Generate
+    // (gram explode) and >= 2 ReusedExchange in the FINAL plan.
+    val df83 = SparkEntry.queries("q83_boilerplate_share")(spark, sf)
+    df83.collect()
+    val p83 = df83.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Generate".r.findAllIn(p83).length === 1,
+           s"q83 gram generation must run once:\n$p83")
+    assert("ReusedExchange".r.findAllIn(p83).length >= 2,
+           s"q83 stopped reusing the distinct-gram stage:\n$p83")
   }
 
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
