@@ -644,9 +644,11 @@ object Prep {
     * pruning as the corpus grows; ~8 bits/gram ≈ 2% FP). The sketch
     * returns as driver-held bytes — the dsirScoreStream convention: a
     * literal ships once per executor and keeps the stream plan
-    * stateless; at 100 TB gram counts swap the literal for a
-    * stream-static join against a partitioned sketch table, same
-    * semantics.
+    * stateless. Hard ceiling: the JVM byte array caps the literal at
+    * ~2*10^9 grams; past that (or past the configured literal budget)
+    * [[startSubstrContamination]] switches to the stream-static probe of
+    * the persisted gram table ([[buildSubstrIndex]] /
+    * [[substrContaminationBatch]]), same semantics minus the Bloom FPs.
     */
   def buildSubstrBloom(s: SparkSession, d: String): Array[Byte] = {
     val toks = docs(s, d).select(tokens(col("text")).as("tok"))
@@ -688,6 +690,151 @@ object Prep {
         when(col("n_grams") > 0,
           round(col("hits") * lit(1.0) / col("n_grams"), 4)).otherwise(0.0))
       .withColumn("flagged", col("hit_share") >= minShare)
+
+  /** Persist the corpus substring-contamination index: ONE row per
+    * DISTINCT [[SubstrG]]-gram xxhash64 — the exact-membership,
+    * corpus-scale form of [[buildSubstrBloom]]'s literal sketch. At
+    * ~10^13 grams (100 TB) a driver-held byte array is impossible (JVM
+    * 2 GB ceiling at ~2*10^9 grams); a partitioned parquet table has no
+    * ceiling and the stream-static probe shuffles only each micro-batch's
+    * grams against it. Same staging -> sidecar -> rename-swap lifecycle
+    * as the LSH band / postings / IVF indexes, so probes never observe a
+    * half-built table; `_substr_geometry` carries the gram width plus the
+    * distinct and total gram counts (the total sizes a derived literal
+    * Bloom without re-scanning the corpus). At production scale this is a
+    * catalog table bucketed on `h`; plain parquet keeps the harness
+    * self-contained.
+    */
+  def buildSubstrIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val grams = docs(s, d)
+      .select(explode(gramHashArr(tokens(col("text")))).as("h"))
+    val (nTotal, nDistinct) = {
+      val r = grams.agg(coalesce(count(lit(1)), lit(0L)).as("t"),
+                        coalesce(count_distinct(col("h")), lit(0L)).as("u"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    grams.distinct().write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_substr_geometry"), true)
+    try out.write(s"$SubstrG $nDistinct $nTotal".getBytes("UTF-8"))
+    finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"substr-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"substr-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  /** (gram width, distinct grams, total grams) from the index sidecar. */
+  def substrIndexGeometry(s: SparkSession, indexDir: String): (Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_substr_geometry"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val Array(g, u, t) = txt.trim.split(" ")
+    (g.toLong, u.toLong, t.toLong)
+  }
+
+  /** Derive the literal Bloom from the PERSISTED index instead of a
+    * second corpus scan: the sketch is sized from the sidecar's total
+    * gram count exactly as [[buildSubstrBloom]] sizes it, and inserting
+    * the distinct set yields the identical bit pattern (Bloom insertion
+    * is idempotent), so the two builds are byte-identical —
+    * SubstrIndexSpec pins that. The cheap path once the index exists.
+    */
+  def buildSubstrBloomFromIndex(s: SparkSession, indexDir: String): Array[Byte] = {
+    val (_, _, nTotal) = substrIndexGeometry(s, indexDir)
+    val nGrams = math.max(1L << 20, nTotal)
+    s.read.parquet(indexDir)
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), nGrams, nGrams * 8).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** EXACT substring-contamination probe of a (micro-)batch against the
+    * persisted gram-hash table — the corpus-scale sibling of
+    * [[substrContaminationStream]], same five-column output. Per doc the
+    * grams explode to (doc_id, h) rows, LEFT-join the index with a
+    * shuffle_hash hint (the gram table is corpus-sized — it must NEVER
+    * broadcast, the q82/q112 rule; SubstrIndexSpec pins the no-broadcast
+    * edge), and re-aggregate per doc. The index holds one row per
+    * distinct gram so the left join never duplicates probe rows, and
+    * `explode_outer` keeps short docs (zero grams) in the output exactly
+    * as the literal path does. Unlike the Bloom this path has zero false
+    * positives: `hits` counts true corpus grams only.
+    */
+  def substrContaminationBatch(batch: DataFrame, s: SparkSession,
+                               indexDir: String,
+                               minShare: Double = 0.3): DataFrame = {
+    val g = batch
+      .withColumn("gh", gramHashArr(tokens(col("text"))))
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+              explode_outer(col("gh")).as("h"))
+    val idx = s.read.parquet(indexDir).select(col("h"), lit(true).as("in_corpus"))
+    g.join(idx.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(coalesce(sum(when(col("in_corpus"), 1L).otherwise(0L)), lit(0L))
+             .cast("long").as("hits"))
+      .withColumn("hit_share",
+        when(col("n_grams") > 0,
+          round(col("hits") * lit(1.0) / col("n_grams"), 4)).otherwise(0.0))
+      .withColumn("flagged", col("hit_share") >= minShare)
+      .select("doc_id", "n_grams", "hits", "hit_share", "flagged")
+  }
+
+  /** Bloom byte size the literal path would need for this index's corpus
+    * (numBits/8 with the same floor [[buildSubstrBloom]] applies).
+    */
+  def substrLiteralBytes(s: SparkSession, indexDir: String): Long =
+    math.max(1L << 20, substrIndexGeometry(s, indexDir)._3)
+
+  /** Substring contamination at ingest, corpus-scale: the THRESHOLD
+    * SWITCH the literal path documents. While the corpus's sketch fits
+    * under `maxLiteralBytes` the probe is [[substrContaminationStream]]'s
+    * pure projection (sketch derived from the index, shipped once per
+    * executor — zero shuffle per micro-batch); beyond it the probe is
+    * [[substrContaminationBatch]]'s stream-static shuffle join against
+    * the partitioned gram table, which has no size ceiling. Both paths
+    * run under one foreachBatch sink writing the same five-column layout
+    * epoch-partitioned with dynamic overwrite (the [[startCurationIngest]]
+    * convention: a replayed epoch overwrites exactly its own output —
+    * effective exactly-once without read-modify-write). Per-doc rollup
+    * after a stream-static join is an unwatermarked aggregate — append-
+    * illegal as a direct sink — which is why the table path MUST gate
+    * through foreachBatch rather than `.writeStream.format(...)` on the
+    * probe frame itself.
+    */
+  def startSubstrContamination(stream: DataFrame, s: SparkSession,
+                               indexDir: String, outDir: String,
+                               checkpointDir: String,
+                               minShare: Double = 0.3,
+                               maxLiteralBytes: Long = 1L << 28)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val useLiteral = substrLiteralBytes(s, indexDir) <= maxLiteralBytes
+    val bloom = if (useLiteral) buildSubstrBloomFromIndex(s, indexDir) else null
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val probed =
+          if (useLiteral) substrContaminationStream(batch, bloom, minShare)
+          else substrContaminationBatch(batch, s, indexDir, minShare)
+        probed.withColumn("epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(outDir)
+      }
+      .start()
+  }
 
   /** Redact the three PII classes in `c` (emails, NANP phone numbers,
     * dotted-quad IPs) with typed placeholder tags. Order is
