@@ -343,18 +343,107 @@ object Prep {
       .toDF("step", "left", "right", "pair_count")
   }
 
-  /** [[bpeMerges]]' engine, returning the merge list as a driver value
-    * (K rows — bounded by construction). ONE Spark job per learned
-    * merge: the argmax action on step i also materializes the persisted
-    * step-i vocab projection, so the previous generation unpersists one
-    * step late instead of paying a dedicated count() job.
+  /** Distinct-word ceiling under which BPE learning folds DRIVER-SIDE.
+    * The (word, count) table is vocab-bounded by construction, so when
+    * it is small the k merge iterations are pure in-memory folds — no
+    * reason to pay k shuffle rounds of per-job latency (the dominant
+    * cost at bench scale: ~40 s of scheduling for ~0 s of math). 2M
+    * words × ~16 bytes ≈ 32 MB collected — comfortably driver-sized.
+    * An open-web vocabulary (~1e8 rows with typos/URLs) stays on the
+    * distributed path, which is bit-identical (BpeSpec pins both sides
+    * against the sequential reference).
     */
-  def bpeMergeList(docFrame: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
-    val vocab = docFrame
+  val BpeDriverVocabMax = 2000000L
+
+  /** [[bpeMerges]]' engine, returning the merge list as a driver value
+    * (K rows — bounded by construction). One corpus pass builds the
+    * cached (word, count) table; under [[BpeDriverVocabMax]] distinct
+    * words the k-step fold runs driver-side ([[bpeMergeListLocal]]),
+    * above it each step is ONE Spark job: the argmax action on step i
+    * also materializes the persisted step-i vocab projection, so the
+    * previous generation unpersists one step late instead of paying a
+    * dedicated count() job.
+    */
+  def bpeMergeList(docFrame: DataFrame, k: Int,
+                   driverVocabMax: Long = BpeDriverVocabMax)
+      : Seq[(Long, String, String, Long)] = {
+    val wc = docFrame
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).cast("long").as("wc"))
-      .select(split(col("w"), "").as("syms"), col("wc"))
+      .persist()
+    val nVocab = wc.count()
+    if (nVocab <= driverVocabMax) {
+      val rows = wc.collect().map(r => (r.getString(0).split(""), r.getLong(1)))
+      wc.unpersist()
+      bpeMergeListLocal(rows, k)
+    } else
+      try bpeMergeListDistributed(
+        wc.select(split(col("w"), "").as("syms"), col("wc")), k)
+      finally wc.unpersist()
+  }
+
+  /** Spark's string sort is byte-wise over UTF-8 (`UTF8String.compareTo`)
+    * = code-point order; Java's `String.compareTo` is UTF-16 code-UNIT
+    * order, which disagrees above the BMP. The driver fold must break
+    * ties exactly as the distributed argmax does, on any input.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side fold of the BPE iteration for bounded vocabularies:
+    * identical pair counting (adjacent symbols weighted by word count),
+    * identical (count desc, left, right) tie-break in Spark's string
+    * order, identical greedy left-to-right non-overlapping merge
+    * application ([[applyMerge]]'s fold semantics). k × total-symbols
+    * work, zero jobs.
+    */
+  private def bpeMergeListLocal(vocab: Array[(Array[String], Long)],
+                                k: Int): Seq[(Long, String, String, Long)] = {
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- cur; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long,
+            Ordering.fromLessThan(utf8Lt), Ordering.fromLessThan(utf8Lt)))
+        merges += ((step, l, r, c))
+        cur = cur.map { case (syms, wcount) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), wcount)
+        }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def bpeMergeListDistributed(vocab: DataFrame,
+                                      k: Int): Seq[(Long, String, String, Long)] = {
     var cur = vocab.persist()
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]

@@ -99,6 +99,19 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("distributed path (vocab above the driver ceiling) is bit-identical to the fast path and the reference") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val frame = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // driverVocabMax = 0 forces the k-job shuffle loop the 100 TB
+    // vocabulary takes; -1 < any count so the fast path is impossible
+    val distributed = Prep.bpeMergeList(frame, Prep.BpeK, driverVocabMax = -1L)
+    assert(distributed === refFromTexts(texts, Prep.BpeK))
+    assert(distributed === Prep.bpeMergeList(frame, Prep.BpeK))
+  }
+
   /** Sequential reference tokenizer: apply the merge list in order. */
   private def refTokenize(word: String, merges: Seq[(String, String)]): Int =
     merges.foldLeft(word.split("").toVector) {
