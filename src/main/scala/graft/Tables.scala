@@ -25,20 +25,34 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
-    * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and surface
-    * both:
-    *   - `ts`    TimestampType, truncated to microseconds (Spark's native
-    *             resolution; equals DuckDB's `CAST(ts AS TIMESTAMP)`),
-    *   - `ts_ns` LongType, the exact nanosecond epoch for ordering/tie-breaks.
+  /** `events.parquet` has shipped with two encodings for `ts`, so the loader
+    * adapts to whichever the scan reports and always surfaces both:
+    *   - `ts`    TimestampType, microsecond resolution (equals DuckDB's
+    *             `CAST(ts AS TIMESTAMP)`; session TZ is pinned UTC so an
+    *             NTZ→TS reinterpretation is exact),
+    *   - `ts_ns` LongType, nanosecond epoch for ordering/tie-breaks.
+    * Encodings seen:
+    *   - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]), so we read the nanos as a raw long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) and derive `ts` with an
+    *     integer `div` (ns epochs ~1.7e18 exceed double's 2^53 exact range,
+    *     so fp division would round the microsecond),
+    *   - TIMESTAMP(MICROS) with/without TZ adjustment: read natively and
+    *     derive `ts_ns = unix_micros(ts) * 1000` (exact — micros fit a long
+    *     with room for the *1000).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's 2^53
-      // exact range, so fp division would round the microsecond
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType or TimestampNTZType
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 }
