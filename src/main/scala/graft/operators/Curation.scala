@@ -354,6 +354,51 @@ object Curation {
     packedSequences(s, d, splitBudget)
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** q137: q129's packed bins as TOKEN-ID sequences under the q131-learned
+    * BPE vocabulary — the model-input artifact (a trainer consumes ID
+    * arrays, not text). Each bin's word stream maps word -> subword-ID
+    * array ([[Prep.wordTokenIds]]) with the id-0 separator interleaved at
+    * every word boundary, so the text stream is exactly recoverable:
+    * PackedIdsSpec round-trips ids -> vocabulary reversed -> q129's
+    * reassembled text, and the oracle re-derives the IDs from DuckDB's
+    * own re-learned merges (BpeOracle) over the shared packing CTEs.
+    * Scale shape: the word->ids table is vocabulary-sized and joins on
+    * the shuffle path (shuffle_hash — an open-web vocabulary must never
+    * plan broadcast); regrouping is one (split, bin) shuffle with groups
+    * bounded at PackBudget words; in-bin order restores by sort_array
+    * over carried positions (never collect_list order).
+    */
+  def packedTokenIds(s: SparkSession, d: String,
+                     splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+    val packed = packedSequences(s, d, splitBudget)
+      .select(col("split"), col("bin"), col("tokens"))
+    val wids = Prep.wordTokenIds(s, d).hint("shuffle_hash")
+    packed
+      .select(col("split"), col("bin"),
+              posexplode(col("tokens")).as(Seq("pos", "w")))
+      .join(wids, "w")
+      .groupBy("split", "bin")
+      .agg(flatten(transform(
+             sort_array(collect_list(struct(col("pos"), col("ids")))),
+             x => concat(array(lit(0L)), x.getField("ids")))).as("ids0"))
+      .select(col("split"), col("bin"),
+              expr("slice(ids0, 2, size(ids0) - 1)").as("ids"))
+      .select(col("split"), col("bin"),
+              size(col("ids")).cast("long").as("n_ids"),
+              md5(array_join(transform(col("ids"), i => i.cast("string")), " ")
+                .cast("binary")).as("ids_md5"),
+              col("ids"))
+  }
+
+  /** Write [[packedTokenIds]] split-partitioned — the tokenized training
+    * shard directory (bin-ordered ID arrays, id 0 = word boundary), one
+    * parquet write past q137's oracled digest.
+    */
+  def exportPackedTokenIds(s: SparkSession, d: String, outDir: String,
+                           splitBudget: Long = SplitBudget): Unit =
+    packedTokenIds(s, d, splitBudget)
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   /** Terminal sink of the training-set path: materialize the
     * [[trainingSetVerdict]] keepers with text joined back, parquet
     * partitioned by split and carrying the packing span — the directory
@@ -545,6 +590,78 @@ object Curation {
           .parquet(corpusDir)
       }
       .start()
+
+  /** Shared oracle CTE chain of the q129 packing pipeline (curate ->
+    * budget -> offsets -> per-bin pieces). q137's token-ID oracle
+    * appends the BPE vocabulary CTEs to this same text, so the two
+    * oracles can never drift apart on the packing semantics.
+    */
+  private val packedPiecesCtes: String = """t AS (
+    |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
+    |  FROM documents),
+    |q AS (SELECT doc_id,
+    |  round(least(1.0, len(tok) / 64.0) *
+    |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+    |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+    |         / len(tok)), 4) AS quality FROM t),
+    |tc AS (SELECT doc_id, unnest(tok) AS term FROM t),
+    |tcc AS (SELECT doc_id, term, count(*) AS c FROM tc GROUP BY 1, 2),
+    |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+    |        FROM tcc GROUP BY doc_id),
+    |td AS (SELECT doc_id, lang, n_chars, list_distinct(tok) AS dtok FROM t),
+    |p AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    |  FROM td a JOIN td b
+    |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+    |    AND abs(a.n_chars - b.n_chars) <= 20
+    |  WHERE CAST(len(list_intersect(a.dtok, b.dtok)) AS DOUBLE) /
+    |        len(list_distinct(list_concat(a.dtok, b.dtok))) >= 0.9),
+    |e AS (SELECT id_a AS a, id_b AS b FROM p
+    |      UNION ALL SELECT id_b, id_a FROM p),
+    |reach AS (
+    |  SELECT DISTINCT a, a AS b FROM e
+    |  UNION
+    |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    |cl AS (SELECT a AS doc_id, CAST(a = min(b) AS BIGINT) AS dk
+    |       FROM reach GROUP BY a),
+    |base AS (
+    |  SELECT d.doc_id,
+    |    CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+    |         WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+    |         ELSE 'test' END AS split,
+    |    q.quality,
+    |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+    |    CAST(q.quality >= 0.5 AND rep.top_share <= 0.2
+    |         AND COALESCE(cl.dk, 1) = 1 AS BIGINT) AS ckeep
+    |  FROM documents d
+    |  JOIN q USING (doc_id) JOIN rep USING (doc_id)
+    |  LEFT JOIN cl USING (doc_id)),
+    |bsel AS (
+    |  SELECT doc_id FROM (
+    |    SELECT doc_id,
+    |      sum(n_tok) OVER (PARTITION BY split
+    |        ORDER BY quality DESC, doc_id
+    |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+    |    FROM base WHERE ckeep = 1)
+    |  WHERE cum_tok <= 4000),
+    |off AS (
+    |  SELECT b.doc_id, b.split, b.n_tok,
+    |    CAST(sum(b.n_tok) OVER (PARTITION BY b.split
+    |      ORDER BY b.doc_id) AS BIGINT) AS end_off
+    |  FROM base b JOIN bsel USING (doc_id)),
+    |ox AS (
+    |  SELECT o.doc_id, o.split, o.end_off, o.end_off - o.n_tok AS start_off,
+    |         t.tok
+    |  FROM off o JOIN t USING (doc_id)),
+    |pieces AS (
+    |  SELECT split, u.bin,
+    |    greatest(start_off, u.bin * 512) AS p_start,
+    |    tok[CAST(greatest(start_off, u.bin * 512) - start_off + 1 AS BIGINT)
+    |        : CAST(least(end_off, (u.bin + 1) * 512) - start_off AS BIGINT)]
+    |      AS piece
+    |  FROM ox CROSS JOIN LATERAL
+    |    unnest(generate_series(start_off // 512, (end_off - 1) // 512))
+    |      AS u(bin))""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -836,78 +953,46 @@ object Curation {
         "reassembly is one (split, bin) shuffle with groups bounded at " +
         "512 tokens; piece order inside a bin is restored by " +
         "sort_array, never collect_list order.",
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tok
-        |  FROM documents),
-        |q AS (SELECT doc_id,
-        |  round(least(1.0, len(tok) / 64.0) *
-        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
-        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |         / len(tok)), 4) AS quality FROM t),
-        |tc AS (SELECT doc_id, unnest(tok) AS term FROM t),
-        |tcc AS (SELECT doc_id, term, count(*) AS c FROM tc GROUP BY 1, 2),
-        |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
-        |        FROM tcc GROUP BY doc_id),
-        |td AS (SELECT doc_id, lang, n_chars, list_distinct(tok) AS dtok FROM t),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM td a JOIN td b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |    AND abs(a.n_chars - b.n_chars) <= 20
-        |  WHERE CAST(len(list_intersect(a.dtok, b.dtok)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.dtok, b.dtok))) >= 0.9),
-        |e AS (SELECT id_a AS a, id_b AS b FROM p
-        |      UNION ALL SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT DISTINCT a, a AS b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |cl AS (SELECT a AS doc_id, CAST(a = min(b) AS BIGINT) AS dk
-        |       FROM reach GROUP BY a),
-        |base AS (
-        |  SELECT d.doc_id,
-        |    CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
-        |         WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
-        |         ELSE 'test' END AS split,
-        |    q.quality,
-        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
-        |    CAST(q.quality >= 0.5 AND rep.top_share <= 0.2
-        |         AND COALESCE(cl.dk, 1) = 1 AS BIGINT) AS ckeep
-        |  FROM documents d
-        |  JOIN q USING (doc_id) JOIN rep USING (doc_id)
-        |  LEFT JOIN cl USING (doc_id)),
-        |bsel AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      sum(n_tok) OVER (PARTITION BY split
-        |        ORDER BY quality DESC, doc_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
-        |    FROM base WHERE ckeep = 1)
-        |  WHERE cum_tok <= 4000),
-        |off AS (
-        |  SELECT b.doc_id, b.split, b.n_tok,
-        |    CAST(sum(b.n_tok) OVER (PARTITION BY b.split
-        |      ORDER BY b.doc_id) AS BIGINT) AS end_off
-        |  FROM base b JOIN bsel USING (doc_id)),
-        |ox AS (
-        |  SELECT o.doc_id, o.split, o.end_off, o.end_off - o.n_tok AS start_off,
-        |         t.tok
-        |  FROM off o JOIN t USING (doc_id)),
-        |pieces AS (
-        |  SELECT split, u.bin,
-        |    greatest(start_off, u.bin * 512) AS p_start,
-        |    tok[CAST(greatest(start_off, u.bin * 512) - start_off + 1 AS BIGINT)
-        |        : CAST(least(end_off, (u.bin + 1) * 512) - start_off AS BIGINT)]
-        |      AS piece
-        |  FROM ox CROSS JOIN LATERAL
-        |    unnest(generate_series(start_off // 512, (end_off - 1) // 512))
-        |      AS u(bin))
+      s"""WITH RECURSIVE $packedPiecesCtes
         |SELECT split, CAST(bin AS BIGINT) AS bin,
         |  CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
         |  md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY p_start))
         |    AS content_md5
         |FROM pieces GROUP BY 1, 2""".stripMargin) { (s, d) =>
       packedSequences(s, d).drop("tokens")
+    },
+
+    Q("q137_packed_token_ids",
+      "Token-ID-level training export: q129's packed bins re-expressed " +
+        "as subword-ID arrays under the q131-learned BPE vocabulary — " +
+        "the composition that turns the packing pipeline's text digest " +
+        "into the actual model input (ids, id 0 = word boundary, base " +
+        "chars 1..C in UTF-8 order, merge step i = C+i). Output is the " +
+        "verifiable digest (split, bin, n_ids, ids_md5); the DuckDB " +
+        "oracle RE-LEARNS the merges itself (BpeOracle's unrolled " +
+        "training CTEs), derives the same vocabulary, and re-assembles " +
+        "the same ID stream over the shared q129 packing CTEs, so " +
+        "tokenizer training, vocabulary numbering, packing, and ID " +
+        "assembly are all independently recomputed. PackedIdsSpec " +
+        "round-trips the IDs back to q129's reassembled text. Scale " +
+        "shape: vocabulary-sized word->ids join hinted shuffle_hash, " +
+        "one (split, bin) regroup bounded at PackBudget words per bin.",
+      s"""WITH RECURSIVE ${BpeOracle.ctes(Prep.BpeK)},
+        |${BpeOracle.idCtes(Prep.BpeK)},
+        |$packedPiecesCtes,
+        |pw AS (SELECT split, bin, p_start, unnest(piece) AS w,
+        |              unnest(range(1, len(piece) + 1)) AS j
+        |       FROM pieces),
+        |pids AS (SELECT split, bin, p_start, j, ids
+        |         FROM pw JOIN wids USING (w)),
+        |binids AS (SELECT split, CAST(bin AS BIGINT) AS bin,
+        |    flatten(array_agg(list_prepend(CAST(0 AS BIGINT), ids)
+        |                      ORDER BY p_start, j))[2:] AS ids
+        |  FROM pids GROUP BY 1, 2)
+        |SELECT split, bin, CAST(len(ids) AS BIGINT) AS n_ids,
+        |  md5(array_to_string(ids, ' ')) AS ids_md5
+        |FROM binids""".stripMargin) { (s, d) =>
+      packedTokenIds(s, d).drop("ids")
     },
 
     Q("q74_normalize",

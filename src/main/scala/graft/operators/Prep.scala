@@ -315,7 +315,7 @@ object Prep {
     * tail becomes the merged symbol. A tail merged THIS pass can never
     * re-merge (that would need l == l+r, impossible for nonempty r).
     */
-  private def applyMerge(syms: Column, l: String, r: String): Column =
+  private[operators] def applyMerge(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, s) =>
         when(size(acc) > 0 and
@@ -388,7 +388,7 @@ object Prep {
     * order, which disagrees above the BMP. The driver fold must break
     * ties exactly as the distributed argmax does, on any input.
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -518,6 +518,59 @@ object Prep {
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         round(col("n_subwords") * lit(1.0) / col("n_words"), 4)
           .as("subwords_per_word"))
+  }
+
+  /** Token-ID vocabulary under the learned q131 merges — the convention
+    * q137's packed-ID export and its oracle share: id 0 is the inter-word
+    * separator (the whitespace boundary the packer's word stream implies),
+    * base characters take 1..C in binary UTF-8 order ([[utf8Lt]], the
+    * Spark sort order), merge step i takes C+i, and a symbol string that
+    * two different merge paths both produce keeps its smallest id. The
+    * map is alphabet-bounded (corpus character set + K merges — hundreds
+    * of entries, not vocabulary-sized), so it is the one BPE artifact
+    * that legitimately travels as a literal/broadcast; cached per
+    * (session, corpus) like the merge list.
+    */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, Long]]
+
+  def tokenVocab(s: SparkSession, d: String): Map[String, Long] = {
+    vocabCache.keys.filter(_._1.sparkContext.isStopped).foreach(vocabCache.remove)
+    vocabCache.getOrElseUpdate((s, d), {
+      val merges = bpeMergesCached(s, d)
+      val chars = spread(docs(s, d))
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) > 0)
+        .distinct()
+        .collect().map(_.getString(0)).sortWith(utf8Lt)
+      val n = chars.length.toLong
+      val pairs = chars.toSeq.zipWithIndex
+        .map { case (c, i) => c -> (i + 1).toLong } ++
+        merges.map { case (step, l, r, _) => (l + r) -> (n + step) }
+      pairs.groupBy(_._1).map { case (sym, ids) => sym -> ids.map(_._2).min }
+    })
+  }
+
+  /** Every distinct corpus word mapped to its subword-ID array under the
+    * learned merges: K chained codegen folds over the DISTINCT-WORD table
+    * (vocab-bounded — the q133 shape), then a per-symbol lookup in the
+    * alphabet-sized [[tokenVocab]] literal. The RESULT is vocabulary-
+    * sized: callers joining it to corpus-sized frames hint shuffle_hash
+    * (the q112 no-broadcast-vocabulary convention).
+    */
+  def wordTokenIds(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergesCached(s, d)
+    val symMap = map(tokenVocab(s, d).toSeq.sortBy(_._1).flatMap {
+      case (sym, id) => Seq(lit(sym), lit(id)) }: _*)
+    val words = spread(docs(s, d))
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
+        (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._2, m._3)))
+      .select(col("w"),
+        transform(col("syms"), sm => element_at(symMap, sm)).as("ids"))
   }
 
   /** q130's body, reusable on any (doc_id, text) frame: exact-substring
@@ -1573,7 +1626,7 @@ object Prep {
       shardShuffle(spread(docs(s, d))).orderBy("shard", "pos")
     },
 
-    Q.noOracle("q131_bpe_merges",
+    Q("q131_bpe_merges",
       "Tokenizer training: learn the first 16 byte-pair-encoding merges " +
         "over the corpus (Sennrich et al. 2016) — the step that turns a " +
         "curated corpus into the tokenizer the training run uses. " +
@@ -1585,16 +1638,19 @@ object Prep {
         "applying the winning merge, and only the 1-ROW argmax crosses " +
         "to the driver (the KMeans iteration shape). Ties break (count " +
         "desc, left, right) so the merge list is byte-deterministic on " +
-        "any cluster. No SQL oracle (iterative argmax is not ANSI-" +
-        "expressible); BpeSpec pins the full merge list against an " +
-        "independent sequential reference implementation on both a " +
-        "planted corpus and the sf0.001 table.") { (s, d) =>
+        "any cluster. Oracled: the DuckDB side re-learns the merges " +
+        "from scratch with the training loop UNROLLED as 16 chained " +
+        "materialized CTE stages (BpeOracle) — argmax ties, greedy " +
+        "non-overlapping application, and UTF-8 sort parity all " +
+        "independently recomputed; BpeSpec additionally pins the list " +
+        "against a sequential reference implementation.",
+      BpeOracle.q131Sql(BpeK)) { (s, d) =>
       import s.implicits._
       s.createDataset(bpeMergesCached(s, d))
         .toDF("step", "left", "right", "pair_count")
     },
 
-    Q.noOracle("q133_bpe_apply",
+    Q("q133_bpe_apply",
       "Tokenize with the LEARNED merges — the apply side of q131, " +
         "closing the tokenizer loop: per document, whitespace-word " +
         "count and exact subword count under the trained 16-merge BPE " +
@@ -1606,8 +1662,11 @@ object Prep {
         "table, hinted shuffle_hash (the q112 no-broadcast-vocabulary " +
         "convention). Shares q131's per-(session, corpus) merge cache " +
         "— one training run serves both (BENCH_DETAIL cold map). " +
-        "BpeSpec pins per-doc counts against the sequential reference " +
-        "tokenizer.") { (s, d) =>
+        "Oracled end-to-end: DuckDB re-learns the merges itself " +
+        "(BpeOracle's unrolled training CTEs) and re-tokenizes every " +
+        "doc; BpeSpec additionally pins per-doc counts against the " +
+        "sequential reference tokenizer.",
+      BpeOracle.q133Sql(BpeK)) { (s, d) =>
       bpeTokenCounts(spread(docs(s, d)),
         bpeMergesCached(s, d).map(m => (m._2, m._3)))
     },
