@@ -103,6 +103,45 @@ object Prep {
                             watermarkDelay: String): DataFrame =
     windowedTermCounts(stream.withWatermark("ts", watermarkDelay), windowDur)
 
+  /** Per-(event-time window, source) corpus statistics the epoch planner
+    * consumes: doc count, the scaled-int mean quality (bit-identical to
+    * [[mixtureWeightsCore]]'s convention — round(q*1e4) per doc, integer
+    * mean, /1e4), and available tokens. One doc-level pass — projection
+    * + one windowed aggregate with map-side partials; batch or stream
+    * (stream callers go through [[windowedSourceStatsStream]] for the
+    * watermark).
+    */
+  def windowedSourceStats(frame: DataFrame, windowDur: String): DataFrame = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+      (lit(0.5) +
+        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+          size(tok)), 4)
+    frame
+      .filter(col("source").isNotNull)
+      .select(col("ts"), col("source"), quality.as("q"),
+              size(tok).cast("long").as("nt"))
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(round(col("q") * 10000, 0).cast("long")).as("qs"),
+           sum("nt").cast("long").as("avail_tokens"))
+      .select((unix_micros(col("window.start")) / 1000L).cast("long").as("win_ms"),
+              col("source"), col("n_docs"),
+              (floor(col("qs") / col("n_docs") + lit(0.5)) / lit(10000.0))
+                .as("mean_quality"),
+              col("avail_tokens"))
+  }
+
+  /** [[windowedSourceStats]] under a watermark — append mode emits each
+    * closed (window, source) stats row exactly once (the
+    * [[driftTermCountsStream]] contract; state is bounded by live
+    * windows x sources).
+    */
+  def windowedSourceStatsStream(stream: DataFrame, windowDur: String,
+                                watermarkDelay: String): DataFrame =
+    windowedSourceStats(stream.withWatermark("ts", watermarkDelay), windowDur)
+
   /** KL drift of each (window, source) slice against the CORPUS
     * reference distribution (add-one smoothed over the corpus
     * vocabulary, the DSIR convention — a window term the corpus has
@@ -208,6 +247,49 @@ object Prep {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
             .parquet(reportDir)
+      }
+      .start()
+
+  /** The DoReMi-style decision step the drift monitor feeds: per CLOSED
+    * event-time window, an executable epoch plan — [[windowedSourceStats]]
+    * under the same watermark/window geometry as [[startDriftMonitor]],
+    * each closed batch joined to the monitor's landed KL reports at
+    * `reportDir` and pushed through [[epochPlanCore]], landing one
+    * (win_ms, source) plan row set per window at `planDir` (parquet,
+    * epoch-partitioned, idempotent replay via dynamic partition
+    * overwrite — the startCurationIngest convention).
+    *
+    * Run ORDER is the contract: start/await the drift monitor on the
+    * feed first, then this planner on the same feed — both streams close
+    * the same window set (same watermark rule over the same data), so
+    * every stats window finds its KL row; a window absent from
+    * `reportDir` (e.g. the monitor never ran on that span) is dropped by
+    * the inner join rather than planned blind. EpochPlanStreamSpec pins
+    * landed plans == the batch composition (stats + driftReport KL +
+    * epochPlanCore) on every closed window.
+    */
+  def startEpochPlanner(docsStream: DataFrame, s: SparkSession, d: String,
+                        reportDir: String, planDir: String,
+                        checkpointDir: String,
+                        windowDur: String = "1 hour",
+                        watermarkDelay: String = "0 seconds",
+                        budget: Long = EpochBudget)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    windowedSourceStatsStream(docsStream, windowDur, watermarkDelay).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val kl = s.read.parquet(reportDir).select("win_ms", "source", "kl")
+          epochPlanCore(batch.join(kl, Seq("win_ms", "source")),
+                        budget, MaxEpochs, groupCols = Seq("win_ms"))
+            .withColumn("epoch", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(planDir)
+        }
       }
       .start()
 
@@ -722,6 +804,45 @@ object Prep {
       .withColumn("w_int",
         floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
               + 0.5).cast("long"))
+  }
+
+  /** The epoch-plan allocation algebra, shared by batch q136 (corpus
+    * statistics, one global plan) and the per-window planner
+    * (q138 / [[startEpochPlanner]]): given per-(group, source)
+    * statistics (mean_quality, kl, avail_tokens), derive the mixture
+    * weight w_int = floor(mean_quality / (1 + kl) * 1e8 + 0.5), the
+    * exact integer budget split (budget * w_int DIV group-total — the
+    * q109 integral-DIV convention), the [[MaxEpochs]] repeat cap,
+    * realized epochs (the only division, 4dp), and the capped flag.
+    * `groupCols` empty = one global plan; otherwise one plan per group
+    * (e.g. win_ms). The per-group weight-total table is group-bounded
+    * (sources x windows — tiny), so broadcast is the right side here,
+    * unlike the vocabulary joins.
+    */
+  def epochPlanCore(stats: DataFrame, budget: Long = EpochBudget,
+                    maxEpochs: Long = MaxEpochs,
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    val w = stats.withColumn("w_int",
+      floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
+            + 0.5).cast("long"))
+    val keyed =
+      if (groupCols.isEmpty)
+        w.crossJoin(broadcast(w.agg(sum("w_int").as("tw"))))
+      else
+        w.join(broadcast(w.groupBy(groupCols.map(col): _*)
+                 .agg(sum("w_int").as("tw"))),
+               groupCols)
+    val planned = least(col("target_tokens"),
+                        lit(maxEpochs) * col("avail_tokens"))
+    keyed
+      .withColumn("target_tokens",
+        expr(s"CAST(($budget * w_int) DIV tw AS BIGINT)"))
+      .select(groupCols.map(col) ++ Seq(
+        col("source"), col("avail_tokens"), col("target_tokens"),
+        planned.cast("long").as("planned_tokens"),
+        round(planned.cast("double") / col("avail_tokens"), 4).as("epochs"),
+        when(col("target_tokens") > lit(maxEpochs) * col("avail_tokens"), 1L)
+          .otherwise(0L).as("capped")): _*)
   }
 
   /** q135 geometry: shard count for the training-loader layout, and the
@@ -1315,23 +1436,89 @@ object Prep {
         |  CAST(CASE WHEN target_tokens > 4 * avail_tokens THEN 1 ELSE 0 END
         |    AS BIGINT) AS capped
         |FROM plan ORDER BY source""".stripMargin) { (s, d) =>
-      val w = mixtureWeightsCore(s, d)
-      val tw = w.agg(sum("w_int").as("tw"))
       val avail = spread(docs(s, d))
         .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
         .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
-      w.crossJoin(broadcast(tw))
-        .join(avail, "source")
-        .withColumn("target_tokens",
-          expr(s"CAST(($EpochBudget * w_int) DIV tw AS BIGINT)"))
-        .select(col("source"), col("avail_tokens"), col("target_tokens"),
-          least(col("target_tokens"), lit(MaxEpochs) * col("avail_tokens"))
-            .cast("long").as("planned_tokens"),
-          round(least(col("target_tokens"), lit(MaxEpochs) * col("avail_tokens"))
-            .cast("double") / col("avail_tokens"), 4).as("epochs"),
-          when(col("target_tokens") > lit(MaxEpochs) * col("avail_tokens"), 1L)
-            .otherwise(0L).as("capped"))
+      epochPlanCore(mixtureWeightsCore(s, d)
+          .select("source", "mean_quality", "kl")
+          .join(avail, "source"))
         .orderBy("source")
+    },
+
+    Q("q138_windowed_epoch_plan",
+      "Per-window epoch plan — the DoReMi-style decision artifact the " +
+        "drift monitor feeds (batch form of startEpochPlanner): per " +
+        "(hourly event-time window, source), q136's allocation algebra " +
+        "applied to the WINDOW's own statistics — scaled-int mean " +
+        "quality and available tokens (windowedSourceStats) weighted " +
+        "against q124's per-window KL drift — so each closed crawl " +
+        "window yields an executable (target, planned, epochs, capped) " +
+        "sampling plan instead of a diagnostic. Event times derive " +
+        "from doc_id (one doc per minute, the q124 convention). Scale " +
+        "shape: one doc-level windowed pass + q124's token pass; " +
+        "everything after is per-(window, source) bounded algebra; the " +
+        "per-window weight totals broadcast (group-bounded, unlike " +
+        "vocabulary tables). EpochPlanStreamSpec pins the streamed " +
+        "planner's landed plans to this composition on closed windows.",
+      """WITH t AS (SELECT doc_id, source,
+        |    TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+        |    text, string_split(text, ' ') AS tok FROM documents),
+        |tokx AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |           source, unnest(tok) AS term FROM t),
+        |wt AS (SELECT win_ms, source, term, CAST(count(*) AS BIGINT) AS n_wt
+        |       FROM tokx GROUP BY 1, 2, 3),
+        |ws AS (SELECT win_ms, source, CAST(sum(n_wt) AS BIGINT) AS n_ws
+        |       FROM wt GROUP BY 1, 2),
+        |ref AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |              FROM documents) u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS v FROM ref),
+        |contrib AS (SELECT wt.win_ms, wt.source,
+        |   CAST(floor((CAST(n_wt AS DOUBLE) / n_ws) *
+        |              ln((CAST(n_wt AS DOUBLE) / n_ws) /
+        |                 (CAST(COALESCE(n_t, 0) + 1 AS DOUBLE) / (n + v)))
+        |              * 100000000 + 0.5) AS BIGINT) AS c
+        | FROM wt JOIN ws USING (win_ms, source)
+        | LEFT JOIN ref USING (term) CROSS JOIN tot),
+        |klw AS (SELECT win_ms, source, round(sum(c) / 100000000.0, 4) AS kl
+        |        FROM contrib GROUP BY 1, 2),
+        |stats AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |    source,
+        |    CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |      AS DOUBLE) AS mean_quality,
+        |    CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT s2.win_ms, s2.source, s2.avail_tokens,
+        |        CAST(floor(s2.mean_quality / (1 + k.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM stats s2 JOIN klw k USING (win_ms, source)),
+        |tw AS (SELECT win_ms, CAST(sum(w_int) AS BIGINT) AS tw
+        |       FROM w GROUP BY 1),
+        |plan AS (SELECT w.win_ms, w.source, w.avail_tokens,
+        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |         FROM w JOIN tw USING (win_ms))
+        |SELECT win_ms, source, avail_tokens, target_tokens,
+        |  CAST(least(target_tokens, 4 * avail_tokens) AS BIGINT)
+        |    AS planned_tokens,
+        |  round(CAST(least(target_tokens, 4 * avail_tokens) AS DOUBLE)
+        |        / avail_tokens, 4) AS epochs,
+        |  CAST(CASE WHEN target_tokens > 4 * avail_tokens THEN 1 ELSE 0 END
+        |    AS BIGINT) AS capped
+        |FROM plan ORDER BY win_ms, source""".stripMargin) { (s, d) =>
+      val framed = spread(docs(s, d)).select(
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
+          .as("ts"),
+        col("source"), col("text"))
+      val kl = driftReport(windowedTermCounts(framed, "1 hour"), s, d)
+        .select("win_ms", "source", "kl")
+      epochPlanCore(
+        windowedSourceStats(framed, "1 hour").join(kl, Seq("win_ms", "source")),
+        groupCols = Seq("win_ms"))
+        .orderBy("win_ms", "source")
     },
 
     Q("q124_source_drift_windows",
