@@ -224,22 +224,108 @@ object TrainingData {
     transform(vecd(c), x => x / n)
   }
 
+  /** PQ codebook training-sample ceiling. The codebook fit is statistical
+    * (PqK centroids per PqSub-dim subspace), so a bounded deterministic
+    * sample fits it as well as the full corpus (the q132 teacher-sample
+    * pattern) while making the COLD build corpus-size-independent: PqM
+    * driver-side Lloyd fits over <=PqFitSample tiny points replace PqM
+    * distributed KMeans runs whose per-iteration job scheduling dominated
+    * the cold cost (driver-measured 67.7 s at sf0.1). Sample order is
+    * xxhash64(vec_id) with a vec_id tie-break — content-free and
+    * reproducible on any cluster/partitioning (TakeOrdered plan, no full
+    * sort) — and the local fit is seeded kmeans++ with fixed-iteration
+    * Lloyd, so refits on unchanged data are byte-stable (PqIndexSpec).
+    * The corpus ENCODE pass stays distributed (pq_encode projection).
+    */
+  val PqFitSample = 16384
+  val PqFitIters = 20
+
+  /** Seeded kmeans++ init + fixed-iteration Lloyd over driver-resident
+    * points. An emptied cluster keeps its previous center (deterministic,
+    * no RNG draw mid-iteration); with n <= k every point is its own
+    * center, extras stay at the seeded picks.
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.ofDim[Double](k, dim)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < n) {
+        d2(i) = math.min(d2(i), dist2(points(i), centers(c - 1))); i += 1
+      }
+      val tot = d2.sum
+      val pick =
+        if (tot <= 0) rnd.nextInt(n)
+        else {
+          var r = rnd.nextDouble() * tot; var j = 0
+          while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+          j
+        }
+      centers(c) = points(pick).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          val dd = dist2(points(i), centers(j))
+          if (dd < bd) { bd = dd; best = j }
+          j += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Long](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnt(a) += 1
+        var t = 0
+        while (t < dim) { sums(a)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (cnt(j) > 0) {
+          var t = 0
+          while (t < dim) { centers(j)(t) = sums(j)(t) / cnt(j); t += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   private def fitPq(s: SparkSession, d: String): (Array[Array[Double]], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     pqFits.incrementAndGet()
     val e = embs(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"),
                               normed(col("embedding")).as("vn"))
+    val sample = e
+      .select(col("vn"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(PqFitSample)
+      .select("vn").collect()
+      .map(_.getSeq[Double](0).toArray)
     val cb = (0 until PqM).map { j =>
-      val sliced = e.withColumn(
-        "features", array_to_vector(slice(col("vn"), j * PqSub + 1, PqSub)))
-      val model = new KMeans().setK(PqK).setSeed(42L + j)
-        .setFeaturesCol("features").fit(sliced)
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * PqSub, (j + 1) * PqSub))
+      val centers = localKMeans(pts, PqK, PqFitIters, 42L + j)
       val flat = new Array[Double](PqK * PqSub)
-      model.clusterCenters.zipWithIndex.foreach { case (cvec, c) =>
-        val arr = cvec.toArray
-        var t = 0
-        while (t < PqSub) { flat(c * PqSub + t) = arr(t); t += 1 }
+      centers.zipWithIndex.foreach { case (cvec, ci) =>
+        System.arraycopy(cvec, 0, flat, ci * PqSub, PqSub)
       }
       flat
     }.toArray
