@@ -36,10 +36,20 @@ private[operators] object BpeOracle {
     */
   def ctes(k: Int): String = {
     val sb = new StringBuilder
+    // PRECONDITION (verified clean on current testdata, asserted here so a
+    // regenerated corpus can't silently break parity): no word may contain
+    // chr(31) — it IS the symbol sentinel, a literal one collides with the
+    // wrapping — or chr(10) — RE2's '(.)' skips \n, leaving it unwrapped.
+    // The CASE makes DuckDB raise via error() instead of hash-mismatching.
     sb.append(s"""words AS MATERIALIZED (
-      |  SELECT w, CAST(count(*) AS BIGINT) AS wc
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
-      |  WHERE w <> '' GROUP BY w),
+      |  SELECT CASE WHEN strpos(w, $S) > 0 OR strpos(w, chr(10)) > 0
+      |              THEN error('BPE oracle precondition: corpus word ' ||
+      |                         'contains chr(31) or newline')
+      |              ELSE w END AS w, wc
+      |  FROM (
+      |    SELECT w, CAST(count(*) AS BIGINT) AS wc
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+      |    WHERE w <> '' GROUP BY w) g),
       |v0 AS MATERIALIZED (
       |  SELECT w, regexp_replace(w, '(.)', $S || '\\1' || $S, 'g') AS s, wc
       |  FROM words)""".stripMargin)

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   * per-pair or per-vocabulary state on the driver.
   */
 object Prep {
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.Prep")
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def tokens(c: Column): Column = split(c, " ")
@@ -281,14 +282,40 @@ object Prep {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val kl = s.read.parquet(reportDir).select("win_ms", "source", "kl")
-          epochPlanCore(batch.join(kl, Seq("win_ms", "source")),
-                        budget, MaxEpochs, groupCols = Seq("win_ms"))
-            .withColumn("epoch", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(planDir)
+          // reportDir may not exist yet (monitor not started / no closed
+          // window landed): reading it would kill the stream with an
+          // AnalysisException, and because append-mode emits each closed
+          // window exactly once, every window in THIS batch would be
+          // silently lost. Skip the batch loudly instead — AvailableNow
+          // replays it on the next planner run once reports exist.
+          val reportsReady = {
+            val p = new org.apache.hadoop.fs.Path(reportDir)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.exists(p)
+          }
+          if (!reportsReady) {
+            logger.warn(
+              s"epoch planner: no drift reports at $reportDir yet; " +
+              s"skipping batch $id (windows will NOT be planned — start " +
+              "the drift monitor first, then re-run the planner)")
+          } else {
+            val kl = s.read.parquet(reportDir).select("win_ms", "source", "kl")
+            val joined = batch.join(kl, Seq("win_ms", "source"))
+            epochPlanCore(joined, budget, MaxEpochs, groupCols = Seq("win_ms"))
+              .withColumn("epoch", lit(id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("epoch")
+              .parquet(planDir)
+            // run-order mistakes drop windows via the inner join; make
+            // that visible (cheap: batch is one closed window set)
+            val dropped = batch.select("win_ms", "source").distinct()
+              .join(kl.select("win_ms", "source").distinct(),
+                    Seq("win_ms", "source"), "left_anti").count()
+            if (dropped > 0) logger.warn(
+              s"epoch planner: $dropped (win_ms, source) stats rows had no " +
+              s"KL report in $reportDir and were dropped from batch $id")
+          }
         }
       }
       .start()

@@ -247,6 +247,9 @@ object TrainingData {
     */
   private def localKMeans(points: Array[Array[Double]], k: Int, iters: Int,
                           seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty,
+      "localKMeans: empty point set — is the embeddings table empty?")
+    require(k > 0 && iters > 0, s"localKMeans: need k > 0, iters > 0 (k=$k)")
     val n = points.length
     val dim = points(0).length
     def dist2(a: Array[Double], b: Array[Double]): Double = {
@@ -319,6 +322,8 @@ object TrainingData {
       .orderBy(col("h"), col("vec_id")).limit(PqFitSample)
       .select("vn").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"fitPq: embeddings table at $d is empty — cannot fit a PQ codebook")
     val cb = (0 until PqM).map { j =>
       val pts = sample.map(v =>
         java.util.Arrays.copyOfRange(v, j * PqSub, (j + 1) * PqSub))

@@ -536,6 +536,53 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q134 must not broadcast the corpus-row-sized span table:\n$p")
   }
 
+  test("q137: vocab join shuffles (never broadcast), corpus tokenizes once") {
+    // the word->ids table is vocabulary-sized — an open-web vocabulary
+    // must never plan broadcast (the q112/q119 OOM-at-scale hazard); the
+    // shuffle_hash hint forces it onto the shuffle path, and AQE must not
+    // override it at toy scale
+    val df = SparkEntry.queries("q137_packed_token_ids")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val wJoins = p.linesIterator.filter(l =>
+      l.contains("HashJoin [w#")).toSeq
+    assert(wJoins.nonEmpty, s"q137 lost its word->ids join:\n$p")
+    assert(wJoins.forall(_.contains("ShuffledHashJoin")),
+           s"q137 vocab join must never broadcast:\n${wJoins.mkString("\n")}")
+    // single-tokenize-pass: the packing chain explodes tokens a bounded
+    // number of times and scans the corpus a bounded number of times in
+    // the FINAL adaptive plan (regression = a branch falling out of
+    // canonical equality and re-tokenizing; the q122 38->20 lesson)
+    assert("Generate ".r.findAllIn(p).length <= 4,
+           s"q137 grew an extra tokenize/explode pass:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 5,
+           s"q137 grew an extra corpus scan:\n$p")
+  }
+
+  test("q138: broadcasts only group-bounded per-window tables; term join shuffles") {
+    // per-window weight totals are bounded by the (window, source) group
+    // count — the RIGHT side to broadcast; the (window, term) vocabulary
+    // table is NOT bounded and must stay on the shuffle path
+    val df = SparkEntry.queries("q138_windowed_epoch_plan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val termBroadcast = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("term#")).toSeq
+    assert(termBroadcast.isEmpty,
+           s"q138 term join must never broadcast:\n${termBroadcast.mkString("\n")}")
+    assert(p.linesIterator.exists(l =>
+             l.contains("ShuffledHashJoin") && l.contains("term#")),
+           s"q138 lost its shuffled term join:\n$p")
+    val broadcasts = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(broadcasts.nonEmpty, s"q138 lost its weight-total broadcasts:\n$p")
+    assert(broadcasts.forall(_.contains("win_ms#")),
+           "q138 must broadcast only window-keyed (group-bounded) tables:\n" +
+             broadcasts.mkString("\n"))
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
