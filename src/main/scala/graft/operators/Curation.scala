@@ -399,6 +399,72 @@ object Curation {
     packedTokenIds(s, d, splitBudget)
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Per-document token-ID sequences under the corpus-learned BPE
+    * vocabulary — q137's ID assembly at DOC granularity, BATCH OR STREAM
+    * micro-batch: each doc's words map to subword-ID arrays
+    * ([[Prep.wordIdsFor]] over THIS frame's distinct words, so a crawl
+    * batch's novel words tokenize under the same persisted merges) and
+    * concatenate in word order with the id-0 separator. This is exactly
+    * the per-doc piece [[packedTokenIds]]'s bins concatenate — the
+    * at-ingest artifact that lets the crawl path land tokenized shards
+    * without a batch re-pass. Scale shape: the word->ids table is
+    * batch-vocabulary-sized and joins on the shuffle path (shuffle_hash);
+    * the regroup is per-doc (bounded by doc length); order restores via
+    * sort_array over carried positions, never collect_list arrival order.
+    */
+  def tokenizedDocs(docFrame: org.apache.spark.sql.DataFrame,
+                    s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val words = docFrame
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val wids = Prep.wordIdsFor(words, s, d).hint("shuffle_hash")
+    docFrame
+      .select(col("split"), col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(wids, "w")
+      .groupBy("split", "doc_id")
+      .agg(flatten(transform(
+             sort_array(collect_list(struct(col("pos"), col("ids")))),
+             x => concat(array(lit(0L)), x.getField("ids")))).as("ids0"))
+      .select(col("split"), col("doc_id"),
+              expr("slice(ids0, 2, size(ids0) - 1)").as("ids"))
+      .select(col("split"), col("doc_id"),
+              size(col("ids")).cast("long").as("n_ids"),
+              md5(array_join(transform(col("ids"), i => i.cast("string")), " ")
+                .cast("binary")).as("ids_md5"),
+              col("ids"))
+  }
+
+  /** Streaming token-ID export — [[ingestStream]]'s keepers landing as
+    * TOKENIZED shards directly (the at-ingest analogue of
+    * [[exportPackedTokenIds]]): each micro-batch runs [[tokenizedDocs]]
+    * against the PERSISTED corpus merges (no refit — the BPE cache is the
+    * stream-static artifact, like the Bloom/band indexes) and writes
+    * epoch/split-partitioned parquet with dynamic overwrite, so a
+    * replayed epoch overwrites exactly its own output (the
+    * [[startCurationIngest]] exactly-once convention). TokenIdStreamSpec
+    * pins streamed shards == the batch spelling on the same corpus.
+    */
+  def startTokenIdIngest(docsStream: org.apache.spark.sql.DataFrame,
+                         s: SparkSession, d: String,
+                         outDir: String, checkpointDir: String,
+                         horizon: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStream(docsStream, horizon).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        tokenizedDocs(batch, s, d)
+          .withColumn("epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "split")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Terminal sink of the training-set path: materialize the
     * [[trainingSetVerdict]] keepers with text joined back, parquet
     * partitioned by split and carrying the packing span — the directory
@@ -493,16 +559,27 @@ object Curation {
   def ingestStream(docs: org.apache.spark.sql.DataFrame,
                    horizon: String = "1 hour",
                    redactPii: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val stopArr = array(TrainingData.enStop.map(lit): _*)
-    val tok = split(col("text"), " ")
-    val h = substring(md5(col("text")), 1, 1)
     val base =
       if (redactPii) docs.withColumn("text", Prep.redactPii(col("text")))
       else docs
-    base
-      .withColumn("content_hash", md5(col("text")))
-      .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("content_hash")
+    ingestVerdict(
+      base
+        .withColumn("content_hash", md5(col("text")))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("content_hash"))
+  }
+
+  /** The STATELESS part of [[ingestStream]]'s verdict (quality score,
+    * deterministic split, keep filter) — pure per-row projections shared
+    * verbatim between the stream and any batch replay of it, so
+    * stream==batch specs compare against THIS, not a re-spelling.
+    */
+  private[operators] def ingestVerdict(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val h = substring(md5(col("text")), 1, 1)
+    df
       .withColumn("quality",
         round(least(lit(1.0), size(tok) / lit(64.0)) *
               (lit(0.5) +
@@ -993,6 +1070,49 @@ object Curation {
         |  md5(array_to_string(ids, ' ')) AS ids_md5
         |FROM binids""".stripMargin) { (s, d) =>
       packedTokenIds(s, d).drop("ids")
+    },
+
+    Q("q140_tokenized_docs",
+      "Per-document token-ID export — the at-ingest tokenization " +
+        "artifact in batch form: every doc passing the ingest verdict " +
+        "(quality >= 0.5, deterministic split) as its subword-ID " +
+        "sequence under the q131-learned vocabulary, words joined by " +
+        "the id-0 separator in document order. This is the per-doc " +
+        "piece q137's bins concatenate, and exactly what " +
+        "startTokenIdIngest lands per micro-batch (TokenIdStreamSpec " +
+        "pins stream == this). The DuckDB oracle re-learns the merges, " +
+        "re-derives the vocabulary, and re-assembles each doc's ID " +
+        "stream independently. Scale shape: vocabulary-sized word->ids " +
+        "join on the shuffle path; per-doc regroup bounded by doc " +
+        "length; zero corpus-sized windows.",
+      s"""WITH RECURSIVE ${BpeOracle.ctes(Prep.BpeK)},
+        |${BpeOracle.idCtes(Prep.BpeK)},
+        |verdict AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |      round(least(1.0, len(string_split(text, ' ')) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(string_split(text, ' '),
+        |           x -> x IN ('the','a','an','and','or','of','to','in',
+        |                      'is','it'))) AS DOUBLE)
+        |         / len(string_split(text, ' '))), 4) AS quality
+        |    FROM documents) v
+        |  WHERE quality >= 0.5),
+        |dw AS (SELECT doc_id, split, unnest(string_split(text, ' ')) AS w,
+        |           unnest(range(1, len(string_split(text, ' ')) + 1)) AS j
+        |       FROM verdict),
+        |dids AS (SELECT doc_id, split, j, ids
+        |         FROM (SELECT * FROM dw WHERE w <> '') dwx
+        |         JOIN wids USING (w)),
+        |docids AS (SELECT split, doc_id,
+        |    flatten(array_agg(list_prepend(CAST(0 AS BIGINT), ids)
+        |                      ORDER BY j))[2:] AS ids
+        |  FROM dids GROUP BY 1, 2)
+        |SELECT split, doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+        |  md5(array_to_string(ids, ' ')) AS ids_md5
+        |FROM docids""".stripMargin) { (s, d) =>
+      tokenizedDocs(ingestVerdict(docs(s, d)), s, d).drop("ids")
     },
 
     Q("q74_normalize",

@@ -669,13 +669,25 @@ object Prep {
     * sized: callers joining it to corpus-sized frames hint shuffle_hash
     * (the q112 no-broadcast-vocabulary convention).
     */
-  def wordTokenIds(s: SparkSession, d: String): DataFrame = {
+  def wordTokenIds(s: SparkSession, d: String): DataFrame =
+    wordIdsFor(
+      spread(docs(s, d))
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct(),
+      s, d)
+
+  /** [[wordTokenIds]]'s body over ANY distinct-word frame `words(w)` —
+    * the cached corpus merges and vocabulary apply to words the corpus
+    * never saw (a crawl stream's novel words), producing exactly the IDs
+    * the corpus tokenizer would assign them. A symbol outside the corpus
+    * ALPHABET has no id (closed-alphabet contract): its slot surfaces as
+    * null in `ids` rather than a silent wrong id — callers route such
+    * docs to a byte-fallback or quarantine per policy.
+    */
+  def wordIdsFor(words: DataFrame, s: SparkSession, d: String): DataFrame = {
     val merges = bpeMergesCached(s, d)
     val symMap = map(tokenVocab(s, d).toSeq.sortBy(_._1).flatMap {
       case (sym, id) => Seq(lit(sym), lit(id)) }: _*)
-    val words = spread(docs(s, d))
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0).distinct()
     merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
         (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._2, m._3)))
       .select(col("w"),
@@ -1546,6 +1558,120 @@ object Prep {
         windowedSourceStats(framed, "1 hour").join(kl, Seq("win_ms", "source")),
         groupCols = Seq("win_ms"))
         .orderBy("win_ms", "source")
+    },
+
+    Q("q139_epoch_plan_execute",
+      "EXECUTE the epoch plan — q136's (source, planned_tokens) grant " +
+        "turned into the actual sampled training stream a data loader " +
+        "consumes. Each source's grant decomposes exactly: full_epochs " +
+        "= planned DIV avail integral corpus repeats, plus ONE " +
+        "fractional pass where a doc is kept iff its content-hash " +
+        "uniform (q87's 24-bit md5 prefix) falls under the remainder " +
+        "rate (planned MOD avail) / avail — the q77 cutoff trick, so " +
+        "the realized stream is deterministic across runs, engines, " +
+        "and partitionings with expected tokens = planned_tokens. " +
+        "Output: the per-(source, epoch) manifest — doc count, token " +
+        "count, and an order-free digest of the epoch's doc set (the " +
+        "shard-manifest identity a trainer checksums). Scale shape: " +
+        "the plan table is source-bounded and BROADCASTS (the right " +
+        "side, unlike vocabularies); every doc then decides its own " +
+        "epochs from its own bytes — zero extra shuffles beyond the " +
+        "final bounded (source, epoch) aggregate; the epoch explode " +
+        "fans out at most MaxEpochs+1 rows per doc.",
+      """WITH t AS (SELECT doc_id, source, text,
+        |             string_split(text, ' ') AS tok FROM documents),
+        |q AS (SELECT source,
+        |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |    AS DOUBLE) AS mean_quality,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY 1),
+        |tok2 AS (SELECT source, unnest(tok) AS term FROM t),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+        |       FROM tok2 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+        |contrib AS (SELECT st.source,
+        |   CAST(floor((CAST(n_st AS DOUBLE) / n_s) *
+        |              ln((CAST(n_st AS DOUBLE) * n) /
+        |                 (CAST(n_s AS DOUBLE) * n_t)) * 100000000 + 0.5)
+        |        AS BIGINT) AS c
+        | FROM st JOIN s USING (source) JOIN ct USING (term) CROSS JOIN tot),
+        |kl AS (SELECT source, round(sum(c) / 100000000.0, 4) AS kl
+        |       FROM contrib GROUP BY 1),
+        |w AS (SELECT q.source, q.mean_quality, kl.kl,
+        |        CAST(floor(q.mean_quality / (1 + kl.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM q JOIN kl USING (source)),
+        |tw AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM w),
+        |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
+        |          FROM t GROUP BY 1),
+        |plan AS (SELECT w.source, avail.avail_tokens,
+        |           CAST(least((100000 * w.w_int) // tw.tw,
+        |                      4 * avail.avail_tokens) AS BIGINT)
+        |             AS planned_tokens
+        |         FROM w CROSS JOIN tw JOIN avail USING (source)),
+        |exec AS (SELECT source,
+        |    planned_tokens // avail_tokens AS full_epochs,
+        |    CAST(planned_tokens % avail_tokens AS DOUBLE) / avail_tokens
+        |      AS rate
+        |  FROM plan),
+        |docu AS (SELECT doc_id, source, len(tok) AS n_tokens,
+        |    list_reduce(list_transform(string_split(substr(md5(text), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM t),
+        |keep AS (SELECT d2.source, d2.doc_id, d2.n_tokens,
+        |    e.full_epochs + CASE WHEN d2.u < e.rate THEN 1 ELSE 0 END
+        |      AS n_epochs
+        |  FROM docu d2 JOIN exec e USING (source)),
+        |ex AS (SELECT source, doc_id, n_tokens,
+        |    unnest(range(1, n_epochs + 1)) AS epoch
+        |  FROM keep WHERE n_epochs > 0)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ' '
+        |      ORDER BY CAST(doc_id AS VARCHAR))) AS doc_digest
+        |FROM ex GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin) { (s, d) =>
+      val avail = spread(docs(s, d))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
+      // planned DIV avail full repeats + remainder-rate fractional pass:
+      // exact integer decomposition of the grant (planned = full * avail
+      // + rate * avail), so expected realized tokens == planned_tokens
+      val plan = epochPlanCore(mixtureWeightsCore(s, d)
+          .select("source", "mean_quality", "kl")
+          .join(avail, "source"))
+        .select(col("source"),
+                expr("planned_tokens DIV avail_tokens").as("full_epochs"),
+                ((col("planned_tokens") % col("avail_tokens")).cast("double")
+                  / col("avail_tokens")).as("rate"))
+      // q87's 24-bit md5 prefix as an exact dyadic fraction — the
+      // fractional-epoch membership decision is per-row, content-driven,
+      // reproducible on any engine
+      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
+        lit(16777216.0)
+      spread(docs(s, d))
+        .select(col("doc_id"), col("source"),
+                size(tokens(col("text"))).cast("long").as("n_tokens"),
+                u.as("u"))
+        .join(broadcast(plan), "source")
+        .withColumn("n_epochs",
+          col("full_epochs") + (col("u") < col("rate")).cast("long"))
+        .filter(col("n_epochs") > 0)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+                explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum("n_tokens").cast("long").as("n_tokens"),
+             md5(array_join(
+                   sort_array(collect_list(col("doc_id").cast("string"))),
+                   " ").cast("binary")).as("doc_digest"))
+        .orderBy("source", "epoch")
     },
 
     Q("q124_source_drift_windows",

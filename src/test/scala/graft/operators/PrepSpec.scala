@@ -263,6 +263,48 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getString(3) === md5hex(""))
   }
 
+  test("q139: full epochs are exact corpus copies; fractional epoch is a strict subset") {
+    // the grant decomposes as planned = full * avail + rate * avail —
+    // epochs 1..full must replicate the ENTIRE source (same doc count,
+    // same token total, same digest as epoch 1) and the one fractional
+    // epoch, if present, must be a proper hash-selected subset
+    val plan = q("q136_epoch_plan").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val sourceStats = graft.Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(count(lit(1)).as("nd"), sum("nt").as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = q("q139_epoch_plan_execute").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+    assert(rows.nonEmpty)
+    for ((src, epochs) <- rows.groupBy(_._1)) {
+      val (avail, planned) = plan(src)
+      val (nDocs, nTok) = sourceStats(src)
+      val full = planned / avail
+      val sorted = epochs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq,
+             s"$src epochs not dense from 1")
+      val (fullRows, partRows) = sorted.partition(_._2 <= full)
+      for ((_, _, d, t, dg) <- fullRows) {
+        assert(d === nDocs, s"$src full epoch is not a whole corpus copy")
+        assert(t === nTok)
+        assert(dg === fullRows.head._5, s"$src full-epoch digests differ")
+      }
+      assert(partRows.length <= 1, s"$src more than one fractional epoch")
+      for ((_, _, d, t, _) <- partRows) {
+        assert(d < nDocs && t < nTok,
+               s"$src fractional epoch must be a proper subset")
+      }
+      // realized tokens track the grant: full part is exact, the sampled
+      // remainder concentrates around rate*avail (loose 3-sigma-ish bound)
+      val realized = sorted.map(_._4).sum
+      val slack = math.max(600L, planned - full * avail)
+      assert(math.abs(realized - planned) <= slack,
+             s"$src realized $realized vs planned $planned (slack $slack)")
+    }
+  }
+
   test("q135: shard positions are a dense bijection, stable across partitionings") {
     val a = q("q135_shard_shuffle").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
