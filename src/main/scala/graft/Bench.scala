@@ -101,7 +101,12 @@ object Bench {
       "q118_semdedup", "q122_training_set",
       // q131 trains the BPE merge list; q133 serves from the same cache;
       // q132 fits its distilled model once per (session, corpus)
-      "q131_bpe_merges", "q133_bpe_apply", "q132_quality_distill")
+      "q131_bpe_merges", "q133_bpe_apply", "q132_quality_distill",
+      // the terminal compositions share the BPE merge cache (q137/q140)
+      // and the pair graph behind curate (q137); q138/q139 build the
+      // corpus reference-distribution stats once per session
+      "q137_packed_token_ids", "q138_windowed_epoch_plan",
+      "q139_epoch_plan_execute", "q140_tokenized_docs")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

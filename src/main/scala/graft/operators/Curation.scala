@@ -314,13 +314,32 @@ object Curation {
     * independent spelling of the same assembly.
     */
   def packedSequences(s: SparkSession, d: String,
-                      splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+                      splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame =
+    packedPieces(s, d, splitBudget).groupBy("split", "bin")
+      .agg(flatten(transform(
+             sort_array(collect_list(struct(col("p_start"), col("piece")))),
+             x => x.getField("piece"))).as("tokens"))
+      .select(col("split"), col("bin").cast("long").as("bin"),
+              size(col("tokens")).cast("long").as("n_tokens"),
+              md5(array_join(col("tokens"), " ").cast("binary"))
+                .as("content_md5"),
+              col("tokens"))
+
+  /** The bin-sliced piece stream the packing assemblies share:
+    * (split, bin, p_start, piece) — every budget-selected doc sliced
+    * along its bin boundaries. [[packedSequences]] reassembles TEXT bins
+    * from it; [[packedTokenIds]] explodes it to words and reassembles ID
+    * bins DIRECTLY (one (split, bin) aggregate, not a rebuild of the
+    * text bins first).
+    */
+  private def packedPieces(s: SparkSession, d: String,
+                           splitBudget: Long): org.apache.spark.sql.DataFrame = {
     val base = curate(s, d, withTokens = true)
       .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
     val b = Prep.PackBudget
     val off = selectedOffsets(base, splitBudget)
       .withColumn("start_off", col("end_off") - col("n_tok"))
-    val pieces = off
+    off
       .join(docs(s, d).select("doc_id", "text"), "doc_id")
       .withColumn("tok", split(col("text"), " "))
       .withColumn("bin",
@@ -332,15 +351,6 @@ object Curation {
               slice(col("tok"),
                     (col("p_start") - col("start_off") + 1).cast("int"),
                     (col("p_end") - col("p_start")).cast("int")).as("piece"))
-    pieces.groupBy("split", "bin")
-      .agg(flatten(transform(
-             sort_array(collect_list(struct(col("p_start"), col("piece")))),
-             x => x.getField("piece"))).as("tokens"))
-      .select(col("split"), col("bin").cast("long").as("bin"),
-              size(col("tokens")).cast("long").as("n_tokens"),
-              md5(array_join(col("tokens"), " ").cast("binary"))
-                .as("content_md5"),
-              col("tokens"))
   }
 
   /** Write [[packedSequences]] split-partitioned — the shard directory a
@@ -364,22 +374,24 @@ object Curation {
     * own re-learned merges (BpeOracle) over the shared packing CTEs.
     * Scale shape: the word->ids table is vocabulary-sized and joins on
     * the shuffle path (shuffle_hash — an open-web vocabulary must never
-    * plan broadcast); regrouping is one (split, bin) shuffle with groups
-    * bounded at PackBudget words; in-bin order restores by sort_array
-    * over carried positions (never collect_list order).
+    * plan broadcast); the ID bins assemble DIRECTLY from the
+    * [[packedPieces]] stream (word order = (p_start, j), exactly the
+    * oracle's ORDER BY), so the chain runs ONE (split, bin) aggregate —
+    * not packedSequences' text assembly followed by a second rebuild;
+    * groups stay bounded at PackBudget words; in-bin order restores by
+    * sort_array over carried positions (never collect_list order).
     */
   def packedTokenIds(s: SparkSession, d: String,
                      splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
-    val packed = packedSequences(s, d, splitBudget)
-      .select(col("split"), col("bin"), col("tokens"))
     val wids = Prep.wordTokenIds(s, d).hint("shuffle_hash")
-    packed
-      .select(col("split"), col("bin"),
-              posexplode(col("tokens")).as(Seq("pos", "w")))
+    packedPieces(s, d, splitBudget)
+      .select(col("split"), col("bin"), col("p_start"),
+              posexplode(col("piece")).as(Seq("j", "w")))
       .join(wids, "w")
       .groupBy("split", "bin")
       .agg(flatten(transform(
-             sort_array(collect_list(struct(col("pos"), col("ids")))),
+             sort_array(collect_list(
+               struct(col("p_start"), col("j"), col("ids")))),
              x => concat(array(lit(0L)), x.getField("ids")))).as("ids0"))
       .select(col("split"), col("bin"),
               expr("slice(ids0, 2, size(ids0) - 1)").as("ids"))
