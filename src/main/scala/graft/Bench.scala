@@ -106,7 +106,8 @@ object Bench {
       // and the pair graph behind curate (q137); q138/q139 build the
       // corpus reference-distribution stats once per session
       "q137_packed_token_ids", "q138_windowed_epoch_plan",
-      "q139_epoch_plan_execute", "q140_tokenized_docs")
+      "q139_epoch_plan_execute", "q140_tokenized_docs",
+      "q141_windowed_plan_execute", "q142_training_order")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

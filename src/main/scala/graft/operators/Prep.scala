@@ -320,6 +320,96 @@ object Prep {
       }
       .start()
 
+  /** The plan-EXECUTION core shared by batch q141 and
+    * [[startPlanExecutor]]: given framed docs (ts, doc_id, source, text)
+    * and a per-(win_ms, source) plan carrying `full_epochs` and `rate`
+    * (q139's exact grant decomposition, windowed), emit the realized
+    * per-(win_ms, source, epoch) shard manifest. Every doc decides its
+    * own epochs from its own bytes (q87's 24-bit md5 uniform vs the
+    * remainder rate); the plan table is (windows x sources)-bounded and
+    * broadcasts; the final aggregate groups by the event-time window
+    * itself, so under a watermark the SAME plan closes windows in
+    * append mode (the stream form) and in batch collapses to a plain
+    * grouped aggregate.
+    */
+  def planExecuteCore(framed: DataFrame, plan: DataFrame,
+                      windowDur: String): DataFrame = {
+    val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
+    framed
+      .filter(col("source").isNotNull)
+      .select(col("ts"), col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"),
+              u.as("u"),
+              (unix_micros(window(col("ts"), windowDur).getField("start"))
+                / 1000L).cast("long").as("win_ms"))
+      .join(broadcast(plan), Seq("win_ms", "source"))
+      .withColumn("n_epochs",
+        col("full_epochs") + (col("u") < col("rate")).cast("long"))
+      .filter(col("n_epochs") > 0)
+      .select(col("ts"), col("source"), col("doc_id"), col("n_tokens"),
+              explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("epoch"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum("n_tokens").cast("long").as("n_tokens"),
+           md5(array_join(
+                 sort_array(collect_list(col("doc_id").cast("string"))),
+                 " ").cast("binary")).as("doc_digest"))
+      .select((unix_micros(col("window.start")) / 1000L).cast("long")
+                .as("win_ms"),
+              col("source"), col("epoch"), col("n_docs"), col("n_tokens"),
+              col("doc_digest"))
+  }
+
+  /** Read a landed plan dir ([[startEpochPlanner]]'s output schema) into
+    * the (win_ms, source, full_epochs, rate) execution table.
+    */
+  private def executionPlan(s: SparkSession, planDir: String): DataFrame =
+    s.read.parquet(planDir)
+      .select(col("win_ms"), col("source"),
+              expr("planned_tokens DIV avail_tokens").as("full_epochs"),
+              ((col("planned_tokens") % col("avail_tokens")).cast("double")
+                / col("avail_tokens")).as("rate"))
+
+  /** STREAMING plan execution — the last stage of the drift → plan →
+    * sample loop: arriving docs sample themselves against the plans the
+    * planner landed at `planDir` (stream-static join — the plan is the
+    * persisted artifact, like the BPE merge cache), and each closed
+    * (window, source, epoch) emits its shard manifest exactly once in
+    * append mode. Run-order contract extends the planner's: monitor,
+    * then planner, then this executor over the same feed — a window
+    * with no landed plan is dropped by the inner join (start the
+    * executor last). `planDir` must exist at start (clear require, not
+    * a mid-stream AnalysisException); idempotent replay via the
+    * ingest-epoch dynamic-overwrite convention.
+    */
+  def startPlanExecutor(docsStream: DataFrame, s: SparkSession,
+                        planDir: String, outDir: String,
+                        checkpointDir: String,
+                        windowDur: String = "1 hour",
+                        watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = new org.apache.hadoop.fs.Path(planDir)
+    require(p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p),
+      s"startPlanExecutor: no landed plans at $planDir — run the drift " +
+      "monitor, then the epoch planner, then this executor")
+    planExecuteCore(docsStream.withWatermark("ts", watermarkDelay),
+                    executionPlan(s, planDir), windowDur)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .withColumn("ingest_epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_epoch")
+          .parquet(outDir)
+      }
+      .start()
+  }
+
   /** q109's body, reusable on any (doc_id, text) frame — BATCH OR STREAM:
     * the whole pipeline is stateless per-row projection + generator, so
     * the same plan chunks a crawl stream micro-batch by micro-batch
@@ -925,6 +1015,78 @@ object Prep {
       .join(broadcast(offsets), Seq("shard", "bkt"))
       .withColumn("pos", col("off") + row_number().over(wRank) - 1)
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+  }
+
+  /** q139's doc-level expansion, shared with q142: every (doc, epoch)
+    * instance of the realized training stream — the q136 grant
+    * decomposed as planned DIV avail full corpus repeats plus one
+    * fractional pass under q87's content-hash cutoff at rate
+    * (planned MOD avail) / avail. Exact integer decomposition, so
+    * expected realized tokens == planned_tokens; every row is
+    * deterministic from its own bytes. q139 aggregates this into the
+    * per-(source, epoch) manifest; [[epochShardShuffle]] orders it.
+    */
+  def epochSampledDocs(s: SparkSession, d: String): DataFrame = {
+    val avail = spread(docs(s, d))
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
+    val plan = epochPlanCore(mixtureWeightsCore(s, d)
+        .select("source", "mean_quality", "kl")
+        .join(avail, "source"))
+      .select(col("source"),
+              expr("planned_tokens DIV avail_tokens").as("full_epochs"),
+              ((col("planned_tokens") % col("avail_tokens")).cast("double")
+                / col("avail_tokens")).as("rate"))
+    // q87's 24-bit md5 prefix as an exact dyadic fraction — the
+    // fractional-epoch membership decision is per-row, content-driven,
+    // reproducible on any engine
+    val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
+    spread(docs(s, d))
+      .select(col("doc_id"), col("source"),
+              size(tokens(col("text"))).cast("long").as("n_tokens"),
+              u.as("u"))
+      .join(broadcast(plan), "source")
+      .withColumn("n_epochs",
+        col("full_epochs") + (col("u") < col("rate")).cast("long"))
+      .filter(col("n_epochs") > 0)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+              explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
+  /** [[shardShuffle]] PER EPOCH over the realized training stream: each
+    * (doc, epoch) instance hashes on (doc_id, epoch) — so every epoch
+    * reshuffles the corpus differently, the standard trainer contract
+    * (fixed epoch order would re-feed identical batch boundaries) —
+    * into [[ShuffleShards]] shards with dense hash-order positions.
+    * Same two-phase bounded-window machinery: offsets per (epoch,
+    * shard, 2-hex bucket) — epochs x 32 x 256 tiny rows, the one table
+    * that SHOULD broadcast — and ranks only within buckets.
+    */
+  def epochShardShuffle(frame: DataFrame): DataFrame = {
+    val s = lit(ShuffleShards)
+    val hv = md5(concat(col("doc_id").cast("string"), lit(":"),
+                        col("epoch").cast("string")).cast("binary"))
+    val base = frame
+      .select(col("doc_id"), col("epoch"), col("n_tokens"), hv.as("hv"))
+      .withColumn("shard",
+        (conv(substring(col("hv"), 1, 6), 16, 10).cast("long") % s)
+          .cast("long"))
+      .withColumn("bkt", substring(col("hv"), 7, ShufflePrefixLen))
+    val counts = base.groupBy("epoch", "shard", "bkt")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wOff = Window.partitionBy("epoch", "shard").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("epoch", "shard", "bkt", "off")
+    val wRank = Window.partitionBy("epoch", "shard", "bkt")
+      .orderBy("hv", "doc_id")
+    base
+      .join(broadcast(offsets), Seq("epoch", "shard", "bkt"))
+      .withColumn("pos", col("off") + row_number().over(wRank) - 1)
+      .select(col("epoch"), col("shard"), col("pos").cast("long").as("pos"),
+              col("doc_id"), col("n_tokens"))
   }
 
   /** Engine-local gram hashes for the streaming substring probe: one
@@ -1637,34 +1799,7 @@ object Prep {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ' '
         |      ORDER BY CAST(doc_id AS VARCHAR))) AS doc_digest
         |FROM ex GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin) { (s, d) =>
-      val avail = spread(docs(s, d))
-        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
-        .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
-      // planned DIV avail full repeats + remainder-rate fractional pass:
-      // exact integer decomposition of the grant (planned = full * avail
-      // + rate * avail), so expected realized tokens == planned_tokens
-      val plan = epochPlanCore(mixtureWeightsCore(s, d)
-          .select("source", "mean_quality", "kl")
-          .join(avail, "source"))
-        .select(col("source"),
-                expr("planned_tokens DIV avail_tokens").as("full_epochs"),
-                ((col("planned_tokens") % col("avail_tokens")).cast("double")
-                  / col("avail_tokens")).as("rate"))
-      // q87's 24-bit md5 prefix as an exact dyadic fraction — the
-      // fractional-epoch membership decision is per-row, content-driven,
-      // reproducible on any engine
-      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
-        lit(16777216.0)
-      spread(docs(s, d))
-        .select(col("doc_id"), col("source"),
-                size(tokens(col("text"))).cast("long").as("n_tokens"),
-                u.as("u"))
-        .join(broadcast(plan), "source")
-        .withColumn("n_epochs",
-          col("full_epochs") + (col("u") < col("rate")).cast("long"))
-        .filter(col("n_epochs") > 0)
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-                explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      epochSampledDocs(s, d)
         .groupBy("source", "epoch")
         .agg(count(lit(1)).cast("long").as("n_docs"),
              sum("n_tokens").cast("long").as("n_tokens"),
@@ -1672,6 +1807,201 @@ object Prep {
                    sort_array(collect_list(col("doc_id").cast("string"))),
                    " ").cast("binary")).as("doc_digest"))
         .orderBy("source", "epoch")
+    },
+
+    Q("q141_windowed_plan_execute",
+      "EXECUTE the per-window epoch plan — q138's (window, source) " +
+        "grant realized as shard manifests, q139's exact decomposition " +
+        "applied per window: full repeats = planned DIV avail, plus one " +
+        "fractional pass under the content-hash cutoff at rate " +
+        "(planned MOD avail) / avail. Output: per (win_ms, source, " +
+        "epoch) doc count, token count, and order-free doc-set digest — " +
+        "what each closed crawl window hands the trainer. The same " +
+        "core runs under a watermark as startPlanExecutor (append-mode " +
+        "manifests per closed window; PlanExecStreamSpec pins stream == " +
+        "this). Scale shape: plan table is (windows x sources)-bounded " +
+        "and broadcasts; per-doc sampling is scan-parallel; the only " +
+        "shuffle is the bounded (window, source, epoch) aggregate.",
+      """WITH t AS (SELECT doc_id, source,
+        |    TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+        |    text, string_split(text, ' ') AS tok FROM documents),
+        |tokx AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |           source, unnest(tok) AS term FROM t),
+        |wt AS (SELECT win_ms, source, term, CAST(count(*) AS BIGINT) AS n_wt
+        |       FROM tokx GROUP BY 1, 2, 3),
+        |ws AS (SELECT win_ms, source, CAST(sum(n_wt) AS BIGINT) AS n_ws
+        |       FROM wt GROUP BY 1, 2),
+        |ref AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |              FROM documents) u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS v FROM ref),
+        |contrib AS (SELECT wt.win_ms, wt.source,
+        |   CAST(floor((CAST(n_wt AS DOUBLE) / n_ws) *
+        |              ln((CAST(n_wt AS DOUBLE) / n_ws) /
+        |                 (CAST(COALESCE(n_t, 0) + 1 AS DOUBLE) / (n + v)))
+        |              * 100000000 + 0.5) AS BIGINT) AS c
+        | FROM wt JOIN ws USING (win_ms, source)
+        | LEFT JOIN ref USING (term) CROSS JOIN tot),
+        |klw AS (SELECT win_ms, source, round(sum(c) / 100000000.0, 4) AS kl
+        |        FROM contrib GROUP BY 1, 2),
+        |stats AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |    source,
+        |    CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |        (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |         / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |      AS DOUBLE) AS mean_quality,
+        |    CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT s2.win_ms, s2.source, s2.avail_tokens,
+        |        CAST(floor(s2.mean_quality / (1 + k.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM stats s2 JOIN klw k USING (win_ms, source)),
+        |tw AS (SELECT win_ms, CAST(sum(w_int) AS BIGINT) AS tw
+        |       FROM w GROUP BY 1),
+        |plan AS (SELECT w.win_ms, w.source, w.avail_tokens,
+        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |         FROM w JOIN tw USING (win_ms)),
+        |exec AS (SELECT win_ms, source,
+        |    least(target_tokens, 4 * avail_tokens) // avail_tokens
+        |      AS full_epochs,
+        |    CAST(least(target_tokens, 4 * avail_tokens) % avail_tokens
+        |         AS DOUBLE) / avail_tokens AS rate
+        |  FROM plan),
+        |docu AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
+        |    source, doc_id, len(tok) AS n_tokens,
+        |    list_reduce(list_transform(string_split(substr(md5(text), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM t),
+        |keep AS (SELECT d2.win_ms, d2.source, d2.doc_id, d2.n_tokens,
+        |    e.full_epochs + CASE WHEN d2.u < e.rate THEN 1 ELSE 0 END
+        |      AS n_epochs
+        |  FROM docu d2 JOIN exec e USING (win_ms, source)),
+        |ex AS (SELECT win_ms, source, doc_id, n_tokens,
+        |    unnest(range(1, n_epochs + 1)) AS epoch
+        |  FROM keep WHERE n_epochs > 0)
+        |SELECT win_ms, source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ' '
+        |      ORDER BY CAST(doc_id AS VARCHAR))) AS doc_digest
+        |FROM ex GROUP BY 1, 2, 3
+        |ORDER BY win_ms, source, epoch""".stripMargin) { (s, d) =>
+      val framed = spread(docs(s, d)).select(
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
+          .as("ts"),
+        col("doc_id"), col("source"), col("text"))
+      val kl = driftReport(windowedTermCounts(framed, "1 hour"), s, d)
+        .select("win_ms", "source", "kl")
+      val plan = epochPlanCore(
+          windowedSourceStats(framed, "1 hour")
+            .join(kl, Seq("win_ms", "source")),
+          groupCols = Seq("win_ms"))
+        .select(col("win_ms"), col("source"),
+                expr("planned_tokens DIV avail_tokens").as("full_epochs"),
+                ((col("planned_tokens") % col("avail_tokens")).cast("double")
+                  / col("avail_tokens")).as("rate"))
+      planExecuteCore(framed, plan, "1 hour")
+        .orderBy("win_ms", "source", "epoch")
+    },
+
+    Q("q142_training_order",
+      "Training-order layout for the REALIZED stream — q139's sampled " +
+        "(doc, epoch) instances laid out the way the trainer reads " +
+        "them: q135's deterministic shard shuffle applied PER EPOCH, " +
+        "hashing on (doc_id, epoch) so every epoch reshuffles the " +
+        "corpus differently (a fixed order would re-feed identical " +
+        "batch boundaries every repeat — the reshuffle-each-epoch " +
+        "contract of standard data loaders). Output: (epoch, shard, " +
+        "pos, doc_id, n_tokens) with dense hash-order positions per " +
+        "(epoch, shard) — epoch-major, source-mixed, reproducible " +
+        "bit-for-bit on any engine/partitioning. Scale shape: the " +
+        "two-phase q135 machinery with (epoch, shard, bucket) offsets " +
+        "(epochs x 32 x 256 tiny rows — the one broadcast that's " +
+        "right); every rank window is bucket-bounded; the sampling " +
+        "pass upstream is q139's scan-parallel shape.",
+      """WITH t AS (SELECT doc_id, source, text,
+        |             string_split(text, ' ') AS tok FROM documents),
+        |q AS (SELECT source,
+        |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT)) / count(*) + 0.5) / 10000.0
+        |    AS DOUBLE) AS mean_quality,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY 1),
+        |tok2 AS (SELECT source, unnest(tok) AS term FROM t),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+        |       FROM tok2 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+        |contrib AS (SELECT st.source,
+        |   CAST(floor((CAST(n_st AS DOUBLE) / n_s) *
+        |              ln((CAST(n_st AS DOUBLE) * n) /
+        |                 (CAST(n_s AS DOUBLE) * n_t)) * 100000000 + 0.5)
+        |        AS BIGINT) AS c
+        | FROM st JOIN s USING (source) JOIN ct USING (term) CROSS JOIN tot),
+        |kl AS (SELECT source, round(sum(c) / 100000000.0, 4) AS kl
+        |       FROM contrib GROUP BY 1),
+        |w AS (SELECT q.source, q.mean_quality, kl.kl,
+        |        CAST(floor(q.mean_quality / (1 + kl.kl) * 100000000 + 0.5)
+        |             AS BIGINT) AS w_int
+        |      FROM q JOIN kl USING (source)),
+        |tw AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM w),
+        |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
+        |          FROM t GROUP BY 1),
+        |plan AS (SELECT w.source, avail.avail_tokens,
+        |           CAST(least((100000 * w.w_int) // tw.tw,
+        |                      4 * avail.avail_tokens) AS BIGINT)
+        |             AS planned_tokens
+        |         FROM w CROSS JOIN tw JOIN avail USING (source)),
+        |exec AS (SELECT source,
+        |    planned_tokens // avail_tokens AS full_epochs,
+        |    CAST(planned_tokens % avail_tokens AS DOUBLE) / avail_tokens
+        |      AS rate
+        |  FROM plan),
+        |docu AS (SELECT doc_id, source, len(tok) AS n_tokens,
+        |    list_reduce(list_transform(string_split(substr(md5(text), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM t),
+        |keep AS (SELECT d2.source, d2.doc_id, d2.n_tokens,
+        |    e.full_epochs + CASE WHEN d2.u < e.rate THEN 1 ELSE 0 END
+        |      AS n_epochs
+        |  FROM docu d2 JOIN exec e USING (source)),
+        |ex AS (SELECT doc_id, n_tokens,
+        |    unnest(range(1, n_epochs + 1)) AS epoch
+        |  FROM keep WHERE n_epochs > 0),
+        |hvt AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      AS hv
+        |  FROM ex),
+        |b2 AS (SELECT doc_id, epoch, n_tokens, hv,
+        |         CAST(CAST(concat('0x', substr(hv, 1, 6)) AS BIGINT) % 32
+        |           AS BIGINT) AS shard,
+        |         substr(hv, 7, 2) AS bkt
+        |       FROM hvt),
+        |counts AS (SELECT epoch, shard, bkt, CAST(count(*) AS BIGINT) AS c
+        |           FROM b2 GROUP BY 1, 2, 3),
+        |offs AS (SELECT epoch, shard, bkt,
+        |           coalesce(sum(c) OVER (PARTITION BY epoch, shard
+        |             ORDER BY bkt
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS off
+        |         FROM counts),
+        |r AS (SELECT doc_id, epoch, n_tokens, shard, bkt, hv,
+        |        row_number() OVER (PARTITION BY epoch, shard, bkt
+        |                           ORDER BY hv, doc_id) AS rn
+        |      FROM b2)
+        |SELECT r.epoch, r.shard, CAST(offs.off + r.rn - 1 AS BIGINT) AS pos,
+        |  r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens
+        |FROM r JOIN offs USING (epoch, shard, bkt)
+        |ORDER BY epoch, shard, pos""".stripMargin) { (s, d) =>
+      epochShardShuffle(epochSampledDocs(s, d))
+        .orderBy("epoch", "shard", "pos")
     },
 
     Q("q124_source_drift_windows",

@@ -583,6 +583,55 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
              broadcasts.mkString("\n"))
   }
 
+  test("q139: only the source-bounded plan broadcasts; no corpus-sized build side") {
+    // the plan table is sources-rows tiny — broadcasting it is correct;
+    // nothing doc-keyed may ever build a broadcast side (the sampling
+    // pass must stay scan-parallel at any corpus size)
+    val df = SparkEntry.queries("q139_epoch_plan_execute")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val docBroadcast = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("doc_id#")).toSeq
+    assert(docBroadcast.isEmpty,
+           s"q139 must never broadcast a doc-keyed side:\n${docBroadcast.mkString("\n")}")
+    assert(p.linesIterator.exists(l =>
+             l.contains("BroadcastHashJoin") && l.contains("source#")),
+           s"q139 lost its broadcast plan join:\n$p")
+  }
+
+  test("q140: vocab join shuffles (never broadcast)") {
+    // same hazard class as q137: the word->ids table is vocabulary-sized
+    val df = SparkEntry.queries("q140_tokenized_docs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val wJoins = p.linesIterator.filter(l => l.contains("HashJoin [w#")).toSeq
+    assert(wJoins.nonEmpty, s"q140 lost its word->ids join:\n$p")
+    assert(wJoins.forall(_.contains("ShuffledHashJoin")),
+           s"q140 vocab join must never broadcast:\n${wJoins.mkString("\n")}")
+  }
+
+  test("q141: broadcasts only window-keyed tables; term join shuffles") {
+    // q138's pin extended to the executor: plan/weight tables are
+    // (windows x sources)-bounded — broadcast is right; the windowed
+    // term table is vocabulary-sized and must stay on the shuffle path
+    val df = SparkEntry.queries("q141_windowed_plan_execute")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val termBroadcast = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("term#")).toSeq
+    assert(termBroadcast.isEmpty,
+           s"q141 term join must never broadcast:\n${termBroadcast.mkString("\n")}")
+    val broadcasts = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(broadcasts.nonEmpty, s"q141 lost its plan broadcasts:\n$p")
+    assert(broadcasts.forall(_.contains("win_ms#")),
+           "q141 must broadcast only window-keyed (group-bounded) tables:\n" +
+             broadcasts.mkString("\n"))
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")

@@ -305,6 +305,33 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q142: per-epoch positions dense; instances biject; epochs reshuffle differently") {
+    val rows = q("q142_training_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every sampled (doc, epoch) instance appears exactly once
+    val instances = Prep.epochSampledDocs(spark, sf)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._4, t._1)).toSet === instances)
+    assert(rows.length === instances.size)
+    // dense 0..n-1 positions within each (epoch, shard)
+    for (((_, _), g) <- rows.groupBy(t => (t._1, t._2)))
+      assert(g.map(_._3).sorted.toSeq === (0L until g.length).toSeq)
+    // consecutive epochs must order the shared docs differently (the
+    // reshuffle-each-epoch contract): compare doc sequences of two
+    // epochs restricted to docs present in both
+    val byEpoch = rows.groupBy(_._1)
+    if (byEpoch.size >= 2) {
+      val es = byEpoch.keys.toSeq.sorted.take(2)
+      val o1 = byEpoch(es(0)).sortBy(t => (t._2, t._3)).map(_._4)
+      val o2 = byEpoch(es(1)).sortBy(t => (t._2, t._3)).map(_._4)
+      val shared = o1.toSet intersect o2.toSet
+      assert(o1.filter(shared) !== o2.filter(shared),
+             "epochs must not share an ordering")
+    }
+  }
+
   test("q135: shard positions are a dense bijection, stable across partitionings") {
     val a = q("q135_shard_shuffle").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
