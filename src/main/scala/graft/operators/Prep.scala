@@ -1017,6 +1017,170 @@ object Prep {
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
 
+  /** q110's body, shared with q143: per-doc average negative
+    * log-likelihood under the corpus's own add-one-smoothed bigram LM.
+    * Docs with fewer than two tokens have no bigram events and carry no
+    * score (inner-join semantics downstream). Scale shape as documented
+    * at the q110 registry entry: one (a, b) shuffle with map-side
+    * partials, history counts derived from the bigram table, vocabulary
+    * size from the cached corpus stat, ln contributions rounded half-up
+    * to 1e-6-scaled BIGINTs before summation.
+    */
+  def bigramNll(s: SparkSession, d: String): DataFrame = {
+    val t = spread(docs(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+    val bg = t.select(col("doc_id"), explode(
+        filter(
+          zip_with(
+            col("tok"),
+            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // history counts are a DERIVATION of the bigram table (c_a = Σ_b
+    // c_ab by definition), not another pass over the corpus events —
+    // and the vocabulary size comes from the cached corpus stat (the
+    // q96 pattern: a plan-shaping statistic read from metadata), so
+    // scoring re-tokenizes the corpus twice (events + count build),
+    // not four times
+    val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val v = lit(TrainingData.vocabSize(s, d))
+    val contrib = bg
+      .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .select(col("doc_id"),
+        floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + v))
+          * 1000000 + 0.5).cast("long").as("c"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           round((sum("c") * -1) / (lit(1000000.0) * count(lit(1))), 4)
+             .as("nll"))
+  }
+
+  /** Persist the corpus bigram LM + CCNet cut table — the artifact the
+    * STREAMING perplexity gate probes ([[lmBucketStream]]): `bigrams/`
+    * (a, b, c_ab) and `hist/` (a, c_a) — split tables so a novel pair
+    * with a seen history still smooths against c_a — `cuts/` (per-lang
+    * head/middle nll boundaries from q143's value-level thirds), and the
+    * `_lm_stats` sidecar with the smoothing vocabulary size. Same
+    * staging → sidecar-before-swap → rename lifecycle as the postings
+    * index, so a reader never sees a half-written LM.
+    */
+  def buildLmIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
+    fs.delete(staging, true)
+    val t = spread(docs(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+    val bg = t.select(explode(
+        filter(
+          zip_with(
+            col("tok"),
+            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).cast("long").as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum("c_ab").cast("long").as("c_a"))
+    cab.repartition(col("a"), col("b"))
+      .write.mode("overwrite").parquet(staging.toString + "/bigrams")
+    // the history table stands alone: an arrival's (seen-a, novel-b)
+    // event must smooth against c_a, not the unseen pair's zero
+    ca.repartition(col("a"))
+      .write.mode("overwrite").parquet(staging.toString + "/hist")
+    // per-lang cut boundaries from q143's value-level cumulative thirds;
+    // a null boundary (e.g. the first value already exceeds a third)
+    // means that bucket is empty — the probe coalesces to -infinity
+    val dd = spread(docs(s, d))
+      .select(col("doc_id"), col("lang"),
+              size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(bigramNll(s, d).select("doc_id", "nll"), "doc_id")
+    val vb = dd.groupBy("lang", "nll")
+      .agg(sum("n_tokens").cast("long").as("vt"))
+    val wCum = Window.partitionBy("lang").orderBy("nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vb.withColumn("cum_tok", sum("vt").over(wCum).cast("long"))
+      .withColumn("tot",
+        sum("vt").over(Window.partitionBy("lang")).cast("long"))
+      .groupBy("lang")
+      .agg(max(when(col("cum_tok") * 3 <= col("tot"), col("nll")))
+             .as("head_max"),
+           max(when(col("cum_tok") * 3 <= col("tot") * 2, col("nll")))
+             .as("middle_max"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString + "/cuts")
+    val v = TrainingData.vocabSize(s, d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_lm_stats"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val aside = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(aside, true)
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"lm-index aside failed: $target -> $aside")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"lm-index swap failed: $staging -> $target")
+    fs.delete(aside, true)
+  }
+
+  /** The CCNet gate at ingest — q143's serving path, BATCH OR STREAM
+    * micro-batch: score each arriving (doc_id, lang, text) against the
+    * PERSISTED corpus LM ([[buildLmIndex]] — the fixed model + fixed
+    * cuts CCNet applies to every new crawl dump) and bucket it
+    * head/middle/tail. Unseen bigram events take the add-one smoothing
+    * floor (c_ab = c_a = 0 -> ln(1/v), exactly the convention unseen
+    * history gets in training); a lang absent from the cut table, or an
+    * nll past the middle boundary, lands in `tail` (quarantine-biased).
+    * Docs with <2 tokens carry no score and drop (q110 semantics).
+    * Scale shape: events explode statelessly; the vocabulary-sized LM
+    * table joins on the shuffle path (shuffle_hash, never broadcast);
+    * only the lang-bounded cut table broadcasts. LmIndexSpec pins this
+    * == batch q143 on the corpus and the smoothing floor on novel text.
+    */
+  def lmBucketStream(docFrame: DataFrame, s: SparkSession,
+                     indexDir: String): DataFrame = {
+    val lm = s.read.parquet(s"$indexDir/bigrams").hint("shuffle_hash")
+    val hist = s.read.parquet(s"$indexDir/hist").hint("shuffle_hash")
+    val cuts = s.read.parquet(s"$indexDir/cuts")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexDir, "_lm_stats"))
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+    val base = docFrame.select(col("doc_id"), col("lang"),
+                               tokens(col("text")).as("tok"))
+    val bg = base.select(col("doc_id"), explode(
+        filter(
+          zip_with(
+            col("tok"),
+            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val scored = bg
+      .join(lm, Seq("a", "b"), "left")
+      .join(hist, Seq("a"), "left")
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c_ab"), lit(0L)) + lit(1.0))
+                  / (coalesce(col("c_a"), lit(0L)) + lit(v.toDouble)))
+          * 1000000 + 0.5).cast("long").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           round((sum("c") * -1) / (lit(1000000.0) * count(lit(1))), 4)
+             .as("nll"))
+    base.select(col("doc_id"), col("lang"),
+                size(col("tok")).cast("long").as("n_tokens"))
+      .join(scored, "doc_id")
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("nll"), col("n_tokens"),
+              when(col("nll") <= coalesce(col("head_max"),
+                                          lit(Double.NegativeInfinity)),
+                   "head")
+                .when(col("nll") <= coalesce(col("middle_max"),
+                                             lit(Double.NegativeInfinity)),
+                      "middle")
+                .otherwise("tail").as("bucket"))
+  }
+
   /** q139's doc-level expansion, shared with q142: every (doc, epoch)
     * instance of the realized training stream — the q136 grant
     * decomposed as planned DIV avail full corpus repeats plus one
@@ -1437,34 +1601,7 @@ object Prep {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(-sum(c) / (1000000.0 * count(*)), 4) AS nll
         |FROM contrib GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t = spread(docs(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("tok"))
-      val bg = t.select(col("doc_id"), explode(
-          filter(
-            zip_with(
-              col("tok"),
-              slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-              (a, b) => struct(a.as("a"), b.as("b"))),
-            p => p.getField("b").isNotNull)).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      // history counts are a DERIVATION of the bigram table (c_a = Σ_b
-      // c_ab by definition), not another pass over the corpus events —
-      // and the vocabulary size comes from the cached corpus stat (the
-      // q96 pattern: a plan-shaping statistic read from metadata), so
-      // scoring re-tokenizes the corpus twice (events + count build),
-      // not four times
-      val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
-      val v = lit(TrainingData.vocabSize(s, d))
-      val contrib = bg
-        .join(cab, Seq("a", "b")).join(ca, Seq("a"))
-        .select(col("doc_id"),
-          floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + v))
-            * 1000000 + 0.5).cast("long").as("c"))
-      contrib.groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-             round((sum("c") * -1) / (lit(1000000.0) * count(lit(1))), 4)
-               .as("nll"))
+      bigramNll(s, d)
     },
 
     Q.noOracle("q111_compress_quality",
@@ -2002,6 +2139,79 @@ object Prep {
         |ORDER BY epoch, shard, pos""".stripMargin) { (s, d) =>
       epochShardShuffle(epochSampledDocs(s, d))
         .orderBy("epoch", "shard", "pos")
+    },
+
+    Q("q143_ccnet_buckets",
+      "CCNet-style perplexity buckets (Wenzek et al. 2020): per " +
+        "language, rank documents by q110's bigram-LM self-perplexity " +
+        "and cut the token mass into head/middle/tail thirds — the " +
+        "standard curation gate that keeps the head (closest to the " +
+        "reference distribution), samples the middle, and drops the " +
+        "tail. The cut runs at VALUE granularity over the 4dp-rounded " +
+        "score (ties share a bucket), so both engines spell the same " +
+        "deterministic integer comparison cum*3 <= k*total — no " +
+        "fp-boundary flips, no doc-level tie ambiguity. Scale shape: " +
+        "the q78/q88 bounded-domain two-phase — per-(lang, score) " +
+        "token totals (map-side partials; the value table is domain-" +
+        "bounded at any corpus size), cumulative windows over that " +
+        "tiny table only, then a broadcast join back to docs. Docs " +
+        "with <2 tokens carry no LM score and drop (inner-join " +
+        "semantics, as in q110).",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |bg AS (SELECT doc_id, tok[CAST(i+1 AS BIGINT)] AS a,
+        |              tok[CAST(i+2 AS BIGINT)] AS b
+        |       FROM t CROSS JOIN LATERAL unnest(range(len(tok)-1)) AS u(i)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |        FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents)),
+        |contrib AS (SELECT bg.doc_id,
+        |    CAST(floor(ln((c_ab + 1.0) / (c_a + v.v)) * 1000000 + 0.5)
+        |         AS BIGINT) AS c
+        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+        |d AS (SELECT contrib.doc_id,
+        |        round(-sum(c) / (1000000.0 * count(*)), 4) AS nll
+        |      FROM contrib GROUP BY 1),
+        |dd AS (SELECT t.doc_id, t.lang, CAST(len(t.tok) AS BIGINT)
+        |         AS n_tokens, d.nll
+        |       FROM t JOIN d ON t.doc_id = d.doc_id),
+        |vb AS (SELECT lang, nll, CAST(sum(n_tokens) AS BIGINT) AS vt
+        |       FROM dd GROUP BY 1, 2),
+        |cum AS (SELECT lang, nll,
+        |          CAST(sum(vt) OVER (PARTITION BY lang ORDER BY nll)
+        |               AS BIGINT) AS cum_tok,
+        |          CAST(sum(vt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |        FROM vb)
+        |SELECT dd.doc_id, dd.lang, dd.nll, dd.n_tokens,
+        |  CASE WHEN cum_tok * 3 <= tot THEN 'head'
+        |       WHEN cum_tok * 3 <= 2 * tot THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM dd JOIN cum USING (lang, nll)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dd = spread(docs(s, d))
+        .select(col("doc_id"), col("lang"),
+                size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(bigramNll(s, d).select("doc_id", "nll"), "doc_id")
+      val vb = dd.groupBy("lang", "nll")
+        .agg(sum("n_tokens").cast("long").as("vt"))
+      // cumulative windows run over the DOMAIN-bounded (lang, 4dp-score)
+      // value table only — never over raw docs (the q78/q88 shape)
+      val wCum = Window.partitionBy("lang").orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vb
+        .withColumn("cum_tok", sum("vt").over(wCum).cast("long"))
+        .withColumn("tot",
+          sum("vt").over(Window.partitionBy("lang")).cast("long"))
+        .select("lang", "nll", "cum_tok", "tot")
+      dd.join(broadcast(cum), Seq("lang", "nll"))
+        .select(col("doc_id"), col("lang"), col("nll"), col("n_tokens"),
+                when(col("cum_tok") * 3 <= col("tot"), "head")
+                  .when(col("cum_tok") * 3 <= col("tot") * 2, "middle")
+                  .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     },
 
     Q("q124_source_drift_windows",

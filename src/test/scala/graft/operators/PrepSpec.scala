@@ -332,6 +332,29 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q143: buckets are nll-monotone and split token mass into ~thirds") {
+    val rows = q("q143_ccnet_buckets").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for ((lang, g) <- rows.groupBy(_._1)) {
+      // monotone: sorting by nll never decreases the bucket
+      val byScore = g.sortBy(_._2).map(t => order(t._4))
+      assert(byScore.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+             s"$lang buckets not monotone in nll")
+      // thirds at value granularity: each cut lands within one
+      // straddling value's token mass of an exact third
+      val tot = g.map(_._3).sum
+      val maxVal = g.groupBy(_._2).values.map(_.map(_._3).sum).max
+      val headTok = g.filter(_._4 == "head").map(_._3).sum
+      val tailTok = g.filter(_._4 == "tail").map(_._3).sum
+      assert(headTok <= tot / 3 && headTok + maxVal > tot / 3 - maxVal,
+             s"$lang head share off: $headTok of $tot (maxVal $maxVal)")
+      assert(tailTok >= tot - 2 * (tot / 3) - maxVal,
+             s"$lang tail share off: $tailTok of $tot")
+    }
+  }
+
   test("q135: shard positions are a dense bijection, stable across partitionings") {
     val a = q("q135_shard_shuffle").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
