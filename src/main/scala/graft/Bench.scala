@@ -108,8 +108,8 @@ object Bench {
       "q137_packed_token_ids", "q138_windowed_epoch_plan",
       "q139_epoch_plan_execute", "q140_tokenized_docs",
       "q141_windowed_plan_execute", "q142_training_order",
-      // q143 shares q110's cached vocab stat
-      "q143_ccnet_buckets")
+      // q143/q144 share q110's cached vocab stat
+      "q143_ccnet_buckets", "q144_ccnet_sample")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

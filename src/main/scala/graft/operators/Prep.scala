@@ -1181,6 +1181,38 @@ object Prep {
                 .otherwise("tail").as("bucket"))
   }
 
+  /** q143's body, shared with q144: per-doc CCNet bucket plus the
+    * 8-hex content-hash prefix the keep rule's middle-bucket sampling
+    * compares (carried from the same scan so q144 adds no extra corpus
+    * pass). Cut at VALUE granularity over the 4dp score via integer
+    * comparisons; cumulative windows over the domain-bounded
+    * (lang, score) table only.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val dd = spread(docs(s, d))
+      .select(col("doc_id"), col("lang"),
+              size(tokens(col("text"))).cast("long").as("n_tokens"),
+              substring(md5(col("text")), 1, 8).as("h8"))
+      .join(bigramNll(s, d).select("doc_id", "nll"), "doc_id")
+    val vb = dd.groupBy("lang", "nll")
+      .agg(sum("n_tokens").cast("long").as("vt"))
+    // cumulative windows run over the DOMAIN-bounded (lang, 4dp-score)
+    // value table only — never over raw docs (the q78/q88 shape)
+    val wCum = Window.partitionBy("lang").orderBy("nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vb
+      .withColumn("cum_tok", sum("vt").over(wCum).cast("long"))
+      .withColumn("tot",
+        sum("vt").over(Window.partitionBy("lang")).cast("long"))
+      .select("lang", "nll", "cum_tok", "tot")
+    dd.join(broadcast(cum), Seq("lang", "nll"))
+      .select(col("doc_id"), col("lang"), col("nll"), col("n_tokens"),
+              col("h8"),
+              when(col("cum_tok") * 3 <= col("tot"), "head")
+                .when(col("cum_tok") * 3 <= col("tot") * 2, "middle")
+                .otherwise("tail").as("bucket"))
+  }
+
   /** q139's doc-level expansion, shared with q142: every (doc, epoch)
     * instance of the realized training stream — the q136 grant
     * decomposed as planned DIV avail full corpus repeats plus one
@@ -2191,26 +2223,65 @@ object Prep {
         |       ELSE 'tail' END AS bucket
         |FROM dd JOIN cum USING (lang, nll)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val dd = spread(docs(s, d))
-        .select(col("doc_id"), col("lang"),
-                size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(bigramNll(s, d).select("doc_id", "nll"), "doc_id")
-      val vb = dd.groupBy("lang", "nll")
-        .agg(sum("n_tokens").cast("long").as("vt"))
-      // cumulative windows run over the DOMAIN-bounded (lang, 4dp-score)
-      // value table only — never over raw docs (the q78/q88 shape)
-      val wCum = Window.partitionBy("lang").orderBy("nll")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vb
-        .withColumn("cum_tok", sum("vt").over(wCum).cast("long"))
-        .withColumn("tot",
-          sum("vt").over(Window.partitionBy("lang")).cast("long"))
-        .select("lang", "nll", "cum_tok", "tot")
-      dd.join(broadcast(cum), Seq("lang", "nll"))
-        .select(col("doc_id"), col("lang"), col("nll"), col("n_tokens"),
-                when(col("cum_tok") * 3 <= col("tot"), "head")
-                  .when(col("cum_tok") * 3 <= col("tot") * 2, "middle")
-                  .otherwise("tail").as("bucket"))
+      ccnetBuckets(s, d)
+        .select("doc_id", "lang", "nll", "n_tokens", "bucket")
+        .orderBy("doc_id")
+    },
+
+    Q("q144_ccnet_sample",
+      "The CCNet KEEP RULE — q143's buckets turned into the actual " +
+        "filter the pipeline ships: head kept whole (closest to the " +
+        "reference distribution), middle down-sampled at 50% by the " +
+        "q77 deterministic content-hash cutoff (reproducible across " +
+        "runs/engines/partitionings — no RNG), tail dropped. Output " +
+        "is the per-doc verdict (bucket + kept flag) — the audit " +
+        "artifact; filtering kept=1 yields the shipped corpus. Scale " +
+        "shape: q143's bounded-domain machinery plus one pure " +
+        "projection — the keep decision adds zero shuffles.",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok,
+        |             substr(md5(text), 1, 8) AS h8
+        |           FROM documents),
+        |bg AS (SELECT doc_id, tok[CAST(i+1 AS BIGINT)] AS a,
+        |              tok[CAST(i+2 AS BIGINT)] AS b
+        |       FROM t CROSS JOIN LATERAL unnest(range(len(tok)-1)) AS u(i)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |        FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |      FROM (SELECT unnest(tok) AS term FROM t)),
+        |contrib AS (SELECT bg.doc_id,
+        |    CAST(floor(ln((c_ab + 1.0) / (c_a + v.v)) * 1000000 + 0.5)
+        |         AS BIGINT) AS c
+        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+        |d AS (SELECT contrib.doc_id,
+        |        round(-sum(c) / (1000000.0 * count(*)), 4) AS nll
+        |      FROM contrib GROUP BY 1),
+        |dd AS (SELECT t.doc_id, t.lang, CAST(len(t.tok) AS BIGINT)
+        |         AS n_tokens, t.h8, d.nll
+        |       FROM t JOIN d ON t.doc_id = d.doc_id),
+        |vb AS (SELECT lang, nll, CAST(sum(n_tokens) AS BIGINT) AS vt
+        |       FROM dd GROUP BY 1, 2),
+        |cum AS (SELECT lang, nll,
+        |          CAST(sum(vt) OVER (PARTITION BY lang ORDER BY nll)
+        |               AS BIGINT) AS cum_tok,
+        |          CAST(sum(vt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |        FROM vb),
+        |bkt AS (SELECT dd.doc_id, dd.lang, dd.nll, dd.n_tokens, dd.h8,
+        |  CASE WHEN cum_tok * 3 <= tot THEN 'head'
+        |       WHEN cum_tok * 3 <= 2 * tot THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM dd JOIN cum USING (lang, nll))
+        |SELECT doc_id, lang, bucket,
+        |  CAST(CASE WHEN bucket = 'head' THEN 1
+        |            WHEN bucket = 'middle' AND h8 < '80000000' THEN 1
+        |            ELSE 0 END AS BIGINT) AS kept
+        |FROM bkt ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ccnetBuckets(s, d)
+        .select(col("doc_id"), col("lang"), col("bucket"),
+                when(col("bucket") === "head", 1L)
+                  .when(col("bucket") === "middle" && col("h8") < "80000000",
+                        1L)
+                  .otherwise(0L).as("kept"))
         .orderBy("doc_id")
     },
 

@@ -355,6 +355,20 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q144: head kept whole, tail dropped, middle hash-sampled near half") {
+    val rows = q("q144_ccnet_sample").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.filter(_._1 == "head").forall(_._2 == 1L))
+    assert(rows.filter(_._1 == "tail").forall(_._2 == 0L))
+    val mid = rows.filter(_._1 == "middle")
+    if (mid.length >= 20) {
+      val rate = mid.count(_._2 == 1L).toDouble / mid.length
+      assert(rate > 0.25 && rate < 0.75,
+             s"middle keep-rate $rate not near the 50% cutoff")
+    }
+  }
+
   test("q135: shard positions are a dense bijection, stable across partitionings") {
     val a = q("q135_shard_shuffle").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
