@@ -1084,6 +1084,44 @@ object Curation {
       packedTokenIds(s, d).drop("ids")
     },
 
+    Q("q145_pack_boundaries",
+      "Attention-boundary metadata for the packed shards — per (split, " +
+        "bin): the token offsets where each document piece starts " +
+        "within the bin (0-based, space-joined). A trainer consuming " +
+        "q129/q137's fixed-length sequences needs exactly this to " +
+        "reset position ids and mask cross-document attention at piece " +
+        "boundaries (the packed-pretraining convention); without it a " +
+        "packed bin silently attends across unrelated documents. " +
+        "Derived from the SAME piece stream the packers consume " +
+        "(offset = p_start - bin * PackBudget), so the boundary table " +
+        "can never drift from the packing itself — and the oracle " +
+        "re-derives it over the shared packing CTEs. Scale shape: one " +
+        "(split, bin) aggregate with groups bounded by pieces-per-bin; " +
+        "zero extra corpus passes.",
+      s"""WITH RECURSIVE $packedPiecesCtes,
+        |bounds AS (SELECT split, CAST(bin AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_pieces,
+        |    array_to_string(
+        |      array_agg(p_start - bin * ${Prep.PackBudget} ORDER BY p_start),
+        |      ' ') AS boundaries
+        |  FROM pieces GROUP BY 1, 2)
+        |SELECT split, bin, n_pieces, boundaries
+        |FROM bounds ORDER BY split, bin""".stripMargin) { (s, d) =>
+      val b = Prep.PackBudget
+      packedPieces(s, d, SplitBudget)
+        .select(col("split"), col("bin"),
+                (col("p_start") - col("bin") * b).as("off"))
+        .groupBy("split", "bin")
+        .agg(count(lit(1)).cast("long").as("n_pieces"),
+             array_join(
+               transform(sort_array(collect_list(col("off"))),
+                         o => o.cast("string")),
+               " ").as("boundaries"))
+        .select(col("split"), col("bin").cast("long").as("bin"),
+                col("n_pieces"), col("boundaries"))
+        .orderBy("split", "bin")
+    },
+
     Q("q140_tokenized_docs",
       "Per-document token-ID export — the at-ingest tokenization " +
         "artifact in batch form: every doc passing the ingest verdict " +

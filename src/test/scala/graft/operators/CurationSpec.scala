@@ -381,4 +381,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(kw.sameElements(q86),
            "postings-index keyword search diverged from the in-line q86")
   }
+
+  test("q145: boundaries tile each q129 bin from offset 0, strictly increasing") {
+    val bins = SparkEntry.queries("q129_packed_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = SparkEntry.queries("q145_pack_boundaries")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet === bins.keySet,
+           "boundary table must cover exactly q129's bins")
+    for (r <- rows) {
+      val key = (r.getString(0), r.getLong(1))
+      val bs = r.getString(3).split(" ").map(_.toLong).toSeq
+      assert(bs.length === r.getLong(2).toInt)
+      assert(bs.head === 0L, s"$key first piece must start the bin")
+      assert(bs.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+             s"$key boundaries not strictly increasing")
+      assert(bs.last < bins(key),
+             s"$key boundary past the bin's token count")
+    }
+  }
 }
