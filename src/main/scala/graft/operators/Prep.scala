@@ -1046,8 +1046,12 @@ object Prep {
     // not four times
     val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     val v = lit(TrainingData.vocabSize(s, d))
+    // the bigram and history count tables are corpus-STATISTIC-sized
+    // (vocabulary² on the open web) — the q112 rule: they join on the
+    // shuffle path, never broadcast, even where toy-scale AQE would
     val contrib = bg
-      .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .join(cab.hint("shuffle_hash"), Seq("a", "b"))
+      .join(ca.hint("shuffle_hash"), Seq("a"))
       .select(col("doc_id"),
         floor(log((col("c_ab") + lit(1.0)) / (col("c_a") + v))
           * 1000000 + 0.5).cast("long").as("c"))

@@ -632,6 +632,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
              broadcasts.mkString("\n"))
   }
 
+  test("q110/q143: bigram count tables join on the shuffle path, never broadcast") {
+    // cab/ca are corpus-statistic-sized (vocabulary² on the open web) —
+    // the same hazard class as the q82/q112 vocabulary tables
+    for (q <- Seq("q110_bigram_lm_score", "q143_ccnet_buckets")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") &&
+          (l.contains("[a#") || l.contains(", b#"))).toSeq
+      assert(bad.isEmpty,
+             s"$q bigram tables must never broadcast:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
