@@ -441,12 +441,25 @@ object Curation {
              x => concat(array(lit(0L)), x.getField("ids")))).as("ids0"))
       .select(col("split"), col("doc_id"),
               expr("slice(ids0, 2, size(ids0) - 1)").as("ids"))
+      // A symbol outside the corpus alphabet surfaces as a null id
+      // (wordIdsFor's closed-alphabet contract). Flag such docs
+      // explicitly — a crawl batch WILL contain novel scripts — and
+      // hash with a null sentinel: array_join's 2-arg form silently
+      // DROPS nulls, which would give a doc with out-of-alphabet holes
+      // the same digest as one genuinely lacking those subwords.
       .select(col("split"), col("doc_id"),
               size(col("ids")).cast("long").as("n_ids"),
-              md5(array_join(transform(col("ids"), i => i.cast("string")), " ")
-                .cast("binary")).as("ids_md5"),
+              exists(col("ids"), _.isNull).as("has_oov"),
+              md5(array_join(transform(col("ids"), i => i.cast("string")),
+                    " ", OovSentinel).cast("binary")).as("ids_md5"),
               col("ids"))
   }
+
+  /** Null-id stand-in inside [[tokenizedDocs]] digests: distinguishes an
+    * out-of-alphabet hole from a genuinely absent subword. Not a valid
+    * token-id string, so it cannot collide with a real id sequence.
+    */
+  val OovSentinel = "?"
 
   /** Streaming token-ID export — [[ingestStream]]'s keepers landing as
     * TOKENIZED shards directly (the at-ingest analogue of
@@ -461,19 +474,33 @@ object Curation {
   def startTokenIdIngest(docsStream: org.apache.spark.sql.DataFrame,
                          s: SparkSession, d: String,
                          outDir: String, checkpointDir: String,
-                         horizon: String = "1 hour")
+                         horizon: String = "1 hour",
+                         quarantineDir: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestStream(docsStream, horizon).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        tokenizedDocs(batch, s, d)
-          .withColumn("epoch", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch", "split")
-          .parquet(outDir)
+        val toks = tokenizedDocs(batch, s, d).withColumn("epoch", lit(id))
+          .persist()
+        // Closed-alphabet policy ENFORCED at the sink: a doc whose ids
+        // carry out-of-alphabet holes must not land in the training
+        // shards (a null id would poison the packed artifact). Route it
+        // to the quarantine dir (default: sibling of outDir) for the
+        // byte-fallback/repair pass; same layout, idempotent replay.
+        val qDir =
+          if (quarantineDir != null) quarantineDir else outDir + "_quarantine"
+        def land(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "split")
+            .parquet(dir)
+        try {
+          land(toks.filter(!col("has_oov")), outDir)
+          val oov = toks.filter(col("has_oov"))
+          if (!oov.isEmpty) land(oov, qDir)
+        } finally toks.unpersist()
       }
       .start()
 
@@ -1160,7 +1187,11 @@ object Curation {
         |                      ORDER BY j))[2:] AS ids
         |  FROM dids GROUP BY 1, 2)
         |SELECT split, doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
-        |  md5(array_to_string(ids, ' ')) AS ids_md5
+        |  CAST(len(list_filter(ids, x -> x IS NULL)) > 0 AS BOOLEAN)
+        |    AS has_oov,
+        |  md5(array_to_string(list_transform(ids,
+        |        x -> COALESCE(CAST(x AS VARCHAR), '$OovSentinel')), ' '))
+        |    AS ids_md5
         |FROM docids""".stripMargin) { (s, d) =>
       tokenizedDocs(ingestVerdict(docs(s, d)), s, d).drop("ids")
     },

@@ -320,6 +320,22 @@ object Prep {
       }
       .start()
 
+  /** Order-independent, CONSTANT-STATE doc-set digest: each doc hashes
+    * to the first 60 bits of md5(doc_id) and the group digest is their
+    * `bit_xor` — commutative, so the aggregate carries one long per
+    * group regardless of group size (the round-11 collect_list spelling
+    * held every doc_id of a (source, epoch) group in one buffer:
+    * tens of GB per task at 100 TB). DuckDB re-derives it exactly
+    * (hex-parse of md5 + bit_xor — see the q139/q141 oracles), and XOR
+    * detects any single-doc difference between two manifests since a
+    * doc_id appears at most once per (window, source, epoch) group.
+    */
+  def docSetDigest(docId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.bit_xor(
+      conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+
   /** The plan-EXECUTION core shared by batch q141 and
     * [[startPlanExecutor]]: given framed docs (ts, doc_id, source, text)
     * and a per-(win_ms, source) plan carrying `full_epochs` and `rate`
@@ -352,9 +368,7 @@ object Prep {
       .groupBy(window(col("ts"), windowDur), col("source"), col("epoch"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
            sum("n_tokens").cast("long").as("n_tokens"),
-           md5(array_join(
-                 sort_array(collect_list(col("doc_id").cast("string"))),
-                 " ").cast("binary")).as("doc_digest"))
+           docSetDigest(col("doc_id")).as("doc_digest"))
       .select((unix_micros(col("window.start")) / 1000L).cast("long")
                 .as("win_ms"),
               col("source"), col("epoch"), col("n_docs"), col("n_tokens"),
@@ -362,10 +376,23 @@ object Prep {
   }
 
   /** Read a landed plan dir ([[startEpochPlanner]]'s output schema) into
-    * the (win_ms, source, full_epochs, rate) execution table.
+    * the (win_ms, source, full_epochs, rate) execution table. A planner
+    * re-run into the same dir can land the same (win_ms, source) under a
+    * DIFFERENT batch-id partition than the first run (dynamic overwrite
+    * only replaces partitions the re-run touches), so keep exactly the
+    * newest planning of each key — the max-`epoch` row — instead of
+    * letting duplicates fan out every doc in the executor's inner join
+    * and double-count manifests. The plan table is (windows x
+    * sources)-bounded, so the dedup window is trivially cheap.
     */
   private def executionPlan(s: SparkSession, planDir: String): DataFrame =
     s.read.parquet(planDir)
+      .withColumn("rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("win_ms", "source")
+            .orderBy(col("epoch").desc)))
+      .filter(col("rn") === 1)
       .select(col("win_ms"), col("source"),
               expr("planned_tokens DIV avail_tokens").as("full_epochs"),
               ((col("planned_tokens") % col("avail_tokens")).cast("double")
@@ -1769,7 +1796,7 @@ object Prep {
         "epochs is the only division, rounded 4dp identically in both " +
         "engines. Scale shape: one token-count pass; everything after " +
         "is per-source bounded algebra on q125's cached statistics.",
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
         |           FROM documents),
         |q AS (SELECT source,
         |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
@@ -1801,13 +1828,13 @@ object Prep {
         |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
         |          FROM t GROUP BY 1),
         |plan AS (SELECT w.source, avail.avail_tokens,
-        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |           CAST((${EpochBudget} * w.w_int) // tw.tw AS BIGINT) AS target_tokens
         |         FROM w CROSS JOIN tw JOIN avail USING (source))
         |SELECT source, avail_tokens, target_tokens,
-        |  CAST(least(target_tokens, 4 * avail_tokens) AS BIGINT) AS planned_tokens,
-        |  round(CAST(least(target_tokens, 4 * avail_tokens) AS DOUBLE)
+        |  CAST(least(target_tokens, ${MaxEpochs} * avail_tokens) AS BIGINT) AS planned_tokens,
+        |  round(CAST(least(target_tokens, ${MaxEpochs} * avail_tokens) AS DOUBLE)
         |        / avail_tokens, 4) AS epochs,
-        |  CAST(CASE WHEN target_tokens > 4 * avail_tokens THEN 1 ELSE 0 END
+        |  CAST(CASE WHEN target_tokens > ${MaxEpochs} * avail_tokens THEN 1 ELSE 0 END
         |    AS BIGINT) AS capped
         |FROM plan ORDER BY source""".stripMargin) { (s, d) =>
       val avail = spread(docs(s, d))
@@ -1834,7 +1861,7 @@ object Prep {
         "per-window weight totals broadcast (group-bounded, unlike " +
         "vocabulary tables). EpochPlanStreamSpec pins the streamed " +
         "planner's landed plans to this composition on closed windows.",
-      """WITH t AS (SELECT doc_id, source,
+      s"""WITH t AS (SELECT doc_id, source,
         |    TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
         |    text, string_split(text, ' ') AS tok FROM documents),
         |tokx AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
@@ -1873,14 +1900,14 @@ object Prep {
         |tw AS (SELECT win_ms, CAST(sum(w_int) AS BIGINT) AS tw
         |       FROM w GROUP BY 1),
         |plan AS (SELECT w.win_ms, w.source, w.avail_tokens,
-        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |           CAST((${EpochBudget} * w.w_int) // tw.tw AS BIGINT) AS target_tokens
         |         FROM w JOIN tw USING (win_ms))
         |SELECT win_ms, source, avail_tokens, target_tokens,
-        |  CAST(least(target_tokens, 4 * avail_tokens) AS BIGINT)
+        |  CAST(least(target_tokens, ${MaxEpochs} * avail_tokens) AS BIGINT)
         |    AS planned_tokens,
-        |  round(CAST(least(target_tokens, 4 * avail_tokens) AS DOUBLE)
+        |  round(CAST(least(target_tokens, ${MaxEpochs} * avail_tokens) AS DOUBLE)
         |        / avail_tokens, 4) AS epochs,
-        |  CAST(CASE WHEN target_tokens > 4 * avail_tokens THEN 1 ELSE 0 END
+        |  CAST(CASE WHEN target_tokens > ${MaxEpochs} * avail_tokens THEN 1 ELSE 0 END
         |    AS BIGINT) AS capped
         |FROM plan ORDER BY win_ms, source""".stripMargin) { (s, d) =>
       val framed = spread(docs(s, d)).select(
@@ -1913,7 +1940,7 @@ object Prep {
         "epochs from its own bytes — zero extra shuffles beyond the " +
         "final bounded (source, epoch) aggregate; the epoch explode " +
         "fans out at most MaxEpochs+1 rows per doc.",
-      """WITH t AS (SELECT doc_id, source, text,
+      s"""WITH t AS (SELECT doc_id, source, text,
         |             string_split(text, ' ') AS tok FROM documents),
         |q AS (SELECT source,
         |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
@@ -1945,8 +1972,8 @@ object Prep {
         |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
         |          FROM t GROUP BY 1),
         |plan AS (SELECT w.source, avail.avail_tokens,
-        |           CAST(least((100000 * w.w_int) // tw.tw,
-        |                      4 * avail.avail_tokens) AS BIGINT)
+        |           CAST(least((${EpochBudget} * w.w_int) // tw.tw,
+        |                      ${MaxEpochs} * avail.avail_tokens) AS BIGINT)
         |             AS planned_tokens
         |         FROM w CROSS JOIN tw JOIN avail USING (source)),
         |exec AS (SELECT source,
@@ -1969,16 +1996,16 @@ object Prep {
         |SELECT source, CAST(epoch AS BIGINT) AS epoch,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ' '
-        |      ORDER BY CAST(doc_id AS VARCHAR))) AS doc_digest
+        |  bit_xor(list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS doc_digest
         |FROM ex GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin) { (s, d) =>
       epochSampledDocs(s, d)
         .groupBy("source", "epoch")
         .agg(count(lit(1)).cast("long").as("n_docs"),
              sum("n_tokens").cast("long").as("n_tokens"),
-             md5(array_join(
-                   sort_array(collect_list(col("doc_id").cast("string"))),
-                   " ").cast("binary")).as("doc_digest"))
+             docSetDigest(col("doc_id")).as("doc_digest"))
         .orderBy("source", "epoch")
     },
 
@@ -1995,7 +2022,7 @@ object Prep {
         "this). Scale shape: plan table is (windows x sources)-bounded " +
         "and broadcasts; per-doc sampling is scan-parallel; the only " +
         "shuffle is the bounded (window, source, epoch) aggregate.",
-      """WITH t AS (SELECT doc_id, source,
+      s"""WITH t AS (SELECT doc_id, source,
         |    TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
         |    text, string_split(text, ' ') AS tok FROM documents),
         |tokx AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
@@ -2034,12 +2061,12 @@ object Prep {
         |tw AS (SELECT win_ms, CAST(sum(w_int) AS BIGINT) AS tw
         |       FROM w GROUP BY 1),
         |plan AS (SELECT w.win_ms, w.source, w.avail_tokens,
-        |           CAST((100000 * w.w_int) // tw.tw AS BIGINT) AS target_tokens
+        |           CAST((${EpochBudget} * w.w_int) // tw.tw AS BIGINT) AS target_tokens
         |         FROM w JOIN tw USING (win_ms)),
         |exec AS (SELECT win_ms, source,
-        |    least(target_tokens, 4 * avail_tokens) // avail_tokens
+        |    least(target_tokens, ${MaxEpochs} * avail_tokens) // avail_tokens
         |      AS full_epochs,
-        |    CAST(least(target_tokens, 4 * avail_tokens) % avail_tokens
+        |    CAST(least(target_tokens, ${MaxEpochs} * avail_tokens) % avail_tokens
         |         AS DOUBLE) / avail_tokens AS rate
         |  FROM plan),
         |docu AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_ms,
@@ -2058,8 +2085,10 @@ object Prep {
         |SELECT win_ms, source, CAST(epoch AS BIGINT) AS epoch,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ' '
-        |      ORDER BY CAST(doc_id AS VARCHAR))) AS doc_digest
+        |  bit_xor(list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS doc_digest
         |FROM ex GROUP BY 1, 2, 3
         |ORDER BY win_ms, source, epoch""".stripMargin) { (s, d) =>
       val framed = spread(docs(s, d)).select(
@@ -2095,7 +2124,7 @@ object Prep {
         "(epochs x 32 x 256 tiny rows — the one broadcast that's " +
         "right); every rank window is bucket-bounded; the sampling " +
         "pass upstream is q139's scan-parallel shape.",
-      """WITH t AS (SELECT doc_id, source, text,
+      s"""WITH t AS (SELECT doc_id, source, text,
         |             string_split(text, ' ') AS tok FROM documents),
         |q AS (SELECT source,
         |  CAST(floor(sum(CAST(round(least(1.0, len(tok) / 64.0) *
@@ -2127,8 +2156,8 @@ object Prep {
         |avail AS (SELECT source, CAST(sum(len(tok)) AS BIGINT) AS avail_tokens
         |          FROM t GROUP BY 1),
         |plan AS (SELECT w.source, avail.avail_tokens,
-        |           CAST(least((100000 * w.w_int) // tw.tw,
-        |                      4 * avail.avail_tokens) AS BIGINT)
+        |           CAST(least((${EpochBudget} * w.w_int) // tw.tw,
+        |                      ${MaxEpochs} * avail.avail_tokens) AS BIGINT)
         |             AS planned_tokens
         |         FROM w CROSS JOIN tw JOIN avail USING (source)),
         |exec AS (SELECT source,

@@ -648,6 +648,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q139/q141: manifest digest is constant-state (no collect_list)") {
+    // the round-11 spelling digested each (source, epoch) group via
+    // collect_list of EVERY doc_id — unbounded per-group state that
+    // OOMs one task per source at corpus scale. The bit_xor digest
+    // carries one long per group: the plan must show a plain hash
+    // aggregate, no list-collecting ObjectHashAggregate anywhere
+    for (q <- Seq("q139_epoch_plan_execute", "q141_windowed_plan_execute")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("collect_list"),
+             s"$q manifest digest regressed to unbounded collect_list:\n$p")
+      assert(!p.contains("ObjectHashAggregate"),
+             s"$q manifest aggregate must be constant-state per group:\n$p")
+    }
+  }
+
   test("q50: custom top_k_by aggregates partially before the exchange") {
     val p = plan("q50_topk_agg")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(user_id")
