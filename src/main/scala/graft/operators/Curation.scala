@@ -81,6 +81,7 @@ object Curation {
         scala.util.Try(ckptRdd(df).foreach(_.unpersist(false))))
     }
     bloomCache.keys.filter(_._2 == d).foreach(bloomCache.remove)
+    DerivedCache.invalidate(d) // persisted cluster labels / bigram NLL
     TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
   }
 
@@ -100,21 +101,30 @@ object Curation {
     */
   def dedupClusters(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     sweepStoppedSessions()
-    clusterCache.getOrElseUpdate((s, d), {
-    // the near-dup pair graph is a build-once artifact per corpus
-    // snapshot (like the IVF index): generation runs once per session
-    // and clustering/reporting reuse it — and the edge list is read
-    // every propagation round, so it must be materialized regardless
-    val edges = edgeCache.getOrElseUpdate((s, d), {
-      val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
-      pairs
-        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .persist()
-    })
-    val labels = connectedComponents(edges)
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-                  (col("doc_id") === col("label")).cast("long").as("keep"))
-  })
+    // two-level serve: session memo -> persisted artifact -> resolve.
+    // The resolved labels are a DerivedCache artifact because they are
+    // the expensive head of the q64/q65/q93/q122 chain (LSH pair
+    // generation + iterative min-label propagation): a fresh session —
+    // a nightly pipeline run IS one — reads the (doc_id, cluster_id,
+    // keep) parquet instead of re-resolving, the same way it reads the
+    // band/IVF/PQ/LM indexes. Deterministic, so cached == rebuilt.
+    clusterCache.getOrElseUpdate((s, d),
+      DerivedCache.orBuild(s, d, "cluster_labels_v1") {
+        // the near-dup pair graph is a build-once artifact per corpus
+        // snapshot (like the IVF index): generation runs once per session
+        // and clustering/reporting reuse it — and the edge list is read
+        // every propagation round, so it must be materialized regardless
+        val edges = edgeCache.getOrElseUpdate((s, d), {
+          val pairs = TrainingData.jaccardPairs(s, d).select("id_a", "id_b")
+          pairs
+            .unionByName(
+              pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+            .persist()
+        })
+        val labels = connectedComponents(edges)
+        labels.select(col("doc_id"), col("label").as("cluster_id"),
+                      (col("doc_id") === col("label")).cast("long").as("keep"))
+      })
   }
 
   /** Min-label connected components over an UNDIRECTED edge list that

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-backed cache of DERIVED corpus artifacts — the catalog role a
+  * production deployment fills with its metastore: deterministic,
+  * corpus-derived tables (resolved near-dup cluster labels, per-doc
+  * bigram NLL scores, distilled-model coefficients) persist once per
+  * corpus snapshot and every later SESSION composes from the parquet
+  * instead of re-running the derivation. A nightly pipeline is a fresh
+  * JVM: without this, each night re-pays the iterative
+  * connected-components resolve and the bigram-count build that the
+  * in-memory session caches only amortize within one process. Reference
+  * analogue: the precomputed aggregates table the serving path reads
+  * instead of re-scanning raw events (cognitive-score-bigdata
+  * terraform/main.tf:38-58).
+  *
+  * Layout: `<root>/<md5 of corpus absolute path>/<artifact name>/` with
+  * the repo's standard index lifecycle — build into `.staging`, write
+  * the `_fingerprint` sidecar BEFORE the atomic rename, so a concurrent
+  * reader never observes a half-written artifact, and a crash mid-build
+  * leaves the previous version serving. The fingerprint is the sorted
+  * (name, length, mtime) listing of the corpus dir's data files: any
+  * compaction / regeneration of the corpus invalidates every artifact
+  * derived from it at the next read, with zero coordination.
+  *
+  * Artifact names carry a version suffix (`cluster_labels_v1`): bumping
+  * it when a derivation's semantics change orphans the stale bytes
+  * rather than serving them.
+  *
+  * Only DETERMINISTIC derivations may live here (everything in this
+  * repo's registry is — content-hash driven, never RNG), so a cached
+  * artifact is bit-identical to a rebuild and DuckDB oracle parity is
+  * unaffected by whether a query composed from cache or from scratch.
+  */
+object DerivedCache {
+
+  /** Cache root: `SPARK_GRAFT_CACHE_DIR` (the deployment's artifact
+    * store / scratch volume) or the JVM tmpdir. Never inside the corpus
+    * dir — corpus storage may be read-only (it is here).
+    */
+  def root: String = sys.env.getOrElse(
+    "SPARK_GRAFT_CACHE_DIR",
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_derived")
+
+  private def md5hex(v: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def corpusKey(d: String): String =
+    md5hex(new java.io.File(d).getAbsolutePath)
+
+  /** Sorted (name, length, mtime) of the corpus dir's visible files —
+    * one cheap filesystem listing; directories (partitioned tables)
+    * recurse one level so compaction output is covered too.
+    */
+  private def fingerprint(s: SparkSession, d: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(conf)
+    def entries(dir: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[String] =
+      fs.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap { st =>
+          if (st.isDirectory && depth > 0) entries(st.getPath, depth - 1)
+          else Seq(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+        }
+    md5hex(entries(p, 2).sorted.mkString("\n"))
+  }
+
+  /** Serve `<artifact>` for corpus `d`: the persisted parquet if its
+    * fingerprint matches the corpus as it stands, else run `build`,
+    * persist with staging→sidecar→swap, and serve the freshly-landed
+    * parquet. The returned frame is always a plain parquet scan — which
+    * also truncates any iterative lineage the build carried (the
+    * connected-components plans that otherwise need localCheckpoint).
+    */
+  def orBuild(s: SparkSession, d: String, artifact: String)
+             (build: => DataFrame): DataFrame = {
+    val dir = serve(s, d, artifact)(
+      staging => build.write.mode("overwrite").parquet(staging))
+    s.read.parquet(dir)
+  }
+
+  /** As [[orBuild]] for fitted ML models (q132's distilled quality
+    * classifier): the artifact is the saved PipelineModel, loaded back
+    * on a hit — a fresh session serves the model without re-running the
+    * LBFGS passes.
+    */
+  def orBuildModel(s: SparkSession, d: String, artifact: String)
+                  (build: => org.apache.spark.ml.PipelineModel)
+      : org.apache.spark.ml.PipelineModel = {
+    val dir = serve(s, d, artifact)(
+      staging => build.write.overwrite().save(staging + "/model"))
+    org.apache.spark.ml.PipelineModel.load(dir + "/model")
+  }
+
+  /** The shared lifecycle: return the artifact dir, (re)building via
+    * `materialize` into a staging dir first when the stored fingerprint
+    * is absent or stale.
+    */
+  private def serve(s: SparkSession, d: String, artifact: String)
+                   (materialize: String => Unit): String = {
+    val dirStr = s"$root/${corpusKey(d)}/$artifact"
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = target.getFileSystem(conf)
+    val fp = fingerprint(s, d)
+    val sidecar = new org.apache.hadoop.fs.Path(target, "_fingerprint")
+    val fresh =
+      fs.exists(sidecar) && {
+        val in = fs.open(sidecar)
+        val stored =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        stored == fp
+      }
+    if (!fresh) {
+      val staging = new org.apache.hadoop.fs.Path(dirStr + ".staging")
+      fs.delete(staging, true)
+      materialize(staging.toString)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, "_fingerprint"), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      val aside = new org.apache.hadoop.fs.Path(dirStr + ".old")
+      fs.delete(aside, true)
+      if (fs.exists(target) && !fs.rename(target, aside))
+        throw new java.io.IOException(
+          s"derived-cache aside failed: $target -> $aside")
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"derived-cache swap failed: $staging -> $target")
+      fs.delete(aside, true)
+    }
+    dirStr
+  }
+
+  /** Corpus-change hook (compaction / regeneration): drop every artifact
+    * derived from `d`. The fingerprint already self-invalidates on the
+    * next read; this reclaims the bytes eagerly.
+    */
+  def invalidate(d: String): Unit = {
+    val dir = new java.io.File(s"$root/${corpusKey(d)}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (dir.exists) rm(dir)
+  }
+}

@@ -494,7 +494,13 @@ object Prep {
 
   def qualityModelCached(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel = {
     qcCache.keys.filter(_._1.sparkContext.isStopped).foreach(qcCache.remove)
-    qcCache.getOrElseUpdate((s, d), trainQualityModel(spread(docs(s, d))))
+    // session memo -> persisted model -> LBFGS fit (deterministic given
+    // the fixed input partitioning, so served == refit): the nightly
+    // fresh session loads coefficients instead of re-paying 20
+    // treeAggregate passes
+    qcCache.getOrElseUpdate((s, d),
+      DerivedCache.orBuildModel(s, d, "quality_model_v1")(
+        trainQualityModel(spread(docs(s, d)))))
   }
 
   def trainQualityModel(docFrame: DataFrame): org.apache.spark.ml.PipelineModel = {
@@ -1053,7 +1059,18 @@ object Prep {
     * size from the cached corpus stat, ln contributions rounded half-up
     * to 1e-6-scaled BIGINTs before summation.
     */
-  def bigramNll(s: SparkSession, d: String): DataFrame = {
+  def bigramNll(s: SparkSession, d: String): DataFrame =
+    // per-doc LM scores are a DerivedCache artifact: q110/q143/q144 all
+    // start from this table, and it is pure function of the corpus —
+    // a fresh session (nightly run) reads one per-doc parquet instead
+    // of re-exploding the corpus into bigram events and rebuilding the
+    // count tables. [[bigramNllPlan]] stays available for plan audits.
+    DerivedCache.orBuild(s, d, "bigram_nll_v1")(bigramNllPlan(s, d))
+
+  /** The uncached scoring plan behind [[bigramNll]] — what one
+    * derivation pass runs; PlanSpec pins its no-broadcast count joins.
+    */
+  def bigramNllPlan(s: SparkSession, d: String): DataFrame = {
     val t = spread(docs(s, d))
       .select(col("doc_id"), tokens(col("text")).as("tok"))
     val bg = t.select(col("doc_id"), explode(

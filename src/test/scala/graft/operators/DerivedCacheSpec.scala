@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The disk-backed derived-artifact lifecycle: build-once serve-many
+  * across fresh "sessions" (cache hits skip the build entirely), and
+  * fingerprint self-invalidation when the corpus bytes change — the
+  * property that makes serving a persisted cluster/NLL table safe
+  * without any coordination with compaction.
+  */
+class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshCorpus(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-derived-spec").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "w")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  test("second read serves from disk without re-running the build") {
+    val d = freshCorpus()
+    var builds = 0
+    def serve() = DerivedCache.orBuild(spark, d, "spec_art_v1") {
+      builds += 1
+      spark.read.parquet(d + "/documents.parquet")
+        .selectExpr("id", "upper(w) AS w")
+    }
+    val first = serve().collect().map(_.toSeq.toList).toSet
+    assert(builds == 1)
+    val second = serve().collect().map(_.toSeq.toList).toSet
+    assert(builds == 1, "cache hit must not re-run the build")
+    assert(first == second)
+  }
+
+  test("corpus change flips the fingerprint and rebuilds") {
+    import spark.implicits._
+    val d = freshCorpus()
+    var builds = 0
+    def serve() = DerivedCache.orBuild(spark, d, "spec_art_v1") {
+      builds += 1
+      spark.read.parquet(d + "/documents.parquet").selectExpr("count(*) AS n")
+    }
+    assert(serve().head.getLong(0) == 3L && builds == 1)
+    // regenerate the corpus (compaction / new snapshot)
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("id", "w")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    assert(serve().head.getLong(0) == 4L,
+           "stale artifact served after the corpus changed")
+    assert(builds == 2)
+  }
+
+  test("invalidate drops the artifact eagerly") {
+    val d = freshCorpus()
+    var builds = 0
+    def serve() = DerivedCache.orBuild(spark, d, "spec_art_v1") {
+      builds += 1
+      spark.read.parquet(d + "/documents.parquet")
+    }
+    serve().collect()
+    DerivedCache.invalidate(d)
+    serve().collect()
+    assert(builds == 2, "invalidate must force the next read to rebuild")
+  }
+}
