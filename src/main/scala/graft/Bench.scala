@@ -105,7 +105,8 @@ object Bench {
       // the terminal compositions share the BPE merge cache (q137/q140)
       // and the pair graph behind curate (q137); q138/q139 build the
       // corpus reference-distribution stats once per session
-      "q137_packed_token_ids", "q138_windowed_epoch_plan",
+      "q137_packed_token_ids", "q146_packed_ids_eos",
+      "q138_windowed_epoch_plan",
       "q139_epoch_plan_execute", "q140_tokenized_docs",
       "q141_windowed_plan_execute", "q142_training_order",
       // q143/q144 share q110's cached vocab stat

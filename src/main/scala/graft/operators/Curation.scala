@@ -358,6 +358,10 @@ object Curation {
       .withColumn("p_start", greatest(col("start_off"), col("bin") * b))
       .withColumn("p_end", least(col("end_off"), (col("bin") + 1) * b))
       .select(col("split"), col("bin"), col("p_start"),
+              // TRUE iff this piece is where its document begins in the
+              // stream (not a bin-continuation slice) — the hook q146's
+              // in-band separator and q145's boundary semantics share
+              (col("p_start") === col("start_off")).as("doc_start"),
               slice(col("tok"),
                     (col("p_start") - col("start_off") + 1).cast("int"),
                     (col("p_end") - col("p_start")).cast("int")).as("piece"))
@@ -392,21 +396,66 @@ object Curation {
     * sort_array over carried positions (never collect_list order).
     */
   def packedTokenIds(s: SparkSession, d: String,
-                     splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+                     splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame =
+    packedIdsCore(s, d, splitBudget, sepId = None).drop("n_docs")
+
+  /** The loader-contract document separator for [[packedTokenIdsSep]]:
+    * an id reserved ABOVE any the vocabulary can assign (base chars
+    * take 1..C, merges C+1..C+K — hundreds; this is 2^20), the GPT-2
+    * `<|endoftext|>`-style convention where the separator rides in-band
+    * in the ID stream. Configurable per export via the `sepId` param.
+    */
+  val EosId = 1L << 20
+
+  /** q146: q137's packed bins with an IN-BAND document separator — the
+    * artifact shape most loader contracts actually consume (GPT-2
+    * onward): the separator id precedes each document's first subword
+    * within the bin, so a consumer can reset position ids / stop
+    * attention at `sepId` occurrences without the q145 sidecar. The
+    * PACKING IS UNCHANGED — bins, pieces, and q145's boundary offsets
+    * are q137's exactly; each piece's offset in THIS stream is its
+    * q137 offset shifted by the number of separators emitted before it,
+    * and stripping every `sepId` restores q137's ids bit-for-bit
+    * (PackEosSpec proves both, plus lossless per-document reassembly).
+    */
+  def packedTokenIdsSep(s: SparkSession, d: String,
+                        splitBudget: Long = SplitBudget,
+                        sepId: Long = EosId): org.apache.spark.sql.DataFrame =
+    packedIdsCore(s, d, splitBudget, sepId = Some(sepId))
+
+  /** Shared ID-bin assembly behind q137 ([[packedTokenIds]], no
+    * separator) and q146 ([[packedTokenIdsSep]]): one (split, bin)
+    * aggregate over the exploded [[packedPieces]] word stream, groups
+    * bounded at PackBudget words, in-bin order restored by sort_array
+    * over carried (p_start, j) positions. `n_docs` counts the documents
+    * BEGINNING in the bin (= separators emitted when `sepId` is set).
+    */
+  private def packedIdsCore(s: SparkSession, d: String, splitBudget: Long,
+                            sepId: Option[Long]): org.apache.spark.sql.DataFrame = {
     val wids = Prep.wordTokenIds(s, d).hint("shuffle_hash")
+    val sep = (x: org.apache.spark.sql.Column) => sepId match {
+      case Some(id) =>
+        when(x.getField("doc_start") && x.getField("j") === 0,
+             array(lit(id))).otherwise(array().cast("array<bigint>"))
+      case None => array().cast("array<bigint>")
+    }
     packedPieces(s, d, splitBudget)
-      .select(col("split"), col("bin"), col("p_start"),
+      .select(col("split"), col("bin"), col("p_start"), col("doc_start"),
               posexplode(col("piece")).as(Seq("j", "w")))
       .join(wids, "w")
       .groupBy("split", "bin")
       .agg(flatten(transform(
              sort_array(collect_list(
-               struct(col("p_start"), col("j"), col("ids")))),
-             x => concat(array(lit(0L)), x.getField("ids")))).as("ids0"))
-      .select(col("split"), col("bin"),
+               struct(col("p_start"), col("j"), col("doc_start"), col("ids")))),
+             x => concat(array(lit(0L)), sep(x), x.getField("ids"))))
+             .as("ids0"),
+           sum((col("doc_start") && col("j") === 0).cast("long"))
+             .cast("long").as("n_docs"))
+      .select(col("split"), col("bin"), col("n_docs"),
               expr("slice(ids0, 2, size(ids0) - 1)").as("ids"))
       .select(col("split"), col("bin"),
               size(col("ids")).cast("long").as("n_ids"),
+              col("n_docs"),
               md5(array_join(transform(col("ids"), i => i.cast("string")), " ")
                 .cast("binary")).as("ids_md5"),
               col("ids"))
@@ -419,6 +468,16 @@ object Curation {
   def exportPackedTokenIds(s: SparkSession, d: String, outDir: String,
                            splitBudget: Long = SplitBudget): Unit =
     packedTokenIds(s, d, splitBudget)
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+  /** As [[exportPackedTokenIds]] with the q146 in-band document
+    * separator — the shard layout for loader contracts that delimit
+    * documents with an EOS id instead of reading the q145 sidecar.
+    */
+  def exportPackedTokenIdsSep(s: SparkSession, d: String, outDir: String,
+                              splitBudget: Long = SplitBudget,
+                              sepId: Long = EosId): Unit =
+    packedTokenIdsSep(s, d, splitBudget, sepId)
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
   /** Per-document token-ID sequences under the corpus-learned BPE
@@ -782,6 +841,7 @@ object Curation {
     |pieces AS (
     |  SELECT split, u.bin,
     |    greatest(start_off, u.bin * 512) AS p_start,
+    |    greatest(start_off, u.bin * 512) = start_off AS doc_start,
     |    tok[CAST(greatest(start_off, u.bin * 512) - start_off + 1 AS BIGINT)
     |        : CAST(least(end_off, (u.bin + 1) * 512) - start_off AS BIGINT)]
     |      AS piece
@@ -1157,6 +1217,49 @@ object Curation {
         .select(col("split"), col("bin").cast("long").as("bin"),
                 col("n_pieces"), col("boundaries"))
         .orderBy("split", "bin")
+    },
+
+    Q("q146_packed_ids_eos",
+      "q137's packed token-ID bins with an IN-BAND document separator " +
+        "(configurable id, default 2^20 — reserved above anything the " +
+        "vocabulary can assign): the separator precedes each document's " +
+        "first subword inside the bin, the GPT-2 <|endoftext|> loader " +
+        "contract — a consumer resets position ids / stops attention at " +
+        "separator occurrences without needing the q145 sidecar. The " +
+        "PACKING IS UNCHANGED: bins and pieces are q137's exactly, each " +
+        "piece's offset here is its q137 offset plus the separators " +
+        "before it, and stripping the separators restores q137's ids " +
+        "bit-for-bit (PackEosSpec proves strip-equality, separator/" +
+        "boundary placement vs the independent first_bin derivation, " +
+        "and lossless per-document reassembly of every selected doc). " +
+        "n_docs counts documents beginning in the bin (= separators). " +
+        "Scale shape identical to q137: vocabulary-sized word->ids " +
+        "join on the shuffle path, one bounded (split, bin) regroup.",
+      s"""WITH RECURSIVE ${BpeOracle.ctes(Prep.BpeK)},
+        |${BpeOracle.idCtes(Prep.BpeK)},
+        |$packedPiecesCtes,
+        |pw AS (SELECT split, bin, p_start, doc_start,
+        |              unnest(piece) AS w,
+        |              unnest(range(1, len(piece) + 1)) AS j
+        |       FROM pieces),
+        |pids AS (SELECT split, bin, p_start, j, doc_start, ids
+        |         FROM pw JOIN wids USING (w)),
+        |binids AS (SELECT split, CAST(bin AS BIGINT) AS bin,
+        |    flatten(array_agg(
+        |      list_concat(
+        |        list_concat([CAST(0 AS BIGINT)],
+        |          CASE WHEN doc_start AND j = 1
+        |               THEN [CAST($EosId AS BIGINT)]
+        |               ELSE CAST([] AS BIGINT[]) END),
+        |        ids)
+        |      ORDER BY p_start, j))[2:] AS ids,
+        |    CAST(sum(CASE WHEN doc_start AND j = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_docs
+        |  FROM pids GROUP BY 1, 2)
+        |SELECT split, bin, CAST(len(ids) AS BIGINT) AS n_ids, n_docs,
+        |  md5(array_to_string(ids, ' ')) AS ids_md5
+        |FROM binids""".stripMargin) { (s, d) =>
+      packedTokenIdsSep(s, d).drop("ids")
     },
 
     Q("q140_tokenized_docs",
