@@ -289,6 +289,27 @@ object Curation {
       .select("doc_id", "split", "n_tok", "end_off")
   }
 
+  /** The persisted PACK MANIFEST: [[selectedOffsets]] over the standard
+    * budget — (doc_id, split, n_tok, end_off) for every budget-selected
+    * doc — as a DerivedCache artifact. This is the one table the whole
+    * packing family (q122 verdict, q129/q137/q145/q146 and the
+    * streaming boundary emitter) derives bins and offsets from: a
+    * fresh session reads it instead of re-running curate + budget, and
+    * the at-ingest path stream-static-joins it the way the LM/band
+    * probes join their indexes. Non-standard budgets (spec probes)
+    * compute directly — the artifact name pins the standard one.
+    */
+  def packOffsets(s: SparkSession, d: String,
+                  splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
+    def build = selectedOffsets(
+      curate(s, d, withTokens = true)
+        .select("doc_id", "lang", "split", "quality", "n_tok", "keep"),
+      splitBudget)
+    if (splitBudget == SplitBudget)
+      DerivedCache.orBuild(s, d, "pack_offsets_v1")(build)
+    else build
+  }
+
   def trainingSetVerdict(s: SparkSession, d: String,
                          splitBudget: Long = SplitBudget): org.apache.spark.sql.DataFrame = {
     // n_tok rides out of curate's own tokenize pass (withTokens) — a
@@ -296,7 +317,7 @@ object Curation {
     val base = curate(s, d, withTokens = true)
       .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
     val b = Prep.PackBudget
-    val packed = selectedOffsets(base, splitBudget)
+    val packed = packOffsets(s, d, splitBudget)
       .select(col("doc_id"),
               expr(s"(end_off - n_tok) DIV $b").as("first_bin"),
               expr(s"(end_off - 1) DIV $b").as("last_bin"),
@@ -344,10 +365,8 @@ object Curation {
     */
   private def packedPieces(s: SparkSession, d: String,
                            splitBudget: Long): org.apache.spark.sql.DataFrame = {
-    val base = curate(s, d, withTokens = true)
-      .select("doc_id", "lang", "split", "quality", "n_tok", "keep")
     val b = Prep.PackBudget
-    val off = selectedOffsets(base, splitBudget)
+    val off = packOffsets(s, d, splitBudget)
       .withColumn("start_off", col("end_off") - col("n_tok"))
     off
       .join(docs(s, d).select("doc_id", "text"), "doc_id")
@@ -570,6 +589,64 @@ object Curation {
           val oov = toks.filter(col("has_oov"))
           if (!oov.isEmpty) land(oov, qDir)
         } finally toks.unpersist()
+      }
+      .start()
+
+  /** Per-piece attention-boundary rows for any (doc_id, ...) frame —
+    * q145's table in NORMALIZED form, derivable at ingest: each doc the
+    * persisted pack manifest ([[packOffsets]]) selected contributes one
+    * row per bin it spans, (split, bin, off, doc_id, n_piece_tokens),
+    * where `off` is the piece's token offset inside the bin (exactly
+    * the entries q145's per-bin `boundaries` string aggregates). Pure
+    * arithmetic over the manifest join — the stream side needs only
+    * doc_id, no text; docs outside the manifest drop via the inner
+    * join. Grouping the union of all rows by (split, bin) reproduces
+    * batch q145 bit-for-bit (PackBoundaryStreamSpec).
+    */
+  def packBoundaryRows(docFrame: org.apache.spark.sql.DataFrame,
+                       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val b = Prep.PackBudget
+    docFrame.select("doc_id")
+      .join(packOffsets(s, d), "doc_id")
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("bin",
+        explode(sequence(expr(s"start_off DIV $b"),
+                         expr(s"(end_off - 1) DIV $b"))))
+      .withColumn("p_start", greatest(col("start_off"), col("bin") * b))
+      .withColumn("p_end", least(col("end_off"), (col("bin") + 1) * b))
+      .select(col("split"), col("bin").cast("long").as("bin"),
+              (col("p_start") - col("bin") * b).cast("long").as("off"),
+              col("doc_id"),
+              (col("p_end") - col("p_start")).cast("long")
+                .as("n_piece_tokens"))
+  }
+
+  /** Streaming boundary-table emitter — closes the "maskless shards"
+    * gap of the at-ingest path: while [[startTokenIdIngest]] lands the
+    * token-ID shards, this lands the q145 attention-boundary rows for
+    * the same arrivals per micro-batch (epoch-partitioned, idempotent
+    * dynamic overwrite — the shared at-ingest sink convention). The
+    * pack manifest is the stream-static artifact (persisted via
+    * [[packOffsets]], like the LM/band/Bloom indexes the other probes
+    * join); the stream side is one equi-join + per-row arithmetic, so
+    * the emitter is watermark-free and scan-parallel at any rate.
+    */
+  def startPackBoundaryIngest(docsStream: org.apache.spark.sql.DataFrame,
+                              s: SparkSession, d: String,
+                              outDir: String, checkpointDir: String,
+                              horizon: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStream(docsStream, horizon).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        packBoundaryRows(batch, s, d)
+          .withColumn("epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "split")
+          .parquet(outDir)
       }
       .start()
 

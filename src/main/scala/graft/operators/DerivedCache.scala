@@ -136,6 +136,12 @@ object DerivedCache {
     dirStr
   }
 
+  /** Where an artifact for corpus `d` lives (test observability and
+    * operational tooling — consumers go through [[orBuild]]).
+    */
+  def artifactDir(d: String, artifact: String): String =
+    s"$root/${corpusKey(d)}/$artifact"
+
   /** Corpus-change hook (compaction / regeneration): drop every artifact
     * derived from `d`. The fingerprint already self-invalidates on the
     * next read; this reclaims the bytes eagerly.

@@ -336,9 +336,14 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
     Curation.invalidate(dir)
     val released = idsBefore -- spark.sparkContext.getPersistentRDDs.keySet
-    // edge graph + cluster checkpoint + IVF assignment all unpinned
-    assert(released.size >= 3,
-           s"expected >=3 persisted RDDs released, got ${released.size}")
+    // the IVF assignment unpins (cluster resolution no longer pins
+    // executor memory at all — labels serve from the DerivedCache
+    // parquet, which invalidate deletes from disk instead)
+    assert(released.size >= 1,
+           s"expected >=1 persisted RDDs released, got ${released.size}")
+    assert(!new java.io.File(
+             DerivedCache.artifactDir(dir, "cluster_labels_v1")).exists,
+           "invalidate must drop the persisted cluster-label artifact")
     // re-resolution actually happens: the IVF index refits...
     TrainingData.ivfIndex(spark, dir, 4)
     assert(TrainingData.ivfFits.get() === fitsAfterBuild + 1,
