@@ -76,8 +76,13 @@ object Bench {
       val s = samples(n).filter(_ >= 0).sorted
       s.length < 2 || s(1) > s(0) * 1.25
     }
-    sample(queries) // pass 1
-    sample(queries) // pass 2, minutes later for any given query
+    // best-of-N: SPARK_GRAFT_BENCH_PASSES full interleaved passes
+    // (default 2), then up to two retry passes over unstable queries.
+    // BENCH_DETAIL always comes from THIS harness run and records the
+    // pass count — per-query minima are never assembled by hand
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).filter(_ >= 1).getOrElse(2)
+    for (_ <- 1 to passes) sample(queries)
     var retries = 0
     while (retries < 2 && unstable.nonEmpty) { sample(unstable); retries += 1 }
     val results = queries.map { case (name, _) =>
@@ -128,7 +133,7 @@ object Bench {
     val coldJson = colds.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"cold":$coldJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min-of-$passes-interleaved-passes","queries":$full,"cold":$coldJson,"sf":"$sfDir"}"""
     // subset runs AND full runs on scaled/alternate corpora are scaling
     // probes — only the canonical full sf0.1 run may clobber the
     // BENCH_DETAIL the judge reads (a full sf1 audit once silently
@@ -138,7 +143,13 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case NonFatal(_) => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // scaling probes (subset runs) read the COLD times — with the
+    // DerivedCache, warm minima measure artifact serving, not the
+    // derivation whose scaling the ladder tracks — so print the cold
+    // map there; the canonical driver line stays compact
+    val coldSuffix =
+      if (subset.nonEmpty) s""","cold":$coldJson""" else ""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$coldSuffix,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1007,6 +1007,40 @@ object Prep {
           .otherwise(0L).as("capped")): _*)
   }
 
+  /** The standard batch framing of the corpus as an event stream
+    * (ts = 2026-01-01 + doc_id minutes) — what the windowed epoch-plan
+    * family (q138/q141) and their oracles share.
+    */
+  def framedDocs(s: SparkSession, d: String): DataFrame =
+    spread(docs(s, d)).select(
+      expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
+        .as("ts"),
+      col("doc_id"), col("source"), col("text"))
+
+  /** Per-(window, source) quality/volume stats JOINED with the KL drift
+    * report under the standard 1-hour framing — the upstream table
+    * q138's planner and q141's executor both start from, persisted as a
+    * DerivedCache artifact. This is exactly the batch twin of what the
+    * STREAMING path already lands on disk (the drift monitor's reports
+    * + the planner's stats): in production these tables exist as
+    * artifacts; a fresh batch session reads them rather than re-paying
+    * the per-window vocabulary aggregate.
+    */
+  def windowedPlanStats(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuild(s, d, "win_plan_stats_1h_v1")(
+      windowedPlanStatsPlan(s, d))
+
+  /** The uncached derivation behind [[windowedPlanStats]] — what the
+    * one build pass runs; PlanSpec audits its join shapes here.
+    */
+  def windowedPlanStatsPlan(s: SparkSession, d: String): DataFrame = {
+    val framed = framedDocs(s, d)
+    windowedSourceStats(framed, "1 hour")
+      .join(driftReport(windowedTermCounts(framed, "1 hour"), s, d)
+              .select("win_ms", "source", "kl"),
+            Seq("win_ms", "source"))
+  }
+
   /** q135 geometry: shard count for the training-loader layout, and the
     * hash-prefix width (hex chars) that buckets each shard's hash order
     * for the two-phase position assignment. Widen the prefix as the
@@ -1270,7 +1304,19 @@ object Prep {
     * deterministic from its own bytes. q139 aggregates this into the
     * per-(source, epoch) manifest; [[epochShardShuffle]] orders it.
     */
-  def epochSampledDocs(s: SparkSession, d: String): DataFrame = {
+  def epochSampledDocs(s: SparkSession, d: String): DataFrame =
+    // the realized epoch sample is a corpus-derived, deterministic
+    // artifact (content-hash sampling against the q136 plan): persist
+    // it like the cluster labels so q139's manifests and q142's
+    // training order serve from one (doc_id, source, n_tokens, epoch)
+    // parquet instead of re-running stats + KL + plan + sampling per
+    // session. Version the name if the plan constants change.
+    DerivedCache.orBuild(s, d, "epoch_sample_v1")(epochSampledDocsPlan(s, d))
+
+  /** The uncached derivation behind [[epochSampledDocs]] — what the one
+    * build pass runs.
+    */
+  def epochSampledDocsPlan(s: SparkSession, d: String): DataFrame = {
     val avail = spread(docs(s, d))
       .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
       .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
@@ -1927,15 +1973,7 @@ object Prep {
         |  CAST(CASE WHEN target_tokens > ${MaxEpochs} * avail_tokens THEN 1 ELSE 0 END
         |    AS BIGINT) AS capped
         |FROM plan ORDER BY win_ms, source""".stripMargin) { (s, d) =>
-      val framed = spread(docs(s, d)).select(
-        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
-          .as("ts"),
-        col("source"), col("text"))
-      val kl = driftReport(windowedTermCounts(framed, "1 hour"), s, d)
-        .select("win_ms", "source", "kl")
-      epochPlanCore(
-        windowedSourceStats(framed, "1 hour").join(kl, Seq("win_ms", "source")),
-        groupCols = Seq("win_ms"))
+      epochPlanCore(windowedPlanStats(s, d), groupCols = Seq("win_ms"))
         .orderBy("win_ms", "source")
     },
 
@@ -2108,21 +2146,13 @@ object Prep {
         |    (a, b) -> a * 16 + b)) AS doc_digest
         |FROM ex GROUP BY 1, 2, 3
         |ORDER BY win_ms, source, epoch""".stripMargin) { (s, d) =>
-      val framed = spread(docs(s, d)).select(
-        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
-          .as("ts"),
-        col("doc_id"), col("source"), col("text"))
-      val kl = driftReport(windowedTermCounts(framed, "1 hour"), s, d)
-        .select("win_ms", "source", "kl")
-      val plan = epochPlanCore(
-          windowedSourceStats(framed, "1 hour")
-            .join(kl, Seq("win_ms", "source")),
-          groupCols = Seq("win_ms"))
+      val plan = epochPlanCore(windowedPlanStats(s, d),
+                               groupCols = Seq("win_ms"))
         .select(col("win_ms"), col("source"),
                 expr("planned_tokens DIV avail_tokens").as("full_epochs"),
                 ((col("planned_tokens") % col("avail_tokens")).cast("double")
                   / col("avail_tokens")).as("rate"))
-      planExecuteCore(framed, plan, "1 hour")
+      planExecuteCore(framedDocs(s, d), plan, "1 hour")
         .orderBy("win_ms", "source", "epoch")
     },
 

@@ -569,8 +569,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q138: broadcasts only group-bounded per-window tables; term join shuffles") {
     // per-window weight totals are bounded by the (window, source) group
     // count — the RIGHT side to broadcast; the (window, term) vocabulary
-    // table is NOT bounded and must stay on the shuffle path
-    val df = SparkEntry.queries("q138_windowed_epoch_plan")(spark, sf)
+    // table is NOT bounded and must stay on the shuffle path. The
+    // registry query may serve its stats from the persisted DerivedCache
+    // artifact, so audit the DERIVATION plan the one build pass runs
+    val df = graft.operators.Prep.epochPlanCore(
+      graft.operators.Prep.windowedPlanStatsPlan(spark, sf),
+      groupCols = Seq("win_ms"))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -592,8 +596,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q139: only the source-bounded plan broadcasts; no corpus-sized build side") {
     // the plan table is sources-rows tiny — broadcasting it is correct;
     // nothing doc-keyed may ever build a broadcast side (the sampling
-    // pass must stay scan-parallel at any corpus size)
-    val df = SparkEntry.queries("q139_epoch_plan_execute")(spark, sf)
+    // pass must stay scan-parallel at any corpus size). Audit the
+    // sampling DERIVATION — the registry query may serve the sampled
+    // stream from the persisted epoch_sample artifact
+    val df = graft.operators.Prep.epochSampledDocsPlan(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)

@@ -276,7 +276,7 @@ class PrepSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = q("q139_epoch_plan_execute").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-                 r.getString(4)))
+                 r.getLong(4)))
     assert(rows.nonEmpty)
     for ((src, epochs) <- rows.groupBy(_._1)) {
       val (avail, planned) = plan(src)
