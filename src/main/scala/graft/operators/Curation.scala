@@ -1861,6 +1861,111 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_pairs"),
              (floor(sum(round(col("jaccard") * 10000, 0).cast("long"))
                     / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_jaccard"))
+    },
+
+    Q("q147_split_leakage",
+      "Train/val/test LEAKAGE audit: near-duplicate pairs (q38's " +
+        "lossless prefix-filter candidates, exact token-set Jaccard >= " +
+        "0.9) whose members land in DIFFERENT q59 splits — the held-out " +
+        "contamination check every eval-aware pipeline runs after " +
+        "splitting (a val doc near-duplicating a train doc inflates " +
+        "every benchmark read off that split; exact duplicates are the " +
+        "jaccard = 1.0 subset of the same listing). Pure composition " +
+        "over the build-once verified pair set: the split column is " +
+        "recomputed from the same content hash q59 uses (no extra " +
+        "state to keep consistent), attached by two equi-joins on the " +
+        "scalable doc-id key — the pair set is the small side, nothing " +
+        "corpus-sized is ever broadcast, and the leaked listing is " +
+        "bounded by the near-dup pair count, not the corpus.",
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok,
+        |             CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |                  WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |                  ELSE 'test' END AS split
+        |           FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.split AS split_a, b.split AS split_b,
+        |    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9)
+        |SELECT id_a, id_b, split_a, split_b, jaccard
+        |FROM p WHERE split_a <> split_b""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("text")), 1, 1)
+      val sp = docs(s, d).select(
+        col("doc_id"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+          .as("split"))
+      TrainingData.jaccardPairs(s, d)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+              "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+              "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    },
+
+    Q("q148_length_buckets",
+      "Length-bucketed batch assembly — the variable-length loader's " +
+        "answer to padding waste (bucket_by_sequence_length / fairseq " +
+        "--max-tokens): per split, docs group into power-of-two length " +
+        "buckets (floor 16) and fill fixed-capacity batches of " +
+        "capacity = max(1, 4096 div bucket_max) docs, so every batch " +
+        "pads to at most its bucket ceiling and costs <= 4096 padded " +
+        "tokens (docs longer than the budget ride alone). The bucket " +
+        "ceiling is EXACT integer math in both engines — 1 << " +
+        "len(bin(n_tok - 1)) is the smallest power of two >= n_tok, no " +
+        "fp log2 boundary flips — and batch numbering is a row_number " +
+        "over (split, bucket) ordered by doc_id: deterministic, dense, " +
+        "re-derivable. Scale shape: one projection pass, then a window " +
+        "partitioned on (split, bucket_max) — 3 splits x ~10 buckets " +
+        "of partitions, each orders only its own bucket's doc ids; at " +
+        "corpus scale swap the global row_number for the q135 " +
+        "two-phase per-shard offset trick if a single bucket outgrows " +
+        "one task's sort.",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT *, greatest(CAST(16 AS BIGINT),
+        |         CAST(1 AS BIGINT) << length(bin(greatest(n_tok - 1, 1))))
+        |         AS bucket_max FROM t),
+        |c AS (SELECT *,
+        |    greatest(CAST(1 AS BIGINT),
+        |             CAST(floor(4096.0 / bucket_max) AS BIGINT)) AS capacity,
+        |    row_number() OVER (PARTITION BY split, bucket_max
+        |                       ORDER BY doc_id) AS rn FROM b)
+        |SELECT split, bucket_max,
+        |  CAST(floor((rn - 1.0) / capacity) AS BIGINT) AS batch_id,
+        |  doc_id, n_tok FROM c""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("text")), 1, 1)
+      val base = docs(s, d).select(
+        col("doc_id"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+          .as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("split", "bucket_max").orderBy("doc_id")
+      base
+        .withColumn("bucket_max",
+          // the DSL's shiftleft wants a literal shift — the SQL form
+          // takes the per-row bit length
+          greatest(lit(16L),
+                   expr("shiftleft(CAST(1 AS BIGINT), " +
+                        "length(bin(greatest(n_tok - 1, 1))))")))
+        .withColumn("capacity",
+          greatest(lit(1L),
+                   floor(lit(4096.0) / col("bucket_max")).cast("long")))
+        .withColumn("rn", row_number().over(w))
+        .select(col("split"), col("bucket_max"),
+                floor((col("rn") - lit(1.0)) / col("capacity")).cast("long")
+                  .as("batch_id"),
+                col("doc_id"), col("n_tok"))
     }
   )
 }

@@ -2558,6 +2558,87 @@ object Prep {
         .orderBy(col("dup_share").desc, col("doc_id")).limit(50)
     },
 
+    Q("q149_anneal_schedule",
+      "Annealed mixture schedule — the per-epoch data-scheduling curve " +
+        "between q125's static weights and q136's static plan: epoch 1 " +
+        "samples sources at their NATURAL token shares, the final " +
+        "epoch at UNIFORM shares, and epochs between interpolate " +
+        "linearly (the temperature-flattening multilingual/pretraining " +
+        "recipe — linear instead of p^(1/T) so every share is an exact " +
+        "RATIONAL with denominator (E-1)*T*S and the whole schedule " +
+        "stays integer-exact cross-engine, no fp pow). Per (source, " +
+        "epoch) the token grant is the LARGEST-REMAINDER apportionment " +
+        "of the epoch budget over those rational shares: floor the " +
+        "scaled products, then +1 to the largest remainders until the " +
+        "epoch sums to the budget EXACTLY — ties broken by source " +
+        "name, fully deterministic. Products reach budget x tokens x " +
+        "sources, so the arithmetic runs in decimal(38,0) (HUGEINT in " +
+        "the oracle): exact to 1e38, no long overflow at 100 TB. " +
+        "Scale shape: one token-count pass, then per-(source, epoch) " +
+        "bounded algebra — sources x epochs rows regardless of corpus.",
+      s"""WITH t AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |nat AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_s
+        |        FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_tok,
+        |               CAST(count(*) AS BIGINT) AS n_src FROM nat),
+        |ep AS (SELECT source, n_s, t_tok, n_src, epoch
+        |       FROM nat CROSS JOIN tot CROSS JOIN
+        |         (SELECT unnest(range(1, ${MaxEpochs} + 1)) AS epoch) e),
+        |alg AS (SELECT source, epoch,
+        |    CAST(${EpochBudget} AS HUGEINT) *
+        |      ((CAST(${MaxEpochs} - 1 AS HUGEINT) - (epoch - 1)) * n_s * n_src
+        |       + CAST(epoch - 1 AS HUGEINT) * t_tok) AS bp,
+        |    CAST(${MaxEpochs} - 1 AS HUGEINT) * t_tok * n_src AS den
+        |  FROM ep),
+        |base AS (SELECT source, epoch,
+        |           CAST(bp // den AS BIGINT) AS base, bp % den AS rem
+        |         FROM alg),
+        |fin AS (SELECT source, epoch, base,
+        |    CAST(${EpochBudget} AS BIGINT) -
+        |      sum(base) OVER (PARTITION BY epoch) AS deficit,
+        |    row_number() OVER (PARTITION BY epoch
+        |                       ORDER BY rem DESC, source) AS rnk
+        |  FROM base)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tok
+        |FROM fin""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val nat = docs(s, d)
+        .select(col("source"),
+                size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_s"))
+      val tot = nat.agg(sum("n_s").as("t_tok"),
+                        count(lit(1)).cast("long").as("n_src"))
+      val ep = nat.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"), col("t_tok"), col("n_src"),
+                explode(sequence(lit(1L), lit(MaxEpochs))).as("epoch"))
+      val eP = (col("epoch") - lit(1L)).cast(dec)
+      val pNum = (lit(MaxEpochs - 1).cast(dec) - eP) *
+          col("n_s").cast(dec) * col("n_src").cast(dec) +
+        eP * col("t_tok").cast(dec)
+      val pDen = lit(MaxEpochs - 1).cast(dec) *
+        col("t_tok").cast(dec) * col("n_src").cast(dec)
+      val bp = lit(EpochBudget).cast(dec) * pNum
+      // floor-division via the exact-mod identity — a plain decimal
+      // divide rounds HALF_UP at result scale, which could cross an
+      // integer boundary when a remainder sits within 1e-7 of den
+      val base = ((bp - (bp % pDen)) / pDen).cast("long")
+      val wE = Window.partitionBy("epoch")
+      val wR = Window.partitionBy("epoch")
+        .orderBy(col("rem").desc, col("source"))
+      ep.select(col("source"), col("epoch"),
+                base.as("base"), (bp % pDen).as("rem"))
+        .withColumn("deficit", lit(EpochBudget) - sum("base").over(wE))
+        .withColumn("rnk", row_number().over(wR))
+        .select(col("source"), col("epoch"),
+                (col("base") +
+                 when(col("rnk") <= col("deficit"), 1L).otherwise(0L))
+                  .as("alloc_tok"))
+    },
+
     Q("q134_substring_dedup_apply",
       "The REMOVAL transform for exact-substring dedup — the apply side " +
         "of q130 (Lee et al.'s actual cleanup): for every duplicated " +

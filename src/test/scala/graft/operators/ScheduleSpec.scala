@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q147 split-leakage, q148 length-bucketed batching, q149 annealed
+  * mixture schedule: invariants the DuckDB oracle's hash-compare can't
+  * state directly — subset/consistency against their ingredient
+  * queries, the packing-shape bounds, and exact apportionment algebra.
+  */
+class ScheduleSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  // ---- q147 ---------------------------------------------------------
+
+  test("q147: leaked pairs are exactly the q38 pairs whose q59 splits differ") {
+    val splits = q("q59_train_split")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = q("q38_ngram_jaccard")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = pairs.filter { case ((a, b), _) => splits(a) != splits(b) }
+    val leaked = q("q147_split_leakage")
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard").collect()
+    assert(leaked.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+             expected.keySet)
+    leaked.foreach { r =>
+      assert(r.getString(2) == splits(r.getLong(0)) &&
+               r.getString(3) == splits(r.getLong(1)))
+      assert(r.getString(2) != r.getString(3))
+      assert(r.getDouble(4) == pairs((r.getLong(0), r.getLong(1))))
+    }
+  }
+
+  // ---- q148 ---------------------------------------------------------
+
+  test("q148: bucket ceilings, batch capacity, and dense deterministic numbering") {
+    val rows = q("q148_length_buckets")
+      .select("split", "bucket_max", "batch_id", "doc_id", "n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def pow2ceil(n: Long): Long = {
+      var p = 1L; while (p < n) p <<= 1; math.max(16L, p)
+    }
+    rows.foreach { case (_, bmax, _, _, nTok) =>
+      assert(bmax == pow2ceil(nTok), s"bucket for len $nTok")
+      assert(bmax >= nTok && bmax >= 16)
+    }
+    // every batch holds <= capacity docs, and a full batch pads to
+    // <= 4096 tokens unless the bucket itself exceeds the budget
+    // (capacity 1: long docs ride alone)
+    rows.groupBy { case (sp, bmax, batch, _, _) => (sp, bmax, batch) }
+      .foreach { case ((_, bmax, _), members) =>
+        val cap = math.max(1L, 4096L / bmax)
+        assert(members.length <= cap)
+        if (cap > 1) assert(bmax * members.length <= 4096)
+      }
+    // batch ids are dense 0..k per (split, bucket), filled in doc_id
+    // order: doc i's batch is (rank within bucket) / capacity
+    rows.groupBy { case (sp, bmax, _, _, _) => (sp, bmax) }
+      .foreach { case ((_, bmax), members) =>
+        val cap = math.max(1L, 4096L / bmax)
+        members.sortBy(_._4).zipWithIndex.foreach {
+          case ((_, _, batch, _, _), i) => assert(batch == i / cap)
+        }
+      }
+  }
+
+  // ---- q149 ---------------------------------------------------------
+
+  private lazy val anneal = q("q149_anneal_schedule")
+    .select("source", "epoch", "alloc_tok").collect()
+    .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("q149: every epoch apportions the budget EXACTLY") {
+    val epochs = anneal.keys.map(_._2).toSet
+    assert(epochs == (1L to Prep.MaxEpochs).toSet)
+    epochs.foreach { e =>
+      val total = anneal.collect { case ((_, ep), a) if ep == e => a }.sum
+      assert(total == Prep.EpochBudget, s"epoch $e sums to $total")
+    }
+  }
+
+  test("q149: epoch 1 is the natural share, the last epoch uniform (each within the +-1 apportionment bound)") {
+    val natural = graft.Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = natural.values.sum
+    val s = natural.size
+    natural.foreach { case (src, nS) =>
+      val nat = Prep.EpochBudget.toDouble * nS / t
+      assert(math.abs(anneal((src, 1L)) - nat) <= 1.0,
+             s"epoch-1 share for $src")
+      val uni = Prep.EpochBudget.toDouble / s
+      assert(math.abs(anneal((src, Prep.MaxEpochs)) - uni) <= 1.0,
+             s"final-epoch share for $src")
+    }
+  }
+
+  test("q149: intermediate epochs interpolate linearly (midpoint of the anchors, within rounding)") {
+    val srcs = anneal.keys.map(_._1).toSet
+    // MaxEpochs = 4: epochs 2 and 3 sit at 1/3 and 2/3 between the
+    // epoch-1 and epoch-4 anchors
+    srcs.foreach { src =>
+      val a1 = anneal((src, 1L)).toDouble
+      val a4 = anneal((src, Prep.MaxEpochs)).toDouble
+      val e2 = a1 + (a4 - a1) / 3
+      val e3 = a1 + 2 * (a4 - a1) / 3
+      assert(math.abs(anneal((src, 2L)) - e2) <= 2.0, s"epoch-2 for $src")
+      assert(math.abs(anneal((src, 3L)) - e3) <= 2.0, s"epoch-3 for $src")
+    }
+  }
+}
