@@ -1966,6 +1966,59 @@ object Curation {
                 floor((col("rn") - lit(1.0)) / col("capacity")).cast("long")
                   .as("batch_id"),
                 col("doc_id"), col("n_tok"))
+    },
+
+    Q("q150_cluster_split",
+      "Cluster-respecting train/val/test split — the APPLY side of " +
+        "q147's leakage audit: the split key is the content hash of " +
+        "each doc's q64 CLUSTER REPRESENTATIVE (its own text for " +
+        "singletons), so every near-dup pair shares a component, hence " +
+        "a representative, hence a split — leakage is impossible by " +
+        "construction rather than detected after the fact (the " +
+        "cluster-level holdout rule eval-aware pipelines adopt once " +
+        "q147 finds pairs). Shares stay ~12/2/2 of 16: clusters hash " +
+        "uniformly exactly as docs do. Scale shape: the resolved " +
+        "cluster table is a DerivedCache artifact (built once per " +
+        "corpus snapshot), and both attachment joins — label to doc, " +
+        "representative hash to cluster — are shuffle equi-joins on " +
+        "scalable id keys; nothing corpus-sized broadcasts.",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |alld AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |sp AS (SELECT doc_id AS cluster_id,
+        |         CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |              WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |              ELSE 'test' END AS split FROM documents)
+        |SELECT alld.doc_id, alld.cluster_id, sp.split
+        |FROM alld JOIN sp USING (cluster_id)""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("text")), 1, 1)
+      val rep = docs(s, d).select(
+        col("doc_id").as("cluster_id"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+          .as("split"))
+      val lab = dedupClusters(s, d)
+        .select(col("doc_id"), col("cluster_id").as("cid"))
+      docs(s, d).select(col("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        .join(rep, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
     }
   )
 }
