@@ -117,24 +117,56 @@ object DerivedCache {
         stored == fp
       }
     if (!fresh) {
-      val staging = new org.apache.hadoop.fs.Path(dirStr + ".staging")
+      // writer-unique staging: two sessions racing to build the same
+      // artifact (two nightly jobs, a backfill beside a cron) must not
+      // truncate each other's half-written staging dir
+      val staging = new org.apache.hadoop.fs.Path(
+        dirStr + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
       fs.delete(staging, true)
       materialize(staging.toString)
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staging, "_fingerprint"), true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
-      val aside = new org.apache.hadoop.fs.Path(dirStr + ".old")
-      fs.delete(aside, true)
-      if (fs.exists(target) && !fs.rename(target, aside))
+      def targetFresh: Boolean =
+        try fs.exists(sidecar) && {
+          val in = fs.open(sidecar)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          stored == fp
+        } catch { case _: java.io.IOException => false }
+      // last-check-wins: a concurrent writer may have landed this
+      // artifact while our build ran. Deterministic derivations make
+      // the winner's bytes bit-identical — serve theirs, drop ours,
+      // and never rename over a live fresh artifact
+      if (targetFresh) { fs.delete(staging, true); return dirStr }
+      val aside = new org.apache.hadoop.fs.Path(
+        dirStr + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+      def swapFailed(step: String): Nothing = {
+        // second line of defense: the winner landed between the
+        // re-check above and the rename
+        if (targetFresh) {
+          fs.delete(staging, true)
+          throw ServedByConcurrentWriter
+        }
         throw new java.io.IOException(
-          s"derived-cache aside failed: $target -> $aside")
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(
-          s"derived-cache swap failed: $staging -> $target")
-      fs.delete(aside, true)
+          s"derived-cache $step failed: $staging -> $target")
+      }
+      try {
+        if (fs.exists(target) && !fs.rename(target, aside))
+          swapFailed("aside")
+        if (!fs.rename(staging, target)) swapFailed("swap")
+        fs.delete(aside, true)
+      } catch {
+        case ServedByConcurrentWriter => fs.delete(aside, true); ()
+      }
     }
     dirStr
   }
+
+  /** Control-flow marker for the lost-the-swap-race path in [[serve]]. */
+  private object ServedByConcurrentWriter
+      extends Exception with scala.util.control.NoStackTrace
 
   /** Where an artifact for corpus `d` lives (test observability and
     * operational tooling — consumers go through [[orBuild]]).

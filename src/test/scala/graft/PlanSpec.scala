@@ -690,4 +690,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(partialIdx > exchangeIdx,
            "partial top_k_by must run map-side, before the shuffle")
   }
+
+  test("q147/q150: split attachment never broadcasts a documents scan") {
+    // the pair/label joins run on scalable doc-id keys; acceptable
+    // build sides are pair-bounded tables only — a broadcast carrying
+    // the text column means a corpus scan on the build side, which
+    // OOMs the driver at 100 TB
+    for (q <- Seq("q147_split_leakage", "q150_cluster_split")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("BroadcastExchange") && l.contains("text#")).toSeq
+      assert(bad.isEmpty,
+             s"$q broadcasts a documents scan:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q148: no join, bucket-partitioned windows, no global sort") {
+    val df = SparkEntry.queries("q148_length_buckets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"q148 grew a join:\n$p")
+    assert(p.contains("Window"), s"q148 lost its window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+             l.trim.startsWith("+- Sort") && l.contains("global=true")),
+           s"q148 batch numbering regressed to a global sort:\n$p")
+  }
+
+  test("q149: at most the 1-row totals broadcast; never a documents scan") {
+    val df = SparkEntry.queries("q149_anneal_schedule")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val broadcasts = p.linesIterator
+      .filter(_.contains("BroadcastExchange")).toSeq
+    assert(broadcasts.size <= 1,
+           s"q149 grew extra broadcasts:\n${broadcasts.mkString("\n")}")
+    assert(!broadcasts.exists(_.contains("text#")),
+           "q149 must not broadcast a documents scan")
+  }
 }

@@ -65,4 +65,39 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     serve().collect()
     assert(builds == 2, "invalidate must force the next read to rebuild")
   }
+
+  test("losing the swap race to a concurrent writer still serves the artifact") {
+    // simulate the race deterministically: while OUR build runs, a
+    // "concurrent session" lands the same artifact (same fingerprint —
+    // derivations are deterministic, so same bytes) at the target.
+    // Our swap then can't rename over it; serve() must recognize the
+    // winner's fresh sidecar, discard the losing staging copy, and
+    // serve — not crash the session
+    val d = freshCorpus()
+    val art = "spec_race_v1"
+    def result() = DerivedCache.orBuild(spark, d, art) {
+      val winner = DerivedCache.artifactDir(d, art)
+      spark.read.parquet(d + "/documents.parquet")
+        .write.mode("overwrite").parquet(winner)
+      // the winner's sidecar: copy the fingerprint our own build will
+      // compute — same corpus, same listing
+      val fpPath = new java.io.File(winner, "_fingerprint").toPath
+      // recompute via a throwaway second artifact's sidecar
+      val probe = DerivedCache.orBuild(spark, d, "spec_race_probe_v1")(
+        spark.read.parquet(d + "/documents.parquet"))
+      probe.collect()
+      val probeFp = java.nio.file.Files.readString(
+        new java.io.File(DerivedCache.artifactDir(d, "spec_race_probe_v1"),
+                         "_fingerprint").toPath)
+      java.nio.file.Files.writeString(fpPath, probeFp)
+      spark.read.parquet(d + "/documents.parquet")
+    }
+    assert(result().count() == 3L,
+           "losing the swap race must serve the landed artifact")
+    // no staging/aside litter left behind
+    val parent = new java.io.File(DerivedCache.artifactDir(d, art)).getParentFile
+    val litter = parent.listFiles.map(_.getName)
+      .filter(n => n.contains(".staging") || n.contains(".old"))
+    assert(litter.isEmpty, s"race left litter: ${litter.mkString(", ")}")
+  }
 }
