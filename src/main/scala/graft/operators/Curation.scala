@@ -499,6 +499,80 @@ object Curation {
     packedTokenIdsSep(s, d, splitBudget, sepId)
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Integrity audit over a LANDED packed-ID export ([[
+    * exportPackedTokenIds]] / [[exportPackedTokenIdsSep]] output, plus
+    * optionally its q145 boundary sidecar): the reconciliation a
+    * training job runs before trusting shards that crossed a network
+    * and a filesystem. Self-contained on the artifact bytes — no
+    * corpus re-derivation — so it is cheap enough to run per delivery:
+    *
+    *  - `ids_md5`: the landed digest must match a recompute over the
+    *    landed `ids` (partial writes, bit rot, a truncated column);
+    *  - `n_ids`: the landed count must equal `size(ids)`;
+    *  - `n_docs`: (separator exports) the landed doc count must equal
+    *    the separator occurrences in `ids`;
+    *  - `bin_density`: bins per split must be dense 0..max — a
+    *    missing shard row is a silent hole in the training stream;
+    *  - `boundary_universe` / `boundary_tokens`: the sidecar must
+    *    cover exactly the shard's (split, bin) universe, and each
+    *    bin's summed word-piece length can never exceed its id count
+    *    (every word maps to ≥1 subword id).
+    *
+    * Returns violations as (split, bin, check, detail) — empty means
+    * the export is internally consistent. Scale shape: per-(split,
+    * bin) projections and one bounded aggregate per check; the only
+    * joins are full-outer on (split, bin) — shard-count-sized keys.
+    */
+  def auditPackedIdsExport(s: SparkSession, idsDir: String,
+                           boundaryDir: Option[String] = None,
+                           sepId: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val shards = s.read.parquet(idsDir)
+    val viol = (name: String, detail: org.apache.spark.sql.Column) =>
+      struct(lit(name).as("check"), detail.cast("string").as("detail"))
+    val md5Of = md5(array_join(transform(col("ids"), i => i.cast("string")),
+                               " ").cast("binary"))
+    val sepCount = sepId.map(id =>
+      size(filter(col("ids"), i => i === id)).cast("long"))
+    val rowChecks = shards.select(
+        col("split"), col("bin"),
+        array_compact(array(Seq(
+          when(md5Of =!= col("ids_md5"), viol("ids_md5", md5Of)),
+          when(size(col("ids")).cast("long") =!= col("n_ids"),
+               viol("n_ids", size(col("ids"))))) ++
+          sepCount.map(c =>
+            when(c =!= col("n_docs"), viol("n_docs", c))).toSeq: _*))
+          .as("v"))
+      .select(col("split"), col("bin"), explode(col("v")).as("v"))
+    val density = shards.groupBy("split")
+      .agg(max("bin").as("mx"), count(lit(1)).as("n"),
+           min("bin").as("mn"))
+      .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("n"))
+      .select(col("split"), lit(-1L).as("bin"),
+              viol("bin_density",
+                   concat_ws("/", col("mn"), col("mx"), col("n"))).as("v"))
+    val boundary = boundaryDir.map { bd =>
+      val b = s.read.parquet(bd)
+        .groupBy("split", "bin")
+        .agg(sum("n_piece_tokens").as("b_tok"))
+      val sh = shards.select(col("split"), col("bin"), col("n_ids"))
+      sh.join(b, Seq("split", "bin"), "full_outer")
+        .select(col("split"), col("bin"),
+                when(col("n_ids").isNull || col("b_tok").isNull,
+                     viol("boundary_universe",
+                          coalesce(col("n_ids"), col("b_tok"))))
+                  .when(col("b_tok") > col("n_ids"),
+                        viol("boundary_tokens",
+                             concat_ws(">", col("b_tok"), col("n_ids"))))
+                  .as("v"))
+        .filter(col("v").isNotNull)
+    }
+    (Seq(rowChecks, density) ++ boundary.toSeq)
+      .reduce(_ unionByName _)
+      .select(col("split"), col("bin"),
+              col("v.check").as("check"), col("v.detail").as("detail"))
+  }
+
   /** Per-document token-ID sequences under the corpus-learned BPE
     * vocabulary — q137's ID assembly at DOC granularity, BATCH OR STREAM
     * micro-batch: each doc's words map to subword-ID arrays
@@ -2019,6 +2093,44 @@ object Curation {
                 coalesce(col("cid"), col("doc_id")).as("cluster_id"))
         .join(rep, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
+
+    Q("q151_bpe_fertility",
+      "Tokenizer FERTILITY per source — subword ids emitted per word " +
+        "under the corpus-learned BPE (separators excluded): the " +
+        "tokenizer-health metric multilingual/pretraining evals track, " +
+        "because a source whose fertility runs high (script or domain " +
+        "the merges never saw) pays proportionally more sequence " +
+        "length per word of content and silently shrinks its effective " +
+        "token budget. The DuckDB oracle RE-LEARNS the merges (the " +
+        "q137 BpeOracle CTEs) and re-derives every word's ids, so the " +
+        "metric is proven against an independent tokenizer " +
+        "implementation end-to-end. 4dp via the q101 scaled-int " +
+        "half-up convention. Scale shape: one occurrence pass, the " +
+        "vocabulary-sized word->ids join on the shuffle path " +
+        "(shuffle_hash, the no-broadcast-vocabulary rule), then a " +
+        "sources-bounded aggregate.",
+      s"""WITH RECURSIVE ${BpeOracle.ctes(Prep.BpeK)},
+        |${BpeOracle.idCtes(Prep.BpeK)},
+        |occ AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents),
+        |j AS (SELECT source, len(ids) AS k
+        |      FROM (SELECT source, w FROM occ WHERE w <> '') o
+        |      JOIN wids USING (w))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(k) AS BIGINT) AS n_subids,
+        |  floor(sum(k) * 10000.0 / count(*) + 0.5) / 10000.0 AS fertility
+        |FROM j GROUP BY source""".stripMargin) { (s, d) =>
+      val wids = Prep.wordTokenIds(s, d).hint("shuffle_hash")
+      docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(wids, "w")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+             sum(size(col("ids"))).cast("long").as("n_subids"),
+             (floor(sum(size(col("ids"))) * lit(10000.0) / count(lit(1))
+                    + lit(0.5)) / lit(10000.0)).as("fertility"))
     }
   )
 }

@@ -117,4 +117,20 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(anneal((src, 3L)) - e3) <= 2.0, s"epoch-3 for $src")
     }
   }
+
+  // ---- q151 ---------------------------------------------------------
+
+  test("q151: fertility >= 1 everywhere and word totals match the corpus") {
+    val rows = q("q151_bpe_fertility")
+      .select("source", "n_words", "n_subids", "fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"subids < words for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 1.0)
+    }
+    val totalWords = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == totalWords)
+  }
 }
