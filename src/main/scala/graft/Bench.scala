@@ -116,8 +116,9 @@ object Bench {
       "q141_windowed_plan_execute", "q142_training_order",
       // q143/q144 share q110's cached vocab stat
       "q143_ccnet_buckets", "q144_ccnet_sample",
-      // q147 serves the q38 pair graph, q150 the resolved cluster labels
-      "q147_split_leakage", "q150_cluster_split")
+      // q147 serves the q38 pair graph, q150 the resolved cluster
+      // labels, q151 the BPE merge cache
+      "q147_split_leakage", "q150_cluster_split", "q151_bpe_fertility")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get
