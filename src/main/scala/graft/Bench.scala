@@ -118,7 +118,9 @@ object Bench {
       "q143_ccnet_buckets", "q144_ccnet_sample",
       // q147 serves the q38 pair graph, q150 the resolved cluster
       // labels, q151 the BPE merge cache
-      "q147_split_leakage", "q150_cluster_split", "q151_bpe_fertility")
+      "q147_split_leakage", "q150_cluster_split", "q151_bpe_fertility",
+      // q152 reads the shared piece stream behind q129/q145
+      "q152_pack_efficiency")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

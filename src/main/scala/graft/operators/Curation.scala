@@ -2131,6 +2131,44 @@ object Curation {
              sum(size(col("ids"))).cast("long").as("n_subids"),
              (floor(sum(size(col("ids"))) * lit(10000.0) / count(lit(1))
                     + lit(0.5)) / lit(10000.0)).as("fertility"))
+    },
+
+    Q("q152_pack_efficiency",
+      "Packing-efficiency report per split — the shipping QA number a " +
+        "pack run is judged by: bins produced, tokens packed, documents " +
+        "placed, BIN CROSSINGS (pieces beyond each doc's first — every " +
+        "crossing is a document a trainer sees truncated at a sequence " +
+        "edge), and the fill share of the allotted bin space (tokens / " +
+        "bins*budget, 4dp by integer DIV — the exact-fill packer should " +
+        "hold this at ~1.0 with only the final partial bin open per " +
+        "split; a regression here means the packer is leaking pad " +
+        "slots). Derived from the SAME piece stream the packers " +
+        "consume, so the report can never disagree with the artifact. " +
+        "Scale shape: one (split, bin)-keyed aggregate over the piece " +
+        "stream, output bounded by splits.",
+      s"""WITH RECURSIVE $packedPiecesCtes,
+        |agg AS (SELECT split,
+        |    CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+        |    CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_pieces,
+        |    CAST(sum(CASE WHEN doc_start THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_docs
+        |  FROM pieces GROUP BY 1)
+        |SELECT split, n_bins, n_tokens, n_docs,
+        |  n_pieces - n_docs AS n_bin_crossings,
+        |  (n_tokens * 10000 // (n_bins * ${Prep.PackBudget})) / 10000.0
+        |    AS fill_share
+        |FROM agg""".stripMargin) { (s, d) =>
+      packedPieces(s, d, SplitBudget)
+        .groupBy("split")
+        .agg(countDistinct("bin").cast("long").as("n_bins"),
+             sum(size(col("piece"))).cast("long").as("n_tokens"),
+             count(lit(1)).cast("long").as("n_pieces"),
+             sum(col("doc_start").cast("long")).cast("long").as("n_docs"))
+        .select(col("split"), col("n_bins"), col("n_tokens"), col("n_docs"),
+                (col("n_pieces") - col("n_docs")).as("n_bin_crossings"),
+                (expr(s"n_tokens * 10000 DIV (n_bins * ${Prep.PackBudget})")
+                   / lit(10000.0)).as("fill_share"))
     }
   )
 }

@@ -133,4 +133,29 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
       .filter(length(col("w")) > 0).count()
     assert(rows.map(_.getLong(1)).sum == totalWords)
   }
+
+  // ---- q152 ---------------------------------------------------------
+
+  test("q152: agrees with q145 and proves exact-fill (only the final bin per split is partial)") {
+    val rep = q("q152_pack_efficiency")
+      .select("split", "n_bins", "n_tokens", "n_docs", "n_bin_crossings",
+              "fill_share").collect()
+      .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+             r.getDouble(5))).toMap
+    assert(rep.keySet == Set("train", "val", "test"))
+    val bounds = q("q145_pack_boundaries")
+      .select("split", "bin", "n_pieces").collect()
+      .groupBy(_.getString(0))
+    rep.foreach { case (sp, (bins, toks, docs, crossings, fill)) =>
+      val b = bounds(sp)
+      assert(b.length.toLong == bins, s"$sp bin count vs q145")
+      assert(b.map(_.getLong(2)).sum == docs + crossings,
+             s"$sp piece count vs q145")
+      assert(fill > 0.0 && fill <= 1.0)
+      // exact-fill: all bins but the last are full, so
+      // tokens > (bins - 1) * budget
+      assert(toks > (bins - 1) * Prep.PackBudget, s"$sp leaks pad slots")
+    }
+  }
 }
