@@ -1995,12 +1995,14 @@ object Curation {
         "len(bin(n_tok - 1)) is the smallest power of two >= n_tok, no " +
         "fp log2 boundary flips — and batch numbering is a row_number " +
         "over (split, bucket) ordered by doc_id: deterministic, dense, " +
-        "re-derivable. Scale shape: one projection pass, then a window " +
-        "partitioned on (split, bucket_max) — 3 splits x ~10 buckets " +
-        "of partitions, each orders only its own bucket's doc ids; at " +
-        "corpus scale swap the global row_number for the q135 " +
-        "two-phase per-shard offset trick if a single bucket outgrows " +
-        "one task's sort.",
+        "re-derivable. Scale shape: one projection pass, then the q135 " +
+        "TWO-PHASE rank — ranks run inside (split, bucket, 8192-doc-id " +
+        "range) sub-buckets whose counts prefix-sum to offsets, so no " +
+        "window ever orders a whole (split, bucket) partition over raw " +
+        "docs (a single popular bucket holds billions of rows at " +
+        "100 TB; a direct row_number there is a one-task sort). The " +
+        "range sub-bucket preserves doc_id order, so the two-phase " +
+        "rank IS the direct rank, bit-for-bit.",
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
         |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
@@ -2013,19 +2015,28 @@ object Curation {
         |c AS (SELECT *,
         |    greatest(CAST(1 AS BIGINT),
         |             CAST(floor(4096.0 / bucket_max) AS BIGINT)) AS capacity,
-        |    row_number() OVER (PARTITION BY split, bucket_max
-        |                       ORDER BY doc_id) AS rn FROM b)
-        |SELECT split, bucket_max,
-        |  CAST(floor((rn - 1.0) / capacity) AS BIGINT) AS batch_id,
-        |  doc_id, n_tok FROM c""".stripMargin) { (s, d) =>
+        |    doc_id // 8192 AS sub FROM b),
+        |counts AS (SELECT split, bucket_max, sub,
+        |             CAST(count(*) AS BIGINT) AS c FROM c GROUP BY 1, 2, 3),
+        |offs AS (SELECT split, bucket_max, sub,
+        |    coalesce(sum(c) OVER (PARTITION BY split, bucket_max
+        |      ORDER BY sub ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS off
+        |  FROM counts),
+        |r AS (SELECT split, bucket_max, sub, capacity, doc_id, n_tok,
+        |        row_number() OVER (PARTITION BY split, bucket_max, sub
+        |                           ORDER BY doc_id) AS rn FROM c)
+        |SELECT r.split, r.bucket_max,
+        |  CAST((offs.off + r.rn - 1) // r.capacity AS BIGINT) AS batch_id,
+        |  r.doc_id, r.n_tok
+        |FROM r JOIN offs USING (split, bucket_max, sub)""".stripMargin) {
+      (s, d) =>
       val h = substring(md5(col("text")), 1, 1)
       val base = docs(s, d).select(
-        col("doc_id"),
-        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
-          .as("split"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val w = Window.partitionBy("split", "bucket_max").orderBy("doc_id")
-      base
+          col("doc_id"),
+          when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+            .as("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
         .withColumn("bucket_max",
           // the DSL's shiftleft wants a literal shift — the SQL form
           // takes the per-row bit length
@@ -2035,10 +2046,20 @@ object Curation {
         .withColumn("capacity",
           greatest(lit(1L),
                    floor(lit(4096.0) / col("bucket_max")).cast("long")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("sub", expr("doc_id DIV 8192"))
+      val counts = base.groupBy("split", "bucket_max", "sub")
+        .agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy("split", "bucket_max").orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+        .select("split", "bucket_max", "sub", "off")
+      val wRn = Window.partitionBy("split", "bucket_max", "sub")
+        .orderBy("doc_id")
+      base.withColumn("rn", row_number().over(wRn))
+        .join(offs, Seq("split", "bucket_max", "sub"))
         .select(col("split"), col("bucket_max"),
-                floor((col("rn") - lit(1.0)) / col("capacity")).cast("long")
-                  .as("batch_id"),
+                expr("(off + rn - 1) DIV capacity").as("batch_id"),
                 col("doc_id"), col("n_tok"))
     },
 

@@ -708,13 +708,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q148: no join, bucket-partitioned windows, no global sort") {
+  test("q148: two-phase rank — row_number windows are sub-bucket-bounded, no global sort") {
     val df = SparkEntry.queries("q148_length_buckets")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(!p.contains("Join"), s"q148 grew a join:\n$p")
-    assert(p.contains("Window"), s"q148 lost its window:\n$p")
+    // every row_number window must partition on the 8192-doc range
+    // sub-bucket too — partitioning only on (split, bucket_max) means
+    // one task sorts a whole corpus-sized bucket at 100 TB
+    val rnWindows = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rnWindows.nonEmpty, s"q148 lost its rank window:\n$p")
+    assert(rnWindows.forall(_.contains("sub#")),
+           s"q148 rank window lost the sub-bucket key:\n${rnWindows.mkString("\n")}")
     assert(!p.linesIterator.exists(l =>
              l.trim.startsWith("+- Sort") && l.contains("global=true")),
            s"q148 batch numbering regressed to a global sort:\n$p")
