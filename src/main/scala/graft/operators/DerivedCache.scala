@@ -176,14 +176,13 @@ object DerivedCache {
 
   /** Corpus-change hook (compaction / regeneration): drop every artifact
     * derived from `d`. The fingerprint already self-invalidates on the
-    * next read; this reclaims the bytes eagerly.
+    * next read; this reclaims the bytes eagerly. Goes through the
+    * Hadoop FS API so a deployment pointing `SPARK_GRAFT_CACHE_DIR` at
+    * shared storage invalidates the same bytes the readers serve.
     */
   def invalidate(d: String): Unit = {
-    val dir = new java.io.File(s"$root/${corpusKey(d)}")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    if (dir.exists) rm(dir)
+    val p = new org.apache.hadoop.fs.Path(s"$root/${corpusKey(d)}")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 }
