@@ -120,7 +120,10 @@ object Bench {
       // labels, q151 the BPE merge cache
       "q147_split_leakage", "q150_cluster_split", "q151_bpe_fertility",
       // q152 reads the shared piece stream behind q129/q145
-      "q152_pack_efficiency")
+      "q152_pack_efficiency",
+      // these four serve the persisted source_stats artifact
+      "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
+      "q149_anneal_schedule")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

@@ -944,12 +944,14 @@ object Prep {
   val EpochBudget = 100000L
   val MaxEpochs = 4L
 
-  /** q125's core, shared with q136: per source, the scaled-int mean
-    * quality, q112's KL drift, and the 1e-8-scaled integer mixture
-    * weight w_int ∝ mean_quality / (1 + kl) — normalization happens in
-    * each consumer over the integer sum.
+  /** The per-source corpus statistics DERIVATION behind q112/q125/q136/
+    * q149: one quality+token pass and one KL pass over the corpus →
+    * (source, n_docs, mean_quality, avail_tokens, n_terms, kl, w_int) —
+    * a sources-bounded table. [[sourceStats]] persists it per corpus
+    * snapshot; this uncached plan is what the one build pass executes
+    * (and what PlanSpec's stage-reuse pin audits).
     */
-  def mixtureWeightsCore(s: SparkSession, d: String): DataFrame = {
+  def sourceStatsPlan(s: SparkSession, d: String): DataFrame = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
     val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
@@ -957,16 +959,35 @@ object Prep {
         size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
           size(tok)), 4)
     val q = spread(docs(s, d))
-      .select(col("source"), quality.as("quality"))
+      .select(col("source"), quality.as("quality"),
+              size(tok).cast("long").as("nt"))
       .groupBy("source")
       .agg((floor(sum(round(col("quality") * 10000, 0).cast("long"))
               / count(lit(1)) + lit(0.5)) / lit(10000.0)).as("mean_quality"),
-           count(lit(1)).cast("long").as("n_docs"))
-    q.join(sourceKl(s, d).select("source", "kl"), "source")
+           count(lit(1)).cast("long").as("n_docs"),
+           sum("nt").cast("long").as("avail_tokens"))
+    q.join(sourceKl(s, d), "source")
       .withColumn("w_int",
         floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
               + 0.5).cast("long"))
   }
+
+  /** [[sourceStatsPlan]] served from the DerivedCache: q112's KL
+    * report, q125's weights, q136's plan inputs, and q149's natural
+    * token shares all read this one persisted sources-bounded table
+    * instead of each re-running the two corpus passes per session.
+    */
+  def sourceStats(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuild(s, d, "source_stats_v1")(sourceStatsPlan(s, d))
+
+  /** q125's core, shared with q136: per source, the scaled-int mean
+    * quality, q112's KL drift, and the 1e-8-scaled integer mixture
+    * weight w_int ∝ mean_quality / (1 + kl) — normalization happens in
+    * each consumer over the integer sum. Serves from [[sourceStats]].
+    */
+  def mixtureWeightsCore(s: SparkSession, d: String): DataFrame =
+    sourceStats(s, d)
+      .select("source", "mean_quality", "n_docs", "kl", "w_int")
 
   /** The epoch-plan allocation algebra, shared by batch q136 (corpus
     * statistics, one global plan) and the per-window planner
@@ -1317,12 +1338,9 @@ object Prep {
     * build pass runs.
     */
   def epochSampledDocsPlan(s: SparkSession, d: String): DataFrame = {
-    val avail = spread(docs(s, d))
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
-      .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
-    val plan = epochPlanCore(mixtureWeightsCore(s, d)
-        .select("source", "mean_quality", "kl")
-        .join(avail, "source"))
+    val plan = epochPlanCore(
+        sourceStats(s, d)
+          .select("source", "mean_quality", "kl", "avail_tokens"))
       .select(col("source"),
               expr("planned_tokens DIV avail_tokens").as("full_epochs"),
               ((col("planned_tokens") % col("avail_tokens")).cast("double")
@@ -1786,8 +1804,11 @@ object Prep {
       // push into their branches: with it, every consumer of `st` hangs
       // off ONE canonical scan+explode+shuffle subtree, and AQE's stage
       // reuse computes the corpus pass once (the probe without it showed
-      // two stage-reuse groups split by the pushed filter)
-      sourceKl(s, d)
+      // two stage-reuse groups split by the pushed filter). The registry
+      // query serves the persisted source_stats artifact; PlanSpec
+      // audits the derivation plan (sourceStatsPlan), where that
+      // stage-reuse shape lives
+      sourceStats(s, d).select("source", "n_terms", "kl")
     },
 
     Q("q125_mixture_weights",
@@ -1900,12 +1921,9 @@ object Prep {
         |  CAST(CASE WHEN target_tokens > ${MaxEpochs} * avail_tokens THEN 1 ELSE 0 END
         |    AS BIGINT) AS capped
         |FROM plan ORDER BY source""".stripMargin) { (s, d) =>
-      val avail = spread(docs(s, d))
-        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
-        .groupBy("source").agg(sum("nt").cast("long").as("avail_tokens"))
-      epochPlanCore(mixtureWeightsCore(s, d)
-          .select("source", "mean_quality", "kl")
-          .join(avail, "source"))
+      epochPlanCore(
+          sourceStats(s, d)
+            .select("source", "mean_quality", "kl", "avail_tokens"))
         .orderBy("source")
     },
 
@@ -2606,10 +2624,10 @@ object Prep {
         |    AS alloc_tok
         |FROM fin""".stripMargin) { (s, d) =>
       val dec = "decimal(38,0)"
-      val nat = docs(s, d)
-        .select(col("source"),
-                size(split(col("text"), " ")).cast("long").as("nt"))
-        .groupBy("source").agg(sum("nt").as("n_s"))
+      // natural shares = the persisted per-source token counts (q136's
+      // avail_tokens — same whitespace convention)
+      val nat = sourceStats(s, d)
+        .select(col("source"), col("avail_tokens").as("n_s"))
       val tot = nat.agg(sum("n_s").as("t_tok"),
                         count(lit(1)).cast("long").as("n_src"))
       val ep = nat.crossJoin(broadcast(tot))

@@ -399,8 +399,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(defLine.nonEmpty && defLine.forall(_.contains("*(")),
              s"deflate_ratio fell out of codegen:\n$p111")
       // q112: only the 1-row corpus total broadcasts; the vocabulary-sized
-      // (term) marginal join must stay a shuffle join, never a broadcast
-      val p112 = plan("q112_source_drift_kl")
+      // (term) marginal join must stay a shuffle join, never a broadcast.
+      // The registry query serves the persisted source_stats artifact —
+      // audit the derivation plan the one build pass runs
+      val p112 = graft.operators.Prep.sourceStatsPlan(spark, sf)
+        .queryExecution.executedPlan.toString
       assert(p112.contains("BroadcastNestedLoopJoin"),
              s"q112 total must ride as a broadcast scalar:\n$p112")
       val termBroadcast = p112.linesIterator.filter(l =>
@@ -448,11 +451,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // derivations instead of fresh corpus passes) and AQE then runs the
     // heavy exchange once. This pins the ReusedExchange, which disappears
     // if a branch's filters/projections drift out of canonical equality.
-    val df112 = SparkEntry.queries("q112_source_drift_kl")(spark, sf)
+    // q112/q125/q136/q149 serve the persisted source_stats artifact —
+    // audit the DERIVATION plan, which is what the one build pass runs
+    val df112 = graft.operators.Prep.sourceStatsPlan(spark, sf)
     df112.collect()
     val p112 = df112.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p112).length >= 3,
-           s"q112 stopped reusing the corpus statistics stage:\n$p112")
+           s"source-stats build stopped reusing the corpus statistics stage:\n$p112")
     // q110's registry query may serve the per-doc scores from the
     // persisted DerivedCache artifact — audit the derivation plan,
     // which is what the one build pass actually executes
