@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The nightly training-data runbook — every stage of the pipeline, in
+  * dependency order, landed as real artifacts under one output dir,
+  * with the integrity audit as the exit gate. This is the "a user of
+  * the reference switches to this library" path made executable: a
+  * fresh JVM composes from the persisted DerivedCache artifacts (or
+  * builds them once on the first-ever night), so night N+1 pays serve
+  * cost, not derive cost.
+  *
+  * Usage: runMain graft.Nightly <corpusDir> <outDir>
+  *
+  * Layout written:
+  *   outDir/curated/        curated corpus, split-partitioned
+  *   outDir/training_set/   budget-selected docs, split-partitioned
+  *   outDir/shards/         packed token-ID bins, in-band EOS separators
+  *   outDir/bounds/         q145 attention-boundary sidecar
+  *   outDir/plan/           q136 epoch plan (per-source grants)
+  *   outDir/order/          q142 per-epoch training order
+  *   outDir/report.json     per-stage seconds + row counts + audit result
+  *
+  * Exit code 1 if the landed-shard audit reports violations — a nightly
+  * must never hand the trainer an internally inconsistent export.
+  */
+object Nightly {
+  def main(args: Array[String]): Unit = {
+    val Array(corpus, out) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, corpus, out)
+    println(report)
+    spark.stop()
+    if (!report.contains("\"audit_violations\":0")) sys.exit(1)
+  }
+
+  /** The stage sequence, returning the JSON report it also writes. */
+  def run(spark: SparkSession, corpus: String, out: String): String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stage(name: String)(body: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = body
+      stages += ((name, (System.nanoTime() - t0) / 1e9, n))
+      n
+    }
+    import operators.{Curation, Prep}
+
+    stage("curate") {
+      Curation.exportCurated(spark, corpus, s"$out/curated")
+      spark.read.parquet(s"$out/curated").count()
+    }
+    stage("training_set") {
+      Curation.exportTrainingSet(spark, corpus, s"$out/training_set")
+      spark.read.parquet(s"$out/training_set").count()
+    }
+    stage("shards") {
+      Curation.exportPackedTokenIdsSep(spark, corpus, s"$out/shards")
+      spark.read.parquet(s"$out/shards").count()
+    }
+    stage("bounds") {
+      Curation.packBoundaryRows(
+          Curation.trainingSetVerdict(spark, corpus)
+            .filter(col("keep") === 1L).select("doc_id"), spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/bounds")
+      spark.read.parquet(s"$out/bounds").count()
+    }
+    stage("epoch_plan") {
+      SparkEntry.queries("q136_epoch_plan")(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/plan")
+      spark.read.parquet(s"$out/plan").count()
+    }
+    stage("training_order") {
+      SparkEntry.queries("q142_training_order")(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/order")
+      spark.read.parquet(s"$out/order").count()
+    }
+    val violations = stage("audit") {
+      Curation.auditPackedIdsExport(
+          spark, s"$out/shards", Some(s"$out/bounds"),
+          Some(Curation.EosId))
+        .count()
+    }
+
+    val body = stages.map { case (n, sec, rows) =>
+      f"""{"stage":"$n","sec":$sec%.3f,"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    val report =
+      s"""{"corpus":"$corpus","stages":$body,"audit_violations":$violations}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/report.json"),
+      (report + "\n").getBytes("UTF-8"))
+    report
+  }
+}
