@@ -573,6 +573,28 @@ object Curation {
               col("v.check").as("check"), col("v.detail").as("detail"))
   }
 
+  /** q152's packing-efficiency report re-derived from a LANDED q145
+    * boundary sidecar — the ops twin of [[auditPackedIdsExport]]: the
+    * report on what actually shipped (bins, word tokens, documents,
+    * bin crossings, fill share), computed from the artifact bytes with
+    * no corpus access. PackReportSpec pins it equal to the batch q152
+    * derivation, closing the loop: the number QA reads off the shipped
+    * sidecar IS the number the packer predicted.
+    */
+  def packReportFromExport(s: SparkSession, boundaryDir: String)
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(boundaryDir)
+      .groupBy("split")
+      .agg(countDistinct("bin").cast("long").as("n_bins"),
+           sum("n_piece_tokens").cast("long").as("n_tokens"),
+           countDistinct("doc_id").cast("long").as("n_docs"),
+           (count(lit(1)) - countDistinct("doc_id")).cast("long")
+             .as("n_bin_crossings"))
+      .select(col("split"), col("n_bins"), col("n_tokens"), col("n_docs"),
+              col("n_bin_crossings"),
+              (expr(s"n_tokens * 10000 DIV (n_bins * ${Prep.PackBudget})")
+                 / lit(10000.0)).as("fill_share"))
+
   /** Per-document token-ID sequences under the corpus-learned BPE
     * vocabulary — q137's ID assembly at DOC granularity, BATCH OR STREAM
     * micro-batch: each doc's words map to subword-ID arrays

@@ -59,4 +59,18 @@ class ExportAuditSpec extends AnyFunSuite with SparkSpec {
     assert(v.contains(("train", -1L, "bin_density")), v.mkString("\n"))
     assert(v.contains(("train", 0L, "boundary_universe")), v.mkString("\n"))
   }
+
+  test("packReportFromExport over the landed sidecar equals batch q152") {
+    val out = tmp()
+    Curation.packBoundaryRows(
+        Curation.trainingSetVerdict(spark, dir)
+          .filter(col("keep") === 1L).select("doc_id"), spark, dir)
+      .write.mode("overwrite").parquet(out + "/bounds")
+    val shipped = Curation.packReportFromExport(spark, out + "/bounds")
+      .collect().map(_.toString).sorted.toSeq
+    val predicted = graft.SparkEntry.queries("q152_pack_efficiency")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shipped == predicted,
+           s"shipped:\n${shipped.mkString("\n")}\npredicted:\n${predicted.mkString("\n")}")
+  }
 }
