@@ -123,7 +123,7 @@ object Bench {
       "q152_pack_efficiency",
       // these four serve the persisted source_stats artifact
       "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
-      "q149_anneal_schedule")
+      "q149_anneal_schedule", "q153_anneal_execute")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

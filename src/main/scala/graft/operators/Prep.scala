@@ -989,6 +989,82 @@ object Prep {
     sourceStats(s, d)
       .select("source", "mean_quality", "n_docs", "kl", "w_int")
 
+  /** q149's annealed schedule, shared with q153's executor: per
+    * (source, epoch), the largest-remainder apportionment of the epoch
+    * budget over shares interpolating linearly natural → uniform.
+    * decimal(38,0) arithmetic throughout — exact to 1e38, no long
+    * overflow at 100 TB. Natural shares read [[sourceStats]]'s
+    * persisted avail_tokens.
+    */
+  def annealSchedule(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nat = sourceStats(s, d)
+      .select(col("source"), col("avail_tokens").as("n_s"))
+    val tot = nat.agg(sum("n_s").as("t_tok"),
+                      count(lit(1)).cast("long").as("n_src"))
+    val ep = nat.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("t_tok"), col("n_src"),
+              explode(sequence(lit(1L), lit(MaxEpochs))).as("epoch"))
+    val eP = (col("epoch") - lit(1L)).cast(dec)
+    val pNum = (lit(MaxEpochs - 1).cast(dec) - eP) *
+        col("n_s").cast(dec) * col("n_src").cast(dec) +
+      eP * col("t_tok").cast(dec)
+    val pDen = lit(MaxEpochs - 1).cast(dec) *
+      col("t_tok").cast(dec) * col("n_src").cast(dec)
+    val bp = lit(EpochBudget).cast(dec) * pNum
+    // floor-division via the exact-mod identity — a plain decimal
+    // divide rounds HALF_UP at result scale, which could cross an
+    // integer boundary when a remainder sits within 1e-7 of den
+    val base = ((bp - (bp % pDen)) / pDen).cast("long")
+    val wE = Window.partitionBy("epoch")
+    val wR = Window.partitionBy("epoch")
+      .orderBy(col("rem").desc, col("source"))
+    ep.select(col("source"), col("epoch"),
+              base.as("base"), (bp % pDen).as("rem"))
+      .withColumn("deficit", lit(EpochBudget) - sum("base").over(wE))
+      .withColumn("rnk", row_number().over(wR))
+      .select(col("source"), col("epoch"),
+              (col("base") +
+               when(col("rnk") <= col("deficit"), 1L).otherwise(0L))
+                .as("alloc_tok"))
+  }
+
+  /** The q149 schedule's oracle CTE chain, shared verbatim by the q149
+    * and q153 oracles so the two can never drift: `sched(source,
+    * epoch, alloc_tok)` plus the `nat(source, n_s)` table the executor
+    * joins back for the per-epoch grant decomposition.
+    */
+  private[operators] val annealOracleCtes: String =
+    s"""t AS (SELECT source,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |           FROM documents),
+       |nat AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_s
+       |        FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_tok,
+       |               CAST(count(*) AS BIGINT) AS n_src FROM nat),
+       |ep AS (SELECT source, n_s, t_tok, n_src, epoch
+       |       FROM nat CROSS JOIN tot CROSS JOIN
+       |         (SELECT unnest(range(1, ${MaxEpochs} + 1)) AS epoch) e),
+       |alg AS (SELECT source, epoch,
+       |    CAST(${EpochBudget} AS HUGEINT) *
+       |      ((CAST(${MaxEpochs} - 1 AS HUGEINT) - (epoch - 1)) * n_s * n_src
+       |       + CAST(epoch - 1 AS HUGEINT) * t_tok) AS bp,
+       |    CAST(${MaxEpochs} - 1 AS HUGEINT) * t_tok * n_src AS den
+       |  FROM ep),
+       |base AS (SELECT source, epoch,
+       |           CAST(bp // den AS BIGINT) AS base, bp % den AS rem
+       |         FROM alg),
+       |fin AS (SELECT source, epoch, base,
+       |    CAST(${EpochBudget} AS BIGINT) -
+       |      sum(base) OVER (PARTITION BY epoch) AS deficit,
+       |    row_number() OVER (PARTITION BY epoch
+       |                       ORDER BY rem DESC, source) AS rnk
+       |  FROM base),
+       |sched AS (SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       |    CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+       |      AS alloc_tok
+       |  FROM fin)""".stripMargin
+
   /** The epoch-plan allocation algebra, shared by batch q136 (corpus
     * statistics, one global plan) and the per-window planner
     * (q138 / [[startEpochPlanner]]): given per-(group, source)
@@ -2594,67 +2670,74 @@ object Prep {
         "the oracle): exact to 1e38, no long overflow at 100 TB. " +
         "Scale shape: one token-count pass, then per-(source, epoch) " +
         "bounded algebra — sources x epochs rows regardless of corpus.",
-      s"""WITH t AS (SELECT source,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-        |           FROM documents),
-        |nat AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_s
-        |        FROM t GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_tok,
-        |               CAST(count(*) AS BIGINT) AS n_src FROM nat),
-        |ep AS (SELECT source, n_s, t_tok, n_src, epoch
-        |       FROM nat CROSS JOIN tot CROSS JOIN
-        |         (SELECT unnest(range(1, ${MaxEpochs} + 1)) AS epoch) e),
-        |alg AS (SELECT source, epoch,
-        |    CAST(${EpochBudget} AS HUGEINT) *
-        |      ((CAST(${MaxEpochs} - 1 AS HUGEINT) - (epoch - 1)) * n_s * n_src
-        |       + CAST(epoch - 1 AS HUGEINT) * t_tok) AS bp,
-        |    CAST(${MaxEpochs} - 1 AS HUGEINT) * t_tok * n_src AS den
-        |  FROM ep),
-        |base AS (SELECT source, epoch,
-        |           CAST(bp // den AS BIGINT) AS base, bp % den AS rem
-        |         FROM alg),
-        |fin AS (SELECT source, epoch, base,
-        |    CAST(${EpochBudget} AS BIGINT) -
-        |      sum(base) OVER (PARTITION BY epoch) AS deficit,
-        |    row_number() OVER (PARTITION BY epoch
-        |                       ORDER BY rem DESC, source) AS rnk
-        |  FROM base)
-        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
-        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
-        |    AS alloc_tok
-        |FROM fin""".stripMargin) { (s, d) =>
-      val dec = "decimal(38,0)"
-      // natural shares = the persisted per-source token counts (q136's
-      // avail_tokens — same whitespace convention)
-      val nat = sourceStats(s, d)
-        .select(col("source"), col("avail_tokens").as("n_s"))
-      val tot = nat.agg(sum("n_s").as("t_tok"),
-                        count(lit(1)).cast("long").as("n_src"))
-      val ep = nat.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_s"), col("t_tok"), col("n_src"),
-                explode(sequence(lit(1L), lit(MaxEpochs))).as("epoch"))
-      val eP = (col("epoch") - lit(1L)).cast(dec)
-      val pNum = (lit(MaxEpochs - 1).cast(dec) - eP) *
-          col("n_s").cast(dec) * col("n_src").cast(dec) +
-        eP * col("t_tok").cast(dec)
-      val pDen = lit(MaxEpochs - 1).cast(dec) *
-        col("t_tok").cast(dec) * col("n_src").cast(dec)
-      val bp = lit(EpochBudget).cast(dec) * pNum
-      // floor-division via the exact-mod identity — a plain decimal
-      // divide rounds HALF_UP at result scale, which could cross an
-      // integer boundary when a remainder sits within 1e-7 of den
-      val base = ((bp - (bp % pDen)) / pDen).cast("long")
-      val wE = Window.partitionBy("epoch")
-      val wR = Window.partitionBy("epoch")
-        .orderBy(col("rem").desc, col("source"))
-      ep.select(col("source"), col("epoch"),
-                base.as("base"), (bp % pDen).as("rem"))
-        .withColumn("deficit", lit(EpochBudget) - sum("base").over(wE))
-        .withColumn("rnk", row_number().over(wR))
+      s"""WITH $annealOracleCtes
+        |SELECT source, epoch, alloc_tok FROM sched""".stripMargin) { (s, d) =>
+      annealSchedule(s, d)
+    },
+
+    Q("q153_anneal_execute",
+      "EXECUTE the annealed schedule — q149's per-(source, epoch) " +
+        "grants turned into the realized per-epoch sampled stream, the " +
+        "way q139 executes q136's static plan. Each grant decomposes " +
+        "exactly WITHIN its epoch: alloc DIV avail full copies of the " +
+        "source plus one fractional pass where a doc joins iff its " +
+        "content-hash uniform (q87's 24-bit md5 prefix) falls under " +
+        "(alloc MOD avail) / avail — deterministic across runs, " +
+        "engines, and partitionings, expected tokens = alloc_tok, and " +
+        "as the mix anneals toward uniform the small sources' later " +
+        "epochs legitimately repeat docs (multiplicity rides the " +
+        "manifest as n_instances). Output: the per-(source, epoch) " +
+        "shard manifest — instance count, token count, and the " +
+        "constant-state order-free doc-set digest. Scale shape: the " +
+        "schedule is (sources x epochs)-bounded and broadcasts; every " +
+        "doc decides its own multiplicity from its own bytes; one " +
+        "bounded (source, epoch) aggregate.",
+      s"""WITH $annealOracleCtes,
+        |exec AS (SELECT sched.source, sched.epoch,
+        |    alloc_tok // n_s AS full_copies,
+        |    CAST(alloc_tok % n_s AS DOUBLE) / n_s AS rate
+        |  FROM sched JOIN nat USING (source)),
+        |docu AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_transform(string_split(substr(md5(text), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM documents),
+        |keep AS (SELECT e.source, e.epoch, d2.doc_id, d2.n_tokens,
+        |    e.full_copies + CASE WHEN d2.u < e.rate THEN 1 ELSE 0 END AS m
+        |  FROM docu d2 JOIN exec e USING (source))
+        |SELECT source, epoch,
+        |  CAST(sum(m) AS BIGINT) AS n_instances,
+        |  CAST(sum(m * n_tokens) AS BIGINT) AS n_tokens,
+        |  bit_xor(list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS doc_digest
+        |FROM keep WHERE m > 0
+        |GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin) { (s, d) =>
+      val exec = annealSchedule(s, d)
+        .join(sourceStats(s, d).select(col("source"),
+                                       col("avail_tokens").as("n_s")),
+              "source")
         .select(col("source"), col("epoch"),
-                (col("base") +
-                 when(col("rnk") <= col("deficit"), 1L).otherwise(0L))
-                  .as("alloc_tok"))
+                expr("alloc_tok DIV n_s").as("full_copies"),
+                ((col("alloc_tok") % col("n_s")).cast("double") / col("n_s"))
+                  .as("rate"))
+      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
+        lit(16777216.0)
+      spread(docs(s, d))
+        .select(col("doc_id"), col("source"),
+                size(tokens(col("text"))).cast("long").as("n_tokens"),
+                u.as("u"))
+        .join(broadcast(exec), "source")
+        .withColumn("m",
+          col("full_copies") + (col("u") < col("rate")).cast("long"))
+        .filter(col("m") > 0)
+        .groupBy("source", "epoch")
+        .agg(sum("m").cast("long").as("n_instances"),
+             sum(col("m") * col("n_tokens")).cast("long").as("n_tokens"),
+             docSetDigest(col("doc_id")).as("doc_digest"))
+        .orderBy("source", "epoch")
     },
 
     Q("q134_substring_dedup_apply",

@@ -158,4 +158,36 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
       assert(toks > (bins - 1) * Prep.PackBudget, s"$sp leaks pad slots")
     }
   }
+
+  // ---- q153 ---------------------------------------------------------
+
+  test("q153: every realized epoch cell stays inside its q149 grant's decomposition bounds") {
+    val natural = graft.Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_s"),
+           count(lit(1)).as("n_d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exec = q("q153_anneal_execute")
+      .select("source", "epoch", "n_instances", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    anneal.foreach { case ((src, ep), alloc) =>
+      val (avail, nDocs) = natural(src)
+      val full = alloc / avail
+      val (inst, toks) = exec.getOrElse((src, ep), (0L, 0L))
+      assert(toks >= full * avail && toks <= (full + 1) * avail,
+             s"($src, $ep): tokens $toks outside [${full * avail}, ${(full + 1) * avail}] for grant $alloc")
+      assert(inst >= full * nDocs && inst <= (full + 1) * nDocs,
+             s"($src, $ep): instances $inst outside the full-pass bounds")
+      if (alloc == 0) assert(!exec.contains((src, ep)))
+    }
+    // the realized totals track the grants: summed over the schedule,
+    // the fractional-pass noise stays well under one corpus pass
+    val grantTotal = anneal.values.sum
+    val realized = exec.values.map(_._2).sum
+    val maxAvail = natural.values.map(_._1).max
+    assert(math.abs(realized - grantTotal) <=
+             natural.size * Prep.MaxEpochs * maxAvail / 4,
+           s"realized $realized vs granted $grantTotal")
+  }
 }
