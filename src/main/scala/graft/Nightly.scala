@@ -95,9 +95,12 @@ object Nightly {
     }.mkString("[", ",", "]")
     val report =
       s"""{"corpus":"$corpus","stages":$body,"audit_violations":$violations}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$out/report.json"),
-      (report + "\n").getBytes("UTF-8"))
+    // through the Hadoop FS like every other artifact — the runbook's
+    // outDir may be shared storage, not the driver's local disk
+    val p = new org.apache.hadoop.fs.Path(s"$out/report.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write((report + "\n").getBytes("UTF-8")) finally os.close()
     report
   }
 }
