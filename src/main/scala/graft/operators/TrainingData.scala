@@ -1466,6 +1466,56 @@ object TrainingData {
         .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
     },
 
+    Q("q154_embedding_drift",
+      "Per-source SEMANTIC drift — the embedding-modality twin of " +
+        "q112's token KL: cosine between each source's embedding " +
+        "centroid and the corpus centroid. A source whose centroid " +
+        "points away from the corpus is semantically off-distribution " +
+        "(templated spam, wrong domain, a scraper gone sideways) even " +
+        "when its token statistics look clean. Cross-engine float " +
+        "discipline: each coordinate rounds half-up to a 1e-6-scaled " +
+        "BIGINT per row and the centroid numerators are INTEGER sums " +
+        "(exact, reducer-order-proof); positive scalar factors cancel " +
+        "in cosine, so the integer sums ARE the centroids as far as " +
+        "the metric cares, and the final dims-bounded double fold is " +
+        "noise-free at 4dp. Scale shape: one (source, dim) / (dim) " +
+        "aggregate pair over the exploded coordinates (map-side " +
+        "partials), then a dims-bounded join — output is " +
+        "sources-bounded.",
+      """WITH e AS (SELECT d.source,
+        |    unnest(range(1, len(v.embedding) + 1)) AS i,
+        |    CAST(floor(CAST(unnest(v.embedding) AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+        |bys AS (SELECT source, i, CAST(sum(xi) AS BIGINT) AS sx
+        |        FROM e GROUP BY 1, 2),
+        |gl AS (SELECT i, CAST(sum(xi) AS BIGINT) AS gx FROM e GROUP BY 1),
+        |j AS (SELECT source, CAST(sx AS DOUBLE) AS sx,
+        |             CAST(gx AS DOUBLE) AS gx
+        |      FROM bys JOIN gl USING (i))
+        |SELECT source,
+        |  round(sum(sx * gx) / (sqrt(sum(sx * sx)) * sqrt(sum(gx * gx))), 4)
+        |    AS drift_cos
+        |FROM j GROUP BY source""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"),
+                posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("source"), col("i"),
+                floor(col("x").cast("double") * 1000000 + lit(0.5))
+                  .cast("long").as("xi"))
+      val bys = e.groupBy("source", "i").agg(sum("xi").cast("long").as("sx"))
+      val gl = e.groupBy("i").agg(sum("xi").cast("long").as("gx"))
+      bys.join(gl, "i")
+        .select(col("source"), col("sx").cast("double").as("sx"),
+                col("gx").cast("double").as("gx"))
+        .groupBy("source")
+        .agg(round(sum(col("sx") * col("gx")) /
+               (sqrt(sum(col("sx") * col("sx"))) *
+                sqrt(sum(col("gx") * col("gx")))), 4).as("drift_cos"))
+    },
+
     // ---- text analysis -------------------------------------------------
 
     Q("q31_token_count",

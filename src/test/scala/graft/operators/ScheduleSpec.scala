@@ -190,4 +190,34 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
              natural.size * Prep.MaxEpochs * maxAvail / 4,
            s"realized $realized vs granted $grantTotal")
   }
+
+  // ---- q154 ---------------------------------------------------------
+
+  test("q154: drift cosines are valid and match a naive double-centroid recompute") {
+    val drift = q("q154_embedding_drift")
+      .select("source", "drift_cos").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift.nonEmpty)
+    drift.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    // naive recompute: plain double centroids per source vs corpus
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "source"),
+            "doc_id")
+      .select("source", "embedding").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val dims = rows.head._2.length
+    def centroid(vs: Seq[Seq[Double]]) =
+      (0 until dims).map(i => vs.map(_(i)).sum / vs.length)
+    val global = centroid(rows.map(_._2).toSeq)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_._1).foreach { case (src, vs) =>
+      val naive = cos(centroid(vs.map(_._2).toSeq), global)
+      assert(math.abs(drift(src) - naive) < 1e-3,
+             s"$src: scaled-int $src=${drift(src)} vs naive $naive")
+    }
+  }
 }
