@@ -511,8 +511,11 @@ object Curation {
     *  - `n_ids`: the landed count must equal `size(ids)`;
     *  - `n_docs`: (separator exports) the landed doc count must equal
     *    the separator occurrences in `ids`;
-    *  - `bin_density`: bins per split must be dense 0..max — a
-    *    missing shard row is a silent hole in the training stream;
+    *  - `bin_density`: DISTINCT bins per split must be dense 0..max —
+    *    a missing shard row is a silent hole in the training stream;
+    *  - `bin_duplicate`: no (split, bin) may appear twice — a dup
+    *    would double-feed a bin AND could exactly compensate a hole
+    *    in a rows-only density count;
     *  - `boundary_universe` / `boundary_tokens`: the sidecar must
     *    cover exactly the shard's (split, bin) universe, and each
     *    bin's summed word-piece length can never exceed its id count
@@ -544,13 +547,24 @@ object Curation {
             when(c =!= col("n_docs"), viol("n_docs", c))).toSeq: _*))
           .as("v"))
       .select(col("split"), col("bin"), explode(col("v")).as("v"))
-    val density = shards.groupBy("split")
+    // density keys on countDistinct, not count: a duplicated (split,
+    // bin) shard row would otherwise exactly compensate a missing bin
+    // (e.g. bins {0,0,2} satisfy mn==0 && mx+1==n) and the hole plus
+    // the dup would BOTH pass silently — so a dup is its own check and
+    // the dense-0..max test runs over distinct bins only
+    val densityAgg = shards.groupBy("split")
       .agg(max("bin").as("mx"), count(lit(1)).as("n"),
-           min("bin").as("mn"))
-      .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("n"))
+           countDistinct("bin").as("nd"), min("bin").as("mn"))
+    val density = densityAgg
+      .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("nd"))
       .select(col("split"), lit(-1L).as("bin"),
               viol("bin_density",
-                   concat_ws("/", col("mn"), col("mx"), col("n"))).as("v"))
+                   concat_ws("/", col("mn"), col("mx"), col("nd"))).as("v"))
+    val dupBins = densityAgg
+      .filter(col("n") =!= col("nd"))
+      .select(col("split"), lit(-1L).as("bin"),
+              viol("bin_duplicate",
+                   concat_ws("/", col("nd"), col("n"))).as("v"))
     val boundary = boundaryDir.map { bd =>
       val b = s.read.parquet(bd)
         .groupBy("split", "bin")
@@ -567,7 +581,7 @@ object Curation {
                   .as("v"))
         .filter(col("v").isNotNull)
     }
-    (Seq(rowChecks, density) ++ boundary.toSeq)
+    (Seq(rowChecks, density, dupBins) ++ boundary.toSeq)
       .reduce(_ unionByName _)
       .select(col("split"), col("bin"),
               col("v.check").as("check"), col("v.detail").as("detail"))

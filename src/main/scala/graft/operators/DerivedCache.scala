@@ -117,52 +117,99 @@ object DerivedCache {
         stored == fp
       }
     if (!fresh) {
+      // reap siblings stranded by CRASHED earlier builds — writer-unique
+      // names mean a killed JVM leaks its '.staging-xxxx' (and a failed
+      // swap its '.old-xxxx') forever, and retries add more. A LIVE
+      // concurrent writer's staging is actively being written, so only
+      // dirs idle past a TTL are reclaimed (mtime refreshes as parquet
+      // parts land)
+      reapStale(fs, target)
       // writer-unique staging: two sessions racing to build the same
       // artifact (two nightly jobs, a backfill beside a cron) must not
       // truncate each other's half-written staging dir
       val staging = new org.apache.hadoop.fs.Path(
         dirStr + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
-      fs.delete(staging, true)
-      materialize(staging.toString)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, "_fingerprint"), true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
-      def targetFresh: Boolean =
-        try fs.exists(sidecar) && {
-          val in = fs.open(sidecar)
-          val stored =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          stored == fp
-        } catch { case _: java.io.IOException => false }
-      // last-check-wins: a concurrent writer may have landed this
-      // artifact while our build ran. Deterministic derivations make
-      // the winner's bytes bit-identical — serve theirs, drop ours,
-      // and never rename over a live fresh artifact
-      if (targetFresh) { fs.delete(staging, true); return dirStr }
       val aside = new org.apache.hadoop.fs.Path(
         dirStr + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-      def swapFailed(step: String): Nothing = {
-        // second line of defense: the winner landed between the
-        // re-check above and the rename
-        if (targetFresh) {
-          fs.delete(staging, true)
-          throw ServedByConcurrentWriter
-        }
-        throw new java.io.IOException(
-          s"derived-cache $step failed: $staging -> $target")
-      }
       try {
-        if (fs.exists(target) && !fs.rename(target, aside))
-          swapFailed("aside")
-        if (!fs.rename(staging, target)) swapFailed("swap")
+        fs.delete(staging, true)
+        materialize(staging.toString)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(staging, "_fingerprint"), true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        def targetFresh: Boolean =
+          try fs.exists(sidecar) && {
+            val in = fs.open(sidecar)
+            val stored =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            stored == fp
+          } catch { case _: java.io.IOException => false }
+        // last-check-wins: a concurrent writer may have landed this
+        // artifact while our build ran. Deterministic derivations make
+        // the winner's bytes bit-identical — serve theirs, drop ours,
+        // and never rename over a live fresh artifact
+        if (targetFresh) return dirStr
+        def swapFailed(step: String): Nothing = {
+          // second line of defense: the winner landed between the
+          // re-check above and the rename
+          if (targetFresh) throw ServedByConcurrentWriter
+          throw new java.io.IOException(
+            s"derived-cache $step failed: $staging -> $target")
+        }
+        try {
+          if (fs.exists(target) && !fs.rename(target, aside))
+            swapFailed("aside")
+          if (!fs.rename(staging, target)) swapFailed("swap")
+          // HDFS-semantics rename SUCCEEDS by nesting src INSIDE an
+          // existing dst: if the winner landed target between the
+          // re-check and the rename, our staging is now a child of the
+          // live artifact and a recursive parquet listing would read
+          // duplicate rows — detect, unpollute, serve the winner's
+          val nested = new org.apache.hadoop.fs.Path(
+            target, staging.getName)
+          if (fs.exists(nested)) {
+            fs.delete(nested, true)
+            throw ServedByConcurrentWriter
+          }
+        } catch {
+          case ServedByConcurrentWriter => ()
+        }
+      } finally {
+        // this attempt's staging/aside never outlive the call: staging
+        // is gone on success (renamed away) and deleted on any failure;
+        // aside only ever holds the displaced STALE version (unique
+        // name, stale fingerprint — never serveable), so it is
+        // reclaimed on every exit path including a thrown swap
+        fs.delete(staging, true)
         fs.delete(aside, true)
-      } catch {
-        case ServedByConcurrentWriter => fs.delete(aside, true); ()
       }
     }
     dirStr
   }
+
+  /** TTL for reclaiming `.staging-*` / `.old-*` siblings left by
+    * crashed builds — long enough that a live writer mid-build (parts
+    * landing keep the dir mtime fresh) is never swept.
+    */
+  private val ReapIdleMs = 60L * 60 * 1000
+
+  private def reapStale(fs: org.apache.hadoop.fs.FileSystem,
+                        target: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val parent = target.getParent
+      if (parent != null && fs.exists(parent)) {
+        val now = System.currentTimeMillis()
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          val stranded =
+            (n.startsWith(target.getName + ".staging-") ||
+             n.startsWith(target.getName + ".old-")) &&
+            now - st.getModificationTime > ReapIdleMs
+          if (stranded) fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: java.io.IOException => () } // best-effort
 
   /** Control-flow marker for the lost-the-swap-race path in [[serve]]. */
   private object ServedByConcurrentWriter
@@ -182,7 +229,15 @@ object DerivedCache {
     */
   def invalidate(d: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/${corpusKey(d)}")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // resolve the FS from the ACTIVE session's hadoopConfiguration so a
+    // deployment whose cache root needs spark.hadoop.* settings
+    // (credentials, endpoints) deletes the same bytes serve() reads —
+    // a fresh default Configuration would miss those and could target
+    // a different filesystem entirely
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 }

@@ -1478,10 +1478,12 @@ object TrainingData {
         "(exact, reducer-order-proof); positive scalar factors cancel " +
         "in cosine, so the integer sums ARE the centroids as far as " +
         "the metric cares, and the final dims-bounded double fold is " +
-        "noise-free at 4dp. Scale shape: one (source, dim) / (dim) " +
-        "aggregate pair over the exploded coordinates (map-side " +
-        "partials), then a dims-bounded join — output is " +
-        "sources-bounded.",
+        "noise-free at 4dp. Scale shape: ONE aggregate over the exploded " +
+        "coordinates (map-side partials) to the (sources x dims)-bounded " +
+        "per-source table; the global centroid is DERIVED from it " +
+        "(gx = sum over sources of sx — associative integer sums, so " +
+        "the derivation is exact), never re-scanning the corpus-sized " +
+        "explode. Then a dims-bounded join — output is sources-bounded.",
       """WITH e AS (SELECT d.source,
         |    unnest(range(1, len(v.embedding) + 1)) AS i,
         |    CAST(floor(CAST(unnest(v.embedding) AS DOUBLE) * 1000000 + 0.5)
@@ -1489,7 +1491,7 @@ object TrainingData {
         |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
         |bys AS (SELECT source, i, CAST(sum(xi) AS BIGINT) AS sx
         |        FROM e GROUP BY 1, 2),
-        |gl AS (SELECT i, CAST(sum(xi) AS BIGINT) AS gx FROM e GROUP BY 1),
+        |gl AS (SELECT i, CAST(sum(sx) AS BIGINT) AS gx FROM bys GROUP BY 1),
         |j AS (SELECT source, CAST(sx AS DOUBLE) AS sx,
         |             CAST(gx AS DOUBLE) AS gx
         |      FROM bys JOIN gl USING (i))
@@ -1506,7 +1508,10 @@ object TrainingData {
                 floor(col("x").cast("double") * 1000000 + lit(0.5))
                   .cast("long").as("xi"))
       val bys = e.groupBy("source", "i").agg(sum("xi").cast("long").as("sx"))
-      val gl = e.groupBy("i").agg(sum("xi").cast("long").as("gx"))
+      // Global centroid DERIVED from the bounded per-source table — the
+      // corpus-sized explode is scanned exactly once (integer sums are
+      // associative, so sum-of-per-source-sums == direct corpus sum).
+      val gl = bys.groupBy("i").agg(sum("sx").cast("long").as("gx"))
       bys.join(gl, "i")
         .select(col("source"), col("sx").cast("double").as("sx"),
                 col("gx").cast("double").as("gx"))

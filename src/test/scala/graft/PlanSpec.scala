@@ -520,6 +520,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q83 gram generation must run once:\n$p83")
     assert("ReusedExchange".r.findAllIn(p83).length >= 2,
            s"q83 stopped reusing the distinct-gram stage:\n$p83")
+    // q154: the corpus-sized coordinate explode (n_docs x dims rows)
+    // feeds the per-source centroid aggregate; the GLOBAL centroid is
+    // DERIVED from the bounded per-source table (gx = sum over sources
+    // of sx), so the final plan must hold exactly ONE Generate and the
+    // bys exchange must be reused between the gl derivation and the
+    // join — a second Generate means someone re-aggregated the corpus
+    val df154 = SparkEntry.queries("q154_embedding_drift")(spark, sf)
+    df154.collect()
+    val p154 = df154.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Generate".r.findAllIn(p154).length === 1,
+           s"q154 coordinate explode must run once:\n$p154")
+    assert("ReusedExchange".r.findAllIn(p154).nonEmpty,
+           s"q154 stopped reusing the per-source centroid stage:\n$p154")
   }
 
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {

@@ -66,6 +66,42 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     assert(builds == 2, "invalidate must force the next read to rebuild")
   }
 
+  test("stranded staging/old dirs from crashed builds are reaped; a live writer's is not") {
+    val d = freshCorpus()
+    val art = "spec_reap_v1"
+    val parent = new java.io.File(DerivedCache.artifactDir(d, art)).getParentFile
+    parent.mkdirs()
+    // a killed JVM strands writer-unique staging/aside dirs forever —
+    // seed two with an old mtime (crashed hours ago) and one recent
+    // (a concurrent writer whose build is mid-flight right now)
+    val stale = new java.io.File(parent, art + ".staging-deadbeef")
+    val staleOld = new java.io.File(parent, art + ".old-deadbeef")
+    val live = new java.io.File(parent, art + ".staging-12345678")
+    Seq(stale, staleOld, live).foreach(f => assert(f.mkdirs()))
+    val past = System.currentTimeMillis() - 2 * 60 * 60 * 1000
+    stale.setLastModified(past); staleOld.setLastModified(past)
+    DerivedCache.orBuild(spark, d, art)(
+      spark.read.parquet(d + "/documents.parquet")).collect()
+    assert(!stale.exists, "crashed build's staging must be reaped")
+    assert(!staleOld.exists, "crashed build's aside must be reaped")
+    assert(live.exists, "a live concurrent writer's staging must survive")
+    live.delete()
+  }
+
+  test("a failed build never strands its own staging dir") {
+    val d = freshCorpus()
+    val art = "spec_fail_v1"
+    intercept[RuntimeException] {
+      DerivedCache.orBuild(spark, d, art) {
+        throw new RuntimeException("build blew up")
+      }
+    }
+    val parent = new java.io.File(DerivedCache.artifactDir(d, art)).getParentFile
+    val litter = Option(parent.listFiles).toSeq.flatten.map(_.getName)
+      .filter(n => n.startsWith(art + ".staging") || n.startsWith(art + ".old"))
+    assert(litter.isEmpty, s"failed build left litter: ${litter.mkString(", ")}")
+  }
+
   test("losing the swap race to a concurrent writer still serves the artifact") {
     // simulate the race deterministically: while OUR build runs, a
     // "concurrent session" lands the same artifact (same fingerprint —

@@ -60,6 +60,27 @@ class ExportAuditSpec extends AnyFunSuite with SparkSpec {
     assert(v.contains(("train", 0L, "boundary_universe")), v.mkString("\n"))
   }
 
+  test("a duplicated shard row cannot mask a hole it exactly compensates") {
+    val out = tmp()
+    Curation.exportPackedTokenIds(spark, dir, out + "/ids")
+    val shards = spark.read.parquet(out + "/ids")
+    assert(shards.filter(col("split") === "train").count() > 1,
+           "need >1 train bin for the density check to bite")
+    // bins {0, 1, ..} -> {0, 0, ..}: drop bin 1, duplicate bin 0. A
+    // rows-only density count sees mn==0 && mx+1==n and passes both
+    // the hole AND the dup silently
+    val hole = shards.filter(!(col("split") === "train" && col("bin") === 1L))
+    val dup = shards.filter(col("split") === "train" && col("bin") === 0L)
+    hole.unionByName(dup)
+      .write.mode("overwrite").parquet(out + "/ids_dup_hole")
+    val v = Curation.auditPackedIdsExport(spark, out + "/ids_dup_hole")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(v.contains(("train", -1L, "bin_density")),
+           s"hole slipped the density check:\n${v.mkString("\n")}")
+    assert(v.contains(("train", -1L, "bin_duplicate")),
+           s"dup slipped the duplicate check:\n${v.mkString("\n")}")
+  }
+
   test("packReportFromExport over the landed sidecar equals batch q152") {
     val out = tmp()
     Curation.packBoundaryRows(
