@@ -96,17 +96,119 @@ object DerivedCache {
     org.apache.spark.ml.PipelineModel.load(dir + "/model")
   }
 
+  /** One manifest line per data file under `tablePath` — relative
+    * path, byte length, mtime — paired with the file's absolute path.
+    * The append-awareness primitive: a corpus table that changed by
+    * PURE FILE ADDITION (the nightly-crawl shape — new part files land,
+    * old ones are immutable) has its old manifest as a strict subset of
+    * the new one, and the difference IS the appended slice.
+    */
+  private def manifestLines(s: SparkSession, tablePath: String)
+      : Seq[(String, String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val rootUri = fs.makeQualified(p).toUri
+    def entries(dir: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[(String, String)] =
+      fs.listStatus(dir).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+                         st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory && depth > 0) entries(st.getPath, depth - 1)
+          else {
+            val q = fs.makeQualified(st.getPath)
+            val rel = rootUri.relativize(q.toUri).getPath
+            Seq((s"$rel|${st.getLen}|${st.getModificationTime}", q.toString))
+          }
+        }
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) entries(p, 2).sortBy(_._1)
+    else Seq((s"${p.getName}|${st.getLen}|${st.getModificationTime}",
+              fs.makeQualified(p).toString))
+  }
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Append-aware [[orBuild]]: the artifact carries a `_manifest`
+    * sidecar of the corpus TABLE files it was derived from. When the
+    * table changed by pure file addition — the nightly-crawl shape —
+    * `delta` derives over ONLY the added files and `merge` folds the
+    * result into the landed artifact, so the refresh bill scales with
+    * the appended slice, not the corpus. Any other change (rewrite,
+    * delete, compaction) falls back to `full`. Same staging → sidecar →
+    * swap lifecycle, so readers never see a half-merged artifact and
+    * the concurrent-writer races resolve as in [[serve]].
+    *
+    * Correctness contract (what IncrementalCacheSpec pins): `merge(
+    * landed, delta(added))` must equal `full` over the grown corpus —
+    * which holds exactly when the derivation is a commutative monoid
+    * over files (integer count/sum partials, per-doc pure scores,
+    * min-label components under contraction). Derivations that are NOT
+    * such a fold (a score under a corpus-global model, a rank) must
+    * keep using [[orBuild]] — or split into an incremental partial
+    * layer plus a finalize, as Prep.sourceStats does.
+    */
+  def orBuildIncremental(s: SparkSession, d: String, artifact: String,
+                         table: String = "documents.parquet")(
+      full: => DataFrame)(
+      delta: Seq[String] => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val dirStr = s"$root/${corpusKey(d)}/$artifact"
+    val cur = manifestLines(s, s"$d/$table")
+    val curText = cur.map(_._1).mkString("\n")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(conf)
+    val dir = serveWith(s, dirStr, md5hex(curText),
+                        Map("_manifest" -> curText)) { staging =>
+      // decide delta-vs-full HERE, while the previous version is still
+      // landed at the target (materialize always runs before the swap)
+      val stored = readSidecar(
+        fs, new org.apache.hadoop.fs.Path(dirStr, "_manifest"))
+        .map(_.linesIterator.filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      val curSet = cur.map(_._1).toSet
+      val added = cur.filter(e => !stored.contains(e._1)).map(_._2)
+      val out =
+        if (stored.nonEmpty && stored.subsetOf(curSet) && added.nonEmpty)
+          merge(s.read.parquet(dirStr), delta(added))
+        else full
+      out.write.mode("overwrite").parquet(staging)
+    }
+    s.read.parquet(dir)
+  }
+
   /** The shared lifecycle: return the artifact dir, (re)building via
     * `materialize` into a staging dir first when the stored fingerprint
     * is absent or stale.
     */
   private def serve(s: SparkSession, d: String, artifact: String)
-                   (materialize: String => Unit): String = {
-    val dirStr = s"$root/${corpusKey(d)}/$artifact"
+                   (materialize: String => Unit): String =
+    serveWith(s, s"$root/${corpusKey(d)}/$artifact", fingerprint(s, d),
+              Map.empty)(materialize)
+
+  /** [[serve]] with the freshness token and extra sidecars made
+    * explicit — the append-aware path supplies a TABLE-scoped manifest
+    * digest instead of the corpus-wide fingerprint, plus the manifest
+    * text itself as a `_manifest` sidecar (underscore-prefixed, so
+    * parquet scans of the artifact dir ignore it).
+    */
+  private def serveWith(s: SparkSession, dirStr: String, fp: String,
+                        sidecars: Map[String, String])
+                       (materialize: String => Unit): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dirStr)
     val fs = target.getFileSystem(conf)
-    val fp = fingerprint(s, d)
     val sidecar = new org.apache.hadoop.fs.Path(target, "_fingerprint")
     val fresh =
       fs.exists(sidecar) && {
@@ -134,9 +236,11 @@ object DerivedCache {
       try {
         fs.delete(staging, true)
         materialize(staging.toString)
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(staging, "_fingerprint"), true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        (sidecars + ("_fingerprint" -> fp)).foreach { case (name, text) =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(staging, name), true)
+          try out.write(text.getBytes("UTF-8")) finally out.close()
+        }
         def targetFresh: Boolean =
           try fs.exists(sidecar) && {
             val in = fs.open(sidecar)

@@ -184,11 +184,26 @@ object Prep {
     * shuffle path (PlanSpec pins the no-broadcast edge); contributions
     * are 1e-8-scaled-int, reducer-order-proof.
     */
-  def sourceKl(s: SparkSession, d: String): DataFrame = {
-    val tok = spread(docs(s, d))
+  def sourceKl(s: SparkSession, d: String): DataFrame =
+    klFromTermCounts(sourceTermCountsOf(spread(docs(s, d))))
+
+  /** The (source, term, n_st) count derivation feeding [[sourceKl]] —
+    * factored so the full corpus pass and the appended-slice delta pass
+    * run the SAME plan over different inputs.
+    */
+  private def sourceTermCountsOf(docFrame: DataFrame): DataFrame =
+    docFrame
       .filter(col("source").isNotNull)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
-    val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+
+  /** [[sourceKl]]'s vocabulary-bounded tail over an already-landed
+    * (source, term, n_st) table: identical expression tree whether the
+    * counts came from one corpus pass or an incremental merge — integer
+    * counts are associative, so the doubles (and the oracle hashes)
+    * cannot drift.
+    */
+  private def klFromTermCounts(st: DataFrame): DataFrame = {
     val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
     // the term marginal is vocabulary-sized: hint it onto the shuffle
     // path (co-partitioned with st on term, no sort) — the planner's
@@ -972,13 +987,83 @@ object Prep {
               + 0.5).cast("long"))
   }
 
+  /** The KL pass's additive partial layer — (source, term, n_st) — as
+    * an APPEND-INCREMENTAL artifact: counts are a commutative monoid
+    * over corpus files, so a nightly append derives counts over the new
+    * files only and merges by sum, bit-identical to a full recount at a
+    * bill that scales with the appended slice.
+    */
+  def sourceTermCounts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "source_term_counts_v1")(
+      sourceTermCountsOf(spread(docs(s, d))))(
+      files => sourceTermCountsOf(spread(s.read.parquet(files: _*))))(
+      (old, dl) => old.unionByName(dl).groupBy("source", "term")
+        .agg(sum("n_st").cast("long").as("n_st")))
+
+  /** The quality pass's additive partial layer — per source, the
+    * 1e-4-scaled integer quality sum, doc count, and token sum — the
+    * second append-incremental artifact behind [[sourceStats]]. The
+    * table is sources-bounded, so the merge is a toy aggregate; the
+    * win is that the corpus-sized quality scan runs over new files
+    * only.
+    */
+  def sourceQualityParts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "source_quality_parts_v1")(
+      sourceQualityPartsOf(spread(docs(s, d))))(
+      files => sourceQualityPartsOf(spread(s.read.parquet(files: _*))))(
+      (old, dl) => old.unionByName(dl).groupBy("source")
+        .agg(sum("q_sum").cast("long").as("q_sum"),
+             sum("n_docs").cast("long").as("n_docs"),
+             sum("tok_sum").cast("long").as("tok_sum")))
+
+  private def sourceQualityPartsOf(docFrame: DataFrame): DataFrame = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
+      (lit(0.5) +
+        size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+          size(tok)), 4)
+    docFrame
+      .select(col("source"), quality.as("quality"),
+              size(tok).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(round(col("quality") * 10000, 0).cast("long")).as("q_sum"),
+           count(lit(1)).cast("long").as("n_docs"),
+           sum("nt").cast("long").as("tok_sum"))
+  }
+
+  /** [[sourceStatsPlan]]'s OUTPUT recomputed from the two incremental
+    * partial artifacts: mean_quality's integer numerator and the KL
+    * term counts merge additively, and the finalize here is the SAME
+    * expression tree as the one-pass plan over the same longs — so the
+    * result is bit-identical whether the corpus was derived in one shot
+    * or grown file-by-file. Work is vocabulary-bounded (no corpus
+    * scan): this is what a source_stats rebuild costs after an append.
+    */
+  def sourceStatsFromParts(s: SparkSession, d: String): DataFrame = {
+    val q = sourceQualityParts(s, d)
+      .select(col("source"),
+        (floor(col("q_sum") / col("n_docs") + lit(0.5)) / lit(10000.0))
+          .as("mean_quality"),
+        col("n_docs"), col("tok_sum").as("avail_tokens"))
+    q.join(klFromTermCounts(sourceTermCounts(s, d)), "source")
+      .withColumn("w_int",
+        floor(col("mean_quality") / (lit(1.0) + col("kl")) * 100000000
+              + 0.5).cast("long"))
+  }
+
   /** [[sourceStatsPlan]] served from the DerivedCache: q112's KL
     * report, q125's weights, q136's plan inputs, and q149's natural
     * token shares all read this one persisted sources-bounded table
     * instead of each re-running the two corpus passes per session.
+    * The build path composes from the APPEND-INCREMENTAL partial
+    * artifacts ([[sourceStatsFromParts]]), so a nightly append re-pays
+    * only the appended slice plus a vocabulary-bounded finalize — not
+    * the two corpus passes; [[sourceStatsPlan]] remains the one-pass
+    * derivation for plan audits and first-principles verification.
     */
   def sourceStats(s: SparkSession, d: String): DataFrame =
-    DerivedCache.orBuild(s, d, "source_stats_v1")(sourceStatsPlan(s, d))
+    DerivedCache.orBuild(s, d, "source_stats_v1")(sourceStatsFromParts(s, d))
 
   /** q125's core, shared with q136: per source, the scaled-int mean
     * quality, q112's KL drift, and the 1e-8-scaled integer mixture
