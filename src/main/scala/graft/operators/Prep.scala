@@ -1280,23 +1280,21 @@ object Prep {
     // start from this table, and it is pure function of the corpus —
     // a fresh session (nightly run) reads one per-doc parquet instead
     // of re-exploding the corpus into bigram events and rebuilding the
-    // count tables. [[bigramNllPlan]] stays available for plan audits.
-    DerivedCache.orBuild(s, d, "bigram_nll_v1")(bigramNllPlan(s, d))
+    // count tables. The build composes from the APPEND-INCREMENTAL
+    // count artifact ([[bigramCounts]]): after a nightly append the
+    // count shuffle — the heaviest stage — re-pays only the appended
+    // slice. The per-doc SCORING pass still scans every doc, and must:
+    // each score is a function of the GLOBAL add-one-smoothed LM, so an
+    // append shifts every doc's nll — per-doc scores under a corpus
+    // model are not a per-file monoid, only their count layer is.
+    // [[bigramNllPlan]] stays available for plan audits.
+    DerivedCache.orBuild(s, d, "bigram_nll_v1")(bigramNllFromCounts(s, d))
 
   /** The uncached scoring plan behind [[bigramNll]] — what one
     * derivation pass runs; PlanSpec pins its no-broadcast count joins.
     */
   def bigramNllPlan(s: SparkSession, d: String): DataFrame = {
-    val t = spread(docs(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("tok"))
-    val bg = t.select(col("doc_id"), explode(
-        filter(
-          zip_with(
-            col("tok"),
-            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-            (a, b) => struct(a.as("a"), b.as("b"))),
-          p => p.getField("b").isNotNull)).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bg = bigramEventsOf(spread(docs(s, d)))
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     // history counts are a DERIVATION of the bigram table (c_a = Σ_b
     // c_ab by definition), not another pass over the corpus events —
@@ -1304,8 +1302,35 @@ object Prep {
     // q96 pattern: a plan-shaping statistic read from metadata), so
     // scoring re-tokenizes the corpus twice (events + count build),
     // not four times
+    scoreNllEvents(bg, cab, TrainingData.vocabSize(s, d))
+  }
+
+  /** Per-doc bigram events (doc_id, a, b) — one derivation shared by
+    * the one-pass audit plan, the incremental count delta, and the
+    * scoring pass, so the trees canonicalize identically.
+    */
+  private def bigramEventsOf(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .select(col("doc_id"), explode(
+        filter(
+          zip_with(
+            col("tok"),
+            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** The scoring tail: join each event to the (a, b) count table and
+    * its derived history marginal, fold 1e-6-scaled integer ln
+    * contributions per doc. Identical expression tree whether `cab`
+    * came from the one-pass build or the incrementally-merged artifact
+    * — the longs are equal, so the doubles are too.
+    */
+  private def scoreNllEvents(bg: DataFrame, cab: DataFrame,
+                             vocab: Long): DataFrame = {
     val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
-    val v = lit(TrainingData.vocabSize(s, d))
+    val v = lit(vocab)
     // the bigram and history count tables are corpus-STATISTIC-sized
     // (vocabulary² on the open web) — the q112 rule: they join on the
     // shuffle path, never broadcast, even where toy-scale AQE would
@@ -1321,6 +1346,33 @@ object Prep {
              .as("nll"))
   }
 
+  /** The corpus (a, b, c_ab) bigram count table as an APPEND-
+    * INCREMENTAL artifact — the additive layer under [[bigramNll]] and
+    * [[buildLmIndex]]: a nightly append explodes only the new files
+    * into events and merges counts by sum, bit-identical to a full
+    * recount. This is the heaviest shuffle of the NLL family (corpus
+    * tokens into a vocabulary²-keyed combine), so it is the one that
+    * matters to amortize.
+    */
+  def bigramCounts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "bigram_counts_v1")(
+      bigramEventsOf(spread(docs(s, d)))
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("c_ab")))(
+      files => bigramEventsOf(spread(s.read.parquet(files: _*)))
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("c_ab")))(
+      (old, dl) => old.unionByName(dl).groupBy("a", "b")
+        .agg(sum("c_ab").cast("long").as("c_ab")))
+
+  /** [[bigramNllPlan]]'s output with the count stage served from the
+    * incremental artifact: one corpus pass (the per-doc event explode
+    * feeding the score join) instead of two, and after an append the
+    * count layer re-pays only the appended slice. Scores equal the
+    * one-pass plan exactly — same longs, same expression tree.
+    */
+  def bigramNllFromCounts(s: SparkSession, d: String): DataFrame =
+    scoreNllEvents(bigramEventsOf(spread(docs(s, d))),
+                   bigramCounts(s, d), TrainingData.vocabSize(s, d))
+
   /** Persist the corpus bigram LM + CCNet cut table — the artifact the
     * STREAMING perplexity gate probes ([[lmBucketStream]]): `bigrams/`
     * (a, b, c_ab) and `hist/` (a, c_a) — split tables so a novel pair
@@ -1335,17 +1387,11 @@ object Prep {
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(indexDir + ".staging")
     fs.delete(staging, true)
-    val t = spread(docs(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("tok"))
-    val bg = t.select(explode(
-        filter(
-          zip_with(
-            col("tok"),
-            slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-            (a, b) => struct(a.as("a"), b.as("b"))),
-          p => p.getField("b").isNotNull)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-    val cab = bg.groupBy("a", "b").agg(count(lit(1)).cast("long").as("c_ab"))
+    // count tables come from the append-incremental artifact — after a
+    // nightly append, refreshing the LM index re-pays the appended
+    // slice for counts (the cuts below still need the rescored NLL
+    // table, which is inherently a full pass — see [[bigramNll]])
+    val cab = bigramCounts(s, d)
     val ca = cab.groupBy("a").agg(sum("c_ab").cast("long").as("c_a"))
     cab.repartition(col("a"), col("b"))
       .write.mode("overwrite").parquet(staging.toString + "/bigrams")
