@@ -85,6 +85,27 @@ object Curation {
     TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
   }
 
+  /** The APPEND hook — the nightly-crawl twin of [[invalidate]]: evict
+    * every session memo for the corpus (cached row counts, vocab,
+    * pair graphs, cluster frames are all stale once files land) but
+    * KEEP the persisted DerivedCache artifacts — they self-refresh
+    * incrementally from the appended slice on the next read, which is
+    * the whole point. Compaction/regeneration must still call
+    * [[invalidate]]: a rewrite breaks the append-manifest chain and
+    * the artifacts would otherwise pay a full rebuild anyway.
+    */
+  def appendRefresh(d: String): Unit = {
+    edgeCache.keys.filter(_._2 == d).foreach { key =>
+      edgeCache.remove(key).foreach(df => scala.util.Try(df.unpersist()))
+    }
+    clusterCache.keys.filter(_._2 == d).foreach { key =>
+      clusterCache.remove(key).foreach(df =>
+        scala.util.Try(ckptRdd(df).foreach(_.unpersist(false))))
+    }
+    bloomCache.keys.filter(_._2 == d).foreach(bloomCache.remove)
+    TrainingData.invalidate(d) // session memos only — artifacts stay
+  }
+
   /** Connected components over the near-dup pair graph (q64 body,
     * reusable — q65 consumes the keep decision).
     *
@@ -109,7 +130,7 @@ object Curation {
     // keep) parquet instead of re-resolving, the same way it reads the
     // band/IVF/PQ/LM indexes. Deterministic, so cached == rebuilt.
     clusterCache.getOrElseUpdate((s, d),
-      DerivedCache.orBuild(s, d, "cluster_labels_v1") {
+      DerivedCache.orBuildIncremental(s, d, "cluster_labels_v1")({
         // the near-dup pair graph is a build-once artifact per corpus
         // snapshot (like the IVF index): generation runs once per session
         // and clustering/reporting reuse it — and the edge list is read
@@ -124,7 +145,64 @@ object Curation {
         val labels = connectedComponents(edges)
         labels.select(col("doc_id"), col("label").as("cluster_id"),
                       (col("doc_id") === col("label")).cast("long").as("keep"))
-      })
+      })(
+        files => TrainingData.jaccardPairsDelta(s, d, files))(
+        (oldLab, deltaPairs) => mergeClusterLabels(oldLab, deltaPairs)))
+  }
+
+  /** Incremental connected-components merge: fold the appended slice's
+    * edge delta into landed labels WITHOUT re-resolving the corpus.
+    * Each delta edge endpoint contracts to its old component
+    * REPRESENTATIVE (its min-id label; old docs without a label are
+    * their own singleton rep), min-label CC runs over the contracted
+    * graph — whose size is bounded by the slice's collisions, not the
+    * corpus — and old members relabel through their representative.
+    * Exactness: an old-old pair's Jaccard does not depend on the corpus,
+    * so no old-old edge can appear or vanish on append; contraction
+    * preserves components; and a representative is the min of its
+    * members, so the contracted min IS the global min. Hence merged
+    * labels == a from-scratch re-resolve, row for row (ClusterIncrSpec
+    * pins it). Scale shape: the corpus-sized label table is touched by
+    * one broadcast-semi prune and one broadcast left join keyed by the
+    * slice-bounded rep map; the iterative CC sees only contracted edges.
+    */
+  private def mergeClusterLabels(oldLab: org.apache.spark.sql.DataFrame,
+                                 deltaPairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = deltaPairs.persist()
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val labTouched = oldLab
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_id"))
+    val m = pairs
+      .join(labTouched.select(col("doc_id").as("id_a"),
+                              col("cluster_id").as("ca")), Seq("id_a"), "left")
+      .join(labTouched.select(col("doc_id").as("id_b"),
+                              col("cluster_id").as("cb")), Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+              coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val und = m
+      .unionByName(m.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    val cc = connectedComponents(und) // eager: checkpointed per round
+    und.unpersist(); pairs.unpersist()
+    val updatedOld = oldLab
+      .join(cc.select(col("doc_id").as("cluster_id"),
+                      col("label").as("nl")), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
+    // contracted nodes that are not old members: new docs, plus old
+    // singletons a new edge just reached
+    val newRows = cc
+      .join(oldLab.join(broadcast(cc.select("doc_id")),
+                        Seq("doc_id"), "left_semi").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    updatedOld.unionByName(newRows)
+      .select(col("doc_id"), col("cluster_id"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("keep"))
   }
 
   /** Min-label connected components over an UNDIRECTED edge list that

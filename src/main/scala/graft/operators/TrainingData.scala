@@ -149,6 +149,95 @@ object TrainingData {
       .filter(col("jaccard") >= 0.9)
   }
 
+  /** Per-doc token-hash sets — (doc_id, lang, n_chars, tok) — shared
+    * by the full pair build and the appended-slice delta.
+    */
+  private[operators] def dedupBaseOf(docFrame: DataFrame): DataFrame =
+    docFrame.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(transform(tokens(col("text")), w => xxhash64(w)))
+        .as("tok"))
+
+  /** Hash-order prefix postings of a token-set frame: each doc's first
+    * floor(|tok|/10)+1 tokens under PLAIN HASH ORDER. The PPJoin prefix
+    * bound is lossless under ANY total token order common to both docs
+    * — rarity order (the full build) is only a block-size heuristic —
+    * and hash order is computable per doc with NO global df statistics,
+    * which is exactly what makes a persisted prefix index append-stable:
+    * a doc's postings never change when the corpus grows.
+    */
+  private[operators] def prefixPostingsOf(base: DataFrame): DataFrame =
+    base.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      explode(slice(array_sort(col("tok")), lit(1),
+                    (size(col("tok")) / 10).cast("int") + 1)).as("ptk"))
+
+  /** The per-doc token-set index as an APPEND-INCREMENTAL artifact:
+    * rows are a pure function of each doc, so the refresh derives the
+    * appended files and unions — no old bytes re-read. This is the
+    * verification side of the incremental near-dup path.
+    */
+  def dedupTokenIndex(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "dedup_tokens_v1")(
+      dedupBaseOf(spread(docs(s, d))))(
+      files => dedupBaseOf(spread(s.read.parquet(files: _*))))(
+      (old, dl) => old.unionByName(dl))
+
+  /** The hash-order prefix postings index, append-incremental like
+    * [[dedupTokenIndex]] — the candidate-generation side of the
+    * incremental near-dup path.
+    */
+  def dedupPrefixIndex(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "dedup_prefix_v1")(
+      prefixPostingsOf(dedupBaseOf(spread(docs(s, d)))))(
+      files => prefixPostingsOf(dedupBaseOf(spread(s.read.parquet(files: _*)))))(
+      (old, dl) => old.unionByName(dl))
+
+  /** [[jaccardPairsPlan]]'s pair set RESTRICTED to pairs touching the
+    * appended slice — the edge delta behind the incremental cluster
+    * merge. Candidates come from probing the persisted prefix index
+    * with the slice's postings: one index scan pruned by a broadcast
+    * semi over the slice's distinct (lang, ptk) keys — no corpus
+    * re-tokenize, no corpus-side shuffle, no all-pairs. Verification is
+    * exact Jaccard over the persisted token sets, so the edges are
+    * IDENTICAL to what the df-ordered full build finds for these pairs
+    * (the prefix bound is lossless under any common order; only the
+    * candidate superset differs).
+    */
+  def jaccardPairsDelta(s: SparkSession, d: String,
+                        newFiles: Seq[String]): DataFrame = {
+    val newPost = prefixPostingsOf(
+      dedupBaseOf(spread(s.read.parquet(newFiles: _*))))
+    val allPost = dedupPrefixIndex(s, d) // already refreshed: includes the slice
+    val allTok = dedupTokenIndex(s, d)
+    // the slice's distinct prefix keys are nightly-append-bounded —
+    // broadcasting them prunes the index scan to colliding blocks
+    val keys = newPost.select("lang", "ptk").distinct()
+    val blocks = allPost.join(broadcast(keys), Seq("lang", "ptk"))
+    val cand = blocks.as("a")
+      .join(newPost.as("b"), Seq("lang", "ptk"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    // token sets for both sides: scan + broadcast-semi prune (cand is
+    // collision-bounded), then small-small joins
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+    val toks = allTok.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("tok"))
+    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+    val j = round(
+      inter / (size(col("tok_a")) + size(col("tok_b")) - inter), 4)
+    cand
+      .join(toks.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b")
+  }
+
   /** SRP-LSH embedding near-dup: bucket on the `bits`-bit signed-random-
     * projection signature, exact cosine only on bucket collisions, keep
     * pairs at or above `thr`. `e` must carry (vec_id, v: array<float|
