@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   outDir/shards/         packed token-ID bins, in-band EOS separators
   *   outDir/bounds/         q145 attention-boundary sidecar
   *   outDir/plan/           q136 epoch plan (per-source grants)
+  *   outDir/manifest/       q139 per-(source, epoch) shard manifests
   *   outDir/order/          q142 per-epoch training order
   *   outDir/report.json     per-stage seconds + row counts + audit result
   *
@@ -78,15 +79,27 @@ object Nightly {
         .write.mode("overwrite").parquet(s"$out/plan")
       spark.read.parquet(s"$out/plan").count()
     }
+    stage("manifest") {
+      SparkEntry.queries("q139_epoch_plan_execute")(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/manifest")
+      spark.read.parquet(s"$out/manifest").count()
+    }
     stage("training_order") {
       SparkEntry.queries("q142_training_order")(spark, corpus)
         .write.mode("overwrite").parquet(s"$out/order")
       spark.read.parquet(s"$out/order").count()
     }
+    // two landed-bytes reconciliations gate the night: the shard/
+    // boundary audit and the plan/manifest/order audit — a nightly must
+    // never hand the trainer an internally inconsistent export OR an
+    // epoch stream that disagrees with its own manifests
     val violations = stage("audit") {
       Curation.auditPackedIdsExport(
           spark, s"$out/shards", Some(s"$out/bounds"),
           Some(Curation.EosId))
+        .count() +
+      operators.Prep.auditTrainingOrder(
+          spark, s"$out/plan", s"$out/manifest", s"$out/order")
         .count()
     }
 

@@ -351,6 +351,127 @@ object Prep {
       conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
         .cast("long"))
 
+  /** Integrity audit over the LANDED planner artifacts — the q136 plan,
+    * the q139 per-(source, epoch) manifests, and the q142 training
+    * order — the reconciliation a trainer runs before trusting an
+    * epoch stream, the planner twin of Curation.auditPackedIdsExport.
+    * Self-contained on the artifact bytes (no corpus re-derivation):
+    *
+    *  - `manifest_dup` / `epoch_density`: per source, (source, epoch)
+    *    rows must be unique and epochs dense 1..max (countDistinct-
+    *    keyed, so a duplicate can never mask a hole);
+    *  - `full_epoch_tokens`: q139's decomposition makes every epoch
+    *    e <= planned DIV avail a FULL corpus pass — its manifest
+    *    n_tokens must equal the plan's avail_tokens exactly;
+    *  - `epoch_overrun`: no epoch past full+1 (the single fractional
+    *    pass), and the fractional pass can never exceed avail_tokens;
+    *  - `plan_universe`: every manifest source must be granted by the
+    *    plan; every source granted a full epoch must have manifests;
+    *  - `order_manifest_docs` / `_tokens` / `_digest`: per epoch, the
+    *    order's instance count, token sum, and recomputed order-free
+    *    doc-set digest must equal the manifests' (XOR of the
+    *    per-source digests — sources partition an epoch's docs, so
+    *    the XORs compose exactly). The digest names a single swapped
+    *    doc_id even when counts happen to balance;
+    *  - `pos_density`: per (epoch, shard), positions dense 0..n-1
+    *    with no duplicates — a deleted or doubled order row is a
+    *    skipped or re-fed training example.
+    *
+    * Returns (source, epoch, check, detail); empty means consistent.
+    * Scale shape: everything aggregates to (source|epoch|shard)-bounded
+    * tables before any join; the plan table broadcasts (sources-
+    * bounded); the only corpus-sized scan is the order table feeding
+    * one partial-aggregating groupBy per check.
+    */
+  def auditTrainingOrder(s: SparkSession, planDir: String,
+                         manifestDir: String, orderDir: String)
+      : DataFrame = {
+    val plan = s.read.parquet(planDir).select(
+      col("source"), col("avail_tokens"), col("planned_tokens"),
+      expr("planned_tokens div avail_tokens").as("full_epochs"))
+    val man = s.read.parquet(manifestDir)
+    val ord = s.read.parquet(orderDir)
+    val viol = (name: String, detail: org.apache.spark.sql.Column) =>
+      struct(lit(name).as("check"), detail.cast("string").as("detail"))
+    val out = (src: org.apache.spark.sql.Column,
+               ep: org.apache.spark.sql.Column,
+               v: org.apache.spark.sql.Column) =>
+      Seq(src.cast("string").as("source"), ep.cast("long").as("epoch"),
+          v.as("v"))
+
+    val manAgg = man.groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct("epoch").as("nd"),
+           min("epoch").as("mn"), max("epoch").as("mx"))
+    val dup = manAgg.filter(col("n") =!= col("nd"))
+      .select(out(col("source"), lit(-1L),
+                  viol("manifest_dup", concat_ws("/", col("nd"), col("n")))): _*)
+    val dens = manAgg.filter(col("mn") =!= 1L || col("mx") =!= col("nd"))
+      .select(out(col("source"), lit(-1L),
+                  viol("epoch_density",
+                       concat_ws("/", col("mn"), col("mx"), col("nd")))): _*)
+
+    // the plan table is sources-bounded — the one broadcast that's right
+    val pm = man.join(broadcast(plan), Seq("source"), "inner")
+    val full = pm
+      .filter(col("epoch") <= col("full_epochs") &&
+              col("n_tokens") =!= col("avail_tokens"))
+      .select(out(col("source"), col("epoch"),
+                  viol("full_epoch_tokens",
+                       concat_ws("!=", col("n_tokens"), col("avail_tokens")))): _*)
+    val overrun = pm
+      .filter(col("epoch") > col("full_epochs") + 1 ||
+              (col("epoch") === col("full_epochs") + 1 &&
+               col("n_tokens") > col("avail_tokens")))
+      .select(out(col("source"), col("epoch"),
+                  viol("epoch_overrun",
+                       concat_ws("/", col("full_epochs"), col("n_tokens")))): _*)
+    val unknown = man.join(broadcast(plan.select("source")),
+                           Seq("source"), "left_anti")
+      .select(out(col("source"), col("epoch"),
+                  viol("plan_universe", lit("manifest source not in plan"))): _*)
+    val missing = plan.filter(col("full_epochs") >= 1L)
+      .join(man.select("source").distinct(), Seq("source"), "left_anti")
+      .select(out(col("source"), lit(-1L),
+                  viol("plan_universe",
+                       lit("granted source missing from manifests"))): _*)
+
+    val mE = man.groupBy("epoch")
+      .agg(sum("n_docs").as("m_docs"), sum("n_tokens").as("m_tok"),
+           org.apache.spark.sql.functions.bit_xor(col("doc_digest"))
+             .as("m_dig"))
+    val oE = ord.groupBy("epoch")
+      .agg(count(lit(1)).as("o_docs"), sum("n_tokens").as("o_tok"),
+           docSetDigest(col("doc_id")).as("o_dig"))
+    val cmp = mE.join(oE, Seq("epoch"), "full_outer")
+    val cDocs = cmp.filter(!(col("m_docs") <=> col("o_docs")))
+      .select(out(lit(""), col("epoch"),
+                  viol("order_manifest_docs",
+                       concat_ws("!=", col("m_docs"), col("o_docs")))): _*)
+    val cTok = cmp.filter(!(col("m_tok") <=> col("o_tok")))
+      .select(out(lit(""), col("epoch"),
+                  viol("order_manifest_tokens",
+                       concat_ws("!=", col("m_tok"), col("o_tok")))): _*)
+    val cDig = cmp.filter(!(col("m_dig") <=> col("o_dig")))
+      .select(out(lit(""), col("epoch"),
+                  viol("order_manifest_digest",
+                       concat_ws("!=", col("m_dig"), col("o_dig")))): _*)
+
+    val pd = ord.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), countDistinct("pos").as("nd"),
+           min("pos").as("mn"), max("pos").as("mx"))
+      .filter(col("n") =!= col("nd") || col("mn") =!= 0L ||
+              col("mx") + 1 =!= col("nd"))
+      .select(out(concat(lit("shard="), col("shard")), col("epoch"),
+                  viol("pos_density",
+                       concat_ws("/", col("mn"), col("mx"), col("nd"),
+                                 col("n")))): _*)
+
+    Seq(dup, dens, full, overrun, unknown, missing, cDocs, cTok, cDig, pd)
+      .reduce(_ unionByName _)
+      .select(col("source"), col("epoch"),
+              col("v.check").as("check"), col("v.detail").as("detail"))
+  }
+
   /** The plan-EXECUTION core shared by batch q141 and
     * [[startPlanExecutor]]: given framed docs (ts, doc_id, source, text)
     * and a per-(win_ms, source) plan carrying `full_epochs` and `rate`
