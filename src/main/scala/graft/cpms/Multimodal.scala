@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * BMP, binary PPM (P6), 8-bit RGB/RGBA PNG, and 16-bit PCM RIFF/WAVE
   * payloads go through a REAL pure-JVM codec
   * ([[decodeBmp]]/[[decodePpm]]/[[decodePng]]/[[decodeWav]] — header
-  * parse + full pixel/sample scan into content features); any other
-  * format falls back to the documented STUB ([[fakeDecode]],
-  * deterministic fake features from the payload bytes) because this
-  * environment ships no image/audio libraries. Everything around the codec — the asset schema, the batched
+  * parse + full pixel/sample scan into content features); JPEG — the
+  * dominant web-image format — decodes through the JDK's built-in
+  * `javax.imageio` reader ([[decodeJpeg]], still zero external
+  * libraries); any other format falls back to the documented STUB
+  * ([[fakeDecode]], deterministic fake features from the payload bytes)
+  * because this environment ships no further image/audio libraries. Everything around the codec — the asset schema, the batched
   * mapPartitions plumbing, partitioning, and output shapes — is the real
   * production path; adding a JNI/ffmpeg/etc. branch next to the BMP/PPM
   * ones changes no plan shape.
@@ -464,9 +466,67 @@ object Multimodal {
              feat.toSeq, dh))
   }
 
-  /** One payload through the codec chain: real BMP/PPM/PNG/WAV decode
-    * when the magic bytes match, else the stub. Codec exceptions on
-    * forged payloads fall through to the stub rather than failing the
+  /** Decode-size ceiling for the ImageIO path: dimensions are read from
+    * the header BEFORE any pixel allocation, so a forged SOF marker
+    * claiming a 65k x 65k frame is rejected for the cost of a header
+    * parse — the same discipline as the BMP/PNG bound checks.
+    */
+  private val MaxJpegPixels = 1L << 26 // ~67 MP, beyond any sane crawl asset
+
+  /** REAL codec: JPEG via the JDK's built-in `javax.imageio` reader —
+    * baseline and progressive JFIF/EXIF decode with no external
+    * library, covering the dominant web-image format the pure-JVM
+    * BMP/PPM/PNG codecs leave blind. Same contract as the others:
+    * magic-check first (FF D8 FF SOI), header-bounded dimensions before
+    * any allocation, full decode into the shared per-pixel accumulator
+    * (dHash + features ride one row-buffered scan — `getRGB` converts
+    * grayscale to sRGB for free), and None on anything the reader
+    * rejects (truncated entropy stream, CMYK payloads the JDK reader
+    * does not handle, forged markers) so the chain falls to the stub.
+    * Note the hash caveat the near-dup family must own: JPEG is LOSSY —
+    * a re-encode perturbs cell lumas, so a BMP→JPEG pair lands within a
+    * small dHash Hamming distance, not at exact 0 (MultimodalSpec pins
+    * the tolerance; q121's banding absorbs ≤3-bit drift by pigeonhole).
+    */
+  private[cpms] def decodeJpeg(assetId: Long, content: Array[Byte]): Option[Row] = {
+    if (content.length < 3 ||
+        (content(0) & 0xFF) != 0xFF || (content(1) & 0xFF) != 0xD8 ||
+        (content(2) & 0xFF) != 0xFF) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxJpegPixels) return None
+        val img = reader.read(0)
+        val acc = new PixelAcc(w, h)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = rowBuf(x)
+            acc.add(x, y, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some(Row(assetId, "image", w, h, 1, acc.features.toSeq, acc.dhash))
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException => None // truncated/forged -> stub
+    } finally iis.close()
+  }
+
+  /** One payload through the codec chain: real BMP/PPM/PNG/JPEG/WAV
+    * decode when the magic bytes match, else the stub. Codec exceptions
+    * on forged payloads fall through to the stub rather than failing the
     * Spark task — untrusted binary is exactly what this path ingests.
     */
   private[cpms] def decodeOne(assetId: Long, kind: String, content: Array[Byte]): Row = {
@@ -474,6 +534,7 @@ object Multimodal {
     Try(decodeBmp(assetId, content)).toOption.flatten
       .orElse(Try(decodePpm(assetId, content)).toOption.flatten)
       .orElse(Try(decodePng(assetId, content)).toOption.flatten)
+      .orElse(Try(decodeJpeg(assetId, content)).toOption.flatten)
       .orElse(Try(decodeWav(assetId, content)).toOption.flatten)
       .getOrElse(fakeDecode(assetId, kind, content))
   }

@@ -525,6 +525,109 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("geometry"))
   }
 
+  // ---- JPEG (javax.imageio) ------------------------------------------
+
+  /** Blocky fixture aligned to the 8x9 dHash grid: each cell is a
+    * uniform gray block on one of 12 luma levels 16 apart, with
+    * horizontally-adjacent cells FORCED onto distinct levels — every
+    * gradient bit is decided by a >=16-luma margin, far above the ~2-4
+    * luma a quality-0.9 JPEG block transform perturbs cell means by.
+    * (Equal-luma neighbors would make those bits coin flips under any
+    * lossy codec.)
+    */
+  private def blockyPixels(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val level = new Array[Int](8 * 9)
+    for (r <- 0 until 8; c <- 0 until 9) {
+      var l = math.floorMod(graft.functions.TextHashes.mix64(seed + r * 9 + c), 12).toInt
+      if (c > 0 && l == level(r * 9 + c - 1)) l = (l + 1) % 12
+      level(r * 9 + c) = l
+    }
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (40 + 16 * level((y * 8 / h) * 9 + (x * 9 / w))).toByte
+      val p = (y * w + x) * 3
+      rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+    }
+    rgb
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Array[Byte],
+                        quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) |
+                       (rgb(p + 2) & 0xff))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("JPEG decodes real dims/features; BMP->JPEG re-encode lands within dHash tolerance") {
+    val (w, h) = (72, 40)
+    val rgb = blockyPixels(w, h, 7L)
+    val bmp = Multimodal.decodeOne(1L, "image", Multimodal.encodeBmp(w, h, rgb))
+    val jpg = Multimodal.decodeOne(2L, "image", jpegBytes(w, h, rgb))
+    assert(jpg.getString(1) === "image")
+    assert(jpg.getInt(2) === w && jpg.getInt(3) === h,
+           "JPEG dims must come from the real header")
+    assert(!jpg.isNullAt(6), "real JPEG decode must carry a dHash")
+    // features match the lossless decode closely (JPEG is lossy; the
+    // channel/luma means drift by less than ~2/255)
+    val fb = bmp.getSeq[Float](5); val fj = jpg.getSeq[Float](5)
+    for (i <- 0 until 8)
+      assert(math.abs(fb(i) - fj(i)) < 0.02f,
+             s"feature $i drifted: ${fb(i)} vs ${fj(i)}")
+    // lossy re-encode: within q121's <=3-bit band tolerance, not exact-0
+    val dist = java.lang.Long.bitCount(bmp.getLong(6) ^ jpg.getLong(6))
+    assert(dist <= 3, s"BMP->JPEG dHash drifted too far: Hamming $dist")
+    // an unrelated blocky image stays far away
+    val other = Multimodal.decodeOne(3L, "image",
+      jpegBytes(w, h, blockyPixels(w, h, 4242L)))
+    assert(java.lang.Long.bitCount(jpg.getLong(6) ^ other.getLong(6)) > 10)
+  }
+
+  test("forged/truncated JPEGs are rejected to the stub, not crashed on") {
+    // SOI magic followed by garbage
+    val forged = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+      "not actually a jpeg entropy stream".getBytes("UTF-8")
+    assert(Multimodal.decodeJpeg(1L, forged).isEmpty)
+    assert(Multimodal.decodeOne(1L, "image", forged).isNullAt(6),
+           "forged JPEG must fall to the stub (null dhash)")
+    // truncated: cut a real payload mid entropy stream
+    val good = jpegBytes(72, 40, blockyPixels(72, 40, 7L))
+    val truncated = good.take(good.length / 2)
+    val row = Multimodal.decodeOne(2L, "image", truncated)
+    // either rejected to the stub or decoded as a real partial frame —
+    // never a crashed task; the JDK reader throws, so expect the stub
+    assert(Multimodal.decodeJpeg(2L, truncated).isEmpty || !row.isNullAt(6))
+    // forged SOF dims claiming a multi-gigapixel frame: rejected from
+    // the HEADER, before any pixel allocation
+    val patched = good.clone()
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i < patched.length - 9) {
+      val m = patched(i + 1) & 0xFF
+      if ((patched(i) & 0xFF) == 0xFF && (m == 0xC0 || m == 0xC2)) sof = i
+      i += 1
+    }
+    assert(sof > 0, "fixture jpeg has no SOF marker?")
+    // SOF payload: len(2) precision(1) height(2) width(2)
+    patched(sof + 5) = 0xEA.toByte; patched(sof + 6) = 0x60.toByte // h=60000
+    patched(sof + 7) = 0xEA.toByte; patched(sof + 8) = 0x60.toByte // w=60000
+    assert(Multimodal.decodeJpeg(3L, patched).isEmpty,
+           "3.6-gigapixel SOF must be rejected at the header")
+  }
+
   test("frame sampling emits capped every-k indices for videos only") {
     val out = Multimodal.sampleFrames(Multimodal.decode(assets), everyK = 10, cap = 8)
     val vids = out.filter(col("kind") === "video").collect()
