@@ -847,6 +847,249 @@ object Prep {
     merges.toSeq
   }
 
+  /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    * array — the imperative twin of the [[applyMerge]] codegen fold,
+    * shared by the driver-side learner and the large-vocabulary
+    * imperative encoder so the two can never drift.
+    */
+  private def applyMergeLocal(syms: Array[String], l: String,
+                              r: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Greedy batch admission over a DESC-sorted (left, right, count)
+    * candidate list, processed in COUNT-TIE GROUPS: a pair joins the
+    * batch when its left, right, AND merged symbol are untouched by
+    * earlier admissions — non-interacting merges leave each other's
+    * counts exactly as the round's recount measured them. The moment
+    * ANY member of a count level interacts with the admitted set, the
+    * batch stops at that level: a pair the admitted merges decay or
+    * CREATE can hold that same count and win the sequential (l, r)
+    * tie-break against a later candidate (the `c,o` → `co,lu` cascade:
+    * merging (c,o) creates (co,lu) at the full tied count, which
+    * lex-beats (lu,m)) — only the next round's exact recount can rank
+    * that level. Created pairs can never outrank a HIGHER level: a
+    * created pair's count is bounded by its source pair's, and a
+    * source at or above the level was either admitted or has already
+    * stopped the scan. The first admission of every round is therefore
+    * always the exact sequential argmax, and each admission extends it
+    * only where counts are provably untouched.
+    */
+  private def admitBatch(sorted: Seq[(String, String, Long)],
+                         limit: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def interacts(p: (String, String, Long)): Boolean =
+      used(p._1) || used(p._2) || used(p._1 + p._2)
+    var idx = 0
+    var stop = false
+    while (!stop && idx < sorted.length && out.length < limit) {
+      val c = sorted(idx)._3
+      var end = idx
+      while (end < sorted.length && sorted(end)._3 == c) end += 1
+      val group = sorted.slice(idx, end)
+      if (out.nonEmpty && group.exists(interacts)) stop = true
+      else {
+        // every member is free w.r.t. prior admissions here; admit in
+        // (l, r) order, but the moment an admission makes ANY pending
+        // member of the level interacting, the level can no longer be
+        // ranked safely (a pair created out of that member can tie at
+        // this count and lex-beat the next candidate) — stop the batch
+        var i = 0
+        while (!stop && i < group.length && out.length < limit) {
+          val (l, r, _) = group(i)
+          out += group(i); used += l; used += r; used += (l + r)
+          if (group.drop(i + 1).exists(interacts)) stop = true
+          i += 1
+        }
+      }
+      idx = end
+    }
+    out.toSeq
+  }
+
+  /** Batched BPE learning — the production-vocab-size form of
+    * [[bpeMergeList]] (SentencePiece-style): each ROUND runs ONE
+    * pair-count pass and admits up to `batch` mutually non-interacting
+    * merges from the sorted pair table ([[admitBatch]]), applies them
+    * together, and recounts. ~k/batch distributed jobs instead of k —
+    * the difference between 50k sequential job rounds and a few
+    * hundred at a 32k-100k production vocabulary. Within a round the
+    * admitted merges are count-invariant to each other, so the learned
+    * order is deterministic; across rounds counts are exact by
+    * recount. On real corpora the list tracks the sequential reference
+    * exactly (BpeSpec pins equality at k=1024 on the test corpus and
+    * the oracled 16-prefix); adversarially-tied pattern families can
+    * diverge past a round's first admission — the documented batched-
+    * training trade. The exact sequential learner remains
+    * [[bpeMergeList]] (q131's oracle recomputes it independently).
+    */
+  def bpeMergeListBatched(docFrame: DataFrame, k: Int, batch: Int = 64,
+                          driverVocabMax: Long = BpeDriverVocabMax)
+      : Seq[(Long, String, String, Long)] = {
+    val wc = docFrame
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("wc"))
+      .persist()
+    val nVocab = wc.count()
+    if (nVocab <= driverVocabMax) {
+      val rows = wc.collect().map(r => (r.getString(0).split(""), r.getLong(1)))
+      wc.unpersist()
+      bpeMergeListLocalBatched(rows, k, batch)
+    } else
+      try bpeMergeListDistributedBatched(
+        wc.select(split(col("w"), "").as("syms"), col("wc")), k, batch)
+      finally wc.unpersist()
+  }
+
+  private def bpeMergeListLocalBatched(vocab: Array[(Array[String], Long)],
+                                       k: Int, batch: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    val ord = Ordering.Tuple3(Ordering.Long,
+      Ordering.fromLessThan(utf8Lt), Ordering.fromLessThan(utf8Lt))
+    while (merges.length < k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- cur; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val sorted = counts.toArray
+          .map { case ((l, r), c) => (l, r, c) }
+          .sortBy { case (l, r, c) => (-c, l, r) }(ord)
+        val admitted = admitBatch(sorted.toIndexedSeq,
+                                  math.min(batch, k - merges.length))
+        for ((l, r, c) <- admitted) {
+          merges += ((merges.length + 1L, l, r, c))
+          cur = cur.map { case (syms, wcount) =>
+            (applyMergeLocal(syms, l, r), wcount)
+          }
+        }
+        if (admitted.isEmpty) done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  private def ckptRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  private def bpeMergeListDistributedBatched(vocab: DataFrame, k: Int,
+                                             batch: Int)
+      : Seq[(Long, String, String, Long)] = {
+    // eager localCheckpoint per round, NOT persist: each round stacks
+    // `batch` nested applyMerge folds, and without truncation the
+    // logical plan deepens by that much every round — analysis alone
+    // OOMs the driver long before data does (the connected-components
+    // lineage lesson, Curation.scala). On a cluster a reliable
+    // checkpoint dir gives the same truncation with fault tolerance.
+    var cur = vocab.localCheckpoint(true)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (merges.length < k && !done) {
+      // one job per ROUND: the sorted head of the pair table, wide
+      // enough to survive admission skips (interacting pairs wait for
+      // the next recount anyway)
+      val fetch = math.max(batch * 8, 64)
+      val top = cur
+        .select(col("wc"), explode(filter(zip_with(
+            col("syms"),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r"))),
+          p => p.getField("r").isNotNull)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(fetch).collect()
+      if (prev != null) {
+        ckptRdd(prev).foreach(_.unpersist(false)); prev = null
+      }
+      if (top.isEmpty) done = true
+      else {
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // a truncated fetch may have cut a count-tie group mid-way;
+        // admission reasons about WHOLE levels, so drop the possibly-
+        // incomplete trailing level (the next recount will serve it)
+        val cand: Seq[(String, String, Long)] =
+          if (rows.length == fetch && rows.length > 1)
+            rows.takeWhile(_._3 != rows.last._3).toSeq
+          else rows.toSeq
+        val fromLevels = admitBatch(
+          cand, math.min(batch, k - merges.length))
+        // degenerate fetch (one giant tie level): fall back to the
+        // plain sequential argmax — the head row is always exact
+        val admitted =
+          if (fromLevels.nonEmpty) fromLevels else Seq(rows.head)
+        for ((l, r, c) <- admitted)
+          merges += ((merges.length + 1L, l, r, c))
+        // the whole batch applies as one projection chain, then the
+        // round's checkpoint truncates it
+        val next = admitted.foldLeft(cur)((df, m) =>
+            df.withColumn("syms", applyMerge(col("syms"), m._1, m._2)))
+          .select(col("syms"), col("wc")).localCheckpoint(true)
+        prev = cur
+        cur = next
+      }
+    }
+    if (prev != null) ckptRdd(prev).foreach(_.unpersist(false))
+    ckptRdd(cur).foreach(_.unpersist(false))
+    merges.toSeq
+  }
+
+  /** Chained-codegen-fold ceiling for merge application: up to this
+    * many merges apply as [[applyMerge]] column folds (the oracled
+    * q133/q137 plan shape); past it — a production 1k-100k vocabulary —
+    * the DISTINCT-WORD table encodes imperatively per partition
+    * (same per-merge fold semantics via [[applyMergeLocal]], with a
+    * substring pre-check skipping merges a word cannot contain), since
+    * a thousand nested aggregate expressions is an analysis-time
+    * explosion, not a plan.
+    */
+  val BpeFoldMax = 32
+
+  /** Subword symbol arrays for a distinct-word frame under an
+    * arbitrarily long merge list — the large-vocabulary encode path
+    * behind [[bpeTokenCounts]]. Vocab-bounded mapPartitions: the merge
+    * list travels once per executor in the closure (KBs), each word
+    * folds the merges in learned order.
+    */
+  private def encodeWordsImperative(words: DataFrame,
+                                    merges: Seq[(String, String)])
+      : DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val mergesArr = merges.map { case (l, r) => (l, r, l + r) }.toArray
+    words.select(col("w")).as[String].mapPartitions { it =>
+      it.map { w =>
+        var syms = w.split("")
+        var i = 0
+        while (i < mergesArr.length) {
+          val (l, r, lr) = mergesArr(i)
+          // a word that nowhere contains the merged characters cannot
+          // contain the adjacent symbol pair — skip the pass
+          if (w.contains(lr)) syms = applyMergeLocal(syms, l, r)
+          i += 1
+        }
+        (w, syms)
+      }
+    }.toDF("w", "syms")
+  }
+
   /** Merge lists are tiny driver values (K rows) but cost K distributed
     * passes to learn — cached per (session, corpus) like the index
     * caches (TrainingData.scala:101 convention, incl. the dead-session
@@ -873,8 +1116,15 @@ object Prep {
   def bpeTokenCounts(docFrame: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val words = docFrame.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0).distinct()
-    val sub = merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
-        (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._1, m._2)))
+    // short (oracled) lists apply as chained codegen folds; a
+    // production-size list encodes imperatively over the same
+    // vocab-bounded table — see [[BpeFoldMax]]
+    val encoded =
+      if (merges.size <= BpeFoldMax)
+        merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
+          (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._1, m._2)))
+      else encodeWordsImperative(words, merges)
+    val sub = encoded
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
       .hint("shuffle_hash")
     docFrame.select(col("doc_id"), explode(tokens(col("text"))).as("w"))

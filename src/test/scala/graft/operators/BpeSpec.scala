@@ -139,4 +139,114 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val totW = got.values.map(_._1).sum
     assert(totSub > totW, "subwords must exceed whitespace words")
   }
+
+  // ---- batched learning (production vocab size) ----------------------
+
+  private def corpusFrame() = {
+    import spark.implicits._
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+  }
+
+  /** A deterministic rich-vocabulary corpus (the sf0.001 documents
+    * table holds only 31 distinct words and exhausts BPE at ~89
+    * merges): ~3000 distinct pseudo-words with Zipf-ish counts, enough
+    * pair mass for >1024 merges.
+    */
+  private def richFrame() = {
+    import spark.implicits._
+    val syll = Array("ba", "ne", "tok", "ri", "zu", "pla", "mon", "dex",
+                     "qu", "iv", "osh", "ka", "len", "fi", "gro", "wy")
+    val docs = (0 until 600).map { d =>
+      val words = (0 until 50).map { j =>
+        val i = (d * 50 + j) % 3000
+        val w = syll(i % 16) + syll((i / 16) % 16) + syll((i / 256) % 16) +
+                (if (i % 3 == 0) syll(i % 7) else "")
+        w
+      }
+      (d.toLong, words.mkString(" "), s"src${d % 4}")
+    }
+    docs.toDF("doc_id", "text", "source")
+  }
+
+  test("batched == sequential to exhaustion on sf0.001, and at k=1024 on a rich vocab") {
+    // the real table: tiny vocabulary, so pin the COMPLETE merge list
+    // (both learners must stop at the same exhaustion point)
+    val frame = corpusFrame()
+    val batchedAll = Prep.bpeMergeListBatched(frame, 1024)
+    val seqAll = Prep.bpeMergeList(frame, 1024)
+    assert(batchedAll === seqAll,
+           { val i = batchedAll.zip(seqAll).indexWhere(p => p._1 != p._2)
+             s"diverged at step $i: ${batchedAll.lift(i)} vs ${seqAll.lift(i)}" })
+    assert(batchedAll.length >= 64 && batchedAll.length === seqAll.length)
+    // the oracled q131 list is the verified 16-prefix of the production
+    // vocabulary — so DuckDB's independent recompute covers its head
+    assert(batchedAll.take(Prep.BpeK) === Prep.bpeMergeList(frame, Prep.BpeK))
+
+    // the production-size target: 1024 merges on a vocabulary that
+    // supports them, batched == sequential, in well under a minute
+    val rich = richFrame()
+    val t0 = System.nanoTime()
+    val batched = Prep.bpeMergeListBatched(rich, 1024)
+    val batchedSec = (System.nanoTime() - t0) / 1e9
+    val sequential = Prep.bpeMergeList(rich, 1024)
+    assert(batched.length === 1024, s"only ${batched.length} merges learned")
+    assert(batched === sequential,
+           { val i = batched.zip(sequential).indexWhere(p => p._1 != p._2)
+             s"diverged at step $i: ${batched.lift(i)} vs ${sequential.lift(i)}" })
+    assert(batchedSec < 60.0, f"batched 1024-merge learn took $batchedSec%.1f s")
+  }
+
+  test("batched distributed path (forced) is bit-identical to the batched driver path") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val frame = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // k=48, batch=16 -> a handful of count jobs instead of 48
+    val dist = Prep.bpeMergeListBatched(frame, 48, batch = 16,
+                                        driverVocabMax = -1L)
+    val local = Prep.bpeMergeListBatched(frame, 48, batch = 16)
+    assert(dist === local)
+    assert(dist === refFromTexts(texts, 48),
+           "batched must track the sequential reference on this corpus")
+  }
+
+  test("q133/q151 bodies run off the 1024-merge vocabulary; fertility strictly improves") {
+    val frame = richFrame()
+    val big = Prep.bpeMergeListBatched(frame, 1024).map(m => (m._2, m._3))
+    val small = big.take(Prep.BpeK)
+    // big goes through the imperative encoder (> BpeFoldMax), small
+    // through the chained codegen folds — both against the same corpus
+    val tcBig = Prep.bpeTokenCounts(frame, big)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tcSmall = Prep.bpeTokenCounts(frame, small)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tcBig.keySet == tcSmall.keySet)
+    // 1024 extends 16 as a prefix: every doc tokenizes to at most as
+    // many subwords, and the corpus total strictly fewer
+    for ((id, nBig) <- tcBig)
+      assert(nBig <= tcSmall(id), s"doc $id got LONGER under more merges")
+    assert(tcBig.values.sum < tcSmall.values.sum,
+           "1024 merges must strictly beat 16 in aggregate")
+    // the imperative encoder agrees with the reference tokenizer on a
+    // sample of words (same per-merge fold semantics, 1024 deep)
+    val sample = frame.select("text").limit(4).collect()
+      .flatMap(_.getString(0).split(" ")).distinct.take(20)
+    val wantSub = sample.map(w => refTokenize(w, big).toLong).sum
+    import spark.implicits._
+    val gotSub = Prep.bpeTokenCounts(
+        sample.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toSeq.toDF("doc_id", "text"), big)
+      .agg(org.apache.spark.sql.functions.sum("n_subwords")).collect()(0).getLong(0)
+    assert(gotSub === wantSub, "imperative encoder drifted from the reference")
+    // q151's fertility shape off the big vocabulary: ids-per-word must
+    // drop for every source present
+    val src = frame.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = tcBig.groupBy(kv => src(kv._1)).view.mapValues(_.values.sum)
+    val bySrcSmall = tcSmall.groupBy(kv => src(kv._1)).view.mapValues(_.values.sum)
+    for ((s0, n) <- bySrc)
+      assert(n <= bySrcSmall(s0), s"source $s0 fertility regressed")
+  }
 }
