@@ -2304,6 +2304,67 @@ object Curation {
                 (col("n_pieces") - col("n_docs")).as("n_bin_crossings"),
                 (expr(s"n_tokens * 10000 DIV (n_bins * ${Prep.PackBudget})")
                    / lit(10000.0)).as("fill_share"))
+    },
+
+    Q("q156_dedup_yield",
+      "Dedup YIELD report: the cluster-size histogram of the resolved " +
+        "near-dup components plus what each size class costs — docs " +
+        "dropped and tokens reclaimed. The number an operator reads " +
+        "before shipping a dedup config: a corpus dominated by " +
+        "2-clusters (mirrored pages) reclaims little; a heavy tail of " +
+        "large clusters (template spam) is where the budget comes " +
+        "back. Pure composition over the persisted cluster-label " +
+        "artifact (q64's DerivedCache table — zero re-resolution): one " +
+        "doc_id join attaches token counts, then two bounded " +
+        "aggregates (clusters, then size classes). Output is at most " +
+        "max-cluster-size rows. The DuckDB oracle re-derives the " +
+        "components from scratch via the recursive-CTE transitive " +
+        "closure, so the histogram is proven against an independent " +
+        "clustering end-to-end.",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id,
+        |          CAST(a = min(b) AS BIGINT) AS keep
+        |        FROM reach GROUP BY a),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |       FROM documents),
+        |per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+        |          CAST(sum(CASE WHEN keep = 0 THEN nt ELSE 0 END)
+        |            AS BIGINT) AS rem_t
+        |        FROM lab JOIN tk USING (doc_id) GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+        |  CAST(sum(rem_t) AS BIGINT) AS removed_tokens
+        |FROM per GROUP BY sz""".stripMargin) { (s, d) =>
+      val toks = docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      val per = dedupClusters(s, d)
+        .join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).cast("long").as("sz"),
+             sum(when(col("keep") === 0L, col("nt")).otherwise(0L))
+               .cast("long").as("rem_t"))
+      per.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+             sum("sz").cast("long").as("n_docs"),
+             sum(col("sz") - 1).cast("long").as("n_removed"),
+             sum("rem_t").cast("long").as("removed_tokens"))
     }
   )
 }

@@ -3721,6 +3721,89 @@ object Prep {
         round(slope, 4).as("slope"),
         round((col("sy") / lit(1000000.0) - slope * col("sx") / lit(1000000.0)) /
                 col("n"), 4).as("intercept"))
+    },
+
+    Q("q155_length_ks_drift",
+      "Per-source LENGTH-distribution drift: the Kolmogorov-Smirnov " +
+        "statistic between each source's doc-length CDF and the " +
+        "corpus's, over power-of-two length bins — the audit that " +
+        "catches a source whose token statistics look clean but whose " +
+        "SHAPE is wrong (a scraper suddenly emitting stubs or " +
+        "concatenated mega-pages; truncation bugs upstream). " +
+        "Complements q112 (token KL) and q154 (embedding drift): " +
+        "three orthogonal drift axes per source. Cross-engine " +
+        "discipline: the bin is length(bin(n_chars)) — the integer " +
+        "bit-length, exact in both engines, no float log2 at " +
+        "power-of-two edges — CDFs are ratios of exact integer " +
+        "cumulative counts, and the final max rounds via the q101 " +
+        "scaled-int half-up convention. Scale shape: one scan into " +
+        "(source, bin) counts with map-side partials; corpus bin " +
+        "counts DERIVE from the per-source table (no second pass); " +
+        "everything after runs on the (sources x ~64 bins) grid — " +
+        "the windows and cross join are bounded regardless of corpus " +
+        "size, the one place a global-ordered window is legal.",
+      """WITH b AS (SELECT source,
+        |    CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS b
+        |  FROM documents),
+        |sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |       FROM sb GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY 1),
+        |cum AS (SELECT b, CAST(sum(cc) OVER (ORDER BY b) AS BIGINT) AS cum
+        |        FROM cb),
+        |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM cb),
+        |grid AS (SELECT ns.source, ns.n_s, cb.b FROM ns CROSS JOIN cb),
+        |gs AS (SELECT g.source, g.n_s, g.b, COALESCE(sb.c, 0) AS c
+        |       FROM grid g LEFT JOIN sb
+        |         ON sb.source = g.source AND sb.b = g.b),
+        |cs AS (SELECT source, n_s, b,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY b)
+        |           AS BIGINT) AS cum_s
+        |       FROM gs)
+        |SELECT cs.source, max(cs.n_s) AS n_docs,
+        |  floor(max(abs(CAST(cum_s AS DOUBLE) / n_s -
+        |                CAST(cum AS DOUBLE) / n)) * 10000 + 0.5) / 10000.0
+        |    AS ks
+        |FROM cs JOIN cum USING (b) CROSS JOIN tot
+        |GROUP BY cs.source""".stripMargin) { (s, d) =>
+      // explicit isNotNulls keep every consumer of the (source, bin)
+      // count table on ONE canonical subtree (the q83/q112 stage-reuse
+      // rule) — without them the left join's inferred null filters and
+      // the bins-only projection fork the scan and the corpus is read
+      // once per consumer
+      val binned = spread(docs(s, d)).select(
+          col("source"),
+          length(bin(greatest(col("n_chars"), lit(1)))).cast("long").as("b"))
+        .filter(col("source").isNotNull && col("b").isNotNull)
+      val sb = binned.groupBy("source", "b")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val ns = sb.groupBy("source").agg(sum("c").cast("long").as("n_s"))
+      // corpus bin counts are a DERIVATION of the per-source table
+      val cb = sb.groupBy("b").agg(sum("c").cast("long").as("cc"))
+      val wAll = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cb.select(col("b"),
+        sum("cc").over(wAll).cast("long").as("cum"))
+      val tot = cb.agg(sum("cc").cast("long").as("n"))
+      // the grid CARRIES the corpus cum along (sources x bins bounded),
+      // so no later bins-only projection forks the cb subtree
+      val grid = ns.crossJoin(cum)
+      val wS = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = grid
+        // shuffle path, not broadcast: broadcasting sb would clone the
+        // scan+count subtree instead of reusing its exchange
+        .join(sb.hint("shuffle_hash"), Seq("source", "b"), "left")
+        .select(col("source"), col("n_s"), col("b"), col("cum"),
+                coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum_s", sum("c").over(wS).cast("long"))
+      cs.crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"),
+             (floor(max(abs(col("cum_s").cast("double") / col("n_s") -
+                            col("cum").cast("double") / col("n"))) * 10000
+                    + 0.5) / lit(10000.0)).as("ks"))
     }
   )
 

@@ -2680,6 +2680,77 @@ object TrainingData {
         val (centers, assigned) = ivfIndex(s, d, 16)
         semDedupCells(s, assigned, centers, tau = 0.4)
       }.orderBy("cluster_id", "vec_id")
+    },
+
+    Q("q157_semantic_outliers",
+      "Per-DOC semantic outlier score: cosine between each document's " +
+        "embedding and its OWN source's centroid — q154's drift audit " +
+        "taken down to row granularity. A source can sit perfectly on " +
+        "distribution in aggregate while routing mistakes, spam " +
+        "injections, or mislabeled shards hide inside it; the docs " +
+        "whose cos_centroid falls in the low tail are exactly the rows " +
+        "a curator samples for inspection (the doc's own vector is " +
+        "part of its centroid — standard, deterministic, and " +
+        "vanishing at source sizes that matter). Cross-engine float " +
+        "discipline, the q154 convention extended per-doc: coordinates " +
+        "round half-up to 1e-6-scaled BIGINTs, the centroid is the " +
+        "per-(source, dim) integer sum, and the per-doc dot/norm fold " +
+        "runs in decimal(38,0) (HUGEINT in the oracle) — EXACT, so " +
+        "reducer and array order are irrelevant and only the final " +
+        "dims-bounded double division touches floats. Scale shape: " +
+        "ONE coordinate explode builds the (sources x dims)-bounded " +
+        "centroid table (map-side partials; the q154 lesson — nothing " +
+        "re-aggregates the explode), centroids collapse to " +
+        "dims-bounded ARRAYS that broadcast, and scoring is a pure " +
+        "per-row zip_with fold over the embedding scan — no second " +
+        "explode, no corpus-sized shuffle at all.",
+      """WITH e AS (SELECT d.source, v.vec_id AS doc_id,
+        |    unnest(range(1, len(v.embedding) + 1)) AS i,
+        |    CAST(floor(CAST(unnest(v.embedding) AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+        |bys AS (SELECT source, i, CAST(sum(xi) AS BIGINT) AS sx
+        |        FROM e GROUP BY 1, 2),
+        |ss AS (SELECT source, sum(CAST(sx AS HUGEINT) * sx) AS ss
+        |       FROM bys GROUP BY 1),
+        |j AS (SELECT e.doc_id, e.source,
+        |        sum(CAST(xi AS HUGEINT) * sx) AS dot,
+        |        sum(CAST(xi AS HUGEINT) * xi) AS xx
+        |      FROM e JOIN bys USING (source, i) GROUP BY 1, 2)
+        |SELECT doc_id, j.source,
+        |  round(CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(xx AS DOUBLE)) * sqrt(CAST(ss AS DOUBLE))), 4)
+        |    AS cos_centroid
+        |FROM j JOIN ss USING (source)""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val scaled = embs(s, d)
+        .select(col("vec_id").as("doc_id"),
+                transform(col("embedding"), x =>
+                  floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
+                  .as("xv"))
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+      val bys = scaled
+        .select(col("source"), posexplode(col("xv")).as(Seq("i", "xi")))
+        .groupBy("source", "i").agg(sum("xi").cast("long").as("sx"))
+      // centroid arrays + norms: (sources x dims)-bounded — the one
+      // collect_list that is legal (dims elements per group) and the
+      // one broadcast that is right
+      val cent = bys.groupBy("source").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("sx")))),
+                  p => p.getField("sx")).as("cs"),
+        sum(col("sx").cast(dec) * col("sx").cast(dec)).as("ss"))
+      scaled.join(broadcast(cent), "source")
+        .select(col("doc_id"), col("source"),
+          round(
+            aggregate(zip_with(col("xv"), col("cs"),
+                               (a, b) => a.cast(dec) * b.cast(dec)),
+                      lit(0L).cast(dec), (acc, x) => acc + x)
+              .cast("double") /
+            (sqrt(aggregate(col("xv"),
+                            lit(0L).cast(dec),
+                            (acc, x) => acc + x.cast(dec) * x.cast(dec))
+                    .cast("double")) *
+             sqrt(col("ss").cast("double"))), 4).as("cos_centroid"))
     }
   )
 

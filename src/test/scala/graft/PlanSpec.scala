@@ -536,6 +536,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q154 stopped reusing the per-source centroid stage:\n$p154")
   }
 
+  test("q155/q156/q157: round-13 audit family keeps scale-safe shapes") {
+    // q155: the (source, bin) count table feeds four consumers (totals,
+    // corpus bins, grid, cum) — AQE must run its exchange ONCE so the
+    // documents scan executes once; the windows run over the bounded
+    // bin grid only
+    val df155 = SparkEntry.queries("q155_length_ks_drift")(spark, sf)
+    df155.collect()
+    val p155 = df155.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p155).length === 1,
+           s"q155 must scan documents exactly once:\n$p155")
+    assert("ReusedExchange".r.findAllIn(p155).nonEmpty,
+           s"q155 stopped reusing the (source, bin) count stage:\n$p155")
+    // q156: warm path serves the persisted cluster-label artifact — a
+    // parquet scan joined to token counts; the pair graph must NOT be
+    // rebuilt (its tokenize would show as array_distinct+xxhash64
+    // projections in the plan)
+    graft.operators.Curation.dedupClusters(spark, sf).count() // land artifact
+    val p156 = plan("q156_dedup_yield")
+    assert(!p156.contains("xxhash64"),
+           s"q156 must serve the cluster artifact, not re-resolve:\n$p156")
+    // q157: exactly ONE coordinate explode (the centroid pass);
+    // scoring is a broadcast join + per-row fold — the corpus-sized
+    // table never hits a join shuffle
+    val df157 = SparkEntry.queries("q157_semantic_outliers")(spark, sf)
+    df157.collect()
+    val p157 = df157.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Generate".r.findAllIn(p157).length === 1,
+           s"q157 coordinate explode must run once:\n$p157")
+    assert(p157.contains("BroadcastHashJoin"),
+           s"q157 centroid arrays must broadcast:\n$p157")
+  }
+
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
     val p = plan("q130_substring_dedup")
     // the naive spelling runs tokenize+slice+md5 twice (count subtree +
