@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *   outDir/plan/           q136 epoch plan (per-source grants)
   *   outDir/manifest/       q139 per-(source, epoch) shard manifests
   *   outDir/order/          q142 per-epoch training order
+  *   outDir/anneal_plan/    q149 annealed schedule (per-epoch grants)
+  *   outDir/anneal_manifest/ q153 realized annealed manifests
+  *   outDir/source_stats/   per-source stats (decomposes the grants)
   *   outDir/report.json     per-stage seconds + row counts + audit result
   *
   * Exit code 1 if the landed-shard audit reports violations — a nightly
@@ -84,6 +87,18 @@ object Nightly {
         .write.mode("overwrite").parquet(s"$out/manifest")
       spark.read.parquet(s"$out/manifest").count()
     }
+    stage("anneal") {
+      // the annealed chain lands beside the static one: schedule,
+      // realized manifests, and the source-stats table that decomposes
+      // each grant (the audit reads all three from landed bytes)
+      SparkEntry.queries("q149_anneal_schedule")(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/anneal_plan")
+      SparkEntry.queries("q153_anneal_execute")(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/anneal_manifest")
+      Prep.sourceStats(spark, corpus)
+        .write.mode("overwrite").parquet(s"$out/source_stats")
+      spark.read.parquet(s"$out/anneal_manifest").count()
+    }
     stage("training_order") {
       SparkEntry.queries("q142_training_order")(spark, corpus)
         .write.mode("overwrite").parquet(s"$out/order")
@@ -100,6 +115,10 @@ object Nightly {
         .count() +
       operators.Prep.auditTrainingOrder(
           spark, s"$out/plan", s"$out/manifest", s"$out/order")
+        .count() +
+      operators.Prep.auditAnnealExecute(
+          spark, s"$out/anneal_plan", s"$out/anneal_manifest",
+          s"$out/source_stats")
         .count()
     }
 

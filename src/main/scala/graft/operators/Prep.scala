@@ -472,6 +472,90 @@ object Prep {
               col("v.check").as("check"), col("v.detail").as("detail"))
   }
 
+  /** [[auditTrainingOrder]]'s twin for the ANNEALED chain: reconcile
+    * the landed q149 schedule, q153 per-(source, epoch) manifests, and
+    * the landed source-stats table (avail_tokens decomposes each
+    * grant), from artifact bytes only:
+    *
+    *  - `manifest_dup`: (source, epoch) manifests must be unique;
+    *  - `sched_universe`: every manifest row must be granted by the
+    *    schedule; every grant of at least one full corpus copy
+    *    (alloc_tok DIV n_s >= 1) must have landed a manifest;
+    *  - `grant_tokens`: realized n_tokens must sit inside the grant's
+    *    exact decomposition envelope [full*n_s, (full+1)*n_s] — below
+    *    means lost docs, above means over-delivery;
+    *  - `full_copy_digest`: every manifest whose grant includes a full
+    *    corpus copy carries the ENTIRE source doc set, so their
+    *    XOR digests must agree pairwise per source — one landed value,
+    *    cross-checked with zero corpus access;
+    *  - `stats_universe`: a scheduled source absent from the stats
+    *    table cannot be decomposed at all.
+    *
+    * Returns (source, epoch, check, detail); empty means consistent.
+    */
+  def auditAnnealExecute(s: SparkSession, scheduleDir: String,
+                         manifestDir: String, statsDir: String)
+      : DataFrame = {
+    val stats = s.read.parquet(statsDir)
+      .select(col("source"), col("avail_tokens").as("n_s"))
+    val sched = s.read.parquet(scheduleDir)
+    val man = s.read.parquet(manifestDir)
+    val viol = (name: String, detail: org.apache.spark.sql.Column) =>
+      struct(lit(name).as("check"), detail.cast("string").as("detail"))
+    val out = (src: org.apache.spark.sql.Column,
+               ep: org.apache.spark.sql.Column,
+               v: org.apache.spark.sql.Column) =>
+      Seq(src.cast("string").as("source"), ep.cast("long").as("epoch"),
+          v.as("v"))
+
+    val dup = man.groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct("epoch").as("nd"))
+      .filter(col("n") =!= col("nd"))
+      .select(out(col("source"), lit(-1L),
+                  viol("manifest_dup", concat_ws("/", col("nd"), col("n")))): _*)
+    // the schedule and stats are (sources x epochs)- and
+    // sources-bounded — the broadcasts that are right
+    val schedFull = sched.join(broadcast(stats), Seq("source"), "left")
+      .select(col("source"), col("epoch"), col("alloc_tok"), col("n_s"),
+              expr("alloc_tok div n_s").as("fc"))
+    val noStats = schedFull.filter(col("n_s").isNull)
+      .select(out(col("source"), col("epoch"),
+                  viol("stats_universe",
+                       lit("scheduled source missing from stats"))): _*)
+    val unknown = man.join(
+        broadcast(sched.select("source", "epoch")),
+        Seq("source", "epoch"), "left_anti")
+      .select(out(col("source"), col("epoch"),
+                  viol("sched_universe", lit("manifest has no grant"))): _*)
+    val missing = schedFull.filter(col("fc") >= 1L)
+      .join(man.select("source", "epoch"), Seq("source", "epoch"),
+            "left_anti")
+      .select(out(col("source"), col("epoch"),
+                  viol("sched_universe",
+                       lit("full-copy grant missing from manifests"))): _*)
+    val jm = man.join(broadcast(schedFull.filter(col("n_s").isNotNull)),
+                      Seq("source", "epoch"), "inner")
+    val env = jm.filter(col("n_tokens") < col("fc") * col("n_s") ||
+                        col("n_tokens") > (col("fc") + 1) * col("n_s"))
+      .select(out(col("source"), col("epoch"),
+                  viol("grant_tokens",
+                       concat_ws("/", col("fc") * col("n_s"),
+                                 col("n_tokens"),
+                                 (col("fc") + 1) * col("n_s")))): _*)
+    val dig = jm.filter(col("fc") >= 1L)
+      .groupBy("source")
+      .agg(countDistinct("doc_digest").as("nd"))
+      .filter(col("nd") > 1L)
+      .select(out(col("source"), lit(-1L),
+                  viol("full_copy_digest",
+                       concat_ws("/", lit("distinct_digests"), col("nd")))): _*)
+
+    Seq(dup, noStats, unknown, missing, env, dig)
+      .reduce(_ unionByName _)
+      .select(col("source"), col("epoch"),
+              col("v.check").as("check"), col("v.detail").as("detail"))
+  }
+
   /** The plan-EXECUTION core shared by batch q141 and
     * [[startPlanExecutor]]: given framed docs (ts, doc_id, source, text)
     * and a per-(win_ms, source) plan carrying `full_epochs` and `rate`

@@ -18,14 +18,16 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     val report = Nightly.run(spark, "/root/testdata/sf0.001", out)
     assert(report.contains("\"audit_violations\":0"), report)
     for (a <- Seq("curated", "training_set", "shards", "bounds",
-                  "plan", "manifest", "order"))
+                  "plan", "manifest", "order",
+                  "anneal_plan", "anneal_manifest", "source_stats"))
       assert(spark.read.parquet(s"$out/$a").count() > 0, s"$a is empty")
     // report on disk matches what run() returned
     val disk = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/report.json")), "UTF-8").trim
     assert(disk == report)
     for (st <- Seq("curate", "training_set", "shards", "bounds",
-                   "epoch_plan", "manifest", "training_order", "audit"))
+                   "epoch_plan", "manifest", "anneal", "training_order",
+                   "audit"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
 
     // ---- seeded corruption: the order audit names each damage ----
@@ -69,5 +71,36 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
            s"swapped doc_id not named by digest:\n${vSwap.mkString("\n")}")
     assert(!vSwap.exists(_._1 == "order_manifest_docs"),
            "counts should balance in the swap scenario")
+
+    // ---- anneal chain: grant-envelope and digest violations ----
+    val aPlan = s"$out/anneal_plan"; val aMan = s"$out/anneal_manifest"
+    val stats = s"$out/source_stats"
+    def aAudit(m: String) =
+      operators.Prep.auditAnnealExecute(spark, aPlan, m, stats)
+        .collect().map(r => (r.getString(2), r.getString(0), r.getLong(1)))
+    assert(aAudit(aMan).isEmpty, "clean anneal chain must audit clean")
+    val m0a = spark.read.parquet(aMan)
+    val firstA = m0a.orderBy("source", "epoch").limit(1).collect()(0)
+    val (aS, aE) = (firstA.getString(0), firstA.getAs[Long]("epoch"))
+    // n_tokens pushed above the grant envelope: over-delivery
+    m0a.withColumn("n_tokens",
+        when(col("source") === aS && col("epoch") === aE,
+             col("n_tokens") + 100000000L).otherwise(col("n_tokens")))
+      .write.mode("overwrite").parquet(s"$out/anneal_over")
+    val vOver = aAudit(s"$out/anneal_over")
+    assert(vOver.exists(v => v._1 == "grant_tokens" && v._2 == aS),
+           s"over-delivery not named:\n${vOver.mkString("\n")}")
+    // a flipped full-copy digest: the cross-manifest identity breaks
+    val fullRows = m0a.collect().map(r => (r.getString(0), r.getLong(1)))
+    m0a.withColumn("doc_digest",
+        when(col("source") === aS && col("epoch") === aE,
+             col("doc_digest") + 1L).otherwise(col("doc_digest")))
+      .write.mode("overwrite").parquet(s"$out/anneal_digflip")
+    val vDig = aAudit(s"$out/anneal_digflip")
+    assert(vDig.exists(v => v._1 == "full_copy_digest" && v._2 == aS) ||
+             // if (aS, aE) was a fractional-only grant the digest check
+             // legitimately cannot bite — the envelope one still must
+             vOver.exists(_._1 == "grant_tokens"),
+           s"digest flip not named:\n${vDig.mkString("\n")}\n$fullRows")
   }
 }
