@@ -119,8 +119,9 @@ object Bench {
       // q147 serves the q38 pair graph, q150 the resolved cluster
       // labels, q151 the BPE merge cache
       "q147_split_leakage", "q150_cluster_split", "q151_bpe_fertility",
-      // q152 reads the shared piece stream behind q129/q145
-      "q152_pack_efficiency",
+      // q152 reads the shared piece stream behind q129/q145; q156
+      // serves the persisted cluster-label artifact
+      "q152_pack_efficiency", "q156_dedup_yield",
       // these four serve the persisted source_stats artifact
       "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
       "q149_anneal_schedule", "q153_anneal_execute")
