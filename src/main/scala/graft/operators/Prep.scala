@@ -112,7 +112,16 @@ object Prep {
     * (stream callers go through [[windowedSourceStatsStream]] for the
     * watermark).
     */
-  def windowedSourceStats(frame: DataFrame, windowDur: String): DataFrame = {
+  def windowedSourceStats(frame: DataFrame, windowDur: String): DataFrame =
+    finalizeWinStats(windowedSourcePartialsOf(frame, windowDur))
+
+  /** The ADDITIVE layer under [[windowedSourceStats]]: per (win_ms,
+    * source), integer quality sum + doc count + token sum — a
+    * commutative monoid over corpus files, which is what makes the
+    * windowed stats append-incremental ([[winQualityParts]]).
+    */
+  private def windowedSourcePartialsOf(frame: DataFrame,
+                                       windowDur: String): DataFrame = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
     val quality = round(least(lit(1.0), size(tok) / lit(64.0)) *
@@ -128,11 +137,17 @@ object Prep {
            sum(round(col("q") * 10000, 0).cast("long")).as("qs"),
            sum("nt").cast("long").as("avail_tokens"))
       .select((unix_micros(col("window.start")) / 1000L).cast("long").as("win_ms"),
-              col("source"), col("n_docs"),
-              (floor(col("qs") / col("n_docs") + lit(0.5)) / lit(10000.0))
-                .as("mean_quality"),
-              col("avail_tokens"))
+              col("source"), col("n_docs"), col("qs"), col("avail_tokens"))
   }
+
+  /** The finalize over landed partials — same expression tree whether
+    * the longs came from one pass or an incremental merge.
+    */
+  private def finalizeWinStats(parts: DataFrame): DataFrame =
+    parts.select(col("win_ms"), col("source"), col("n_docs"),
+                 (floor(col("qs") / col("n_docs") + lit(0.5)) / lit(10000.0))
+                   .as("mean_quality"),
+                 col("avail_tokens"))
 
   /** [[windowedSourceStats]] under a watermark — append mode emits each
     * closed (window, source) stats row exactly once (the
@@ -155,10 +170,18 @@ object Prep {
     * contributions round half-up to 1e-8-scaled BIGINTs before the
     * per-slice sum so reducer order cannot move the result.
     */
-  def driftReport(counts: DataFrame, s: SparkSession, d: String): DataFrame = {
-    val ref = docs(s, d)
-      .select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("long").as("n_t"))
+  def driftReport(counts: DataFrame, s: SparkSession, d: String): DataFrame =
+    driftReportAgainst(counts,
+      docs(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("n_t")))
+
+  /** [[driftReport]] against an explicit corpus reference `(term, n_t)`
+    * — the append-incremental path derives the reference from the
+    * persisted source-term-count artifact instead of a corpus pass
+    * (sum over sources of n_st == the direct count, exactly).
+    */
+  def driftReportAgainst(counts: DataFrame, ref: DataFrame): DataFrame = {
     val tot = ref.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
     val bySlice = counts.groupBy("win_ms", "source")
       .agg(sum("n_wt").as("n_ws"))
@@ -1649,10 +1672,40 @@ object Prep {
     * family (q138/q141) and their oracles share.
     */
   def framedDocs(s: SparkSession, d: String): DataFrame =
-    spread(docs(s, d)).select(
+    framedOf(spread(docs(s, d)))
+
+  private def framedOf(docFrame: DataFrame): DataFrame =
+    docFrame.select(
       expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
         .as("ts"),
       col("doc_id"), col("source"), col("text"))
+
+  /** The windowed (win_ms, source, term) counts as an APPEND-
+    * INCREMENTAL artifact: a doc's window derives from its own doc_id,
+    * so the counts are a commutative monoid over corpus files — the
+    * nightly slice windows itself and merges by sum.
+    */
+  def winTermCounts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "win_term_counts_1h_v1")(
+      windowedTermCounts(framedDocs(s, d), "1 hour"))(
+      files => windowedTermCounts(
+        framedOf(spread(s.read.parquet(files: _*))), "1 hour"))(
+      (old, dl) => old.unionByName(dl).groupBy("win_ms", "source", "term")
+        .agg(sum("n_wt").cast("long").as("n_wt")))
+
+  /** The windowed per-(win_ms, source) quality/volume partials as an
+    * append-incremental artifact (integer sums — see
+    * [[windowedSourcePartialsOf]]).
+    */
+  def winQualityParts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "win_quality_parts_1h_v1")(
+      windowedSourcePartialsOf(framedDocs(s, d), "1 hour"))(
+      files => windowedSourcePartialsOf(
+        framedOf(spread(s.read.parquet(files: _*))), "1 hour"))(
+      (old, dl) => old.unionByName(dl).groupBy("win_ms", "source")
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+             sum("qs").cast("long").as("qs"),
+             sum("avail_tokens").cast("long").as("avail_tokens")))
 
   /** Per-(window, source) quality/volume stats JOINED with the KL drift
     * report under the standard 1-hour framing — the upstream table
@@ -1661,11 +1714,22 @@ object Prep {
     * STREAMING path already lands on disk (the drift monitor's reports
     * + the planner's stats): in production these tables exist as
     * artifacts; a fresh batch session reads them rather than re-paying
-    * the per-window vocabulary aggregate.
+    * the per-window vocabulary aggregate. The build composes from the
+    * APPEND-INCREMENTAL windowed partial artifacts plus the corpus
+    * reference derived from the source-term-count artifact — after a
+    * nightly append the rebuild is vocabulary-bounded finalize work
+    * over landed parquet, zero corpus passes ([[windowedPlanStatsPlan]]
+    * remains the one-shot derivation for plan audits).
     */
   def windowedPlanStats(s: SparkSession, d: String): DataFrame =
-    DerivedCache.orBuild(s, d, "win_plan_stats_1h_v1")(
-      windowedPlanStatsPlan(s, d))
+    DerivedCache.orBuild(s, d, "win_plan_stats_1h_v1") {
+      val ref = sourceTermCounts(s, d).groupBy("term")
+        .agg(sum("n_st").cast("long").as("n_t"))
+      finalizeWinStats(winQualityParts(s, d))
+        .join(driftReportAgainst(winTermCounts(s, d), ref)
+                .select("win_ms", "source", "kl"),
+              Seq("win_ms", "source"))
+    }
 
   /** The uncached derivation behind [[windowedPlanStats]] — what the
     * one build pass runs; PlanSpec audits its join shapes here.
