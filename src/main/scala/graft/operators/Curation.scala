@@ -384,6 +384,9 @@ object Curation {
         .select("doc_id", "lang", "split", "quality", "n_tok", "keep"),
       splitBudget)
     if (splitBudget == SplitBudget)
+      // NOT append-incremental by design: bin packing is a global
+      // quality-ordered prefix under a budget — new docs displace old
+      // selections, so offsets are a function of the whole snapshot
       DerivedCache.orBuild(s, d, "pack_offsets_v1")(build)
     else build
   }

@@ -2058,6 +2058,11 @@ object Prep {
     // training order serve from one (doc_id, source, n_tokens, epoch)
     // parquet instead of re-running stats + KL + plan + sampling per
     // session. Version the name if the plan constants change.
+    // Deliberately NOT append-incremental: every doc's epoch count
+    // depends on the GLOBAL plan's per-source rate, and an append moves
+    // every rate — old docs' sampling decisions change, so a full
+    // re-decide (cheap: the stats inputs are artifact-served) is the
+    // exact semantics, not a fallback.
     DerivedCache.orBuild(s, d, "epoch_sample_v1")(epochSampledDocsPlan(s, d))
 
   /** The uncached derivation behind [[epochSampledDocs]] — what the one

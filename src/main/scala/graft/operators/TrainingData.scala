@@ -2675,7 +2675,12 @@ object TrainingData {
       // the resolved semantic-dup table is a DerivedCache artifact
       // (cluster_labels_v1's embedding-space sibling): a fresh session
       // reads (vec_id, cluster_id, cos_centroid, keep) parquet instead
-      // of re-running cell pairing + component resolution
+      // of re-running cell pairing + component resolution. NOT
+      // append-incremental by design: cells come from a KMeans fit
+      // over the snapshot — an append moves the centroids and with
+      // them every OLD vector's cell assignment, so refreshed ==
+      // rebuilt only via a full re-fit (freezing the codebook would
+      // be a different, weaker semantic)
       DerivedCache.orBuild(s, d, "semdedup_v1") {
         val (centers, assigned) = ivfIndex(s, d, 16)
         semDedupCells(s, assigned, centers, tau = 0.4)
