@@ -199,6 +199,81 @@ object Prep {
            round(sum("c") / lit(100000000.0), 4).as("kl"))
   }
 
+  /** Windowed (win_ms, source, bit-length-bin) doc counts — the
+    * counting core of the length-drift monitor (q158), batch or stream
+    * (stream callers go through [[lengthBinCountsStream]] for the
+    * watermark). The bin is `length(bin(n_chars))` — integer
+    * bit-length, exact in both engines (the q155 convention). State
+    * under a watermark is bounded by live windows x sources x ~64 bins.
+    */
+  def windowedLengthBins(frame: DataFrame, windowDur: String): DataFrame =
+    frame
+      .filter(col("source").isNotNull)
+      .select(col("ts"), col("source"),
+              length(bin(greatest(col("n_chars"), lit(1))))
+                .cast("long").as("b"))
+      .groupBy(window(col("ts"), windowDur), col("source"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_wb"))
+      .select((unix_micros(col("window.start")) / 1000L).cast("long")
+                .as("win_ms"),
+              col("source"), col("b"), col("n_wb"))
+
+  /** [[windowedLengthBins]] under a watermark — append mode emits each
+    * closed (window, source, bin) count exactly once (the
+    * [[driftTermCountsStream]] contract).
+    */
+  def lengthBinCountsStream(stream: DataFrame, windowDur: String,
+                            watermarkDelay: String): DataFrame =
+    windowedLengthBins(stream.withWatermark("ts", watermarkDelay), windowDur)
+
+  /** KS drift of each (window, source) slice's length distribution
+    * against a corpus reference `(b, cc)` — q155's statistic made
+    * CONTINUOUS, the second stage of the streaming length monitor and
+    * the body of q158. The evaluation grid is the UNION of reference
+    * and slice bins, so a streamed arrival longer than anything the
+    * corpus has seen still contributes its sup-gap instead of being
+    * silently clipped to the reference support. All cumulative counts
+    * are exact integers; only the final bounded max touches doubles
+    * (q101 half-up rounding). Scale shape: the counts table is
+    * (windows x sources x ~64 bins)-bounded BY CONSTRUCTION — every
+    * join/window here runs on bounded tables; the corpus-sized work
+    * happened upstream in the one counting pass.
+    */
+  def lengthDriftReport(wb: DataFrame, ref: DataFrame): DataFrame = {
+    val bins = ref.select("b").unionByName(wb.select("b")).distinct()
+    val refOnBins = bins.join(ref, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cc"), lit(0L)).as("cc"))
+    val wAll = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = refOnBins.select(col("b"),
+      sum("cc").over(wAll).cast("long").as("cum"))
+    val tot = ref.agg(sum("cc").cast("long").as("n"))
+    val ns = wb.groupBy("win_ms", "source")
+      .agg(sum("n_wb").cast("long").as("n_s"))
+    val wS = Window.partitionBy("win_ms", "source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ns.crossJoin(cum)
+      .join(wb, Seq("win_ms", "source", "b"), "left")
+      .select(col("win_ms"), col("source"), col("n_s"), col("b"),
+              col("cum"), coalesce(col("n_wb"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum("c").over(wS).cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy("win_ms", "source")
+      .agg(max("n_s").as("n_docs"),
+           (floor(max(abs(col("cum_s").cast("double") / col("n_s") -
+                          col("cum").cast("double") / col("n"))) * 10000
+                  + 0.5) / lit(10000.0)).as("ks"))
+  }
+
+  /** The corpus length-bin reference `(b, cc)` a streaming monitor
+    * probes — one metadata-light scan of (n_chars) per corpus snapshot.
+    */
+  def corpusLengthBins(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(length(bin(greatest(col("n_chars"), lit(1))))
+                .cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).cast("long").as("cc"))
+
   /** q112's body, reusable: per-source KL divergence of each source's
     * term distribution from the corpus marginal — (source, n_terms, kl).
     * One token shuffle with map-side partials; the explicit isNotNull
@@ -3957,6 +4032,64 @@ object Prep {
              (floor(max(abs(col("cum_s").cast("double") / col("n_s") -
                             col("cum").cast("double") / col("n"))) * 10000
                     + 0.5) / lit(10000.0)).as("ks"))
+    },
+
+    Q("q158_window_length_drift",
+      "Windowed length-distribution drift — q155's KS statistic made " +
+        "CONTINUOUS, the batch form of the streaming length monitor " +
+        "(lengthBinCountsStream + lengthDriftReport): per (hourly " +
+        "event-time window, source), the sup-gap between the slice's " +
+        "doc-length CDF and the whole-corpus reference over bit-length " +
+        "bins. Completes the per-window audit pair: q124 watches WHAT " +
+        "a source says (token KL), this watches its SHAPE (a scraper " +
+        "mid-crawl switching to stubs shifts length bins long before " +
+        "its vocabulary drifts). Event times derive from doc_id (the " +
+        "q124/q47 convention) so both engines window identically. " +
+        "Scale shape: ONE corpus pass into (window, source, bin) " +
+        "counts with map-side partials; the reference derives from " +
+        "the count table (no second pass); everything after — grids, " +
+        "windows, the final max — runs on (windows x sources x ~64 " +
+        "bins)-bounded tables. LengthDriftStreamSpec pins " +
+        "stream==batch parity and novel-bin arrivals.",
+      """WITH t AS (SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR,
+        |      TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE))
+        |      AS win_ms,
+        |    source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS b
+        |  FROM documents),
+        |wb AS (SELECT win_ms, source, b, CAST(count(*) AS BIGINT) AS n_wb
+        |       FROM t GROUP BY 1, 2, 3),
+        |ref AS (SELECT b, CAST(sum(n_wb) AS BIGINT) AS cc FROM wb GROUP BY 1),
+        |cum AS (SELECT b, CAST(sum(cc) OVER (ORDER BY b) AS BIGINT) AS cum
+        |        FROM ref),
+        |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM ref),
+        |ns AS (SELECT win_ms, source, CAST(sum(n_wb) AS BIGINT) AS n_s
+        |       FROM wb GROUP BY 1, 2),
+        |grid AS (SELECT ns.win_ms, ns.source, ns.n_s, cum.b, cum.cum
+        |         FROM ns CROSS JOIN cum),
+        |gs AS (SELECT g.win_ms, g.source, g.n_s, g.b, g.cum,
+        |         COALESCE(wb.n_wb, 0) AS c
+        |       FROM grid g LEFT JOIN wb
+        |         ON wb.win_ms = g.win_ms AND wb.source = g.source
+        |        AND wb.b = g.b),
+        |cs AS (SELECT win_ms, source, n_s, b, cum,
+        |         CAST(sum(c) OVER (PARTITION BY win_ms, source ORDER BY b)
+        |           AS BIGINT) AS cum_s
+        |       FROM gs)
+        |SELECT win_ms, source, max(n_s) AS n_docs,
+        |  floor(max(abs(CAST(cum_s AS DOUBLE) / n_s -
+        |                CAST(cum AS DOUBLE) / n)) * 10000 + 0.5) / 10000.0
+        |    AS ks
+        |FROM cs CROSS JOIN tot
+        |GROUP BY win_ms, source""".stripMargin) { (s, d) =>
+      val framed = spread(docs(s, d)).select(
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")
+          .as("ts"),
+        col("source"), col("n_chars"))
+      val wb = windowedLengthBins(framed, "1 hour")
+      // the corpus reference is a DERIVATION of the windowed counts —
+      // every doc is in some window, so no second scan
+      val ref = wb.groupBy("b").agg(sum("n_wb").cast("long").as("cc"))
+      lengthDriftReport(wb, ref)
     }
   )
 

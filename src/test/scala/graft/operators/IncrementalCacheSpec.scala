@@ -64,6 +64,34 @@ class IncrementalCacheSpec extends AnyFunSuite with SparkSpec {
     assert(fullRuns == 1 && deltaFiles.isEmpty)
   }
 
+  test("a chain of nightly appends stays delta-only and exact at every step") {
+    val d = freshCorpus()
+    var fullRuns = 0
+    var deltaRuns = 0
+    var lastDelta = Seq.empty[String]
+    def serve() = DerivedCache.orBuildIncremental(spark, d, "inc_chain_v1")(
+      { fullRuns += 1; counts(spark.read.parquet(d + "/documents.parquet")) })(
+      { files => deltaRuns += 1; lastDelta = files
+        counts(spark.read.parquet(files: _*)) })(
+      { (old, dl) => old.unionByName(dl)
+          .groupBy("w").agg(sum("c").cast("long").as("c")) })
+    serve()
+    // three consecutive nights: each refresh sees ONLY its own slice
+    for (night <- 1 to 3) {
+      Seq((10L + night, s"night$night words")).toDF("id", "text")
+        .write.mode("append").parquet(d + "/documents.parquet")
+      val got = rows(serve())
+      assert(fullRuns == 1, s"night $night re-ran the full derivation")
+      assert(deltaRuns == night, s"night $night: wrong delta count")
+      assert(lastDelta.size == 1,
+             s"night $night delta saw ${lastDelta.size} files (want 1)")
+      assert(got == rows(counts(
+               spark.read.parquet(d + "/documents.parquet"))),
+             s"night $night diverged from a full rebuild")
+      assert(got.exists(_._1 == s"night$night"))
+    }
+  }
+
   test("a rewritten corpus falls back to the full derivation") {
     val d = freshCorpus()
     var fullRuns = 0
