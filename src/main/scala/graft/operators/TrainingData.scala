@@ -2687,6 +2687,60 @@ object TrainingData {
       }.orderBy("cluster_id", "vec_id")
     },
 
+    Q("q159_embedding_leakage",
+      "EMBEDDING-space split-leakage audit — the modality the token " +
+        "families (q147's pair audit, q150's cluster-hash split, q95's " +
+        "fuzzy decontamination) cannot see: for every held-out doc " +
+        "(q59's val/test), its maximum cosine against ANY train doc, " +
+        "flagged at the q118 observability threshold (0.4 on this " +
+        "synthetic corpus; ~0.95 on real data). A val doc whose " +
+        "nearest train neighbor is a semantic twin inflates eval even " +
+        "when no tokens overlap — paraphrase leakage. Scale shape: " +
+        "the q40 audit pattern — the HELD-OUT side is bounded by " +
+        "design (an eval set, not a corpus) and broadcasts; the train " +
+        "corpus scans ONCE with a per-row fold, no quadratic shuffle. " +
+        "Exact by construction (brute max, not LSH recall), so DuckDB " +
+        "re-derives it verbatim.",
+      """WITH sp AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |tr AS (SELECT e.vec_id, v FROM e JOIN sp ON sp.doc_id = e.vec_id
+        |       WHERE split = 'train'),
+        |nt AS (SELECT e.vec_id AS doc_id, sp.split, v
+        |       FROM e JOIN sp ON sp.doc_id = e.vec_id
+        |       WHERE split <> 'train'),
+        |s AS (SELECT nt.doc_id, nt.split,
+        |        list_dot_product(nt.v, tr.v) /
+        |          (sqrt(list_dot_product(nt.v, nt.v)) *
+        |           sqrt(list_dot_product(tr.v, tr.v))) AS cos
+        |      FROM nt CROSS JOIN tr)
+        |SELECT doc_id, split, round(max(cos), 4) AS max_train_cos,
+        |  CAST(CASE WHEN max(cos) >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS leaked
+        |FROM s GROUP BY doc_id, split""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("text")), 1, 1)
+      val sp = docs(s, d).select(
+        col("doc_id"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+          .as("split"))
+      val e = embs(s, d).select(col("vec_id").as("doc_id"),
+                                col("embedding").as("v"))
+        .join(sp, "doc_id")
+      val tr = e.filter(col("split") === "train")
+        .select(col("v").as("tv"))
+      val held = e.filter(col("split") =!= "train")
+        .select(col("doc_id"), col("split"), col("v"))
+      tr.crossJoin(broadcast(held))
+        .select(col("doc_id"), col("split"),
+                cosine(col("v"), col("tv")).as("cos"))
+        .groupBy("doc_id", "split")
+        .agg(round(max("cos"), 4).as("max_train_cos"),
+             (max("cos") >= 0.4).cast("long").as("leaked"))
+    },
+
     Q("q157_semantic_outliers",
       "Per-DOC semantic outlier score: cosine between each document's " +
         "embedding and its OWN source's centroid — q154's drift audit " +

@@ -568,6 +568,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q157 coordinate explode must run once:\n$p157")
     assert(p157.contains("BroadcastHashJoin"),
            s"q157 centroid arrays must broadcast:\n$p157")
+    // q159: the bounded held-out side broadcasts into the one train
+    // scan — the audit must never plan a shuffled cartesian
+    val p159 = plan("q159_embedding_leakage")
+    assert(p159.contains("BroadcastNestedLoopJoin"),
+           s"q159 held-out side must broadcast:\n$p159")
+    assert(!p159.contains("CartesianProduct"),
+           s"q159 planned a shuffled cartesian:\n$p159")
   }
 
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
