@@ -83,6 +83,7 @@ object Curation {
     bloomCache.keys.filter(_._2 == d).foreach(bloomCache.remove)
     DerivedCache.invalidate(d) // persisted cluster labels / bigram NLL
     TrainingData.invalidate(d) // row-count stat + IVF indexes of the same corpus
+    Prep.invalidate(d)         // BPE merges / token vocab / quality model
   }
 
   /** The APPEND hook — the nightly-crawl twin of [[invalidate]]: evict
@@ -104,6 +105,7 @@ object Curation {
     }
     bloomCache.keys.filter(_._2 == d).foreach(bloomCache.remove)
     TrainingData.invalidate(d) // session memos only — artifacts stay
+    Prep.invalidate(d)         // BPE merges / token vocab / quality model
   }
 
   /** Connected components over the near-dup pair graph (q64 body,

@@ -235,12 +235,6 @@ object DerivedCache {
         dirStr + ".old-" + java.util.UUID.randomUUID().toString.take(8))
       try {
         fs.delete(staging, true)
-        materialize(staging.toString)
-        (sidecars + ("_fingerprint" -> fp)).foreach { case (name, text) =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(staging, name), true)
-          try out.write(text.getBytes("UTF-8")) finally out.close()
-        }
         def targetFresh: Boolean =
           try fs.exists(sidecar) && {
             val in = fs.open(sidecar)
@@ -249,6 +243,24 @@ object DerivedCache {
               finally in.close()
             stored == fp
           } catch { case _: java.io.IOException => false }
+        try materialize(staging.toString)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // an incremental merge READS the live artifact while it
+            // builds; a concurrent winner's swap moves those files out
+            // from under the running job (rename to .old-*, then
+            // delete) and the scan throws. If a fresh artifact landed,
+            // serve it — deterministic derivations make the winner's
+            // bytes identical to what this build would have produced —
+            // instead of surfacing a failure for a race that plain
+            // rebuilds already resolve gracefully
+            if (targetFresh) return dirStr else throw e
+        }
+        (sidecars + ("_fingerprint" -> fp)).foreach { case (name, text) =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(staging, name), true)
+          try out.write(text.getBytes("UTF-8")) finally out.close()
+        }
         // last-check-wins: a concurrent writer may have landed this
         // artifact while our build ran. Deterministic derivations make
         // the winner's bytes bit-identical — serve theirs, drop ours,
@@ -293,10 +305,27 @@ object DerivedCache {
   }
 
   /** TTL for reclaiming `.staging-*` / `.old-*` siblings left by
-    * crashed builds — long enough that a live writer mid-build (parts
-    * landing keep the dir mtime fresh) is never swept.
+    * crashed builds. Liveness is judged by the NEWEST mtime anywhere in
+    * the candidate's subtree, not the top dir's: a running Spark write
+    * keeps landing task files under `_temporary/` (the committer only
+    * renames them up at job commit), so the top dir's own mtime can sit
+    * at job-setup time for the whole build — while the tree's newest
+    * file stays recent as long as tasks make progress.
     */
   private val ReapIdleMs = 60L * 60 * 1000
+
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          depth: Int): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory || depth == 0) st.getModificationTime
+    else {
+      val kids = fs.listStatus(p)
+      if (kids.isEmpty) st.getModificationTime
+      else math.max(st.getModificationTime,
+                    kids.map(k => newestMtime(fs, k.getPath, depth - 1)).max)
+    }
+  }
 
   private def reapStale(fs: org.apache.hadoop.fs.FileSystem,
                         target: org.apache.hadoop.fs.Path): Unit =
@@ -306,11 +335,12 @@ object DerivedCache {
         val now = System.currentTimeMillis()
         fs.listStatus(parent).foreach { st =>
           val n = st.getPath.getName
-          val stranded =
-            (n.startsWith(target.getName + ".staging-") ||
-             n.startsWith(target.getName + ".old-")) &&
-            now - st.getModificationTime > ReapIdleMs
-          if (stranded) fs.delete(st.getPath, true)
+          val candidate =
+            n.startsWith(target.getName + ".staging-") ||
+            n.startsWith(target.getName + ".old-")
+          if (candidate &&
+              now - newestMtime(fs, st.getPath, 4) > ReapIdleMs)
+            fs.delete(st.getPath, true)
         }
       }
     } catch { case _: java.io.IOException => () } // best-effort

@@ -810,6 +810,19 @@ object Prep {
   private val qcCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
 
+  /** Evict this module's session memos for a corpus dir — the Prep
+    * half of the corpus-change hooks (Curation.invalidate for
+    * compaction, Curation.appendRefresh for nightly appends): after
+    * the corpus changes, the cached merge lists, token vocabulary,
+    * and fitted quality model all describe the OLD bytes, and a memo
+    * hit would silently mix old-corpus state into new-corpus queries.
+    */
+  def invalidate(d: String): Unit = {
+    bpeCache.keys.filter(_._2 == d).foreach(bpeCache.remove)
+    vocabCache.keys.filter(_._2 == d).foreach(vocabCache.remove)
+    qcCache.keys.filter(_._2 == d).foreach(qcCache.remove)
+  }
+
   def qualityModelCached(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel = {
     qcCache.keys.filter(_._1.sparkContext.isStopped).foreach(qcCache.remove)
     // session memo -> persisted model -> LBFGS fit (deterministic given
@@ -1798,10 +1811,15 @@ object Prep {
     */
   def windowedPlanStats(s: SparkSession, d: String): DataFrame =
     DerivedCache.orBuild(s, d, "win_plan_stats_1h_v1") {
-      val ref = sourceTermCounts(s, d).groupBy("term")
-        .agg(sum("n_st").cast("long").as("n_t"))
+      // the corpus reference DERIVES from the windowed count artifact
+      // itself (every doc is in some window), so artifact and one-shot
+      // plan share one reference definition on ANY corpus — deriving
+      // it from a different table (or an unfiltered scan) would let
+      // the two silently disagree on corpora with null-source docs
+      val wtc = winTermCounts(s, d)
+      val ref = wtc.groupBy("term").agg(sum("n_wt").cast("long").as("n_t"))
       finalizeWinStats(winQualityParts(s, d))
-        .join(driftReportAgainst(winTermCounts(s, d), ref)
+        .join(driftReportAgainst(wtc, ref)
                 .select("win_ms", "source", "kl"),
               Seq("win_ms", "source"))
     }
@@ -1811,8 +1829,13 @@ object Prep {
     */
   def windowedPlanStatsPlan(s: SparkSession, d: String): DataFrame = {
     val framed = framedDocs(s, d)
+    val counts = windowedTermCounts(framed, "1 hour")
+    // reference derived from the windowed counts — the SAME definition
+    // the artifact build uses, so the audit plan and the persisted
+    // table can never disagree (see [[windowedPlanStats]])
+    val ref = counts.groupBy("term").agg(sum("n_wt").cast("long").as("n_t"))
     windowedSourceStats(framed, "1 hour")
-      .join(driftReport(windowedTermCounts(framed, "1 hour"), s, d)
+      .join(driftReportAgainst(counts, ref)
               .select("win_ms", "source", "kl"),
             Seq("win_ms", "source"))
   }

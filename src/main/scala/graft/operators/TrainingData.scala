@@ -54,6 +54,14 @@ object TrainingData {
 
   private def vecd(c: Column): Column = transform(c, _.cast("double"))
 
+  /** q159's audited eval-pool size: the held-out docs enter the
+    * leakage audit as a fixed-size deterministic prefix (lowest
+    * doc_ids), so the broadcast side is constant at any corpus scale.
+    * Raise for a bigger audit; the cost is one more broadcast row per
+    * unit, never a corpus share.
+    */
+  val EvalPoolCap = 4096
+
   // Stopword list used by quality scoring + language-ID (public, standard).
   private[operators] val enStop =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -2696,12 +2704,15 @@ object TrainingData {
         "synthetic corpus; ~0.95 on real data). A val doc whose " +
         "nearest train neighbor is a semantic twin inflates eval even " +
         "when no tokens overlap — paraphrase leakage. Scale shape: " +
-        "the q40 audit pattern — the HELD-OUT side is bounded by " +
-        "design (an eval set, not a corpus) and broadcasts; the train " +
-        "corpus scans ONCE with a per-row fold, no quadratic shuffle. " +
-        "Exact by construction (brute max, not LSH recall), so DuckDB " +
-        "re-derives it verbatim.",
-      """WITH sp AS (SELECT doc_id,
+        "the q40 audit pattern — the audited pool is a FIXED-SIZE " +
+        "deterministic prefix of the held-out docs (lowest doc_ids, " +
+        "EvalPoolCap rows; a production eval set is fixed-size by " +
+        "construction, and a 25%-of-corpus broadcast would not be), " +
+        "so the broadcast is constant at any corpus size and the " +
+        "train corpus scans ONCE with a per-row fold — no quadratic " +
+        "shuffle. Exact by construction (brute max, not LSH recall), " +
+        "so DuckDB re-derives it verbatim.",
+      s"""WITH sp AS (SELECT doc_id,
         |    CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
         |         WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
         |         ELSE 'test' END AS split
@@ -2711,7 +2722,8 @@ object TrainingData {
         |       WHERE split = 'train'),
         |nt AS (SELECT e.vec_id AS doc_id, sp.split, v
         |       FROM e JOIN sp ON sp.doc_id = e.vec_id
-        |       WHERE split <> 'train'),
+        |       WHERE split <> 'train'
+        |       ORDER BY e.vec_id LIMIT ${EvalPoolCap}),
         |s AS (SELECT nt.doc_id, nt.split,
         |        list_dot_product(nt.v, tr.v) /
         |          (sqrt(list_dot_product(nt.v, nt.v)) *
@@ -2731,8 +2743,11 @@ object TrainingData {
         .join(sp, "doc_id")
       val tr = e.filter(col("split") === "train")
         .select(col("v").as("tv"))
+      // fixed-size eval pool: TakeOrdered, so the broadcast is capped
+      // regardless of corpus size
       val held = e.filter(col("split") =!= "train")
         .select(col("doc_id"), col("split"), col("v"))
+        .orderBy("doc_id").limit(EvalPoolCap)
       tr.crossJoin(broadcast(held))
         .select(col("doc_id"), col("split"),
                 cosine(col("v"), col("tv")).as("cos"))

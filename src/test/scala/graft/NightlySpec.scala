@@ -90,17 +90,29 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     val vOver = aAudit(s"$out/anneal_over")
     assert(vOver.exists(v => v._1 == "grant_tokens" && v._2 == aS),
            s"over-delivery not named:\n${vOver.mkString("\n")}")
-    // a flipped full-copy digest: the cross-manifest identity breaks
-    val fullRows = m0a.collect().map(r => (r.getString(0), r.getLong(1)))
+    // a flipped full-copy digest: the cross-manifest identity breaks.
+    // The flip must land on a grant that INCLUDES a full corpus copy
+    // (alloc_tok DIV n_s >= 1) AND whose source has at least two such
+    // manifests — the only regime where the pairwise identity bites —
+    // so derive that victim from the landed plan + stats, and require
+    // it to exist (this corpus's budget grants full copies)
+    val nS = spark.read.parquet(stats)
+      .select("source", "avail_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullPairs = spark.read.parquet(aPlan).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter { case (src, _, alloc) => alloc / nS(src) >= 1L }
+    val digestable = fullPairs.groupBy(_._1).filter(_._2.length >= 2)
+    assert(digestable.nonEmpty,
+           s"need a source with >=2 full-copy grants to exercise the " +
+             s"digest identity; plan grants: ${fullPairs.mkString(", ")}")
+    val (dS, dE, _) = digestable.head._2.head
     m0a.withColumn("doc_digest",
-        when(col("source") === aS && col("epoch") === aE,
+        when(col("source") === dS && col("epoch") === dE,
              col("doc_digest") + 1L).otherwise(col("doc_digest")))
       .write.mode("overwrite").parquet(s"$out/anneal_digflip")
     val vDig = aAudit(s"$out/anneal_digflip")
-    assert(vDig.exists(v => v._1 == "full_copy_digest" && v._2 == aS) ||
-             // if (aS, aE) was a fractional-only grant the digest check
-             // legitimately cannot bite — the envelope one still must
-             vOver.exists(_._1 == "grant_tokens"),
-           s"digest flip not named:\n${vDig.mkString("\n")}\n$fullRows")
+    assert(vDig.exists(v => v._1 == "full_copy_digest" && v._2 == dS),
+           s"digest flip not named:\n${vDig.mkString("\n")}")
   }
 }
