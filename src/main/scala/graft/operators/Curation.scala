@@ -2370,6 +2370,74 @@ object Curation {
              sum("sz").cast("long").as("n_docs"),
              sum(col("sz") - 1).cast("long").as("n_removed"),
              sum("rem_t").cast("long").as("removed_tokens"))
+    },
+
+    Q("q160_source_overlap",
+      "Cross-SOURCE duplication matrix — the mixture-design number " +
+        "q156's size histogram cannot give: for every ordered source " +
+        "pair (A, B), how many of A's docs sit in a near-dup cluster " +
+        "that also contains a B doc, over how many clusters, and what " +
+        "share of A that is. Two sources with high mutual overlap are " +
+        "substantially the same corpus — granting both full mixture " +
+        "weight double-counts their content (the CommonCrawl-vs-C4 " +
+        "trap), and the asymmetry says which one is the subset. Pure " +
+        "composition over the persisted cluster-label artifact (q64's " +
+        "DerivedCache table — zero re-resolution): one doc_id join " +
+        "attaches sources, one aggregate to the (cluster, source) " +
+        "grain, then a self-join on cluster_id whose inputs are " +
+        "cluster-membership-bounded and whose output is at most " +
+        "sources^2 rows. Share at 4dp via the q101 integer-DIV " +
+        "convention. The DuckDB oracle re-derives the components from " +
+        "scratch via the recursive-CTE transitive closure, proving the " +
+        "matrix against an independent clustering end-to-end.",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+        |             list_distinct(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.tok, b.tok))) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a, a AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |ds AS (SELECT doc_id, source FROM documents),
+        |cs AS (SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n
+        |       FROM lab JOIN ds USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |        FROM ds GROUP BY 1),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(sum(a.n) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters
+        |       FROM cs a JOIN cs b
+        |         ON a.cluster_id = b.cluster_id AND a.source <> b.source
+        |       GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_docs, n_clusters,
+        |  (n_docs * 10000 // n_src) / 10000.0 AS overlap_share
+        |FROM ov JOIN tot ON tot.source = ov.source_a""".stripMargin) { (s, d) =>
+      val ds = docs(s, d).select(col("doc_id"), col("source"))
+      val cs = dedupClusters(s, d)
+        .join(ds, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = ds.groupBy("source").agg(count(lit(1)).cast("long").as("n_src"))
+      val ov = cs
+        .join(cs.select(col("cluster_id"), col("source").as("source_b")),
+              "cluster_id")
+        .filter(col("source") =!= col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(sum("n").cast("long").as("n_docs"),
+             countDistinct("cluster_id").cast("long").as("n_clusters"))
+      ov.join(tot.withColumnRenamed("source", "source_a"), "source_a")
+        .select(col("source_a"), col("source_b"), col("n_docs"),
+                col("n_clusters"),
+                (expr("n_docs * 10000 DIV n_src") / lit(10000.0))
+                  .as("overlap_share"))
     }
   )
 }
