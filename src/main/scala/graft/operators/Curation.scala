@@ -1046,6 +1046,72 @@ object Curation {
       }
       .start()
 
+  /** The CONTINUOUS-CRAWL corpus loop, end to end: each micro-batch of
+    * curated keepers ([[ingestStream]]'s verdict) lands as a pure file
+    * APPEND to the corpus `documents` table, and every expensive derived
+    * artifact then self-refreshes over exactly the appended slice — the
+    * streaming twin of the nightly [[appendRefresh]] hook, at micro-batch
+    * granularity. After each batch the persisted near-dup cluster labels
+    * (and, transitively, the token/prefix index artifacts the delta pair
+    * generation probes) are CURRENT for the grown corpus: a dedup-yield
+    * report (q156), an overlap matrix (q160), or a keep-filter (q65) read
+    * at any point between batches sees the crawl's latest state without
+    * ever paying a corpus-sized re-resolve. Reference analogue: the
+    * upsert-per-batch serving table (stream_processor.py:45-51), here
+    * generalized from one KV table to the whole artifact family.
+    *
+    * Layout/exactly-once: batches land under
+    * `<corpusDir>/documents.parquet/epoch=<batchId>/` with dynamic
+    * partition overwrite, so a replayed batch (foreachBatch is
+    * at-least-once on retry) overwrites exactly its own files. A replay
+    * REPLACES files, which breaks the append-manifest chain — the next
+    * artifact read falls back to a full rebuild, trading one re-derive
+    * for correctness, exactly the [[DerivedCache.orBuildIncremental]]
+    * contract. The `epoch` partition column doubles as crawl-batch
+    * provenance on every doc.
+    *
+    * `refreshEvery` tunes the artifact-refresh cadence: labels refresh on
+    * batches where `batchId % refreshEvery == 0` (and always re-derive
+    * lazily on next read otherwise — skipping a refresh never serves
+    * stale data, it only defers the delta bill). The crawl-frontier Bloom
+    * sketch is deliberately NOT rebuilt here: it is a full-corpus
+    * aggregate, so its cadence (and the exact anti-join fallback) stays a
+    * caller decision — see [[corpusBloom]].
+    */
+  def startCorpusMaintenance(docsStream: org.apache.spark.sql.DataFrame,
+                             corpusDir: String,
+                             checkpointDir: String,
+                             horizon: String = "1 hour",
+                             refreshEvery: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStream(docsStream, horizon).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        batch
+          .select(col("doc_id"), col("source"), col("text"), col("lang"),
+                  length(col("text")).cast("long").as("n_chars"))
+          .withColumn("epoch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(s"$corpusDir/documents.parquet")
+        appendRefresh(corpusDir) // session memos evict; artifacts stay
+        if (refreshEvery > 0 && id % refreshEvery == 0) {
+          // land/refresh the per-doc index artifacts FIRST — the delta
+          // pair generation probes them instead of old corpus bytes, and
+          // the label full-build path deliberately does not land them
+          // (a one-shot batch resolve has no future appends to serve)
+          TrainingData.dedupTokenIndex(s, corpusDir).count()
+          TrainingData.dedupPrefixIndex(s, corpusDir).count()
+          dedupClusters(s, corpusDir).count() // rides the delta-merge path
+          ()
+        }
+      }
+      .start()
+
   /** Shared oracle CTE chain of the q129 packing pipeline (curate ->
     * budget -> offsets -> per-bin pieces). q137's token-ID oracle
     * appends the BPE vocabulary CTEs to this same text, so the two
