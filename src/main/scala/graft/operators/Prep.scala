@@ -792,6 +792,74 @@ object Prep {
   val QcLo = 0.30
   val QcNumFeatures = 1 << 15
 
+  /** q161/q162 teacher-label thresholds in the 4dp-scaled-integer
+    * quality domain — the SAME bands as q132's LR distillation
+    * ([[QcHi]]/[[QcLo]] × 10000), so the NB and LR students learn from
+    * the identical teacher and their reports compare like-for-like.
+    */
+  val NbHiInt = 5500L
+  val NbLoInt = 3000L
+
+  /** Per-doc Naive-Bayes LLR scores for q161/q162: (doc_id, source, qi,
+    * s_int) where qi is the 4dp-scaled q32 teacher quality and s_int the
+    * 1e-8-scaled add-one-smoothed multinomial-NB log-likelihood-ratio
+    * (token LLR sum + class-prior log-odds), exact BIGINT arithmetic
+    * after one floor-half-up per vocabulary term (the q117 convention).
+    *
+    * Scale shape: ONE tokenize pass builds the (doc, term, count) table
+    * `cdc`, whose exchange both consumers reuse — the class-count
+    * derivation keeps its label predicate ABOVE the aggregate (a
+    * pre-aggregation filter would push into the scan branch and fork a
+    * second tokenize pass — the q112 alignment lesson), and the class
+    * prior is the labeled TOKEN-mass log-odds, i.e. a derivation of the
+    * vocabulary totals rather than a third doc-count pass (with NB the
+    * prior estimate is a modeling choice; token mass is the
+    * length-weighted doc prior). The vocabulary-bounded LLR table joins
+    * back shuffle_hash (no-broadcast vocabulary rule); only the 1-row
+    * totals broadcast. Docs whose every token is outside the labeled
+    * vocabulary still score (left join + coalesce 0): their LLR is
+    * exactly the prior, matching the oracle's semantics.
+    */
+  private[operators] def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(TrainingData.enStop.map(lit): _*)
+    val tok = split(col("text"), " ")
+    val qi = round(least(lit(1.0), size(tok) / lit(64.0)) *
+        (lit(0.5) +
+          size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
+            size(tok)) * 10000, 0).cast("long")
+    val cdc = spread(docs(s, d))
+      .select(col("doc_id"), col("source"), qi.as("qi"),
+              explode(tok).as("term"))
+      .groupBy("doc_id", "source", "qi", "term")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val vt = cdc
+      .groupBy("term")
+      .agg(coalesce(sum(when(col("qi") >= NbHiInt, col("c"))), lit(0L))
+             .cast("long").as("n_pt"),
+           coalesce(sum(when(col("qi") <= NbLoInt, col("c"))), lit(0L))
+             .cast("long").as("n_nt"))
+      .filter(col("n_pt") + col("n_nt") > 0)
+    val tots = vt.agg(sum("n_pt").cast("long").as("n_p"),
+                      sum("n_nt").cast("long").as("n_n"),
+                      count(lit(1)).cast("long").as("v"))
+      .withColumn("p",
+        floor(log(col("n_p").cast("double") / col("n_n"))
+          * 100000000 + 0.5).cast("long"))
+    val llr = vt.crossJoin(broadcast(tots))
+      .select(col("term"),
+        floor((log((col("n_pt") + lit(1.0)) / (col("n_p") + col("v")))
+               - log((col("n_nt") + lit(1.0)) / (col("n_n") + col("v"))))
+          * 100000000 + 0.5).cast("long").as("l"))
+    cdc
+      .join(llr.hint("shuffle_hash"), Seq("term"), "left")
+      .groupBy("doc_id", "source", "qi")
+      .agg(sum(col("c") * coalesce(col("l"), lit(0L))).cast("long")
+             .as("tsum"))
+      .crossJoin(broadcast(tots.select("p")))
+      .select(col("doc_id"), col("source"), col("qi"),
+              (col("tsum") + col("p")).as("s_int"))
+  }
+
   /** Train the distilled quality classifier: logistic regression over
     * hashed unigram term frequencies, labeled by the q32 closed-form
     * quality signal — the production recipe for scaling an expensive
@@ -4113,6 +4181,207 @@ object Prep {
       // every doc is in some window, so no second scan
       val ref = wb.groupBy("b").agg(sum("n_wb").cast("long").as("cc"))
       lengthDriftReport(wb, ref)
+    },
+
+    Q("q161_nb_distill",
+      "Naive-Bayes distilled quality classifier — the EXACTLY-ORACLED " +
+        "counterpart of q132's float LR: teacher-label the corpus with " +
+        "the q32 closed-form quality (>= 0.55 positive, <= 0.30 " +
+        "negative, middle band excluded — q132's own thresholds), train " +
+        "multinomial NB with add-one smoothing on the labeled tokens, " +
+        "score EVERY doc by its integer log-likelihood-ratio sum, and " +
+        "report per source: label counts, prediction rate, train-set " +
+        "agreement, mean LLR. Unlike LBFGS, the whole model is counts + " +
+        "ln() — expressible in ANSI SQL, so the classifier path gets a " +
+        "hash-matched oracle, not just spec bounds. Cross-engine " +
+        "discipline: per-term LLRs floor-half-up to 1e-8-scaled BIGINTs " +
+        "(the q117 convention), per-doc sums are exact integer " +
+        "arithmetic, and the single 4dp division happens once at the " +
+        "end. The decision threshold is TUNED, not assumed: raw NB " +
+        "log-odds are miscalibrated when the teacher signal is length-" +
+        "driven (the token-mass prior shifts every score positive), so " +
+        "the query clips scores to the q162 half-nat bin grid and picks " +
+        "the boundary maximizing train-set agreement — a 21-row BOUNDED " +
+        "domain, the two-phase idiom, no corpus-sized sort. Scale " +
+        "shape: ONE tokenize pass to the (doc, term, count) table; " +
+        "class counts, vocabulary, totals, the class prior (labeled " +
+        "token-mass log-odds), the bin histogram, and the tuned " +
+        "threshold are all DERIVATIONS of that table, so neither the " +
+        "training set nor the tuning grid gets its own corpus scan; the " +
+        "vocabulary-bounded LLR table joins back shuffle_hash (never " +
+        "broadcast — the no-broadcast vocabulary rule); per-source " +
+        "output is bounded.",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id, source,
+        |  CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT) AS qi,
+        |  tok FROM t),
+        |cd AS (SELECT doc_id, source, qi, unnest(tok) AS term FROM b),
+        |cdc AS (SELECT doc_id, source, qi, term, CAST(count(*) AS BIGINT) AS c
+        |        FROM cd GROUP BY 1, 2, 3, 4),
+        |vt AS (SELECT term,
+        |         CAST(COALESCE(sum(c) FILTER (WHERE qi >= ${NbHiInt}), 0) AS BIGINT) AS n_pt,
+        |         CAST(COALESCE(sum(c) FILTER (WHERE qi <= ${NbLoInt}), 0) AS BIGINT) AS n_nt
+        |       FROM cdc GROUP BY 1
+        |       HAVING COALESCE(sum(c) FILTER (WHERE qi >= ${NbHiInt}), 0)
+        |            + COALESCE(sum(c) FILTER (WHERE qi <= ${NbLoInt}), 0) > 0),
+        |tots AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_p,
+        |                CAST(sum(n_nt) AS BIGINT) AS n_n,
+        |                CAST(count(*) AS BIGINT) AS v,
+        |                CAST(floor(ln(CAST(sum(n_pt) AS DOUBLE) / sum(n_nt))
+        |                     * 100000000 + 0.5) AS BIGINT) AS p
+        |         FROM vt),
+        |llr AS (SELECT term,
+        |          CAST(floor((ln((n_pt + 1.0) / (n_p + v))
+        |                      - ln((n_nt + 1.0) / (n_n + v)))
+        |               * 100000000 + 0.5) AS BIGINT) AS l
+        |        FROM vt CROSS JOIN tots),
+        |ts AS (SELECT cdc.doc_id, cdc.source, cdc.qi,
+        |         CAST(sum(cdc.c * COALESCE(llr.l, 0)) AS BIGINT) AS tsum
+        |       FROM cdc LEFT JOIN llr USING (term) GROUP BY 1, 2, 3),
+        |sb AS (SELECT source, qi, tsum + p AS s,
+        |         CAST(least(greatest(
+        |           floor(CAST(tsum + p AS DOUBLE) / 50000000.0), -10), 9)
+        |           AS BIGINT) AS bin
+        |       FROM ts CROSS JOIN tots),
+        |bb AS (SELECT bin,
+        |         CAST(count(*) FILTER (WHERE qi >= ${NbHiInt}) AS BIGINT) AS pb,
+        |         CAST(count(*) FILTER (WHERE qi <= ${NbLoInt}) AS BIGINT) AS nb
+        |       FROM sb GROUP BY 1),
+        |th AS (SELECT CAST(u.t AS BIGINT) AS theta,
+        |         CAST(sum(CASE WHEN bin < u.t THEN nb ELSE pb END)
+        |              AS BIGINT) AS hits
+        |       FROM (SELECT unnest(range(-10, 11)) AS t) u CROSS JOIN bb
+        |       GROUP BY 1),
+        |best AS (SELECT theta FROM th ORDER BY hits DESC, theta ASC LIMIT 1)
+        |SELECT source, theta, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE qi >= ${NbHiInt}) AS BIGINT) AS n_pos,
+        |  CAST(count(*) FILTER (WHERE qi <= ${NbLoInt}) AS BIGINT) AS n_neg,
+        |  CAST(count(*) FILTER (WHERE bin >= theta) AS BIGINT) AS n_pred_pos,
+        |  CAST(count(*) FILTER (WHERE (qi >= ${NbHiInt} OR qi <= ${NbLoInt})
+        |       AND ((bin >= theta) = (qi >= ${NbHiInt}))) AS BIGINT) AS n_agree,
+        |  floor(CAST(sum(s) AS DOUBLE) / count(*) / 10000.0 + 0.5)
+        |    / 10000.0 AS mean_llr
+        |FROM sb CROSS JOIN best
+        |GROUP BY source, theta ORDER BY source""".stripMargin) { (s, d) =>
+      val sb = nbDocScores(s, d)
+        .withColumn("bin",
+          least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                         lit(-10)), lit(9)).cast("long"))
+      val bb = sb.groupBy("bin")
+        .agg(count(when(col("qi") >= NbHiInt, 1)).cast("long").as("pb"),
+             count(when(col("qi") <= NbLoInt, 1)).cast("long").as("nb"))
+      val best = s.range(-10, 11).select(col("id").as("theta"))
+        .crossJoin(bb)
+        .groupBy("theta")
+        .agg(sum(when(col("bin") < col("theta"), col("nb"))
+                   .otherwise(col("pb"))).cast("long").as("hits"))
+        .orderBy(col("hits").desc, col("theta").asc)
+        .limit(1)
+        .select("theta")
+      sb.crossJoin(broadcast(best))
+        .groupBy("source", "theta")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             count(when(col("qi") >= NbHiInt, 1)).cast("long").as("n_pos"),
+             count(when(col("qi") <= NbLoInt, 1)).cast("long").as("n_neg"),
+             count(when(col("bin") >= col("theta"), 1)).cast("long")
+               .as("n_pred_pos"),
+             count(when((col("qi") >= NbHiInt || col("qi") <= NbLoInt) &&
+                        ((col("bin") >= col("theta")) ===
+                           (col("qi") >= NbHiInt)), 1))
+               .cast("long").as("n_agree"),
+             (floor(sum("s_int").cast("double") / count(lit(1)) / 10000.0
+                    + 0.5) / 10000.0).as("mean_llr"))
+        .select(col("source"), col("theta"), col("n_docs"), col("n_pos"),
+                col("n_neg"), col("n_pred_pos"), col("n_agree"),
+                col("mean_llr"))
+        .orderBy("source")
+    },
+
+    Q("q162_nb_calibration",
+      "Reliability diagram for the q161 NB classifier — the trust-but-" +
+        "verify step a production quality filter ships with: clip each " +
+        "doc's LLR score into fixed half-nat bins over [-5, +5], and per " +
+        "bin report volume, teacher-label composition, the observed " +
+        "positive share among labeled docs (the calibration curve — " +
+        "monotone-increasing if the classifier's confidence means " +
+        "anything), and mean teacher quality. Fixed bins keep the value " +
+        "domain BOUNDED BY CONSTRUCTION at any corpus size (21 rows) — " +
+        "no global sort, no corpus-sized window, unlike a quantile " +
+        "spelling. The bin edge arithmetic stays in exact integer space " +
+        "(1e-8-scaled LLR // 5e7) until one double floor shared verbatim " +
+        "by both engines.",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id, source,
+        |  CAST(round(least(1.0, len(tok) / 64.0) *
+        |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+        |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(tok)) * 10000, 0) AS BIGINT) AS qi,
+        |  tok FROM t),
+        |cd AS (SELECT doc_id, source, qi, unnest(tok) AS term FROM b),
+        |cdc AS (SELECT doc_id, source, qi, term, CAST(count(*) AS BIGINT) AS c
+        |        FROM cd GROUP BY 1, 2, 3, 4),
+        |vt AS (SELECT term,
+        |         CAST(COALESCE(sum(c) FILTER (WHERE qi >= ${NbHiInt}), 0) AS BIGINT) AS n_pt,
+        |         CAST(COALESCE(sum(c) FILTER (WHERE qi <= ${NbLoInt}), 0) AS BIGINT) AS n_nt
+        |       FROM cdc GROUP BY 1
+        |       HAVING COALESCE(sum(c) FILTER (WHERE qi >= ${NbHiInt}), 0)
+        |            + COALESCE(sum(c) FILTER (WHERE qi <= ${NbLoInt}), 0) > 0),
+        |tots AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_p,
+        |                CAST(sum(n_nt) AS BIGINT) AS n_n,
+        |                CAST(count(*) AS BIGINT) AS v,
+        |                CAST(floor(ln(CAST(sum(n_pt) AS DOUBLE) / sum(n_nt))
+        |                     * 100000000 + 0.5) AS BIGINT) AS p
+        |         FROM vt),
+        |llr AS (SELECT term,
+        |          CAST(floor((ln((n_pt + 1.0) / (n_p + v))
+        |                      - ln((n_nt + 1.0) / (n_n + v)))
+        |               * 100000000 + 0.5) AS BIGINT) AS l
+        |        FROM vt CROSS JOIN tots),
+        |ts AS (SELECT cdc.doc_id, cdc.source, cdc.qi,
+        |         CAST(sum(cdc.c * COALESCE(llr.l, 0)) AS BIGINT) AS tsum
+        |       FROM cdc LEFT JOIN llr USING (term) GROUP BY 1, 2, 3),
+        |sb AS (SELECT qi,
+        |         CAST(least(greatest(
+        |           floor(CAST(tsum + p AS DOUBLE) / 50000000.0), -10), 9)
+        |           AS BIGINT) AS bin
+        |       FROM ts CROSS JOIN tots)
+        |SELECT bin, bin / 2.0 AS bin_lo,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE qi >= ${NbHiInt}) AS BIGINT) AS n_pos,
+        |  CAST(count(*) FILTER (WHERE qi <= ${NbLoInt}) AS BIGINT) AS n_neg,
+        |  CASE WHEN count(*) FILTER (WHERE qi >= ${NbHiInt} OR qi <= ${NbLoInt}) = 0
+        |       THEN NULL
+        |       ELSE round(CAST(count(*) FILTER (WHERE qi >= ${NbHiInt}) AS DOUBLE)
+        |                  / count(*) FILTER (WHERE qi >= ${NbHiInt} OR qi <= ${NbLoInt}), 6)
+        |  END AS share_pos,
+        |  floor(CAST(sum(qi) AS DOUBLE) / count(*) + 0.5) / 10000.0
+        |    AS mean_quality
+        |FROM sb GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val sc = nbDocScores(s, d)
+        .withColumn("bin",
+          least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                         lit(-10)), lit(9)).cast("long"))
+      val nLabeled =
+        count(when(col("qi") >= NbHiInt || col("qi") <= NbLoInt, 1))
+      sc.groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             count(when(col("qi") >= NbHiInt, 1)).cast("long").as("n_pos"),
+             count(when(col("qi") <= NbLoInt, 1)).cast("long").as("n_neg"),
+             when(nLabeled === 0, lit(null).cast("double"))
+               .otherwise(round(count(when(col("qi") >= NbHiInt, 1))
+                                  .cast("double") / nLabeled, 6))
+               .as("share_pos"),
+             (floor(sum("qi").cast("double") / count(lit(1)) + 0.5)
+                / 10000.0).as("mean_quality"))
+        .select(col("bin"), (col("bin") / 2.0).as("bin_lo"), col("n_docs"),
+                col("n_pos"), col("n_neg"), col("share_pos"),
+                col("mean_quality"))
+        .orderBy("bin")
     }
   )
 

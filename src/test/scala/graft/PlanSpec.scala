@@ -577,6 +577,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q159 planned a shuffled cartesian:\n$p159")
   }
 
+  test("q161/q162: NB distillation — one tokenize pass, shuffle_hash LLR join") {
+    // The (doc, term, count) table cdc feeds both the class-count
+    // derivation and the scoring probe: AQE must reuse its exchange so
+    // the documents tokenize pass runs ONCE. The vocabulary-bounded LLR
+    // table joins shuffle_hash (no-broadcast vocabulary rule); only the
+    // 1-row totals/prior broadcast.
+    for (q <- Seq("q161_nb_distill", "q162_nb_calibration")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(p).length === 1,
+             s"$q must scan documents exactly once:\n$p")
+      assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+             s"$q stopped reusing the tokenize+count stage:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+             s"$q LLR probe must stay shuffle_hash:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+             s"$q LLR probe regressed to sort-merge:\n$p")
+      assert(!p.contains("Window"),
+             s"$q must not plan a window (bounded aggregates only):\n$p")
+    }
+  }
+
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
     val p = plan("q130_substring_dedup")
     // the naive spelling runs tokenize+slice+md5 twice (count subtree +
