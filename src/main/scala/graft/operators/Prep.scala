@@ -820,15 +820,22 @@ object Prep {
     * vocabulary still score (left join + coalesce 0): their LLR is
     * exactly the prior, matching the oracle's semantics.
     */
-  private[operators] def nbDocScores(s: SparkSession, d: String): DataFrame = {
+  /** The q32 teacher quality as a 4dp-scaled BIGINT — the exact column
+    * spelling the q161/q162 oracles mirror (and the q125 convention).
+    */
+  private def teacherQi: Column = {
     val stopArr = array(TrainingData.enStop.map(lit): _*)
     val tok = split(col("text"), " ")
-    val qi = round(least(lit(1.0), size(tok) / lit(64.0)) *
+    round(least(lit(1.0), size(tok) / lit(64.0)) *
         (lit(0.5) +
           size(filter(tok, t => array_contains(stopArr, t))).cast("double") /
             size(tok)) * 10000, 0).cast("long")
+  }
+
+  private[operators] def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    val tok = split(col("text"), " ")
     val cdc = spread(docs(s, d))
-      .select(col("doc_id"), col("source"), qi.as("qi"),
+      .select(col("doc_id"), col("source"), teacherQi.as("qi"),
               explode(tok).as("term"))
       .groupBy("doc_id", "source", "qi", "term")
       .agg(count(lit(1)).cast("long").as("c"))
@@ -858,6 +865,80 @@ object Prep {
       .crossJoin(broadcast(tots.select("p")))
       .select(col("doc_id"), col("source"), col("qi"),
               (col("tsum") + col("p")).as("s_int"))
+  }
+
+  /** The NB class-conditional count layer of one document frame:
+    * (term, n_pt, n_nt) over teacher-labeled docs. Per-doc
+    * contributions are independent integer counts, so the layer is a
+    * commutative monoid over corpus files — the property
+    * [[nbClassCounts]] exploits.
+    */
+  private def nbClassCountsOf(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(teacherQi.as("qi"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(coalesce(sum(when(col("qi") >= NbHiInt, 1L)), lit(0L))
+             .cast("long").as("n_pt"),
+           coalesce(sum(when(col("qi") <= NbLoInt, 1L)), lit(0L))
+             .cast("long").as("n_nt"))
+      .filter(col("n_pt") + col("n_nt") > 0)
+
+  /** q161's trained model as an APPEND-INCREMENTAL artifact: the
+    * (term, n_pt, n_nt) class counts merge additively from the appended
+    * slice only (the bigram_counts pattern), bit-identical to a full
+    * recount — so the nightly crawl re-trains the quality gate for the
+    * cost of the new files, and a fresh session (the at-ingest scorer)
+    * loads the landed counts instead of re-tokenizing the corpus.
+    */
+  def nbClassCounts(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "nb_class_counts_v1")(
+      nbClassCountsOf(spread(docs(s, d))))(
+      files => nbClassCountsOf(spread(s.read.parquet(files: _*))))(
+      (old, dl) => old.unionByName(dl).groupBy("term")
+        .agg(sum("n_pt").cast("long").as("n_pt"),
+             sum("n_nt").cast("long").as("n_nt")))
+
+  /** Quality-gate-at-ingest: score each arriving document's NB
+    * log-likelihood ratio against the PERSISTED class counts
+    * ([[nbClassCounts]] — trained offline, refreshed incrementally) and
+    * route it by the offline-tuned q161 bin threshold. Works on a
+    * streaming or batch `docFrame` (the lmBucketStream convention):
+    * explode → stream-static shuffle_hash join on the vocabulary-
+    * bounded LLR table → per-doc integer sum. The smoothing totals and
+    * prior are ONE bounded row, collected once at plan-build time, so
+    * each micro-batch pays only the probe join — the model never
+    * re-derives in-stream.
+    */
+  def nbScoreStream(docFrame: DataFrame, s: SparkSession, d: String,
+                    theta: Long): DataFrame = {
+    val counts = nbClassCounts(s, d)
+    val Array(t0) = counts
+      .agg(sum("n_pt").cast("long").as("n_p"),
+           sum("n_nt").cast("long").as("n_n"),
+           count(lit(1)).cast("long").as("v")).collect()
+    val (nP, nN, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val pInt = math.floor(math.log(nP.toDouble / nN) * 1e8 + 0.5).toLong
+    val llr = counts.select(col("term"),
+      floor((log((col("n_pt") + lit(1.0)) / (nP + v))
+             - log((col("n_nt") + lit(1.0)) / (nN + v)))
+        * 100000000 + 0.5).cast("long").as("l"))
+    val base = docFrame.select(col("doc_id"),
+                               split(col("text"), " ").as("tok"))
+    val scored = base
+      .select(col("doc_id"), explode(col("tok")).as("term"))
+      .join(llr.hint("shuffle_hash"), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("l"), lit(0L))) + lit(pInt)).cast("long")
+             .as("s_int"))
+    base.select(col("doc_id"), size(col("tok")).cast("long").as("n_tokens"))
+      .join(scored, "doc_id")
+      .withColumn("bin",
+        least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                       lit(-10)), lit(9)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("s_int"),
+              (floor(col("s_int") / lit(10000.0) + 0.5) / lit(10000.0))
+                .as("llr"),
+              col("bin"), (col("bin") >= theta).as("keep"))
   }
 
   /** Train the distilled quality classifier: logistic regression over
