@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * must never hand the trainer an internally inconsistent export.
   */
 object Nightly {
+  /** The `health/` stage's table set — the audit family, one parquet
+    * dir per query under `outDir/health/`.
+    */
+  val HealthQueries: Seq[String] = Seq(
+    "q97_corpus_report", "q155_length_ks_drift", "q157_semantic_outliers",
+    "q158_window_length_drift", "q160_source_overlap",
+    "q162_nb_calibration")
+
   def main(args: Array[String]): Unit = {
     val Array(corpus, out) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -103,6 +111,21 @@ object Nightly {
       SparkEntry.queries("q142_training_order")(spark, corpus)
         .write.mode("overwrite").parquet(s"$out/order")
       spark.read.parquet(s"$out/order").count()
+    }
+    stage("health") {
+      // the morning read: every audit-family table an operator checks
+      // before trusting the night's export — length-KS drift per source,
+      // dedup yield, semantic outliers, window drift, the cross-source
+      // duplication matrix, and the quality gate's calibration. All are
+      // bounded compositions over already-persisted artifacts (the
+      // per-source stats, cluster labels, NB counts), so the stage costs
+      // seconds, not a corpus pass. Reference analogue: the dashboard
+      // endpoint as the one observability surface (main.py:133-173).
+      HealthQueries.map { q =>
+        SparkEntry.queries(q)(spark, corpus)
+          .write.mode("overwrite").parquet(s"$out/health/$q")
+        spark.read.parquet(s"$out/health/$q").count()
+      }.sum
     }
     // two landed-bytes reconciliations gate the night: the shard/
     // boundary audit and the plan/manifest/order audit — a nightly must

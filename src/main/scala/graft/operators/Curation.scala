@@ -1077,27 +1077,98 @@ object Curation {
     * sketch is deliberately NOT rebuilt here: it is a full-corpus
     * aggregate, so its cadence (and the exact anti-join fallback) stays a
     * caller decision — see [[corpusBloom]].
+    *
+    * `nbGate` adds the distilled NB quality gate beside the stateless
+    * verdict: arrivals that pass [[ingestStream]]'s quality floor are
+    * ALSO scored against the persisted q161 model ([[Prep.nbScorer]],
+    * resolved once at stream start) and only `bin >= theta` docs join
+    * the corpus; the rest land in the quarantine dir with their scores.
+    * NbGateSpec pins stream verdicts == batch q161 bins doc-for-doc and
+    * zero model derives in-stream ([[Prep.nbDerives]]).
     */
+  /** The at-ingest NB quality gate's wiring config: score arrivals
+    * against the persisted `nb_class_counts_v1` of `modelDir` (trained
+    * offline, refreshed by the nightly — NEVER refit in-stream) and
+    * route docs whose q161 bin falls below the offline-tuned `theta`
+    * to `quarantineDir` (default: `<corpusDir>_nb_quarantine`) instead
+    * of the corpus — the `has_oov` routing pattern: nothing is dropped,
+    * the repair/review pass reads the quarantine with full NB
+    * provenance (`nb_llr`, `nb_bin`) attached.
+    */
+  final case class NbGate(modelDir: String, theta: Long,
+                          quarantineDir: String = null)
+
+  /** Batch-context NB gating of one micro-batch: per-doc model scores
+    * are an aggregate (explode -> LLR probe -> per-doc sum), so the
+    * score/row reassembly join is legal HERE — inside foreachBatch —
+    * and stays a plain batch shuffle join on doc_id, with none of the
+    * n_tokens-fold payload amplification that carrying text through
+    * the streaming aggregate's grouping keys would cost. Left join +
+    * quarantine-biased coalesce: a doc the scorer somehow drops is
+    * quarantined, never silently kept.
+    */
+  private def nbGateBatch(batch: org.apache.spark.sql.DataFrame,
+                          score: org.apache.spark.sql.DataFrame =>
+                                 org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    batch.join(
+      score(batch.select("doc_id", "text"))
+        .select(col("doc_id"), col("llr").as("nb_llr"),
+                col("bin").as("nb_bin"),
+                col("keep").as("nb_keep")),
+      Seq("doc_id"), "left")
+      .withColumn("nb_keep", coalesce(col("nb_keep"), lit(false)))
+
   def startCorpusMaintenance(docsStream: org.apache.spark.sql.DataFrame,
                              corpusDir: String,
                              checkpointDir: String,
                              horizon: String = "1 hour",
-                             refreshEvery: Int = 1)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                             refreshEvery: Int = 1,
+                             nbGate: Option[NbGate] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // resolve the gate model ONCE, at stream start: the returned closure
+    // carries the collected smoothing totals and the fixed LLR artifact
+    // read, so per-batch scoring never re-derives the model — even while
+    // this very stream grows the corpus the model was trained on
+    val scorer = nbGate.map(g =>
+      Prep.nbScorer(docsStream.sparkSession, g.modelDir, g.theta))
     ingestStream(docsStream, horizon).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val s = batch.sparkSession
-        batch
-          .select(col("doc_id"), col("source"), col("text"), col("lang"),
-                  length(col("text")).cast("long").as("n_chars"))
+        val docCols = Seq(col("doc_id"), col("source"), col("text"),
+                          col("lang"),
+                          length(col("text")).cast("long").as("n_chars"))
+        val (keepers, quarantined) = scorer match {
+          case Some(sc) =>
+            val gated = nbGateBatch(batch, sc).persist()
+            (gated.filter(col("nb_keep")), Some(gated))
+          case None => (batch, None)
+        }
+        keepers
+          .select(docCols: _*)
           .withColumn("epoch", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch")
           .parquet(s"$corpusDir/documents.parquet")
+        quarantined.foreach { gated =>
+          val rejected = gated.filter(!col("nb_keep"))
+            .select(docCols ++ Seq(col("nb_llr"), col("nb_bin")): _*)
+            .withColumn("epoch", lit(id))
+          if (!rejected.isEmpty) {
+            val qDir = Option(nbGate.get.quarantineDir)
+              .getOrElse(corpusDir + "_nb_quarantine")
+            rejected.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("epoch")
+              .parquet(qDir)
+          }
+          gated.unpersist()
+          ()
+        }
         appendRefresh(corpusDir) // session memos evict; artifacts stay
         if (refreshEvery > 0 && id % refreshEvery == 0) {
           // land/refresh the per-doc index artifacts FIRST — the delta
@@ -1111,6 +1182,7 @@ object Curation {
         }
       }
       .start()
+  }
 
   /** Shared oracle CTE chain of the q129 packing pipeline (curate ->
     * budget -> offsets -> per-bin pieces). q137's token-ID oracle

@@ -21,13 +21,17 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
                   "plan", "manifest", "order",
                   "anneal_plan", "anneal_manifest", "source_stats"))
       assert(spark.read.parquet(s"$out/$a").count() > 0, s"$a is empty")
+    // the health stage lands every audit-family table beside report.json
+    for (q <- Nightly.HealthQueries)
+      assert(spark.read.parquet(s"$out/health/$q").count() > 0,
+             s"health table $q is empty")
     // report on disk matches what run() returned
     val disk = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/report.json")), "UTF-8").trim
     assert(disk == report)
     for (st <- Seq("curate", "training_set", "shards", "bounds",
                    "epoch_plan", "manifest", "anneal", "training_order",
-                   "audit"))
+                   "health", "audit"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
 
     // ---- seeded corruption: the order audit names each damage ----

@@ -49,4 +49,40 @@ class LmIndexSpec extends AnyFunSuite with SparkSpec {
     val r2 = Prep.lmBucketStream(noLang, spark, dir).collect()
     assert(r2(0).getString(4) === "tail")
   }
+
+  test("the gate actually streams: micro-batched verdicts == batch, doc-for-doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString + "/lm"
+    Prep.buildLmIndex(spark, sf, dir)
+
+    val batch = Prep.lmBucketStream(
+        Tables.documents(spark, sf).select("doc_id", "lang", "text"),
+        spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4))).toMap
+
+    val corpus = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    implicit val sctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val (half1, half2) = corpus.splitAt(corpus.size / 2)
+    mem.addData(half1: _*)
+    mem.addData(half2: _*)
+    val q = Prep.lmBucketStream(
+        mem.toDF().toDF("doc_id", "lang", "text"), spark, dir)
+      .writeStream.format("memory").queryName("lm_buckets")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lm_buckets")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.size === batch.size, "stream dropped or duplicated documents")
+    batch.foreach { case (id, b) =>
+      assert(got(id) === b, s"doc $id: stream verdict ${got(id)} != batch $b")
+    }
+  }
 }

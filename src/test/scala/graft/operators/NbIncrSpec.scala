@@ -67,9 +67,14 @@ class NbIncrSpec extends AnyFunSuite with SparkSpec {
     // appended file
     val docDir = new java.io.File(d + "/documents.parquet")
     docDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val mtime = f.lastModified
       val raf = new java.io.RandomAccessFile(f, "rw")
       try { raf.seek(4); raf.write(Array.fill(32)(0x5A.toByte)) }
       finally raf.close()
+      // the manifest keys files by name|len|mtime — restore mtime so the
+      // corrupted file still registers as UNCHANGED and the refresh takes
+      // the delta path this test exists to prove
+      assert(f.setLastModified(mtime))
     }
     writeDocs(d, "append", Seq((5L, posText + " appended"), (6L, "zzq9")))
     val merged = rows(Prep.nbClassCounts(spark, d))
