@@ -706,11 +706,13 @@ object Curation {
     * sort_array over carried positions, never collect_list arrival order.
     */
   def tokenizedDocs(docFrame: org.apache.spark.sql.DataFrame,
-                    s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+                    s: SparkSession, d: String,
+                    byteLevel: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val words = docFrame
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()
-    val wids = Prep.wordIdsFor(words, s, d).hint("shuffle_hash")
+    val wids = Prep.wordIdsFor(words, s, d, byteLevel).hint("shuffle_hash")
     docFrame
       .select(col("split"), col("doc_id"),
               posexplode(split(col("text"), " ")).as(Seq("pos", "w")))

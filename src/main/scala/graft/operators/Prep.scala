@@ -1100,7 +1100,8 @@ object Prep {
     * dedicated count() job.
     */
   def bpeMergeList(docFrame: DataFrame, k: Int,
-                   driverVocabMax: Long = BpeDriverVocabMax)
+                   driverVocabMax: Long = BpeDriverVocabMax,
+                   byteLevel: Boolean = false)
       : Seq[(Long, String, String, Long)] = {
     val wc = docFrame
       .select(explode(tokens(col("text"))).as("w"))
@@ -1109,14 +1110,43 @@ object Prep {
       .persist()
     val nVocab = wc.count()
     if (nVocab <= driverVocabMax) {
-      val rows = wc.collect().map(r => (r.getString(0).split(""), r.getLong(1)))
+      val rows = wc.collect()
+        .map(r => (initialSyms(r.getString(0), byteLevel), r.getLong(1)))
       wc.unpersist()
       bpeMergeListLocal(rows, k)
     } else
       try bpeMergeListDistributed(
-        wc.select(split(col("w"), "").as("syms"), col("wc")), k)
+        wc.select(initialSymsCol(col("w"), byteLevel).as("syms"),
+                  col("wc")), k)
       finally wc.unpersist()
   }
+
+  /** The ONE knob byte-level mode turns: the initial symbol split.
+    * Char mode splits into code points; byte mode splits the word's
+    * UTF-8 bytes into fixed-width lowercase-hex symbols ("00".."ff"),
+    * so the alphabet is CLOSED BY CONSTRUCTION — 256 symbols cover
+    * every string any crawl will ever deliver, and the `has_oov`
+    * quarantine path is structurally unreachable for text (the reason
+    * production tokenizers are byte-level — GPT-2, Sennrich §3.2
+    * successors). Everything downstream — pair counting, argmax
+    * tie-break (lowercase fixed-width hex sorts identically under
+    * [[utf8Lt]] and numeric byte order), greedy merge application,
+    * batching — is symbol-agnostic and shared verbatim with char mode.
+    */
+  private[operators] def initialSyms(w: String, byteLevel: Boolean)
+      : Array[String] =
+    if (byteLevel)
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02x")
+    else w.split("")
+
+  private[operators] def initialSymsCol(w: Column, byteLevel: Boolean)
+      : Column =
+    if (byteLevel) {
+      val h = lower(hex(encode(w, "UTF-8")))
+      transform(sequence(lit(0), (length(h) / lit(2)).cast("int") - 1),
+                i => h.substr(i * lit(2) + lit(1), lit(2)))
+    } else split(w, "")
 
   /** Spark's string sort is byte-wise over UTF-8 (`UTF8String.compareTo`)
     * = code-point order; Java's `String.compareTo` is UTF-16 code-UNIT
@@ -1299,7 +1329,8 @@ object Prep {
     * [[bpeMergeList]] (q131's oracle recomputes it independently).
     */
   def bpeMergeListBatched(docFrame: DataFrame, k: Int, batch: Int = 64,
-                          driverVocabMax: Long = BpeDriverVocabMax)
+                          driverVocabMax: Long = BpeDriverVocabMax,
+                          byteLevel: Boolean = false)
       : Seq[(Long, String, String, Long)] = {
     val wc = docFrame
       .select(explode(tokens(col("text"))).as("w"))
@@ -1308,12 +1339,14 @@ object Prep {
       .persist()
     val nVocab = wc.count()
     if (nVocab <= driverVocabMax) {
-      val rows = wc.collect().map(r => (r.getString(0).split(""), r.getLong(1)))
+      val rows = wc.collect()
+        .map(r => (initialSyms(r.getString(0), byteLevel), r.getLong(1)))
       wc.unpersist()
       bpeMergeListLocalBatched(rows, k, batch)
     } else
       try bpeMergeListDistributedBatched(
-        wc.select(split(col("w"), "").as("syms"), col("wc")), k, batch)
+        wc.select(initialSymsCol(col("w"), byteLevel).as("syms"),
+                  col("wc")), k, batch)
       finally wc.unpersist()
   }
 
@@ -1463,11 +1496,14 @@ object Prep {
     * sweep) so q131 (the list) and q133 (its application) train once.
     */
   private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), Seq[(Long, String, String, Long)]]
 
-  def bpeMergesCached(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+  def bpeMergesCached(s: SparkSession, d: String,
+                      byteLevel: Boolean = false)
+      : Seq[(Long, String, String, Long)] = {
     bpeCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeCache.remove)
-    bpeCache.getOrElseUpdate((s, d), bpeMergeList(spread(docs(s, d)), BpeK))
+    bpeCache.getOrElseUpdate((s, d, byteLevel),
+      bpeMergeList(spread(docs(s, d)), BpeK, byteLevel = byteLevel))
   }
 
   /** q133's body: tokenize the corpus with a LEARNED merge list — the
@@ -1517,19 +1553,28 @@ object Prep {
     * (session, corpus) like the merge list.
     */
   private val vocabCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), Map[String, Long]]
 
-  def tokenVocab(s: SparkSession, d: String): Map[String, Long] = {
+  def tokenVocab(s: SparkSession, d: String,
+                 byteLevel: Boolean = false): Map[String, Long] = {
     vocabCache.keys.filter(_._1.sparkContext.isStopped).foreach(vocabCache.remove)
-    vocabCache.getOrElseUpdate((s, d), {
-      val merges = bpeMergesCached(s, d)
-      val chars = spread(docs(s, d))
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .select(explode(split(col("w"), "")).as("c"))
-        .filter(length(col("c")) > 0)
-        .distinct()
-        .collect().map(_.getString(0)).sortWith(utf8Lt)
+    vocabCache.getOrElseUpdate((s, d, byteLevel), {
+      val merges = bpeMergesCached(s, d, byteLevel)
+      // byte mode's alphabet is the full 256-symbol hex set REGARDLESS
+      // of the corpus — ids 1..256 are corpus-independent, which is the
+      // whole point: no string can fall outside it. (Lowercase
+      // fixed-width hex sorts identically under utf8Lt and numerically,
+      // so "alphabet order" is byte order.) Char mode stays the scanned
+      // corpus character set.
+      val chars =
+        if (byteLevel) (0 until 256).map(i => f"$i%02x").toArray
+        else spread(docs(s, d))
+          .select(explode(tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(explode(split(col("w"), "")).as("c"))
+          .filter(length(col("c")) > 0)
+          .distinct()
+          .collect().map(_.getString(0)).sortWith(utf8Lt)
       val n = chars.length.toLong
       val pairs = chars.toSeq.zipWithIndex
         .map { case (c, i) => c -> (i + 1).toLong } ++
@@ -1555,19 +1600,45 @@ object Prep {
   /** [[wordTokenIds]]'s body over ANY distinct-word frame `words(w)` —
     * the cached corpus merges and vocabulary apply to words the corpus
     * never saw (a crawl stream's novel words), producing exactly the IDs
-    * the corpus tokenizer would assign them. A symbol outside the corpus
-    * ALPHABET has no id (closed-alphabet contract): its slot surfaces as
-    * null in `ids` rather than a silent wrong id — callers route such
-    * docs to a byte-fallback or quarantine per policy.
+    * the corpus tokenizer would assign them. In char mode, a symbol
+    * outside the corpus ALPHABET has no id (closed-alphabet contract):
+    * its slot surfaces as null in `ids` rather than a silent wrong id —
+    * callers route such docs to a byte-fallback or quarantine per
+    * policy. `byteLevel = true` IS that byte fallback made primary: the
+    * 256-hex-symbol alphabet covers every string, so null ids cannot
+    * occur and the quarantine path retires for text (ByteBpeSpec pins
+    * the no-null and decode-round-trip properties on novel Unicode).
     */
-  def wordIdsFor(words: DataFrame, s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergesCached(s, d)
-    val symMap = map(tokenVocab(s, d).toSeq.sortBy(_._1).flatMap {
+  def wordIdsFor(words: DataFrame, s: SparkSession, d: String,
+                 byteLevel: Boolean = false): DataFrame = {
+    val merges = bpeMergesCached(s, d, byteLevel)
+    val symMap = map(tokenVocab(s, d, byteLevel).toSeq.sortBy(_._1).flatMap {
       case (sym, id) => Seq(lit(sym), lit(id)) }: _*)
-    merges.foldLeft(words.withColumn("syms", split(col("w"), "")))(
+    merges.foldLeft(
+        words.withColumn("syms", initialSymsCol(col("w"), byteLevel)))(
         (df, m) => df.withColumn("syms", applyMerge(col("syms"), m._2, m._3)))
       .select(col("w"),
         transform(col("syms"), sm => element_at(symMap, sm)).as("ids"))
+  }
+
+  /** The decode side of byte-level ids — what makes the byte mode a
+    * ROUND-TRIP tokenizer rather than a counter: map each id back to
+    * its hex symbol through the inverted [[tokenVocab]] (alphabet-
+    * bounded literal, like the encode side), concatenate, unhex, and
+    * UTF-8-decode. Id 0 (the inter-word separator of the packed-ID
+    * convention, Curation.tokenizedDocs) decodes to the space byte it
+    * stands for, so whole-doc id sequences decode to the original
+    * text. Inverting the min-id vocab is exact: every id the encode
+    * side can emit appears in the forward map.
+    */
+  def byteIdsToText(ids: Column, s: SparkSession, d: String): Column = {
+    val inv = map(
+      (Seq(0L -> "20") ++ tokenVocab(s, d, byteLevel = true).toSeq
+        .map { case (sym, id) => id -> sym })
+        .sortBy(_._1)
+        .flatMap { case (id, sym) => Seq(lit(id), lit(sym)) }: _*)
+    decode(unhex(concat_ws("",
+      transform(ids, i => element_at(inv, i)))), "UTF-8")
   }
 
   /** q130's body, reusable on any (doc_id, text) frame: exact-substring
