@@ -800,6 +800,20 @@ object Prep {
   val NbHiInt = 5500L
   val NbLoInt = 3000L
 
+  /** q163 funnel thresholds — the offline-tuned constants a production
+    * filter stack ships with (FineWeb/Dolma publish theirs the same
+    * way): minimum token count, minimum q32 closed-form quality
+    * (4dp-scaled integer, the q125 convention), and minimum mean token
+    * log-probability under the corpus unigram LM (4dp, the q82
+    * spelling). Set from the sf0.01 distribution so each stage
+    * rejects a real tail (len ≈ p2, quality ≈ p25, lm ≈ p10); the NB
+    * stage's threshold is not a constant — it is the q161 tuned theta,
+    * re-derived from the same one-pass table.
+    */
+  val FsMinTokens = 16L
+  val FsMinQualityInt = 3500L
+  val FsMinLp4 = -3.45
+
   /** Per-doc Naive-Bayes LLR scores for q161/q162: (doc_id, source, qi,
     * s_int) where qi is the 4dp-scaled q32 teacher quality and s_int the
     * 1e-8-scaled add-one-smoothed multinomial-NB log-likelihood-ratio
@@ -865,6 +879,99 @@ object Prep {
       .crossJoin(broadcast(tots.select("p")))
       .select(col("doc_id"), col("source"), col("qi"),
               (col("tsum") + col("p")).as("s_int"))
+  }
+
+  /** q163/q164's per-doc gate table: every doc with its length, q32
+    * teacher quality, unigram-LM mean log-probability, NB LLR bin, the
+    * q161 tuned theta, and the four stage verdicts of the staged filter
+    * funnel (len → quality → lm → nb). ONE tokenize pass builds the
+    * (doc, term, count) table; the unigram marginal AND the NB class
+    * counts are a single groupBy(term) derivation of it (one exchange,
+    * both models), and the per-doc LM and NB sums ride ONE
+    * shuffle_hash probe join against the combined vocabulary-bounded
+    * score table (never broadcast — the no-broadcast-vocabulary rule;
+    * only the 1-row totals and the 1-row tuned theta broadcast). The
+    * LLR/bin/theta arithmetic is the exact q161 integer spelling, the
+    * mean-logp the exact q82 4dp spelling, so the three single-model
+    * queries and this composition can never drift.
+    */
+  private[operators] def filterStack(s: SparkSession, d: String): DataFrame = {
+    val tok = split(col("text"), " ")
+    // explicit isNotNulls at the base (the q83/q112 canonicalization
+    // recipe): the cdc⋈st probe join infers isnotnull(term) on both
+    // branches and the pd consumer would otherwise fork its cdc
+    // subtree away from the tt/bb consumers' canonical form — the
+    // corpus would tokenize once per consumer. Pre-filtering makes
+    // every inferred predicate redundant, so all consumers share ONE
+    // tokenize + cdc exchange (ReusedExchange, plan-checked).
+    val cdc = spread(docs(s, d))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), teacherQi.as("qi"),
+              size(tok).cast("long").as("n_tokens"), explode(tok).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "source", "qi", "n_tokens", "term")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tt = cdc.groupBy("term")
+      .agg(sum("c").cast("long").as("uc"),
+           coalesce(sum(when(col("qi") >= NbHiInt, col("c"))), lit(0L))
+             .cast("long").as("n_pt"),
+           coalesce(sum(when(col("qi") <= NbLoInt, col("c"))), lit(0L))
+             .cast("long").as("n_nt"))
+    val tots = tt.filter(col("n_pt") + col("n_nt") > 0)
+      .agg(sum("n_pt").cast("long").as("n_p"),
+           sum("n_nt").cast("long").as("n_n"),
+           count(lit(1)).cast("long").as("v"))
+      .withColumn("p",
+        floor(log(col("n_p").cast("double") / col("n_n"))
+          * 100000000 + 0.5).cast("long"))
+    val ut = tt.agg(sum("uc").cast("double").as("total"))
+    // combined per-term score row: unigram logp for the LM stage, the
+    // q161 add-one LLR for the NB stage (0 for unlabeled-vocabulary
+    // terms — the LEFT JOIN + coalesce semantics, made inner because
+    // every corpus term is in tt by construction)
+    val st = tt.crossJoin(broadcast(tots)).crossJoin(broadcast(ut))
+      .select(col("term"),
+        log(col("uc").cast("double") / col("total")).as("lp"),
+        when(col("n_pt") + col("n_nt") > 0,
+          floor((log((col("n_pt") + lit(1.0)) / (col("n_p") + col("v")))
+                 - log((col("n_nt") + lit(1.0)) / (col("n_n") + col("v"))))
+            * 100000000 + 0.5).cast("long")).otherwise(lit(0L)).as("l"))
+    val pd = cdc.join(st.hint("shuffle_hash"), "term")
+      .groupBy("doc_id", "source", "qi", "n_tokens")
+      .agg(sum(col("c") * col("l")).cast("long").as("tsum"),
+           sum(col("c") * col("lp")).as("lpsum"))
+    val sb = pd.crossJoin(broadcast(tots.select("p")))
+      .select(col("doc_id"), col("source"), col("qi"), col("n_tokens"),
+              round(col("lpsum") / col("n_tokens"), 4).as("lp4"),
+              (col("tsum") + col("p")).as("s_int"))
+      .withColumn("bin",
+        least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                       lit(-10)), lit(9)).cast("long"))
+    val bb = sb.groupBy("bin")
+      .agg(count(when(col("qi") >= NbHiInt, 1)).cast("long").as("pb"),
+           count(when(col("qi") <= NbLoInt, 1)).cast("long").as("nb"))
+    val best = s.range(-10, 11).select(col("id").as("theta"))
+      .crossJoin(bb)
+      .groupBy("theta")
+      .agg(sum(when(col("bin") < col("theta"), col("nb"))
+                 .otherwise(col("pb"))).cast("long").as("hits"))
+      .orderBy(col("hits").desc, col("theta").asc)
+      .limit(1)
+      .select("theta")
+    sb.crossJoin(broadcast(best))
+      .withColumn("pass_len", col("n_tokens") >= FsMinTokens)
+      .withColumn("pass_quality", col("qi") >= FsMinQualityInt)
+      .withColumn("pass_lm", col("lp4") >= FsMinLp4)
+      .withColumn("pass_nb", col("bin") >= col("theta"))
+      .withColumn("keep",
+        col("pass_len") && col("pass_quality") &&
+          col("pass_lm") && col("pass_nb"))
+      .withColumn("reject_stage",
+        when(!col("pass_len"), "len")
+          .when(!col("pass_quality"), "quality")
+          .when(!col("pass_lm"), "lm")
+          .when(!col("pass_nb"), "nb")
+          .otherwise("keep"))
   }
 
   /** The NB class-conditional count layer of one document frame:
@@ -4562,8 +4669,143 @@ object Prep {
                 col("n_pos"), col("n_neg"), col("share_pos"),
                 col("mean_quality"))
         .orderBy("bin")
+    },
+
+    Q("q163_filter_stack",
+      "Staged quality-filter funnel — the composed per-doc gate table a " +
+        "FineWeb/Dolma-style pipeline runs before tokenization: four " +
+        "stages in fixed order (length floor → q32 closed-form quality " +
+        "→ unigram-LM mean log-probability → tuned NB classifier bin), " +
+        "each doc carrying every stage score, every stage verdict, the " +
+        "final keep bit, and the FIRST rejecting stage (the funnel " +
+        "attribution an ablation reads). Composition discipline: the " +
+        "LM stage is the exact q82 4dp spelling, the NB stage the exact " +
+        "q161 integer-LLR + tuned-theta spelling — same constants, same " +
+        "scaled arithmetic — so this table and the single-model queries " +
+        "can never disagree. Scale shape: ONE tokenize pass to the " +
+        "(doc, term, count) table; the unigram marginal and the NB " +
+        "class counts are one shared groupBy(term) derivation of it; " +
+        "both per-doc sums ride ONE shuffle_hash probe join against the " +
+        "combined vocabulary-bounded score table (never broadcast); the " +
+        "totals, the theta, and the thresholds are bounded rows.",
+      fsOracleCte +
+        """
+        |SELECT doc_id, source, n_tokens, qi, lp4, s_int, bin, theta,
+        |  pass_len, pass_quality, pass_lm, pass_nb,
+        |  (pass_len AND pass_quality AND pass_lm AND pass_nb) AS keep,
+        |  CASE WHEN NOT pass_len THEN 'len'
+        |       WHEN NOT pass_quality THEN 'quality'
+        |       WHEN NOT pass_lm THEN 'lm'
+        |       WHEN NOT pass_nb THEN 'nb'
+        |       ELSE 'keep' END AS reject_stage
+        |FROM g""".stripMargin) { (s, d) =>
+      filterStack(s, d)
+        .select("doc_id", "source", "n_tokens", "qi", "lp4", "s_int",
+                "bin", "theta", "pass_len", "pass_quality", "pass_lm",
+                "pass_nb", "keep", "reject_stage")
+    },
+
+    Q("q164_filter_funnel",
+      "Per-source survival report over the q163 funnel — how many docs " +
+        "each source delivers into each successive stage and the final " +
+        "keep rate: the ONE table a pipeline owner reads to see which " +
+        "source dies at which gate (a source failing at 'lm' is " +
+        "distribution-shifted; failing at 'quality' is boilerplate; " +
+        "failing at 'nb' disagrees with the distilled teacher). Pure " +
+        "bounded aggregation of the q163 per-doc table — no extra " +
+        "corpus pass, output rows = sources.",
+      fsOracleCte +
+        """
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE pass_len) AS BIGINT) AS n_len,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality)
+        |       AS BIGINT) AS n_quality,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND pass_lm)
+        |       AS BIGINT) AS n_lm,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND pass_lm
+        |       AND pass_nb) AS BIGINT) AS n_kept,
+        |  round(CAST(count(*) FILTER (WHERE pass_len AND pass_quality
+        |       AND pass_lm AND pass_nb) AS DOUBLE) / count(*), 4)
+        |    AS keep_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val fs0 = filterStack(s, d)
+      val surv2 = col("pass_len") && col("pass_quality")
+      val surv3 = surv2 && col("pass_lm")
+      val surv4 = surv3 && col("pass_nb")
+      fs0.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             count(when(col("pass_len"), 1)).cast("long").as("n_len"),
+             count(when(surv2, 1)).cast("long").as("n_quality"),
+             count(when(surv3, 1)).cast("long").as("n_lm"),
+             count(when(surv4, 1)).cast("long").as("n_kept"),
+             round(count(when(surv4, 1)).cast("double") / count(lit(1)), 4)
+               .as("keep_rate"))
+        .orderBy("source")
     }
   )
+
+  /** Shared oracle CTE chain of the q163 filter funnel (one tokenize
+    * pass → combined unigram + NB term table → per-doc LM/NB scores →
+    * tuned theta → stage verdicts); q163 reads the per-doc rows, q164
+    * the per-source survival rollup. The NB fragments are the q161
+    * spellings verbatim; the LM fragment the q82 spelling.
+    */
+  private def fsOracleCte: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+      |           FROM documents),
+      |b AS (SELECT doc_id, source,
+      |  CAST(round(least(1.0, len(tok) / 64.0) *
+      |      (0.5 + CAST(len(list_filter(tok, x -> x IN
+      |         ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |       / len(tok)) * 10000, 0) AS BIGINT) AS qi,
+      |  CAST(len(tok) AS BIGINT) AS n_tokens, tok FROM t),
+      |cd AS (SELECT doc_id, source, qi, n_tokens, unnest(tok) AS term FROM b),
+      |cdc AS (SELECT doc_id, source, qi, n_tokens, term,
+      |          CAST(count(*) AS BIGINT) AS c
+      |        FROM cd GROUP BY 1, 2, 3, 4, 5),
+      |tt AS (SELECT term, CAST(sum(c) AS BIGINT) AS uc,
+      |         CAST(COALESCE(sum(c) FILTER (WHERE qi >= ${NbHiInt}), 0) AS BIGINT) AS n_pt,
+      |         CAST(COALESCE(sum(c) FILTER (WHERE qi <= ${NbLoInt}), 0) AS BIGINT) AS n_nt
+      |       FROM cdc GROUP BY 1),
+      |tots AS (SELECT CAST(sum(n_pt) AS BIGINT) AS n_p,
+      |                CAST(sum(n_nt) AS BIGINT) AS n_n,
+      |                CAST(count(*) AS BIGINT) AS v,
+      |                CAST(floor(ln(CAST(sum(n_pt) AS DOUBLE) / sum(n_nt))
+      |                     * 100000000 + 0.5) AS BIGINT) AS p
+      |         FROM tt WHERE n_pt + n_nt > 0),
+      |ut AS (SELECT CAST(sum(uc) AS DOUBLE) AS total FROM tt),
+      |st AS (SELECT term, ln(CAST(uc AS DOUBLE) / total) AS lp,
+      |         CASE WHEN n_pt + n_nt > 0 THEN
+      |           CAST(floor((ln((n_pt + 1.0) / (n_p + v))
+      |                       - ln((n_nt + 1.0) / (n_n + v)))
+      |                * 100000000 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS l
+      |       FROM tt CROSS JOIN tots CROSS JOIN ut),
+      |pd AS (SELECT cdc.doc_id, cdc.source, cdc.qi, cdc.n_tokens,
+      |         CAST(sum(cdc.c * st.l) AS BIGINT) AS tsum,
+      |         round(sum(cdc.c * st.lp) / cdc.n_tokens, 4) AS lp4
+      |       FROM cdc JOIN st USING (term) GROUP BY 1, 2, 3, 4),
+      |sb AS (SELECT doc_id, source, qi, n_tokens, lp4, tsum + p AS s_int,
+      |         CAST(least(greatest(
+      |           floor(CAST(tsum + p AS DOUBLE) / 50000000.0), -10), 9)
+      |           AS BIGINT) AS bin
+      |       FROM pd CROSS JOIN tots),
+      |bb AS (SELECT bin,
+      |         CAST(count(*) FILTER (WHERE qi >= ${NbHiInt}) AS BIGINT) AS pb,
+      |         CAST(count(*) FILTER (WHERE qi <= ${NbLoInt}) AS BIGINT) AS nb
+      |       FROM sb GROUP BY 1),
+      |th AS (SELECT CAST(u.t AS BIGINT) AS theta,
+      |         CAST(sum(CASE WHEN bin < u.t THEN nb ELSE pb END)
+      |              AS BIGINT) AS hits
+      |       FROM (SELECT unnest(range(-10, 11)) AS t) u CROSS JOIN bb
+      |       GROUP BY 1),
+      |best AS (SELECT theta FROM th ORDER BY hits DESC, theta ASC LIMIT 1),
+      |g AS (SELECT sb.*, theta,
+      |        n_tokens >= ${FsMinTokens} AS pass_len,
+      |        qi >= ${FsMinQualityInt} AS pass_quality,
+      |        lp4 >= ${FsMinLp4} AS pass_lm,
+      |        bin >= theta AS pass_nb
+      |      FROM sb CROSS JOIN best)""".stripMargin
 
   /** The q117 bucket score table over ALL DsirB buckets — absent buckets
     * carry the smoothed prior score ln((0+1)/(Tt+B)) - ln((0+1)/(Tr+B)),
