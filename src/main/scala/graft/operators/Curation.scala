@@ -1087,6 +1087,15 @@ object Curation {
     * the corpus; the rest land in the quarantine dir with their scores.
     * NbGateSpec pins stream verdicts == batch q161 bins doc-for-doc and
     * zero model derives in-stream ([[Prep.nbDerives]]).
+    *
+    * `funnelGate` upgrades the single-model gate to the FULL q163
+    * staged funnel ([[Prep.funnelScorer]]): length floor → q32 quality
+    * → unigram-LM mean log-probability → tuned NB bin, each rejected
+    * doc quarantined with every stage score and its first-rejecting
+    * stage — so the quarantine IS the q164 funnel-attribution table for
+    * the rejected slice. At most one of `nbGate`/`funnelGate` may be
+    * set; FunnelGateSpec pins stream verdicts == batch q163
+    * doc-for-doc with zero model derives in-stream.
     */
   /** The at-ingest NB quality gate's wiring config: score arrivals
     * against the persisted `nb_class_counts_v1` of `modelDir` (trained
@@ -1099,6 +1108,21 @@ object Curation {
     */
   final case class NbGate(modelDir: String, theta: Long,
                           quarantineDir: String = null)
+
+  /** The FULL staged-funnel gate's wiring config (the q163 funnel at
+    * ingest, [[Prep.funnelScorer]]): score arrivals against BOTH
+    * persisted model layers of `modelDir` (the NB class counts and the
+    * unigram marginal finalized from `source_term_counts_v1` — trained
+    * offline, refreshed by the nightly, NEVER refit in-stream) plus the
+    * two stateless stages (length floor, q32 closed-form quality), and
+    * route docs rejected by ANY stage to `quarantineDir` (default:
+    * `<corpusDir>_funnel_quarantine`) with their full funnel provenance
+    * attached — every stage score plus the FIRST rejecting stage, the
+    * attribution column the q164 survival report reads straight off the
+    * quarantine.
+    */
+  final case class FunnelGate(modelDir: String, theta: Long,
+                              quarantineDir: String = null)
 
   /** Batch-context NB gating of one micro-batch: per-doc model scores
     * are an aggregate (explode -> LLR probe -> per-doc sum), so the
@@ -1121,19 +1145,44 @@ object Curation {
       Seq("doc_id"), "left")
       .withColumn("nb_keep", coalesce(col("nb_keep"), lit(false)))
 
+  /** Batch-context funnel gating of one micro-batch — the
+    * [[nbGateBatch]] shape with the full q163 stage provenance: left
+    * join + quarantine-biased coalesce (a doc the scorer somehow drops
+    * is quarantined as stage `dropped`, never silently kept).
+    */
+  private def funnelGateBatch(batch: org.apache.spark.sql.DataFrame,
+                              score: org.apache.spark.sql.DataFrame =>
+                                     org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    batch.join(
+      score(batch.select("doc_id", "source", "text"))
+        .select(col("doc_id"), col("qi").as("fs_qi"),
+                col("lp4").as("fs_lp4"), col("bin").as("fs_bin"),
+                col("reject_stage").as("fs_reject_stage"),
+                col("keep").as("fs_keep")),
+      Seq("doc_id"), "left")
+      .withColumn("fs_keep", coalesce(col("fs_keep"), lit(false)))
+      .withColumn("fs_reject_stage",
+                  coalesce(col("fs_reject_stage"), lit("dropped")))
+
   def startCorpusMaintenance(docsStream: org.apache.spark.sql.DataFrame,
                              corpusDir: String,
                              checkpointDir: String,
                              horizon: String = "1 hour",
                              refreshEvery: Int = 1,
-                             nbGate: Option[NbGate] = None)
+                             nbGate: Option[NbGate] = None,
+                             funnelGate: Option[FunnelGate] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nbGate.isEmpty || funnelGate.isEmpty,
+            "at most one ingest gate: nbGate OR funnelGate")
     // resolve the gate model ONCE, at stream start: the returned closure
     // carries the collected smoothing totals and the fixed LLR artifact
     // read, so per-batch scoring never re-derives the model — even while
     // this very stream grows the corpus the model was trained on
     val scorer = nbGate.map(g =>
       Prep.nbScorer(docsStream.sparkSession, g.modelDir, g.theta))
+    val fScorer = funnelGate.map(g =>
+      Prep.funnelScorer(docsStream.sparkSession, g.modelDir, g.theta))
     ingestStream(docsStream, horizon).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1143,11 +1192,28 @@ object Curation {
         val docCols = Seq(col("doc_id"), col("source"), col("text"),
                           col("lang"),
                           length(col("text")).cast("long").as("n_chars"))
-        val (keepers, quarantined) = scorer match {
-          case Some(sc) =>
+        // (gated parent to unpersist, keepers, rejected projection, dir)
+        val (keepers, quarantined) = (scorer, fScorer) match {
+          case (Some(sc), _) =>
             val gated = nbGateBatch(batch, sc).persist()
-            (gated.filter(col("nb_keep")), Some(gated))
-          case None => (batch, None)
+            (gated.filter(col("nb_keep")),
+             Some((gated,
+                   gated.filter(!col("nb_keep"))
+                     .select(docCols ++ Seq(col("nb_llr"),
+                                            col("nb_bin")): _*),
+                   Option(nbGate.get.quarantineDir)
+                     .getOrElse(corpusDir + "_nb_quarantine"))))
+          case (_, Some(fc)) =>
+            val gated = funnelGateBatch(batch, fc).persist()
+            (gated.filter(col("fs_keep")),
+             Some((gated,
+                   gated.filter(!col("fs_keep"))
+                     .select(docCols ++ Seq(col("fs_qi"), col("fs_lp4"),
+                                            col("fs_bin"),
+                                            col("fs_reject_stage")): _*),
+                   Option(funnelGate.get.quarantineDir)
+                     .getOrElse(corpusDir + "_funnel_quarantine"))))
+          case _ => (batch, None)
         }
         keepers
           .select(docCols: _*)
@@ -1156,13 +1222,9 @@ object Curation {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch")
           .parquet(s"$corpusDir/documents.parquet")
-        quarantined.foreach { gated =>
-          val rejected = gated.filter(!col("nb_keep"))
-            .select(docCols ++ Seq(col("nb_llr"), col("nb_bin")): _*)
-            .withColumn("epoch", lit(id))
+        quarantined.foreach { case (gated, rejectedCols, qDir) =>
+          val rejected = rejectedCols.withColumn("epoch", lit(id))
           if (!rejected.isEmpty) {
-            val qDir = Option(nbGate.get.quarantineDir)
-              .getOrElse(corpusDir + "_nb_quarantine")
             rejected.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("epoch")

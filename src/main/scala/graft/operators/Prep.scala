@@ -1071,6 +1071,85 @@ object Prep {
               col("bin"), (col("bin") >= theta).as("keep"))
   }
 
+  /** The FULL q163 funnel at ingest — BUILD-ONCE form: resolve the two
+    * persisted model layers (the NB class counts, [[nbClassCounts]];
+    * the corpus unigram marginal, a vocabulary-bounded finalize of the
+    * landed [[sourceTermCounts]] artifact — ZERO corpus passes), merge
+    * them into ONE per-term score table, collect the bounded smoothing
+    * totals, and return a pure frame->frame scorer that lands every
+    * arriving doc's four stage scores, verdicts, final keep bit, and
+    * first-rejecting stage in a single pass: tokenize → explode → one
+    * left shuffle_hash probe join on the combined vocabulary-bounded
+    * table (never broadcast) → one per-doc aggregate (n_tokens, source,
+    * qi carried as grouping keys — the dsirScoreStream convention, so
+    * the plan streams). The len and quality stages are stateless column
+    * arithmetic; lm and nb are the probe sums. Terms outside the
+    * trained vocabulary (novel crawl text — impossible on the training
+    * corpus itself) take the unigram add-one-style floor ln(1/total)
+    * for the lm stage and the q161 0-LLR convention for the nb stage:
+    * novelty biases toward the lm gate, never a silent keep. Stage
+    * arithmetic is the exact [[filterStack]] spelling (same constants,
+    * same scaled integers), so gate verdicts == batch q163 doc-for-doc
+    * on the corpus — FunnelGateSpec's pin. Theta is the offline-tuned
+    * q161/q163 threshold, passed in (never re-tuned in-stream).
+    */
+  def funnelScorer(s: SparkSession, d: String,
+                   theta: Long): DataFrame => DataFrame = {
+    val counts = nbClassCounts(s, d)
+    val Array(t0) = counts
+      .agg(sum("n_pt").cast("long").as("n_p"),
+           sum("n_nt").cast("long").as("n_n"),
+           count(lit(1)).cast("long").as("v")).collect()
+    val (nP, nN, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val pInt = math.floor(math.log(nP.toDouble / nN) * 1e8 + 0.5).toLong
+    val uni = sourceTermCounts(s, d).groupBy("term")
+      .agg(sum("n_st").cast("long").as("uc"))
+    val Array(u0) = uni.agg(sum("uc").cast("double").as("total")).collect()
+    val total = u0.getDouble(0)
+    val floorLp = math.log(1.0 / total)
+    // one combined per-term row serves BOTH model stages, so each
+    // micro-batch pays a single probe join; the NB side is a left
+    // merge (its labeled vocabulary is a subset of the corpus one)
+    val st = uni.join(counts, Seq("term"), "left")
+      .select(col("term"),
+        log(col("uc").cast("double") / total).as("lp"),
+        when(col("n_pt") + col("n_nt") > 0,
+          floor((log((col("n_pt") + lit(1.0)) / (nP + v))
+                 - log((col("n_nt") + lit(1.0)) / (nN + v)))
+            * 100000000 + 0.5).cast("long")).otherwise(lit(0L)).as("l"))
+    docFrame => docFrame
+      .select(col("doc_id"), col("source"), teacherQi.as("qi"),
+              split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("source"), col("qi"),
+              size(col("tok")).cast("long").as("n_tokens"),
+              explode(col("tok")).as("term"))
+      .join(st.hint("shuffle_hash"), Seq("term"), "left")
+      .groupBy("doc_id", "source", "qi", "n_tokens")
+      .agg(sum(coalesce(col("lp"), lit(floorLp))).as("lpsum"),
+           (sum(coalesce(col("l"), lit(0L))) + lit(pInt)).cast("long")
+             .as("s_int"))
+      .withColumn("lp4", round(col("lpsum") / col("n_tokens"), 4))
+      .withColumn("bin",
+        least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                       lit(-10)), lit(9)).cast("long"))
+      .withColumn("pass_len", col("n_tokens") >= FsMinTokens)
+      .withColumn("pass_quality", col("qi") >= FsMinQualityInt)
+      .withColumn("pass_lm", col("lp4") >= FsMinLp4)
+      .withColumn("pass_nb", col("bin") >= lit(theta))
+      .withColumn("keep",
+        col("pass_len") && col("pass_quality") &&
+          col("pass_lm") && col("pass_nb"))
+      .withColumn("reject_stage",
+        when(!col("pass_len"), "len")
+          .when(!col("pass_quality"), "quality")
+          .when(!col("pass_lm"), "lm")
+          .when(!col("pass_nb"), "nb")
+          .otherwise("keep"))
+      .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
+              "bin", "pass_len", "pass_quality", "pass_lm", "pass_nb",
+              "keep", "reject_stage")
+  }
+
   /** Train the distilled quality classifier: logistic regression over
     * hashed unigram term frequencies, labeled by the q32 closed-form
     * quality signal — the production recipe for scaling an expensive

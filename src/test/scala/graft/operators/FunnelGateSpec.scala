@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full staged funnel at ingest, wired:
+  * [[Curation.startCorpusMaintenance]] with a [[Curation.FunnelGate]]
+  * scores every arriving doc through all four q163 stages (length floor
+  * → q32 quality → unigram-LM mean log-probability → tuned NB bin)
+  * against the PERSISTED model layers and routes it — corpus or
+  * quarantine — by the composed verdict. Pins: (1) stream verdicts ==
+  * the batch q163 table doc-for-doc (kept set, quarantined set, and
+  * each quarantined doc's exact batch bin AND first-rejecting stage);
+  * (2) keepers ∪ quarantine == the stateless ingest verdict's
+  * quality-passers (the gate reroutes, never drops); (3) ZERO NB model
+  * derives in-stream across two epochs ([[Prep.nbDerives]], the
+  * ivfFits pattern — the unigram layer rides the same build-once
+  * closure, resolved before the first micro-batch).
+  */
+class FunnelGateSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gated maintenance routes by the batch q163 funnel with zero in-stream derives") {
+    implicit val sctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-funnel-gate").toString
+    val corpus = s"$base/corpus"
+
+    // batch truth: the self-contained q163 table (model trained on the
+    // full corpus, theta tuned inline) — the gate must reproduce its
+    // verdict columns exactly on the same docs
+    val batchRows = Prep.filterStack(spark, sf)
+      .select("doc_id", "theta", "bin", "keep", "reject_stage")
+      .collect()
+    val theta = batchRows.head.getLong(1)
+    val binOf = batchRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val keepOf = batchRows.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val stageOf = batchRows.map(r => r.getLong(0) -> r.getString(4)).toMap
+
+    val srcDocs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text", "lang")
+      .collect()
+      .map(r => (new java.sql.Timestamp(1767225600000L + r.getLong(0)),
+                 r.getLong(0), r.getString(1), r.getString(2),
+                 r.getString(3)))
+      .toSeq
+    // the stateless verdict decides which docs reach the funnel at all
+    val passers = Curation.ingestVerdict(
+        graft.Tables.documents(spark, sf).select("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectKeep = passers.filter(keepOf)
+    val expectQuar = passers.filterNot(keepOf)
+    assert(expectKeep.nonEmpty && expectQuar.nonEmpty,
+           s"the funnel does not split sf0.001 (keep=${expectKeep.size}, " +
+           s"quar=${expectQuar.size}) — the routing pin would be vacuous")
+
+    // land BOTH model layers BEFORE the stream so the pin below counts
+    // only in-stream derives
+    Prep.nbClassCounts(spark, sf).count()
+    Prep.sourceTermCounts(spark, sf).count()
+    val derivesBefore = Prep.nbDerives.get()
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String, String)]
+    def stream = mem.toDF().toDF("ts", "doc_id", "source", "text", "lang")
+    def run(): Unit =
+      Curation.startCorpusMaintenance(stream, corpus, s"$base/ckpt",
+          refreshEvery = 0,
+          funnelGate = Some(Curation.FunnelGate(modelDir = sf,
+                                                theta = theta)))
+        .awaitTermination()
+    val (half1, half2) = srcDocs.splitAt(srcDocs.size / 2)
+    mem.addData(half1: _*)
+    run() // epoch 0
+    mem.addData(half2: _*)
+    run() // epoch 1
+
+    assert(Prep.nbDerives.get() === derivesBefore,
+           "the gate re-derived the NB model in-stream")
+
+    val landed = spark.read.parquet(s"$corpus/documents.parquet")
+    assert(landed.select("epoch").distinct().count() === 2L,
+           "expected one epoch partition per maintenance run")
+    val gotKeep = landed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val quar = spark.read.parquet(corpus + "_funnel_quarantine")
+      .select("doc_id", "fs_bin", "fs_reject_stage")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(gotKeep === expectKeep,
+           s"kept set diverged: missing=${(expectKeep -- gotKeep).take(5)} " +
+           s"extra=${(gotKeep -- expectKeep).take(5)}")
+    assert(quar.keySet === expectQuar,
+           s"quarantine set diverged: missing=${(expectQuar -- quar.keySet).take(5)} " +
+           s"extra=${(quar.keySet -- expectQuar).take(5)}")
+    quar.foreach { case (id, (bin, stage)) =>
+      assert(bin === binOf(id),
+             s"doc $id quarantined with bin $bin != batch ${binOf(id)}")
+      assert(stage === stageOf(id),
+             s"doc $id attributed to stage $stage != batch ${stageOf(id)}")
+    }
+    Curation.invalidate(corpus)
+  }
+}
