@@ -36,7 +36,7 @@ object Nightly {
   val HealthQueries: Seq[String] = Seq(
     "q97_corpus_report", "q155_length_ks_drift", "q157_semantic_outliers",
     "q158_window_length_drift", "q160_source_overlap",
-    "q162_nb_calibration")
+    "q162_nb_calibration", "q164_filter_funnel")
 
   def main(args: Array[String]): Unit = {
     val Array(corpus, out) = args
@@ -116,7 +116,8 @@ object Nightly {
       // the morning read: every audit-family table an operator checks
       // before trusting the night's export — length-KS drift per source,
       // dedup yield, semantic outliers, window drift, the cross-source
-      // duplication matrix, and the quality gate's calibration. All are
+      // duplication matrix, the quality gate's calibration, and the
+      // q164 per-source filter-funnel survival table. All are
       // bounded compositions over already-persisted artifacts (the
       // per-source stats, cluster labels, NB counts), so the stage costs
       // seconds, not a corpus pass. Reference analogue: the dashboard

@@ -4820,6 +4820,83 @@ object Prep {
              round(count(when(surv4, 1)).cast("double") / count(lit(1)), 4)
                .as("keep_rate"))
         .orderBy("source")
+    },
+
+    Q("q165_funnel_mixture_shift",
+      "Post-filter mixture drift + corrective resampling weights — the " +
+        "balancing read that closes the q163 loop: quality filtering " +
+        "never rejects uniformly, so the source mixture a pipeline " +
+        "TARGETS (pre-filter token shares) and the mixture it actually " +
+        "TRAINS on (post-funnel kept-token shares) diverge. Per source: " +
+        "doc/token counts before and after the funnel, both shares, the " +
+        "shift ratio (post/pre — a source above 1 was enriched by " +
+        "filtering, below 1 was eaten by a gate), and the normalized " +
+        "resampling weight ∝ pre_share/post_share that restores the " +
+        "pre-filter mixture when sampling from the filtered corpus. " +
+        "Cross-engine float discipline: counts and token sums are exact " +
+        "BIGINTs end-to-end; the corrective ratio rounds to a " +
+        "1e-8-scaled BIGINT and NORMALIZES over the integer sum (the " +
+        "q125 convention), so no double accumulation order can move the " +
+        "hash. Scale shape: pure bounded aggregation of the q163 " +
+        "per-doc table — no extra corpus pass, output rows = sources.",
+      fsOracleCte +
+        """,
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS pre_docs,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND
+        |       pass_lm AND pass_nb) AS BIGINT) AS kept_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pre_tokens,
+        |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE pass_len AND
+        |       pass_quality AND pass_lm AND pass_nb), 0) AS BIGINT)
+        |    AS kept_tokens
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pre_tokens) AS BIGINT) AS t_pre,
+        |               CAST(sum(kept_tokens) AS BIGINT) AS t_kept
+        |        FROM agg),
+        |r AS (SELECT agg.*,
+        |  round(CAST(pre_tokens AS DOUBLE) / t_pre, 4) AS pre_share,
+        |  round(CAST(kept_tokens AS DOUBLE) / t_kept, 4) AS post_share,
+        |  round((CAST(kept_tokens AS DOUBLE) / t_kept)
+        |        / (CAST(pre_tokens AS DOUBLE) / t_pre), 4) AS shift,
+        |  CASE WHEN kept_tokens > 0 THEN
+        |    CAST(floor(CAST(pre_tokens AS DOUBLE) * t_kept
+        |               / (CAST(t_pre AS DOUBLE) * kept_tokens)
+        |               * 100000000 + 0.5) AS BIGINT) END AS r_int
+        |  FROM agg CROSS JOIN tot),
+        |tw AS (SELECT CAST(sum(r_int) AS BIGINT) AS tw FROM r)
+        |SELECT source, pre_docs, kept_docs, pre_tokens, kept_tokens,
+        |  pre_share, post_share, shift,
+        |  round(CAST(r_int AS DOUBLE) / tw, 6) AS resample_weight
+        |FROM r CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
+      val keep = col("keep")
+      val agg = filterStack(s, d).groupBy("source")
+        .agg(count(lit(1)).cast("long").as("pre_docs"),
+             count(when(keep, 1)).cast("long").as("kept_docs"),
+             sum("n_tokens").cast("long").as("pre_tokens"),
+             coalesce(sum(when(keep, col("n_tokens"))), lit(0L))
+               .cast("long").as("kept_tokens"))
+      val tot = agg.agg(sum("pre_tokens").cast("long").as("t_pre"),
+                        sum("kept_tokens").cast("long").as("t_kept"))
+      val r = agg.crossJoin(broadcast(tot))
+        .withColumn("pre_share",
+          round(col("pre_tokens").cast("double") / col("t_pre"), 4))
+        .withColumn("post_share",
+          round(col("kept_tokens").cast("double") / col("t_kept"), 4))
+        .withColumn("shift",
+          round((col("kept_tokens").cast("double") / col("t_kept"))
+                / (col("pre_tokens").cast("double") / col("t_pre")), 4))
+        .withColumn("r_int",
+          when(col("kept_tokens") > 0,
+            floor(col("pre_tokens").cast("double") * col("t_kept")
+                  / (col("t_pre").cast("double") * col("kept_tokens"))
+                  * 100000000 + 0.5).cast("long")))
+      val tw = r.agg(sum("r_int").cast("long").as("tw"))
+      r.crossJoin(broadcast(tw))
+        .select(col("source"), col("pre_docs"), col("kept_docs"),
+                col("pre_tokens"), col("kept_tokens"), col("pre_share"),
+                col("post_share"), col("shift"),
+                round(col("r_int").cast("double") / col("tw"), 6)
+                  .as("resample_weight"))
+        .orderBy("source")
     }
   )
 

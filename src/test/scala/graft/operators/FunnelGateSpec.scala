@@ -105,4 +105,42 @@ class FunnelGateSpec extends AnyFunSuite with SparkSpec {
     }
     Curation.invalidate(corpus)
   }
+
+  test("funnelScorer's plan streams directly: update-mode verdicts == batch doc-for-doc") {
+    // the scorer claims BATCH OR STREAM via the one-aggregation shape
+    // (grouping-key convention, no post-aggregation self-join) — cover
+    // the claim on a genuine streaming frame, not just foreachBatch
+    val theta = Prep.filterStack(spark, sf).select("theta").head().getLong(0)
+    val score = Prep.funnelScorer(spark, sf, theta)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+                        r.getDouble(4), r.getLong(5), r.getLong(6),
+                        r.getBoolean(11), r.getString(12)))
+    val cols = Seq("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
+                   "bin", "pass_len", "pass_quality", "pass_lm",
+                   "pass_nb", "keep", "reject_stage")
+    val batch = score(graft.Tables.documents(spark, sf)
+        .select("doc_id", "source", "text"))
+      .select(cols.head, cols.tail: _*).collect().map(key).toMap
+
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val (half1, half2) = corpus.splitAt(corpus.size / 2)
+    mem.addData(half1: _*)
+    mem.addData(half2: _*)
+    val q = score(mem.toDF().toDF("doc_id", "source", "text"))
+      .select(cols.head, cols.tail: _*)
+      .writeStream.format("memory").queryName("funnel_verdicts")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("funnel_verdicts").collect().map(key).toMap
+    assert(got.size === batch.size, "stream dropped or duplicated documents")
+    batch.foreach { case (id, b) =>
+      assert(got(id) === b, s"doc $id: stream verdict ${got(id)} != batch $b")
+    }
+  }
 }
