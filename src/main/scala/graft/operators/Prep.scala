@@ -4897,6 +4897,84 @@ object Prep {
                 round(col("r_int").cast("double") / col("tw"), 6)
                   .as("resample_weight"))
         .orderBy("source")
+    },
+
+    Q("q166_funnel_ablation",
+      "Leave-one-out funnel ablation — the table a pipeline owner reads " +
+        "before adding or dropping a gate (the filter-ablation " +
+        "methodology the FineWeb/Dolma reports publish): per stage, how " +
+        "many docs it rejects at all, how many it UNIQUELY kills (docs " +
+        "every other stage would keep — the stage's true marginal bite; " +
+        "a stage with many rejections but few unique kills is redundant " +
+        "with its neighbors), and the corpus keep-rate if that one " +
+        "stage were removed. Exactly four rows from ONE bounded " +
+        "aggregate over the q163 per-doc table — no extra corpus pass, " +
+        "and the unpivot is a 4-element literal array, never a shuffle.",
+      fsOracleCte +
+        """,
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND
+        |       pass_lm AND pass_nb) AS BIGINT) AS n_keep,
+        |  CAST(count(*) FILTER (WHERE NOT pass_len) AS BIGINT) AS f_len,
+        |  CAST(count(*) FILTER (WHERE NOT pass_quality) AS BIGINT) AS f_quality,
+        |  CAST(count(*) FILTER (WHERE NOT pass_lm) AS BIGINT) AS f_lm,
+        |  CAST(count(*) FILTER (WHERE NOT pass_nb) AS BIGINT) AS f_nb,
+        |  CAST(count(*) FILTER (WHERE NOT pass_len AND pass_quality AND
+        |       pass_lm AND pass_nb) AS BIGINT) AS u_len,
+        |  CAST(count(*) FILTER (WHERE pass_len AND NOT pass_quality AND
+        |       pass_lm AND pass_nb) AS BIGINT) AS u_quality,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND
+        |       NOT pass_lm AND pass_nb) AS BIGINT) AS u_lm,
+        |  CAST(count(*) FILTER (WHERE pass_len AND pass_quality AND
+        |       pass_lm AND NOT pass_nb) AS BIGINT) AS u_nb
+        |  FROM g)
+        |SELECT stage, n_fail, n_unique,
+        |  round(CAST(n_keep AS DOUBLE) / n, 4) AS base_keep_rate,
+        |  round(CAST(n_keep + n_unique AS DOUBLE) / n, 4)
+        |    AS keep_rate_without
+        |FROM (
+        |  SELECT 'len' AS stage, f_len AS n_fail, u_len AS n_unique,
+        |         n, n_keep FROM a
+        |  UNION ALL SELECT 'quality', f_quality, u_quality, n, n_keep FROM a
+        |  UNION ALL SELECT 'lm', f_lm, u_lm, n, n_keep FROM a
+        |  UNION ALL SELECT 'nb', f_nb, u_nb, n, n_keep FROM a)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val fs0 = filterStack(s, d)
+      def others(self: String) =
+        Seq("pass_len", "pass_quality", "pass_lm", "pass_nb")
+          .filterNot(_ == s"pass_$self").map(col).reduce(_ && _)
+      val a = fs0.agg(
+        count(lit(1)).cast("long").as("n"),
+        count(when(col("keep"), 1)).cast("long").as("n_keep"),
+        count(when(!col("pass_len"), 1)).cast("long").as("f_len"),
+        count(when(!col("pass_quality"), 1)).cast("long").as("f_quality"),
+        count(when(!col("pass_lm"), 1)).cast("long").as("f_lm"),
+        count(when(!col("pass_nb"), 1)).cast("long").as("f_nb"),
+        count(when(!col("pass_len") && others("len"), 1))
+          .cast("long").as("u_len"),
+        count(when(!col("pass_quality") && others("quality"), 1))
+          .cast("long").as("u_quality"),
+        count(when(!col("pass_lm") && others("lm"), 1))
+          .cast("long").as("u_lm"),
+        count(when(!col("pass_nb") && others("nb"), 1))
+          .cast("long").as("u_nb"))
+      a.select(explode(array(
+          struct(lit("len").as("stage"), col("f_len").as("n_fail"),
+                 col("u_len").as("n_unique")),
+          struct(lit("quality").as("stage"), col("f_quality").as("n_fail"),
+                 col("u_quality").as("n_unique")),
+          struct(lit("lm").as("stage"), col("f_lm").as("n_fail"),
+                 col("u_lm").as("n_unique")),
+          struct(lit("nb").as("stage"), col("f_nb").as("n_fail"),
+                 col("u_nb").as("n_unique")))).as("r"),
+        col("n"), col("n_keep"))
+        .select(col("r.stage").as("stage"), col("r.n_fail").as("n_fail"),
+                col("r.n_unique").as("n_unique"),
+                round(col("n_keep").cast("double") / col("n"), 4)
+                  .as("base_keep_rate"),
+                round((col("n_keep") + col("r.n_unique")).cast("double")
+                      / col("n"), 4).as("keep_rate_without"))
+        .orderBy("stage")
     }
   )
 

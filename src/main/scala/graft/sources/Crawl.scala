@@ -103,4 +103,29 @@ object Crawl {
     */
   def crawlCorrupt(parsed: DataFrame): DataFrame =
     parsed.filter(col("corrupt")).select("value")
+
+  /** The EXPORT half of the crawl loop: land a doc frame back as
+    * (optionally gzipped) JSONL in the [[crawlV1]] field order — the
+    * interchange format for handing a filtered/curated corpus to an
+    * external consumer, or re-feeding it through another deployment's
+    * [[readCrawl]]. Contract fields present on the frame serialize in
+    * schema order (extra columns append after, so gate provenance can
+    * ride along); timestamps serialize ISO-8601 at millisecond
+    * precision, which the reader's `try_to_timestamp` round-trips. `to_json` omits null fields and
+    * the reader re-applies its defaults, so
+    * readCrawl(writeCrawl(docs)) == docs on the contract columns —
+    * CrawlSourceSpec's round-trip pin. One codegen'd projection over
+    * the frame; file count (= task count) is the caller's partitioning,
+    * so a 100 TB export shards exactly as the upstream plan parallels.
+    */
+  def writeCrawl(docFrame: DataFrame, path: String,
+                 gzip: Boolean = true): Unit = {
+    val present = docFrame.columns
+    val ordered = crawlV1.fieldNames.filter(present.contains) ++
+      present.filterNot(crawlV1.fieldNames.contains)
+    val out = docFrame
+      .select(to_json(struct(ordered.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite")
+    (if (gzip) out.option("compression", "gzip") else out).text(path)
+  }
 }

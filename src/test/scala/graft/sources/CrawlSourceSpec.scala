@@ -99,4 +99,38 @@ class CrawlSourceSpec extends AnyFunSuite with SparkSpec {
     assert(kept === Set(1L, 2L, 3L, 4L),
            s"ingest keepers diverged: $kept")
   }
+
+  test("writeCrawl round-trips through readCrawl on the contract columns") {
+    val dir = fixture()
+    // cache: the ingest-clock default (current_timestamp on docs with
+    // no ts field) is per-action otherwise, and the export would land
+    // a different clock than the comparison read
+    val docs = Crawl.crawlDocs(Crawl.readCrawl(spark, dir)).cache()
+    docs.count()
+    // ts compared at millis (Timestamp.getTime): to_json serializes
+    // ISO-8601 with millisecond precision — the documented contract
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "text", "lang", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+                                  r.getString(3),
+                                  r.getTimestamp(4).getTime)))
+      .toMap
+    val before = key(docs)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-crawl-export").toString + "/dump"
+    Crawl.writeCrawl(docs, out)
+    // the export is itself a valid crawl dir: gzipped members, zero
+    // corrupt lines, and the reader recovers every contract column
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".gz")),
+           "export members must be gzipped JSONL")
+    val back = Crawl.readCrawl(spark, out)
+    assert(Crawl.crawlCorrupt(back).count() === 0,
+           "round-trip produced corrupt lines")
+    assert(key(Crawl.crawlDocs(back)) === before,
+           "round-tripped docs diverged from the originals")
+  }
 }
