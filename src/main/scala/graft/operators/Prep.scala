@@ -917,19 +917,29 @@ object Prep {
              .cast("long").as("n_pt"),
            coalesce(sum(when(col("qi") <= NbLoInt, col("c"))), lit(0L))
              .cast("long").as("n_nt"))
-    val tots = tt.filter(col("n_pt") + col("n_nt") > 0)
+    // ONE totals row over the un-filtered tt: the labeled-vocabulary
+    // restriction moves inside the aggregate (zero-count terms add 0 to
+    // the sums; v counts only labeled terms), and the unigram total
+    // rides the same row. A separate tt.agg(sum(uc)) branch is a trap:
+    // the theta consumer prunes lp away, column pruning collapses that
+    // branch's aggregate-over-aggregate to a bare row count, the pruned
+    // subtree falls out of canonical equality with the shared cdc
+    // exchange, and the corpus re-scans + re-explodes to produce one
+    // row whose value is unused (measured: 2 scans; PlanSpec pins 1).
+    val tots = tt
       .agg(sum("n_pt").cast("long").as("n_p"),
            sum("n_nt").cast("long").as("n_n"),
-           count(lit(1)).cast("long").as("v"))
+           count(when(col("n_pt") + col("n_nt") > 0, 1))
+             .cast("long").as("v"),
+           sum("uc").cast("double").as("total"))
       .withColumn("p",
         floor(log(col("n_p").cast("double") / col("n_n"))
           * 100000000 + 0.5).cast("long"))
-    val ut = tt.agg(sum("uc").cast("double").as("total"))
     // combined per-term score row: unigram logp for the LM stage, the
     // q161 add-one LLR for the NB stage (0 for unlabeled-vocabulary
     // terms — the LEFT JOIN + coalesce semantics, made inner because
     // every corpus term is in tt by construction)
-    val st = tt.crossJoin(broadcast(tots)).crossJoin(broadcast(ut))
+    val st = tt.crossJoin(broadcast(tots))
       .select(col("term"),
         log(col("uc").cast("double") / col("total")).as("lp"),
         when(col("n_pt") + col("n_nt") > 0,
@@ -4868,15 +4878,23 @@ object Prep {
         |  round(CAST(r_int AS DOUBLE) / tw, 6) AS resample_weight
         |FROM r CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
       val keep = col("keep")
+      // The corpus totals and the weight normalizer are unpartitioned
+      // window sums over the per-source rollup (rows = sources), NOT
+      // separate aggregate branches: an agg-branch + crossJoin shape
+      // plans the whole funnel subtree once per branch (4 corpus-scan
+      // copies measured; AQE stage reuse recovers only the shuffle
+      // halves), while the window form keeps ONE funnel pass and the
+      // sums stay exact BIGINTs, so the hash cannot move.
+      val wAll = Window.partitionBy()
       val agg = filterStack(s, d).groupBy("source")
         .agg(count(lit(1)).cast("long").as("pre_docs"),
              count(when(keep, 1)).cast("long").as("kept_docs"),
              sum("n_tokens").cast("long").as("pre_tokens"),
              coalesce(sum(when(keep, col("n_tokens"))), lit(0L))
                .cast("long").as("kept_tokens"))
-      val tot = agg.agg(sum("pre_tokens").cast("long").as("t_pre"),
-                        sum("kept_tokens").cast("long").as("t_kept"))
-      val r = agg.crossJoin(broadcast(tot))
+      val r = agg
+        .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
+        .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
         .withColumn("pre_share",
           round(col("pre_tokens").cast("double") / col("t_pre"), 4))
         .withColumn("post_share",
@@ -4889,8 +4907,7 @@ object Prep {
             floor(col("pre_tokens").cast("double") * col("t_kept")
                   / (col("t_pre").cast("double") * col("kept_tokens"))
                   * 100000000 + 0.5).cast("long")))
-      val tw = r.agg(sum("r_int").cast("long").as("tw"))
-      r.crossJoin(broadcast(tw))
+      r.withColumn("tw", sum("r_int").over(wAll).cast("long"))
         .select(col("source"), col("pre_docs"), col("kept_docs"),
                 col("pre_tokens"), col("kept_tokens"), col("pre_share"),
                 col("post_share"), col("shift"),

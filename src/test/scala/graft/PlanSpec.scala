@@ -601,6 +601,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q163-q166: funnel family — one funnel pass, one documents scan") {
+    // The whole family derives from the filterStack per-doc table,
+    // whose tokenize+count exchange every consumer must share. The
+    // regression this pins: q165's corpus totals / weight normalizer
+    // were once separate aggregate branches glued with crossJoins —
+    // the INITIAL plan carried 4 copies of the funnel subtree (40
+    // parquet scans) and ran 2.3x the single-pass q163; the window-
+    // over-bounded-rollup shape keeps ONE funnel pass.
+    for (q <- Seq("q163_filter_stack", "q164_filter_funnel",
+                  "q165_funnel_mixture_shift", "q166_funnel_ablation")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(p).length === 1,
+             s"$q must scan documents exactly once:\n$p")
+      assert("ReusedExchange".r.findAllIn(p).nonEmpty,
+             s"$q stopped sharing the funnel tokenize+count stage:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+             s"$q vocabulary probe regressed to sort-merge:\n$p")
+    }
+  }
+
   test("q130: one gram pass — no join, no broadcast, exactly two exchanges") {
     val p = plan("q130_substring_dedup")
     // the naive spelling runs tokenize+slice+md5 twice (count subtree +
