@@ -4864,8 +4864,9 @@ object Prep {
         |        FROM agg),
         |r AS (SELECT agg.*,
         |  round(CAST(pre_tokens AS DOUBLE) / t_pre, 4) AS pre_share,
-        |  round(CAST(kept_tokens AS DOUBLE) / t_kept, 4) AS post_share,
-        |  round((CAST(kept_tokens AS DOUBLE) / t_kept)
+        |  round(CAST(kept_tokens AS DOUBLE) / NULLIF(t_kept, 0), 4)
+        |    AS post_share,
+        |  round((CAST(kept_tokens AS DOUBLE) / NULLIF(t_kept, 0))
         |        / (CAST(pre_tokens AS DOUBLE) / t_pre), 4) AS shift,
         |  CASE WHEN kept_tokens > 0 THEN
         |    CAST(floor(CAST(pre_tokens AS DOUBLE) * t_kept
@@ -4875,7 +4876,8 @@ object Prep {
         |tw AS (SELECT CAST(sum(r_int) AS BIGINT) AS tw FROM r)
         |SELECT source, pre_docs, kept_docs, pre_tokens, kept_tokens,
         |  pre_share, post_share, shift,
-        |  round(CAST(r_int AS DOUBLE) / tw, 6) AS resample_weight
+        |  round(CAST(r_int AS DOUBLE) / NULLIF(tw, 0), 6)
+        |    AS resample_weight
         |FROM r CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
       val keep = col("keep")
       // The corpus totals and the weight normalizer are unpartitioned
@@ -4892,16 +4894,23 @@ object Prep {
              sum("n_tokens").cast("long").as("pre_tokens"),
              coalesce(sum(when(keep, col("n_tokens"))), lit(0L))
                .cast("long").as("kept_tokens"))
+      // t_kept == 0 (a funnel that eats the WHOLE corpus — observed on
+      // the mutated ScaleUp corpus, whose inflated vocabulary fails
+      // every doc at the lm gate) must degrade to NULL post-side
+      // columns, not throw ANSI DIVIDE_BY_ZERO: the pre-side numbers
+      // are exactly what the operator needs to diagnose the dead gate.
       val r = agg
         .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
         .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
         .withColumn("pre_share",
           round(col("pre_tokens").cast("double") / col("t_pre"), 4))
         .withColumn("post_share",
-          round(col("kept_tokens").cast("double") / col("t_kept"), 4))
+          when(col("t_kept") > 0,
+            round(col("kept_tokens").cast("double") / col("t_kept"), 4)))
         .withColumn("shift",
-          round((col("kept_tokens").cast("double") / col("t_kept"))
-                / (col("pre_tokens").cast("double") / col("t_pre")), 4))
+          when(col("t_kept") > 0,
+            round((col("kept_tokens").cast("double") / col("t_kept"))
+                  / (col("pre_tokens").cast("double") / col("t_pre")), 4)))
         .withColumn("r_int",
           when(col("kept_tokens") > 0,
             floor(col("pre_tokens").cast("double") * col("t_kept")
@@ -4911,7 +4920,8 @@ object Prep {
         .select(col("source"), col("pre_docs"), col("kept_docs"),
                 col("pre_tokens"), col("kept_tokens"), col("pre_share"),
                 col("post_share"), col("shift"),
-                round(col("r_int").cast("double") / col("tw"), 6)
+                when(col("tw") > 0,
+                  round(col("r_int").cast("double") / col("tw"), 6))
                   .as("resample_weight"))
         .orderBy("source")
     },

@@ -143,4 +143,57 @@ class FunnelGateSpec extends AnyFunSuite with SparkSpec {
       assert(got(id) === b, s"doc $id: stream verdict ${got(id)} != batch $b")
     }
   }
+
+  test("q165 degrades to NULL post-side columns when the funnel eats the whole corpus") {
+    // Observed on the mutated ScaleUp corpus: every doc fails the lm
+    // gate, t_kept = 0, and the un-guarded spelling threw ANSI
+    // DIVIDE_BY_ZERO. Construct the degenerate case deterministically:
+    // positive-class docs (high qi) whose near-unique vocabulary fails
+    // the lm gate, negative-class docs that fail the length floor —
+    // both NB classes populated (the theta tuning and the class-prior
+    // log-odds stay well-defined), yet ZERO docs survive. The report
+    // must land pre-side numbers and NULL post_share/shift/weight.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-funnel-degenerate").toString
+    // 64 tokens, 4 stopwords (qi = (0.5 + 4/64) * 10000 = 5625 >= hi
+    // class 5500) and 60 doc-unique terms: with 6 such docs + shorts,
+    // every unique term has p ~ 1/total, mean logp << -3.45 -> lm kill
+    val posDocs = (0L until 6L).map { i =>
+      val uniq = (0 until 60).map(j => s"w${i}_$j")
+      (i, (Seq("the", "a", "of", "to") ++ uniq).mkString(" "),
+       "en", s"src${i % 2}")
+    }
+    // 8 tokens: fails len (< 16) and qi <= 0.125 * 1.5e4 < lo class 3000
+    val negDocs = (6L until 12L).map { i =>
+      (i, (0 until 8).map(j => s"n${i}_$j").mkString(" "),
+       "en", s"src${i % 2}")
+    }
+    (posDocs ++ negDocs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$base/documents.parquet")
+
+    val fs = Prep.filterStack(spark, base)
+      .select("doc_id", "keep", "reject_stage").collect()
+    assert(fs.length === 12 && fs.forall(!_.getBoolean(1)),
+           "degenerate corpus must reject every doc")
+    assert(fs.exists(_.getString(2) == "len") &&
+             fs.exists(r => r.getString(2) == "lm" || r.getString(2) == "nb"),
+           s"kills must span stages: ${fs.map(_.getString(2)).toSeq}")
+
+    val shift = graft.SparkEntry
+      .queries("q165_funnel_mixture_shift")(spark, base).collect()
+    assert(shift.length === 2, "one row per source")
+    shift.foreach { r =>
+      assert(r.getLong(r.fieldIndex("kept_docs")) === 0L)
+      assert(!r.isNullAt(r.fieldIndex("pre_share")),
+             "pre-side must still report")
+      for (c <- Seq("post_share", "shift", "resample_weight"))
+        assert(r.isNullAt(r.fieldIndex(c)),
+               s"$c must be NULL on a zero-kept corpus, got ${r.get(r.fieldIndex(c))}")
+    }
+    // the siblings must also survive the degenerate corpus
+    for (q <- Seq("q164_filter_funnel", "q166_funnel_ablation"))
+      assert(graft.SparkEntry.queries(q)(spark, base).collect().nonEmpty,
+             s"$q threw or returned empty on the zero-kept corpus")
+  }
 }
