@@ -32,7 +32,12 @@ object Explain {
         // collect() drives THIS DataFrame's QueryExecution so the printed
         // plan is the final adaptive one (a sink write would plan its own)
         df.collect()
+        // count the FINAL adaptive section only: the toString carries the
+        // initial plan too (and subquery plans), which double-counts every
+        // scan and hides runtime stage reuse — the thing -exec exists to
+        // show (a query can print 9 scans while executing exactly 1)
         val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
         def c(s: String) = s.r.findAllIn(p).length
         println(s"[exec] ReusedExchange=${c("ReusedExchange")} " +
           s"scans=${c("FileScan parquet")} " +

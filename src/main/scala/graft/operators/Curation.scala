@@ -1402,40 +1402,20 @@ object Curation {
         |                           ORDER BY md5(text), doc_id) AS rk
         |      FROM documents)
         |WHERE rk <= 20""".stripMargin) { (s, d) =>
-      // Scale shape: a bare Window.partitionBy(lang) funnels every doc of a
-      // language through ONE task (~5 langs = ~5 tasks). Because rank order
-      // IS the hash order, the top-k of a stratum are exactly its k
-      // smallest hashes — so a scan-parallel hash-prefix cutoff prunes the
-      // stratum to ~8x·k candidates first, and the window only ever sorts
-      // that bounded candidate set. The in-plan n_cand guard makes the
-      // pruning LOSSLESS: a stratum whose candidate pool undershoots k
-      // (possible only at extreme skew of the uniform hash) falls back to
-      // ranking all its rows, so output is bit-identical to the naive
-      // spelling at any scale.
+      // Scale shape: the rk <= k filter over row_number plans a PARTIAL
+      // WindowGroupLimit BEFORE the exchange (Spark 3.5+), so each map
+      // task ships at most k digest rows per stratum — the stratum
+      // reducer sorts k x mapTasks rows, never the corpus. That makes
+      // the naive spelling the scale-correct one: ONE text scan, one
+      // digest-only shuffle. (The previous hash-prefix-cutoff pruning
+      // harness — per-stratum counts, 8x·k candidate pool, undershoot
+      // rescue — re-derived exactly this bound by hand at the price of
+      // FOUR corpus scans; PlanSpec now pins the group-limit instead.)
       val k = 20
-      val base = docs(s, d).select(col("doc_id"), col("lang"),
-                                   md5(col("text")).as("h"))
-      val counts = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      // rate -> 8-hex cutoff (the q77 trick): keep ~8k/n of the stratum
-      val cutoff = lower(lpad(hex(
-        least(lit(4294967295L),
-              ceil(lit(8.0 * k) / col("n_lang") * lit(4294967296.0)))
-          .cast("long")), 8, "0"))
-      val cand = base
-        .join(broadcast(counts), "lang")
-        .filter(col("n_lang") <= 8 * k || substring(col("h"), 1, 8) < cutoff)
-      val candCounts = cand.groupBy("lang").agg(count(lit(1)).as("n_cand"))
-      // pool: strata whose candidate set covers k; rescue: strata it does
-      // not (take ALL their rows — disjoint with pool by construction)
-      val pool = cand.join(broadcast(candCounts), "lang")
-        .filter(col("n_cand") >= k)
-        .select("doc_id", "lang", "h")
-      val rescue = base.join(broadcast(candCounts), Seq("lang"), "left")
-        .filter(coalesce(col("n_cand"), lit(0L)) < k)
-        .select("doc_id", "lang", "h")
       val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-      pool.unionByName(rescue)
-        .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
     },

@@ -208,7 +208,14 @@ object Prep {
     */
   def windowedLengthBins(frame: DataFrame, windowDur: String): DataFrame =
     frame
-      .filter(col("source").isNotNull)
+      // ts too (the q83/q112 canonicalization recipe): the drift
+      // report probes this table on (win_ms, source, b), the join
+      // infers isnotnull(win_ms) -> isnotnull(ts) into the PROBE
+      // branch only, and the forked scan filter would split that
+      // branch off the shared counting exchange (a second corpus
+      // pass). A null-ts doc has no window, so the filter is the
+      // aggregation's own semantics made explicit.
+      .filter(col("ts").isNotNull && col("source").isNotNull)
       .select(col("ts"), col("source"),
               length(bin(greatest(col("n_chars"), lit(1))))
                 .cast("long").as("b"))
@@ -217,6 +224,13 @@ object Prep {
       .select((unix_micros(col("window.start")) / 1000L).cast("long")
                 .as("win_ms"),
               col("source"), col("b"), col("n_wb"))
+      // win_ms is non-null by construction (ts filtered above), but
+      // the drift report's probe join INFERS isnotnull(win_ms) into
+      // its branch alone — an extra scan-level conjunct that forks the
+      // branch off the shared counting exchange. Asserting it here
+      // puts the identical conjunct under EVERY consumer, so all of
+      // them stay canonically equal (zero rows change).
+      .filter(col("win_ms").isNotNull)
 
   /** [[windowedLengthBins]] under a watermark — append mode emits each
     * closed (window, source, bin) count exactly once (the
@@ -240,8 +254,22 @@ object Prep {
     * happened upstream in the one counting pass.
     */
   def lengthDriftReport(wb: DataFrame, ref: DataFrame): DataFrame = {
-    val bins = ref.select("b").unionByName(wb.select("b")).distinct()
-    val refOnBins = bins.join(ref, Seq("b"), "left")
+    // bin grid = reference bins ∪ slice bins, spelled as a FULL OUTER
+    // join rather than union+distinct+left-join: the union's ref side
+    // carries no other column, so pruning collapsed its aggregate
+    // chain to a scan-level distinct — a subtree no longer canonically
+    // equal to the shared counting exchange, i.e. a whole extra corpus
+    // pass when ref derives from wb (the q158 batch shape). The join
+    // form keeps cc alive on the ref side, so both sides bottom out in
+    // the one exchange. Row set is identical: every b of either side.
+    // the n_wb > 0 filter is vacuous (n_wb = count(*) >= 1) but load-
+    // bearing: referencing n_wb stops RemoveRedundantAggregates from
+    // collapsing the pruned distinct through the counting aggregate
+    // into a scan-level distinct — the remaining way this branch could
+    // fork off the shared exchange into its own corpus pass
+    val refOnBins = ref
+      .join(wb.filter(col("n_wb") > 0).select("b").distinct(),
+            Seq("b"), "full_outer")
       .select(col("b"), coalesce(col("cc"), lit(0L)).as("cc"))
     val wAll = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2564,7 +2592,12 @@ object Prep {
       .select(col("doc_id"), col("lang"),
               size(tokens(col("text"))).cast("long").as("n_tokens"),
               substring(md5(col("text")), 1, 8).as("h8"))
-      .join(bigramNll(s, d).select("doc_id", "nll"), "doc_id")
+      // nll is never null, but the bucket join below INFERS
+      // isnotnull(nll) into the doc branch alone — a scan-filter
+      // difference that forks the per-doc score scan off the value-
+      // table branch (two artifact passes; the q83/q112 recipe)
+      .join(bigramNll(s, d).select("doc_id", "nll")
+              .filter(col("nll").isNotNull), "doc_id")
     val vb = dd.groupBy("lang", "nll")
       .agg(sum("n_tokens").cast("long").as("vt"))
     // cumulative windows run over the DOMAIN-bounded (lang, 4dp-score)

@@ -1448,14 +1448,21 @@ object TrainingData {
       val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), col("qlabel"), col("label"),
                 cosine(col("qv"), col("v")).as("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      def ranked(f: Column, role: String, k: Int) = scored.filter(f)
+      // both roles from ONE corpus pass: ranking pos among same-label
+      // and neg among different-label is a single row_number over
+      // (qid, same) — the union-of-two-filtered-windows spelling scans
+      // the corpus (and rebuilds the query broadcast) once per branch.
+      // rk <= 5 stays a standalone conjunct so WindowGroupLimit still
+      // caps every group map-side at the larger k.
+      val w = Window.partitionBy("qid", "same")
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored
+        .withColumn("same", col("qlabel") === col("label"))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
+        .filter(col("rk") <= 5 && (!col("same") || col("rk") <= 2))
         .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
-                lit(role).as("role"), col("rk").cast("long").as("rk"))
-      ranked(col("qlabel") === col("label"), "pos", 2)
-        .unionByName(ranked(col("qlabel") =!= col("label"), "neg", 5))
+                when(col("same"), "pos").otherwise("neg").as("role"),
+                col("rk").cast("long").as("rk"))
     },
 
     Q.noOracle("q41_ann_lsh",

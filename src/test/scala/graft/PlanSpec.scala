@@ -108,11 +108,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
           assert(bounded.isDefined,
                  s"$q: single-partition exchange fed by unbounded data:\n$e")
         }
-        // every window's input is pre-pruned the same way
+        // every window's input is pre-pruned the same way — or by a
+        // partial WindowGroupLimit (q62's shape since the naive-rank
+        // rewrite: each map task ships at most k rows per stratum, so
+        // the window sorts k x mapTasks rows, never the corpus)
         p.collect { case w: WindowExec => w }.foreach { w =>
           val bounded = w.child.collectFirst {
             case a: BaseAggregateExec => a
             case j: BroadcastHashJoinExec => j
+            case g: org.apache.spark.sql.execution.window
+                      .WindowGroupLimitExec => g
           }
           assert(bounded.isDefined,
                  s"$q: window consumes an unpruned scan:\n$w")
@@ -621,6 +626,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
              s"$q stopped sharing the funnel tokenize+count stage:\n$p")
       assert(!p.contains("SortMergeJoin"),
              s"$q vocabulary probe regressed to sort-merge:\n$p")
+    }
+  }
+
+  test("r14 scan audit: q62/q126/q143/q158 keep their deduped scan counts") {
+    // Round-14 final-plan sweep (Explain -exec over the registry) found
+    // four queries whose consumers forked off their shared subtree —
+    // pruned-aggregate collapse, inferred-isnotnull scan filters, and a
+    // hand-rolled pruning harness. Pin the repaired counts: a regression
+    // here is a whole extra corpus pass at 100 TB.
+    val expect = Seq(
+      // one text scan; map-side WindowGroupLimit bounds the stratum sort
+      "q62_stratified_sample" -> 1,
+      // corpus scan + broadcast query-batch scan, both sides of ONE pass
+      "q126_contrastive_mining" -> 2,
+      // documents + the persisted per-doc nll artifact, each once
+      "q143_ccnet_buckets" -> 2,
+      // one counting pass; grid/ref/probe/tot all reuse its exchange
+      "q158_window_length_drift" -> 1)
+    for ((q, n) <- expect) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(p).length === n,
+             s"$q must plan exactly $n scans:\n$p")
+    }
+    for (q <- Seq("q62_stratified_sample", "q126_contrastive_mining")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("WindowGroupLimit"),
+             s"$q lost its map-side per-group rank prune:\n$p")
     }
   }
 
