@@ -933,7 +933,9 @@ object Prep {
     // every inferred predicate redundant, so all consumers share ONE
     // tokenize + cdc exchange (ReusedExchange, plan-checked).
     val cdc = spread(docs(s, d))
-      .filter(col("doc_id").isNotNull)
+      // source too: q167's per-source weight join infers
+      // isnotnull(source) into its probe branch alone otherwise
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), col("source"), teacherQi.as("qi"),
               size(tok).cast("long").as("n_tokens"), explode(tok).as("term"))
       .filter(col("term").isNotNull)
@@ -5035,6 +5037,83 @@ object Prep {
                 round((col("n_keep") + col("r.n_unique")).cast("double")
                       / col("n"), 4).as("keep_rate_without"))
         .orderBy("stage")
+    },
+
+    Q("q167_funnel_resample",
+      "Corrective mixture resample — q165's weights APPLIED: the " +
+        "funnel-surviving corpus thinned per source by deterministic " +
+        "content-hash Bernoulli at rate r_int/max(r_int), so the " +
+        "highest-enrichment-corrected source keeps everything and the " +
+        "others thin until the sampled token mixture matches the " +
+        "pre-filter shares in expectation (the report-to-action close " +
+        "of the funnel loop; FineWeb-style pipelines rebalance exactly " +
+        "this way after quality filtering). Membership is the q87/q139 " +
+        "24-bit md5 dyadic fraction on doc_id — per-row, content-" +
+        "driven, reproducible on any engine; the weight arithmetic is " +
+        "the exact q165 integer spelling, so the two queries can never " +
+        "disagree about the target mixture. A zero-kept corpus (the " +
+        "q165 degenerate case) yields an EMPTY sample, not a throw. " +
+        "Scale shape: ONE funnel pass; the per-source weight table is " +
+        "bounded (rows = sources) and broadcasts; no extra corpus scan " +
+        "for the thinning — the hash rides the per-doc row.",
+      fsOracleCte +
+        """,
+        |agg AS (SELECT source,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pre_tokens,
+        |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE pass_len AND
+        |       pass_quality AND pass_lm AND pass_nb), 0) AS BIGINT)
+        |    AS kept_tokens
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pre_tokens) AS BIGINT) AS t_pre,
+        |               CAST(sum(kept_tokens) AS BIGINT) AS t_kept
+        |        FROM agg),
+        |r AS (SELECT source,
+        |  CASE WHEN kept_tokens > 0 THEN
+        |    CAST(floor(CAST(pre_tokens AS DOUBLE) * t_kept
+        |               / (CAST(t_pre AS DOUBLE) * kept_tokens)
+        |               * 100000000 + 0.5) AS BIGINT) END AS r_int
+        |  FROM agg CROSS JOIN tot),
+        |mx AS (SELECT CAST(max(r_int) AS BIGINT) AS max_r FROM r),
+        |uu AS (SELECT g.doc_id, g.source, g.n_tokens, r.r_int,
+        |    list_reduce(list_transform(
+        |        string_split(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM g JOIN r USING (source)
+        |  WHERE pass_len AND pass_quality AND pass_lm AND pass_nb)
+        |SELECT doc_id, source, n_tokens,
+        |  round(CAST(r_int AS DOUBLE) / max_r, 6) AS rate
+        |FROM uu CROSS JOIN mx
+        |WHERE u < CAST(r_int AS DOUBLE) / max_r""".stripMargin) { (s, d) =>
+      val fs0 = filterStack(s, d)
+      val agg = fs0.groupBy("source")
+        .agg(sum("n_tokens").cast("long").as("pre_tokens"),
+             coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+               .cast("long").as("kept_tokens"))
+      // weights over the bounded per-source rollup, one funnel pass
+      // (the q165 window convention); max_r rides the same rollup
+      val wAll = Window.partitionBy()
+      val rw = agg
+        .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
+        .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
+        .withColumn("r_int",
+          when(col("kept_tokens") > 0,
+            floor(col("pre_tokens").cast("double") * col("t_kept")
+                  / (col("t_pre").cast("double") * col("kept_tokens"))
+                  * 100000000 + 0.5).cast("long")))
+        .withColumn("max_r", max("r_int").over(wAll).cast("long"))
+        .select("source", "r_int", "max_r")
+      // 24-bit md5 prefix as an exact dyadic fraction (the q87 trick)
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+                   16, 10).cast("double") / lit(16777216.0)
+      fs0.filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .join(broadcast(rw), "source")
+        .withColumn("rate",
+          col("r_int").cast("double") / col("max_r"))
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+                round(col("rate"), 6).as("rate"))
     }
   )
 
