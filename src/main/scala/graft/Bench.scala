@@ -124,7 +124,13 @@ object Bench {
       "q152_pack_efficiency", "q156_dedup_yield",
       // these four serve the persisted source_stats artifact
       "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
-      "q149_anneal_schedule", "q153_anneal_execute")
+      "q149_anneal_schedule", "q153_anneal_execute",
+      // the funnel family serves the persisted funnel_stack_v1 per-doc
+      // gate table; the build (model layers + one rescore pass) is paid
+      // by whichever runs first in registry order — q163
+      "q163_filter_stack", "q164_filter_funnel",
+      "q165_funnel_mixture_shift", "q166_funnel_ablation",
+      "q167_funnel_resample")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

@@ -117,11 +117,15 @@ object Nightly {
       // before trusting the night's export — length-KS drift per source,
       // dedup yield, semantic outliers, window drift, the cross-source
       // duplication matrix, the quality gate's calibration, and the
-      // q164 per-source filter-funnel survival table. All are
-      // bounded compositions over already-persisted artifacts (the
-      // per-source stats, cluster labels, NB counts), so the stage costs
-      // seconds, not a corpus pass. Reference analogue: the dashboard
-      // endpoint as the one observability surface (main.py:133-173).
+      // q164 per-source filter-funnel survival table. All compose over
+      // persisted artifacts (per-source stats, cluster labels, NB
+      // counts, funnel_stack_v1), so a steady-state night costs
+      // bounded rollups — the exceptions that re-pay corpus-sized work
+      // when their artifact is stale after an append are q162 (the NB
+      // rescore probe) and q164's funnel rescore pass, both ONE pass
+      // over model layers that refresh incrementally. Reference
+      // analogue: the dashboard endpoint as the one observability
+      // surface (main.py:133-173).
       HealthQueries.map { q =>
         SparkEntry.queries(q)(spark, corpus)
           .write.mode("overwrite").parquet(s"$out/health/$q")

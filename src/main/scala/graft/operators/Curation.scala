@@ -302,6 +302,29 @@ object Curation {
       .join(docs(s, d).select("doc_id", "text", "source", "n_chars"), "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
+  /** Terminal sink of the q167 funnel-resample loop — the
+    * report-to-action close (the q139/q153 precedent): land the
+    * mixture-corrected corpus itself, not just its membership table.
+    * The doc set is EXACTLY q167's (funnel survivors thinned by the
+    * deterministic per-source rates — ResampleSpec pins row-for-row
+    * equality), joined back to its text and written as crawl-native
+    * JSONL via [[graft.sources.Crawl.writeCrawl]], so the export feeds
+    * straight into another deployment's `readCrawl` (the round-trip
+    * ResampleSpec also pins) — or any external consumer of the
+    * interchange format. The thinning rate rides along as provenance.
+    * Scale shape: the q167 membership probe (two pruned scans of the
+    * landed funnel_stack_v1, zero corpus tokenize work) plus one join
+    * back to the docs table for text; file count = upstream task
+    * count, the writeCrawl contract.
+    */
+  def exportResampled(s: SparkSession, d: String, outDir: String,
+                      gzip: Boolean = true): Unit =
+    graft.sources.Crawl.writeCrawl(
+      Prep.resampledDocs(s, d)
+        .select("doc_id", "source", "rate")
+        .join(docs(s, d).select("doc_id", "text", "lang"), "doc_id"),
+      outDir, gzip)
+
   /** Per-split token budget for [[trainingSetVerdict]]: the best-quality
     * prefix of each split's kept docs that fits this many tokens.
     */

@@ -923,7 +923,7 @@ object Prep {
     * mean-logp the exact q82 4dp spelling, so the three single-model
     * queries and this composition can never drift.
     */
-  private[operators] def filterStack(s: SparkSession, d: String): DataFrame = {
+  private[graft] def filterStack(s: SparkSession, d: String): DataFrame = {
     val tok = split(col("text"), " ")
     // explicit isNotNulls at the base (the q83/q112 canonicalization
     // recipe): the cdc⋈st probe join infers isnotnull(term) on both
@@ -987,6 +987,20 @@ object Prep {
       .withColumn("bin",
         least(greatest(floor(col("s_int").cast("double") / 50000000.0),
                        lit(-10)), lit(9)).cast("long"))
+    funnelTuneAndVerdicts(s, sb)
+  }
+
+  /** The funnel's shared tail: tune theta over the scored per-doc
+    * table (the exact q161 integer grid — 21 bounded theta rows, one
+    * bounded bin rollup, one broadcast) and attach the four stage
+    * verdicts, the composed keep bit, and the first-rejecting-stage
+    * attribution. Shared verbatim by [[filterStack]] (the one-pass
+    * audit plan) and [[funnelStackFromLayers]] (the artifact build), so
+    * the two derivations carry the same theta/verdict expression tree.
+    * `sb` must carry (doc_id, source, qi, n_tokens, lp4, s_int, bin).
+    */
+  private def funnelTuneAndVerdicts(s: SparkSession, sb: DataFrame)
+      : DataFrame = {
     val bb = sb.groupBy("bin")
       .agg(count(when(col("qi") >= NbHiInt, 1)).cast("long").as("pb"),
            count(when(col("qi") <= NbLoInt, 1)).cast("long").as("nb"))
@@ -1135,43 +1149,8 @@ object Prep {
     */
   def funnelScorer(s: SparkSession, d: String,
                    theta: Long): DataFrame => DataFrame = {
-    val counts = nbClassCounts(s, d)
-    val Array(t0) = counts
-      .agg(sum("n_pt").cast("long").as("n_p"),
-           sum("n_nt").cast("long").as("n_n"),
-           count(lit(1)).cast("long").as("v")).collect()
-    val (nP, nN, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
-    val pInt = math.floor(math.log(nP.toDouble / nN) * 1e8 + 0.5).toLong
-    val uni = sourceTermCounts(s, d).groupBy("term")
-      .agg(sum("n_st").cast("long").as("uc"))
-    val Array(u0) = uni.agg(sum("uc").cast("double").as("total")).collect()
-    val total = u0.getDouble(0)
-    val floorLp = math.log(1.0 / total)
-    // one combined per-term row serves BOTH model stages, so each
-    // micro-batch pays a single probe join; the NB side is a left
-    // merge (its labeled vocabulary is a subset of the corpus one)
-    val st = uni.join(counts, Seq("term"), "left")
-      .select(col("term"),
-        log(col("uc").cast("double") / total).as("lp"),
-        when(col("n_pt") + col("n_nt") > 0,
-          floor((log((col("n_pt") + lit(1.0)) / (nP + v))
-                 - log((col("n_nt") + lit(1.0)) / (nN + v)))
-            * 100000000 + 0.5).cast("long")).otherwise(lit(0L)).as("l"))
-    docFrame => docFrame
-      .select(col("doc_id"), col("source"), teacherQi.as("qi"),
-              split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), col("source"), col("qi"),
-              size(col("tok")).cast("long").as("n_tokens"),
-              explode(col("tok")).as("term"))
-      .join(st.hint("shuffle_hash"), Seq("term"), "left")
-      .groupBy("doc_id", "source", "qi", "n_tokens")
-      .agg(sum(coalesce(col("lp"), lit(floorLp))).as("lpsum"),
-           (sum(coalesce(col("l"), lit(0L))) + lit(pInt)).cast("long")
-             .as("s_int"))
-      .withColumn("lp4", round(col("lpsum") / col("n_tokens"), 4))
-      .withColumn("bin",
-        least(greatest(floor(col("s_int").cast("double") / 50000000.0),
-                       lit(-10)), lit(9)).cast("long"))
+    val (st, pInt, floorLp) = funnelModel(s, d)
+    docFrame => funnelScoreDocs(docFrame, st, pInt, floorLp)
       .withColumn("pass_len", col("n_tokens") >= FsMinTokens)
       .withColumn("pass_quality", col("qi") >= FsMinQualityInt)
       .withColumn("pass_lm", col("lp4") >= FsMinLp4)
@@ -1189,6 +1168,119 @@ object Prep {
               "bin", "pass_len", "pass_quality", "pass_lm", "pass_nb",
               "keep", "reject_stage")
   }
+
+  /** Resolve the funnel's two PERSISTED model layers into one combined
+    * vocabulary-bounded per-term score table plus the collected bounded
+    * constants: (st = (term, lp, l), pInt = the scaled-integer NB class
+    * prior, floorLp = the out-of-vocabulary unigram floor ln(1/total)).
+    * ZERO corpus passes — the NB class counts ([[nbClassCounts]]) and
+    * the unigram marginal (a groupBy(term) finalize of the landed
+    * [[sourceTermCounts]]) are both append-incremental artifacts. The
+    * NB side is a left merge into the unigram vocabulary (its labeled
+    * vocabulary is a subset of the corpus one). Shared by
+    * [[funnelScorer]] (the at-ingest gate) and
+    * [[funnelStackFromLayers]] (the `funnel_stack_v1` artifact build),
+    * so the gate and the landed per-doc table carry the SAME
+    * floating-point expression tree and FunnelGateSpec's stream==batch
+    * doc-for-doc pin is structural, not a 4dp accident.
+    */
+  private def funnelModel(s: SparkSession, d: String)
+      : (DataFrame, Long, Double) = {
+    val counts = nbClassCounts(s, d)
+    val Array(t0) = counts
+      .agg(sum("n_pt").cast("long").as("n_p"),
+           sum("n_nt").cast("long").as("n_n"),
+           count(lit(1)).cast("long").as("v")).collect()
+    val (nP, nN, v) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val pInt = math.floor(math.log(nP.toDouble / nN) * 1e8 + 0.5).toLong
+    val uni = sourceTermCounts(s, d).groupBy("term")
+      .agg(sum("n_st").cast("long").as("uc"))
+    val Array(u0) = uni.agg(sum("uc").cast("double").as("total")).collect()
+    val total = u0.getDouble(0)
+    val floorLp = math.log(1.0 / total)
+    val st = uni.join(counts, Seq("term"), "left")
+      .select(col("term"),
+        log(col("uc").cast("double") / total).as("lp"),
+        when(col("n_pt") + col("n_nt") > 0,
+          floor((log((col("n_pt") + lit(1.0)) / (nP + v))
+                 - log((col("n_nt") + lit(1.0)) / (nN + v)))
+            * 100000000 + 0.5).cast("long")).otherwise(lit(0L)).as("l"))
+    (st, pInt, floorLp)
+  }
+
+  /** Score one document frame against a resolved [[funnelModel]]:
+    * tokenize → explode → ONE left shuffle_hash probe join on the
+    * combined vocabulary-bounded score table (never broadcast) → one
+    * per-doc aggregate with n_tokens/source/qi carried as grouping
+    * keys — the dsirScoreStream one-pass convention, so the plan is
+    * legal on a genuine streaming frame (no post-aggregation
+    * self-join). Terms outside the trained vocabulary take the unigram
+    * floor for the lm stage and the q161 0-LLR convention for the nb
+    * stage: novelty biases toward the lm gate, never a silent keep.
+    */
+  private def funnelScoreDocs(docFrame: DataFrame, st: DataFrame,
+                              pInt: Long, floorLp: Double): DataFrame =
+    docFrame
+      .select(col("doc_id"), col("source"), teacherQi.as("qi"),
+              split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("source"), col("qi"),
+              size(col("tok")).cast("long").as("n_tokens"),
+              explode(col("tok")).as("term"))
+      .join(st.hint("shuffle_hash"), Seq("term"), "left")
+      .groupBy("doc_id", "source", "qi", "n_tokens")
+      .agg(sum(coalesce(col("lp"), lit(floorLp))).as("lpsum"),
+           (sum(coalesce(col("l"), lit(0L))) + lit(pInt)).cast("long")
+             .as("s_int"))
+      .withColumn("lp4", round(col("lpsum") / col("n_tokens"), 4))
+      .withColumn("bin",
+        least(greatest(floor(col("s_int").cast("double") / 50000000.0),
+                       lit(-10)), lit(9)).cast("long"))
+
+  /** The `funnel_stack_v1` BUILD: the q163 per-doc gate table derived
+    * from the persisted model layers — ONE corpus rescore pass
+    * ([[funnelScoreDocs]] over the docs table), zero
+    * tokenize-for-counting passes (the bigram-NLL precedent: per-doc
+    * verdicts under a corpus-global model are not a per-file monoid,
+    * but their count layers are, so after a nightly append the model
+    * layers merge incrementally and only the rescore re-pays the
+    * corpus). Theta tuning and verdict attribution are the exact
+    * [[filterStack]] tail ([[funnelTuneAndVerdicts]]); the scoring
+    * expression tree is the exact [[funnelScorer]] one, so the landed
+    * artifact, the one-pass audit plan, and the at-ingest gate can
+    * only differ by FP summation order inside lpsum (absorbed by the
+    * 4dp round — the same tolerance the DuckDB oracle comparison
+    * already rides).
+    */
+  private[graft] def funnelStackFromLayers(s: SparkSession,
+                                               d: String): DataFrame = {
+    funnelDerives.incrementAndGet()
+    val (st, pInt, floorLp) = funnelModel(s, d)
+    val sb = funnelScoreDocs(spread(docs(s, d)), st, pInt, floorLp)
+      .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int", "bin")
+    funnelTuneAndVerdicts(s, sb)
+  }
+
+  /** The q163 per-doc gate table as a PERSISTED DerivedCache artifact
+    * (`funnel_stack_v1`): every doc's stage scores, tuned theta, stage
+    * verdicts, keep bit, and first-rejecting stage. The funnel verdict
+    * is deterministic per corpus snapshot and consumed by five
+    * registry queries (q163–q167) plus the nightly health stage — each
+    * previously re-derived the full funnel (a tokenize pass + both
+    * model layers) per query; now the first touch per corpus snapshot
+    * pays ONE build ([[funnelStackFromLayers]]) and every consumer —
+    * and every later SESSION — reads one narrow per-doc parquet. At
+    * 100 TB the consumers' bill drops from five corpus passes per
+    * audit batch to one rescore per snapshot plus bounded rollups.
+    */
+  def funnelStack(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuild(s, d, "funnel_stack_v1")(
+      funnelStackFromLayers(s, d))
+
+  /** Times the funnel stack was DERIVED this JVM (the nbDerives
+    * pattern): specs assert consumers serve the landed artifact
+    * without this moving.
+    */
+  val funnelDerives = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Train the distilled quality classifier: logistic regression over
     * hashed unigram term frequencies, labeled by the q32 closed-form
@@ -4806,12 +4898,13 @@ object Prep {
         "LM stage is the exact q82 4dp spelling, the NB stage the exact " +
         "q161 integer-LLR + tuned-theta spelling — same constants, same " +
         "scaled arithmetic — so this table and the single-model queries " +
-        "can never disagree. Scale shape: ONE tokenize pass to the " +
-        "(doc, term, count) table; the unigram marginal and the NB " +
-        "class counts are one shared groupBy(term) derivation of it; " +
-        "both per-doc sums ride ONE shuffle_hash probe join against the " +
-        "combined vocabulary-bounded score table (never broadcast); the " +
-        "totals, the theta, and the thresholds are bounded rows.",
+        "can never disagree. Scale shape: SERVES the persisted " +
+        "funnel_stack_v1 DerivedCache artifact — the verdict table is " +
+        "deterministic per corpus snapshot, so the first touch pays ONE " +
+        "build (model layers resolved from the append-incremental " +
+        "artifacts + one rescore pass, funnelStackFromLayers) and every " +
+        "consumer, every later session, and the nightly health stage " +
+        "read one narrow per-doc parquet.",
       fsOracleCte +
         """
         |SELECT doc_id, source, n_tokens, qi, lp4, s_int, bin, theta,
@@ -4823,7 +4916,7 @@ object Prep {
         |       WHEN NOT pass_nb THEN 'nb'
         |       ELSE 'keep' END AS reject_stage
         |FROM g""".stripMargin) { (s, d) =>
-      filterStack(s, d)
+      funnelStack(s, d)
         .select("doc_id", "source", "n_tokens", "qi", "lp4", "s_int",
                 "bin", "theta", "pass_len", "pass_quality", "pass_lm",
                 "pass_nb", "keep", "reject_stage")
@@ -4836,8 +4929,10 @@ object Prep {
         "source dies at which gate (a source failing at 'lm' is " +
         "distribution-shifted; failing at 'quality' is boilerplate; " +
         "failing at 'nb' disagrees with the distilled teacher). Pure " +
-        "bounded aggregation of the q163 per-doc table — no extra " +
-        "corpus pass, output rows = sources.",
+        "bounded aggregation of the LANDED funnel_stack_v1 artifact — " +
+        "one narrow parquet scan, zero corpus work, output rows = " +
+        "sources (this is the nightly health-stage table, now truly a " +
+        "bounded composition over persisted artifacts).",
       fsOracleCte +
         """
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -4852,7 +4947,7 @@ object Prep {
         |       AND pass_lm AND pass_nb) AS DOUBLE) / count(*), 4)
         |    AS keep_rate
         |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val fs0 = filterStack(s, d)
+      val fs0 = funnelStack(s, d)
       val surv2 = col("pass_len") && col("pass_quality")
       val surv3 = surv2 && col("pass_lm")
       val surv4 = surv3 && col("pass_nb")
@@ -4882,8 +4977,9 @@ object Prep {
         "BIGINTs end-to-end; the corrective ratio rounds to a " +
         "1e-8-scaled BIGINT and NORMALIZES over the integer sum (the " +
         "q125 convention), so no double accumulation order can move the " +
-        "hash. Scale shape: pure bounded aggregation of the q163 " +
-        "per-doc table — no extra corpus pass, output rows = sources.",
+        "hash. Scale shape: pure bounded aggregation of the LANDED " +
+        "funnel_stack_v1 artifact — one narrow parquet scan, zero " +
+        "corpus work, output rows = sources.",
       fsOracleCte +
         """,
         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS pre_docs,
@@ -4918,12 +5014,13 @@ object Prep {
       // The corpus totals and the weight normalizer are unpartitioned
       // window sums over the per-source rollup (rows = sources), NOT
       // separate aggregate branches: an agg-branch + crossJoin shape
-      // plans the whole funnel subtree once per branch (4 corpus-scan
-      // copies measured; AQE stage reuse recovers only the shuffle
-      // halves), while the window form keeps ONE funnel pass and the
-      // sums stay exact BIGINTs, so the hash cannot move.
+      // plans the whole source subtree once per branch (4 copies
+      // measured when this derived the funnel inline; AQE stage reuse
+      // recovers only the shuffle halves), while the window form keeps
+      // ONE artifact scan and the sums stay exact BIGINTs, so the hash
+      // cannot move.
       val wAll = Window.partitionBy()
-      val agg = filterStack(s, d).groupBy("source")
+      val agg = funnelStack(s, d).groupBy("source")
         .agg(count(lit(1)).cast("long").as("pre_docs"),
              count(when(keep, 1)).cast("long").as("kept_docs"),
              sum("n_tokens").cast("long").as("pre_tokens"),
@@ -4970,8 +5067,9 @@ object Prep {
         "a stage with many rejections but few unique kills is redundant " +
         "with its neighbors), and the corpus keep-rate if that one " +
         "stage were removed. Exactly four rows from ONE bounded " +
-        "aggregate over the q163 per-doc table — no extra corpus pass, " +
-        "and the unpivot is a 4-element literal array, never a shuffle.",
+        "aggregate over the LANDED funnel_stack_v1 artifact — zero " +
+        "corpus work, and the unpivot is a 4-element literal array, " +
+        "never a shuffle.",
       fsOracleCte +
         """,
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -5001,7 +5099,7 @@ object Prep {
         |  UNION ALL SELECT 'lm', f_lm, u_lm, n, n_keep FROM a
         |  UNION ALL SELECT 'nb', f_nb, u_nb, n, n_keep FROM a)
         |ORDER BY stage""".stripMargin) { (s, d) =>
-      val fs0 = filterStack(s, d)
+      val fs0 = funnelStack(s, d)
       def others(self: String) =
         Seq("pass_len", "pass_quality", "pass_lm", "pass_nb")
           .filterNot(_ == s"pass_$self").map(col).reduce(_ && _)
@@ -5053,9 +5151,13 @@ object Prep {
         "the exact q165 integer spelling, so the two queries can never " +
         "disagree about the target mixture. A zero-kept corpus (the " +
         "q165 degenerate case) yields an EMPTY sample, not a throw. " +
-        "Scale shape: ONE funnel pass; the per-source weight table is " +
-        "bounded (rows = sources) and broadcasts; no extra corpus scan " +
-        "for the thinning — the hash rides the per-doc row.",
+        "Scale shape: TWO column-pruned scans of the landed " +
+        "funnel_stack_v1 artifact and zero corpus work — the bounded " +
+        "rate rollup (rows = sources, resampleRates) broadcasts into " +
+        "the keep-filtered probe scan; the membership hash rides the " +
+        "per-doc row. (The r14 inline form forked the funnel subtree " +
+        "and tokenized the corpus twice — the artifact retires the " +
+        "fork by construction.)",
       fsOracleCte +
         """,
         |agg AS (SELECT source,
@@ -5085,37 +5187,91 @@ object Prep {
         |  round(CAST(r_int AS DOUBLE) / max_r, 6) AS rate
         |FROM uu CROSS JOIN mx
         |WHERE u < CAST(r_int AS DOUBLE) / max_r""".stripMargin) { (s, d) =>
-      val fs0 = filterStack(s, d)
-      val agg = fs0.groupBy("source")
-        .agg(sum("n_tokens").cast("long").as("pre_tokens"),
-             coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
-               .cast("long").as("kept_tokens"))
-      // weights over the bounded per-source rollup, one funnel pass
-      // (the q165 window convention); max_r rides the same rollup
-      val wAll = Window.partitionBy()
-      val rw = agg
-        .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
-        .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
-        .withColumn("r_int",
-          when(col("kept_tokens") > 0,
-            floor(col("pre_tokens").cast("double") * col("t_kept")
-                  / (col("t_pre").cast("double") * col("kept_tokens"))
-                  * 100000000 + 0.5).cast("long")))
-        .withColumn("max_r", max("r_int").over(wAll).cast("long"))
-        .select("source", "r_int", "max_r")
-      // 24-bit md5 prefix as an exact dyadic fraction (the q87 trick)
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-                   16, 10).cast("double") / lit(16777216.0)
-      fs0.filter(col("keep"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
-        .join(broadcast(rw), "source")
-        .withColumn("rate",
-          col("r_int").cast("double") / col("max_r"))
-        .filter(u < col("rate"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-                round(col("rate"), 6).as("rate"))
+      resampledDocs(s, d)
     }
   )
+
+  /** q167's membership frame — (doc_id, source, n_tokens, rate) of the
+    * mixture-corrected resample — shared by the registry entry and the
+    * terminal export ([[graft.operators.Curation.exportResampled]]),
+    * so the report and the landed corpus can never disagree.
+    */
+  def resampledDocs(s: SparkSession, d: String): DataFrame = {
+    // 24-bit md5 prefix as an exact dyadic fraction (the q87 trick)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+                 16, 10).cast("double") / lit(16777216.0)
+    funnelStack(s, d).filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(broadcast(resampleRates(s, d)), "source")
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+              round(col("rate"), 6).as("rate"))
+  }
+
+  /** The corrective per-source thinning rates of the q167 resample as
+    * ONE bounded frame (rows = sources): rate = r_int / max(r_int),
+    * the exact q165 integer weight spelling over the LANDED
+    * funnel_stack_v1 rollup — corpus totals and the max normalizer are
+    * unpartitioned window sums over the sources-bounded rollup (the
+    * q165 convention), never separate aggregate branches. On a
+    * zero-kept corpus every r_int is NULL, so rate is NULL and every
+    * membership test `u < rate` is false — an empty sample, not a
+    * throw. Shared by q167, [[graft.operators.Curation.exportResampled]],
+    * and the at-ingest stream thinner ([[resampleThinner]]), so the
+    * batch report, the export, and the stream can never disagree about
+    * the target mixture.
+    */
+  def resampleRates(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    funnelStack(s, d).groupBy("source")
+      .agg(sum("n_tokens").cast("long").as("pre_tokens"),
+           coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+             .cast("long").as("kept_tokens"))
+      .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
+      .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
+      .withColumn("r_int",
+        when(col("kept_tokens") > 0,
+          floor(col("pre_tokens").cast("double") * col("t_kept")
+                / (col("t_pre").cast("double") * col("kept_tokens"))
+                * 100000000 + 0.5).cast("long")))
+      .withColumn("max_r", max("r_int").over(wAll).cast("long"))
+      .select(col("source"),
+              (col("r_int").cast("double") / col("max_r")).as("rate"))
+  }
+
+  /** The resample's STREAMING form — BUILD-ONCE (the funnelScorer
+    * convention): collect the bounded per-source rate table once at
+    * stream start from the landed artifacts, and return a pure
+    * per-row thinning projection — deterministic content-hash
+    * Bernoulli, the exact q167 membership test — legal on any
+    * streaming frame (no aggregate, no join: the rates inline as a
+    * literal map, sources-bounded by construction). Docs from sources
+    * the funnel never saw keep rate 1.0 (a brand-new source has no
+    * enrichment evidence; thinning it to zero silently would drop a
+    * feed — the quarantine-biased inverse of the gate's default).
+    * Stream==batch membership is ResampleSpec's pin.
+    */
+  def resampleThinner(s: SparkSession, d: String)
+      : DataFrame => DataFrame = {
+    val rates = resampleRates(s, d)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // a KNOWN source with a NULL rate (the zero-kept corpus) must drop
+    // — the exact q167 `u < NULL` = false semantics — while an UNKNOWN
+    // source keeps; the two cases must not conflate through one map
+    val nonNull = rates.collect { case (k, Some(v)) => (k, v) }.toSeq
+    val knownCol =
+      if (rates.isEmpty) lit(false)
+      else col("source").isin(rates.keySet.toSeq: _*)
+    val rateCol = when(!knownCol, lit(1.0)).otherwise(
+      if (nonNull.isEmpty) lit(null).cast("double")
+      else element_at(
+        map(nonNull.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("source")))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+                 16, 10).cast("double") / lit(16777216.0)
+    docFrame => docFrame.filter(u < rateCol)
+  }
 
   /** Shared oracle CTE chain of the q163 filter funnel (one tokenize
     * pass → combined unigram + NB term table → per-doc LM/NB scores →

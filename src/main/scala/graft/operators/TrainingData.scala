@@ -1453,10 +1453,16 @@ object TrainingData {
       // (qid, same) — the union-of-two-filtered-windows spelling scans
       // the corpus (and rebuilds the query broadcast) once per branch.
       // rk <= 5 stays a standalone conjunct so WindowGroupLimit still
-      // caps every group map-side at the larger k.
+      // caps every group map-side at the larger k. NULL labels are
+      // excluded up front: the oracle's qlabel = / <> label admits a
+      // row to NEITHER role when either side is NULL, while the fused
+      // spelling's `!same || rk <= 2` would three-value a NULL `same`
+      // into a 'neg' emission — they form their own window partition,
+      // so dropping them cannot move a non-null row's rank.
       val w = Window.partitionBy("qid", "same")
         .orderBy(col("cos").desc, col("vec_id"))
       scored
+        .filter(col("qlabel").isNotNull && col("label").isNotNull)
         .withColumn("same", col("qlabel") === col("label"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5 && (!col("same") || col("rk") <= 2))

@@ -606,27 +606,81 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q163-q166: funnel family — one funnel pass, one documents scan") {
-    // The whole family derives from the filterStack per-doc table,
-    // whose tokenize+count exchange every consumer must share. The
-    // regression this pins: q165's corpus totals / weight normalizer
-    // were once separate aggregate branches glued with crossJoins —
-    // the INITIAL plan carried 4 copies of the funnel subtree (40
-    // parquet scans) and ran 2.3x the single-pass q163; the window-
-    // over-bounded-rollup shape keeps ONE funnel pass.
-    for (q <- Seq("q163_filter_stack", "q164_filter_funnel",
-                  "q165_funnel_mixture_shift", "q166_funnel_ablation")) {
+  test("q163-q167: funnel family serves the landed funnel_stack_v1 — zero corpus work") {
+    // Round 15: the per-doc gate table is a persisted DerivedCache
+    // artifact. The regressions this pins: (a) r14's q167 fork — the
+    // pruned per-source weight rollup fell out of canonical equality
+    // with the keep-filter probe and the corpus tokenized TWICE; (b)
+    // any consumer silently re-deriving the funnel inline (a Generate
+    // or a documents scan in a warm plan = a whole corpus pass per
+    // query at 100 TB).
+    graft.operators.Prep.funnelStack(spark, sf).count() // land artifact
+    val derives = graft.operators.Prep.funnelDerives.get()
+    val expectScans = Seq(
+      "q163_filter_stack" -> 1, "q164_filter_funnel" -> 1,
+      "q165_funnel_mixture_shift" -> 1, "q166_funnel_ablation" -> 1,
+      // bounded rate rollup + keep-filtered membership probe, both
+      // column-pruned scans of the narrow artifact (the rollup
+      // broadcasts into the probe; a per-source window over per-doc
+      // rows would single-partition the corpus instead)
+      "q167_funnel_resample" -> 2)
+    for ((q, n) <- expectScans) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      assert("Scan parquet".r.findAllIn(p).length === 1,
-             s"$q must scan documents exactly once:\n$p")
-      assert("ReusedExchange".r.findAllIn(p).nonEmpty,
-             s"$q stopped sharing the funnel tokenize+count stage:\n$p")
-      assert(!p.contains("SortMergeJoin"),
-             s"$q vocabulary probe regressed to sort-merge:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length === n,
+             s"$q must plan exactly $n artifact scans:\n$p")
+      assert(!p.contains("documents.parquet"),
+             s"$q re-derived the funnel from the corpus:\n$p")
+      // q166's bounded 4-element literal unpivot is a Generate too —
+      // the tokenize signature is specifically an explode over split()
+      assert(!p.contains("explode(split("),
+             s"$q must not tokenize (artifact serves scores):\n$p")
     }
+    assert(graft.operators.Prep.funnelDerives.get() === derives,
+           "a warm funnel consumer re-derived funnel_stack_v1")
+    val p167 = {
+      val df = SparkEntry.queries("q167_funnel_resample")(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(p167.contains("BroadcastHashJoin"),
+           s"q167's bounded rate rollup must broadcast:\n$p167")
+  }
+
+  test("funnel_stack build: one rescore pass over documents, layers from artifacts") {
+    // the artifact BUILD must pay exactly ONE corpus pass (tokenize +
+    // probe join against the combined vocabulary-bounded score table)
+    // — the model layers come from the landed append-incremental
+    // artifacts, never a second tokenize-for-counting pass — and the
+    // one-pass audit plan (filterStack) keeps its shared-exchange
+    // shape as the from-first-principles cross-check
+    graft.operators.Prep.nbClassCounts(spark, sf).count()
+    graft.operators.Prep.sourceTermCounts(spark, sf).count()
+    val build = graft.operators.Prep.funnelStackFromLayers(spark, sf)
+    build.collect()
+    val pb = build.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("documents.parquet".r.findAllIn(pb).length === 1,
+           s"build must scan documents exactly once:\n$pb")
+    assert("Generate".r.findAllIn(pb).length === 1,
+           s"build must tokenize exactly once:\n$pb")
+    assert(pb.contains("ShuffledHashJoin"),
+           s"build's vocabulary probe must stay shuffle_hash:\n$pb")
+    assert(!pb.contains("SortMergeJoin"),
+           s"build's vocabulary probe regressed to sort-merge:\n$pb")
+
+    val audit = graft.operators.Prep.filterStack(spark, sf)
+    audit.collect()
+    val pa = audit.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(pa).length === 1,
+           s"filterStack must scan documents exactly once:\n$pa")
+    assert("ReusedExchange".r.findAllIn(pa).nonEmpty,
+           s"filterStack stopped sharing the tokenize+count stage:\n$pa")
+    assert(!pa.contains("SortMergeJoin"),
+           s"filterStack vocabulary probe regressed to sort-merge:\n$pa")
   }
 
   test("r14 scan audit: q62/q126/q143/q158 keep their deduped scan counts") {

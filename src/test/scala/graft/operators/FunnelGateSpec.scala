@@ -195,5 +195,19 @@ class FunnelGateSpec extends AnyFunSuite with SparkSpec {
     for (q <- Seq("q164_filter_funnel", "q166_funnel_ablation"))
       assert(graft.SparkEntry.queries(q)(spark, base).collect().nonEmpty,
              s"$q threw or returned empty on the zero-kept corpus")
+    // ... and the resample must yield an EMPTY sample, not a throw:
+    // every r_int is NULL, so every membership test `u < rate` is false
+    assert(graft.SparkEntry.queries("q167_funnel_resample")(spark, base)
+             .collect().isEmpty,
+           "q167 must return an empty sample on a zero-kept corpus")
+    // the streaming thinner agrees: KNOWN sources of a zero-kept corpus
+    // drop everything (the q167 semantics), while a source the funnel
+    // never saw keeps (no enrichment evidence to thin by)
+    val thin = Prep.resampleThinner(spark, base)
+    val probe = Seq((0L, "src0"), (1L, "src1"), (2L, "never_seen"))
+      .toDF("doc_id", "source")
+    assert(thin(probe).collect().map(_.getString(1)).toSeq ===
+             Seq("never_seen"),
+           "thinner must drop known zero-kept sources and keep unknown ones")
   }
 }
