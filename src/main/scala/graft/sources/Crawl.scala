@@ -128,4 +128,168 @@ object Crawl {
       .write.mode("overwrite")
     (if (gzip) out.option("compression", "gzip") else out).text(path)
   }
+
+  // ------------------------------------------------------------------
+  // WARC front-end — the Common-Crawl-native format (ISO 28500): one
+  // gzip member per record, `WARC/1.0` header block + Content-Length
+  // bytes of block (an HTTP response for `response` records). Second
+  // reader on the SAME typed-frame contract as [[parseCrawl]]: the
+  // output carries (value, corrupt, doc_id, url, source, text, lang,
+  // ts), so [[crawlDocs]]/[[crawlCorrupt]] and every downstream ingest
+  // path work unchanged.
+  //
+  // Scale notes:
+  //   - a .warc.gz is NOT splittable (and record boundaries are not
+  //     line boundaries), so the unit of parallelism is the FILE —
+  //     Common Crawl ships ~1 GB members, which is the right shape;
+  //     `binaryFile` hands each file's bytes to one task and the
+  //     member parse is a pure per-row flatMap, batch or stream.
+  //   - damaged input is COUNTED, never dropped and never fatal: a
+  //     truncated gzip member, a non-WARC header, a missing/overrun
+  //     Content-Length each emit a `corrupt = true` row carrying the
+  //     raw head of the unparseable region for the repair pass (the
+  //     parseCrawl discipline). Record types other than `response`
+  //     (warcinfo, request, metadata) are skipped BY DESIGN — they are
+  //     protocol envelope, not documents.
+  //   - doc_id: WARC has no document id, so it derives as a stable
+  //     63-bit content hash of (url, ts, text) — deterministic on any
+  //     engine, re-read-stable, disjoint inputs collide with
+  //     probability ~n^2/2^63.
+  // ------------------------------------------------------------------
+
+  /** `binaryFile`'s fixed schema, spelled out because a STREAMING file
+    * source requires an explicit schema.
+    */
+  private val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Pure JVM member parser: one file's bytes -> (value, corrupt, url,
+    * ts, text) rows. Handles multi-member gzip (one member per record,
+    * the Common-Crawl layout — java's GZIPInputStream reads
+    * concatenated members transparently) and plain uncompressed .warc;
+    * a truncated trailing member surfaces as one corrupt row instead
+    * of an aborted file. `value` carries the raw head (<= 2 KB) of the
+    * corrupt region only — valid rows leave it null rather than
+    * duplicating the whole record in flight.
+    */
+  private[sources] def parseWarcMembers(raw: Array[Byte])
+      : Seq[(String, Boolean, String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Boolean, String, String, String)]
+    var truncated = false
+    val bytes: Array[Byte] =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+          (raw(1) & 0xff) == 0x8b) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        } catch { case _: java.io.IOException => truncated = true }
+        bos.toByteArray
+      } else raw
+    var i = 0
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j < bytes.length && bytes(j) != '\n') j += 1
+      j
+    }
+    def str(a: Int, b: Int) = new String(bytes, a, b - a, "UTF-8")
+    def head(a: Int) = str(a, math.min(bytes.length, a + 2048))
+    while (i < bytes.length) {
+      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n'))
+        i += 1
+      if (i < bytes.length) {
+        val recStart = i
+        val le0 = lineEnd(i)
+        val versionOk = str(i, le0).trim.startsWith("WARC/")
+        i = le0 + 1
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var blank = false
+        while (versionOk && !blank && i < bytes.length) {
+          val le = lineEnd(i)
+          val line = str(i, le).stripSuffix("\r")
+          i = le + 1
+          if (line.isEmpty) blank = true
+          else {
+            val c = line.indexOf(':')
+            if (c > 0)
+              headers(line.substring(0, c).trim.toLowerCase) =
+                line.substring(c + 1).trim
+          }
+        }
+        val cl = headers.get("content-length")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+        if (!versionOk || !blank || cl.isEmpty ||
+            i + cl.get > bytes.length) {
+          // unparseable region: count it, carry its head, stop — WARC
+          // has no in-band resync marker worth trusting past damage
+          out += ((head(recStart), true, null, null, null))
+          i = bytes.length
+        } else {
+          val block = new String(bytes, i, cl.get, "UTF-8")
+          i += cl.get
+          if (headers.get("warc-type").contains("response")) {
+            val sep = block.indexOf("\r\n\r\n")
+            val body =
+              if (block.startsWith("HTTP/") && sep >= 0)
+                block.substring(sep + 4)
+              else block
+            out += ((null, false,
+                     headers.getOrElse("warc-target-uri", null),
+                     headers.getOrElse("warc-date", null), body))
+          }
+        }
+      }
+    }
+    if (truncated && !out.lastOption.exists(_._2))
+      out += (("<gzip member truncated>", true, null, null, null))
+    out.toSeq
+  }
+
+  /** One WARC parser for both forms: binaryFile rows -> the
+    * [[parseCrawl]]-shaped typed frame. The flatMap is stateless
+    * per-row work, so the same code streams.
+    */
+  private def parseWarcFiles(files: DataFrame): DataFrame = {
+    val session = files.sparkSession
+    import session.implicits._
+    files.select(col("content")).as[Array[Byte]]
+      .flatMap(parseWarcMembers(_))
+      .toDF("value", "corrupt", "url", "wts", "text")
+      .select(
+        col("value"), col("corrupt"),
+        when(!col("corrupt"),
+          pmod(xxhash64(coalesce(col("url"), lit("")),
+                        coalesce(col("wts"), lit("")), col("text")),
+               lit(Long.MaxValue)).cast("long")).as("doc_id"),
+        col("url"),
+        lit("warc").as("source"),
+        col("text"),
+        lit("und").as("lang"),
+        coalesce(try_to_timestamp(col("wts")), current_timestamp())
+          .as("ts"))
+  }
+
+  /** Batch read of a WARC directory (`*.warc` / `*.warc.gz`). */
+  def readWarc(s: SparkSession, path: String): DataFrame =
+    parseWarcFiles(s.read.format("binaryFile").load(path))
+
+  /** Streaming read: newly landed WARC files become micro-batches,
+    * checkpointed exactly-once by file name (the [[readCrawlStream]]
+    * contract; `maxFilesPerTrigger` bounds a backfill batch).
+    */
+  def readWarcStream(s: SparkSession, path: String,
+                     maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r0 = s.readStream.format("binaryFile").schema(binaryFileSchema)
+    val r = if (maxFilesPerTrigger > 0)
+              r0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+            else r0
+    parseWarcFiles(r.load(path))
+  }
 }
