@@ -52,7 +52,8 @@ object RefreshBench {
         TrainingData.dedupTokenIndex(spark, work).count()
         TrainingData.dedupPrefixIndex(spark, work).count()
       },
-      timed("cluster_labels")(Curation.dedupClusters(spark, work).count()))
+      timed("cluster_labels")(Curation.dedupClusters(spark, work).count()),
+      timed("funnel_stack")(Prep.funnelStack(spark, work).count()))
 
     // the nightly slice: frac of the corpus re-suffixed as new docs
     val docs = spark.read.parquet(s"$work/documents.parquet")
@@ -78,7 +79,12 @@ object RefreshBench {
         TrainingData.dedupTokenIndex(spark, work).count()
         TrainingData.dedupPrefixIndex(spark, work).count()
       },
-      timed("cluster_labels")(Curation.dedupClusters(spark, work).count()))
+      timed("cluster_labels")(Curation.dedupClusters(spark, work).count()),
+      // funnel refresh = incremental model-layer merges + ONE rescore
+      // pass over the grown corpus (per-doc verdicts under a global
+      // model are not a per-file monoid) — expected to track the
+      // corpus, unlike the slice-scaling rows above
+      timed("funnel_stack")(Prep.funnelStack(spark, work).count()))
 
     def j(m: Seq[(String, Double)]) = m.map { case (k, v) =>
       "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -5188,6 +5188,105 @@ object Prep {
         |FROM uu CROSS JOIN mx
         |WHERE u < CAST(r_int AS DOUBLE) / max_r""".stripMargin) { (s, d) =>
       resampledDocs(s, d)
+    },
+
+    Q("q168_resample_audit",
+      "Did the corrective resample WORK? — the verification read that " +
+        "closes the q165→q167 loop (report → action → audit): per " +
+        "source, token counts and shares at the three pipeline points " +
+        "— pre-filter (the mixture the pipeline TARGETS), post-funnel " +
+        "kept (the drifted mixture filtering left), and post-resample " +
+        "SAMPLED (what q167's thinning realized) — plus the residual " +
+        "|sampled_share − pre_share| an operator alarms on. The " +
+        "content-hash Bernoulli restores the target only in " +
+        "expectation, so the audit lands realized numbers instead of " +
+        "asserting; a residual persistently above the binomial noise " +
+        "floor means a stale rate table. Shares follow the q165 " +
+        "discipline: exact BIGINT sums, NULL (never a throw) when a " +
+        "degenerate funnel kept nothing, residuals computed from the " +
+        "4dp-rounded shares so no engine's double accumulation order " +
+        "can move the hash. Scale shape: TWO column-pruned scans of " +
+        "the landed funnel_stack_v1, zero corpus work — the pre/kept " +
+        "rollup is spelled exactly as resampleRates' aggregate, so " +
+        "the planner serves both from one scan+exchange (canonical " +
+        "equality, PlanSpec-pinned) and only q167's keep-filtered " +
+        "probe adds a scan; every window is over the sources-bounded " +
+        "rollup.",
+      fsOracleCte +
+        """,
+        |agg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS pre_tokens,
+        |  CAST(COALESCE(sum(n_tokens) FILTER (WHERE pass_len AND
+        |       pass_quality AND pass_lm AND pass_nb), 0) AS BIGINT)
+        |    AS kept_tokens
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pre_tokens) AS BIGINT) AS t_pre,
+        |               CAST(sum(kept_tokens) AS BIGINT) AS t_kept
+        |        FROM agg),
+        |r AS (SELECT source,
+        |  CASE WHEN kept_tokens > 0 THEN
+        |    CAST(floor(CAST(pre_tokens AS DOUBLE) * t_kept
+        |               / (CAST(t_pre AS DOUBLE) * kept_tokens)
+        |               * 100000000 + 0.5) AS BIGINT) END AS r_int
+        |  FROM agg CROSS JOIN tot),
+        |mx AS (SELECT CAST(max(r_int) AS BIGINT) AS max_r FROM r),
+        |uu AS (SELECT g.doc_id, g.source, g.n_tokens, r.r_int,
+        |    list_reduce(list_transform(
+        |        string_split(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) / 16777216.0 AS u
+        |  FROM g JOIN r USING (source)
+        |  WHERE pass_len AND pass_quality AND pass_lm AND pass_nb),
+        |samp AS (SELECT source, CAST(sum(n_tokens) AS BIGINT)
+        |           AS sampled_tokens
+        |         FROM uu CROSS JOIN mx
+        |         WHERE u < CAST(r_int AS DOUBLE) / max_r GROUP BY 1),
+        |st2 AS (SELECT CAST(COALESCE(sum(sampled_tokens), 0) AS BIGINT)
+        |          AS t_samp FROM samp)
+        |SELECT agg.source, pre_tokens, kept_tokens,
+        |  CAST(COALESCE(sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+        |  round(CAST(pre_tokens AS DOUBLE) / t_pre, 4) AS pre_share,
+        |  round(CAST(kept_tokens AS DOUBLE) / NULLIF(t_kept, 0), 4)
+        |    AS kept_share,
+        |  round(CAST(COALESCE(sampled_tokens, 0) AS DOUBLE)
+        |        / NULLIF(t_samp, 0), 4) AS sampled_share,
+        |  round(abs(round(CAST(COALESCE(sampled_tokens, 0) AS DOUBLE)
+        |                  / NULLIF(t_samp, 0), 4)
+        |            - round(CAST(pre_tokens AS DOUBLE) / t_pre, 4)), 4)
+        |    AS residual
+        |FROM agg LEFT JOIN samp USING (source)
+        |CROSS JOIN tot CROSS JOIN st2
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val keep = col("keep")
+      val wAll = Window.partitionBy()
+      val agg = funnelStack(s, d).groupBy("source")
+        .agg(sum("n_tokens").cast("long").as("pre_tokens"),
+             coalesce(sum(when(keep, col("n_tokens"))), lit(0L))
+               .cast("long").as("kept_tokens"))
+      val samp = resampledDocs(s, d).groupBy("source")
+        .agg(sum("n_tokens").cast("long").as("sampled_tokens"))
+      agg.join(samp, Seq("source"), "left")
+        .withColumn("sampled_tokens",
+          coalesce(col("sampled_tokens"), lit(0L)))
+        .withColumn("t_pre", sum("pre_tokens").over(wAll).cast("long"))
+        .withColumn("t_kept", sum("kept_tokens").over(wAll).cast("long"))
+        .withColumn("t_samp",
+          sum("sampled_tokens").over(wAll).cast("long"))
+        .withColumn("pre_share",
+          round(col("pre_tokens").cast("double") / col("t_pre"), 4))
+        .withColumn("kept_share",
+          when(col("t_kept") > 0,
+            round(col("kept_tokens").cast("double") / col("t_kept"), 4)))
+        .withColumn("sampled_share",
+          when(col("t_samp") > 0,
+            round(col("sampled_tokens").cast("double")
+                  / col("t_samp"), 4)))
+        .select(col("source"), col("pre_tokens"), col("kept_tokens"),
+                col("sampled_tokens"), col("pre_share"),
+                col("kept_share"), col("sampled_share"),
+                when(col("t_samp") > 0,
+                  round(abs(col("sampled_share") - col("pre_share")), 4))
+                  .as("residual"))
+        .orderBy("source")
     }
   )
 

@@ -623,7 +623,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // column-pruned scans of the narrow artifact (the rollup
       // broadcasts into the probe; a per-source window over per-doc
       // rows would single-partition the corpus instead)
-      "q167_funnel_resample" -> 2)
+      "q167_funnel_resample" -> 2,
+      // the verification audit spells its pre/kept rollup EXACTLY as
+      // resampleRates' (same aggregate, same casts), so the two
+      // subtrees are canonically equal and the planner serves both
+      // from ONE scan+exchange — the rollup scan plus q167's
+      // keep-filtered probe
+      "q168_resample_audit" -> 2)
     for ((q, n) <- expectScans) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()

@@ -191,8 +191,10 @@ class FunnelGateSpec extends AnyFunSuite with SparkSpec {
         assert(r.isNullAt(r.fieldIndex(c)),
                s"$c must be NULL on a zero-kept corpus, got ${r.get(r.fieldIndex(c))}")
     }
-    // the siblings must also survive the degenerate corpus
-    for (q <- Seq("q164_filter_funnel", "q166_funnel_ablation"))
+    // the siblings must also survive the degenerate corpus (q168 with
+    // NULL sampled_share/residual, not a throw)
+    for (q <- Seq("q164_filter_funnel", "q166_funnel_ablation",
+                  "q168_resample_audit"))
       assert(graft.SparkEntry.queries(q)(spark, base).collect().nonEmpty,
              s"$q threw or returned empty on the zero-kept corpus")
     // ... and the resample must yield an EMPTY sample, not a throw:
