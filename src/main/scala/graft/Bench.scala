@@ -125,6 +125,9 @@ object Bench {
       // these four serve the persisted source_stats artifact
       "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
       "q149_anneal_schedule", "q153_anneal_execute",
+      // q161/q162/q169 serve the persisted nb_scores_v1 per-doc score
+      // table (the build — one tokenize+train pass — is paid by q161)
+      "q161_nb_distill", "q162_nb_calibration", "q169_nb_threshold_sweep",
       // the funnel family serves the persisted funnel_stack_v1 per-doc
       // gate table; the build (model layers + one rescore pass) is paid
       // by whichever runs first in registry order — q163

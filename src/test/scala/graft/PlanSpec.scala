@@ -582,28 +582,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q159 planned a shuffled cartesian:\n$p159")
   }
 
-  test("q161/q162: NB distillation — one tokenize pass, shuffle_hash LLR join") {
-    // The (doc, term, count) table cdc feeds both the class-count
-    // derivation and the scoring probe: AQE must reuse its exchange so
-    // the documents tokenize pass runs ONCE. The vocabulary-bounded LLR
-    // table joins shuffle_hash (no-broadcast vocabulary rule); only the
-    // 1-row totals/prior broadcast.
-    for (q <- Seq("q161_nb_distill", "q162_nb_calibration")) {
+  test("q161/q162: NB reports serve the landed nb_scores_v1; the build keeps its one-pass shape") {
+    // Round 15: the per-doc NB score table persists (the funnel_stack
+    // precedent). Warm reports are bounded rollups over one narrow
+    // artifact scan; the BUILD keeps the round-14 pins — the
+    // (doc, term, count) table cdc feeds both the class-count
+    // derivation and the scoring probe via ONE reused exchange, the
+    // vocabulary-bounded LLR table joins shuffle_hash (no-broadcast
+    // vocabulary rule), only the 1-row totals/prior broadcast.
+    graft.operators.Prep.nbScores(spark, sf).count() // land artifact
+    for (q <- Seq("q161_nb_distill", "q162_nb_calibration",
+                  "q169_nb_threshold_sweep")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert("Scan parquet".r.findAllIn(p).length === 1,
-             s"$q must scan documents exactly once:\n$p")
-      assert("ReusedExchange".r.findAllIn(p).nonEmpty,
-             s"$q stopped reusing the tokenize+count stage:\n$p")
-      assert(p.contains("ShuffledHashJoin"),
-             s"$q LLR probe must stay shuffle_hash:\n$p")
-      assert(!p.contains("SortMergeJoin"),
-             s"$q LLR probe regressed to sort-merge:\n$p")
+             s"$q must plan exactly one artifact scan:\n$p")
+      assert(!p.contains("documents.parquet"),
+             s"$q re-trained the NB model from the corpus:\n$p")
+      assert(!p.contains("explode(split("),
+             s"$q must not tokenize (artifact serves scores):\n$p")
       assert(!p.contains("Window"),
              s"$q must not plan a window (bounded aggregates only):\n$p")
     }
+    val build = graft.operators.Prep.nbScoresPlan(spark, sf)
+    build.collect()
+    val pb = build.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(pb).length === 1,
+           s"nbScoresPlan must scan documents exactly once:\n$pb")
+    assert("ReusedExchange".r.findAllIn(pb).nonEmpty,
+           s"nbScoresPlan stopped reusing the tokenize+count stage:\n$pb")
+    assert(pb.contains("ShuffledHashJoin"),
+           s"nbScoresPlan LLR probe must stay shuffle_hash:\n$pb")
+    assert(!pb.contains("SortMergeJoin"),
+           s"nbScoresPlan LLR probe regressed to sort-merge:\n$pb")
+    assert(!pb.contains("Window"),
+           s"nbScoresPlan must not plan a window:\n$pb")
   }
 
   test("q163-q167: funnel family serves the landed funnel_stack_v1 — zero corpus work") {

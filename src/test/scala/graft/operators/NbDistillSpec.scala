@@ -47,4 +47,33 @@ class NbDistillSpec extends AnyFunSuite with SparkSpec {
     assert(solid.last.getDouble(3) - solid.head.getDouble(3) >= 0.5,
            "top and bottom score bins barely differ in observed positive share")
   }
+
+  test("q169: the shipped theta is the sweep's agreement argmax; the curve trades as claimed") {
+    val sweep = graft.SparkEntry.queries("q169_nb_threshold_sweep")(spark, sf)
+      .collect()
+    assert(sweep.length === 21, "one row per candidate theta")
+    // the q161 objective must be maximized exactly at the shipped theta
+    // (ties break low — the tuneTheta spelling)
+    val best = sweep.maxBy(r => (r.getAs[Long]("agreement"),
+                                 -r.getAs[Long]("theta")))
+    val shipped = graft.SparkEntry.queries("q161_nb_distill")(spark, sf)
+      .select("theta").head().getLong(0)
+    assert(best.getAs[Long]("theta") === shipped,
+           s"q161 shipped theta $shipped but the sweep's argmax is " +
+             s"${best.getAs[Long]("theta")}")
+    // monotone mechanics of a threshold sweep: raising theta can only
+    // shrink the kept set, recall never increases, tp+fn is constant
+    val byTheta = sweep.sortBy(_.getAs[Long]("theta"))
+    byTheta.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("n_kept") <= lo.getAs[Long]("n_kept"))
+      assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+    }
+    assert(byTheta.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+             .distinct.length === 1, "labeled-positive total must be constant")
+    // boundary row: theta=-10 (bins live in [-10, 9]) keeps every doc,
+    // so recall is exactly 1 and the kept count is the corpus
+    assert(byTheta.head.getAs[Double]("recall") === 1.0)
+    assert(byTheta.head.getAs[Long]("n_kept") ===
+             graft.Tables.documents(spark, sf).count())
+  }
 }
