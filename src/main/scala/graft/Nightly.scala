@@ -36,7 +36,11 @@ object Nightly {
   val HealthQueries: Seq[String] = Seq(
     "q97_corpus_report", "q155_length_ks_drift", "q157_semantic_outliers",
     "q158_window_length_drift", "q160_source_overlap",
-    "q162_nb_calibration", "q164_filter_funnel")
+    "q162_nb_calibration", "q164_filter_funnel",
+    // the gate-threshold operating curve and the resample-restoration
+    // residual — both bounded rollups over the landed nb_scores_v1 /
+    // funnel_stack_v1 artifacts
+    "q169_nb_threshold_sweep", "q168_resample_audit")
 
   def main(args: Array[String]): Unit = {
     val Array(corpus, out) = args
