@@ -133,7 +133,8 @@ object Bench {
       // by whichever runs first in registry order — q163
       "q163_filter_stack", "q164_filter_funnel",
       "q165_funnel_mixture_shift", "q166_funnel_ablation",
-      "q167_funnel_resample", "q168_resample_audit")
+      "q167_funnel_resample", "q168_resample_audit",
+      "q170_funnel_overlap")
     val colds = queries.collect {
       case (name, _) if cacheBacked(name) && samples(name).exists(_ >= 0) =>
         name -> samples(name).find(_ >= 0).get

@@ -5437,6 +5437,92 @@ object Prep {
             .as("f1"),
           (col("tn") + col("tp")).cast("long").as("agreement"))
         .orderBy("theta")
+    },
+
+    Q("q170_funnel_overlap",
+      "Pairwise stage-redundancy matrix of the q163 funnel — the " +
+        "filter-correlation read published beside the leave-one-out " +
+        "ablation (q166): for every unordered stage pair, how many " +
+        "docs each stage rejects, how many BOTH reject, the Jaccard " +
+        "overlap of their kill sets, and P(b kills | a kills). q166 " +
+        "answers 'what is this stage's marginal bite'; this answers " +
+        "'WHICH stages are eating the same documents' — a pair with " +
+        "high Jaccard is a redundancy candidate (drop the expensive " +
+        "one), a pair near zero partitions the corpus into distinct " +
+        "failure modes. Diagonal rows carry the per-stage kill totals " +
+        "so the matrix reads standalone. Exactly 10 rows (4 stages " +
+        "choose 2, plus the diagonal) from ONE bounded aggregate over " +
+        "the landed funnel_stack_v1 — zero corpus work; the unpivot " +
+        "is a 10-element literal array, never a shuffle. Ratios " +
+        "NULL-degrade when a kill set is empty (a stage that rejects " +
+        "nothing has no overlap to report), 6dp rounds from exact " +
+        "BIGINT counts.",
+      fsOracleCte +
+        """,
+        |a AS (SELECT
+        |  CAST(count(*) FILTER (WHERE NOT pass_len) AS BIGINT) AS f1,
+        |  CAST(count(*) FILTER (WHERE NOT pass_quality) AS BIGINT) AS f2,
+        |  CAST(count(*) FILTER (WHERE NOT pass_lm) AS BIGINT) AS f3,
+        |  CAST(count(*) FILTER (WHERE NOT pass_nb) AS BIGINT) AS f4,
+        |  CAST(count(*) FILTER (WHERE NOT pass_len AND NOT pass_quality) AS BIGINT) AS b12,
+        |  CAST(count(*) FILTER (WHERE NOT pass_len AND NOT pass_lm) AS BIGINT) AS b13,
+        |  CAST(count(*) FILTER (WHERE NOT pass_len AND NOT pass_nb) AS BIGINT) AS b14,
+        |  CAST(count(*) FILTER (WHERE NOT pass_quality AND NOT pass_lm) AS BIGINT) AS b23,
+        |  CAST(count(*) FILTER (WHERE NOT pass_quality AND NOT pass_nb) AS BIGINT) AS b24,
+        |  CAST(count(*) FILTER (WHERE NOT pass_lm AND NOT pass_nb) AS BIGINT) AS b34
+        |  FROM g),
+        |m AS (
+        |  SELECT 'len' AS stage_a, 'len' AS stage_b, f1 AS n_a, f1 AS n_b, f1 AS n_both FROM a
+        |  UNION ALL SELECT 'len', 'lm', f1, f3, b13 FROM a
+        |  UNION ALL SELECT 'len', 'nb', f1, f4, b14 FROM a
+        |  UNION ALL SELECT 'len', 'quality', f1, f2, b12 FROM a
+        |  UNION ALL SELECT 'lm', 'lm', f3, f3, f3 FROM a
+        |  UNION ALL SELECT 'lm', 'nb', f3, f4, b34 FROM a
+        |  UNION ALL SELECT 'nb', 'nb', f4, f4, f4 FROM a
+        |  UNION ALL SELECT 'quality', 'lm', f2, f3, b23 FROM a
+        |  UNION ALL SELECT 'quality', 'nb', f2, f4, b24 FROM a
+        |  UNION ALL SELECT 'quality', 'quality', f2, f2, f2 FROM a)
+        |SELECT stage_a, stage_b, n_a, n_b, n_both,
+        |  round(CAST(n_both AS DOUBLE) / NULLIF(n_a + n_b - n_both, 0), 6)
+        |    AS jaccard,
+        |  round(CAST(n_both AS DOUBLE) / NULLIF(n_a, 0), 6)
+        |    AS p_b_given_a
+        |FROM m ORDER BY stage_a, stage_b""".stripMargin) { (s, d) =>
+      val f = Map(
+        "len" -> !col("pass_len"), "quality" -> !col("pass_quality"),
+        "lm" -> !col("pass_lm"), "nb" -> !col("pass_nb"))
+      // stage order here fixes BOTH the pair enumeration and the
+      // output sort key domain; the oracle enumerates the same pairs
+      val stages = Seq("len", "quality", "lm", "nb")
+      val pairs = for {
+        (a, i) <- stages.zipWithIndex; (b, j) <- stages.zipWithIndex
+        if i <= j
+      } yield (a, b)
+      val aggCols =
+        stages.map(a => count(when(f(a), 1)).cast("long").as(s"n_$a")) ++
+        pairs.filter(p => p._1 != p._2).map { case (a, b) =>
+          count(when(f(a) && f(b), 1)).cast("long").as(s"b_${a}_$b")
+        }
+      val agg = funnelStack(s, d).agg(aggCols.head, aggCols.tail: _*)
+      val rows = pairs.map { case (a, b) =>
+        val both = if (a == b) col(s"n_$a") else col(s"b_${a}_$b")
+        struct(lit(a).as("stage_a"), lit(b).as("stage_b"),
+               col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+               both.as("n_both"))
+      }
+      agg.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.stage_a").as("stage_a"),
+                col("r.stage_b").as("stage_b"),
+                col("r.n_a").as("n_a"), col("r.n_b").as("n_b"),
+                col("r.n_both").as("n_both"),
+                when(col("r.n_a") + col("r.n_b") - col("r.n_both") > 0,
+                  round(col("r.n_both").cast("double")
+                        / (col("r.n_a") + col("r.n_b") - col("r.n_both")),
+                        6)).as("jaccard"),
+                when(col("r.n_a") > 0,
+                  round(col("r.n_both").cast("double") / col("r.n_a"), 6))
+                  .as("p_b_given_a"))
+        .orderBy("stage_a", "stage_b")
     }
   )
 

@@ -645,7 +645,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // subtrees are canonically equal and the planner serves both
       // from ONE scan+exchange — the rollup scan plus q167's
       // keep-filtered probe
-      "q168_resample_audit" -> 2)
+      "q168_resample_audit" -> 2,
+      // one bounded aggregate + a 10-element literal unpivot
+      "q170_funnel_overlap" -> 1)
     for ((q, n) <- expectScans) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()

@@ -194,7 +194,7 @@ class FunnelGateSpec extends AnyFunSuite with SparkSpec {
     // the siblings must also survive the degenerate corpus (q168 with
     // NULL sampled_share/residual, not a throw)
     for (q <- Seq("q164_filter_funnel", "q166_funnel_ablation",
-                  "q168_resample_audit"))
+                  "q168_resample_audit", "q170_funnel_overlap"))
       assert(graft.SparkEntry.queries(q)(spark, base).collect().nonEmpty,
              s"$q threw or returned empty on the zero-kept corpus")
     // ... and the resample must yield an EMPTY sample, not a throw:
