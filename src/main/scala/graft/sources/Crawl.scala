@@ -169,86 +169,97 @@ object Crawl {
   /** Pure JVM member parser: one file's bytes -> (value, corrupt, url,
     * ts, text) rows. Handles multi-member gzip (one member per record,
     * the Common-Crawl layout — java's GZIPInputStream reads
-    * concatenated members transparently) and plain uncompressed .warc;
-    * a truncated trailing member surfaces as one corrupt row instead
-    * of an aborted file. `value` carries the raw head (<= 2 KB) of the
-    * corrupt region only — valid rows leave it null rather than
-    * duplicating the whole record in flight.
+    * concatenated members transparently) and plain uncompressed .warc.
+    * Decompression is STREAMED: a ~1 GB Common-Crawl member file
+    * inflates to several GB, past the JVM's 2 GB array limit — only
+    * the compressed file bytes (the binaryFile row) and one record's
+    * block are ever held at once. Damage is never fatal: a truncated
+    * gzip member, a non-WARC header, a missing/negative/overrunning
+    * Content-Length each emit one corrupt row carrying the record's
+    * header head (<= 2 KB) and stop the scan (WARC has no in-band
+    * resync marker worth trusting past damage). Valid rows leave
+    * `value` null rather than duplicating the record in flight.
     */
   private[sources] def parseWarcMembers(raw: Array[Byte])
       : Seq[(String, Boolean, String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Boolean, String, String, String)]
-    var truncated = false
-    val bytes: Array[Byte] =
+    val base = new java.io.ByteArrayInputStream(raw)
+    val in = new java.io.BufferedInputStream(
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-          (raw(1) & 0xff) == 0x8b) {
-        val bos = new java.io.ByteArrayOutputStream()
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw))
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        } catch { case _: java.io.IOException => truncated = true }
-        bos.toByteArray
-      } else raw
-    var i = 0
-    def lineEnd(from: Int): Int = {
-      var j = from
-      while (j < bytes.length && bytes(j) != '\n') j += 1
-      j
+          (raw(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(base, 65536)
+      else base, 65536)
+    // one header line (headers are short; block bytes read in bulk
+    // below); null at EOF, trailing \r stripped
+    def readLine(): String = {
+      var c = in.read()
+      if (c < 0) return null
+      val sb = new java.lang.StringBuilder
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+        sb.setLength(sb.length - 1)
+      sb.toString
     }
-    def str(a: Int, b: Int) = new String(bytes, a, b - a, "UTF-8")
-    def head(a: Int) = str(a, math.min(bytes.length, a + 2048))
-    while (i < bytes.length) {
-      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n'))
-        i += 1
-      if (i < bytes.length) {
-        val recStart = i
-        val le0 = lineEnd(i)
-        val versionOk = str(i, le0).trim.startsWith("WARC/")
-        i = le0 + 1
-        val headers = scala.collection.mutable.Map.empty[String, String]
-        var blank = false
-        while (versionOk && !blank && i < bytes.length) {
-          val le = lineEnd(i)
-          val line = str(i, le).stripSuffix("\r")
-          i = le + 1
-          if (line.isEmpty) blank = true
-          else {
-            val c = line.indexOf(':')
-            if (c > 0)
-              headers(line.substring(0, c).trim.toLowerCase) =
-                line.substring(c + 1).trim
+    try {
+      var done = false
+      while (!done) {
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null) done = true
+        else {
+          val head = new java.lang.StringBuilder(line).append('\n')
+          val versionOk = line.startsWith("WARC/")
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var blank = false
+          var l = if (versionOk) readLine() else null
+          while (versionOk && !blank && l != null) {
+            if (head.length < 2048) head.append(l).append('\n')
+            if (l.isEmpty) blank = true
+            else {
+              val c = l.indexOf(':')
+              if (c > 0)
+                headers(l.substring(0, c).trim.toLowerCase) =
+                  l.substring(c + 1).trim
+              l = readLine()
+            }
           }
-        }
-        val cl = headers.get("content-length")
-          .flatMap(v => scala.util.Try(v.toInt).toOption)
-        if (!versionOk || !blank || cl.isEmpty ||
-            i + cl.get > bytes.length) {
-          // unparseable region: count it, carry its head, stop — WARC
-          // has no in-band resync marker worth trusting past damage
-          out += ((head(recStart), true, null, null, null))
-          i = bytes.length
-        } else {
-          val block = new String(bytes, i, cl.get, "UTF-8")
-          i += cl.get
-          if (headers.get("warc-type").contains("response")) {
-            val sep = block.indexOf("\r\n\r\n")
-            val body =
-              if (block.startsWith("HTTP/") && sep >= 0)
-                block.substring(sep + 4)
-              else block
-            out += ((null, false,
-                     headers.getOrElse("warc-target-uri", null),
-                     headers.getOrElse("warc-date", null), body))
+          // Content-Length must parse, be non-negative, and fit an
+          // array — a negative or absurd declared length is damage,
+          // not an index-out-of-bounds crash
+          val cl = headers.get("content-length")
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .filter(c => c >= 0 && c <= Int.MaxValue - 8)
+          lazy val corruptHead =
+            head.substring(0, math.min(head.length, 2048))
+          if (!versionOk || !blank || cl.isEmpty) {
+            out += ((corruptHead, true, null, null, null))
+            done = true
+          } else {
+            val block = in.readNBytes(cl.get.toInt)
+            if (block.length < cl.get) {
+              out += ((corruptHead, true, null, null, null))
+              done = true
+            } else if (headers.get("warc-type").contains("response")) {
+              val bs = new String(block, "UTF-8")
+              val sep = bs.indexOf("\r\n\r\n")
+              val body =
+                if (bs.startsWith("HTTP/") && sep >= 0)
+                  bs.substring(sep + 4)
+                else bs
+              out += ((null, false,
+                       headers.getOrElse("warc-target-uri", null),
+                       headers.getOrElse("warc-date", null), body))
+            }
           }
         }
       }
+    } catch {
+      // a truncated trailing gzip member EOFs mid-inflate: everything
+      // parsed before it stands, the damage is one counted row
+      case _: java.io.IOException =>
+        out += (("<gzip member truncated>", true, null, null, null))
     }
-    if (truncated && !out.lastOption.exists(_._2))
-      out += (("<gzip member truncated>", true, null, null, null))
     out.toSeq
   }
 

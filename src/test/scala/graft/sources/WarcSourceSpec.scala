@@ -73,6 +73,13 @@ class WarcSourceSpec extends AnyFunSuite with SparkSpec {
                            "2026-02-01T05:00:00Z", s"$goodText cinco"))
     java.nio.file.Files.write(dir.resolve("shard-002.warc.gz"),
       whole ++ cut.take(cut.length / 2))
+    // shard 3: a good record then a NEGATIVE Content-Length (must be
+    // a counted corrupt row, not an index crash)
+    java.nio.file.Files.write(dir.resolve("shard-003.warc"),
+      rec("response", "http://d/7", "2026-02-01T06:00:00Z",
+          s"$goodText seis") ++
+      rec("response", "http://d/8", "2026-02-01T07:00:00Z",
+          "short", declaredLen = Some(-7)))
     dir.toString
   }
 
@@ -85,25 +92,29 @@ class WarcSourceSpec extends AnyFunSuite with SparkSpec {
                 col("ts").cast("string").as("ts"), col("doc_id"))
         .collect().map(r => r.getString(0) -> r).toMap
       assert(byUrl.keySet === Set("http://a/1", "http://a/2",
-                                  "http://b/3", "http://c/5"),
+                                  "http://b/3", "http://c/5",
+                                  "http://d/7"),
              s"response set diverged: ${byUrl.keySet}")
       assert(byUrl("http://a/1").getAs[String]("text") === goodText,
              "HTTP headers leaked into the body")
       assert(byUrl("http://a/2").getAs[String]("ts") ===
                "2026-02-01 01:00:00", "WARC-Date not parsed")
       assert(byUrl.values.forall(_.getAs[String]("source") == "warc"))
-      assert(byUrl.values.map(_.getAs[Long]("doc_id")).toSet.size === 4,
+      assert(byUrl.values.map(_.getAs[Long]("doc_id")).toSet.size === 5,
              "derived doc_ids must be distinct")
-      assert(docs.count() === 4,
+      assert(docs.count() === 5,
              "crawlDocs contract must carry exactly the clean responses")
-      // damage: one overrun (shard 1 tail) + one truncated gz member
-      // (shard 2 tail), each counted with its raw head kept
+      // damage: one overrun (shard 1 tail), one truncated gz member
+      // (shard 2 tail), one negative Content-Length (shard 3 tail) —
+      // each counted with its header head kept, none fatal
       val corrupt = Crawl.crawlCorrupt(parsed)
         .collect().map(_.getString(0))
-      assert(corrupt.length === 2,
-             s"expected 2 corrupt regions, got ${corrupt.toSeq}")
+      assert(corrupt.length === 3,
+             s"expected 3 corrupt regions, got ${corrupt.toSeq}")
       assert(corrupt.exists(_.contains("http://b/4")),
-             "overrun record's raw head not kept for repair")
+             "overrun record's header head not kept for repair")
+      assert(corrupt.exists(_.contains("http://d/8")),
+             "negative-length record's header head not kept for repair")
       // doc_id is re-read-stable (pure content hash)
       val again = Crawl.crawlDocs(Crawl.readWarc(spark, fixture()))
       // NB: fixture() re-creates the same bytes in a new dir
