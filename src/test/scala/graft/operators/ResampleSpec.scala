@@ -82,5 +82,12 @@ class ResampleSpec extends AnyFunSuite with SparkSpec {
              s"${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
     assert(Prep.funnelDerives.get() === derives,
            "the thinner re-derived the funnel in-stream")
+    // a source the funnel never saw (a brand-new feed on a HEALTHY
+    // corpus — the degenerate-corpus case lives in FunnelGateSpec)
+    // has no enrichment evidence to thin by: every doc keeps
+    val novel = (0L until 8L).map((_, "feed_never_seen"))
+      .toDF("doc_id", "source")
+    assert(thin(novel).count() === 8L,
+           "unknown-source docs must pass the thinner untouched")
   }
 }

@@ -80,6 +80,13 @@ class WarcSourceSpec extends AnyFunSuite with SparkSpec {
           s"$goodText seis") ++
       rec("response", "http://d/8", "2026-02-01T07:00:00Z",
           "short", declaredLen = Some(-7)))
+    // shard 4: a declared length past Int.MaxValue (must be damage,
+    // not an allocation attempt) — written via a raw header because
+    // rec's declaredLen is an Int
+    java.nio.file.Files.write(dir.resolve("shard-004.warc"),
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+       "WARC-Target-URI: http://e/9\r\n" +
+       "Content-Length: 9999999999\r\n\r\nshort").getBytes("UTF-8"))
     dir.toString
   }
 
@@ -109,12 +116,14 @@ class WarcSourceSpec extends AnyFunSuite with SparkSpec {
       // each counted with its header head kept, none fatal
       val corrupt = Crawl.crawlCorrupt(parsed)
         .collect().map(_.getString(0))
-      assert(corrupt.length === 3,
-             s"expected 3 corrupt regions, got ${corrupt.toSeq}")
+      assert(corrupt.length === 4,
+             s"expected 4 corrupt regions, got ${corrupt.toSeq}")
       assert(corrupt.exists(_.contains("http://b/4")),
              "overrun record's header head not kept for repair")
       assert(corrupt.exists(_.contains("http://d/8")),
              "negative-length record's header head not kept for repair")
+      assert(corrupt.exists(_.contains("http://e/9")),
+             "past-Int-range length record's header head not kept")
       // doc_id is re-read-stable (pure content hash)
       val again = Crawl.crawlDocs(Crawl.readWarc(spark, fixture()))
       // NB: fixture() re-creates the same bytes in a new dir
