@@ -374,4 +374,51 @@ object DerivedCache {
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
+
+  /** Operability read — the "are my artifacts fresh" table an operator
+    * checks before trusting a nightly: one row per LANDED artifact of
+    * corpus `d` with its freshness (fresh == the next read serves
+    * these bytes; stale == the next read rebuilds), data-file count,
+    * and byte size. Strictly read-only: never triggers a build, never
+    * touches staging/aside leftovers. Freshness matches an artifact's
+    * own lifecycle token — the corpus-wide fingerprint ([[orBuild]] /
+    * [[orBuildModel]]) or the documents-table manifest digest
+    * ([[orBuildIncremental]]); a stored token equal to EITHER current
+    * token means the artifact serves as-is, and a stale artifact
+    * matches neither, so the two-token check has no false positives.
+    */
+  def status(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$root/${corpusKey(d)}")
+    val fs = dir.getFileSystem(conf)
+    val corpusFp = fingerprint(s, d)
+    val manifestFp = md5hex(
+      manifestLines(s, s"$d/documents.parquet").map(_._1).mkString("\n"))
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(String, Boolean, Long, Long)]
+      else fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .filterNot(st => st.getPath.getName.contains(".staging-") ||
+                         st.getPath.getName.contains(".old-"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val stored = readSidecar(fs,
+            new org.apache.hadoop.fs.Path(st.getPath, "_fingerprint"))
+            .map(_.trim)
+          def files(p: org.apache.hadoop.fs.Path)
+              : Seq[org.apache.hadoop.fs.FileStatus] =
+            fs.listStatus(p).toSeq.flatMap { f =>
+              if (f.getPath.getName.startsWith("_") ||
+                  f.getPath.getName.startsWith(".")) Nil
+              else if (f.isDirectory) files(f.getPath)
+              else Seq(f)
+            }
+          val data = files(st.getPath)
+          (st.getPath.getName,
+           stored.contains(corpusFp) || stored.contains(manifestFp),
+           data.length.toLong, data.map(_.getLen).sum)
+        }
+    rows.toDF("artifact", "fresh", "n_files", "bytes")
+  }
 }

@@ -136,4 +136,47 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
       .filter(n => n.contains(".staging") || n.contains(".old"))
     assert(litter.isEmpty, s"race left litter: ${litter.mkString(", ")}")
   }
+
+  test("status reports freshness per artifact, both lifecycles, read-only") {
+    import spark.implicits._
+    val d = freshCorpus()
+    def byName() = DerivedCache.status(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byName().isEmpty, "a corpus with no artifacts reports none")
+    // one corpus-fingerprint artifact (orBuild) + one manifest-digest
+    // artifact (orBuildIncremental)
+    var builds = 0
+    DerivedCache.orBuild(spark, d, "spec_status_fp_v1") {
+      builds += 1
+      spark.read.parquet(d + "/documents.parquet")
+    }.collect()
+    DerivedCache.orBuildIncremental(spark, d, "spec_status_incr_v1")(
+      spark.read.parquet(d + "/documents.parquet"))(
+      fs => spark.read.parquet(fs: _*))(
+      (old, delta) => old.unionByName(delta)).collect()
+    val landed = byName()
+    assert(landed.keySet ===
+             Set("spec_status_fp_v1", "spec_status_incr_v1"))
+    landed.foreach { case (name, (fresh, nFiles, bytes)) =>
+      assert(fresh, s"$name must be fresh right after landing")
+      assert(nFiles > 0 && bytes > 0, s"$name reports no data files")
+    }
+    // an append stales BOTH lifecycles at once
+    Seq((4L, "delta")).toDF("id", "w")
+      .write.mode("append").parquet(d + "/documents.parquet")
+    val afterAppend = byName()
+    assert(afterAppend.values.forall(!_._1),
+           s"append must stale every artifact: $afterAppend")
+    assert(builds == 1, "status must never trigger a build")
+    // a re-read refreshes only what it touches
+    DerivedCache.orBuild(spark, d, "spec_status_fp_v1") {
+      builds += 1
+      spark.read.parquet(d + "/documents.parquet")
+    }.collect()
+    val after = byName()
+    assert(after("spec_status_fp_v1")._1 &&
+             !after("spec_status_incr_v1")._1,
+           s"refresh must be per-artifact: $after")
+  }
 }
