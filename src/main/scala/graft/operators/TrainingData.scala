@@ -1693,27 +1693,22 @@ object TrainingData {
         |    WHEN hits_zh THEN 'zh' WHEN hits_fr THEN 'fr' WHEN hits_es THEN 'es'
         |    WHEN hits_en THEN 'en' ELSE 'de' END AS predicted_lang
         |FROM h""".stripMargin) { (s, d) =>
-      // Marker-token profiles per language (public stopword fragments).
-      val profiles: Seq[(String, Seq[String])] = Seq(
-        "en" -> Seq("the", "and", "of", "is", "a"),
-        "fr" -> Seq("le", "la", "et", "de", "un"),
-        "es" -> Seq("el", "la", "y", "de", "un"),
-        "de" -> Seq("der", "die", "und", "das", "ein"),
-        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      // Marker profiles + argmax are the SHARED graft.functions.LangId
+      // core — the same expression tree the crawl/WARC ingest
+      // front-ends assign `lang` with, so the analysis query and the
+      // at-ingest assignment cannot drift. (q33 keeps the raw
+      // struct-max tie semantics its oracle mirrors; the ingest path
+      // adds the zero-hits -> 'und' guard on top.)
+      import graft.functions.LangId
       val tok = tokens(col("text"))
-      def hits(markers: Seq[String]) = {
-        val m = array(markers.map(lit): _*)
-        size(filter(tok, t => array_contains(m, t))).cast("long")
-      }
-      val scores = array(profiles.map { case (lang, markers) =>
-        struct(hits(markers).as("score"), lit(lang).as("lang"))
-      }: _*)
       docs(s, d)
-        .withColumn("best", array_max(scores))
+        .withColumn("best", LangId.best(tok))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
-                hits(profiles(0)._2).as("hits_en"), hits(profiles(1)._2).as("hits_fr"),
-                hits(profiles(2)._2).as("hits_es"), hits(profiles(3)._2).as("hits_de"),
-                hits(profiles(4)._2).as("hits_zh"),
+                LangId.hits(tok, LangId.profiles(0)._2).as("hits_en"),
+                LangId.hits(tok, LangId.profiles(1)._2).as("hits_fr"),
+                LangId.hits(tok, LangId.profiles(2)._2).as("hits_es"),
+                LangId.hits(tok, LangId.profiles(3)._2).as("hits_de"),
+                LangId.hits(tok, LangId.profiles(4)._2).as("hits_zh"),
                 col("best.lang").as("predicted_lang"))
     },
 
@@ -1729,6 +1724,39 @@ object TrainingData {
         col("doc_id"),
         aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
                   lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fp"))
+    },
+
+    Q("q171_markup_residue",
+      "Markup-residue audit: per source, how many documents still " +
+        "carry HTML tag or character-reference signatures — the " +
+        "post-extraction health check for a WARC/crawl-fed corpus " +
+        "(Html.extractText should drive these to zero; a nonzero share " +
+        "means raw markup leaked past the ingest front-end and the " +
+        "funnel/LM/BPE operators are scoring tags). Same bounded " +
+        "regex in both engines (char classes + alternation + bounded " +
+        "repeat — the Java/RE2 common subset).",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE regexp_matches(text,
+        |    '<[a-zA-Z!/][^>]{0,256}>')) AS BIGINT) AS n_markup,
+        |  CAST(count(*) FILTER (WHERE regexp_matches(text,
+        |    '&(amp|lt|gt|quot|apos|nbsp|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});'))
+        |    AS BIGINT) AS n_entity,
+        |  round(CAST(count(*) FILTER (WHERE regexp_matches(text,
+        |    '<[a-zA-Z!/][^>]{0,256}>')) AS DOUBLE) / count(*), 4)
+        |    AS markup_share
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val tagRe = "<[a-zA-Z!/][^>]{0,256}>"
+      val entRe = "&(amp|lt|gt|quot|apos|nbsp|#[0-9]{1,7}|#x[0-9a-fA-F]{1,6});"
+      val tagHit = regexp_like(col("text"), lit(tagRe))
+      docs(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             count(when(tagHit, 1)).cast("long").as("n_markup"),
+             count(when(regexp_like(col("text"), lit(entRe)), 1))
+               .cast("long").as("n_entity"),
+             round(count(when(tagHit, 1)).cast("double") / count(lit(1)), 4)
+               .as("markup_share"))
     },
 
     // ---- multimodal plumbing ------------------------------------------

@@ -1,8 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.functions.LangId
 
 /** Crawl-native document input: a directory of (optionally gzipped)
   * JSONL files — the format crawl dumps actually land in — read into
@@ -22,6 +24,14 @@ import org.apache.spark.sql.types._
   * stream source — new files under the directory become micro-batches)
   * forms share ONE parser, so stream==batch equality is structural.
   *
+  * Language: a record that DECLARES `lang` keeps it; a record that
+  * does not gets the [[graft.functions.LangId]] marker-profile
+  * prediction (the q33 core — one shared expression tree, so the
+  * analysis query and the at-ingest assignment cannot drift), with
+  * `und` only when no profile matches at all. Every per-language
+  * operator downstream (q62 stratified sampling, q143/q144 CCNet
+  * buckets, per-lang compaction) depends on this being a real value.
+  *
   * Scale notes for a real dump:
   *   - `.jsonl.gz` is NOT splittable: parallelism = file count, one
   *     task per file. Crawl dumps ship as many ~100 MB–1 GB members,
@@ -37,10 +47,10 @@ object Crawl {
 
   /** The crawl record contract. `doc_id` and `text` are required
     * (their absence marks the row corrupt); `source`/`lang`/`ts`/`url`
-    * default (crawl feeds are heterogeneous — a missing lang is "und",
-    * a missing ts is the ingest clock, exactly the ingestion-enrichment
-    * convention of cpms/Streaming.scala:42-44). `ts` accepts ISO-8601
-    * or epoch seconds.
+    * default (crawl feeds are heterogeneous — a missing ts is the
+    * ingest clock, exactly the ingestion-enrichment convention of
+    * cpms/Streaming.scala:42-44; a missing lang gets the LangId
+    * prediction). `ts` accepts ISO-8601 or epoch seconds.
     */
   val crawlV1: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -52,9 +62,13 @@ object Crawl {
 
   /** One parser for both forms: raw `value` lines -> typed doc frame +
     * `corrupt` flag. Pure per-row projections — streams unchanged.
+    * `extractHtml` (opt-in: a feed whose `text` carries raw markup)
+    * runs [[Html.extractText]] between the JSON parse and the langid
+    * projection, so the language is predicted over prose, not tags.
     */
-  private[sources] def parseCrawl(raw: DataFrame): DataFrame =
-    raw
+  private[sources] def parseCrawl(raw: DataFrame,
+                                  extractHtml: Boolean = false): DataFrame = {
+    val typed = raw
       .withColumn("e", from_json(col("value"), crawlV1))
       .withColumn("corrupt",
         col("e").isNull || col("e.doc_id").isNull || col("e.text").isNull)
@@ -64,17 +78,43 @@ object Crawl {
         col("e.url").as("url"),
         coalesce(col("e.source"), lit("crawl")).as("source"),
         col("e.text").as("text"),
-        coalesce(col("e.lang"), lit("und")).as("lang"),
+        col("e.lang").as("lang0"),
         coalesce(
           try_to_timestamp(col("e.ts")),
           to_timestamp(from_unixtime(expr("try_cast(e.ts AS DOUBLE)"))),
           current_timestamp()).as("ts"))
+    val extracted = if (extractHtml) mapExtract(typed) else typed
+    extracted
+      .select(
+        col("value"), col("corrupt"), col("doc_id"), col("url"),
+        col("source"), col("text"),
+        coalesce(col("lang0"), LangId.predict(col("text"))).as("lang"),
+        col("ts"))
+  }
+
+  /** Map `text` through [[Html.extractText]] preserving the schema —
+    * a stateless typed map, so the same transform streams. Only the
+    * explicit `extractHtml` opt-in reaches here: the caller asserts
+    * the feed carries markup, so every row extracts (extraction also
+    * normalizes whitespace runs, a no-op on already-clean prose
+    * beyond multi-space collapse).
+    */
+  private def mapExtract(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val ti = schema.fieldIndex("text")
+    df.map({ r =>
+      val t = if (r.isNullAt(ti)) null else r.getString(ti)
+      Row.fromSeq(r.toSeq.updated(ti, Html.extractText(t)))
+    })(org.apache.spark.sql.Encoders.row(schema))
+  }
 
   /** Batch read of a crawl directory (`*.jsonl` / `*.jsonl.gz`; the gz
-    * codec resolves per file from its extension).
+    * codec resolves per file from its extension). `extractHtml` opts a
+    * markup-carrying feed into [[Html.extractText]].
     */
-  def readCrawl(s: SparkSession, path: String): DataFrame =
-    parseCrawl(s.read.textFile(path).toDF("value"))
+  def readCrawl(s: SparkSession, path: String,
+                extractHtml: Boolean = false): DataFrame =
+    parseCrawl(s.read.textFile(path).toDF("value"), extractHtml)
 
   /** Streaming read: the file stream source tails `path` — each newly
     * landed dump file becomes (part of) a micro-batch, checkpointed
@@ -82,12 +122,13 @@ object Crawl {
     * when a backfill drops thousands of members at once.
     */
   def readCrawlStream(s: SparkSession, path: String,
-                      maxFilesPerTrigger: Int = 0): DataFrame = {
+                      maxFilesPerTrigger: Int = 0,
+                      extractHtml: Boolean = false): DataFrame = {
     val r0 = s.readStream.format("text")
     val r = if (maxFilesPerTrigger > 0)
               r0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
             else r0
-    parseCrawl(r.load(path))
+    parseCrawl(r.load(path), extractHtml)
   }
 
   /** The clean feed for [[graft.operators.Curation.ingestStream]]:
@@ -111,12 +152,13 @@ object Crawl {
     * [[readCrawl]]. Contract fields present on the frame serialize in
     * schema order (extra columns append after, so gate provenance can
     * ride along); timestamps serialize ISO-8601 at millisecond
-    * precision, which the reader's `try_to_timestamp` round-trips. `to_json` omits null fields and
-    * the reader re-applies its defaults, so
-    * readCrawl(writeCrawl(docs)) == docs on the contract columns —
-    * CrawlSourceSpec's round-trip pin. One codegen'd projection over
-    * the frame; file count (= task count) is the caller's partitioning,
-    * so a 100 TB export shards exactly as the upstream plan parallels.
+    * precision, which the reader's `try_to_timestamp` round-trips.
+    * `to_json` omits null fields and the reader re-applies its
+    * defaults, so readCrawl(writeCrawl(docs)) == docs on the contract
+    * columns — CrawlSourceSpec's round-trip pin. One codegen'd
+    * projection over the frame; file count (= task count) is the
+    * caller's partitioning, so a 100 TB export shards exactly as the
+    * upstream plan parallels.
     */
   def writeCrawl(docFrame: DataFrame, path: String,
                  gzip: Boolean = true): Unit = {
@@ -144,17 +186,30 @@ object Crawl {
   //     Common Crawl ships ~1 GB members, which is the right shape;
   //     `binaryFile` hands each file's bytes to one task and the
   //     member parse is a pure per-row flatMap, batch or stream.
-  //   - damaged input is COUNTED, never dropped and never fatal: a
-  //     truncated gzip member, a non-WARC header, a missing/overrun
-  //     Content-Length each emit a `corrupt = true` row carrying the
-  //     raw head of the unparseable region for the repair pass (the
-  //     parseCrawl discipline). Record types other than `response`
-  //     (warcinfo, request, metadata) are skipped BY DESIGN — they are
-  //     protocol envelope, not documents.
-  //   - doc_id: WARC has no document id, so it derives as a stable
-  //     63-bit content hash of (url, ts, text) — deterministic on any
-  //     engine, re-read-stable, disjoint inputs collide with
-  //     probability ~n^2/2^63.
+  //   - damaged input is COUNTED, never dropped and never fatal, and —
+  //     new this round — never quarantines the rest of the file: in
+  //     the multi-member gzip layout every member boundary is a resync
+  //     point, so damage in one member emits ONE corrupt row per
+  //     damaged region and parsing resumes at the next `1f 8b 08`
+  //     member magic. Each member's CRC32/ISIZE trailer is verified,
+  //     so silently-corrupted compressed bytes cannot land as clean
+  //     documents. Only the plain uncompressed `.warc` form — whose
+  //     record boundaries genuinely vanish past damage — keeps the
+  //     stop-on-damage behavior.
+  //   - HTTP bodies: header block found at the earliest CRLFCRLF (or
+  //     bare-LF LFLF — non-compliant servers exist in real crawls);
+  //     `Transfer-Encoding: chunked` is de-chunked; `Content-Encoding:
+  //     gzip` is inflated (capped, fail-open to the raw bytes — a
+  //     lying server must not fabricate damage); the declared
+  //     Content-Type charset decodes the body with UTF-8 fallback; and
+  //     HTML bodies (declared or sniffed) pass through
+  //     [[Html.extractText]] by default so downstream operators score
+  //     prose, not markup.
+  //   - doc_id: derives from the WARC-Record-ID header when present
+  //     (every conformant record carries one — re-read-stable, and
+  //     distinct for byte-identical re-fetches of the same URL in the
+  //     same second, the CC revisit/duplicate-capture shape), falling
+  //     back to a stable 63-bit content hash of (url, ts, text).
   // ------------------------------------------------------------------
 
   /** `binaryFile`'s fixed schema, spelled out because a STREAMING file
@@ -166,30 +221,185 @@ object Crawl {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** Pure JVM member parser: one file's bytes -> (value, corrupt, url,
-    * ts, text) rows. Handles multi-member gzip (one member per record,
-    * the Common-Crawl layout — java's GZIPInputStream reads
-    * concatenated members transparently) and plain uncompressed .warc.
-    * Decompression is STREAMED: a ~1 GB Common-Crawl member file
-    * inflates to several GB, past the JVM's 2 GB array limit — only
-    * the compressed file bytes (the binaryFile row) and one record's
-    * block are ever held at once. Damage is never fatal: a truncated
-    * gzip member, a non-WARC header, a missing/negative/overrunning
-    * Content-Length each emit one corrupt row carrying the record's
-    * header head (<= 2 KB) and stop the scan (WARC has no in-band
-    * resync marker worth trusting past damage). Valid rows leave
-    * `value` null rather than duplicating the record in flight.
+  /** A parsed-record row: (value = corrupt head or null, corrupt,
+    * url, WARC-Date, WARC-Record-ID, text).
     */
-  private[sources] def parseWarcMembers(raw: Array[Byte])
-      : Seq[(String, Boolean, String, String, String)] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Boolean, String, String, String)]
-    val base = new java.io.ByteArrayInputStream(raw)
-    val in = new java.io.BufferedInputStream(
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-          (raw(1) & 0xff) == 0x8b)
-        new java.util.zip.GZIPInputStream(base, 65536)
-      else base, 65536)
+  private type WarcRow = (String, Boolean, String, String, String, String)
+
+  private def corruptRow(head: String): WarcRow =
+    ((if (head.length > 2048) head.substring(0, 2048) else head),
+     true, null, null, null, null)
+
+  /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
+    * compression bomb must not allocate unbounded heap inside a task;
+    * a body inflating past this serves its raw bytes instead (counted
+    * by the quality gates, not fatal).
+    */
+  private val MaxInflatedBody = 256 << 20
+
+  // ---- HTTP response-block processing -------------------------------
+
+  private def indexOfBytes(b: Array[Byte], pat: Array[Byte],
+                           from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = b.length - pat.length
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val Crlf2 = "\r\n\r\n".getBytes("US-ASCII")
+  private val Lf2 = "\n\n".getBytes("US-ASCII")
+
+  /** De-chunk a `Transfer-Encoding: chunked` body: hex chunk-size
+    * lines (with optional `;ext`) interleave the data; a 0-size chunk
+    * terminates (trailers ignored). Malformed chunk framing is
+    * record-local DAMAGE — Left(reason), counted by the caller, never
+    * a crash and never an abort of the surrounding record stream.
+    */
+  private[sources] def dechunk(b: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var p = 0
+    while (true) {
+      var nl = p
+      while (nl < b.length && b(nl) != '\n') nl += 1
+      if (nl >= b.length) return Left("chunked body: missing chunk-size line")
+      val line = new String(b, p, nl - p, "US-ASCII").trim
+      val hex = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException =>
+          return Left(s"chunked body: malformed chunk size '$line'") }
+      if (size < 0 || size > Int.MaxValue)
+        return Left(s"chunked body: chunk size out of range '$line'")
+      p = nl + 1
+      if (size == 0) return Right(out.toByteArray) // trailers ignored
+      if (p + size > b.length)
+        return Left("chunked body: chunk overruns block")
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p < b.length && b(p) == '\n') p += 1
+    }
+    Right(out.toByteArray) // unreachable
+  }
+
+  /** Inflate a `Content-Encoding: gzip` body. FAIL-OPEN: a body that
+    * does not actually inflate (lying server, exotic variant) or
+    * inflates past [[MaxInflatedBody]] serves its raw bytes — a
+    * mis-declared header must not fabricate damage the quality gates
+    * would otherwise just score down.
+    */
+  private def gunzipBody(b: Array[Byte]): Array[Byte] =
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) b
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 65536)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0 && out.size <= MaxInflatedBody) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      if (out.size > MaxInflatedBody) b else out.toByteArray
+    } catch { case _: java.io.IOException => b }
+
+  /** Decode `body` with the charset declared in the Content-Type (with
+    * UTF-8 fallback); malformed/unmappable input degrades to the
+    * replacement character, never a throw — the `new String` policy
+    * the UTF-8-only path always had.
+    */
+  private def decodeBody(body: Array[Byte], contentType: Option[String])
+      : String = {
+    val cs = contentType
+      .flatMap { ct =>
+        val i = ct.toLowerCase(java.util.Locale.ROOT).indexOf("charset=")
+        if (i < 0) None
+        else Some(ct.substring(i + 8).trim
+          .stripPrefix("\"").takeWhile(c => c != ';' && c != '"').trim)
+      }
+      .filter(_.nonEmpty)
+      .flatMap(name =>
+        scala.util.Try(java.nio.charset.Charset.forName(name)).toOption)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+  }
+
+  /** A `response` record's block -> document text, or Left(reason) for
+    * record-LOCAL damage (malformed chunk framing). Strips the HTTP
+    * header block (earliest of CRLFCRLF / bare-LF LFLF terminators),
+    * de-chunks, inflates Content-Encoding, decodes the declared
+    * charset, and — when `extractHtml` and the body is HTML by
+    * Content-Type or sniff — extracts text from the markup.
+    */
+  private[sources] def httpText(block: Array[Byte], extractHtml: Boolean)
+      : Either[String, String] = {
+    val isHttp = block.length >= 5 &&
+      block(0) == 'H' && block(1) == 'T' && block(2) == 'T' &&
+      block(3) == 'P' && block(4) == '/'
+    var contentType: Option[String] = None
+    var body: Array[Byte] = block
+    if (isHttp) {
+      val c = indexOfBytes(block, Crlf2, 0)
+      val l = indexOfBytes(block, Lf2, 0)
+      val (hEnd, bStart) =
+        if (c >= 0 && (l < 0 || c <= l)) (c, c + 4)
+        else if (l >= 0) (l, l + 2)
+        else (-1, -1)
+      if (hEnd >= 0) {
+        val headers = new String(block, 0, hEnd, "ISO-8859-1")
+          .split('\n').iterator.map(_.stripSuffix("\r")).drop(1)
+          .flatMap { line =>
+            val i = line.indexOf(':')
+            if (i <= 0) None
+            else Some(line.substring(0, i).trim
+                        .toLowerCase(java.util.Locale.ROOT) ->
+                      line.substring(i + 1).trim)
+          }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+        contentType = headers.get("content-type")
+        body = java.util.Arrays.copyOfRange(block, bStart, block.length)
+        if (headers.get("transfer-encoding")
+              .exists(_.toLowerCase(java.util.Locale.ROOT)
+                        .contains("chunked")))
+          dechunk(body) match {
+            case Left(reason) => return Left(reason)
+            case Right(d)     => body = d
+          }
+        if (headers.get("content-encoding")
+              .exists(_.toLowerCase(java.util.Locale.ROOT).contains("gzip")))
+          body = gunzipBody(body)
+      }
+    }
+    val text = decodeBody(body, contentType)
+    val isHtml = contentType match {
+      case Some(ct) => ct.toLowerCase(java.util.Locale.ROOT).contains("html")
+      case None     => Html.sniffHtml(text)
+    }
+    Right(if (extractHtml && isHtml) Html.extractText(text) else text)
+  }
+
+  // ---- WARC record-stream parsing -----------------------------------
+
+  /** Parse WARC records from an (already decompressed) byte stream
+    * until EOF or STREAM-level damage (a non-WARC header, a
+    * missing/negative/absurd Content-Length, a short block — after any
+    * of these the stream position is untrustworthy). Clean records and
+    * record-LOCAL damage (a malformed chunked body inside a correctly
+    * delimited block) append to `rows` and parsing continues; returns
+    * None on clean EOF, Some(corrupt head) on stream damage.
+    */
+  private def parseRecordStream(in: java.io.InputStream,
+                                extractHtml: Boolean,
+                                rows: scala.collection.mutable.Buffer[WarcRow])
+      : Option[String] = {
     // one header line (headers are short; block bytes read in bulk
     // below); null at EOF, trailing \r stripped
     def readLine(): String = {
@@ -201,106 +411,289 @@ object Crawl {
         sb.setLength(sb.length - 1)
       sb.toString
     }
-    try {
-      var done = false
-      while (!done) {
-        var line = readLine()
-        while (line != null && line.isEmpty) line = readLine()
-        if (line == null) done = true
+    while (true) {
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) return None
+      val head = new java.lang.StringBuilder(line).append('\n')
+      val versionOk = line.startsWith("WARC/")
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var blank = false
+      var l = if (versionOk) readLine() else null
+      while (versionOk && !blank && l != null) {
+        if (head.length < 2048) head.append(l).append('\n')
+        if (l.isEmpty) blank = true
         else {
-          val head = new java.lang.StringBuilder(line).append('\n')
-          val versionOk = line.startsWith("WARC/")
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          var blank = false
-          var l = if (versionOk) readLine() else null
-          while (versionOk && !blank && l != null) {
-            if (head.length < 2048) head.append(l).append('\n')
-            if (l.isEmpty) blank = true
-            else {
-              val c = l.indexOf(':')
-              if (c > 0)
-                headers(l.substring(0, c).trim.toLowerCase) =
-                  l.substring(c + 1).trim
-              l = readLine()
-            }
-          }
-          // Content-Length must parse, be non-negative, and fit an
-          // array — a negative or absurd declared length is damage,
-          // not an index-out-of-bounds crash
-          val cl = headers.get("content-length")
-            .flatMap(v => scala.util.Try(v.toLong).toOption)
-            .filter(c => c >= 0 && c <= Int.MaxValue - 8)
-          lazy val corruptHead =
-            head.substring(0, math.min(head.length, 2048))
-          if (!versionOk || !blank || cl.isEmpty) {
-            out += ((corruptHead, true, null, null, null))
-            done = true
-          } else {
-            val block = in.readNBytes(cl.get.toInt)
-            if (block.length < cl.get) {
-              out += ((corruptHead, true, null, null, null))
-              done = true
-            } else if (headers.get("warc-type").contains("response")) {
-              val bs = new String(block, "UTF-8")
-              val sep = bs.indexOf("\r\n\r\n")
-              val body =
-                if (bs.startsWith("HTTP/") && sep >= 0)
-                  bs.substring(sep + 4)
-                else bs
-              out += ((null, false,
-                       headers.getOrElse("warc-target-uri", null),
-                       headers.getOrElse("warc-date", null), body))
-            }
-          }
+          val c = l.indexOf(':')
+          if (c > 0)
+            headers(l.substring(0, c).trim
+                     .toLowerCase(java.util.Locale.ROOT)) =
+              l.substring(c + 1).trim
+          l = readLine()
         }
       }
-    } catch {
-      // a truncated trailing gzip member EOFs mid-inflate: everything
-      // parsed before it stands, the damage is one counted row
-      case _: java.io.IOException =>
-        out += (("<gzip member truncated>", true, null, null, null))
+      // Content-Length must parse, be non-negative, and fit an
+      // array — a negative or absurd declared length is damage,
+      // not an index-out-of-bounds crash
+      val cl = headers.get("content-length")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .filter(c => c >= 0 && c <= Int.MaxValue - 8)
+      def corruptHead =
+        head.substring(0, math.min(head.length, 2048))
+      if (!versionOk || !blank || cl.isEmpty) return Some(corruptHead)
+      val block = in.readNBytes(cl.get.toInt)
+      if (block.length < cl.get) return Some(corruptHead)
+      if (headers.get("warc-type").contains("response")) {
+        httpText(block, extractHtml) match {
+          case Right(text) =>
+            rows += ((null, false,
+                      headers.getOrElse("warc-target-uri", null),
+                      headers.getOrElse("warc-date", null),
+                      headers.getOrElse("warc-record-id", null), text))
+          case Left(reason) =>
+            // the block WAS correctly delimited — the damage is inside
+            // the HTTP body, so count it and keep parsing the stream
+            rows += corruptRow(corruptHead + "<" + reason + ">")
+        }
+      }
+    }
+    None // unreachable
+  }
+
+  // ---- gzip member iteration ----------------------------------------
+
+  /** Next `1f 8b 08` gzip member magic at or after `from`, or -1. */
+  private def findMagic(raw: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 2 < raw.length) {
+      if ((raw(i) & 0xff) == 0x1f && (raw(i + 1) & 0xff) == 0x8b &&
+          (raw(i + 2) & 0xff) == 0x08) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Absolute offset just past the gzip member header at `off`, or -1
+    * when the header is malformed/truncated (RFC 1952: 10 fixed bytes
+    * + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields).
+    */
+  private def gzipHeaderEnd(b: Array[Byte], off: Int): Int = {
+    if (off + 10 > b.length) return -1
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+        (b(off + 2) & 0xff) != 0x08) return -1
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > b.length) return -1
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { // FNAME, nul-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT, nul-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p > b.length) -1 else p
+  }
+
+  private def readLE4(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Streaming inflater over ONE raw-deflate member: only the
+    * compressed file bytes and one record's block are ever held at
+    * once (a ~1 GB Common-Crawl member file inflates past the JVM's
+    * 2 GB array limit if materialized). Tracks the running CRC32 and
+    * inflated size for the member-trailer check; truncated or damaged
+    * deflate data surfaces as IOException, which the member loop
+    * converts to one counted corrupt row.
+    */
+  private final class MemberStream(raw: Array[Byte], start: Int)
+      extends java.io.InputStream {
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(raw, start, raw.length - start)
+    val crc = new java.util.zip.CRC32
+    var inflated = 0L
+    private val one = new Array[Byte](1)
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (inf.finished()) return -1
+      try {
+        var n = inf.inflate(b, off, len)
+        while (n == 0) {
+          if (inf.finished()) return -1
+          if (inf.needsInput())
+            throw new java.io.EOFException("gzip member truncated")
+          if (inf.needsDictionary())
+            throw new java.io.IOException("gzip member needs a dictionary")
+          n = inf.inflate(b, off, len)
+        }
+        crc.update(b, off, n)
+        inflated += n
+        n
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new java.io.IOException(
+            "gzip member damaged: " + e.getMessage)
+      }
+    }
+  }
+
+  /** Pure JVM file parser: one WARC file's bytes -> [[WarcRow]]s.
+    *
+    * Multi-member gzip (the Common-Crawl one-record-per-member layout)
+    * parses MEMBER BY MEMBER: each member inflates through a streamed
+    * [[MemberStream]], its records parse via [[parseRecordStream]],
+    * and its CRC32/ISIZE trailer is verified before any of its rows
+    * land (a member whose checksum fails contributes one corrupt row,
+    * never silently-corrupt documents). Damage — a malformed member
+    * header, truncated/undecodable deflate data, a bad trailer —
+    * emits ONE corrupt row per damaged REGION and parsing RESYNCS at
+    * the next member magic, so one flipped byte early in a 1000-member
+    * file no longer quarantines every later record. Plain uncompressed
+    * `.warc` keeps stop-on-first-damage: without member boundaries
+    * there is no trustworthy resync point past a corrupt
+    * Content-Length.
+    */
+  private[sources] def parseWarcMembers(raw: Array[Byte],
+                                        extractHtml: Boolean = true)
+      : Seq[WarcRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
+    val isGz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+      (raw(1) & 0xff) == 0x8b
+    if (!isGz) {
+      val in = new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(raw), 65536)
+      try parseRecordStream(in, extractHtml, out)
+        .foreach(head => out += corruptRow(head))
+      catch {
+        case e: java.io.IOException =>
+          out += corruptRow("<warc stream damaged: " + e.getMessage + ">")
+      }
+      return out.toSeq
+    }
+    var off = 0
+    var inDamage = false
+    while (off >= 0 && off < raw.length) {
+      val memberRows = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
+      var damageHead: String = null
+      var damageNext = -1 // known resume point despite damage, else scan
+      var nextOff = -1
+      val hdrEnd = gzipHeaderEnd(raw, off)
+      if (hdrEnd < 0) damageHead = "<damaged gzip member header>"
+      else {
+        val ms = new MemberStream(raw, hdrEnd)
+        try {
+          val streamDamage = parseRecordStream(
+            new java.io.BufferedInputStream(ms, 65536), extractHtml,
+            memberRows)
+          // drain: the WARC layer may stop before member end (a
+          // stream-damage record, trailing padding) — getBytesRead
+          // must cover the whole deflate stream to find the trailer
+          val buf = new Array[Byte](65536)
+          while (ms.read(buf, 0, buf.length) >= 0) ()
+          val tail = hdrEnd + ms.inf.getBytesRead.toInt
+          if (tail + 8 > raw.length) {
+            memberRows.clear()
+            damageHead = streamDamage.getOrElse("<gzip member truncated>")
+          } else if (readLE4(raw, tail) != (ms.crc.getValue & 0xffffffffL) ||
+                     readLE4(raw, tail + 4) != (ms.inflated & 0xffffffffL)) {
+            // silent corruption: the deflate stream decoded but the
+            // checksum disagrees — nothing from this member is
+            // trustworthy. Its EXTENT is known though, so resume
+            // exactly past it instead of magic-scanning its interior
+            memberRows.clear()
+            damageHead = "<gzip member CRC mismatch>"
+            damageNext = tail + 8
+          } else {
+            // member verified; WARC-layer damage inside it (if any) is
+            // one counted row, and the NEXT member is a clean resync
+            streamDamage.foreach(h => memberRows += corruptRow(h))
+            nextOff = tail + 8
+          }
+        } catch {
+          case e: java.io.IOException =>
+            memberRows.clear()
+            damageHead = "<" + e.getMessage + ">"
+        } finally ms.inf.end()
+      }
+      if (damageHead == null) {
+        out ++= memberRows
+        inDamage = false
+        off = nextOff
+      } else {
+        // one corrupt row per damaged REGION: a resync candidate that
+        // fails again (the magic was a false positive inside damaged
+        // compressed data) must not multiply the count
+        if (!inDamage) out += corruptRow(damageHead)
+        inDamage = true
+        off = if (damageNext >= 0) damageNext else findMagic(raw, off + 2)
+      }
     }
     out.toSeq
   }
 
   /** One WARC parser for both forms: binaryFile rows -> the
     * [[parseCrawl]]-shaped typed frame. The flatMap is stateless
-    * per-row work, so the same code streams.
+    * per-row work, so the same code streams; doc_id / lang / ts are
+    * codegen'd column math over the parsed rows.
     */
-  private def parseWarcFiles(files: DataFrame): DataFrame = {
+  private def parseWarcFiles(files: DataFrame,
+                             extractHtml: Boolean): DataFrame = {
     val session = files.sparkSession
     import session.implicits._
+    val u = coalesce(col("url"), lit(""))
+    val w = coalesce(col("wts"), lit(""))
     files.select(col("content")).as[Array[Byte]]
-      .flatMap(parseWarcMembers(_))
-      .toDF("value", "corrupt", "url", "wts", "text")
+      .flatMap(parseWarcMembers(_, extractHtml))
+      .toDF("value", "corrupt", "url", "wts", "rid", "text")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
-          pmod(xxhash64(coalesce(col("url"), lit("")),
-                        coalesce(col("wts"), lit("")), col("text")),
-               lit(Long.MaxValue)).cast("long")).as("doc_id"),
+          pmod(
+            when(col("rid").isNotNull,
+              // WARC-Record-ID is unique per record on conformant
+              // input: byte-identical re-fetches (same url, second,
+              // body — the CC revisit shape) still get distinct ids
+              xxhash64(u, w, col("rid"), col("text")))
+              .otherwise(xxhash64(u, w, col("text"))),
+            lit(Long.MaxValue)).cast("long")).as("doc_id"),
         col("url"),
         lit("warc").as("source"),
         col("text"),
-        lit("und").as("lang"),
+        when(!col("corrupt"), LangId.predict(col("text"))).as("lang"),
         coalesce(try_to_timestamp(col("wts")), current_timestamp())
           .as("ts"))
   }
 
-  /** Batch read of a WARC directory (`*.warc` / `*.warc.gz`). */
-  def readWarc(s: SparkSession, path: String): DataFrame =
-    parseWarcFiles(s.read.format("binaryFile").load(path))
+  /** Batch read of a WARC directory (`*.warc` / `*.warc.gz`).
+    * `extractHtml` defaults ON: raw WARC bodies are markup, and every
+    * real CC pipeline (CCNet/C4/FineWeb) extracts before curation —
+    * pass false to study the raw bodies.
+    */
+  def readWarc(s: SparkSession, path: String,
+               extractHtml: Boolean = true): DataFrame =
+    parseWarcFiles(s.read.format("binaryFile").load(path), extractHtml)
 
   /** Streaming read: newly landed WARC files become micro-batches,
     * checkpointed exactly-once by file name (the [[readCrawlStream]]
     * contract; `maxFilesPerTrigger` bounds a backfill batch).
     */
   def readWarcStream(s: SparkSession, path: String,
-                     maxFilesPerTrigger: Int = 0): DataFrame = {
+                     maxFilesPerTrigger: Int = 0,
+                     extractHtml: Boolean = true): DataFrame = {
     val r0 = s.readStream.format("binaryFile").schema(binaryFileSchema)
     val r = if (maxFilesPerTrigger > 0)
               r0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
             else r0
-    parseWarcFiles(r.load(path))
+    parseWarcFiles(r.load(path), extractHtml)
   }
 }

@@ -33,7 +33,8 @@ class CrawlSourceSpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl")
     gzWrite(dir.resolve("shard-000.jsonl.gz"), Seq(
       s"""{"doc_id":1,"url":"http://a/1","source":"cc","text":"$goodText","lang":"en","ts":"2026-02-01T00:00:00"}""",
-      // optional fields absent -> source=crawl, lang=und, ts=ingest clock
+      // optional fields absent -> source=crawl, lang=LangId prediction
+      // (goodText carries English markers), ts=ingest clock
       // (text distinct from doc 1's, or ingest's content-hash dedup eats it)
       s"""{"doc_id":2,"text":"$goodText dos"}""",
       // epoch-seconds ts form
@@ -43,7 +44,11 @@ class CrawlSourceSpec extends AnyFunSuite with SparkSpec {
         s"""{"doc_id":4,"text":"$goodText more","lang":"en","ts":"2026-02-01T01:00:00"}""",
         """{"doc_id":5,"text":"tiny low quality","lang":"en"}""",
         "%% not json at all %%",
-        """{"doc_id":6,"lang":"en"}""" // required `text` missing -> corrupt
+        """{"doc_id":6,"lang":"en"}""", // required `text` missing -> corrupt
+        // no declared lang AND no marker hits -> 'und', never a
+        // tie-order guess (fails the quality floor, so ingest
+        // keeper sets are unaffected)
+        """{"doc_id":7,"text":"tiny lowly qualities"}"""
       ).mkString("\n") + "\n").getBytes("UTF-8"))
     dir.toString
   }
@@ -51,7 +56,7 @@ class CrawlSourceSpec extends AnyFunSuite with SparkSpec {
   test("batch read: corrupt lines counted and kept raw, defaults applied, gz + plain members") {
     val parsed = Crawl.readCrawl(spark, fixture()).cache()
     try {
-      assert(parsed.count() === 7)
+      assert(parsed.count() === 8)
       assert(Crawl.crawlCorrupt(parsed).count() === 2)
       val corrupt = Crawl.crawlCorrupt(parsed)
         .collect().map(_.getString(0)).toSet
@@ -59,11 +64,19 @@ class CrawlSourceSpec extends AnyFunSuite with SparkSpec {
       assert(corrupt.exists(_.contains("\"doc_id\":6")),
              "record missing required text must be corrupt")
       val docs = Crawl.crawlDocs(parsed)
-      assert(docs.count() === 5)
+      assert(docs.count() === 6)
       val d2 = docs.filter(col("doc_id") === 2).head()
       assert(d2.getAs[String]("source") === "crawl")
-      assert(d2.getAs[String]("lang") === "und")
+      // no declared lang -> the LangId marker-profile prediction (the
+      // q33 core) — goodText carries English stopword markers
+      assert(d2.getAs[String]("lang") === "en")
       assert(d2.getAs[java.sql.Timestamp]("ts") != null)
+      assert(docs.filter(col("doc_id") === 7).head()
+               .getAs[String]("lang") === "und",
+             "zero marker hits must land 'und', not a tie-order guess")
+      assert(docs.filter(col("doc_id") === 5).head()
+               .getAs[String]("lang") === "en",
+             "a DECLARED lang must win over the prediction")
       val d3 = docs.filter(col("doc_id") === 3)
         .select(col("ts").cast("string")).head().getString(0)
       assert(d3 === "2026-01-01 00:00:00", s"epoch ts parsed as $d3")

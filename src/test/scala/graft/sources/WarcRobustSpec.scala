@@ -1,0 +1,242 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 WARC front-end hardening: per-member damage RESYNC (one
+  * flipped byte must not quarantine the rest of a 1000-member file),
+  * CRC-verified members, WARC-Record-ID-backed doc_ids, chunked/
+  * charset HTTP bodies through a full record, default HTML-to-text
+  * extraction, and language-ID at ingest — including the downstream
+  * proof that per-language operators (q62 stratified sampling, q143
+  * CCNet buckets) are non-degenerate on a WARC-fed corpus.
+  */
+class WarcRobustSpec extends AnyFunSuite with SparkSpec {
+
+  // quality-floor-passing body: 64 distinct tokens, 10 stopwords
+  private val goodText = ((1 to 54).map(i => f"w$i%03d") ++
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+    .mkString(" ")
+
+  /** One WARC record with custom WARC + HTTP headers and a byte body. */
+  private def rec(uri: String, date: String, body: Array[Byte],
+                  httpHeaders: Seq[String] = Seq("Content-Type: text/plain"),
+                  warcHeaders: Seq[String] = Nil,
+                  tpe: String = "response"): Array[Byte] = {
+    val block =
+      (s"HTTP/1.1 200 OK\r\n" + httpHeaders.map(_ + "\r\n").mkString +
+        "\r\n").getBytes("ISO-8859-1") ++ body
+    val hdr = new StringBuilder("WARC/1.0\r\n")
+    hdr ++= s"WARC-Type: $tpe\r\n"
+    if (uri != null) hdr ++= s"WARC-Target-URI: $uri\r\n"
+    if (date != null) hdr ++= s"WARC-Date: $date\r\n"
+    warcHeaders.foreach(h => hdr ++= s"$h\r\n")
+    hdr ++= s"Content-Length: ${block.length}\r\n\r\n"
+    hdr.toString.getBytes("ISO-8859-1") ++ block ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def text(uri: String, date: String, body: String): Array[Byte] =
+    rec(uri, date, body.getBytes("UTF-8"))
+
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new java.util.zip.GZIPOutputStream(bos)
+    os.write(b); os.close()
+    bos.toByteArray
+  }
+
+  private def tmpDir(tag: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(s"graft-warc-$tag")
+
+  private def urls(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.filter(!col("corrupt")).select("url").collect()
+      .map(_.getString(0)).toSet
+
+  test("a damaged middle member resyncs: later records land, damage count exact") {
+    val m1 = gzMember(text("http://r/1", "2026-03-01T00:00:00Z", goodText))
+    val m2 = gzMember(text("http://r/2", "2026-03-01T01:00:00Z",
+                           s"$goodText two"))
+    val m3 = gzMember(text("http://r/3", "2026-03-01T02:00:00Z",
+                           s"$goodText three"))
+    // flip one byte in the MIDDLE member's deflate payload
+    val bad = m2.clone()
+    bad(m2.length / 2) = (bad(m2.length / 2) ^ 0x5a).toByte
+    val dir = tmpDir("resync")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"), m1 ++ bad ++ m3)
+    val parsed = Crawl.readWarc(spark, dir.toString)
+    assert(urls(parsed) === Set("http://r/1", "http://r/3"),
+           "records after the damaged member must land")
+    assert(Crawl.crawlCorrupt(parsed).count() === 1,
+           "one damaged region -> exactly one corrupt row")
+    // stream == batch on the same damaged file
+    val q = Crawl.readWarcStream(spark, dir.toString)
+      .filter(!col("corrupt"))
+      .writeStream.format("memory").queryName("warc_resync")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("warc_resync").select("url").collect()
+             .map(_.getString(0)).toSet === Set("http://r/1", "http://r/3"))
+  }
+
+  test("a damaged FIRST member resyncs too; consecutive damage is one region") {
+    val m1 = gzMember(text("http://f/1", "2026-03-01T00:00:00Z", goodText))
+    val m2 = gzMember(text("http://f/2", "2026-03-01T01:00:00Z",
+                           s"$goodText zwei"))
+    val junk = Array.fill[Byte](64)(0x21)
+    val dir = tmpDir("first")
+    // leading garbage is not even a member header; then a good member,
+    // then inter-member junk, then another good member
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x7f) ++ junk ++ m1 ++ junk ++ m2)
+    val parsed = Crawl.readWarc(spark, dir.toString)
+    assert(urls(parsed) === Set("http://f/1", "http://f/2"))
+    assert(Crawl.crawlCorrupt(parsed).count() === 2,
+           "two damaged regions -> two corrupt rows")
+  }
+
+  test("a member whose CRC trailer lies is discarded, not served") {
+    val m1 = gzMember(text("http://c/1", "2026-03-01T00:00:00Z", goodText))
+    val m2 = gzMember(text("http://c/2", "2026-03-01T01:00:00Z",
+                           s"$goodText dois"))
+    // corrupt m1's stored CRC (first 4 of the trailing 8 bytes): the
+    // deflate stream still inflates, but the member must not serve
+    val bad = m1.clone()
+    bad(m1.length - 8) = (bad(m1.length - 8) ^ 0xff).toByte
+    val dir = tmpDir("crc")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"), bad ++ m2)
+    val parsed = Crawl.readWarc(spark, dir.toString)
+    assert(urls(parsed) === Set("http://c/2"),
+           "a checksum-failing member must not land documents")
+    assert(Crawl.crawlCorrupt(parsed).count() === 1)
+  }
+
+  test("WARC-Record-ID backs doc_id: identical re-fetches stay distinct, ids re-read-stable") {
+    val dir = tmpDir("rid")
+    val same = (n: Int) => gzMember(rec(
+      "http://dup/x", "2026-03-01T00:00:00Z", goodText.getBytes("UTF-8"),
+      warcHeaders = Seq(s"WARC-Record-ID: <urn:uuid:0000-$n>")))
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"), same(1) ++ same(2))
+    def ids() = Crawl.crawlDocs(Crawl.readWarc(spark, dir.toString))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = ids()
+    assert(first.size === 2,
+           "byte-identical re-fetches with distinct record ids must get distinct doc_ids")
+    assert(ids() === first, "doc_id must be re-read-stable")
+  }
+
+  test("chunked + charset through a full record; malformed chunking is record-local") {
+    val latinBody = "café du marché".getBytes("ISO-8859-1")
+    val chunked = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("5\r\n".getBytes("US-ASCII")); b.write(latinBody, 0, 5)
+      b.write(s"\r\n${(latinBody.length - 5).toHexString}\r\n"
+        .getBytes("US-ASCII"))
+      b.write(latinBody, 5, latinBody.length - 5)
+      b.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      b.toByteArray
+    }
+    val dir = tmpDir("chunk")
+    // plain .warc: a malformed-chunked record then two good ones — the
+    // malformed BODY is record-local damage, the stream keeps parsing
+    java.nio.file.Files.write(dir.resolve("f.warc"),
+      rec("http://ch/bad", "2026-03-01T00:00:00Z",
+          "ZZZ\r\nnope\r\n0\r\n\r\n".getBytes("US-ASCII"),
+          httpHeaders = Seq("Transfer-Encoding: chunked",
+                            "Content-Type: text/plain")) ++
+      rec("http://ch/1", "2026-03-01T01:00:00Z", chunked,
+          httpHeaders = Seq("Transfer-Encoding: chunked",
+            "Content-Type: text/plain; charset=ISO-8859-1")) ++
+      text("http://ch/2", "2026-03-01T02:00:00Z", s"$goodText after"))
+    val parsed = Crawl.readWarc(spark, dir.toString)
+    val byUrl = parsed.filter(!col("corrupt"))
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUrl.keySet === Set("http://ch/1", "http://ch/2"),
+           "records after a record-local body failure must still land")
+    assert(byUrl("http://ch/1") === "café du marché",
+           "chunked framing must strip and the declared charset decode")
+    val corrupt = Crawl.crawlCorrupt(parsed).collect().map(_.getString(0))
+    assert(corrupt.length === 1 && corrupt.head.contains("http://ch/bad"),
+           s"malformed chunking must count with its header head: ${corrupt.toSeq}")
+  }
+
+  test("HTML bodies extract by default; extractHtml=false keeps raw markup") {
+    val html = "<html><head><title>T</title><style>p{}</style></head>" +
+      "<body><p>le chat et la souris de un jour</p>" +
+      "<script>track()</script></body></html>"
+    val dir = tmpDir("html")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(rec("http://h/1", "2026-03-01T00:00:00Z",
+                   html.getBytes("UTF-8"),
+                   httpHeaders = Seq("Content-Type: text/html; charset=utf-8"))))
+    val doc = Crawl.crawlDocs(Crawl.readWarc(spark, dir.toString)).head()
+    assert(doc.getAs[String]("text") === "T le chat et la souris de un jour",
+           "markup must strip (style/script dropped, title text kept)")
+    assert(doc.getAs[String]("lang") === "fr",
+           "language must be predicted over the EXTRACTED prose")
+    val raw = Crawl.crawlDocs(
+      Crawl.readWarc(spark, dir.toString, extractHtml = false)).head()
+    assert(raw.getAs[String]("text").contains("<body>"),
+           "extractHtml=false must keep the raw body")
+  }
+
+  /** A 3-language WARC corpus landed as a documents table. */
+  private def multilingualCorpus(): String = {
+    val en = s"$goodText"
+    val fr = "le chat et la souris de un jour vont le matin vers la mer " +
+      "et un ami de la ville " + (1 to 40).map(i => f"fw$i%03d").mkString(" ")
+    val es = "el perro y la casa de un amigo y el gato van por el camino " +
+      (1 to 40).map(i => f"sw$i%03d").mkString(" ")
+    val dir = tmpDir("multi")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(text("http://m/en", "2026-03-01T00:00:00Z", en)) ++
+        gzMember(text("http://m/fr", "2026-03-01T01:00:00Z", fr)) ++
+        gzMember(text("http://m/es", "2026-03-01T02:00:00Z", es)))
+    val docs = Crawl.crawlDocs(Crawl.readWarc(spark, dir.toString))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              length(col("text")).cast("long").as("n_chars"))
+    val corpus = tmpDir("multi-corpus").toString
+    docs.write.parquet(s"$corpus/documents.parquet")
+    corpus
+  }
+
+  test("per-language operators are non-degenerate on a WARC-fed corpus") {
+    val corpus = multilingualCorpus()
+    val landed = spark.read.parquet(s"$corpus/documents.parquet")
+    assert(landed.select("lang").distinct().collect().map(_.getString(0))
+             .toSet === Set("en", "fr", "es"),
+           "ingest must land real languages, not one 'und' stratum")
+    val strata = graft.SparkEntry.queries("q62_stratified_sample")(
+        spark, corpus)
+      .select("lang").distinct().count()
+    assert(strata === 3, s"q62 found $strata strata on a 3-language corpus")
+    val buckets = graft.SparkEntry.queries("q143_ccnet_buckets")(
+        spark, corpus)
+      .select("lang").distinct().count()
+    assert(buckets === 3, s"q143 found $buckets language groups")
+  }
+
+  test("streamed langid == batch langid on known-language fixtures") {
+    val en = s"$goodText stream"
+    val fr = "le chat et la souris de un jour encore"
+    val dir = tmpDir("langstream")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(text("http://s/en", "2026-03-01T00:00:00Z", en)) ++
+        gzMember(text("http://s/fr", "2026-03-01T01:00:00Z", fr)))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "lang").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val batch = key(Crawl.readWarc(spark, dir.toString)
+      .filter(!col("corrupt")))
+    assert(batch === Map("http://s/en" -> "en", "http://s/fr" -> "fr"))
+    val q = Crawl.readWarcStream(spark, dir.toString)
+      .filter(!col("corrupt"))
+      .writeStream.format("memory").queryName("warc_lang")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(key(spark.table("warc_lang")) === batch,
+           "streamed lang assignment != batch")
+  }
+}
