@@ -157,8 +157,15 @@ object Nightly {
     val body = stages.map { case (n, sec, rows) =>
       f"""{"stage":"$n","sec":$sec%.3f,"rows":$rows}"""
     }.mkString("[", ",", "]")
+    // the DerivedCache freshness table rides the report: an operator
+    // reads which artifacts will SERVE vs REBUILD on the next run —
+    // the derive bill is visible before it is paid. After a clean
+    // night every stage-backing artifact is fresh by construction; a
+    // stale row here means the corpus moved under the run.
     val report =
-      s"""{"corpus":"$corpus","stages":$body,"audit_violations":$violations}"""
+      s"""{"corpus":"$corpus","stages":$body,""" +
+        s""""artifacts":${artifactStatusJson(spark, corpus)},""" +
+        s""""audit_violations":$violations}"""
     // through the Hadoop FS like every other artifact — the runbook's
     // outDir may be shared storage, not the driver's local disk
     val p = new org.apache.hadoop.fs.Path(s"$out/report.json")
@@ -167,4 +174,16 @@ object Nightly {
     try os.write((report + "\n").getBytes("UTF-8")) finally os.close()
     report
   }
+
+  /** [[operators.DerivedCache.status]] rendered as the report's
+    * `artifacts` JSON array — strictly read-only (never triggers a
+    * build), one row per landed artifact with its freshness, file
+    * count, and byte size.
+    */
+  def artifactStatusJson(spark: SparkSession, corpus: String): String =
+    operators.DerivedCache.status(spark, corpus).collect()
+      .map { r =>
+        s"""{"artifact":"${r.getString(0)}","fresh":${r.getBoolean(1)},""" +
+          s""""n_files":${r.getLong(2)},"bytes":${r.getLong(3)}}"""
+      }.mkString("[", ",", "]")
 }

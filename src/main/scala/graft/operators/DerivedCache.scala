@@ -169,8 +169,12 @@ object DerivedCache {
     val curText = cur.map(_._1).mkString("\n")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(conf)
+    // the `_table` sidecar names the manifest's table so [[status]] can
+    // re-derive THIS artifact's freshness token (not just the default
+    // documents.parquet one) without touching the serve path
     val dir = serveWith(s, dirStr, md5hex(curText),
-                        Map("_manifest" -> curText)) { staging =>
+                        Map("_manifest" -> curText, "_table" -> table)) {
+        staging =>
       // decide delta-vs-full HERE, while the previous version is still
       // landed at the target (materialize always runs before the swap)
       val stored = readSidecar(
@@ -380,21 +384,31 @@ object DerivedCache {
     * corpus `d` with its freshness (fresh == the next read serves
     * these bytes; stale == the next read rebuilds), data-file count,
     * and byte size. Strictly read-only: never triggers a build, never
-    * touches staging/aside leftovers. Freshness matches an artifact's
-    * own lifecycle token — the corpus-wide fingerprint ([[orBuild]] /
-    * [[orBuildModel]]) or the documents-table manifest digest
-    * ([[orBuildIncremental]]); a stored token equal to EITHER current
-    * token means the artifact serves as-is, and a stale artifact
-    * matches neither, so the two-token check has no false positives.
+    * touches staging/aside leftovers. Freshness is judged per artifact
+    * against ITS OWN lifecycle token, disambiguated by the sidecars
+    * the build left: an artifact with a `_manifest` sidecar is
+    * append-incremental and compares the manifest digest of the table
+    * its `_table` sidecar names (documents.parquet for pre-sidecar
+    * artifacts); anything else compares the corpus-wide fingerprint
+    * ([[orBuild]] / [[orBuildModel]]). The earlier either-token check
+    * could false-positive when one token impersonated the other (a
+    * corpus whose only table is documents.parquet makes the two
+    * digests textually equal, so adding a second table left an
+    * orBuild artifact reported fresh that the next read would
+    * rebuild).
     */
   def status(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$root/${corpusKey(d)}")
     val fs = dir.getFileSystem(conf)
-    val corpusFp = fingerprint(s, d)
-    val manifestFp = md5hex(
-      manifestLines(s, s"$d/documents.parquet").map(_._1).mkString("\n"))
+    lazy val corpusFp = fingerprint(s, d)
+    // manifest digests resolve lazily per TABLE an artifact names —
+    // one listing per distinct table across the whole status read
+    val manifestFps = scala.collection.mutable.Map.empty[String, String]
+    def manifestFp(table: String): String =
+      manifestFps.getOrElseUpdate(table, md5hex(
+        manifestLines(s, s"$d/$table").map(_._1).mkString("\n")))
     val rows =
       if (!fs.exists(dir)) Seq.empty[(String, Boolean, Long, Long)]
       else fs.listStatus(dir).toSeq
@@ -406,6 +420,19 @@ object DerivedCache {
           val stored = readSidecar(fs,
             new org.apache.hadoop.fs.Path(st.getPath, "_fingerprint"))
             .map(_.trim)
+          // lifecycle disambiguation: a `_manifest` sidecar marks the
+          // append-incremental lifecycle, whose token is the manifest
+          // digest of the table `_table` names (documents.parquet for
+          // artifacts landed before the sidecar existed); everything
+          // else is corpus-fingerprint keyed
+          val expected =
+            if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+                                                        "_manifest")))
+              manifestFp(readSidecar(fs,
+                  new org.apache.hadoop.fs.Path(st.getPath, "_table"))
+                .map(_.trim).filter(_.nonEmpty)
+                .getOrElse("documents.parquet"))
+            else corpusFp
           def files(p: org.apache.hadoop.fs.Path)
               : Seq[org.apache.hadoop.fs.FileStatus] =
             fs.listStatus(p).toSeq.flatMap { f =>
@@ -416,7 +443,7 @@ object DerivedCache {
             }
           val data = files(st.getPath)
           (st.getPath.getName,
-           stored.contains(corpusFp) || stored.contains(manifestFp),
+           stored.contains(expected),
            data.length.toLong, data.map(_.getLen).sum)
         }
     rows.toDF("artifact", "fresh", "n_files", "bytes")

@@ -977,13 +977,18 @@ object Prep {
       .withColumn("p",
         floor(log(col("n_p").cast("double") / col("n_n"))
           * 100000000 + 0.5).cast("long"))
-    // combined per-term score row: unigram logp for the LM stage, the
-    // q161 add-one LLR for the NB stage (0 for unlabeled-vocabulary
-    // terms — the LEFT JOIN + coalesce semantics, made inner because
-    // every corpus term is in tt by construction)
+    // combined per-term score row: unigram logp for the LM stage (as a
+    // 1e-8-scaled BIGINT — the q161/q125 scaled-integer convention, so
+    // the per-doc lpsum is EXACT integer arithmetic and the one-pass
+    // audit, the artifact build, and the at-ingest gate agree
+    // bit-for-bit instead of only through the 4dp round), the q161
+    // add-one LLR for the NB stage (0 for unlabeled-vocabulary terms —
+    // the LEFT JOIN + coalesce semantics, made inner because every
+    // corpus term is in tt by construction)
     val st = tt.crossJoin(broadcast(tots))
       .select(col("term"),
-        log(col("uc").cast("double") / col("total")).as("lp"),
+        floor(log(col("uc").cast("double") / col("total"))
+          * 100000000 + 0.5).cast("long").as("lpi"),
         when(col("n_pt") + col("n_nt") > 0,
           floor((log((col("n_pt") + lit(1.0)) / (col("n_p") + col("v")))
                  - log((col("n_nt") + lit(1.0)) / (col("n_n") + col("v"))))
@@ -991,10 +996,11 @@ object Prep {
     val pd = cdc.join(st.hint("shuffle_hash"), "term")
       .groupBy("doc_id", "source", "qi", "n_tokens")
       .agg(sum(col("c") * col("l")).cast("long").as("tsum"),
-           sum(col("c") * col("lp")).as("lpsum"))
+           sum(col("c") * col("lpi")).cast("long").as("lpsumi"))
     val sb = pd.crossJoin(broadcast(tots.select("p")))
       .select(col("doc_id"), col("source"), col("qi"), col("n_tokens"),
-              round(col("lpsum") / col("n_tokens"), 4).as("lp4"),
+              round(col("lpsumi").cast("double") / 100000000.0
+                / col("n_tokens"), 4).as("lp4"),
               (col("tsum") + col("p")).as("s_int"))
       .withColumn("bin",
         least(greatest(floor(col("s_int").cast("double") / 50000000.0),
@@ -1190,9 +1196,9 @@ object Prep {
     */
   def funnelScorer(s: SparkSession, d: String,
                    theta: Long): DataFrame => DataFrame = {
-    val (st, pInt, floorLp) = funnelModel(s, d)
+    val (st, pInt, floorLpi) = funnelModel(s, d)
     docFrame => attachVerdicts(
-        funnelScoreDocs(docFrame, st, pInt, floorLp), lit(theta))
+        funnelScoreDocs(docFrame, st, pInt, floorLpi), lit(theta))
       .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
               "bin", "pass_len", "pass_quality", "pass_lm", "pass_nb",
               "keep", "reject_stage")
@@ -1223,21 +1229,24 @@ object Prep {
 
   /** Resolve the funnel's two PERSISTED model layers into one combined
     * vocabulary-bounded per-term score table plus the collected bounded
-    * constants: (st = (term, lp, l), pInt = the scaled-integer NB class
-    * prior, floorLp = the out-of-vocabulary unigram floor ln(1/total)).
+    * constants: (st = (term, lpi, l), pInt = the scaled-integer NB
+    * class prior, floorLpi = the out-of-vocabulary unigram floor
+    * ln(1/total), 1e-8-scaled).
     * ZERO corpus passes — the NB class counts ([[nbClassCounts]]) and
     * the unigram marginal (a groupBy(term) finalize of the landed
     * [[sourceTermCounts]]) are both append-incremental artifacts. The
     * NB side is a left merge into the unigram vocabulary (its labeled
     * vocabulary is a subset of the corpus one). Shared by
     * [[funnelScorer]] (the at-ingest gate) and
-    * [[funnelStackFromLayers]] (the `funnel_stack_v1` artifact build),
+    * [[funnelStackFromLayers]] (the `funnel_stack_v2` artifact build),
     * so the gate and the landed per-doc table carry the SAME
-    * floating-point expression tree and FunnelGateSpec's stream==batch
-    * doc-for-doc pin is structural, not a 4dp accident.
+    * expression tree — and with lpi/lpsumi in the scaled-integer
+    * convention, per-doc sums are EXACT integer arithmetic: the gate,
+    * the artifact, and the one-pass audit agree bit-for-bit, not just
+    * through the 4dp round.
     */
   private def funnelModel(s: SparkSession, d: String)
-      : (DataFrame, Long, Double) = {
+      : (DataFrame, Long, Long) = {
     val counts = nbClassCounts(s, d)
     val Array(t0) = counts
       .agg(sum("n_pt").cast("long").as("n_p"),
@@ -1249,15 +1258,19 @@ object Prep {
       .agg(sum("n_st").cast("long").as("uc"))
     val Array(u0) = uni.agg(sum("uc").cast("double").as("total")).collect()
     val total = u0.getDouble(0)
-    val floorLp = math.log(1.0 / total)
+    // the out-of-vocabulary unigram floor ln(1/total), 1e-8-scaled like
+    // every per-term lpi — the scaled-integer spelling keeps the
+    // per-doc lpsum exact-integer on streams with novel terms too
+    val floorLpi = math.floor(math.log(1.0 / total) * 1e8 + 0.5).toLong
     val st = uni.join(counts, Seq("term"), "left")
       .select(col("term"),
-        log(col("uc").cast("double") / total).as("lp"),
+        floor(log(col("uc").cast("double") / total)
+          * 100000000 + 0.5).cast("long").as("lpi"),
         when(col("n_pt") + col("n_nt") > 0,
           floor((log((col("n_pt") + lit(1.0)) / (nP + v))
                  - log((col("n_nt") + lit(1.0)) / (nN + v)))
             * 100000000 + 0.5).cast("long")).otherwise(lit(0L)).as("l"))
-    (st, pInt, floorLp)
+    (st, pInt, floorLpi)
   }
 
   /** Score one document frame against a resolved [[funnelModel]]:
@@ -1271,7 +1284,7 @@ object Prep {
     * stage: novelty biases toward the lm gate, never a silent keep.
     */
   private def funnelScoreDocs(docFrame: DataFrame, st: DataFrame,
-                              pInt: Long, floorLp: Double): DataFrame =
+                              pInt: Long, floorLpi: Long): DataFrame =
     docFrame
       .select(col("doc_id"), col("source"), teacherQi.as("qi"),
               split(col("text"), " ").as("tok"))
@@ -1280,10 +1293,13 @@ object Prep {
               explode(col("tok")).as("term"))
       .join(st.hint("shuffle_hash"), Seq("term"), "left")
       .groupBy("doc_id", "source", "qi", "n_tokens")
-      .agg(sum(coalesce(col("lp"), lit(floorLp))).as("lpsum"),
+      .agg(sum(coalesce(col("lpi"), lit(floorLpi))).cast("long")
+             .as("lpsumi"),
            (sum(coalesce(col("l"), lit(0L))) + lit(pInt)).cast("long")
              .as("s_int"))
-      .withColumn("lp4", round(col("lpsum") / col("n_tokens"), 4))
+      .withColumn("lp4",
+        round(col("lpsumi").cast("double") / 100000000.0
+          / col("n_tokens"), 4))
       .withColumn("bin",
         least(greatest(floor(col("s_int").cast("double") / 50000000.0),
                        lit(-10)), lit(9)).cast("long"))
@@ -1297,23 +1313,27 @@ object Prep {
     * layers merge incrementally and only the rescore re-pays the
     * corpus). Theta tuning and verdict attribution are the exact
     * [[filterStack]] tail ([[funnelTuneAndVerdicts]]); the scoring
-    * expression tree is the exact [[funnelScorer]] one, so the landed
-    * artifact, the one-pass audit plan, and the at-ingest gate can
-    * only differ by FP summation order inside lpsum (absorbed by the
-    * 4dp round — the same tolerance the DuckDB oracle comparison
-    * already rides).
+    * expression tree is the exact [[funnelScorer]] one, and lpsumi is
+    * exact integer arithmetic over identical per-term lpi values, so
+    * the landed artifact, the one-pass audit plan, and the at-ingest
+    * gate agree bit-for-bit — summation order cannot flip a `pass_lm`
+    * at a 4dp tie (the round-15 watch item, retired structurally).
     */
   private[graft] def funnelStackFromLayers(s: SparkSession,
                                                d: String): DataFrame = {
     funnelDerives.incrementAndGet()
-    val (st, pInt, floorLp) = funnelModel(s, d)
-    val sb = funnelScoreDocs(spread(docs(s, d)), st, pInt, floorLp)
+    val (st, pInt, floorLpi) = funnelModel(s, d)
+    val sb = funnelScoreDocs(spread(docs(s, d)), st, pInt, floorLpi)
       .select("doc_id", "source", "qi", "n_tokens", "lp4", "s_int", "bin")
     funnelTuneAndVerdicts(s, sb)
   }
 
   /** The q163 per-doc gate table as a PERSISTED DerivedCache artifact
-    * (`funnel_stack_v1`): every doc's stage scores, tuned theta, stage
+    * (`funnel_stack_v2` — v1 carried a double lpsum whose lp4 could in
+    * principle differ from the scaled-integer spelling at a 4dp tie,
+    * so the derivation change bumps the version and orphans v1 bytes
+    * rather than serving them): every doc's stage scores, tuned theta,
+    * stage
     * verdicts, keep bit, and first-rejecting stage. The funnel verdict
     * is deterministic per corpus snapshot and consumed by five
     * registry queries (q163–q167) plus the nightly health stage — each
@@ -1325,7 +1345,7 @@ object Prep {
     * audit batch to one rescore per snapshot plus bounded rollups.
     */
   def funnelStack(s: SparkSession, d: String): DataFrame =
-    DerivedCache.orBuild(s, d, "funnel_stack_v1")(
+    DerivedCache.orBuild(s, d, "funnel_stack_v2")(
       funnelStackFromLayers(s, d))
 
   /** Times the funnel stack was DERIVED this JVM (the nbDerives
@@ -5587,7 +5607,13 @@ object Prep {
     * per-row thinning projection — deterministic content-hash
     * Bernoulli, the exact q167 membership test — legal on any
     * streaming frame (no aggregate, no join: the rates inline as a
-    * literal map, sources-bounded by construction). Docs from sources
+    * literal map, sources-bounded by construction — the corpus-
+    * statistic sizing rule of the Bloom probes: a source DOMAIN is
+    * thousands of feeds, never corpus-sized. Should a deployment's
+    * source domain ever outgrow a literal — the ~10^4-entry mark
+    * where codegen'd map literals stop being cheaper than a hash
+    * probe — the swap is a broadcast stream-static join on the same
+    * rate table, semantics unchanged). Docs from sources
     * the funnel never saw keep rate 1.0 (a brand-new source has no
     * enrichment evidence; thinning it to zero silently would drop a
     * feed — the quarantine-biased inverse of the gate's default).
@@ -5618,7 +5644,10 @@ object Prep {
     * pass → combined unigram + NB term table → per-doc LM/NB scores →
     * tuned theta → stage verdicts); q163 reads the per-doc rows, q164
     * the per-source survival rollup. The NB fragments are the q161
-    * spellings verbatim; the LM fragment the q82 spelling.
+    * spellings verbatim; the LM fragment is q82's mean-logp in the
+    * 1e-8-scaled-integer convention (per-term lpi rounds once, the
+    * per-doc sum is exact BIGINT arithmetic — summation order cannot
+    * move lp4, in either engine).
     */
   private def fsOracleCte: String =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
@@ -5644,7 +5673,9 @@ object Prep {
       |                     * 100000000 + 0.5) AS BIGINT) AS p
       |         FROM tt WHERE n_pt + n_nt > 0),
       |ut AS (SELECT CAST(sum(uc) AS DOUBLE) AS total FROM tt),
-      |st AS (SELECT term, ln(CAST(uc AS DOUBLE) / total) AS lp,
+      |st AS (SELECT term,
+      |         CAST(floor(ln(CAST(uc AS DOUBLE) / total)
+      |              * 100000000 + 0.5) AS BIGINT) AS lpi,
       |         CASE WHEN n_pt + n_nt > 0 THEN
       |           CAST(floor((ln((n_pt + 1.0) / (n_p + v))
       |                       - ln((n_nt + 1.0) / (n_n + v)))
@@ -5653,7 +5684,8 @@ object Prep {
       |       FROM tt CROSS JOIN tots CROSS JOIN ut),
       |pd AS (SELECT cdc.doc_id, cdc.source, cdc.qi, cdc.n_tokens,
       |         CAST(sum(cdc.c * st.l) AS BIGINT) AS tsum,
-      |         round(sum(cdc.c * st.lp) / cdc.n_tokens, 4) AS lp4
+      |         round(CAST(sum(cdc.c * st.lpi) AS DOUBLE) / 100000000.0
+      |               / cdc.n_tokens, 4) AS lp4
       |       FROM cdc JOIN st USING (term) GROUP BY 1, 2, 3, 4),
       |sb AS (SELECT doc_id, source, qi, n_tokens, lp4, tsum + p AS s_int,
       |         CAST(least(greatest(

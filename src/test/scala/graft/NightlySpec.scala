@@ -12,10 +12,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class NightlySpec extends AnyFunSuite with SparkSpec {
 
+  /** The nightly runs on a COPY of the small corpus: its DerivedCache
+    * key is then unique to this run, so the report's artifact
+    * freshness table is deterministic (the shared tmp cache can carry
+    * artifacts other suites/sessions landed for the real sf0.001 dir,
+    * with freshness depending on suite order).
+    */
+  private def copyCorpus(src: String): String = {
+    val s = java.nio.file.Paths.get(src)
+    val dst = java.nio.file.Files.createTempDirectory("graft-nightly-corpus")
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val t = dst.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    dst.toString
+  }
+
   test("Nightly.run lands every artifact and the audit gate is clean") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-nightly-spec").toString
-    val report = Nightly.run(spark, "/root/testdata/sf0.001", out)
+    val report = Nightly.run(spark, copyCorpus("/root/testdata/sf0.001"), out)
     assert(report.contains("\"audit_violations\":0"), report)
     for (a <- Seq("curated", "training_set", "shards", "bounds",
                   "plan", "manifest", "order",
@@ -33,6 +53,16 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
                    "epoch_plan", "manifest", "anneal", "training_order",
                    "health", "audit"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
+    // the DerivedCache freshness table rides the report: after a clean
+    // night over an unchanged corpus, artifacts serve (fresh) and
+    // nothing is pending a rebuild — the next run's derive bill is
+    // visible before it is paid. (Staleness flagging is pinned in
+    // DerivedCacheSpec's lifecycle-disambiguation test.)
+    assert(report.contains("\"artifacts\":[{"),
+           "report must carry the DerivedCache freshness table")
+    assert(report.contains("\"fresh\":true"), report)
+    assert(!report.contains("\"fresh\":false"),
+           s"clean run over an unchanged corpus reports a stale artifact: $report")
 
     // ---- seeded corruption: the order audit names each damage ----
     val plan = s"$out/plan"; val man = s"$out/manifest"; val ord = s"$out/order"

@@ -179,4 +179,46 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
              !after("spec_status_incr_v1")._1,
            s"refresh must be per-artifact: $after")
   }
+
+  test("status disambiguates lifecycles — no corpus-vs-manifest false positives") {
+    import spark.implicits._
+    val d = freshCorpus()
+    def fresh() = DerivedCache.status(spark, d).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // corpus whose ONLY table is documents.parquet: the corpus
+    // fingerprint text and the documents manifest text coincide — the
+    // regime where the old either-token check false-positived
+    DerivedCache.orBuild(spark, d, "spec_fp_only_v1") {
+      spark.read.parquet(d + "/documents.parquet")
+    }.collect()
+    // a SECOND table lands: the corpus fingerprint moves, the
+    // documents manifest does not. The orBuild artifact is stale (its
+    // next read rebuilds) and status must say so.
+    Seq((10L, "aux")).toDF("id", "w")
+      .write.parquet(d + "/aux.parquet")
+    assert(fresh()("spec_fp_only_v1") === false,
+           "orBuild freshness must track the CORPUS fingerprint only")
+    // an incremental artifact keyed on the NON-default table reports
+    // against aux.parquet's manifest, not documents'
+    DerivedCache.orBuildIncremental(spark, d, "spec_incr_aux_v1",
+                                    table = "aux.parquet")(
+      spark.read.parquet(d + "/aux.parquet"))(
+      fs => spark.read.parquet(fs: _*))(
+      (old, delta) => old.unionByName(delta)).collect()
+    assert(fresh()("spec_incr_aux_v1") === true)
+    Seq((4L, "delta")).toDF("id", "w")
+      .write.mode("append").parquet(d + "/documents.parquet")
+    assert(fresh()("spec_incr_aux_v1") === true,
+           "a documents append must not stale an aux-table artifact")
+    Seq((11L, "aux2")).toDF("id", "w")
+      .write.mode("append").parquet(d + "/aux.parquet")
+    assert(fresh()("spec_incr_aux_v1") === false,
+           "an aux append must stale the aux-table artifact")
+    // the Nightly report rendering carries the flags verbatim
+    val json = graft.Nightly.artifactStatusJson(spark, d)
+    assert(json.contains(
+        "\"artifact\":\"spec_fp_only_v1\",\"fresh\":false"), json)
+    assert(json.contains(
+        "\"artifact\":\"spec_incr_aux_v1\",\"fresh\":false"), json)
+  }
 }

@@ -96,14 +96,15 @@ class FilterStackSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the artifact build equals the one-pass audit plan row-for-row") {
-    // funnel_stack_v1 is built from the persisted model layers
+    // funnel_stack_v2 is built from the persisted model layers
     // (funnelStackFromLayers); filterStack derives the same table from
     // first principles in one pass. The two must agree on EVERY column
     // of EVERY doc — the guard that composing from landed artifacts
-    // cannot drift from the oracle-proven inline derivation. (lpsum's
-    // FP summation order differs between the two plans; the 4dp round
-    // into lp4 absorbs it — the same tolerance the DuckDB oracle
-    // comparison has always ridden.)
+    // cannot drift from the oracle-proven inline derivation. With the
+    // scaled-integer lpsumi (round 16) the equality is STRUCTURAL:
+    // per-term lpi values are identical doubles rounded once, and the
+    // per-doc sum is exact BIGINT arithmetic, so summation order
+    // cannot move lp4 even at a 4dp tie.
     val cols = Seq("doc_id", "source", "qi", "n_tokens", "lp4", "s_int",
                    "bin", "theta", "pass_len", "pass_quality", "pass_lm",
                    "pass_nb", "keep", "reject_stage")
