@@ -39,8 +39,11 @@ object Nightly {
     "q162_nb_calibration", "q164_filter_funnel",
     // the gate-threshold operating curve and the resample-restoration
     // residual — both bounded rollups over the landed nb_scores_v1 /
-    // funnel_stack_v1 artifacts
-    "q169_nb_threshold_sweep", "q168_resample_audit")
+    // funnel_stack_v2 artifacts
+    "q169_nb_threshold_sweep", "q168_resample_audit",
+    // markup residue left past the ingest front-end's HTML extraction
+    // — nonzero means the funnel/LM/BPE operators are scoring tags
+    "q171_markup_residue")
 
   def main(args: Array[String]): Unit = {
     val Array(corpus, out) = args

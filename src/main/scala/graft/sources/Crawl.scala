@@ -309,14 +309,10 @@ object Crawl {
       if (out.size > MaxInflatedBody) b else out.toByteArray
     } catch { case _: java.io.IOException => b }
 
-  /** Decode `body` with the charset declared in the Content-Type (with
-    * UTF-8 fallback); malformed/unmappable input degrades to the
-    * replacement character, never a throw — the `new String` policy
-    * the UTF-8-only path always had.
-    */
-  private def decodeBody(body: Array[Byte], contentType: Option[String])
-      : String = {
-    val cs = contentType
+  /** The charset a Content-Type header value declares, if any. */
+  private def headerCharset(contentType: Option[String])
+      : Option[java.nio.charset.Charset] =
+    contentType
       .flatMap { ct =>
         val i = ct.toLowerCase(java.util.Locale.ROOT).indexOf("charset=")
         if (i < 0) None
@@ -326,7 +322,53 @@ object Crawl {
       .filter(_.nonEmpty)
       .flatMap(name =>
         scala.util.Try(java.nio.charset.Charset.forName(name)).toOption)
-      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The in-document `<meta charset=...>` / `<meta http-equiv
+    * content="...charset=..."` declaration, scanned from the first
+    * 1024 BYTES decoded ASCII-compatibly — the browser prescan rule
+    * (HTML5 §13.2.3.2): many real pages declare their encoding only
+    * in-document, and an HTTP header with no charset param would
+    * otherwise mis-decode them as UTF-8. An unknown/garbage name
+    * resolves to None (UTF-8 fallback), never a throw.
+    */
+  private[sources] def metaCharset(body: Array[Byte])
+      : Option[java.nio.charset.Charset] = {
+    val head = new String(body, 0, math.min(body.length, 1024),
+                          "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
+    var i = head.indexOf("<meta")
+    while (i >= 0) {
+      val end = { val e = head.indexOf('>', i)
+                  if (e < 0) head.length else e }
+      val tag = head.substring(i, end)
+      val c = tag.indexOf("charset")
+      if (c >= 0) {
+        var p = c + 7
+        while (p < tag.length && tag.charAt(p) == ' ') p += 1
+        if (p < tag.length && tag.charAt(p) == '=') {
+          p += 1
+          while (p < tag.length &&
+                 (tag.charAt(p) == ' ' || tag.charAt(p) == '"' ||
+                  tag.charAt(p) == '\'')) p += 1
+          val start = p
+          while (p < tag.length && (tag.charAt(p).isLetterOrDigit ||
+                 "._-".contains(tag.charAt(p)))) p += 1
+          val name = tag.substring(start, p)
+          if (name.nonEmpty)
+            return scala.util.Try(
+              java.nio.charset.Charset.forName(name)).toOption
+        }
+      }
+      i = head.indexOf("<meta", end)
+    }
+    None
+  }
+
+  /** Decode `body` with `cs`; malformed/unmappable input degrades to
+    * the replacement character, never a throw — the `new String`
+    * policy the UTF-8-only path always had.
+    */
+  private def decodeBody(body: Array[Byte],
+                         cs: java.nio.charset.Charset): String = {
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
@@ -378,7 +420,13 @@ object Crawl {
           body = gunzipBody(body)
       }
     }
-    val text = decodeBody(body, contentType)
+    // charset precedence: the transport header wins (HTTP is
+    // authoritative over the document), then the in-document meta
+    // prescan, then UTF-8
+    val cs = headerCharset(contentType)
+      .orElse(metaCharset(body))
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    val text = decodeBody(body, cs)
     val isHtml = contentType match {
       case Some(ct) => ct.toLowerCase(java.util.Locale.ROOT).contains("html")
       case None     => Html.sniffHtml(text)

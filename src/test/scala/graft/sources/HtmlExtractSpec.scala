@@ -150,6 +150,29 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(right(Crawl.httpText(broken, extractHtml = true)).nonEmpty)
   }
 
+  test("httpText: in-document <meta charset> prescan fills a silent HTTP header") {
+    // HTML5 meta form, no charset in the HTTP header
+    val meta = b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><head><meta charset=\"iso-8859-1\"></head><body>caf") ++
+      Array[Byte](0xE9.toByte) ++ b("</body></html>")
+    assert(right(Crawl.httpText(meta, extractHtml = true)) === "café")
+    // legacy http-equiv form
+    val equiv = b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head><body>caf") ++
+      Array[Byte](0xE9.toByte) ++ b("</body></html>")
+    assert(right(Crawl.httpText(equiv, extractHtml = true)) === "café")
+    // the transport header is authoritative over a conflicting meta
+    val conflict = b("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+      "<html><head><meta charset=\"utf-16\"></head><body>plain</body></html>")
+    assert(right(Crawl.httpText(conflict, extractHtml = true)) === "plain")
+    // a garbage meta name degrades to the UTF-8 fallback, never throws
+    val junk = b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><head><meta charset=\"no-such-cs\"></head><body>ok</body></html>")
+    assert(right(Crawl.httpText(junk, extractHtml = true)) === "ok")
+  }
+
   test("httpText: Content-Encoding gzip inflates; a lying header fails open") {
     val payload = {
       val bos = new java.io.ByteArrayOutputStream()
