@@ -382,7 +382,8 @@ object Crawl {
     * charset, and — when `extractHtml` and the body is HTML by
     * Content-Type or sniff — extracts text from the markup.
     */
-  private[sources] def httpText(block: Array[Byte], extractHtml: Boolean)
+  private[sources] def httpText(block: Array[Byte],
+                                extract: Option[String => String])
       : Either[String, String] = {
     val isHttp = block.length >= 5 &&
       block(0) == 'H' && block(1) == 'T' && block(2) == 'T' &&
@@ -431,8 +432,19 @@ object Crawl {
       case Some(ct) => ct.toLowerCase(java.util.Locale.ROOT).contains("html")
       case None     => Html.sniffHtml(text)
     }
-    Right(if (extractHtml && isHtml) Html.extractText(text) else text)
+    extract match {
+      case Some(f) if isHtml => Right(f(text))
+      case _                 => Right(text)
+    }
   }
+
+  /** Boolean shim for spec ergonomics: true = the default tag-strip
+    * extractor, false = raw bodies.
+    */
+  private[sources] def httpText(block: Array[Byte], extractHtml: Boolean)
+      : Either[String, String] =
+    httpText(block,
+             if (extractHtml) Some(Html.extractText _) else None)
 
   // ---- WARC record-stream parsing -----------------------------------
 
@@ -445,7 +457,7 @@ object Crawl {
     * None on clean EOF, Some(corrupt head) on stream damage.
     */
   private def parseRecordStream(in: java.io.InputStream,
-                                extractHtml: Boolean,
+                                extract: Option[String => String],
                                 rows: scala.collection.mutable.Buffer[WarcRow])
       : Option[String] = {
     // one header line (headers are short; block bytes read in bulk
@@ -492,7 +504,7 @@ object Crawl {
       val block = in.readNBytes(cl.get.toInt)
       if (block.length < cl.get) return Some(corruptHead)
       if (headers.get("warc-type").contains("response")) {
-        httpText(block, extractHtml) match {
+        httpText(block, extract) match {
           case Right(text) =>
             rows += ((null, false,
                       headers.getOrElse("warc-target-uri", null),
@@ -612,7 +624,8 @@ object Crawl {
     * Content-Length.
     */
   private[sources] def parseWarcMembers(raw: Array[Byte],
-                                        extractHtml: Boolean = true)
+                                        extract: Option[String => String] =
+                                          Some(Html.extractText))
       : Seq[WarcRow] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
     val isGz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
@@ -620,7 +633,7 @@ object Crawl {
     if (!isGz) {
       val in = new java.io.BufferedInputStream(
         new java.io.ByteArrayInputStream(raw), 65536)
-      try parseRecordStream(in, extractHtml, out)
+      try parseRecordStream(in, extract, out)
         .foreach(head => out += corruptRow(head))
       catch {
         case e: java.io.IOException =>
@@ -641,7 +654,7 @@ object Crawl {
         val ms = new MemberStream(raw, hdrEnd)
         try {
           val streamDamage = parseRecordStream(
-            new java.io.BufferedInputStream(ms, 65536), extractHtml,
+            new java.io.BufferedInputStream(ms, 65536), extract,
             memberRows)
           // drain: the WARC layer may stop before member end (a
           // stream-damage record, trailing padding) — getBytesRead
@@ -695,13 +708,14 @@ object Crawl {
     * codegen'd column math over the parsed rows.
     */
   private def parseWarcFiles(files: DataFrame,
-                             extractHtml: Boolean): DataFrame = {
+                             extract: Option[String => String])
+      : DataFrame = {
     val session = files.sparkSession
     import session.implicits._
     val u = coalesce(col("url"), lit(""))
     val w = coalesce(col("wts"), lit(""))
     files.select(col("content")).as[Array[Byte]]
-      .flatMap(parseWarcMembers(_, extractHtml))
+      .flatMap(parseWarcMembers(_, extract))
       .toDF("value", "corrupt", "url", "wts", "rid", "text")
       .select(
         col("value"), col("corrupt"),
@@ -728,8 +742,10 @@ object Crawl {
     * pass false to study the raw bodies.
     */
   def readWarc(s: SparkSession, path: String,
-               extractHtml: Boolean = true): DataFrame =
-    parseWarcFiles(s.read.format("binaryFile").load(path), extractHtml)
+               extractHtml: Boolean = true,
+               mainContent: Boolean = false): DataFrame =
+    parseWarcFiles(s.read.format("binaryFile").load(path),
+                   extractor(extractHtml, mainContent))
 
   /** Streaming read: newly landed WARC files become micro-batches,
     * checkpointed exactly-once by file name (the [[readCrawlStream]]
@@ -737,11 +753,22 @@ object Crawl {
     */
   def readWarcStream(s: SparkSession, path: String,
                      maxFilesPerTrigger: Int = 0,
-                     extractHtml: Boolean = true): DataFrame = {
+                     extractHtml: Boolean = true,
+                     mainContent: Boolean = false): DataFrame = {
     val r0 = s.readStream.format("binaryFile").schema(binaryFileSchema)
     val r = if (maxFilesPerTrigger > 0)
               r0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
             else r0
-    parseWarcFiles(r.load(path), extractHtml)
+    parseWarcFiles(r.load(path), extractor(extractHtml, mainContent))
   }
+
+  /** The HTML-body extractor a read mode selects: tag-strip by
+    * default, the C4/jusText main-content gate when `mainContent`, or
+    * none at all (raw markup) when extraction is off.
+    */
+  private def extractor(extractHtml: Boolean, mainContent: Boolean)
+      : Option[String => String] =
+    if (!extractHtml) None
+    else if (mainContent) Some(Html.extractMainText _)
+    else Some(Html.extractText _)
 }

@@ -8,7 +8,10 @@ package graft.sources
   * plain records), so this is the extension surface a crawl-fed
   * deployment needs, not a port.
   *
-  * Scope is tag-strip extraction, NOT boilerplate removal:
+  * The DEFAULT ([[extractText]]) is tag-strip extraction, which keeps
+  * every piece of prose; [[extractMainText]] layers the opt-in
+  * C4/jusText-style boilerplate classification on top (block
+  * granularity, link density + length rules). Tag-strip rules:
   *   - `<script>`/`<style>` subtrees and `<!-- comments -->` are
   *     dropped wholesale (their content is code, never prose);
   *   - every other tag is replaced by a single space (the C4
@@ -23,9 +26,9 @@ package graft.sources
   * non-tag character is literal text (the HTML5 tokenizer rule, so
   * `5 < 6` survives), an unterminated tag/comment/script drops the
   * unparseable tail, an out-of-range numeric reference stays verbatim.
-  * The function is a pure total `String => String` — applied per-row
-  * inside the WARC member parser (batch and stream share it), or via
-  * [[Crawl.extractHtml]] on an already-typed crawl frame.
+  * Both extractors are pure total `String => String` — applied
+  * per-row inside the WARC member parser (batch and stream share
+  * them), or via `readCrawl(extractHtml = true)` on a crawl frame.
   */
 object Html {
 
@@ -166,6 +169,131 @@ object Html {
       k += 1
     }
     res.toString
+  }
+
+  // ---- block-aware main-content extraction (opt-in) -----------------
+
+  /** Tags that delimit text BLOCKS for boilerplate classification —
+    * the candidate units of jusText/C4-style filtering.
+    */
+  private val blockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "title",
+    "section", "article", "header", "footer", "nav", "aside", "form",
+    "hr", "dt", "dd", "dl", "figure", "figcaption", "main")
+
+  /** One candidate block: collapsed text, total non-space chars, and
+    * chars emitted inside `<a>` anchors (link density's numerator).
+    */
+  private[sources] final case class Block(text: String, chars: Int,
+                                          linkChars: Int) {
+    def words: Int = if (text.isEmpty) 0 else text.count(_ == ' ') + 1
+    def linkDensity: Double =
+      if (chars == 0) 0.0 else linkChars.toDouble / chars
+  }
+
+  /** Scan `html` into candidate blocks, tracking anchor depth so each
+    * block knows its link density. Same degradation rules as
+    * [[extractText]] (shared tag/entity/raw-text helpers); block-level
+    * tags cut block boundaries, inline tags are spaces.
+    */
+  private[sources] def extractBlocks(html: String): Seq[Block] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+    val cur = new java.lang.StringBuilder
+    var curChars = 0
+    var curLink = 0
+    var anchorDepth = 0
+    var pendingSpace = false
+    def emitChar(ch: Char): Unit =
+      if (Character.isWhitespace(ch)) pendingSpace = cur.length > 0
+      else {
+        if (pendingSpace) { cur.append(' '); pendingSpace = false }
+        cur.append(ch)
+        curChars += 1
+        if (anchorDepth > 0) curLink += 1
+      }
+    def emit(t: String): Unit = {
+      var k = 0
+      while (k < t.length) { emitChar(t.charAt(k)); k += 1 }
+    }
+    def cut(): Unit = {
+      if (cur.length > 0) out += Block(cur.toString, curChars, curLink)
+      cur.setLength(0); curChars = 0; curLink = 0; pendingSpace = false
+    }
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          pendingSpace = cur.length > 0
+        } else if (html.regionMatches(true, i, "<script", 0, 7) &&
+                   nameEnds(html, i + 7)) {
+          i = skipRawText(html, skipTag(html, i), "script"); cut()
+        } else if (html.regionMatches(true, i, "<style", 0, 6) &&
+                   nameEnds(html, i + 6)) {
+          i = skipRawText(html, skipTag(html, i), "style"); cut()
+        } else if (html.regionMatches(false, i, "<![CDATA[", 0, 9)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+          pendingSpace = cur.length > 0
+        } else if (i + 1 < n && {
+          val d = html.charAt(i + 1)
+          Character.isLetter(d) || d == '/' || d == '!' || d == '?'
+        }) {
+          // read the tag name to classify block vs inline vs anchor
+          var p = i + 1
+          val closing = p < n && html.charAt(p) == '/'
+          if (closing) p += 1
+          val start = p
+          while (p < n && (Character.isLetterOrDigit(html.charAt(p))))
+            p += 1
+          val name = html.substring(start, p)
+            .toLowerCase(java.util.Locale.ROOT)
+          i = skipTag(html, i)
+          if (name == "a") {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else anchorDepth += 1
+            pendingSpace = cur.length > 0
+          } else if (blockTags.contains(name)) cut()
+          else pendingSpace = cur.length > 0
+        } else { emitChar(c); i += 1 }
+      } else if (c == '&') {
+        val tmp = new java.lang.StringBuilder
+        i = entity(html, i, tmp)
+        emit(tmp.toString)
+      } else { emitChar(c); i += 1 }
+    }
+    cut()
+    out.toSeq
+  }
+
+  /** Opt-in MAIN-CONTENT extraction: [[extractBlocks]] + deterministic
+    * boilerplate classification — the C4/jusText line rules at block
+    * granularity. A block survives iff:
+    *   - it has at least 5 words (menu items, buttons, bare headings
+    *     drop — the C4 line-length rule);
+    *   - its link density is <= 0.5 (nav bars and link farms drop —
+    *     the jusText rule);
+    *   - it contains neither `{` nor the word `javascript` (leaked
+    *     code/templates drop — the C4 content rules).
+    * Kept blocks join with single spaces (the tokenizer contract).
+    * This is intentionally NOT the default WARC path — [[extractText]]
+    * preserves ALL prose and never risks dropping legitimate short
+    * content; main-content mode is the aggressive C4-style gate a
+    * curation pipeline opts into via `readWarc(mainContent = true)`.
+    */
+  def extractMainText(html: String): String = {
+    if (html == null) return null
+    extractBlocks(html)
+      .filter { b =>
+        b.words >= 5 && b.linkDensity <= 0.5 &&
+          !b.text.contains("{") &&
+          !b.text.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+      }
+      .map(_.text).mkString(" ")
   }
 
   /** Does this body look like an HTML document? Used when an HTTP

@@ -69,6 +69,51 @@ class HtmlExtractSpec extends AnyFunSuite {
       "leading and trailing")
   }
 
+  // ---- extractMainText (opt-in boilerplate removal) ------------------
+
+  test("extractMainText: nav/link-farm blocks drop by link density, prose survives") {
+    val page = "<html><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+      "<a href='/c'>Contact</a> <a href='/d'>Shop</a> " +
+      "<a href='/e'>Careers here now</a></nav>" +
+      "<article><p>The quick brown fox jumps over the lazy dog near " +
+      "the river bank.</p></article>" +
+      "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>" +
+      "</body></html>"
+    assert(Html.extractMainText(page) ===
+      "The quick brown fox jumps over the lazy dog near the river bank.")
+  }
+
+  test("extractMainText: short blocks, code blocks, and javascript mentions drop") {
+    val page = "<div>Menu</div>" +
+      "<p>This sentence is long enough to be real content for sure.</p>" +
+      "<p>if (x) { return y; } else { return z; } and more words here</p>" +
+      "<p>Please enable javascript to view this site properly and fully.</p>" +
+      "<h2>Buy now</h2>"
+    assert(Html.extractMainText(page) ===
+      "This sentence is long enough to be real content for sure.")
+  }
+
+  test("extractMainText: a prose block with an inline link keeps (low link density)") {
+    val page = "<p>For more than enough background detail consult " +
+      "<a href='/ref'>this reference</a> before continuing with the " +
+      "procedure described below.</p>"
+    val out = Html.extractMainText(page)
+    assert(out.contains("this reference") && out.contains("procedure"),
+           out)
+    assert(Html.extractMainText(null) === null)
+    assert(Html.extractMainText("") === "")
+  }
+
+  test("extractBlocks: link density accounting and block boundaries") {
+    val bs = Html.extractBlocks(
+      "<p>plain words here</p><p><a>all link text</a></p>")
+    assert(bs.length === 2, bs)
+    assert(bs(0).linkDensity === 0.0)
+    assert(bs(1).linkDensity === 1.0, bs(1))
+    assert(bs(0).words === 3)
+  }
+
   test("sniffHtml: doctype/html root match, prose does not") {
     assert(Html.sniffHtml("<!DOCTYPE html><html><body>x</body></html>"))
     assert(Html.sniffHtml("  \n<html lang=\"en\">"))

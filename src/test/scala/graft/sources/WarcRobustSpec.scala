@@ -182,6 +182,33 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
            "extractHtml=false must keep the raw body")
   }
 
+  test("mainContent mode drops nav/footer boilerplate end-to-end") {
+    val html = "<html><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+      "<a href='/b'>Products</a> <a href='/c'>Contact us today</a></nav>" +
+      "<article><p>le chat et la souris de un jour vont vers la mer " +
+      "encore une fois</p></article>" +
+      "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>" +
+      "</body></html>"
+    val dir = tmpDir("main")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(rec("http://mc/1", "2026-03-01T00:00:00Z",
+                   html.getBytes("UTF-8"),
+                   httpHeaders = Seq("Content-Type: text/html"))))
+    val doc = Crawl.crawlDocs(
+      Crawl.readWarc(spark, dir.toString, mainContent = true)).head()
+    assert(doc.getAs[String]("text") ===
+      "le chat et la souris de un jour vont vers la mer encore une fois",
+      "boilerplate must drop, the article must survive")
+    assert(doc.getAs[String]("lang") === "fr",
+           "language must be predicted over the MAIN content")
+    // default mode keeps everything (no silent content loss)
+    val full = Crawl.crawlDocs(Crawl.readWarc(spark, dir.toString)).head()
+    assert(full.getAs[String]("text").contains("Home") &&
+             full.getAs[String]("text").contains("Terms"),
+           "default tag-strip mode must keep all prose")
+  }
+
   /** A 3-language WARC corpus landed as a documents table. */
   private def multilingualCorpus(): String = {
     val en = s"$goodText"
