@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -729,11 +729,31 @@ object Crawl {
               .otherwise(xxhash64(u, w, col("text"))),
             lit(Long.MaxValue)).cast("long")).as("doc_id"),
         col("url"),
-        lit("warc").as("source"),
+        // source = the URL HOST (lowercased, www-stripped) with a
+        // 'warc' fallback for hostless/corrupt rows: a constant source
+        // would collapse every per-source operator downstream (q63
+        // caps, q125 mixing weights, q164 funnel survival, the
+        // resample loop) to ONE stratum on a WARC-fed corpus — the
+        // same degeneracy langid-at-ingest fixed for per-language ops.
+        // Host is the deterministic no-lookup approximation of the
+        // registered domain real CC pipelines group by; a deployment
+        // carrying a public-suffix list can re-map it downstream.
+        when(!col("corrupt"), hostOf(col("url"))).as("source"),
         col("text"),
         when(!col("corrupt"), LangId.predict(col("text"))).as("lang"),
         coalesce(try_to_timestamp(col("wts")), current_timestamp())
           .as("ts"))
+  }
+
+  /** The URL's host, lowercased with a leading `www.` stripped —
+    * codegen'd column math (no UDF). Null/garbage/hostless urls fall
+    * back to `'warc'` so the column is always a usable stratum key.
+    */
+  private[sources] def hostOf(url: Column): Column = {
+    val host = lower(regexp_extract(
+      coalesce(url, lit("")), "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    val bare = regexp_replace(host, "^www\\.", "")
+    when(bare =!= "", bare).otherwise(lit("warc"))
   }
 
   /** Batch read of a WARC directory (`*.warc` / `*.warc.gz`).

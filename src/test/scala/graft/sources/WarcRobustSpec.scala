@@ -245,6 +245,20 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
     assert(buckets === 3, s"q143 found $buckets language groups")
   }
 
+  test("source lands as the URL host — real per-source strata, 'warc' fallback") {
+    val dir = tmpDir("host")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(text("http://en.news.example/x",
+                    "2026-03-01T00:00:00Z", goodText)) ++
+        gzMember(text("HTTPS://WWW.Blog.Example/y",
+                      "2026-03-01T01:00:00Z", s"$goodText b")) ++
+        gzMember(text(null, "2026-03-01T02:00:00Z", s"$goodText c")))
+    val srcs = Crawl.crawlDocs(Crawl.readWarc(spark, dir.toString))
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(srcs === Set("en.news.example", "blog.example", "warc"),
+           s"host-derived sources diverged: $srcs")
+  }
+
   test("streamed langid == batch langid on known-language fixtures") {
     val en = s"$goodText stream"
     val fr = "le chat et la souris de un jour encore"

@@ -106,7 +106,12 @@ class WarcSourceSpec extends AnyFunSuite with SparkSpec {
              "HTTP headers leaked into the body")
       assert(byUrl("http://a/2").getAs[String]("ts") ===
                "2026-02-01 01:00:00", "WARC-Date not parsed")
-      assert(byUrl.values.forall(_.getAs[String]("source") == "warc"))
+      // source = the URL host, so per-source operators get real
+      // strata on a WARC corpus (constant 'warc' would collapse them)
+      assert(byUrl.map { case (u, r) => u -> r.getAs[String]("source") } ===
+               Map("http://a/1" -> "a", "http://a/2" -> "a",
+                   "http://b/3" -> "b", "http://c/5" -> "c",
+                   "http://d/7" -> "d"))
       assert(byUrl.values.map(_.getAs[Long]("doc_id")).toSet.size === 5,
              "derived doc_ids must be distinct")
       assert(docs.count() === 5,
