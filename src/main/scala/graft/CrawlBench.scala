@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** WARC front-end throughput probe — the "measure, don't guess" tool
+  * for the crawl door: builds a DETERMINISTIC synthetic WARC corpus
+  * (HTML bodies with nav/article/entity structure so the tag-strip
+  * extractor, the langid projection, and the host-derived source all
+  * do real work), then times a full batch parse + extraction at two
+  * scales and prints one JSON line per rung plus the ratio. The parse
+  * is file-parallel flatMap work, so the expected shape is linear in
+  * bytes; a super-linear ratio here means a front-end regression long
+  * before it shows up on a real dump.
+  *
+  * Usage: runMain graft.CrawlBench [files] [membersPerFile]
+  *   (defaults 48 x 192; rung 2 is 4x the files)
+  */
+object CrawlBench {
+
+  /** One deterministic ~2.4 KB HTML body — index-seeded, no RNG. */
+  private def body(f: Int, m: Int): String = {
+    val sb = new StringBuilder(4096)
+    sb ++= "<html><head><meta charset=\"utf-8\"><title>Doc "
+    sb ++= s"$f-$m</title><style>p{margin:0}</style></head><body>"
+    sb ++= "<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+      "<a href='/c'>Contact</a></nav><article>"
+    var k = 0
+    while (k < 24) {
+      sb ++= s"<p>the paragraph $k of document $f-$m has a run of "
+      sb ++= s"words w${(f * 7 + k) % 97} w${(m * 13 + k) % 89} and "
+      sb ++= s"w${(k * 31) % 83} of it &amp; more text to score.</p>"
+      k += 1
+    }
+    sb ++= "<script>var t = track(" + f + ");</script>"
+    sb ++= "</article><footer><a href='/t'>Terms</a></footer></body></html>"
+    sb.toString
+  }
+
+  private def record(f: Int, m: Int): Array[Byte] = {
+    val b = body(f, m)
+    val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=utf-8\r\n\r\n" + b).getBytes("UTF-8")
+    val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://host${f % 37}.example/d/$m\r\n" +
+      s"WARC-Date: 2026-03-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$f-$m>\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
+    hdr ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def writeCorpus(dir: java.nio.file.Path, files: Int,
+                          members: Int): Long = {
+    var bytes = 0L
+    for (f <- 0 until files) {
+      val bos = new java.io.ByteArrayOutputStream(members * 1024)
+      for (m <- 0 until members) {
+        val os = new java.util.zip.GZIPOutputStream(bos)
+        os.write(record(f, m)); os.close()
+      }
+      val p = dir.resolve(f"shard-$f%05d.warc.gz")
+      java.nio.file.Files.write(p, bos.toByteArray)
+      bytes += java.nio.file.Files.size(p)
+    }
+    bytes
+  }
+
+  def main(args: Array[String]): Unit = {
+    val files = args.headOption.map(_.toInt).getOrElse(48)
+    val members = args.drop(1).headOption.map(_.toInt).getOrElse(192)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rung(mult: Int): (Long, Double, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-crawlbench")
+      val bytes = writeCorpus(dir, files * mult, members)
+      val expected = (files * mult).toLong * members
+      // warm once (codegen/JIT), then time the parse+extract+langid
+      // end to end, forced through a sum over every text
+      def run(): Long = {
+        val docs = sources.Crawl.crawlDocs(
+          sources.Crawl.readWarc(spark, dir.toString))
+        docs.agg(sum(length(col("text"))), count(lit(1)))
+          .head().getLong(1)
+      }
+      run()
+      val t0 = System.nanoTime()
+      val n = run()
+      require(n == expected, s"parsed $n of $expected records")
+      (expected, (System.nanoTime() - t0) / 1e9, bytes)
+    }
+
+    val (n1, s1, b1) = rung(1)
+    val (n2, s2, b2) = rung(4)
+    def line(tag: String, n: Long, sec: Double, bytes: Long): String =
+      f"""{"rung":"$tag","records":$n,"gz_bytes":$bytes,"sec":$sec%.3f,""" +
+        f""""mb_per_sec":${bytes / 1e6 / sec}%.1f}"""
+    println(line("1x", n1, s1, b1))
+    println(line("4x", n2, s2, b2))
+    println(f"""{"ratio":${s2 / s1}%.2f,"linear_expectation":4.0}""")
+    spark.stop()
+  }
+}
