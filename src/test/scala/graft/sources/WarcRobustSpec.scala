@@ -245,6 +245,81 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
     assert(buckets === 3, s"q143 found $buckets language groups")
   }
 
+  test("q171 closes the loop: extraction drives markup residue to zero, raw mode does not") {
+    val html = (i: Int) => "<html><body><nav><a href='/'>Home</a></nav>" +
+      s"<p>the articles $i have &amp; carry enough prose to matter " +
+      "for the residue audit here</p></body></html>"
+    val dir = tmpDir("residue")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      (0 until 4).map(i => gzMember(rec(s"http://res.example/$i",
+        "2026-03-01T00:00:00Z", html(i).getBytes("UTF-8"),
+        httpHeaders = Seq("Content-Type: text/html")))).reduce(_ ++ _))
+    def land(extract: Boolean): String = {
+      val docs = Crawl.crawlDocs(
+          Crawl.readWarc(spark, dir.toString, extractHtml = extract))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                length(col("text")).cast("long").as("n_chars"))
+      val corpus = tmpDir(s"residue-corpus-$extract").toString
+      docs.write.parquet(s"$corpus/documents.parquet")
+      corpus
+    }
+    def markup(corpus: String): Long =
+      graft.SparkEntry.queries("q171_markup_residue")(spark, corpus)
+        .agg(sum("n_markup")).head().getLong(0)
+    assert(markup(land(extract = true)) === 0L,
+           "extracted corpus must carry zero markup residue")
+    assert(markup(land(extract = false)) === 4L,
+           "raw-mode corpus must show the residue the audit exists to catch")
+  }
+
+  test("readCrawlStream(extractHtml) streams the typed map: stream == batch") {
+    val line = (i: Int) =>
+      s"""{"doc_id":$i,"text":"<p>le chat et la souris de un jour numero $i</p>","url":"http://j/$i"}"""
+    val dir = tmpDir("jsonl-extract")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      ((0 to 2).map(line).mkString("\n") + "\n").getBytes("UTF-8"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val batch = key(Crawl.crawlDocs(
+      Crawl.readCrawl(spark, dir.toString, extractHtml = true)))
+    assert(batch(1L) === (("le chat et la souris de un jour numero 1",
+                           "fr")),
+           s"extraction or langid diverged on the crawl path: $batch")
+    val q = Crawl.crawlDocs(
+        Crawl.readCrawlStream(spark, dir.toString, extractHtml = true))
+      .writeStream.format("memory").queryName("crawl_extract")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(key(spark.table("crawl_extract")) === batch,
+           "streamed extraction != batch extraction")
+  }
+
+  test("extraction never throws and never leaves tag residue (deterministic fuzz)") {
+    // seeded char-level mutations of a base page — entity-free input,
+    // so the q171 tag signature must NEVER survive extraction (bare
+    // '<' literals survive only before non-tag characters, which the
+    // signature excludes by construction)
+    val base = "<html><head><title>T</title><style>p{}</style></head>" +
+      "<body><nav><a href='/x'>go</a></nav><p>some words " +
+      "<b>bold</b> 1 < 2 and 3 > 2</p><script>f(1)</script></body>"
+    val tagRe = "<[a-zA-Z!/][^>]{0,256}>".r
+    for (seed <- 0 until 400) {
+      val pos = math.abs((seed * 2654435761L).toInt) % base.length
+      val mutated = seed % 4 match {
+        case 0 => base.substring(0, pos) // truncate
+        case 1 => base.updated(pos, '<') // inject opens
+        case 2 => base.updated(pos, '>') // inject closes
+        case 3 => base.substring(0, pos) + base // duplicate prefix
+      }
+      val out = Html.extractText(mutated)       // must not throw
+      val main = Html.extractMainText(mutated)  // must not throw
+      assert(out != null && main != null)
+      assert(tagRe.findFirstIn(out).isEmpty,
+             s"seed $seed left tag residue in: $out")
+    }
+  }
+
   test("source lands as the URL host — real per-source strata, 'warc' fallback") {
     val dir = tmpDir("host")
     java.nio.file.Files.write(dir.resolve("f.warc.gz"),
