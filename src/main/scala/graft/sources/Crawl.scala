@@ -145,6 +145,32 @@ object Crawl {
   def crawlCorrupt(parsed: DataFrame): DataFrame =
     parsed.filter(col("corrupt")).select("value")
 
+  /** Revisit resolution — the standard Common-Crawl policy for a URL
+    * captured more than once (recrawls, revisit records, mirrored
+    * dumps): keep each URL's LATEST capture (event time, doc_id as
+    * the deterministic tiebreak), pass url-less rows through
+    * untouched (no key to collapse on). Runs on a parsed crawl/WARC
+    * frame BEFORE [[crawlDocs]] drops the url column.
+    *
+    * Scale shape: one shuffle on the url — a near-unique key at any
+    * corpus size, so groups are tiny — and the rank-1 filter plans a
+    * partial WindowGroupLimit below the exchange (each map task ships
+    * at most one row per url it saw). The STREAMING analog is content
+    * dedup at ingest ([[graft.operators.Curation.ingestStream]]'s
+    * within-watermark content-hash dedup) — cross-batch latest-per-url
+    * needs the corpus-maintenance state path, not a stream window.
+    */
+  def latestPerUrl(parsed: DataFrame): DataFrame = {
+    val clean = parsed.filter(!col("corrupt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url")
+      .orderBy(col("ts").desc, col("doc_id").desc)
+    clean.filter(col("url").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .unionByName(clean.filter(col("url").isNull))
+  }
+
   /** The EXPORT half of the crawl loop: land a doc frame back as
     * (optionally gzipped) JSONL in the [[crawlV1]] field order — the
     * interchange format for handing a filtered/curated corpus to an

@@ -320,6 +320,62 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("byte-flip sweep: the parser is total and members before the damage always land") {
+    val m1 = gzMember(text("http://bf/1", "2026-03-01T00:00:00Z", goodText))
+    val m2 = gzMember(text("http://bf/2", "2026-03-01T01:00:00Z",
+                           s"$goodText deux"))
+    val m3 = gzMember(text("http://bf/3", "2026-03-01T02:00:00Z",
+                           s"$goodText trois"))
+    val whole = m1 ++ m2 ++ m3
+    val bounds = Seq(m1.length, m1.length + m2.length)
+    val fullUrls = Set("http://bf/1", "http://bf/2", "http://bf/3")
+    var offset = 1 // offset 0 would flip the file-level gz magic: a
+                   // plain-warc reinterpretation, valid but different
+    while (offset < whole.length) {
+      val mutated = whole.clone()
+      mutated(offset) = (mutated(offset) ^ 0x5a).toByte
+      val rows = Crawl.parseWarcMembers(mutated) // must not throw
+      val urls = rows.filter(!_._2).map(_._3).toSet
+      assert(urls.subsetOf(fullUrls),
+             s"flip@$offset fabricated a record: $urls")
+      // every member wholly BEFORE the flipped byte parses untouched
+      val intactPrefix = bounds.count(_ <= offset)
+      val expectedPrefix = (1 to intactPrefix)
+        .map(i => s"http://bf/$i").toSet
+      assert(expectedPrefix.subsetOf(urls),
+             s"flip@$offset lost an untouched earlier member: $urls")
+      offset += 7
+    }
+  }
+
+  test("latestPerUrl keeps each URL's newest capture, url-less rows pass through") {
+    val dir = tmpDir("revisit")
+    val same = (n: Int, date: String) => gzMember(rec(
+      "http://rv/x", date, s"$goodText v$n".getBytes("UTF-8"),
+      warcHeaders = Seq(s"WARC-Record-ID: <urn:uuid:rv-$n>")))
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      same(1, "2026-03-01T00:00:00Z") ++
+        same(2, "2026-03-02T00:00:00Z") ++ // the latest capture
+        gzMember(text("http://rv/y", "2026-03-01T05:00:00Z",
+                      s"$goodText why")) ++
+        gzMember(text(null, "2026-03-01T06:00:00Z",
+                      s"$goodText anon")))
+    val resolved = Crawl.latestPerUrl(
+      Crawl.readWarc(spark, dir.toString)).cache()
+    try {
+      assert(resolved.count() === 3,
+             "one capture per url plus the url-less row")
+      val xText = resolved.filter(col("url") === "http://rv/x")
+        .select("text").head().getString(0)
+      assert(xText.endsWith("v2"), s"latest capture must win: $xText")
+      assert(resolved.filter(col("url").isNull).count() === 1,
+             "url-less rows must pass through")
+      // composes with crawlDocs unchanged
+      assert(Crawl.crawlDocs(
+          resolved.withColumn("corrupt", lit(false))).count() === 3)
+    } finally resolved.unpersist()
+  }
+
   test("source lands as the URL host — real per-source strata, 'warc' fallback") {
     val dir = tmpDir("host")
     java.nio.file.Files.write(dir.resolve("f.warc.gz"),
