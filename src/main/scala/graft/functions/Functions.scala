@@ -52,6 +52,12 @@ object Functions {
     add("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays") {
       exprs => CosineSim(exprs.head, exprs(1))
     }
+    add("extract_html", "extract_html(text) - deterministic HTML tag-strip extraction") {
+      exprs => graft.sources.HtmlExtract(exprs.head)
+    }
+    add("extract_main_html", "extract_main_html(text) - C4/jusText main-content extraction") {
+      exprs => graft.sources.HtmlMainExtract(exprs.head)
+    }
     add("sq_dist", "sq_dist(a, b) - squared euclidean distance of two numeric arrays") {
       exprs => SqDist(exprs.head, exprs(1))
     }

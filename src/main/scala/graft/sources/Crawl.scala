@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,29 +83,23 @@ object Crawl {
           try_to_timestamp(col("e.ts")),
           to_timestamp(from_unixtime(expr("try_cast(e.ts AS DOUBLE)"))),
           current_timestamp()).as("ts"))
-    val extracted = if (extractHtml) mapExtract(typed) else typed
+    // extraction is a native codegen'd expression (HtmlExpr), so the
+    // opt-in path stays ONE whole-stage projection over the scan —
+    // no Row-serialization round trip, stream-legal by construction.
+    // Only the explicit opt-in extracts: the caller asserts the feed
+    // carries markup, so every row extracts (extraction also
+    // normalizes whitespace runs — a no-op on already-clean prose
+    // beyond multi-space collapse).
+    val extracted =
+      if (extractHtml)
+        typed.withColumn("text", HtmlExpr.extract_html(col("text")))
+      else typed
     extracted
       .select(
         col("value"), col("corrupt"), col("doc_id"), col("url"),
         col("source"), col("text"),
         coalesce(col("lang0"), LangId.predict(col("text"))).as("lang"),
         col("ts"))
-  }
-
-  /** Map `text` through [[Html.extractText]] preserving the schema —
-    * a stateless typed map, so the same transform streams. Only the
-    * explicit `extractHtml` opt-in reaches here: the caller asserts
-    * the feed carries markup, so every row extracts (extraction also
-    * normalizes whitespace runs, a no-op on already-clean prose
-    * beyond multi-space collapse).
-    */
-  private def mapExtract(df: DataFrame): DataFrame = {
-    val schema = df.schema
-    val ti = schema.fieldIndex("text")
-    df.map({ r =>
-      val t = if (r.isNullAt(ti)) null else r.getString(ti)
-      Row.fromSeq(r.toSeq.updated(ti, Html.extractText(t)))
-    })(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Batch read of a crawl directory (`*.jsonl` / `*.jsonl.gz`; the gz

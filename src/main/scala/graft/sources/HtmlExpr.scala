@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[Html.extractText]] / [[Html.extractMainText]] as native Catalyst
+  * expressions — the repo's preference ladder for extending Spark
+  * (native `Expression` with codegen > typed map > UDF): the crawl
+  * JSONL path's opt-in extraction runs as ONE codegen'd projection
+  * over the scan instead of a Row-serialization round trip through a
+  * typed map, and the extractors become available to pure-SQL users
+  * (`extract_html(text)` via [[graft.functions.Functions.register]]).
+  * Both generate a direct static call, so the expression stays inside
+  * whole-stage codegen (a CodegenFallback would split the stage).
+  */
+object HtmlExpr {
+
+  /** Column form of the tag-strip extractor. */
+  def extract_html(text: Column): Column =
+    Bridge.column(HtmlExtract(Bridge.expression(text)))
+
+  /** Column form of the C4/jusText main-content extractor. */
+  def extract_main_html(text: Column): Column =
+    Bridge.column(HtmlMainExtract(Bridge.expression(text)))
+
+  /** UTF8String shims the generated code calls directly (the scanner
+    * itself works on java.lang.String — extraction cost dwarfs the
+    * one copy).
+    */
+  def extractU8(s: UTF8String): UTF8String =
+    UTF8String.fromString(Html.extractText(s.toString))
+
+  def extractMainU8(s: UTF8String): UTF8String =
+    UTF8String.fromString(Html.extractMainText(s.toString))
+}
+
+/** `extract_html(text)` — deterministic HTML tag-strip extraction. */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HtmlExpr.extractU8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.HtmlExpr.extractU8($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlExtract =
+    copy(child = c)
+  override def prettyName: String = "extract_html"
+}
+
+/** `extract_main_html(text)` — boilerplate-filtered main content. */
+case class HtmlMainExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HtmlExpr.extractMainU8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.HtmlExpr.extractMainU8($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlMainExtract =
+    copy(child = c)
+  override def prettyName: String = "extract_main_html"
+}

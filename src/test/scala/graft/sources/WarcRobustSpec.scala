@@ -295,6 +295,24 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
            "streamed extraction != batch extraction")
   }
 
+  test("crawl extraction is a codegen'd expression: no typed-map nodes, SQL surface works") {
+    val dir = tmpDir("codegen")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      s"""{"doc_id":1,"text":"<p>$goodText</p>"}\n""".getBytes("UTF-8"))
+    val plan = Crawl.readCrawl(spark, dir.toString, extractHtml = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapElements") &&
+             !plan.contains("DeserializeToObject"),
+           s"extraction fell out of the columnar pipeline:\n$plan")
+    graft.functions.Functions.register(spark)
+    val out = spark.sql(
+      "SELECT extract_html('<p>a &amp; b</p>') AS t, " +
+        "extract_main_html('<h2>Menu</h2>" +
+        "<p>this block has more than five words total</p>') AS m").head()
+    assert(out.getString(0) === "a & b")
+    assert(out.getString(1) === "this block has more than five words total")
+  }
+
   test("extraction never throws and never leaves tag residue (deterministic fuzz)") {
     // seeded char-level mutations of a base page — entity-free input,
     // so the q171 tag signature must NEVER survive extraction (bare
