@@ -126,10 +126,12 @@ object Crawl {
   }
 
   /** The clean feed for [[graft.operators.Curation.ingestStream]]:
-    * exactly its input contract, corrupt rows dropped.
+    * exactly its input contract — corrupt rows dropped, and only TEXT
+    * rows (a WARC frame's binary-asset rows carry a null text and
+    * flow through [[warcAssets]] instead).
     */
   def crawlDocs(parsed: DataFrame): DataFrame =
-    parsed.filter(!col("corrupt"))
+    parsed.filter(!col("corrupt") && col("text").isNotNull)
       .select("ts", "doc_id", "source", "text", "lang")
 
   /** The quarantine side: corrupt raw lines, `value` kept verbatim for
@@ -242,13 +244,17 @@ object Crawl {
     StructField("content", BinaryType)))
 
   /** A parsed-record row: (value = corrupt head or null, corrupt,
-    * url, WARC-Date, WARC-Record-ID, text).
+    * url, WARC-Date, WARC-Record-ID, text, content_type, payload) —
+    * text rows carry `text` with a null payload; binary-asset rows
+    * (image/audio/video responses) carry the decoded body bytes in
+    * `payload` with a null text.
     */
-  private type WarcRow = (String, Boolean, String, String, String, String)
+  private type WarcRow =
+    (String, Boolean, String, String, String, String, String, Array[Byte])
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
-     true, null, null, null, null)
+     true, null, null, null, null, null, null)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -395,16 +401,15 @@ object Crawl {
     dec.decode(java.nio.ByteBuffer.wrap(body)).toString
   }
 
-  /** A `response` record's block -> document text, or Left(reason) for
-    * record-LOCAL damage (malformed chunk framing). Strips the HTTP
-    * header block (earliest of CRLFCRLF / bare-LF LFLF terminators),
-    * de-chunks, inflates Content-Encoding, decodes the declared
-    * charset, and — when `extractHtml` and the body is HTML by
-    * Content-Type or sniff — extracts text from the markup.
+  /** A `response` record's block -> (declared Content-Type, decoded
+    * body BYTES), or Left(reason) for record-LOCAL damage (malformed
+    * chunk framing). Strips the HTTP header block (earliest of
+    * CRLFCRLF / bare-LF LFLF terminators), de-chunks, and inflates
+    * Content-Encoding — the transport layers, shared by the text path
+    * and the binary-asset path.
     */
-  private[sources] def httpText(block: Array[Byte],
-                                extract: Option[String => String])
-      : Either[String, String] = {
+  private def httpBodyBytes(block: Array[Byte])
+      : Either[String, (Option[String], Array[Byte])] = {
     val isHttp = block.length >= 5 &&
       block(0) == 'H' && block(1) == 'T' && block(2) == 'T' &&
       block(3) == 'P' && block(4) == '/'
@@ -441,9 +446,16 @@ object Crawl {
           body = gunzipBody(body)
       }
     }
-    // charset precedence: the transport header wins (HTTP is
-    // authoritative over the document), then the in-document meta
-    // prescan, then UTF-8
+    Right((contentType, body))
+  }
+
+  /** Decode body bytes into document text: charset precedence is the
+    * transport header (HTTP is authoritative over the document), then
+    * the in-document `<meta charset>` prescan, then UTF-8; HTML bodies
+    * (declared or sniffed) pass through the chosen extractor.
+    */
+  private def textOf(contentType: Option[String], body: Array[Byte],
+                     extract: Option[String => String]): String = {
     val cs = headerCharset(contentType)
       .orElse(metaCharset(body))
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
@@ -453,10 +465,33 @@ object Crawl {
       case None     => Html.sniffHtml(text)
     }
     extract match {
-      case Some(f) if isHtml => Right(f(text))
-      case _                 => Right(text)
+      case Some(f) if isHtml => f(text)
+      case _                 => text
     }
   }
+
+  /** The multimodal asset kind a Content-Type routes to, or None for
+    * the text path. Only the kinds the multimodal pipeline models
+    * (image | audio | video) divert; every other type — including the
+    * application/... families — stays on the text path, where the
+    * quality gates score it (the historical behavior: no silent
+    * drops).
+    */
+  private[sources] def assetKind(contentType: Option[String])
+      : Option[String] =
+    contentType.map(_.toLowerCase(java.util.Locale.ROOT).trim).collect {
+      case ct if ct.startsWith("image/") => "image"
+      case ct if ct.startsWith("audio/") => "audio"
+      case ct if ct.startsWith("video/") => "video"
+    }
+
+  /** A `response` record's block -> document text (the text-path
+    * composition of [[httpBodyBytes]] + [[textOf]]; spec surface).
+    */
+  private[sources] def httpText(block: Array[Byte],
+                                extract: Option[String => String])
+      : Either[String, String] =
+    httpBodyBytes(block).map { case (ct, body) => textOf(ct, body, extract) }
 
   /** Boolean shim for spec ergonomics: true = the default tag-strip
     * extractor, false = raw bodies.
@@ -524,12 +559,22 @@ object Crawl {
       val block = in.readNBytes(cl.get.toInt)
       if (block.length < cl.get) return Some(corruptHead)
       if (headers.get("warc-type").contains("response")) {
-        httpText(block, extract) match {
-          case Right(text) =>
-            rows += ((null, false,
-                      headers.getOrElse("warc-target-uri", null),
-                      headers.getOrElse("warc-date", null),
-                      headers.getOrElse("warc-record-id", null), text))
+        httpBodyBytes(block) match {
+          case Right((ct, body)) =>
+            val uri = headers.getOrElse("warc-target-uri", null)
+            val date = headers.getOrElse("warc-date", null)
+            val rid = headers.getOrElse("warc-record-id", null)
+            assetKind(ct) match {
+              case Some(_) =>
+                // binary media: route to the multimodal asset path
+                // verbatim — decoding it as text would hand the
+                // quality gates deterministic garbage
+                rows += ((null, false, uri, date, rid, null,
+                          ct.orNull, body))
+              case None =>
+                rows += ((null, false, uri, date, rid,
+                          textOf(ct, body, extract), ct.orNull, null))
+            }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
             // the HTTP body, so count it and keep parsing the stream
@@ -736,16 +781,21 @@ object Crawl {
     val w = coalesce(col("wts"), lit(""))
     files.select(col("content")).as[Array[Byte]]
       .flatMap(parseWarcMembers(_, extract))
-      .toDF("value", "corrupt", "url", "wts", "rid", "text")
+      .toDF("value", "corrupt", "url", "wts", "rid", "text",
+            "content_type", "payload")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
           pmod(
-            when(col("rid").isNotNull,
-              // WARC-Record-ID is unique per record on conformant
-              // input: byte-identical re-fetches (same url, second,
-              // body — the CC revisit shape) still get distinct ids
-              xxhash64(u, w, col("rid"), col("text")))
+            when(col("payload").isNotNull,
+              // binary asset: id over the payload bytes
+              xxhash64(u, w, coalesce(col("rid"), lit("")),
+                       col("payload")))
+              .when(col("rid").isNotNull,
+                // WARC-Record-ID is unique per record on conformant
+                // input: byte-identical re-fetches (same url, second,
+                // body — the CC revisit shape) still get distinct ids
+                xxhash64(u, w, col("rid"), col("text")))
               .otherwise(xxhash64(u, w, col("text"))),
             lit(Long.MaxValue)).cast("long")).as("doc_id"),
         col("url"),
@@ -762,8 +812,34 @@ object Crawl {
         col("text"),
         when(!col("corrupt"), LangId.predict(col("text"))).as("lang"),
         coalesce(try_to_timestamp(col("wts")), current_timestamp())
-          .as("ts"))
+          .as("ts"),
+        // extra columns append AFTER the contract (the writeCrawl
+        // convention): media routing metadata + the binary payload of
+        // image/audio/video responses ([[warcAssets]] reads them;
+        // [[crawlDocs]] never sees asset rows — their text is null)
+        col("content_type"), col("payload"))
   }
+
+  /** The BINARY side of a parsed WARC frame: image/audio/video
+    * responses as the multimodal asset table
+    * ([[graft.cpms.Multimodal.assetSchema]]: asset_id, kind, content,
+    * meta(source, n_bytes)) — the split every real CC consumer runs
+    * (text to curation, media to the asset store). Decode /
+    * feature-extraction then proceeds via the multimodal pipeline
+    * (q71/q121/q123); this operator is pure routing, no decoding.
+    */
+  def warcAssets(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("payload").isNotNull)
+      .select(
+        col("doc_id").as("asset_id"),
+        // payload rows exist ONLY for these three type families
+        // (assetKind routing), so the prefix extract is total here
+        regexp_extract(lower(trim(col("content_type"))),
+                       "^(image|audio|video)/", 1).as("kind"),
+        col("payload").as("content"),
+        struct(col("source"),
+               octet_length(col("payload")).cast("long").as("n_bytes"))
+          .as("meta"))
 
   /** The URL's host, lowercased with a leading `www.` stripped —
     * codegen'd column math (no UDF). Null/garbage/hostless urls fall

@@ -394,6 +394,51 @@ class WarcRobustSpec extends AnyFunSuite with SparkSpec {
     } finally resolved.unpersist()
   }
 
+  test("binary responses route to warcAssets and decode via the multimodal pipeline") {
+    // a real 2x2 PPM image (the multimodal codec decodes it) and an
+    // opaque audio payload (stub-decodes deterministically)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+                  0, 0, 255.toByte, 128.toByte, 128.toByte, 128.toByte)
+    val opaque = Array[Byte](-1, 0, 77, -128, 33, 9, -5, 127)
+    val dir = tmpDir("assets")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"),
+      gzMember(rec("http://media.example/a.ppm", "2026-03-01T00:00:00Z",
+                   ppm, httpHeaders = Seq(
+                     "Content-Type: image/x-portable-pixmap"))) ++
+        gzMember(rec("http://media.example/b.mp3", "2026-03-01T01:00:00Z",
+                     opaque, httpHeaders = Seq("Content-Type: audio/mpeg"))) ++
+        gzMember(text("http://media.example/page",
+                      "2026-03-01T02:00:00Z", goodText)))
+    val parsed = Crawl.readWarc(spark, dir.toString).cache()
+    try {
+      // the text path sees ONLY the document; no media garbage
+      val docs = Crawl.crawlDocs(parsed).collect()
+      assert(docs.length === 1 &&
+               docs.head.getAs[String]("text") === goodText,
+             "binary responses must not reach the text path")
+      assert(Crawl.crawlCorrupt(parsed).count() === 0)
+      val assets = Crawl.warcAssets(parsed).collect()
+        .map(r => r.getAs[String]("kind") ->
+          ((r.getAs[Array[Byte]]("content"),
+            r.getAs[org.apache.spark.sql.Row]("meta"))))
+        .toMap
+      assert(assets.keySet === Set("image", "audio"))
+      assert(assets("image")._1.sameElements(ppm),
+             "asset payload must round-trip byte-for-byte")
+      assert(assets("audio")._1.sameElements(opaque))
+      assert(assets("image")._2.getAs[Long]("n_bytes") === ppm.length.toLong)
+      assert(assets("image")._2.getAs[String]("source") === "media.example")
+      // and the multimodal pipeline consumes the routed frame as-is
+      val dec = graft.cpms.Multimodal.decode(Crawl.warcAssets(parsed))
+        .collect().map(r => r.getAs[String]("kind") -> r).toMap
+      assert(dec.keySet === Set("image", "audio"))
+      assert(dec("image").getAs[Int]("width") === 2 &&
+               dec("image").getAs[Int]("height") === 2,
+             "the routed PPM must decode through the real codec")
+    } finally parsed.unpersist()
+  }
+
   test("source lands as the URL host — real per-source strata, 'warc' fallback") {
     val dir = tmpDir("host")
     java.nio.file.Files.write(dir.resolve("f.warc.gz"),
