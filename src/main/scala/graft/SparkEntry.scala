@@ -12,7 +12,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Relational2.all ++
       operators.TrainingData.all ++ operators.Curation.all ++
-      operators.Prep.all
+      operators.Prep.all ++ operators.WebGraph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's dashboard "recent checks" (main.py:139-151) shape.

@@ -1,0 +1,422 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.sources.Urls
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The URL / link-graph tier above the crawl front door — the corpus
+  * gates a web-scale pipeline runs BEFORE any content pass (extension
+  * surface beyond the reference, which ingests pre-identified rows,
+  * src/ingestion.py:21-38): canonical-URL normalization and dedup
+  * (RefinedWeb §3.1's first stage), URL blocklist/score filtering (the
+  * C4/RefinedWeb banned-domain + banned-word gate), per-host reputation
+  * rollups, and host-graph analytics (degrees + PageRank — the CC-era
+  * host-quality prior CCNet-style pipelines mix into curation).
+  *
+  * The four URL queries plant a deterministic messy URL per document
+  * (the q113 planted-PII convention: the corpus carries no organic
+  * URLs, so both engines derive the SAME capture URL from `doc_id`;
+  * page identity keys on `doc_id % 250` while junk — tracking params,
+  * fragments, case, `www.`, trailing slash, userinfo — varies by the
+  * full `doc_id`, so canonicalization provably COLLAPSES raw variants).
+  * The graph queries plant a deterministic host graph the same way.
+  * The same operators run on real crawl frames via
+  * [[graft.sources.Crawl.linkEdges]] + [[edgesFromLinks]] /
+  * [[Urls.canonicalize]] on a parsed frame's `url`.
+  *
+  * Scale notes: canonicalization/filtering are single codegen'd
+  * projections (no shuffle). Canonical dedup shuffles once on the
+  * canonical key — near-unique, so groups stay tiny at any corpus
+  * size. Degrees/PageRank shuffle on host keys: state is HOST-sized
+  * (~1e7 at 100 TB), never page-sized; contributions use exact
+  * integer arithmetic (rank mass scaled to 1e12) so results are
+  * summation-order-free — the property that makes a distributed
+  * PageRank reproducible run-to-run and engine-to-engine.
+  */
+object WebGraph {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ------------------------------------------------------------------
+  // Planted capture URLs (q172–q175). Page identity = doc_id % 250:
+  // at sf0.01 each page is captured ~2×, at sf0.1 ~20×, under raw
+  // forms that differ only in canonicalization-removable junk.
+  // ------------------------------------------------------------------
+
+  private def plantUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val k = id % 250
+    val sch = when(k % 3 === 0, "https").otherwise("http")
+    val cased = when(id % 2 === 0, upper(sch)).otherwise(sch)
+    val ui = when(id % 31 === 3,
+      concat(lit("u"), id.cast("string"), lit(":pw@"))).otherwise(lit(""))
+    val www = when(id % 4 === 0, lit("WWW.")).otherwise(lit(""))
+    val hostc = concat(lit("host"), (k % 53).cast("string"),
+      when(k % 5 === 0, ".com").when(k % 5 === 1, ".org")
+        .when(k % 5 === 2, ".net").when(k % 5 === 3, ".edu")
+        .otherwise(".info"))
+    val portc = when(k % 6 === 0, lit(":443"))
+      .when(k % 10 === 1, lit(":80"))
+      .when(k % 17 === 2, lit(":8080")).otherwise(lit(""))
+    val word = when(k % 17 === 0, "casino").when(k % 17 === 1, "pills")
+      .when(k % 17 === 2, "download").when(k % 17 === 3, "poker")
+      .otherwise("article")
+    val pathc = concat(lit("/"), word, lit("/Item"), (k % 211).cast("string"))
+    val slash = when(id % 2 === 0, lit("/")).otherwise(lit(""))
+    val query = concat(
+      lit("?b="), (k % 13).cast("string"),
+      lit("&utm_source=s"), id.cast("string"),
+      when(k % 8 < 4, concat(lit("&a="), (k % 11).cast("string")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit("&fbclid=fb"), id.cast("string")))
+        .otherwise(lit("")))
+    val frag = when(id % 6 === 0, concat(lit("#sec"), id.cast("string")))
+      .otherwise(lit(""))
+    val url = when(id % 23 === 5, concat(lit("not a url "), id.cast("string")))
+      .otherwise(concat(cased, lit("://"), ui, www, hostc, portc,
+                        pathc, slash, query, frag))
+    docs(s, d).select(id.as("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** The identical plant in DuckDB (k pre-computed in `plant0`). */
+  private val plantSqlCtes: String =
+    """plant0 AS (SELECT doc_id, n_chars, doc_id % 250 AS k FROM documents),
+      |plant AS (SELECT doc_id, n_chars,
+      |  CASE WHEN doc_id % 23 = 5 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      |  ELSE
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN upper(CASE WHEN k % 3 = 0 THEN 'https' ELSE 'http' END)
+      |          ELSE (CASE WHEN k % 3 = 0 THEN 'https' ELSE 'http' END) END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 31 = 3
+      |             THEN 'u' || CAST(doc_id AS VARCHAR) || ':pw@' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+      |    || 'host' || CAST(k % 53 AS VARCHAR)
+      |    || (CASE k % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+      |                   WHEN 2 THEN '.net' WHEN 3 THEN '.edu'
+      |                   ELSE '.info' END)
+      |    || (CASE WHEN k % 6 = 0 THEN ':443' WHEN k % 10 = 1 THEN ':80'
+      |             WHEN k % 17 = 2 THEN ':8080' ELSE '' END)
+      |    || '/' || (CASE k % 17 WHEN 0 THEN 'casino' WHEN 1 THEN 'pills'
+      |                           WHEN 2 THEN 'download' WHEN 3 THEN 'poker'
+      |                           ELSE 'article' END)
+      |    || '/Item' || CAST(k % 211 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      |    || '?b=' || CAST(k % 13 AS VARCHAR)
+      |    || '&utm_source=s' || CAST(doc_id AS VARCHAR)
+      |    || (CASE WHEN k % 8 < 4 THEN '&a=' || CAST(k % 11 AS VARCHAR)
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |             THEN '&fbclid=fb' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0
+      |             THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      |  END AS url
+      |FROM plant0)""".stripMargin
+
+  private def plantedCanon(s: SparkSession, d: String): DataFrame =
+    plantUrls(s, d).withColumn("canon_url", Urls.canonicalize(col("url")))
+
+  // ------------------------------------------------------------------
+  // URL filter verdict (q174) — shared spelling for q174/q175.
+  // ------------------------------------------------------------------
+
+  /** Banned host labels (first DNS label of the canonical host). */
+  private val BlockedLabels = Seq("host7", "host13", "host29")
+
+  /** Banned-substring weights over the canonical URL (RefinedWeb's
+    * soft URL scoring: a weighted word list, block at >= 3).
+    */
+  private val BannedWords = Seq("casino" -> 4, "pills" -> 4,
+                                "poker" -> 2, "download" -> 1)
+
+  private def urlScore(canon: Column): Column =
+    BannedWords.map { case (w, wt) =>
+      when(canon.contains(w), lit(wt.toLong)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def urlVerdict(canon: Column, label: Column,
+                         score: Column): Column =
+    when(canon.isNull, "unparseable")
+      .when(label.isin(BlockedLabels: _*), "blocked_domain")
+      .when(score >= 3, "blocked_score")
+      .otherwise("keep")
+
+  private def withFilterCols(canoned: DataFrame): DataFrame = {
+    val host = Urls.host(col("canon_url"))
+    val df = canoned.withColumn("host", host)
+      .withColumn("label", substring_index(col("host"), ".", 1))
+      .withColumn("url_score",
+        when(col("canon_url").isNull, lit(0L))
+          .otherwise(urlScore(col("canon_url"))))
+    df.withColumn("verdict",
+      urlVerdict(col("canon_url"), col("label"), col("url_score")))
+  }
+
+  private val filterSqlCtes: String =
+    """f0 AS (SELECT *,
+      |    regexp_replace(regexp_extract(canon_url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '')
+      |      AS host
+      |  FROM canon),
+      |f AS (SELECT *,
+      |    split_part(host, '.', 1) AS label,
+      |    CASE WHEN canon_url IS NULL THEN CAST(0 AS BIGINT) ELSE
+      |      (CASE WHEN contains(canon_url, 'casino') THEN 4 ELSE 0 END
+      |       + CASE WHEN contains(canon_url, 'pills') THEN 4 ELSE 0 END
+      |       + CASE WHEN contains(canon_url, 'poker') THEN 2 ELSE 0 END
+      |       + CASE WHEN contains(canon_url, 'download') THEN 1 ELSE 0 END)
+      |    END AS url_score
+      |  FROM f0),
+      |fv AS (SELECT *,
+      |    CASE WHEN canon_url IS NULL THEN 'unparseable'
+      |         WHEN label IN ('host7', 'host13', 'host29')
+      |           THEN 'blocked_domain'
+      |         WHEN url_score >= 3 THEN 'blocked_score'
+      |         ELSE 'keep' END AS verdict
+      |  FROM f)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Planted host graph (q176/q177): src = doc_id % 53, fanout
+  // 1 + doc_id % 3, dst = (doc_id*7 + j*11 + 3) % 53 — deterministic,
+  // covers all 53 hosts, has real in-degree skew.
+  // ------------------------------------------------------------------
+
+  private def plantEdges(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, d)
+      .select(id.as("doc_id"),
+              explode(sequence(lit(0L), id % 3)).as("j"))
+      .select(
+        concat(lit("host"), (col("doc_id") % 53).cast("string")).as("src"),
+        concat(lit("host"),
+          ((col("doc_id") * 7 + col("j") * 11 + 3) % 53).cast("string"))
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private val edgesSqlCtes: String =
+    """e0 AS (SELECT 'host' || CAST(doc_id % 53 AS VARCHAR) AS src,
+      |         'host' || CAST((doc_id * 7 + j * 11 + 3) % 53 AS VARCHAR)
+      |           AS dst
+      |       FROM documents
+      |       CROSS JOIN LATERAL unnest(range(doc_id % 3 + 1)) AS t(j)),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |hosts AS (SELECT src AS host FROM edges
+      |          UNION SELECT dst FROM edges),
+      |o AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+      |      FROM edges GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Reusable graph operators (planted oracle edges and real
+  // Crawl.linkEdges frames alike).
+  // ------------------------------------------------------------------
+
+  /** (src, dst) host edges from a (src_url, dst_url) link frame:
+    * hosts via [[Urls.host]] (strict — unparseable URLs drop rather
+    * than alias into one mega-node), self-loops dropped, distinct.
+    * One distinct shuffle on the edge pair.
+    */
+  def edgesFromLinks(links: DataFrame): DataFrame =
+    links.select(Urls.host(col("src_url")).as("src"),
+                 Urls.host(col("dst_url")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+
+  /** Per-host out/in degree over a distinct (src, dst) edge frame.
+    * Two host-keyed aggregations + host-keyed left joins — state is
+    * host-sized throughout.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val hosts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val o = e.groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("out_deg"))
+    val i = e.groupBy(col("dst").as("host"))
+      .agg(count(lit(1)).as("in_deg"))
+    hosts.join(o, Seq("host"), "left").join(i, Seq("host"), "left")
+      .select(col("host"),
+              coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+              coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank (damping 0.85) over a distinct
+    * (src, dst) edge frame, in EXACT integer arithmetic: total rank
+    * mass is scaled to 1e12 and every step is BIGINT `div` — sums are
+    * order-free, so the result is bit-identical run-to-run, partition-
+    * layout-to-layout, and engine-to-engine (the property FP PageRank
+    * lacks). Per iteration: one shuffle join of edges with the
+    * host-sized rank table on `src`, one host-keyed aggregation on
+    * `dst` — the standard distributed shape; rank state never exceeds
+    * host count (~1e7 hosts at 100 TB, a few hundred MB). For deep
+    * convergence runs (iters >> 3) checkpoint `r` between iterations
+    * to truncate lineage; the fixed-depth analytic form here keeps
+    * the whole computation one lazy plan.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val hosts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val n = broadcast(hosts.agg(count(lit(1)).as("n")))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    var r = hosts.crossJoin(n)
+      .select(col("host"), expr("cast(1000000000000 as bigint) div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("host", "src").hint("shuffle_hash"), "src")
+        .join(outd.hint("shuffle_hash"), "src")
+        .select(col("dst"), expr("r div out_deg").as("c"))
+      val sums = contrib.groupBy("dst").agg(sum("c").as("s"))
+      r = hosts.crossJoin(n)
+        .join(sums.withColumnRenamed("dst", "host").hint("shuffle_hash"),
+              Seq("host"), "left")
+        .select(col("host"),
+          (expr("cast(150000000000 as bigint) div n") +
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+    }
+    r.select(col("host"), col("r").as("rank_e12"))
+  }
+
+  // ------------------------------------------------------------------
+  // Registry queries
+  // ------------------------------------------------------------------
+
+  def all: Seq[Q] = Seq(
+    Q("q172_url_normalize",
+      "URL canonicalization (RFC 3986 §6 + the crawl-standard " +
+        "aggressive steps): fragment/userinfo dropped, scheme+host " +
+        "lowercased, www. stripped, default ports stripped, trailing " +
+        "slash stripped, tracking params (utm_*/fbclid/gclid/...) " +
+        "dropped and survivors byte-sorted; unparseable inputs " +
+        "canonicalize to NULL, never throw. One codegen'd projection " +
+        "— no shuffle at any corpus size. Planted messy capture URLs " +
+        "(q113 convention): page identity on doc_id % 250, junk on " +
+        "the full doc_id, so raw variants provably collapse.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")}\n" +
+        "SELECT doc_id, url, canon_url FROM canon") {
+      (s, d) =>
+        plantedCanon(s, d).select("doc_id", "url", "canon_url")
+    },
+
+    Q("q173_url_dedup",
+      "Canonical-URL dedup (RefinedWeb's first corpus gate): group " +
+        "captures by canonical form — n_captures, distinct raw " +
+        "spellings collapsed, and the latest capture kept (max doc_id " +
+        "as the recency proxy). One shuffle on a near-unique key; " +
+        "groups stay tiny at any scale, and the same operator runs on " +
+        "a real crawl frame as latestPerUrl over Urls.canonicalize.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")}\n" +
+        """SELECT canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+          |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+          |  max(doc_id) AS latest_doc
+          |FROM canon WHERE canon_url IS NOT NULL GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_captures"),
+               countDistinct("url").as("n_raw_forms"),
+               max("doc_id").as("latest_doc"))
+    },
+
+    Q("q174_url_filter",
+      "URL filtering (the C4/RefinedWeb pre-content gate): a banned " +
+        "host blocklist (exact first-label match) plus a weighted " +
+        "banned-word score over the canonical URL (casino/pills=4, " +
+        "poker=2, download=1; block at >= 3); unparseable URLs get " +
+        "their own verdict so nothing silently drops. Pure projection " +
+        "over the canonicalizer — the cheapest filter in the whole " +
+        "pipeline, which is WHY real pipelines run it first.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        s"$filterSqlCtes\n" +
+        "SELECT doc_id, host, url_score, verdict FROM fv") {
+      (s, d) =>
+        withFilterCols(plantedCanon(s, d))
+          .select(col("doc_id"), col("host"),
+                  col("url_score"), col("verdict"))
+    },
+
+    Q("q175_host_reputation",
+      "Per-host reputation rollup — the curation prior a crawl " +
+        "pipeline feeds back into source mixing (q77/q125): captures, " +
+        "distinct pages, blocked share, capture-duplication rate, and " +
+        "mean document size per host. One host-keyed aggregation over " +
+        "the canonicalize+filter projections; host-sized output.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        s"$filterSqlCtes\n" +
+        """SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+          |  CAST(sum(CASE WHEN verdict <> 'keep' THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_blocked,
+          |  round(1.0 - CAST(count(DISTINCT canon_url) AS DOUBLE)
+          |          / count(*), 4) AS dup_rate,
+          |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+          |FROM fv WHERE canon_url IS NOT NULL GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        withFilterCols(plantedCanon(s, d))
+          .filter(col("canon_url").isNotNull)
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct("canon_url").as("n_pages"),
+               sum(when(col("verdict") =!= "keep", 1L).otherwise(0L))
+                 .as("n_blocked"),
+               round(lit(1.0) - countDistinct("canon_url")
+                 .cast("double") / count(lit(1)), 4).as("dup_rate"),
+               round(sum("n_chars").cast("double") / count(lit(1)), 2)
+                 .as("avg_chars"))
+    },
+
+    Q("q176_link_graph",
+      "Host link-graph degrees: distinct (src, dst) host edges -> " +
+        "per-host out/in degree (distinct linked partners). Planted " +
+        "deterministic edges (the q113 convention); the same operator " +
+        "consumes Crawl.linkEdges via edgesFromLinks on a real WARC " +
+        "corpus. Host-keyed shuffles only; state is host-sized.",
+      s"""WITH $edgesSqlCtes,
+         |i AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
+         |      FROM edges GROUP BY 1)
+         |SELECT h.host, COALESCE(o.out_deg, 0) AS out_deg,
+         |  COALESCE(i.in_deg, 0) AS in_deg
+         |FROM hosts h LEFT JOIN o ON o.src = h.host
+         |LEFT JOIN i ON i.dst = h.host""".stripMargin) {
+      (s, d) => degrees(plantEdges(s, d))
+    },
+
+    Q("q177_host_rank",
+      "Host-graph PageRank (damping 0.85, 3 fixed iterations) in " +
+        "EXACT integer arithmetic — rank mass scaled to 1e12, every " +
+        "step BIGINT div, so the result is summation-order-free and " +
+        "bit-identical across engines and partition layouts (FP " +
+        "PageRank is neither). The CC-era host-quality prior: rank " +
+        "feeds host reputation (q175) and source mixing. Per " +
+        "iteration one edges-by-src join against the host-sized rank " +
+        "table and one dst-keyed aggregation.",
+      s"""WITH $edgesSqlCtes,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts),
+         |r0 AS (SELECT h.host, 1000000000000 // n.n AS r
+         |       FROM hosts h CROSS JOIN n),
+         |s1 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r0 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r1 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s1 ON s1.dst = h.host),
+         |s2 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r1 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r2 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s2 ON s2.dst = h.host),
+         |s3 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r2 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r3 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s3 ON s3.dst = h.host)
+         |SELECT host, r AS rank_e12 FROM r3""".stripMargin) {
+      (s, d) => pageRank(plantEdges(s, d), 3)
+    }
+  )
+}

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the stage every web-crawl curation pipeline
+  * runs between fetch and dedup (the reference stops at per-row scoring,
+  * src/ingestion.py:21-38; RefinedWeb §3.1 / FineWeb run URL filtering
+  * and canonical-URL dedup as the FIRST corpus gates, before any content
+  * pass). Two raw capture URLs that differ only in scheme/host case, a
+  * `www.` prefix, a default port, tracking parameters, parameter order,
+  * a trailing slash, userinfo, or a fragment are the SAME page; crawl
+  * frontiers and revisit resolution must collapse them or every content
+  * stage downstream pays for the duplicates.
+  *
+  * Everything here is column math over built-in functions (regexp +
+  * array higher-order functions), so the canonicalizer inlines into
+  * whole-stage codegen and costs one projection over the scan — no UDF,
+  * no shuffle, linear in URL bytes at any corpus size. The DuckDB
+  * spelling of the SAME steps is single-sourced in [[canonSqlCtes]] so
+  * the oracle queries (q172–q175) cannot drift from the Spark tree.
+  *
+  * Canonical form (RFC 3986 §6 normalizations plus the crawl-standard
+  * aggressive ones):
+  *   - fragment dropped; userinfo dropped
+  *   - scheme and host lowercased; leading `www.` stripped
+  *   - default ports stripped (`:80` for http, `:443` for https);
+  *     non-default ports kept
+  *   - trailing `/` runs stripped from the path (root `/` == no path)
+  *   - tracking query parameters dropped (`utm_*` prefix family plus
+  *     the [[TrackingParams]] list); survivors sorted byte-wise so
+  *     parameter order never splits a page
+  *   - inputs with no parseable `scheme://host` canonicalize to NULL
+  *     (the caller's unparseable bucket — never a throw)
+  */
+object Urls {
+
+  /** Exact-name tracking parameters dropped by [[canonicalize]] (the
+    * `utm_*` family is matched by prefix). The click-identifier set
+    * every public canonicalizer strips: ad-click ids (fbclid/gclid/
+    * msclkid/dclid/twclid), mail-campaign ids (mc_cid/mc_eid), session
+    * share ids (igshid), referrer tags (ref/ref_src), and analytics
+    * campaign ids (s_kwcid/_ga).
+    */
+  val TrackingParams: Seq[String] = Seq(
+    "fbclid", "gclid", "msclkid", "dclid", "twclid",
+    "mc_cid", "mc_eid", "igshid", "ref", "ref_src", "s_kwcid", "_ga")
+
+  private val SchemePat = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Canonical URL of `url`, or NULL when no `scheme://host` parses.
+    * Pure built-in column math — see the object doc for the exact
+    * normalization steps.
+    */
+  def canonicalize(url: Column): Column = {
+    val u = regexp_replace(coalesce(url, lit("")), "(?s)#.*$", "")
+    val schemeName =
+      lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_replace(
+      regexp_extract(u, s"$SchemePat([^/?#]*)", 1), "^[^@]*@", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    val portPart = when(
+      port === "" ||
+        (schemeName === "http" && port === "80") ||
+        (schemeName === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(u, s"$SchemePat[^/?#]*([^?#]*)", 1), "/+$", "")
+    val qraw = regexp_extract(u, "(?s)\\?(.*)$", 1)
+    val params = array_sort(filter(split(qraw, "&"), p => keepParam(p)))
+    val qs = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(schemeName =!= "" && host =!= "",
+      concat(schemeName, lit("://"), host, portPart, path, qs))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  private def keepParam(p: Column): Column = {
+    val name = substring_index(p, "=", 1)
+    p =!= "" &&
+      !(name.startsWith("utm_") || name.isin(TrackingParams: _*))
+  }
+
+  /** The URL's bare host (lowercased, `www.`-stripped), or NULL when no
+    * `scheme://host` parses — the strict sibling of
+    * [[Crawl.hostOf]]'s `'warc'`-fallback stratum key, for link-graph
+    * vertices where a fallback would alias every garbage URL into one
+    * mega-node.
+    */
+  def host(url: Column): Column = {
+    val auth = regexp_replace(regexp_extract(
+      coalesce(url, lit("")), s"$SchemePat([^/?#]*)", 1), "^[^@]*@", "")
+    val h = regexp_replace(
+      regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+    when(h =!= "", h).otherwise(lit(null).cast("string"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB spelling — single-sourced so the q172–q175 oracles evaluate
+  // the very same normalization steps the Spark tree does.
+  // ------------------------------------------------------------------
+
+  private def trackingInList: String =
+    TrackingParams.map(p => s"'$p'").mkString(", ")
+
+  /** CTE chain text computing `canon_url` from a relation `src` that
+    * carries a `url` column (all of `src`'s columns pass through).
+    * Splice as: `WITH <yourCtes>, ${Urls.canonSqlCtes("plant")} SELECT
+    * ... FROM canon`.
+    */
+  def canonSqlCtes(src: String): String =
+    s"""uc0 AS (SELECT *, regexp_replace(url, '(?s)#.*$$', '') AS u FROM $src),
+       |uc1 AS (SELECT *,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |                   '^[^@]*@', '') AS hostport,
+       |    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+       |                   '/+$$', '') AS path,
+       |    regexp_extract(u, '(?s)\\?(.*)$$', 1) AS qraw
+       |  FROM uc0),
+       |uc2 AS (SELECT *,
+       |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+       |                   '^www\\.', '') AS chost,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS cport,
+       |    list_sort(list_filter(string_split(qraw, '&'),
+       |      p -> p <> '' AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
+       |        OR split_part(p, '=', 1) IN ($trackingInList)))) AS cparams
+       |  FROM uc1),
+       |canon AS (SELECT *,
+       |    CASE WHEN scheme <> '' AND chost <> '' THEN
+       |      scheme || '://' || chost ||
+       |      CASE WHEN cport = '' OR (scheme = 'http' AND cport = '80')
+       |                OR (scheme = 'https' AND cport = '443')
+       |           THEN '' ELSE ':' || cport END ||
+       |      path ||
+       |      CASE WHEN len(cparams) > 0
+       |           THEN '?' || array_to_string(cparams, '&') ELSE '' END
+       |    ELSE NULL END AS canon_url
+       |  FROM uc2)""".stripMargin
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[WebGraph.degrees]] / [[WebGraph.pageRank]] /
+  * [[WebGraph.edgesFromLinks]] on known graphs — hand-computed exact
+  * values (the integer-arithmetic claim makes exactness assertable),
+  * plus the order/partitioning-independence property that motivates
+  * the scaled-integer design.
+  */
+class WebGraphSpec extends AnyFunSuite with SparkSpec {
+
+  private def edges(pairs: (String, String)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def rankMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle: rank is exactly uniform at every depth") {
+    val cyc = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    for (iters <- Seq(1, 3, 7)) {
+      val r = rankMap(WebGraph.pageRank(cyc, iters))
+      // n=3: r0 = 333333333333 each; each node passes its whole rank on,
+      // so 150000000000/3 + 85*333333333333/100 = 333333333333 forever.
+      assert(r === Map("a" -> 333333333333L, "b" -> 333333333333L,
+                       "c" -> 333333333333L), s"iters=$iters")
+    }
+  }
+
+  test("star graph: exact hand-computed ranks after one iteration") {
+    // a,b,c -> h; h -> a. n=4, r0 = 250000000000 each, out-degree 1 all.
+    val star = edges("a" -> "h", "b" -> "h", "c" -> "h", "h" -> "a")
+    val r = rankMap(WebGraph.pageRank(star, 1))
+    val base = 150000000000L / 4 // 37500000000
+    assert(r("h") === base + 85L * (3 * 250000000000L) / 100) // 675e9
+    assert(r("a") === base + 85L * 250000000000L / 100) // 250e9
+    assert(r("b") === base)
+    assert(r("c") === base)
+    // total rank mass conserved exactly here (no dangling, no div loss)
+    assert(r.values.sum === 1000000000000L)
+  }
+
+  test("rank is invariant under input order and partitioning") {
+    val pairs = (0L until 400L).map(i =>
+      (s"h${i % 23}", s"h${(i * 7 + 3) % 23}")).filter(p => p._1 != p._2)
+    val base = rankMap(WebGraph.pageRank(edges(pairs: _*).distinct(), 3))
+    val shuffled = rankMap(WebGraph.pageRank(
+      edges(scala.util.Random.shuffle(pairs): _*).repartition(7).distinct(), 3))
+    assert(base === shuffled)
+    // mass conservation up to integer-truncation loss: every host has
+    // out-edges here, so the only leakage is div rounding
+    val total = base.values.sum
+    assert(total <= 1000000000000L && total > 999999000000L)
+  }
+
+  test("degrees count distinct partners, absent side coalesces to 0") {
+    val g = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    val d = WebGraph.degrees(g).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d === Map("a" -> ((2L, 0L)), "b" -> ((1L, 1L)),
+                     "c" -> ((0L, 2L))))
+  }
+
+  test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
+    import spark.implicits._
+    val links = Seq(
+      ("http://www.a.com/p1", "https://b.org/x"),     // a.com -> b.org
+      ("http://a.com/p2", "http://B.ORG:80/y"),       // duplicate edge
+      ("http://a.com/p3", "http://WWW.A.com/other"),  // self-loop: drops
+      ("http://a.com/p4", "javascript:void(0)"),      // junk dst: drops
+      ("not a url", "http://c.net/")                  // junk src: drops
+    ).toDF("src_url", "dst_url")
+    val e = WebGraph.edgesFromLinks(links).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e === Set("a.com" -> "b.org"))
+  }
+}
