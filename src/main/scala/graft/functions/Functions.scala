@@ -58,6 +58,9 @@ object Functions {
     add("extract_main_html", "extract_main_html(text) - C4/jusText main-content extraction") {
       exprs => graft.sources.HtmlMainExtract(exprs.head)
     }
+    add("extract_links", "extract_links(text, base_url) - absolute outlinks of an HTML body") {
+      exprs => graft.sources.HtmlLinks(exprs.head, exprs(1))
+    }
     add("sq_dist", "sq_dist(a, b) - squared euclidean distance of two numeric arrays") {
       exprs => SqDist(exprs.head, exprs(1))
     }

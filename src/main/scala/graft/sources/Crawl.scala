@@ -167,6 +167,24 @@ object Crawl {
       .unionByName(clean.filter(col("url").isNull))
   }
 
+  /** Outlink edge frame from a RAW-body parsed crawl/WARC frame — one
+    * row per (src_url, dst_url), every `<a>`/`<area>` href resolved
+    * absolute via [[Html.extractLinks]] (a codegen'd expression, so
+    * this plans as ONE whole-stage projection + explode; no shuffle).
+    * Run it on `readWarc(extractHtml = false)` /
+    * `readCrawl(extractHtml = false)` output: extraction destroys
+    * markup, so link extraction must see the raw HTML. Downstream:
+    * [[graft.operators.WebGraph.edgesFromLinks]] for the host
+    * graph/PageRank tier, [[graft.sources.Urls.canonicalize]] +
+    * frontier anti-join for crawl scheduling.
+    */
+  def linkEdges(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .select(col("url").as("src_url"),
+              explode(HtmlExpr.extract_links(col("text"), col("url")))
+                .as("dst_url"))
+
   /** The EXPORT half of the crawl loop: land a doc frame back as
     * (optionally gzipped) JSONL in the [[crawlV1]] field order — the
     * interchange format for handing a filtered/curated corpus to an

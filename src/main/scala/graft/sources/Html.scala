@@ -296,6 +296,222 @@ object Html {
       .map(_.text).mkString(" ")
   }
 
+  // ---- outlink extraction (the link-graph front end) ----------------
+
+  /** Extract the outlinks of `html` resolved against `baseUrl`:
+    * `href` of every `<a>`/`<area>` tag (honoring a `<base href>`
+    * override, entity-decoding the attribute value), resolved to an
+    * absolute http(s) URL with fragments stripped and RFC 3986 dot
+    * segments removed. Non-navigational schemes (`javascript:`,
+    * `mailto:`, `tel:`, `data:`, `about:` ...), bare fragments, empty
+    * hrefs, and >2048-char monsters drop. Distinct, first-seen order.
+    * Same degradation discipline as [[extractText]] (shared
+    * tag/entity/raw-text helpers): malformed markup yields the links
+    * that do parse, never a throw. Feeds [[Crawl.linkEdges]] /
+    * [[graft.operators.WebGraph]] — run it on a RAW body
+    * (`readWarc(extractHtml = false)`), extraction destroys markup.
+    */
+  def extractLinks(html: String, baseUrl: String): Array[String] = {
+    if (html == null) return Array.empty
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var baseHref: String = null
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (html.regionMatches(true, i, "<script", 0, 7) &&
+                   nameEnds(html, i + 7)) {
+          i = skipRawText(html, skipTag(html, i), "script")
+        } else if (html.regionMatches(true, i, "<style", 0, 6) &&
+                   nameEnds(html, i + 6)) {
+          i = skipRawText(html, skipTag(html, i), "style")
+        } else if (html.regionMatches(false, i, "<![CDATA[", 0, 9)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && Character.isLetter(html.charAt(i + 1))) {
+          var p = i + 1
+          val start = p
+          while (p < n && Character.isLetterOrDigit(html.charAt(p))) p += 1
+          val name = html.substring(start, p)
+            .toLowerCase(java.util.Locale.ROOT)
+          val end = skipTag(html, i)
+          // an unterminated tag (EOF before '>') is a truncated
+          // capture — harvesting its href would fabricate a link
+          val terminated = end > i + 1 && html.charAt(end - 1) == '>'
+          if (terminated && (name == "a" || name == "area")) {
+            val h = attrValue(html, p, end, "href")
+            if (h != null) hrefs += h
+          } else if (terminated && name == "base" && baseHref == null) {
+            val h = attrValue(html, p, end, "href")
+            if (h != null) baseHref = h
+          }
+          i = end
+        } else if (i + 1 < n && {
+          val d = html.charAt(i + 1)
+          d == '/' || d == '!' || d == '?'
+        }) {
+          i = skipTag(html, i)
+        } else i += 1
+      } else i += 1
+    }
+    // <base href> rebases every link in the document (resolved against
+    // the capture URL itself, as a browser does)
+    val effBase = if (baseHref == null) baseUrl
+      else {
+        val b = resolveHref(baseHref, baseUrl)
+        if (b == null) baseUrl else b
+      }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    hrefs.foreach { h =>
+      val r = resolveHref(h, effBase)
+      if (r != null) seen += r
+    }
+    seen.toArray
+  }
+
+  /** Value of attribute `attr` inside the tag spanning
+    * `[nameEnd, tagEnd)`, entity-decoded; null when absent. Handles
+    * double/single-quoted and unquoted values; attribute names match
+    * case-insensitively (the HTML rule).
+    */
+  private def attrValue(s: String, nameEnd: Int, tagEnd: Int,
+                        attr: String): String = {
+    var i = nameEnd
+    val end = math.min(tagEnd, s.length)
+    while (i < end) {
+      // skip to the next attribute name
+      while (i < end && (Character.isWhitespace(s.charAt(i)) ||
+               s.charAt(i) == '/')) i += 1
+      val an = i
+      while (i < end && !Character.isWhitespace(s.charAt(i)) &&
+             s.charAt(i) != '=' && s.charAt(i) != '>' &&
+             s.charAt(i) != '/') i += 1
+      if (i <= an) return null
+      val name = s.substring(an, i)
+      while (i < end && Character.isWhitespace(s.charAt(i))) i += 1
+      var value: String = null
+      if (i < end && s.charAt(i) == '=') {
+        i += 1
+        while (i < end && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < end && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+          val q = s.charAt(i)
+          val vs = i + 1
+          var ve = vs
+          while (ve < end && s.charAt(ve) != q) ve += 1
+          value = s.substring(vs, ve)
+          i = math.min(ve + 1, end)
+        } else {
+          val vs = i
+          while (i < end && !Character.isWhitespace(s.charAt(i)) &&
+                 s.charAt(i) != '>') i += 1
+          value = s.substring(vs, i)
+        }
+      }
+      if (name.equalsIgnoreCase(attr)) {
+        if (value == null) return null
+        // entity-decode (&amp; in URLs is routine)
+        val out = new java.lang.StringBuilder(value.length)
+        var k = 0
+        while (k < value.length) {
+          val ch = value.charAt(k)
+          if (ch == '&') k = entity(value, k, out)
+          else { out.append(ch); k += 1 }
+        }
+        return out.toString
+      }
+    }
+    null
+  }
+
+  private val droppedSchemes = Array(
+    "javascript:", "mailto:", "tel:", "data:", "about:", "ftp:", "file:")
+
+  /** Resolve `href` against `base` to an absolute http(s) URL with the
+    * fragment stripped — RFC 3986 §5 reference resolution, total and
+    * deterministic (null for non-navigational/unresolvable refs, never
+    * a throw; `java.net.URI` throws on real-world hrefs, so this is a
+    * hand-rolled lite resolver).
+    */
+  private[sources] def resolveHref(href0: String, base: String): String = {
+    if (href0 == null) return null
+    // browsers strip embedded tab/newline/CR before parsing
+    val href = href0.trim.filterNot(c => c == '\t' || c == '\n' || c == '\r')
+    if (href.isEmpty || href.length > 2048 || href.startsWith("#"))
+      return null
+    val lower = href.toLowerCase(java.util.Locale.ROOT)
+    var d = 0
+    while (d < droppedSchemes.length) {
+      if (lower.startsWith(droppedSchemes(d))) return null
+      d += 1
+    }
+    def noFrag(s: String): String = {
+      val h = s.indexOf('#'); if (h < 0) s else s.substring(0, h)
+    }
+    if (lower.startsWith("http://") || lower.startsWith("https://"))
+      return noFrag(href)
+    // any other explicit scheme is non-navigational
+    val colon = href.indexOf(':')
+    val slash = href.indexOf('/')
+    if (colon > 0 && (slash < 0 || colon < slash) &&
+        href.substring(0, colon).forall(ch =>
+          Character.isLetterOrDigit(ch) || ch == '+' || ch == '-' || ch == '.') &&
+        Character.isLetter(href.charAt(0)))
+      return null
+    // need a parseable base from here on
+    if (base == null) return null
+    val bl = base.toLowerCase(java.util.Locale.ROOT)
+    if (!bl.startsWith("http://") && !bl.startsWith("https://")) return null
+    val schemeEnd = base.indexOf("://") + 3
+    val authEnd0 = base.indexWhere(c => c == '/' || c == '?' || c == '#',
+                                   schemeEnd)
+    val authEnd = if (authEnd0 < 0) base.length else authEnd0
+    if (authEnd == schemeEnd) return null // hostless base
+    val origin = base.substring(0, authEnd)
+    if (href.startsWith("//"))
+      return noFrag(base.substring(0, schemeEnd - 3) + ":" + href)
+    val h = noFrag(href)
+    val qIdx = h.indexOf('?')
+    val (hPath, hQuery) =
+      if (qIdx < 0) (h, "") else (h.substring(0, qIdx), h.substring(qIdx))
+    if (h.startsWith("/"))
+      return origin + removeDotSegments(hPath) + hQuery
+    if (hPath.isEmpty) // query-only reference: keep base path
+      return {
+        val bp0 = if (authEnd >= base.length) "" else base.substring(authEnd)
+        val bPath = noFrag(bp0)
+        val bq = bPath.indexOf('?')
+        origin + (if (bq < 0) bPath else bPath.substring(0, bq)) + hQuery
+      }
+    // relative path: merge with the base directory
+    val bp0 = if (authEnd >= base.length) "/" else noFrag(base.substring(authEnd))
+    val bq = bp0.indexOf('?')
+    val bPath = if (bq < 0) bp0 else bp0.substring(0, bq)
+    val dir = {
+      val ls = bPath.lastIndexOf('/')
+      if (ls < 0) "/" else bPath.substring(0, ls + 1)
+    }
+    origin + removeDotSegments(dir + hPath) + hQuery
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal (also collapses `//` runs —
+    * deterministic, never escapes above the root).
+    */
+  private[sources] def removeDotSegments(path: String): String = {
+    val trailing = path.endsWith("/") || path.endsWith("/.") ||
+      path.endsWith("/..")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    path.split("/").foreach {
+      case "" | "." => ()
+      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg      => out += seg
+    }
+    "/" + out.mkString("/") + (if (trailing && out.nonEmpty) "/" else "")
+  }
+
   /** Does this body look like an HTML document? Used when an HTTP
     * response declares no Content-Type: sniffs the first bytes for a
     * doctype or `<html` root (case-insensitive), so plain-text bodies

@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** [[Html.extractText]] / [[Html.extractMainText]] as native Catalyst
@@ -36,6 +37,18 @@ object HtmlExpr {
 
   def extractMainU8(s: UTF8String): UTF8String =
     UTF8String.fromString(Html.extractMainText(s.toString))
+
+  /** Column form of the outlink extractor (array of absolute URLs). */
+  def extract_links(text: Column, baseUrl: Column): Column =
+    Bridge.column(HtmlLinks(Bridge.expression(text),
+                            Bridge.expression(baseUrl)))
+
+  def linksU8(s: UTF8String, base: UTF8String): ArrayData = {
+    val links = Html.extractLinks(s.toString,
+      if (base == null) null else base.toString)
+    new GenericArrayData(
+      links.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
 }
 
 /** `extract_html(text)` — deterministic HTML tag-strip extraction. */
@@ -49,6 +62,27 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): HtmlExtract =
     copy(child = c)
   override def prettyName: String = "extract_html"
+}
+
+/** `extract_links(text, base_url)` — absolute outlinks of an HTML
+  * body (`<a>`/`<area>` hrefs resolved against `base_url`, honoring
+  * `<base>`, fragments stripped, non-navigational schemes dropped).
+  * Null-safe on both children; returns array<string> with first-seen
+  * order, distinct.
+  */
+case class HtmlLinks(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any, b: Any): Any =
+    HtmlExpr.linksU8(t.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, b) => s"graft.sources.HtmlExpr.linksU8($t, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlLinks =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "extract_links"
 }
 
 /** `extract_main_html(text)` — boilerplate-filtered main content. */
