@@ -280,6 +280,30 @@ object WebGraph {
     r.select(col("host"), col("r").as("rank_e12"))
   }
 
+  /** The crawl-loop closure: next fetch list = `candidates` (canonical
+    * discovered URLs) minus `seen` (canonical already-captured URLs),
+    * capped at `perHostCap` per host (the politeness budget — a
+    * frontier that hammers one host is a broken crawler). One left-anti
+    * shuffle on the near-unique canonical key plus one host-keyed
+    * window; the row_number plans a partial WindowGroupLimit below the
+    * exchange, so each map task ships at most `perHostCap` rows per
+    * host it saw. Ordering inside a host is byte-order on the URL —
+    * deterministic without any score column; callers with a priority
+    * (e.g. [[pageRank]] output) can pre-join and re-window themselves.
+    */
+  def frontierFromSets(seen: DataFrame, candidates: DataFrame,
+                       perHostCap: Int): DataFrame = {
+    val fresh = candidates.select("url").distinct()
+      .join(seen.select("url").distinct(), Seq("url"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("url")
+    fresh.withColumn("host", Urls.host(col("url")))
+      .filter(col("host").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perHostCap)
+      .select("host", "url", "rk")
+  }
+
   // ------------------------------------------------------------------
   // Registry queries
   // ------------------------------------------------------------------
@@ -417,6 +441,47 @@ object WebGraph {
          |       FROM hosts h CROSS JOIN n LEFT JOIN s3 ON s3.dst = h.host)
          |SELECT host, r AS rank_e12 FROM r3""".stripMargin) {
       (s, d) => pageRank(plantEdges(s, d), 3)
+    },
+
+    Q("q178_url_frontier",
+      "Crawl frontier: canonical discovered outlinks minus the " +
+        "already-captured set (left-anti on the near-unique canonical " +
+        "key), capped per host (politeness budget, row_number <= 3 " +
+        "with a byte-order tie-break -> partial WindowGroupLimit " +
+        "below the exchange). Planted: every doc contributes one " +
+        "already-seen link (provably removed) and one mostly-fresh " +
+        "link; ~4.7 fresh URLs/host so the cap bites. The real path " +
+        "is Crawl.frontier over a raw WARC read.",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+        |crawled AS (SELECT DISTINCT 'http://host' || CAST(k % 53 AS VARCHAR)
+        |    || '.com/p/' || CAST(k % 401 AS VARCHAR) AS url FROM k0),
+        |disc AS (
+        |  SELECT 'http://host' || CAST(k % 53 AS VARCHAR)
+        |    || '.com/p/' || CAST(k % 401 AS VARCHAR) AS url FROM k0
+        |  UNION
+        |  SELECT 'http://host' || CAST((k * 3 + 6) % 53 AS VARCHAR)
+        |    || '.com/p/' || CAST((k * 11 + 17) % 401 AS VARCHAR) FROM k0),
+        |fresh AS (SELECT url FROM disc
+        |          WHERE url NOT IN (SELECT url FROM crawled)),
+        |h AS (SELECT url, regexp_extract(url, '://([^/]+)', 1) AS host
+        |      FROM fresh),
+        |r AS (SELECT host, url,
+        |        row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+        |      FROM h)
+        |SELECT host, url, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin) { (s, d) =>
+      val k = (col("doc_id") % 250).as("k")
+      val k0 = docs(s, d).select(k).distinct()
+      def u(host: Column, p: Column): Column =
+        concat(lit("http://host"), host.cast("string"),
+               lit(".com/p/"), p.cast("string"))
+      val crawled = k0.select(
+        u(col("k") % 53, col("k") % 401).as("url")).distinct()
+      val disc = k0.select(u(col("k") % 53, col("k") % 401).as("url"))
+        .union(k0.select(u((col("k") * 3 + 6) % 53,
+                           (col("k") * 11 + 17) % 401).as("url")))
+        .distinct()
+      frontierFromSets(crawled, disc, 3)
     }
   )
 }

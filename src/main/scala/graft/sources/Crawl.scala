@@ -156,15 +156,41 @@ object Crawl {
     * within-watermark content-hash dedup) — cross-batch latest-per-url
     * needs the corpus-maintenance state path, not a stream window.
     */
-  def latestPerUrl(parsed: DataFrame): DataFrame = {
+  def latestPerUrl(parsed: DataFrame,
+                   canonical: Boolean = false): DataFrame = {
     val clean = parsed.filter(!col("corrupt"))
+    // canonical=true collapses captures that differ only in
+    // canonicalization-removable junk (tracking params, fragments,
+    // case, www., trailing slash — [[Urls.canonicalize]]); rows whose
+    // URL does not canonicalize (or is absent) have no key to collapse
+    // on and pass through untouched either way
+    val keyed = clean.withColumn("_k",
+      if (canonical) Urls.canonicalize(col("url")) else col("url"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("url")
+      .partitionBy("_k")
       .orderBy(col("ts").desc, col("doc_id").desc)
-    clean.filter(col("url").isNotNull)
+    keyed.filter(col("_k").isNotNull)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1).drop("rk")
-      .unionByName(clean.filter(col("url").isNull))
+      .filter(col("rk") === 1).drop("rk", "_k")
+      .unionByName(keyed.filter(col("_k").isNull).drop("_k"))
+  }
+
+  /** The crawl-loop closure over a RAW-body parsed frame
+    * (`readWarc(extractHtml = false)`): next fetch list = canonical
+    * outlinks discovered in this corpus minus the pages it already
+    * captured, capped at `perHostCap` per host — see
+    * [[graft.operators.WebGraph.frontierFromSets]] for the operator
+    * shape. Output (host, url, rk) feeds the next fetch round; re-feed
+    * the fetched WARCs through [[readWarc]] and the loop closes.
+    */
+  def frontier(parsed: DataFrame, perHostCap: Int = 64): DataFrame = {
+    val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("url"))
+      .filter(col("url").isNotNull)
+    val cand = linkEdges(parsed)
+      .select(Urls.canonicalize(col("dst_url")).as("url"))
+      .filter(col("url").isNotNull)
+    graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
   }
 
   /** Outlink edge frame from a RAW-body parsed crawl/WARC frame — one

@@ -961,4 +961,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!broadcasts.exists(_.contains("text#")),
            "q149 must not broadcast a documents scan")
   }
+
+  test("q172/q174: URL canonicalize/filter are pure projections — zero exchanges") {
+    for (q <- Seq("q172_url_normalize", "q174_url_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+             s"$q grew a shuffle — canonicalization must stay a projection:\n$p")
+      assert(!p.contains("DeserializeToObject"),
+             s"$q fell out of columnar processing:\n$p")
+    }
+  }
+
+  test("q177: rank joins shuffle (host table never broadcast); only the 1-row n broadcasts") {
+    val df = SparkEntry.queries("q177_host_rank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"),
+           s"q177 rank joins lost the hinted shuffle path:\n$p")
+    // at 100 TB the rank/out-degree tables are ~1e7 hosts — a
+    // BroadcastHashJoin of either would ship them to every task
+    assert(!p.linesIterator.exists(l => l.contains("BroadcastHashJoin")),
+           s"q177 must not broadcast host-sized tables:\n$p")
+  }
+
+  test("q178: frontier anti-joins on the canonical key and caps below the exchange") {
+    val df = SparkEntry.queries("q178_url_frontier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LeftAnti"), s"q178 lost the anti-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+           s"q178 per-host cap lost its pre-exchange group limit:\n$p")
+  }
 }
