@@ -61,6 +61,12 @@ object Functions {
     add("extract_links", "extract_links(text, base_url) - absolute outlinks of an HTML body") {
       exprs => graft.sources.HtmlLinks(exprs.head, exprs(1))
     }
+    add("robots_allowed", "robots_allowed(url, robots_body, agent) - RFC 9309 robots.txt check") {
+      exprs => graft.sources.RobotsAllowed(exprs.head, exprs(1), exprs(2))
+    }
+    add("extract_anchors", "extract_anchors(text, base_url) - link occurrences with anchor text") {
+      exprs => graft.sources.HtmlAnchors(exprs.head, exprs(1))
+    }
     add("sq_dist", "sq_dist(a, b) - squared euclidean distance of two numeric arrays") {
       exprs => SqDist(exprs.head, exprs(1))
     }

@@ -183,14 +183,48 @@ object Crawl {
     * shape. Output (host, url, rk) feeds the next fetch round; re-feed
     * the fetched WARCs through [[readWarc]] and the loop closes.
     */
-  def frontier(parsed: DataFrame, perHostCap: Int = 64): DataFrame = {
+  def frontier(parsed: DataFrame, perHostCap: Int = 64,
+               robotsAgent: Option[String] = None): DataFrame = {
     val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
-    val cand = linkEdges(parsed)
+    val cand0 = linkEdges(parsed)
       .select(Urls.canonicalize(col("dst_url")).as("url"))
       .filter(col("url").isNotNull)
+    // robots gating runs BEFORE the politeness cap — a disallowed URL
+    // must not consume a host's fetch budget. Hosts with no captured
+    // robots.txt fail open (the robots_allowed null policy).
+    val cand = robotsAgent match {
+      case Some(agent) =>
+        cand0.withColumn("host", Urls.host(col("url")))
+          .join(robotsTexts(parsed), Seq("host"), "left")
+          .filter(Robots.robots_allowed(col("url"), col("robots_txt"),
+                                        lit(agent)))
+          .select("url")
+      case None => cand0
+    }
     graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
+  }
+
+  /** The robots.txt bodies riding in the crawl itself: captures of
+    * `<scheme>://<host>/robots.txt` lifted to a host-keyed frame
+    * (latest capture per host — the same revisit policy as
+    * [[latestPerUrl]]). Bodies are plain text, so they pass the HTML
+    * gate untouched on BOTH read modes (raw and extracted) —
+    * `parseRules` sees original line structure. One near-unique-key
+    * window over a tiny filtered slice; host-sized output.
+    */
+  def robotsTexts(parsed: DataFrame): DataFrame = {
+    val r = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .filter(col("url").rlike(
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
+      .withColumn("host", Urls.host(col("url")))
+      .filter(col("host").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("ts").desc, col("doc_id").desc)
+    r.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("host"), col("text").as("robots_txt"))
   }
 
   /** Outlink edge frame from a RAW-body parsed crawl/WARC frame — one
@@ -210,6 +244,21 @@ object Crawl {
       .select(col("url").as("src_url"),
               explode(HtmlExpr.extract_links(col("text"), col("url")))
                 .as("dst_url"))
+
+  /** Like [[linkEdges]] but with each occurrence's ANCHOR TEXT — the
+    * "what other pages call this URL" signal (search relevance, host
+    * quality priors): (src_url, dst_url, anchor), one row per link
+    * occurrence, NOT deduplicated. Same raw-body requirement; one
+    * codegen'd projection + explode.
+    */
+  def anchorEdges(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .select(col("url").as("src_url"),
+              explode(HtmlExpr.extract_anchors(col("text"), col("url")))
+                .as("a"))
+      .select(col("src_url"), col("a.url").as("dst_url"),
+              col("a.anchor").as("anchor"))
 
   /** The EXPORT half of the crawl loop: land a doc frame back as
     * (optionally gzipped) JSONL in the [[crawlV1]] field order — the
@@ -931,4 +980,68 @@ object Crawl {
     if (!extractHtml) None
     else if (mainContent) Some(Html.extractMainText _)
     else Some(Html.extractText _)
+
+  /** WARC export — [[writeCrawl]]'s sibling for the CC-ecosystem
+    * interchange format and [[readWarc]]'s round-trip partner. Each
+    * row of a doc frame (url/ts/doc_id/text, the [[crawlDocs]]
+    * contract columns; url and ts may be null) lands as ONE gzip
+    * member holding a conformant ISO-28500 response record: WARC/1.0
+    * headers (deterministic `WARC-Record-ID` minted from doc_id,
+    * `WARC-Date` from ts), an HTTP 200 + `Content-Type: text/plain;
+    * charset=utf-8` envelope, the text as body. One `part-N.warc.gz`
+    * per partition written straight through the Hadoop FileSystem —
+    * file count (= task count) is the caller's partitioning, so a
+    * 100 TB export shards exactly as the upstream plan parallels, and
+    * the one-member-per-record layout keeps the output SPLITTABLE for
+    * the next reader (the resync property [[parseWarcMembers]]
+    * exploits). Round trip: `readWarc(writeWarc(df))` recovers url,
+    * ts (second precision), and text exactly; doc_id and source are
+    * re-derived by the reader's own rules (Record-ID hash, URL host).
+    */
+  def writeWarc(docFrame: DataFrame, path: String): Unit = {
+    val prepped = docFrame.select(
+      coalesce(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+               lit("1970-01-01T00:00:00Z")).as("wdate"),
+      coalesce(col("doc_id").cast("string"), lit("0")).as("rid"),
+      col("url").cast("string").as("url"),
+      coalesce(col("text"), lit("")).as("text"))
+    // overwrite semantics, like every sink in this library
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(
+      docFrame.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(hadoopPath, true)
+    fs.mkdirs(hadoopPath)
+    prepped.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.warc.gz")
+        val out = p.getFileSystem(conf).create(p, true)
+        try {
+          rows.foreach { r =>
+            val bodyText = r.getString(3)
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+              "charset=utf-8\r\n\r\n").getBytes("UTF-8") ++
+              bodyText.getBytes("UTF-8")
+            val hdr = new StringBuilder("WARC/1.0\r\n")
+            hdr ++= "WARC-Type: response\r\n"
+            hdr ++= s"WARC-Record-ID: <urn:graft:${r.getString(1)}>\r\n"
+            hdr ++= s"WARC-Date: ${r.getString(0)}\r\n"
+            if (!r.isNullAt(2))
+              hdr ++= s"WARC-Target-URI: ${r.getString(2)}\r\n"
+            hdr ++= "Content-Type: application/http;msgtype=response\r\n"
+            hdr ++= s"Content-Length: ${http.length}\r\n\r\n"
+            val member = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(member)
+            gz.write(hdr.toString.getBytes("UTF-8"))
+            gz.write(http)
+            gz.write("\r\n\r\n".getBytes("UTF-8"))
+            gz.close()
+            out.write(member.toByteArray)
+          }
+        } finally out.close()
+        Iterator.single(idx)
+      }
+    }.count(): Unit
+  }
 }

@@ -312,9 +312,44 @@ object Html {
     * (`readWarc(extractHtml = false)`), extraction destroys markup.
     */
   def extractLinks(html: String, baseUrl: String): Array[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    extractAnchors(html, baseUrl).foreach(seen += _._1)
+    seen.toArray
+  }
+
+  /** Anchor-text cap — enough for any real anchor, bounds the row. */
+  private val MaxAnchorChars = 256
+
+  /** Like [[extractLinks]] but keeps each link's ANCHOR TEXT — the
+    * classic relevance/quality signal (what OTHER pages call this
+    * URL): one (resolved_url, anchor_text) pair per `<a>`/`<area>`
+    * occurrence, in document order, NOT deduplicated (ten pages
+    * linking "home" vs one linking "annual report 2026" is the
+    * signal). Anchor text is the visible text to the matching close
+    * tag — nested inline tags become spaces, script/style subtrees
+    * drop, entities decode, whitespace collapses; a nested/unclosed
+    * `<a>` terminates the previous anchor (the browser rule). `<area>`
+    * links carry an empty anchor.
+    */
+  def extractAnchors(html: String, baseUrl: String): Array[(String, String)] = {
     if (html == null) return Array.empty
-    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var baseHref: String = null
+    // open anchor state: href + text accumulator
+    var openHref: String = null
+    val text = new java.lang.StringBuilder
+    var pendingSpace = false
+    def emitChar(ch: Char): Unit = if (openHref != null) {
+      if (Character.isWhitespace(ch)) pendingSpace = text.length > 0
+      else if (text.length + (if (pendingSpace) 1 else 0) < MaxAnchorChars) {
+        if (pendingSpace) { text.append(' '); pendingSpace = false }
+        text.append(ch)
+      }
+    }
+    def closeAnchor(): Unit = if (openHref != null) {
+      pairs += ((openHref, text.toString))
+      openHref = null; text.setLength(0); pendingSpace = false
+    }
     val n = html.length
     var i = 0
     while (i < n) {
@@ -323,17 +358,24 @@ object Html {
         if (html.regionMatches(false, i, "<!--", 0, 4)) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
+          pendingSpace = text.length > 0
         } else if (html.regionMatches(true, i, "<script", 0, 7) &&
                    nameEnds(html, i + 7)) {
           i = skipRawText(html, skipTag(html, i), "script")
+          pendingSpace = text.length > 0
         } else if (html.regionMatches(true, i, "<style", 0, 6) &&
                    nameEnds(html, i + 6)) {
           i = skipRawText(html, skipTag(html, i), "style")
+          pendingSpace = text.length > 0
         } else if (html.regionMatches(false, i, "<![CDATA[", 0, 9)) {
           val e = html.indexOf("]]>", i + 9)
           i = if (e < 0) n else e + 3
-        } else if (i + 1 < n && Character.isLetter(html.charAt(i + 1))) {
+          pendingSpace = text.length > 0
+        } else if (i + 1 < n && (Character.isLetter(html.charAt(i + 1)) ||
+                                 html.charAt(i + 1) == '/')) {
           var p = i + 1
+          val closing = html.charAt(p) == '/'
+          if (closing) p += 1
           val start = p
           while (p < n && Character.isLetterOrDigit(html.charAt(p))) p += 1
           val name = html.substring(start, p)
@@ -342,22 +384,36 @@ object Html {
           // an unterminated tag (EOF before '>') is a truncated
           // capture — harvesting its href would fabricate a link
           val terminated = end > i + 1 && html.charAt(end - 1) == '>'
-          if (terminated && (name == "a" || name == "area")) {
+          if (name == "a") {
+            closeAnchor() // </a>, or a nested <a> ends the previous one
+            if (terminated && !closing) {
+              val h = attrValue(html, p, end, "href")
+              if (h != null) { openHref = h }
+            }
+          } else if (terminated && !closing && name == "area") {
+            closeAnchor()
             val h = attrValue(html, p, end, "href")
-            if (h != null) hrefs += h
-          } else if (terminated && name == "base" && baseHref == null) {
+            if (h != null) pairs += ((h, ""))
+          } else if (terminated && !closing && name == "base" &&
+                     baseHref == null) {
             val h = attrValue(html, p, end, "href")
             if (h != null) baseHref = h
-          }
+            pendingSpace = text.length > 0
+          } else pendingSpace = text.length > 0
           i = end
-        } else if (i + 1 < n && {
-          val d = html.charAt(i + 1)
-          d == '/' || d == '!' || d == '?'
-        }) {
+        } else if (i + 1 < n &&
+                   (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           i = skipTag(html, i)
-        } else i += 1
-      } else i += 1
+          pendingSpace = text.length > 0
+        } else { emitChar(c); i += 1 }
+      } else if (c == '&') {
+        val tmp = new java.lang.StringBuilder
+        i = entity(html, i, tmp)
+        var k = 0
+        while (k < tmp.length) { emitChar(tmp.charAt(k)); k += 1 }
+      } else { emitChar(c); i += 1 }
     }
+    closeAnchor() // EOF closes a dangling anchor with its text so far
     // <base href> rebases every link in the document (resolved against
     // the capture URL itself, as a browser does)
     val effBase = if (baseHref == null) baseUrl
@@ -365,12 +421,10 @@ object Html {
         val b = resolveHref(baseHref, baseUrl)
         if (b == null) baseUrl else b
       }
-    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    hrefs.foreach { h =>
+    pairs.flatMap { case (h, t) =>
       val r = resolveHref(h, effBase)
-      if (r != null) seen += r
-    }
-    seen.toArray
+      if (r == null) None else Some((r, t))
+    }.toArray
   }
 
   /** Value of attribute `attr` inside the tag spanning

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** [[Html.extractText]] / [[Html.extractMainText]] as native Catalyst
@@ -49,6 +49,23 @@ object HtmlExpr {
     new GenericArrayData(
       links.map(UTF8String.fromString(_).asInstanceOf[Any]))
   }
+
+  /** Column form of the anchor extractor:
+    * array<struct<url, anchor>>, one element per link OCCURRENCE.
+    */
+  def extract_anchors(text: Column, baseUrl: Column): Column =
+    Bridge.column(HtmlAnchors(Bridge.expression(text),
+                              Bridge.expression(baseUrl)))
+
+  def anchorsU8(s: UTF8String, base: UTF8String): ArrayData = {
+    val pairs = Html.extractAnchors(s.toString,
+      if (base == null) null else base.toString)
+    new GenericArrayData(pairs.map { case (u, a) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(u), UTF8String.fromString(a))
+        .asInstanceOf[Any]
+    })
+  }
 }
 
 /** `extract_html(text)` — deterministic HTML tag-strip extraction. */
@@ -83,6 +100,29 @@ case class HtmlLinks(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HtmlLinks =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "extract_links"
+}
+
+/** `extract_anchors(text, base_url)` — link occurrences WITH their
+  * anchor text, as array<struct<url:string, anchor:string>> in
+  * document order (not deduplicated — anchor frequency is the
+  * signal). Same resolution/degradation rules as [[HtmlLinks]].
+  */
+case class HtmlAnchors(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("url", StringType, nullable = false),
+                   StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(t: Any, b: Any): Any =
+    HtmlExpr.anchorsU8(t.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, b) => s"graft.sources.HtmlExpr.anchorsU8($t, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlAnchors =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "extract_anchors"
 }
 
 /** `extract_main_html(text)` — boilerplate-filtered main content. */

@@ -127,6 +127,53 @@ class HtmlLinksSpec extends AnyFunSuite with SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  // ---- anchor text ---------------------------------------------------
+
+  test("anchors: visible text, nested tags strip, occurrences keep") {
+    assert(Html.extractAnchors(
+      """<a href="/x">Annual <b>Report</b> &amp; Notes</a>
+        |<a href="/x">home</a>
+        |<a href="/y"> spaced   text </a>""".stripMargin, base).toSeq === Seq(
+      ("http://ex.com/x", "Annual Report & Notes"),
+      ("http://ex.com/x", "home"),
+      ("http://ex.com/y", "spaced text")))
+  }
+
+  test("anchors: nested <a> ends the previous one; EOF keeps the tail; area is empty") {
+    assert(Html.extractAnchors(
+      """<a href="/1">first <a href="/2">second</a>""".stripMargin, base)
+      .toSeq === Seq(("http://ex.com/1", "first"),
+                     ("http://ex.com/2", "second")))
+    assert(Html.extractAnchors(
+      """<area href="/map">""", base).toSeq === Seq(("http://ex.com/map", "")))
+    // script inside an anchor never leaks into its text
+    assert(Html.extractAnchors(
+      """<a href="/s">ok<script>var x="bad"</script> tail</a>""",
+      base).toSeq === Seq(("http://ex.com/s", "ok tail")))
+  }
+
+  test("anchors: text caps at 256 chars; extractLinks stays consistent") {
+    val long = "w " * 400
+    val a = Html.extractAnchors(s"""<a href="/big">$long</a>""", base)
+    assert(a.length === 1 && a(0)._2.length <= 256)
+    val html = """<a href="/1">x</a><a href="/2">y</a><a href="/1">z</a>"""
+    assert(Html.extractLinks(html, base).toSeq ===
+      Html.extractAnchors(html, base).map(_._1).distinct.toSeq)
+  }
+
+  test("anchorEdges: expression path lands (src, dst, anchor) rows") {
+    import spark.implicits._
+    val parsed = Seq(
+      (false, "http://a.com/p",
+       """<a href="http://b.org/x">Link One</a><a href="/local">Two</a>"""))
+      .toDF("corrupt", "url", "text")
+    val rows = Crawl.anchorEdges(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(
+      ("http://a.com/p", "http://b.org/x", "Link One"),
+      ("http://a.com/p", "http://a.com/local", "Two")))
+  }
+
   // ---- the real-corpus path: WARC -> linkEdges -> host graph --------
 
   private def warcRec(uri: String, body: String): Array[Byte] = {
