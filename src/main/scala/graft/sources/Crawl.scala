@@ -184,13 +184,23 @@ object Crawl {
     * the fetched WARCs through [[readWarc]] and the loop closes.
     */
   def frontier(parsed: DataFrame, perHostCap: Int = 64,
-               robotsAgent: Option[String] = None): DataFrame = {
+               robotsAgent: Option[String] = None,
+               sitemaps: Boolean = false): DataFrame = {
     val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
-    val cand0 = linkEdges(parsed)
+    val links = linkEdges(parsed)
       .select(Urls.canonicalize(col("dst_url")).as("url"))
       .filter(col("url").isNotNull)
+    // sitemaps declare what the HOST says exists — pages nothing
+    // links to yet join the candidate pool (index-file entries are
+    // sitemap fetches, not page fetches; a caller crawling indexes
+    // reads sitemapEntries directly)
+    val cand0 = if (!sitemaps) links
+      else links.unionByName(
+        sitemapEntries(parsed).filter(col("kind") === "page")
+          .select(Urls.canonicalize(col("url")).as("url"))
+          .filter(col("url").isNotNull))
     // robots gating runs BEFORE the politeness cap — a disallowed URL
     // must not consume a host's fetch budget. Hosts with no captured
     // robots.txt fail open (the robots_allowed null policy).
@@ -205,6 +215,23 @@ object Crawl {
     }
     graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
   }
+
+  /** Sitemap entries riding in the crawl: captures whose URL names a
+    * sitemap (`...sitemap*.xml` / `.txt`), parsed to
+    * (src_url, url, kind) with kind `page` (a `<urlset>` `<loc>` or a
+    * plain-text line) or `sitemap` (a `<sitemapindex>` child — fetch
+    * it next round). XML/plain-text bodies pass the HTML gate
+    * untouched on both read modes, so original structure reaches
+    * [[Sitemaps.parse]]. One codegen'd projection + explode.
+    */
+  def sitemapEntries(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .filter(lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$"))
+      .select(col("url").as("src_url"),
+              explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
+      .select(col("src_url"), col("e.url").as("url"),
+              col("e.kind").as("kind"))
 
   /** The robots.txt bodies riding in the crawl itself: captures of
     * `<scheme>://<host>/robots.txt` lifted to a host-keyed frame

@@ -87,7 +87,8 @@ object Html {
     * references stay verbatim (the literal `&` is emitted and scanning
     * resumes after it — deterministic, never a throw).
     */
-  private def entity(s: String, i: Int, out: java.lang.StringBuilder): Int = {
+  private[sources] def entity(s: String, i: Int,
+                              out: java.lang.StringBuilder): Int = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 12) { out.append('&'); return i + 1 }
     val body = s.substring(i + 1, semi)

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sitemap parsing (sitemaps.org protocol, XML + plain-text forms) —
+  * the crawl frontier's SECOND source: outlink discovery
+  * ([[Html.extractLinks]]) finds what pages link; sitemaps declare
+  * what the HOST says exists, including pages nothing links to yet.
+  * Like robots.txt, sitemap bodies arrive through the crawl itself
+  * (a capture of `/sitemap.xml` is just another response record —
+  * [[Crawl.sitemapEntries]] lifts them), so the loop stays closed.
+  *
+  * Parsed forms, all total and garbage-tolerant (a malformed document
+  * yields the entries that do parse, never a throw):
+  *   - `<urlset>` page sitemaps: each `<url>`'s `<loc>` → a `page`
+  *     entry
+  *   - `<sitemapindex>` index files: each `<sitemap>`'s `<loc>` → a
+  *     `sitemap` entry (the caller fetches those next round)
+  *   - plain-text sitemaps (one URL per line, the protocol's legacy
+  *     form): every `http(s)://` line → a `page` entry
+  * `<loc>` text is entity-decoded (ampersands in URLs are routinely
+  * escaped in XML) and trimmed; entries must be http(s) and ≤2048
+  * chars; CDATA-wrapped locs unwrap. A `<loc>` outside any
+  * `<url>`/`<sitemap>` container counts as a page (the sloppy-but-
+  * common form).
+  */
+object Sitemaps {
+
+  /** One entry: absolute URL + kind ("page" | "sitemap"). */
+  final case class Entry(url: String, kind: String)
+
+  def parse(body: String): Array[Entry] = {
+    if (body == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val looksXml = {
+      var i = 0
+      val n = math.min(body.length, 512)
+      var found = false
+      while (i < n && !found) {
+        if (body.charAt(i) == '<') found = true
+        i += 1
+      }
+      found
+    }
+    if (!looksXml) {
+      // plain-text form: one URL per line
+      body.linesIterator.foreach { raw =>
+        val line = raw.trim
+        if (line.length <= 2048 &&
+            (line.regionMatches(true, 0, "http://", 0, 7) ||
+             line.regionMatches(true, 0, "https://", 0, 8)))
+          out += Entry(line, "page")
+      }
+      return out.toArray
+    }
+    val n = body.length
+    var i = 0
+    var kind = "page" // container context; default for bare <loc>
+    while (i < n) {
+      val lt = body.indexOf('<', i)
+      if (lt < 0) return out.toArray
+      if (tagAt(body, lt, "url") && !tagAt(body, lt, "urlset")) {
+        kind = "page"; i = lt + 1
+      } else if (tagAt(body, lt, "sitemap") &&
+                 !tagAt(body, lt, "sitemapindex")) {
+        kind = "sitemap"; i = lt + 1
+      } else if (tagAt(body, lt, "loc")) {
+        val gt = body.indexOf('>', lt)
+        if (gt < 0) return out.toArray
+        val close = body.indexOf("</loc", gt + 1)
+        val end = if (close < 0) n else close
+        var text = body.substring(gt + 1, end).trim
+        if (text.startsWith("<![CDATA[")) {
+          text = text.substring(9)
+          val cd = text.indexOf("]]>")
+          if (cd >= 0) text = text.substring(0, cd)
+          text = text.trim
+        }
+        // entity-decode (&amp; in sitemap URLs is the XML norm)
+        val sb = new java.lang.StringBuilder(text.length)
+        var k = 0
+        while (k < text.length) {
+          val c = text.charAt(k)
+          if (c == '&') k = Html.entity(text, k, sb)
+          else { sb.append(c); k += 1 }
+        }
+        val url = sb.toString
+        if (url.length <= 2048 &&
+            (url.regionMatches(true, 0, "http://", 0, 7) ||
+             url.regionMatches(true, 0, "https://", 0, 8)))
+          out += Entry(url, kind)
+        i = if (close < 0) n else close + 1
+      } else i = lt + 1
+    }
+    out.toArray
+  }
+
+  /** Tag-start check: `<name` followed by `>`, `/`, whitespace — so
+    * `<url>` never matches inside `<urlset>`.
+    */
+  private def tagAt(s: String, lt: Int, name: String): Boolean =
+    s.regionMatches(true, lt + 1, name, 0, name.length) && {
+      val j = lt + 1 + name.length
+      j >= s.length || {
+        val c = s.charAt(j)
+        c == '>' || c == '/' || Character.isWhitespace(c)
+      }
+    }
+
+  /** Does this body look like a sitemap? Root-element sniff over the
+    * first 1024 chars (after any XML declaration/comments), plus the
+    * plain-text form's URL-per-line shape.
+    */
+  def sniff(body: String): Boolean = {
+    if (body == null) return false
+    val head = body.substring(0, math.min(body.length, 1024))
+    val l = head.toLowerCase(java.util.Locale.ROOT)
+    l.contains("<urlset") || l.contains("<sitemapindex") || {
+      val first = body.linesIterator.map(_.trim).find(_.nonEmpty)
+      first.exists(s => s.regionMatches(true, 0, "http://", 0, 7) ||
+                        s.regionMatches(true, 0, "https://", 0, 8))
+    }
+  }
+
+  /** Column form: `extract_sitemap(text)` →
+    * array<struct<url, kind>>.
+    */
+  def extract_sitemap(text: Column): Column =
+    Bridge.column(SitemapEntries(Bridge.expression(text)))
+
+  def entriesU8(s: UTF8String): ArrayData =
+    new GenericArrayData(parse(s.toString).map { e =>
+      InternalRow(UTF8String.fromString(e.url),
+                  UTF8String.fromString(e.kind)).asInstanceOf[Any]
+    })
+}
+
+/** `extract_sitemap(text)` — sitemap entries of an XML/plain-text
+  * sitemap body, as array<struct<url:string, kind:string>> with kind
+  * "page" or "sitemap".
+  */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("url", StringType, nullable = false),
+                   StructField("kind", StringType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Sitemaps.entriesU8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.Sitemaps.entriesU8($c)")
+  override protected def withNewChildInternal(c: Expression): SitemapEntries =
+    copy(child = c)
+  override def prettyName: String = "extract_sitemap"
+}

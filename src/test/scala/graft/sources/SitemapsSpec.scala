@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Sitemaps]] — XML urlset / sitemapindex / plain-text parsing, the
+  * codegen'd expression, and the frontier integration where a sitemap
+  * capture surfaces pages nothing links to yet.
+  */
+class SitemapsSpec extends AnyFunSuite with SparkSpec {
+
+  test("urlset: page locs parse; entities decode; CDATA unwraps") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://a.com/page1</loc>
+        |       <lastmod>2026-01-01</lastmod></url>
+        |  <url><loc>http://a.com/q?x=1&amp;y=2</loc></url>
+        |  <url><loc><![CDATA[http://a.com/cdata?a=1&b=2]]></loc></url>
+        |</urlset>""".stripMargin
+    assert(Sitemaps.parse(xml).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/page1", "page"),
+      Sitemaps.Entry("http://a.com/q?x=1&y=2", "page"),
+      Sitemaps.Entry("http://a.com/cdata?a=1&b=2", "page")))
+  }
+
+  test("sitemapindex children are kind=sitemap; mixed bare locs default to page") {
+    val xml =
+      """<sitemapindex>
+        |  <sitemap><loc>http://a.com/sitemap-1.xml</loc></sitemap>
+        |  <sitemap><loc>http://a.com/sitemap-2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(Sitemaps.parse(xml).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/sitemap-1.xml", "sitemap"),
+      Sitemaps.Entry("http://a.com/sitemap-2.xml", "sitemap")))
+    assert(Sitemaps.parse("<loc>http://x.org/bare</loc>").toSeq ===
+      Seq(Sitemaps.Entry("http://x.org/bare", "page")))
+  }
+
+  test("plain-text form: one URL per line; junk lines skip") {
+    val txt =
+      """http://a.com/1
+        |not a url
+        |https://b.org/2
+        |""".stripMargin
+    assert(Sitemaps.parse(txt).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/1", "page"),
+      Sitemaps.Entry("https://b.org/2", "page")))
+  }
+
+  test("malformed XML degrades: parseable locs land, junk drops, no throw") {
+    assert(Sitemaps.parse(
+      """<urlset><url><loc>http://a.com/ok</loc></url>
+        |<url><loc>ftp://nope/x</loc></url>
+        |<url><loc>http://a.com/unterminated""".stripMargin).toSeq ===
+      Seq(Sitemaps.Entry("http://a.com/ok", "page"),
+          Sitemaps.Entry("http://a.com/unterminated", "page")))
+    assert(Sitemaps.parse(null).isEmpty)
+    assert(Sitemaps.parse("").isEmpty)
+    assert(Sitemaps.parse("<urlset></urlset>").isEmpty)
+  }
+
+  test("sniff recognizes both forms and rejects HTML") {
+    assert(Sitemaps.sniff("<?xml version=\"1.0\"?><urlset>..."))
+    assert(Sitemaps.sniff("<sitemapindex>"))
+    assert(Sitemaps.sniff("http://a.com/1\nhttp://a.com/2"))
+    assert(!Sitemaps.sniff("<!doctype html><html>..."))
+    assert(!Sitemaps.sniff(null))
+  }
+
+  test("expression form agrees with the Scala parser") {
+    import spark.implicits._
+    val xml = "<urlset><url><loc>http://a.com/p</loc></url></urlset>"
+    graft.functions.Functions.register(spark)
+    Seq(xml).toDF("text").createOrReplaceTempView("sm_in")
+    val rows = spark.sql(
+        "SELECT inline(extract_sitemap(text)) FROM sm_in")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("http://a.com/p", "page")))
+  }
+
+  // ---- frontier integration ------------------------------------------
+
+  private def warcRec(uri: String, body: String,
+                      ctype: String = "text/html"): Array[Byte] = {
+    val block = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n" + body
+    val bb = block.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-03-01T00:00:00Z\r\nContent-Length: ${bb.length}" +
+      "\r\n\r\n").getBytes("UTF-8") ++ bb ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new java.util.zip.GZIPOutputStream(bos)
+    os.write(b); os.close()
+    bos.toByteArray
+  }
+
+  test("frontier(sitemaps=true): unlinked sitemap pages join the fetch list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sitemap")
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      gz(warcRec("http://a.com/sitemap.xml",
+        """<urlset>
+          |<url><loc>http://a.com/unlinked-page</loc></url>
+          |<url><loc>http://a.com/linked</loc></url>
+          |</urlset>""".stripMargin, ctype = "application/xml")) ++
+      gz(warcRec("http://a.com/home",
+        """<a href="http://a.com/linked">l</a>""")))
+    val parsed = Crawl.readWarc(spark, dir.toString, extractHtml = false)
+    val withSm = Crawl.frontier(parsed, perHostCap = 8, sitemaps = true)
+      .collect().map(_.getString(1)).toSet
+    assert(withSm === Set("http://a.com/unlinked-page",
+                          "http://a.com/linked"))
+    val withoutSm = Crawl.frontier(parsed, perHostCap = 8)
+      .collect().map(_.getString(1)).toSet
+    assert(withoutSm === Set("http://a.com/linked"),
+           "without sitemaps only the linked page is discoverable")
+    // index entries surface as kind=sitemap via sitemapEntries
+    val kinds = Crawl.sitemapEntries(parsed)
+      .select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("page"))
+  }
+}
