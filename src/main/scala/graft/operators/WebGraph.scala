@@ -304,6 +304,57 @@ object WebGraph {
       .select("host", "url", "rk")
   }
 
+  /** Anchor-text profile of link targets — "what other pages call
+    * this URL" (the classic relevance/quality signal; a page whose
+    * inbound anchors are all 'click here'/'download' reads very
+    * differently from one called by its title). Input: (dst_url,
+    * anchor) occurrence rows ([[graft.sources.Crawl.anchorEdges]]).
+    * Output per target: occurrence count, distinct texts, the modal
+    * anchor (count-desc, text-asc tie-break) and its share. Two
+    * target-keyed aggregations + one windowed top-1 — shuffles on the
+    * near-unique target key, state linear in distinct (target, text).
+    */
+  def anchorProfile(anchorEdges: DataFrame): DataFrame = {
+    val byText = anchorEdges.groupBy("dst_url", "anchor")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_url")
+      .orderBy(col("cnt").desc, col("anchor"))
+    val top = byText.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("dst_url"), col("anchor").as("top_anchor"),
+              col("cnt").as("top_cnt"))
+    byText.groupBy("dst_url")
+      .agg(sum("cnt").as("n_anchors"),
+           count(lit(1)).as("n_anchor_texts"))
+      .join(top, "dst_url")
+      .select(col("dst_url").as("url"), col("n_anchors"),
+              col("n_anchor_texts"), col("top_anchor"),
+              round(col("top_cnt").cast("double") / col("n_anchors"), 4)
+                .as("top_share"))
+  }
+
+  /** Rank-proportional crawl budgeting — the scheduler that ties the
+    * host-quality prior ([[pageRank]]) to the fetch list
+    * ([[frontierFromSets]]): a global budget `B` splits across hosts
+    * proportionally to rank in EXACT integer arithmetic
+    * (cap_h = max(1, (B * rank_h) div total_rank) — every host gets
+    * at least probe-one), and each host's frontier keeps its first
+    * cap_h URLs. One broadcast of the 1-row rank total, one host join
+    * — both host-sized.
+    */
+  def budgetByRank(frontier: DataFrame, ranks: DataFrame,
+                   budget: Long): DataFrame = {
+    val total = broadcast(ranks.agg(sum("rank_e12").as("total_r")))
+    val caps = ranks.crossJoin(total)
+      .select(col("host"), col("rank_e12"),
+        greatest(lit(1L),
+          expr(s"(cast($budget as bigint) * rank_e12) div total_r"))
+          .as("cap"))
+    frontier.join(caps, "host").filter(col("rk") <= col("cap"))
+      .select("host", "url", "rk", "cap", "rank_e12")
+  }
+
   // ------------------------------------------------------------------
   // Registry queries
   // ------------------------------------------------------------------
@@ -470,18 +521,139 @@ object WebGraph {
         |      FROM h)
         |SELECT host, url, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3""".stripMargin) { (s, d) =>
-      val k = (col("doc_id") % 250).as("k")
-      val k0 = docs(s, d).select(k).distinct()
-      def u(host: Column, p: Column): Column =
-        concat(lit("http://host"), host.cast("string"),
-               lit(".com/p/"), p.cast("string"))
-      val crawled = k0.select(
-        u(col("k") % 53, col("k") % 401).as("url")).distinct()
-      val disc = k0.select(u(col("k") % 53, col("k") % 401).as("url"))
-        .union(k0.select(u((col("k") * 3 + 6) % 53,
-                           (col("k") * 11 + 17) % 401).as("url")))
-        .distinct()
+      val (crawled, disc) = plantFrontierSets(s, d)
       frontierFromSets(crawled, disc, 3)
+    },
+
+    Q("q179_anchor_profile",
+      "Anchor-text profile per link target — what OTHER pages call a " +
+        "URL (the classic relevance/quality signal): occurrence " +
+        "count, distinct texts, the modal anchor (count-desc, " +
+        "text-asc tie-break) and its share. Planted anchor " +
+        "occurrences (q113 convention); the real path is " +
+        "anchorProfile(Crawl.anchorEdges) over a raw WARC read. " +
+        "Shuffles on the near-unique target key only.",
+      """WITH k0 AS (SELECT doc_id % 250 AS k FROM documents),
+        |a0 AS (SELECT 'http://host' || CAST((k * 3 + j * 7 + 1) % 53 AS VARCHAR)
+        |         || '.com/p/' || CAST((k * 5 + j * 13) % 97 AS VARCHAR) AS dst_url,
+        |       CASE (k + j) % 7 WHEN 0 THEN 'home' WHEN 1 THEN 'about'
+        |            WHEN 2 THEN 'report 2026' WHEN 3 THEN 'contact'
+        |            WHEN 4 THEN 'news' WHEN 5 THEN 'download'
+        |            ELSE 'read more' END AS anchor
+        |       FROM k0 CROSS JOIN LATERAL unnest(range(2)) AS t(j)),
+        |bt AS (SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM a0 GROUP BY 1, 2),
+        |top AS (SELECT dst_url, anchor AS top_anchor, cnt AS top_cnt,
+        |          row_number() OVER (PARTITION BY dst_url
+        |                             ORDER BY cnt DESC, anchor) AS rk
+        |        FROM bt),
+        |agg AS (SELECT dst_url, CAST(sum(cnt) AS BIGINT) AS n_anchors,
+        |          CAST(count(*) AS BIGINT) AS n_anchor_texts
+        |        FROM bt GROUP BY 1)
+        |SELECT agg.dst_url AS url, n_anchors, n_anchor_texts, top_anchor,
+        |  round(CAST(top_cnt AS DOUBLE) / n_anchors, 4) AS top_share
+        |FROM agg JOIN top ON top.dst_url = agg.dst_url AND top.rk = 1"""
+        .stripMargin) { (s, d) =>
+      val k = col("doc_id") % 250
+      val planted = docs(s, d)
+        .select(k.as("k"), explode(sequence(lit(0L), lit(1L))).as("j"))
+        .select(
+          concat(lit("http://host"),
+                 ((col("k") * 3 + col("j") * 7 + 1) % 53).cast("string"),
+                 lit(".com/p/"),
+                 ((col("k") * 5 + col("j") * 13) % 97).cast("string"))
+            .as("dst_url"),
+          when((col("k") + col("j")) % 7 === 0, "home")
+            .when((col("k") + col("j")) % 7 === 1, "about")
+            .when((col("k") + col("j")) % 7 === 2, "report 2026")
+            .when((col("k") + col("j")) % 7 === 3, "contact")
+            .when((col("k") + col("j")) % 7 === 4, "news")
+            .when((col("k") + col("j")) % 7 === 5, "download")
+            .otherwise("read more").as("anchor"))
+      anchorProfile(planted)
+    },
+
+    Q("q180_crawl_budget",
+      "Rank-proportional crawl budgeting — the scheduler tying the " +
+        "host-quality prior (q177 PageRank) to the fetch list (q178 " +
+        "frontier): a global budget of 200 fetches splits across " +
+        "hosts proportionally to rank in exact integer arithmetic " +
+        "(cap = max(1, (200 * rank) div total) — every host keeps at " +
+        "least one probe), and each host's frontier keeps its first " +
+        "cap URLs. Composes the two planted scenarios; one 1-row " +
+        "broadcast + one host-sized join.",
+      s"""WITH $edgesSqlCtes,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts),
+         |r0 AS (SELECT h.host, 1000000000000 // n.n AS r
+         |       FROM hosts h CROSS JOIN n),
+         |s1 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r0 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r1 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s1 ON s1.dst = h.host),
+         |s2 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r1 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r2 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s2 ON s2.dst = h.host),
+         |s3 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r2 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r3 AS (SELECT h.host,
+         |         (150000000000 // n.n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
+         |       FROM hosts h CROSS JOIN n LEFT JOIN s3 ON s3.dst = h.host),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS total_r FROM r3),
+         |caps AS (SELECT r3.host, r3.r AS rank_e12,
+         |           GREATEST(1, (200 * r3.r) // tot.total_r) AS cap
+         |         FROM r3 CROSS JOIN tot),
+         |k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+         |crawled AS (SELECT DISTINCT 'http://host' || CAST(k % 53 AS VARCHAR)
+         |    || '.com/p/' || CAST(k % 401 AS VARCHAR) AS url FROM k0),
+         |disc AS (
+         |  SELECT 'http://host' || CAST(k % 53 AS VARCHAR)
+         |    || '.com/p/' || CAST(k % 401 AS VARCHAR) AS url FROM k0
+         |  UNION
+         |  SELECT 'http://host' || CAST((k * 3 + 6) % 53 AS VARCHAR)
+         |    || '.com/p/' || CAST((k * 11 + 17) % 401 AS VARCHAR) FROM k0),
+         |fresh AS (SELECT url FROM disc
+         |          WHERE url NOT IN (SELECT url FROM crawled)),
+         |fh AS (SELECT url, split_part(
+         |         regexp_extract(url, '://([^/]+)', 1), '.', 1) AS host
+         |       FROM fresh),
+         |fr AS (SELECT host, url,
+         |         row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+         |       FROM fh)
+         |SELECT fr.host, fr.url, CAST(fr.rk AS BIGINT) AS rk,
+         |  caps.cap, caps.rank_e12
+         |FROM fr JOIN caps ON caps.host = fr.host
+         |WHERE fr.rk <= caps.cap""".stripMargin) { (s, d) =>
+      val ranks = pageRank(plantEdges(s, d), 3)
+      val (crawled, disc) = plantFrontierSets(s, d)
+      val fr = frontierFromSets(crawled, disc, Int.MaxValue)
+        .withColumn("host", substring_index(col("host"), ".", 1))
+      budgetByRank(fr, ranks, 200L)
     }
   )
+
+  /** The q178/q180 planted URL sets: `crawled` (captured pages) and
+    * `disc` (discovered outlinks — one provably-seen link and one
+    * mostly-fresh link per page identity).
+    */
+  private def plantFrontierSets(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val k = (col("doc_id") % 250).as("k")
+    val k0 = docs(s, d).select(k).distinct()
+    def u(host: Column, p: Column): Column =
+      concat(lit("http://host"), host.cast("string"),
+             lit(".com/p/"), p.cast("string"))
+    val crawled = k0.select(
+      u(col("k") % 53, col("k") % 401).as("url")).distinct()
+    val disc = k0.select(u(col("k") % 53, col("k") % 401).as("url"))
+      .union(k0.select(u((col("k") * 3 + 6) % 53,
+                         (col("k") * 11 + 17) % 401).as("url")))
+      .distinct()
+    (crawled, disc)
+  }
 }

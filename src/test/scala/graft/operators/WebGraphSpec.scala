@@ -65,6 +65,40 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
                      "c" -> ((0L, 2L))))
   }
 
+  test("anchorProfile: modal anchor with count-desc text-asc tie-break") {
+    import spark.implicits._
+    val edges = Seq(
+      ("http://t/1", "home"), ("http://t/1", "home"),
+      ("http://t/1", "annual report"),
+      ("http://t/2", "b-text"), ("http://t/2", "a-text") // tie -> a-text
+    ).toDF("dst_url", "anchor")
+    val p = WebGraph.anchorProfile(edges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    assert(p("http://t/1") === ((3L, 2L, "home", 0.6667)))
+    assert(p("http://t/2") === ((2L, 2L, "a-text", 0.5)))
+  }
+
+  test("budgetByRank: proportional caps with the min-1 probe guarantee") {
+    import spark.implicits._
+    val ranks = Seq(("big", 900000000000L), ("mid", 99999999999L),
+                    ("tiny", 1L)).toDF("host", "rank_e12")
+    val frontier = (1 to 30).flatMap(i => Seq(
+      ("big", f"http://big/$i%02d", i.toLong),
+      ("mid", f"http://mid/$i%02d", i.toLong),
+      ("tiny", f"http://tiny/$i%02d", i.toLong)))
+      .toDF("host", "url", "rk")
+    val out = WebGraph.budgetByRank(frontier, ranks, 20L).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val byHost = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // total = 1e12; caps: big = (20*9e11) div 1e12 = 18,
+    // mid = (20*~1e11) div 1e12 = 1, tiny = max(1, 0) = 1
+    assert(byHost === Map("big" -> 18, "mid" -> 1, "tiny" -> 1))
+    assert(out.filter(_._1 == "big").map(_._2).max === 18L,
+           "kept rows are the FIRST cap by rk")
+  }
+
   test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
     import spark.implicits._
     val links = Seq(
