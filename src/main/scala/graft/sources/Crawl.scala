@@ -192,12 +192,20 @@ object Crawl {
     val links = linkEdges(parsed)
       .select(Urls.canonicalize(col("dst_url")).as("url"))
       .filter(col("url").isNotNull)
+    // 3xx targets are discoveries too: the redirect SOURCE is seen,
+    // its target usually is not (WARC frames carry the column; a
+    // JSONL crawl frame does not — skip there)
+    val withRedirects = if (!parsed.columns.contains("redirect")) links
+      else links.unionByName(
+        redirectEdges(parsed)
+          .select(Urls.canonicalize(col("dst_url")).as("url"))
+          .filter(col("url").isNotNull))
     // sitemaps declare what the HOST says exists — pages nothing
     // links to yet join the candidate pool (index-file entries are
     // sitemap fetches, not page fetches; a caller crawling indexes
     // reads sitemapEntries directly)
-    val cand0 = if (!sitemaps) links
-      else links.unionByName(
+    val cand0 = if (!sitemaps) withRedirects
+      else withRedirects.unionByName(
         sitemapEntries(parsed).filter(col("kind") === "page")
           .select(Urls.canonicalize(col("url")).as("url"))
           .filter(col("url").isNotNull))
@@ -215,6 +223,28 @@ object Crawl {
     }
     graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
   }
+
+  /** Keep the responses a curation pipeline should ingest: HTTP
+    * status 2xx, statusless captures (non-HTTP blocks, JSONL-fed
+    * frames), and corrupt rows (they are accounting, not content —
+    * dropping them here would hide damage from the audit family).
+    * Real CC pipelines keep only 200s; error pages and redirect stubs
+    * otherwise reach the quality gates as deterministic junk.
+    */
+  def okResponses(parsed: DataFrame): DataFrame =
+    parsed.filter(col("corrupt") || col("http_status").isNull ||
+      (col("http_status") >= 200 && col("http_status") < 300))
+
+  /** Redirect alias edges riding in the crawl: each 3xx capture's
+    * (src_url, dst_url = resolved Location, http_status). Downstream:
+    * alias resolution before canonical dedup (a chain of 301s is ONE
+    * page), and the frontier follows the targets (see [[frontier]]).
+    */
+  def redirectEdges(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("redirect").isNotNull)
+      .select(col("url").as("src_url"), col("redirect").as("dst_url"),
+              col("http_status"))
 
   /** Sitemap entries riding in the crawl: captures whose URL names a
     * sitemap (`...sitemap*.xml` / `.txt`), parsed to
@@ -370,11 +400,12 @@ object Crawl {
     * `payload` with a null text.
     */
   private type WarcRow =
-    (String, Boolean, String, String, String, String, String, Array[Byte])
+    (String, Boolean, String, String, String, String, String, Array[Byte],
+     Option[Int], String)
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
-     true, null, null, null, null, null, null)
+     true, null, null, null, null, null, null, None, null)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -521,19 +552,30 @@ object Crawl {
     dec.decode(java.nio.ByteBuffer.wrap(body)).toString
   }
 
-  /** A `response` record's block -> (declared Content-Type, decoded
-    * body BYTES), or Left(reason) for record-LOCAL damage (malformed
-    * chunk framing). Strips the HTTP header block (earliest of
-    * CRLFCRLF / bare-LF LFLF terminators), de-chunks, and inflates
-    * Content-Encoding — the transport layers, shared by the text path
-    * and the binary-asset path.
+  /** The transport-level pieces of an HTTP response block. `status`
+    * and `location` are None/absent for non-HTTP blocks; `location`
+    * is the RAW header value (resolution against the capture URL is
+    * the caller's job — Location is routinely relative).
+    */
+  private[sources] final case class HttpParts(
+      status: Option[Int], location: Option[String],
+      contentType: Option[String], body: Array[Byte])
+
+  /** A `response` record's block -> [[HttpParts]], or Left(reason)
+    * for record-LOCAL damage (malformed chunk framing). Strips the
+    * HTTP header block (earliest of CRLFCRLF / bare-LF LFLF
+    * terminators), parses the status line and Location header,
+    * de-chunks, and inflates Content-Encoding — the transport layers,
+    * shared by the text path and the binary-asset path.
     */
   private def httpBodyBytes(block: Array[Byte])
-      : Either[String, (Option[String], Array[Byte])] = {
+      : Either[String, HttpParts] = {
     val isHttp = block.length >= 5 &&
       block(0) == 'H' && block(1) == 'T' && block(2) == 'T' &&
       block(3) == 'P' && block(4) == '/'
     var contentType: Option[String] = None
+    var status: Option[Int] = None
+    var location: Option[String] = None
     var body: Array[Byte] = block
     if (isHttp) {
       val c = indexOfBytes(block, Crlf2, 0)
@@ -543,8 +585,15 @@ object Crawl {
         else if (l >= 0) (l, l + 2)
         else (-1, -1)
       if (hEnd >= 0) {
-        val headers = new String(block, 0, hEnd, "ISO-8859-1")
-          .split('\n').iterator.map(_.stripSuffix("\r")).drop(1)
+        val lines = new String(block, 0, hEnd, "ISO-8859-1")
+          .split('\n').iterator.map(_.stripSuffix("\r")).toSeq
+        // status line: "HTTP/1.1 301 Moved Permanently"
+        status = lines.headOption.flatMap { sl =>
+          val parts = sl.split(" ", 3)
+          if (parts.length < 2) None
+          else parts(1).toIntOption.filter(s => s >= 100 && s <= 599)
+        }
+        val headers = lines.iterator.drop(1)
           .flatMap { line =>
             val i = line.indexOf(':')
             if (i <= 0) None
@@ -553,6 +602,7 @@ object Crawl {
                       line.substring(i + 1).trim)
           }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
         contentType = headers.get("content-type")
+        location = headers.get("location").filter(_.nonEmpty)
         body = java.util.Arrays.copyOfRange(block, bStart, block.length)
         if (headers.get("transfer-encoding")
               .exists(_.toLowerCase(java.util.Locale.ROOT)
@@ -566,7 +616,7 @@ object Crawl {
           body = gunzipBody(body)
       }
     }
-    Right((contentType, body))
+    Right(HttpParts(status, location, contentType, body))
   }
 
   /** Decode body bytes into document text: charset precedence is the
@@ -611,7 +661,7 @@ object Crawl {
   private[sources] def httpText(block: Array[Byte],
                                 extract: Option[String => String])
       : Either[String, String] =
-    httpBodyBytes(block).map { case (ct, body) => textOf(ct, body, extract) }
+    httpBodyBytes(block).map(p => textOf(p.contentType, p.body, extract))
 
   /** Boolean shim for spec ergonomics: true = the default tag-strip
     * extractor, false = raw bodies.
@@ -680,20 +730,30 @@ object Crawl {
       if (block.length < cl.get) return Some(corruptHead)
       if (headers.get("warc-type").contains("response")) {
         httpBodyBytes(block) match {
-          case Right((ct, body)) =>
+          case Right(parts) =>
             val uri = headers.getOrElse("warc-target-uri", null)
             val date = headers.getOrElse("warc-date", null)
             val rid = headers.getOrElse("warc-record-id", null)
+            val ct = parts.contentType
+            // a redirect's Location is routinely RELATIVE — resolve
+            // against the capture URL here (total, null on garbage);
+            // only 3xx statuses carry redirect semantics
+            val redirect: String =
+              if (parts.status.exists(s => s >= 300 && s < 400))
+                parts.location
+                  .map(Html.resolveHref(_, uri)).orNull
+              else null
             assetKind(ct) match {
               case Some(_) =>
                 // binary media: route to the multimodal asset path
                 // verbatim — decoding it as text would hand the
                 // quality gates deterministic garbage
                 rows += ((null, false, uri, date, rid, null,
-                          ct.orNull, body))
+                          ct.orNull, parts.body, parts.status, redirect))
               case None =>
                 rows += ((null, false, uri, date, rid,
-                          textOf(ct, body, extract), ct.orNull, null))
+                          textOf(ct, parts.body, extract), ct.orNull,
+                          null, parts.status, redirect))
             }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
@@ -902,7 +962,7 @@ object Crawl {
     files.select(col("content")).as[Array[Byte]]
       .flatMap(parseWarcMembers(_, extract))
       .toDF("value", "corrupt", "url", "wts", "rid", "text",
-            "content_type", "payload")
+            "content_type", "payload", "http_status", "redirect")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
@@ -936,8 +996,11 @@ object Crawl {
         // extra columns append AFTER the contract (the writeCrawl
         // convention): media routing metadata + the binary payload of
         // image/audio/video responses ([[warcAssets]] reads them;
-        // [[crawlDocs]] never sees asset rows — their text is null)
-        col("content_type"), col("payload"))
+        // [[crawlDocs]] never sees asset rows — their text is null),
+        // plus the HTTP status and the RESOLVED 3xx redirect target
+        // ([[okResponses]]/[[redirectEdges]] read them)
+        col("content_type"), col("payload"),
+        col("http_status"), col("redirect"))
   }
 
   /** The BINARY side of a parsed WARC frame: image/audio/video

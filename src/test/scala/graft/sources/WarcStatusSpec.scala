@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTTP status and redirect handling in the WARC front end: the
+  * `http_status` / `redirect` columns (appended after the typed-frame
+  * contract), [[Crawl.okResponses]]' 2xx gate, [[Crawl.redirectEdges]]
+  * alias edges with relative-Location resolution, and the frontier
+  * following 3xx targets.
+  */
+class WarcStatusSpec extends AnyFunSuite with SparkSpec {
+
+  private def rec(uri: String, statusLine: String, body: String,
+                  extra: Seq[String] = Seq.empty): Array[Byte] = {
+    val block = (s"$statusLine\r\nContent-Type: text/html\r\n" +
+      extra.map(_ + "\r\n").mkString + "\r\n" + body)
+    val bb = block.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-03-01T00:00:00Z\r\nContent-Length: ${bb.length}" +
+      "\r\n\r\n").getBytes("UTF-8") ++ bb ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new java.util.zip.GZIPOutputStream(bos)
+    os.write(b); os.close()
+    bos.toByteArray
+  }
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-status")
+    java.nio.file.Files.write(d.resolve("s.warc.gz"),
+      gz(rec("http://a.com/ok", "HTTP/1.1 200 OK",
+             """<a href="http://a.com/linked">x</a> page body""")) ++
+      gz(rec("http://a.com/moved", "HTTP/1.1 301 Moved Permanently",
+             "<html>moved</html>",
+             Seq("Location: http://b.org/new-home"))) ++
+      gz(rec("http://a.com/rel", "HTTP/1.1 302 Found",
+             "", Seq("Location: /relative/target"))) ++
+      gz(rec("http://a.com/gone", "HTTP/1.1 404 Not Found",
+             "<html>the classic error page</html>")))
+    d.toString
+  }
+
+  test("http_status lands; 3xx Location resolves (relative too); non-3xx has no redirect") {
+    val parsed = Crawl.readWarc(spark, dir).cache()
+    try {
+      val m = parsed.filter(!col("corrupt"))
+        .select("url", "http_status", "redirect").collect()
+        .map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) -1 else r.getInt(1)),
+           Option(r.getString(2)))).toMap
+      assert(m("http://a.com/ok") === ((200, None)))
+      assert(m("http://a.com/moved") ===
+        ((301, Some("http://b.org/new-home"))))
+      assert(m("http://a.com/rel") ===
+        ((302, Some("http://a.com/relative/target"))))
+      assert(m("http://a.com/gone") === ((404, None)))
+    } finally parsed.unpersist()
+  }
+
+  test("okResponses keeps 2xx and statusless, drops errors and redirect stubs") {
+    val parsed = Crawl.readWarc(spark, dir)
+    val kept = Crawl.okResponses(parsed).filter(!col("corrupt"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("http://a.com/ok"))
+    // a statusless (JSONL-shaped) frame passes through untouched
+    import spark.implicits._
+    val jsonlish = Seq((false, "http://x/1", "body",
+                        null.asInstanceOf[Integer]))
+      .toDF("corrupt", "url", "text", "http_status")
+    assert(Crawl.okResponses(jsonlish).count() === 1)
+  }
+
+  test("redirectEdges emits alias edges; frontier follows the targets") {
+    val parsed = Crawl.readWarc(spark, dir, extractHtml = false)
+    val edges = Crawl.redirectEdges(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(edges === Set(
+      ("http://a.com/moved", "http://b.org/new-home", 301),
+      ("http://a.com/rel", "http://a.com/relative/target", 302)))
+    val f = Crawl.frontier(parsed, perHostCap = 8)
+      .collect().map(_.getString(1)).toSet
+    assert(f === Set("http://a.com/linked", "http://b.org/new-home",
+                     "http://a.com/relative/target"))
+  }
+}
