@@ -355,6 +355,36 @@ object WebGraph {
       .select("host", "url", "rk", "cap", "rank_e12")
   }
 
+  /** Resolve URLs through redirect alias chains — the pre-dedup step
+    * that makes a chain of 301s ONE page: each url follows its
+    * (deduplicated) redirect edge up to `maxHops` times, reporting
+    * the final target and the hop count. Fixed-depth iterated left
+    * joins on a near-unique key (the [[pageRank]] convention: bounded
+    * rounds, one lazy plan); self-loop edges drop, and a cycle simply
+    * stops at the hop cap — total either way. Multiple captured
+    * redirects for one source dedupe deterministically (max target —
+    * callers wanting latest-capture-wins pre-aggregate themselves).
+    * Real input: [[graft.sources.Crawl.redirectEdges]]; feed the
+    * output's final_url into canonical dedup / latestPerUrl.
+    */
+  def resolveRedirects(urls: DataFrame, redirects: DataFrame,
+                       maxHops: Int): DataFrame = {
+    val e = redirects.filter(col("src_url") =!= col("dst_url"))
+      .groupBy("src_url").agg(max("dst_url").as("dst_url"))
+    var r = urls.select(col("url"), col("url").as("cur"),
+                        lit(0L).as("hops"))
+    for (_ <- 1 to maxHops) {
+      r = r.join(e.withColumnRenamed("src_url", "cur").hint("shuffle_hash"),
+                 Seq("cur"), "left")
+        .select(col("url"),
+          coalesce(col("dst_url"), col("cur")).as("cur"),
+          (col("hops") +
+            when(col("dst_url").isNotNull, 1L).otherwise(0L)).as("hops"))
+    }
+    r.select(col("url"), col("cur").as("final_url"),
+             col("hops").as("n_hops"))
+  }
+
   // ------------------------------------------------------------------
   // Registry queries
   // ------------------------------------------------------------------
@@ -634,6 +664,52 @@ object WebGraph {
       val fr = frontierFromSets(crawled, disc, Int.MaxValue)
         .withColumn("host", substring_index(col("host"), ".", 1))
       budgetByRank(fr, ranks, 200L)
+    },
+
+    Q("q181_redirect_resolve",
+      "Redirect alias-chain resolution (max 3 hops): each URL follows " +
+        "its deduplicated 3xx edge to the final target — the pre-dedup " +
+        "step that makes a chain of 301s ONE page before canonical " +
+        "dedup (q173). Planted: every m%4<2 page redirects to its " +
+        "successor (so two-hop chains exist at m%4=0), m%97=5 plants a " +
+        "self-loop (dropped), everything else is terminal. Fixed-depth " +
+        "iterated left joins on a near-unique key; the real input is " +
+        "Crawl.redirectEdges.",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS m FROM documents),
+        |u AS (SELECT m, 'http://h' || CAST(m % 31 AS VARCHAR)
+        |        || '.com/p' || CAST(m AS VARCHAR) AS url FROM k0),
+        |ed AS (SELECT e0.url AS src_url, u2.url AS dst_url
+        |       FROM u e0 JOIN u u2 ON u2.m = (e0.m + 1) % 250
+        |       WHERE e0.m % 4 < 2
+        |       UNION ALL
+        |       SELECT url, url FROM u WHERE m % 97 = 5),
+        |eds AS (SELECT src_url, max(dst_url) AS dst_url FROM ed
+        |        WHERE src_url <> dst_url GROUP BY 1),
+        |r1 AS (SELECT u.url, COALESCE(e.dst_url, u.url) AS cur,
+        |         CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END AS hops
+        |       FROM u LEFT JOIN eds e ON e.src_url = u.url),
+        |r2 AS (SELECT r1.url, COALESCE(e.dst_url, r1.cur) AS cur,
+        |         r1.hops + CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM r1 LEFT JOIN eds e ON e.src_url = r1.cur),
+        |r3 AS (SELECT r2.url, COALESCE(e.dst_url, r2.cur) AS cur,
+        |         r2.hops + CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM r2 LEFT JOIN eds e ON e.src_url = r2.cur)
+        |SELECT url, cur AS final_url, CAST(hops AS BIGINT) AS n_hops
+        |FROM r3""".stripMargin) { (s, d) =>
+      val m = col("m")
+      val u = docs(s, d).select((col("doc_id") % 250).as("m")).distinct()
+        .select(m, concat(lit("http://h"), (m % 31).cast("string"),
+                          lit(".com/p"), m.cast("string")).as("url"))
+      val succ = u.select(col("m").as("m2"), col("url").as("dst_url"))
+      val chain = u.filter(m % 4 < 2)
+        .select(((col("m") + 1) % 250).as("mn"), col("url").as("src_url"))
+        .join(succ, col("mn") === col("m2"))
+        .select("src_url", "dst_url")
+      val loops = u.filter(m % 97 === 5)
+        .select(col("url").as("src_url"), col("url").as("dst_url"))
+      resolveRedirects(u.select("url"), chain.unionByName(loops), 3)
     }
   )
 

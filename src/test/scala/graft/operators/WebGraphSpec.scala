@@ -99,6 +99,24 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
            "kept rows are the FIRST cap by rk")
   }
 
+  test("resolveRedirects: chains collapse, cycles stop at the cap, self-loops drop") {
+    import spark.implicits._
+    val urls = Seq("a", "b", "c", "d", "e", "x").toDF("url")
+    val edges = Seq(
+      ("a", "b"), ("b", "c"),          // 2-hop chain a -> c
+      ("d", "e"), ("e", "d"),          // 2-cycle: stops at the hop cap
+      ("x", "x")                       // self-loop: dropped, terminal
+    ).toDF("src_url", "dst_url")
+    val r = WebGraph.resolveRedirects(urls, edges, 3).collect()
+      .map(row => row.getString(0) -> ((row.getString(1), row.getLong(2))))
+      .toMap
+    assert(r("a") === (("c", 2L)))
+    assert(r("b") === (("c", 1L)))
+    assert(r("c") === (("c", 0L)))
+    assert(r("d") === (("e", 3L)), "cycle walks until the cap")
+    assert(r("x") === (("x", 0L)))
+  }
+
   test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
     import spark.implicits._
     val links = Seq(
