@@ -293,8 +293,12 @@ object WebGraph {
     */
   def frontierFromSets(seen: DataFrame, candidates: DataFrame,
                        perHostCap: Int): DataFrame = {
+    // the seen set is PAGE-scale (billions of URLs at 100 TB) — pin it
+    // to the shuffle path so AQE's test-scale broadcast choice never
+    // becomes the production plan (the no-broadcast-vocabulary rule)
     val fresh = candidates.select("url").distinct()
-      .join(seen.select("url").distinct(), Seq("url"), "left_anti")
+      .join(seen.select("url").distinct().hint("shuffle_hash"),
+            Seq("url"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("url")
     fresh.withColumn("host", Urls.host(col("url")))
@@ -351,7 +355,10 @@ object WebGraph {
         greatest(lit(1L),
           expr(s"(cast($budget as bigint) * rank_e12) div total_r"))
           .as("cap"))
-    frontier.join(caps, "host").filter(col("rk") <= col("cap"))
+    // caps is host-sized (~1e7 rows / hundreds of MB at CC scale) —
+    // too big to ship to every task; keep the join on the shuffle path
+    frontier.join(caps.hint("shuffle_hash"), "host")
+      .filter(col("rk") <= col("cap"))
       .select("host", "url", "rk", "cap", "rank_e12")
   }
 

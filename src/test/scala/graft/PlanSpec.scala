@@ -994,4 +994,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"),
            s"q178 per-host cap lost its pre-exchange group limit:\n$p")
   }
+
+  test("q180/q181: only 1-row scalars broadcast; chain joins stay hinted-shuffle") {
+    for (q <- Seq("q180_crawl_budget", "q181_redirect_resolve")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // host/page-sized operator tables must never broadcast (1-row
+      // scalar aggregates and the planted-fixture scaffolding joins
+      // may). The operator joins key on host/url/cur — none of those
+      // may appear as a BroadcastHashJoin key.
+      val bhj = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") &&
+          (l.contains("[host#") || l.contains("[url#") ||
+           l.contains("[cur#"))).toSeq
+      assert(bhj.isEmpty,
+             s"$q broadcast an operator-keyed table:\n${bhj.mkString("\n")}")
+      assert(p.contains("ShuffledHashJoin"),
+             s"$q chain joins lost the hinted shuffle path:\n$p")
+    }
+  }
 }
