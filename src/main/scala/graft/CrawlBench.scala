@@ -104,6 +104,35 @@ object CrawlBench {
     println(line("1x", n1, s1, b1))
     println(line("4x", n2, s2, b2))
     println(f"""{"ratio":${s2 / s1}%.2f,"linear_expectation":4.0}""")
+
+    // the link-graph door: anchor extraction and the full frontier
+    // (links -> canonicalize -> anti-join seen -> per-host cap) over
+    // a raw-body read of a fresh 1x corpus — each body carries 4
+    // resolvable anchors, so expected edge count = 4 * records
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-crawlbench")
+      val bytes = writeCorpus(dir, files, members)
+      val expected = files.toLong * members
+      val parsed = sources.Crawl.readWarc(spark, dir.toString,
+                                          extractHtml = false)
+      def anchors(): Long =
+        sources.Crawl.anchorEdges(parsed)
+          .agg(count(lit(1)), sum(length(col("anchor"))))
+          .head().getLong(0)
+      anchors()
+      val t0 = System.nanoTime()
+      val e = anchors()
+      val sA = (System.nanoTime() - t0) / 1e9
+      require(e == expected * 4, s"extracted $e of ${expected * 4} anchors")
+      def frontier(): Long =
+        sources.Crawl.frontier(parsed, perHostCap = 1000).count()
+      frontier()
+      val t1 = System.nanoTime()
+      frontier()
+      val sF = (System.nanoTime() - t1) / 1e9
+      println(line("anchors-1x", e, sA, bytes))
+      println(line("frontier-1x", expected, sF, bytes))
+    }
     spark.stop()
   }
 }
