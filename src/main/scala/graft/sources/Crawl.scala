@@ -1089,8 +1089,16 @@ object Crawl {
     * re-derived by the reader's own rules (Record-ID hash, URL host).
     */
   def writeWarc(docFrame: DataFrame, path: String): Unit = {
+    // WARC-Date is a UTC instant by spec: render through
+    // to_utc_timestamp(ts, sessionTZ) so the literal 'Z' is honest in
+    // ANY session time zone (date_format alone renders session-local
+    // wall-clock, which would shift every capture date for a
+    // non-UTC caller)
+    val tz = docFrame.sparkSession.conf.get(
+      "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
     val prepped = docFrame.select(
-      coalesce(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      coalesce(date_format(to_utc_timestamp(col("ts"), tz),
+                           "yyyy-MM-dd'T'HH:mm:ss'Z'"),
                lit("1970-01-01T00:00:00Z")).as("wdate"),
       coalesce(col("doc_id").cast("string"), lit("0")).as("rid"),
       col("url").cast("string").as("url"),
@@ -1101,10 +1109,21 @@ object Crawl {
       docFrame.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(hadoopPath, true)
     fs.mkdirs(hadoopPath)
+    // ship the SESSION's effective Hadoop config to the tasks — a bare
+    // new Configuration() on the executor drops spark.hadoop.* (S3
+    // credentials, fs.defaultFS) and writes to the wrong filesystem
+    val confProps: Seq[(String, String)] = {
+      val it = docFrame.sparkSession.sparkContext
+        .hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toSeq
+    }
     prepped.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val conf = new org.apache.hadoop.conf.Configuration()
+        confProps.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.warc.gz")
         val out = p.getFileSystem(conf).create(p, true)
         try {

@@ -244,15 +244,18 @@ object Html {
           val d = html.charAt(i + 1)
           Character.isLetter(d) || d == '/' || d == '!' || d == '?'
         }) {
-          // read the tag name to classify block vs inline vs anchor
+          // read the tag name to classify block vs inline vs anchor —
+          // requiring a name delimiter so <a-entity>/<div-x> custom
+          // elements classify as generic inline tags, not <a>/<div>
           var p = i + 1
           val closing = p < n && html.charAt(p) == '/'
           if (closing) p += 1
           val start = p
           while (p < n && (Character.isLetterOrDigit(html.charAt(p))))
             p += 1
-          val name = html.substring(start, p)
-            .toLowerCase(java.util.Locale.ROOT)
+          val name = if (nameEnds(html, p))
+              html.substring(start, p).toLowerCase(java.util.Locale.ROOT)
+            else ""
           i = skipTag(html, i)
           if (name == "a") {
             if (closing) anchorDepth = math.max(0, anchorDepth - 1)
@@ -379,8 +382,13 @@ object Html {
           if (closing) p += 1
           val start = p
           while (p < n && Character.isLetterOrDigit(html.charAt(p))) p += 1
-          val name = html.substring(start, p)
-            .toLowerCase(java.util.Locale.ROOT)
+          // the alnum run must END the tag name (nameEnds): a
+          // hyphenated custom element (<a-entity href>, A-Frame's
+          // literal markup) is NOT an anchor — without this guard its
+          // href fabricates a link and </a-xxx> closes real anchors
+          val name = if (nameEnds(html, p))
+              html.substring(start, p).toLowerCase(java.util.Locale.ROOT)
+            else ""
           val end = skipTag(html, i)
           // an unterminated tag (EOF before '>') is a truncated
           // capture — harvesting its href would fabricate a link

@@ -38,28 +38,34 @@ object HtmlExpr {
   def extractMainU8(s: UTF8String): UTF8String =
     UTF8String.fromString(Html.extractMainText(s.toString))
 
-  /** Column form of the outlink extractor (array of absolute URLs). */
-  def extract_links(text: Column, baseUrl: Column): Column =
+  /** Column form of the outlink extractor (array of absolute URLs).
+    * A null base coalesces to "" — absolute hrefs still extract
+    * (extractLinks treats an unparseable base as "relatives drop"),
+    * rather than nulling the whole result; a null TEXT yields null.
+    */
+  def extract_links(text: Column, baseUrl: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     Bridge.column(HtmlLinks(Bridge.expression(text),
-                            Bridge.expression(baseUrl)))
-
-  def linksU8(s: UTF8String, base: UTF8String): ArrayData = {
-    val links = Html.extractLinks(s.toString,
-      if (base == null) null else base.toString)
-    new GenericArrayData(
-      links.map(UTF8String.fromString(_).asInstanceOf[Any]))
+                            Bridge.expression(coalesce(baseUrl, lit("")))))
   }
+
+  def linksU8(s: UTF8String, base: UTF8String): ArrayData =
+    new GenericArrayData(
+      Html.extractLinks(s.toString, base.toString)
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
 
   /** Column form of the anchor extractor:
     * array<struct<url, anchor>>, one element per link OCCURRENCE.
+    * Same null policy as [[extract_links]].
     */
-  def extract_anchors(text: Column, baseUrl: Column): Column =
+  def extract_anchors(text: Column, baseUrl: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     Bridge.column(HtmlAnchors(Bridge.expression(text),
-                              Bridge.expression(baseUrl)))
+                              Bridge.expression(coalesce(baseUrl, lit("")))))
+  }
 
   def anchorsU8(s: UTF8String, base: UTF8String): ArrayData = {
-    val pairs = Html.extractAnchors(s.toString,
-      if (base == null) null else base.toString)
+    val pairs = Html.extractAnchors(s.toString, base.toString)
     new GenericArrayData(pairs.map { case (u, a) =>
       org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(u), UTF8String.fromString(a))
@@ -84,8 +90,10 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
 /** `extract_links(text, base_url)` — absolute outlinks of an HTML
   * body (`<a>`/`<area>` hrefs resolved against `base_url`, honoring
   * `<base>`, fragments stripped, non-navigational schemes dropped).
-  * Null-safe on both children; returns array<string> with first-seen
-  * order, distinct.
+  * Null-PROPAGATING on both children (any null child -> null result;
+  * the [[HtmlExpr.extract_links]] wrapper coalesces a null base to ""
+  * so only a null text nulls the output). Returns array<string> in
+  * first-seen order, distinct.
   */
 case class HtmlLinks(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -77,8 +77,12 @@ object Robots {
               if (!inAgentRun) { groupSpecific = false; groupWildcard = false }
               inAgentRun = true
               val v = value.toLowerCase(java.util.Locale.ROOT)
+              // an EMPTY agent value is a malformed header (RFC 9309:
+              // ignore) — without the nonEmpty guard it would match
+              // every crawler via want.contains("") and its rules
+              // would suppress the legitimate * group
               if (v == "*") groupWildcard = true
-              else if (want.nonEmpty &&
+              else if (v.nonEmpty && want.nonEmpty &&
                        (want.contains(v) || v.contains(want)))
                 groupSpecific = true
             case "disallow" | "allow" =>
@@ -157,16 +161,18 @@ object Robots {
   def allowed(url: String, body: String, agent: String): Boolean = {
     if (url == null) return false
     val schemeEnd = url.indexOf("://")
-    val pathStart =
-      if (schemeEnd < 0) 0
-      else {
-        val p = url.indexOf('/', schemeEnd + 3)
-        if (p < 0) url.length else p
-      }
-    val frag = url.indexOf('#', pathStart)
-    val path0 = if (frag < 0) url.substring(pathStart)
-      else url.substring(pathStart, frag)
-    val path = if (path0.isEmpty) "/" else path0
+    // the authority ends at the FIRST of '/', '?', '#' — a '/' inside
+    // the query ("?a=/x") must not be mistaken for the path start
+    val authStart = if (schemeEnd < 0) 0 else schemeEnd + 3
+    var i = authStart
+    while (i < url.length && url.charAt(i) != '/' &&
+           url.charAt(i) != '?' && url.charAt(i) != '#') i += 1
+    val frag = url.indexOf('#', i)
+    val rest = if (frag < 0) url.substring(i) else url.substring(i, frag)
+    // query-only targets get the implicit root: "?a=1" -> "/?a=1"
+    val path = if (rest.isEmpty) "/"
+      else if (rest.charAt(0) == '?') "/" + rest
+      else rest
     isAllowed(path, parseRules(body, agent))
   }
 

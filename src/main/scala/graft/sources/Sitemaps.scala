@@ -66,11 +66,21 @@ object Sitemaps {
     while (i < n) {
       val lt = body.indexOf('<', i)
       if (lt < 0) return out.toArray
-      if (tagAt(body, lt, "url") && !tagAt(body, lt, "urlset")) {
+      // tagAt requires a name delimiter, so "url" can't match inside
+      // "<urlset" nor "sitemap" inside "<sitemapindex". Closing
+      // container tags reset the context so a bare <loc> AFTER a
+      // container is a page (the documented default), not a leak of
+      // the previous container's kind.
+      if (tagAt(body, lt, "url")) {
         kind = "page"; i = lt + 1
-      } else if (tagAt(body, lt, "sitemap") &&
-                 !tagAt(body, lt, "sitemapindex")) {
+      } else if (tagAt(body, lt, "sitemap")) {
         kind = "sitemap"; i = lt + 1
+      } else if (lt + 1 < n && body.charAt(lt + 1) == '/' &&
+                 (tagAt(body, lt + 1, "url") ||
+                  tagAt(body, lt + 1, "sitemap") ||
+                  tagAt(body, lt + 1, "urlset") ||
+                  tagAt(body, lt + 1, "sitemapindex"))) {
+        kind = "page"; i = lt + 2
       } else if (tagAt(body, lt, "loc")) {
         val gt = body.indexOf('>', lt)
         if (gt < 0) return out.toArray

@@ -120,11 +120,27 @@ class HtmlLinksSpec extends AnyFunSuite with SparkSpec {
     val expected = Html.extractLinks(html, base).toSeq
     assert(viaCol === expected)
     assert(viaSql === expected)
-    // null url -> null links (null-safe binary expression)
-    val nulls = Seq((html, null.asInstanceOf[String])).toDF("text", "url")
+    // null BASE coalesces to "": absolute links still extract,
+    // relatives drop; only a null TEXT nulls the result
+    val nullBase = Seq((html, null.asInstanceOf[String])).toDF("text", "url")
+      .select(HtmlExpr.extract_links(col("text"), col("url")).as("l"))
+      .collect()(0).getSeq[String](0)
+    assert(nullBase === Seq("http://o.org/y"))
+    val nullText = Seq((null.asInstanceOf[String], base)).toDF("text", "url")
       .select(HtmlExpr.extract_links(col("text"), col("url")).as("l"))
       .collect()(0)
-    assert(nulls.isNullAt(0))
+    assert(nullText.isNullAt(0))
+  }
+
+  test("hyphenated custom elements are not anchors/areas/bases") {
+    // A-Frame-style markup: <a-entity href> must not fabricate a link,
+    // </a-xxx> must not close a real anchor, <base-x> must not rebase
+    assert(links("""<a-entity href="/scene">inner</a-entity>""") === Seq())
+    assert(Html.extractAnchors(
+      """<a href="/real">keep </a-widget>going</a>""", base).toSeq ===
+      Seq(("http://ex.com/real", "keep going")))
+    assert(links("""<base-x href="http://evil.com/"><a href="/p">x</a>""")
+      === Seq("http://ex.com/p"))
   }
 
   // ---- anchor text ---------------------------------------------------

@@ -89,6 +89,27 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(Robots.allowed("http://a.com/p", "", agent))
   }
 
+  test("a malformed empty User-agent never hijacks the * group") {
+    val body =
+      """User-agent:
+        |Disallow: /
+        |User-agent: *
+        |Disallow: /tmp/""".stripMargin
+    assert(ok("http://a.com/page", body),
+           "the empty-agent group must not bind to every crawler")
+    assert(!ok("http://a.com/tmp/x", body), "the * group still applies")
+  }
+
+  test("a '/' inside the query is not the path start; query-only targets get the root") {
+    val body = "User-agent: *\nDisallow: /priv"
+    assert(ok("http://h.com?a=/priv", body),
+           "the real path is '/', the '/priv' lives in the query")
+    assert(!ok("http://h.com/priv?x=1", body))
+    val qbody = "User-agent: *\nDisallow: /?session="
+    assert(!ok("http://h.com?session=1", qbody),
+           "query-only target matches as /?session=...")
+  }
+
   test("expression form: codegen column and SQL agree; null policy holds") {
     import spark.implicits._
     val body = "User-agent: *\nDisallow: /no/"

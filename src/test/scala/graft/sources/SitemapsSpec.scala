@@ -36,6 +36,13 @@ class SitemapsSpec extends AnyFunSuite with SparkSpec {
       Sitemaps.Entry("http://a.com/sitemap-2.xml", "sitemap")))
     assert(Sitemaps.parse("<loc>http://x.org/bare</loc>").toSeq ===
       Seq(Sitemaps.Entry("http://x.org/bare", "page")))
+    // a bare <loc> AFTER a closed container is a page — the container
+    // kind must not leak past its closing tag
+    assert(Sitemaps.parse(
+      "<sitemapindex><sitemap><loc>http://a/s.xml</loc></sitemap>" +
+        "</sitemapindex><loc>http://a/bare</loc>").toSeq === Seq(
+      Sitemaps.Entry("http://a/s.xml", "sitemap"),
+      Sitemaps.Entry("http://a/bare", "page")))
   }
 
   test("plain-text form: one URL per line; junk lines skip") {

@@ -45,6 +45,31 @@ class WarcExportSpec extends AnyFunSuite with SparkSpec {
     assert(parts.length === 2, parts.mkString(", "))
   }
 
+  test("WARC-Date stays true UTC under a non-UTC session time zone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wexp-tz")
+      .resolve("out").toString
+    // pin the INPUT instants under UTC first (to_timestamp is lazy and
+    // session-tz-dependent) so the test isolates writeWarc's rendering
+    val frame = docFrame.coalesce(1).cache()
+    frame.count()
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      Crawl.writeWarc(frame, dir)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", tzBefore)
+      frame.unpersist()
+    }
+    // read back under the test default (UTC): instants must match the
+    // originals exactly — a session-local rendering with a literal 'Z'
+    // would come back hours off
+    val back = Crawl.readWarc(spark, dir)
+      .filter(col("url") === "http://a.com/one")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0)
+    assert(back === "2026-03-01 10:00:00")
+  }
+
   test("exported members stay individually splittable: mid-file damage is contained") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wexp2")
       .resolve("out").toString
