@@ -392,6 +392,39 @@ object WebGraph {
              col("hops").as("n_hops"))
   }
 
+  /** Weakly-connected components of a host graph by fixed-round
+    * min-label propagation — the mirror/site-family detector (hosts
+    * linked into one cluster are one "site" for caps/mixing, the way
+    * q64 clusters documents): every host starts labeled with itself,
+    * and each round takes the min (byte-order) label across its
+    * undirected neighborhood. min is exact and order-free, so labels
+    * are bit-identical across engines/partitions at ANY round count —
+    * callers pick `rounds` >= the expected component diameter (the
+    * fixed-depth analytic form; for unbounded diameters iterate with
+    * checkpoints like the big-graph CC in Curation). Per round: one
+    * shuffle join of the undirected edge list with the host-sized
+    * label table + one min aggregation.
+    */
+  def components(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val hosts = und.select(col("src").as("host")).distinct()
+    var lbl = hosts.select(col("host"), col("host").as("component"))
+    for (_ <- 1 to rounds) {
+      val neigh = und
+        .join(lbl.withColumnRenamed("host", "dst").hint("shuffle_hash"),
+              Seq("dst"))
+        .groupBy(col("src").as("host"))
+        .agg(min("component").as("nmin"))
+      lbl = lbl.join(neigh.hint("shuffle_hash"), Seq("host"), "left")
+        .select(col("host"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+    }
+    lbl
+  }
+
   // ------------------------------------------------------------------
   // Registry queries
   // ------------------------------------------------------------------
@@ -717,6 +750,60 @@ object WebGraph {
       val loops = u.filter(m % 97 === 5)
         .select(col("url").as("src_url"), col("url").as("dst_url"))
       resolveRedirects(u.select("url"), chain.unionByName(loops), 3)
+    },
+
+    Q("q182_host_components",
+      "Weakly-connected host components by 4-round min-label " +
+        "propagation — the mirror/site-family detector: hosts linked " +
+        "into one cluster count as ONE site for caps and mixing. min " +
+        "is exact and order-free, so labels are bit-identical across " +
+        "engines and partitions at any fixed round count. Planted: " +
+        "hosts h0..h23 with step-4 ring edges (+step-8 chords), so " +
+        "components are exactly the residue classes mod 4 and 4 " +
+        "rounds provably converge.",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+        |e0 AS (SELECT 'h' || CAST(k % 24 AS VARCHAR) AS src,
+        |         'h' || CAST((k % 24 + 4) % 24 AS VARCHAR) AS dst FROM k0
+        |       UNION
+        |       SELECT 'h' || CAST(k % 24 AS VARCHAR),
+        |         'h' || CAST((k % 24 + 8) % 24 AS VARCHAR) FROM k0
+        |       WHERE k % 2 = 0),
+        |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |h AS (SELECT DISTINCT src AS host FROM und),
+        |p0 AS (SELECT host, host AS component FROM h),
+        |m1 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p0 r ON r.host = e.dst GROUP BY 1),
+        |p1 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p0 p LEFT JOIN m1 m ON m.host = p.host),
+        |m2 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p1 r ON r.host = e.dst GROUP BY 1),
+        |p2 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p1 p LEFT JOIN m2 m ON m.host = p.host),
+        |m3 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p2 r ON r.host = e.dst GROUP BY 1),
+        |p3 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p2 p LEFT JOIN m3 m ON m.host = p.host),
+        |m4 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p3 r ON r.host = e.dst GROUP BY 1),
+        |p4 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p3 p LEFT JOIN m4 m ON m.host = p.host)
+        |SELECT host, component FROM p4""".stripMargin) { (s, d) =>
+      val k = (col("doc_id") % 250).as("k")
+      val k0 = docs(s, d).select(k).distinct()
+      val h24 = col("k") % 24
+      def hn(c: Column): Column = concat(lit("h"), c.cast("string"))
+      val ring = k0.select(hn(h24).as("src"), hn((h24 + 4) % 24).as("dst"))
+      val chords = k0.filter(col("k") % 2 === 0)
+        .select(hn(h24).as("src"), hn((h24 + 8) % 24).as("dst"))
+      components(ring.unionByName(chords).distinct(), 4)
     }
   )
 

@@ -117,6 +117,25 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(r("x") === (("x", 0L)))
   }
 
+  test("components: min-label propagation finds exact components, order-free") {
+    import spark.implicits._
+    // two components: {a,b,c} chained, {x,y} paired; direction ignored
+    val g = Seq("b" -> "a", "b" -> "c", "y" -> "x")
+    val exp = Map("a" -> "a", "b" -> "a", "c" -> "a",
+                  "x" -> "x", "y" -> "x")
+    val got = WebGraph.components(g.toDF("src", "dst"), 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === exp)
+    val shuffled = WebGraph.components(
+      scala.util.Random.shuffle(g).toDF("src", "dst").repartition(5), 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shuffled === exp)
+    // under-provisioned rounds are still deterministic (partial labels)
+    val partial = WebGraph.components(g.toDF("src", "dst"), 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(partial("c") === "b" && partial("b") === "a")
+  }
+
   test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
     import spark.implicits._
     val links = Seq(
