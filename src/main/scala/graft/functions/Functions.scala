@@ -61,8 +61,44 @@ object Functions {
     add("extract_links", "extract_links(text, base_url) - absolute outlinks of an HTML body") {
       exprs => graft.sources.HtmlLinks(exprs.head, exprs(1))
     }
-    add("robots_allowed", "robots_allowed(url, robots_body, agent) - RFC 9309 robots.txt check") {
-      exprs => graft.sources.RobotsAllowed(exprs.head, exprs(1), exprs(2))
+    // the SQL spelling carries the SAME null policy as the Column
+    // wrapper (Robots.robots_allowed): body coalesces to '' (missing
+    // robots.txt fails OPEN) and the result to false (missing url
+    // fails CLOSED). The bare expression would return NULL on a null
+    // body, which WHERE treats as false — silently disallowing every
+    // host without a captured robots.txt.
+    add("robots_allowed", "robots_allowed(url, robots_body, agent) - RFC 9309 robots.txt check; fail-open on null body, fail-closed on null url") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.Coalesce
+        Coalesce(Seq(
+          graft.sources.RobotsAllowed(
+            exprs.head,
+            Coalesce(Seq(exprs(1), Literal(""))),
+            Coalesce(Seq(exprs(2), Literal("")))),
+          Literal(false)))
+    }
+    add("robots_compile", "robots_compile(robots_body, agent) - agent's robots rule group, compiled (one rule per line); compute once per host") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.Coalesce
+        graft.sources.RobotsCompile(
+          Coalesce(Seq(exprs.head, Literal(""))),
+          Coalesce(Seq(exprs(1), Literal(""))))
+    }
+    add("robots_allowed_c", "robots_allowed_c(url, compiled) - robots check against a robots_compile'd rule group; fail-open on null rules, fail-closed on null url") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.Coalesce
+        Coalesce(Seq(
+          graft.sources.RobotsAllowedCompiled(
+            exprs.head,
+            Coalesce(Seq(exprs(1), Literal("")))),
+          Literal(false)))
+    }
+    add("robots_delay", "robots_delay(robots_body, agent) - Crawl-delay/Request-rate fetch interval in seconds; -1 when none declared") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.Coalesce
+        graft.sources.RobotsDelay(
+          Coalesce(Seq(exprs.head, Literal(""))),
+          Coalesce(Seq(exprs(1), Literal(""))))
     }
     add("extract_anchors", "extract_anchors(text, base_url) - link occurrences with anchor text") {
       exprs => graft.sources.HtmlAnchors(exprs.head, exprs(1))

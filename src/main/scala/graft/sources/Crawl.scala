@@ -185,7 +185,8 @@ object Crawl {
     */
   def frontier(parsed: DataFrame, perHostCap: Int = 64,
                robotsAgent: Option[String] = None,
-               sitemaps: Boolean = false): DataFrame = {
+               sitemaps: Boolean = false,
+               crawlDelayWindow: Double = 0.0): DataFrame = {
     val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
@@ -211,17 +212,51 @@ object Crawl {
           .filter(col("url").isNotNull))
     // robots gating runs BEFORE the politeness cap — a disallowed URL
     // must not consume a host's fetch budget. Hosts with no captured
-    // robots.txt fail open (the robots_allowed null policy).
-    val cand = robotsAgent match {
-      case Some(agent) =>
+    // robots.txt fail open (the robots_allowed_c null policy). The
+    // body parse happens ONCE PER HOST: robots_compile projects each
+    // host's body to its compiled rule group (+ declared crawl
+    // delay), so the per-candidate check is a longest-match over
+    // compiled rules and the join ships rule strings, never bodies.
+    val compiled = robotsAgent.map { agent =>
+      robotsTexts(parsed).select(
+        col("host"),
+        Robots.robots_compile(col("robots_txt"), lit(agent))
+          .as("_robots_rules"),
+        Robots.robots_delay(col("robots_txt"), lit(agent))
+          .as("_robots_delay"))
+    }
+    val cand = compiled match {
+      case Some(rules) =>
+        // host-sized table, but pinned to the shuffle path anyway —
+        // the no-broadcast rule for anything that grows with the web
         cand0.withColumn("host", Urls.host(col("url")))
-          .join(robotsTexts(parsed), Seq("host"), "left")
-          .filter(Robots.robots_allowed(col("url"), col("robots_txt"),
-                                        lit(agent)))
+          .join(rules.drop("_robots_delay").hint("shuffle_hash"),
+                Seq("host"), "left")
+          .filter(Robots.robots_allowed_c(col("url"),
+                                          col("_robots_rules")))
           .select("url")
       case None => cand0
     }
-    graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
+    val fr =
+      graft.operators.WebGraph.frontierFromSets(seen, cand, perHostCap)
+    // Crawl-delay politeness: with a fetch-window length (seconds), a
+    // host declaring Crawl-delay/Request-rate can sustain at most
+    // window/delay fetches per round, so its cap tightens to
+    // min(perHostCap, max(1, floor(window/delay))) — min-1 keeps the
+    // probe guarantee (the budgetByRank convention). Without a window
+    // (the batch default) semantics are unchanged.
+    compiled match {
+      case Some(rules) if crawlDelayWindow > 0 =>
+        val caps = rules.filter(col("_robots_delay").isNotNull)
+          .select(col("host"),
+            greatest(lit(1L),
+              floor(lit(crawlDelayWindow) / col("_robots_delay"))
+                .cast("long")).as("_cap"))
+        fr.join(caps.hint("shuffle_hash"), Seq("host"), "left")
+          .filter(col("rk") <= coalesce(col("_cap"), lit(Long.MaxValue)))
+          .drop("_cap")
+      case _ => fr
+    }
   }
 
   /** Keep the responses a curation pipeline should ingest: HTTP

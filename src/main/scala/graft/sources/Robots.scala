@@ -1,10 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt evaluation (RFC 9309 lite) — the politeness half of the
@@ -20,37 +20,70 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics implemented (RFC 9309 §2):
   *   - groups: consecutive `User-agent:` lines head a group; rules
   *     bind to the nearest preceding group
-  *   - group selection: a group whose agent token is a
-  *     case-insensitive substring of (or equal to) the crawler's
-  *     product token wins over the `*` group; all matching groups'
-  *     rules merge (the RFC's "most specific group" reduced to
-  *     token-match vs wildcard — full product-token precedence needs
-  *     a registry of agent names this library doesn't own)
+  *   - group selection: a group binds to the crawler iff its agent
+  *     token EQUALS the crawler's product token or is a PREFIX of it
+  *     (case-insensitive) — the RFC 9309 §2.2.1 / Google rule. A
+  *     bidirectional-substring match would let a group for a
+  *     DIFFERENT bot ("graftbot-news", or any one-letter token) bind
+  *     and, because a specific group fully replaces `*`, silently
+  *     discard the site's wildcard Disallows (fail-open against site
+  *     policy). All matching specific groups' rules merge; any
+  *     specific match suppresses the `*` group entirely
   *   - rule selection: the LONGEST matching rule wins; `allow` beats
   *     `disallow` at equal length; no match → allowed
   *   - patterns: `*` matches any run, `$` anchors the end (the RFC's
   *     two metacharacters); empty `Disallow:` is an explicit
   *     allow-all; comments (`#`) and unknown directives skip
+  *   - `Crawl-delay: <seconds>` and `Request-rate: <n>/<t>[smh]`
+  *     (de-facto extensions real crawlers honor) bind to their group
+  *     like rules; the effective per-host fetch interval is the max
+  *     of the two spellings — surfaced by [[crawlDelay]] /
+  *     [[robots_delay]] and consumed by [[Crawl.frontier]]'s
+  *     politeness cap
   *   - a missing/empty/unparseable robots.txt allows everything
   *     (fail-open, the crawl-ecosystem convention)
   *
   * Parsing is total and deterministic — garbage lines skip, never
-  * throw. Evaluation is pure column math via a codegen'd expression
-  * ([[RobotsAllowed]]): the per-row parse is bounded because the
-  * frontier is politeness-capped per host, so at most `perHostCap`
-  * rows re-parse any one (small) robots body.
+  * throw.
+  *
+  * Scale shape — parse once per HOST, match once per CANDIDATE: the
+  * full-body parse (group selection over a body of up to ~500 KiB) is
+  * a host-keyed projection ([[robots_compile]]) over
+  * [[Crawl.robotsTexts]] — one row per host — emitting the compiled
+  * rule group as a compact newline-joined string (only the rules that
+  * bind to this agent survive). Per-candidate work
+  * ([[robots_allowed_c]]) is then a longest-match scan over the
+  * compiled rules, and the frontier's robots join ships compiled
+  * rules (typically tens of bytes) instead of raw bodies. A host with
+  * 10⁶ discovered URLs pays ONE body parse, not 10⁶ — the bound is
+  * structural, pinned by [[graft.sources.RobotsSpec]] counting
+  * parses. The uncompiled 3-arg [[robots_allowed]] stays for ad-hoc
+  * row-at-a-time checks where the body is already in hand.
   */
 object Robots {
 
   /** One rule: allow?, original pattern. */
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse `body` and return the rules applicable to `agent`
-    * (lowercase product token, e.g. "graftbot"). Null/empty body →
-    * no rules (allow all).
+  /** Applicable directives for one (body, agent): the rule group plus
+    * the effective fetch interval in seconds (-1 = none declared).
     */
-  def parseRules(body: String, agent: String): Array[Rule] = {
-    if (body == null) return Array.empty
+  final case class Group(rules: Array[Rule], delaySeconds: Double)
+
+  /** Test hook: full-body parses performed by this JVM (local-mode
+    * executors share it). The frontier's parse-once-per-host bound is
+    * pinned against this counter — an AtomicLong bump is noise next
+    * to a body parse.
+    */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Parse `body` and return the group applicable to `agent`
+    * (lowercase product token, e.g. "graftbot"). Null/empty body →
+    * no rules (allow all), no delay.
+    */
+  def parseGroup(body: String, agent: String): Group = {
+    if (body == null) return Group(Array.empty, -1.0)
+    parseCount.incrementAndGet()
     val want = if (agent == null) "" else
       agent.toLowerCase(java.util.Locale.ROOT)
     val specific = scala.collection.mutable.ArrayBuffer.empty[Rule]
@@ -61,6 +94,18 @@ object Robots {
     var groupSpecific = false
     var groupWildcard = false
     var inAgentRun = false
+    // did ANY specific group header match? (a specific group with no
+    // rules still suppresses * — RFC 9309: the most specific group
+    // is selected, then its rules apply)
+    var sawSpecific = false
+    var specificDelay = -1.0
+    var wildcardDelay = -1.0
+    def bindDelay(seconds: Double): Unit = if (seconds > 0) {
+      if (groupSpecific)
+        specificDelay = math.max(specificDelay, seconds)
+      if (groupWildcard)
+        wildcardDelay = math.max(wildcardDelay, seconds)
+    }
     body.linesIterator.foreach { raw =>
       val noComment = {
         val h = raw.indexOf('#'); if (h < 0) raw else raw.substring(0, h)
@@ -78,24 +123,116 @@ object Robots {
               inAgentRun = true
               val v = value.toLowerCase(java.util.Locale.ROOT)
               // an EMPTY agent value is a malformed header (RFC 9309:
-              // ignore) — without the nonEmpty guard it would match
-              // every crawler via want.contains("") and its rules
-              // would suppress the legitimate * group
+              // ignore). Match = exact token or group-token-is-prefix-
+              // of-product-token ONLY ("graftbot" binds groups
+              // "graftbot" and "graft", NOT "graftbot-news")
               if (v == "*") groupWildcard = true
-              else if (v.nonEmpty && want.nonEmpty &&
-                       (want.contains(v) || v.contains(want)))
-                groupSpecific = true
+              else if (v.nonEmpty && want.nonEmpty && want.startsWith(v)) {
+                groupSpecific = true; sawSpecific = true
+              }
             case "disallow" | "allow" =>
               inAgentRun = false
               val rule = Rule(key == "allow", value)
               if (groupSpecific) specific += rule
               if (groupWildcard) wildcard += rule
-            case _ => inAgentRun = false // crawl-delay, sitemap, unknown
+            case "crawl-delay" =>
+              inAgentRun = false
+              bindDelay(
+                try value.toDouble catch { case _: Exception => -1.0 })
+            case "request-rate" =>
+              // "n/t[smh]": n requests per t seconds/minutes/hours →
+              // interval t*unit/n seconds; garbage → no delay
+              inAgentRun = false
+              val slash = value.indexOf('/')
+              if (slash > 0) {
+                val n = try value.substring(0, slash).trim.toDouble
+                        catch { case _: Exception => -1.0 }
+                val rest = value.substring(slash + 1).trim
+                  .toLowerCase(java.util.Locale.ROOT)
+                val (num, unit) =
+                  if (rest.endsWith("m")) (rest.dropRight(1), 60.0)
+                  else if (rest.endsWith("h")) (rest.dropRight(1), 3600.0)
+                  else if (rest.endsWith("s")) (rest.dropRight(1), 1.0)
+                  else (rest, 1.0)
+                val t = try num.trim.toDouble
+                        catch { case _: Exception => -1.0 }
+                if (n > 0 && t > 0) bindDelay(t * unit / n)
+              }
+            case _ => inAgentRun = false // sitemap, unknown
           }
         }
       }
     }
-    (if (specific.nonEmpty) specific else wildcard).toArray
+    if (sawSpecific) Group(specific.toArray, specificDelay)
+    else Group(wildcard.toArray, wildcardDelay)
+  }
+
+  /** Rules half of [[parseGroup]] (the pre-round-17 surface). */
+  def parseRules(body: String, agent: String): Array[Rule] =
+    parseGroup(body, agent).rules
+
+  /** Effective fetch interval (seconds) the host requests of `agent`
+    * via Crawl-delay / Request-rate; -1 when none declared (or body
+    * missing). */
+  def crawlDelay(body: String, agent: String): Double =
+    parseGroup(body, agent).delaySeconds
+
+  // ---- compiled form: parse once per host, match per candidate ----
+
+  /** Serialize the applicable rule group as a compact string: one
+    * rule per line, `A`/`D` + pattern (patterns are line-trimmed so
+    * can never contain a newline). "" = no rules = allow all. The
+    * frontier computes this ONCE per host and joins candidates to the
+    * compiled string instead of the raw body.
+    */
+  def compile(body: String, agent: String): String = {
+    val rules = parseRules(body, agent)
+    if (rules.isEmpty) ""
+    else {
+      val sb = new java.lang.StringBuilder(rules.length * 16)
+      var i = 0
+      while (i < rules.length) {
+        if (i > 0) sb.append('\n')
+        sb.append(if (rules(i).allow) 'A' else 'D')
+        sb.append(rules(i).pattern)
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Longest-match decision over a [[compile]]d rule string — a
+    * single scan, no per-row parsing or array allocation. Empty
+    * compiled = no rules = allowed.
+    */
+  def isAllowedCompiled(path: String, compiled: String): Boolean = {
+    if (compiled == null || compiled.isEmpty) return true
+    var bestLen = -1
+    var bestAllow = true
+    var start = 0
+    val n = compiled.length
+    while (start < n) {
+      var end = compiled.indexOf('\n', start)
+      if (end < 0) end = n
+      if (end > start) {
+        val allow = compiled.charAt(start) == 'A'
+        val patLen = end - start - 1
+        if (patLen == 0) {
+          // "Disallow:" (empty) = allow all; matches with length 0
+          if (bestLen < 0) { bestLen = 0; bestAllow = true }
+        } else {
+          val pattern = compiled.substring(start + 1, end)
+          if (patternMatches(path, pattern)) {
+            if (patLen > bestLen ||
+                (patLen == bestLen && allow && !bestAllow)) {
+              bestLen = patLen; bestAllow = allow
+            }
+          }
+        }
+      }
+      start = end + 1
+    }
+    bestAllow
   }
 
   /** Does `pattern` (with `*` any-run and trailing-`$` end-anchor
@@ -154,12 +291,10 @@ object Robots {
     bestAllow
   }
 
-  /** Full check from a URL: extracts the path+query (the robots match
-    * target; scheme/host/fragment are not matched) and evaluates.
-    * Null url → disallowed (nothing to fetch); null body → allowed.
+  /** The robots match target of a URL: path + `?query`, fragment
+    * stripped, scheme/host not matched. Null-free for non-null url.
     */
-  def allowed(url: String, body: String, agent: String): Boolean = {
-    if (url == null) return false
+  private def matchTarget(url: String): String = {
     val schemeEnd = url.indexOf("://")
     // the authority ends at the FIRST of '/', '?', '#' — a '/' inside
     // the query ("?a=/x") must not be mistaken for the path start
@@ -170,10 +305,24 @@ object Robots {
     val frag = url.indexOf('#', i)
     val rest = if (frag < 0) url.substring(i) else url.substring(i, frag)
     // query-only targets get the implicit root: "?a=1" -> "/?a=1"
-    val path = if (rest.isEmpty) "/"
-      else if (rest.charAt(0) == '?') "/" + rest
-      else rest
-    isAllowed(path, parseRules(body, agent))
+    if (rest.isEmpty) "/"
+    else if (rest.charAt(0) == '?') "/" + rest
+    else rest
+  }
+
+  /** Full check from a URL: extracts the path+query (the robots match
+    * target; scheme/host/fragment are not matched) and evaluates.
+    * Null url → disallowed (nothing to fetch); null body → allowed.
+    */
+  def allowed(url: String, body: String, agent: String): Boolean = {
+    if (url == null) return false
+    isAllowed(matchTarget(url), parseRules(body, agent))
+  }
+
+  /** [[allowed]] against a pre-[[compile]]d rule string. */
+  def allowedCompiled(url: String, compiled: String): Boolean = {
+    if (url == null) return false
+    isAllowedCompiled(matchTarget(url), compiled)
   }
 
   /** Column form: `robots_allowed(url, robots_body, agent)` — never
@@ -193,10 +342,50 @@ object Robots {
       lit(false))
   }
 
-  /** UTF8String shim the generated code calls directly. */
+  /** Column form of [[compile]]: the agent's rule group as a compact
+    * string — a host-keyed projection computes this ONCE per host.
+    * Null body → "" (no rules; the fail-open spelling survives the
+    * compile hop). */
+  def robots_compile(body: Column, agent: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    Bridge.column(RobotsCompile(
+      Bridge.expression(coalesce(body, lit(""))),
+      Bridge.expression(coalesce(agent, lit("")))))
+  }
+
+  /** Column form of [[allowedCompiled]] — never null: fail-open on a
+    * missing compiled group (host without robots.txt → left-join
+    * null → allowed), fail-closed on a missing url. */
+  def robots_allowed_c(url: Column, compiled: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(
+      Bridge.column(RobotsAllowedCompiled(
+        Bridge.expression(url),
+        Bridge.expression(coalesce(compiled, lit(""))))),
+      lit(false))
+  }
+
+  /** Column form of [[crawlDelay]]: effective fetch interval in
+    * seconds, null when the host declares none (or no body). Like the
+    * compile, a once-per-host projection. */
+  def robots_delay(body: Column, agent: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val d = Bridge.column(RobotsDelay(
+      Bridge.expression(coalesce(body, lit(""))),
+      Bridge.expression(coalesce(agent, lit("")))))
+    when(d > 0.0, d)
+  }
+
+  /** UTF8String shims the generated code calls directly. */
   def allowedU8(url: UTF8String, body: UTF8String,
                 agent: UTF8String): Boolean =
     allowed(url.toString, body.toString, agent.toString)
+  def compileU8(body: UTF8String, agent: UTF8String): UTF8String =
+    UTF8String.fromString(compile(body.toString, agent.toString))
+  def allowedCompiledU8(url: UTF8String, compiled: UTF8String): Boolean =
+    allowedCompiled(url.toString, compiled.toString)
+  def delayU8(body: UTF8String, agent: UTF8String): Double =
+    crawlDelay(body.toString, agent.toString)
 }
 
 /** `robots_allowed(url, robots_body, agent)` — null-safe ternary
@@ -218,4 +407,65 @@ case class RobotsAllowed(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression): RobotsAllowed =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "robots_allowed"
+}
+
+/** `robots_compile(robots_body, agent)` — the agent's applicable rule
+  * group serialized one-rule-per-line (`A`/`D` + pattern); "" = allow
+  * all. Null-safe binary; compute once per HOST, never per candidate.
+  */
+case class RobotsCompile(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(b: Any, a: Any): Any =
+    Robots.compileU8(b.asInstanceOf[UTF8String],
+                     a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, a) => s"graft.sources.Robots.compileU8($b, $a)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsCompile =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_compile"
+}
+
+/** `robots_allowed_c(url, compiled)` — longest-match over a
+  * pre-compiled rule string: the per-CANDIDATE half of the robots
+  * gate (no body parse in this path). Null-safe binary;
+  * [[Robots.robots_allowed_c]] layers the null policy on top.
+  */
+case class RobotsAllowedCompiled(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(u: Any, c: Any): Any =
+    Robots.allowedCompiledU8(u.asInstanceOf[UTF8String],
+                             c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (u, c) => s"graft.sources.Robots.allowedCompiledU8($u, $c)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsAllowedCompiled =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_allowed_c"
+}
+
+/** `robots_delay(robots_body, agent)` — effective Crawl-delay /
+  * Request-rate fetch interval in seconds; -1 when none declared.
+  * Null-safe binary; [[Robots.robots_delay]] maps -1 to null.
+  */
+case class RobotsDelay(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any, a: Any): Any =
+    Robots.delayU8(b.asInstanceOf[UTF8String],
+                   a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, a) => s"graft.sources.Robots.delayU8($b, $a)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsDelay =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_delay"
 }

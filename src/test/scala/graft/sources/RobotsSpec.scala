@@ -89,6 +89,98 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(Robots.allowed("http://a.com/p", "", agent))
   }
 
+  test("group binding is exact-or-prefix, never substring (RFC 9309 §2.2.1)") {
+    // a group for a DIFFERENT product ("graftbot-news") must not bind
+    // to "graftbot" — under bidirectional-substring matching it would,
+    // and its (empty or permissive) rules would displace the site's
+    // wildcard Disallows entirely (fail-open against site policy)
+    val body =
+      """User-agent: graftbot-news
+        |Allow: /
+        |
+        |User-agent: *
+        |Disallow: /private/""".stripMargin
+    assert(!ok("http://a.com/private/x", body),
+           "the graftbot-news group must not bind; * still disallows")
+    // a one-letter token is the degenerate substring hijack
+    val oneLetter =
+      """User-agent: b
+        |Allow: /
+        |
+        |User-agent: *
+        |Disallow: /private/""".stripMargin
+    assert(!ok("http://a.com/private/x", oneLetter))
+    // group token as PREFIX of the product token DOES bind
+    val prefix =
+      """User-agent: graft
+        |Disallow: /g/
+        |
+        |User-agent: *
+        |Disallow: /w/""".stripMargin
+    assert(!ok("http://a.com/g/x", prefix), "prefix group binds")
+    assert(ok("http://a.com/w/x", prefix),
+           "specific group replaces * entirely")
+  }
+
+  test("a matching specific group with NO rules still suppresses * (allow all)") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 5
+        |
+        |User-agent: *
+        |Disallow: /""".stripMargin
+    assert(ok("http://a.com/anything", body),
+           "RFC 9309: the most specific group is selected even if empty")
+  }
+
+  test("compiled path agrees with the direct path on every case") {
+    val bodies = Seq(
+      "User-agent: *\nDisallow: /private/\nAllow: /private/public.html",
+      "User-agent: graftbot\nDisallow: /g/\nUser-agent: *\nDisallow: /w/",
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /cgi/*?session=",
+      "User-agent: *\nDisallow:",
+      "", null)
+    val urls = Seq("http://a.com/private/x",
+      "http://a.com/private/public.html", "http://a.com/g/x",
+      "http://a.com/w/x", "http://a.com/docs/file.pdf",
+      "http://a.com/cgi/run?session=42", "http://a.com/open")
+    for (b <- bodies; u <- urls) {
+      val compiled = Robots.compile(b, agent)
+      assert(Robots.allowedCompiled(u, compiled) ===
+             Robots.allowed(u, b, agent),
+             s"compiled/direct disagree on ($u, $b)")
+    }
+  }
+
+  test("crawl-delay and request-rate bind per group; units and garbage handled") {
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /x", agent) === 10.0)
+    // request-rate n/t: 1 req per 10 s -> 10 s interval
+    assert(Robots.crawlDelay(
+      "User-agent: *\nRequest-rate: 1/10", agent) === 10.0)
+    // unit suffixes: 2/1m -> 30 s interval; 1/1h -> 3600 s
+    assert(Robots.crawlDelay(
+      "User-agent: *\nRequest-rate: 2/1m", agent) === 30.0)
+    assert(Robots.crawlDelay(
+      "User-agent: *\nRequest-rate: 1/1h", agent) === 3600.0)
+    // both spellings: the max (most conservative) wins
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: 5\nRequest-rate: 1/20", agent) === 20.0)
+    // a specific group's delay replaces the wildcard's, like rules
+    val grouped =
+      """User-agent: graftbot
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Crawl-delay: 60""".stripMargin
+    assert(Robots.crawlDelay(grouped, agent) === 3.0)
+    assert(Robots.crawlDelay(grouped, "otherbot") === 60.0)
+    // garbage / absent -> -1
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: soon", agent) === -1.0)
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x", agent) === -1.0)
+    assert(Robots.crawlDelay(null, agent) === -1.0)
+  }
+
   test("a malformed empty User-agent never hijacks the * group") {
     val body =
       """User-agent:
@@ -170,5 +262,64 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     val without = Crawl.frontier(parsed, perHostCap = 8)
       .collect().map(r => r.getString(1)).toSet
     assert(without.contains("http://b.org/private/secret"))
+  }
+
+  test("the robots body parses once per HOST, not once per candidate") {
+    import spark.implicits._
+    // one page on a.com discovering 200 URLs on b.org; b.org has a
+    // robots.txt. Under the compiled gate, b.org's body parses when
+    // robots_compile projects the host row — NOT once per candidate.
+    val links = (1 to 200)
+      .map(i => s"""<a href="http://b.org/p$i">x</a>""").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-robots-n")
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      gz(warcRec("http://b.org/robots.txt",
+        "User-agent: *\nDisallow: /private/\n", ctype = "text/plain")) ++
+      gz(warcRec("http://a.com/1", links)))
+    val parsed = Crawl.readWarc(spark, dir.toString, extractHtml = false)
+      .cache()
+    parsed.count() // materialize before counting parses
+    Robots.parseCount.set(0L)
+    val n = Crawl.frontier(parsed, perHostCap = 1000,
+      robotsAgent = Some(agent)).count()
+    parsed.unpersist()
+    assert(n >= 200L, s"expected the 200 discoveries, got $n")
+    val parses = Robots.parseCount.get
+    // one compile per host row (b.org) with slack for plan-level
+    // re-evaluation; the old body-join path paid one parse per
+    // candidate (200+)
+    assert(parses < 20L,
+      s"robots body parsed $parses times for 200 candidates on one host")
+  }
+
+  test("frontier(crawlDelayWindow): a declared Crawl-delay tightens the host cap") {
+    // b.org declares Crawl-delay: 10; window 30 s -> cap floor(30/10)=3.
+    // c.net declares none -> keeps perHostCap.
+    val bLinks = (1 to 6)
+      .map(i => s"""<a href="http://b.org/p$i">x</a>""").mkString("\n")
+    val cLinks = (1 to 6)
+      .map(i => s"""<a href="http://c.net/p$i">x</a>""").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-delay")
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      gz(warcRec("http://b.org/robots.txt",
+        "User-agent: *\nCrawl-delay: 10\n", ctype = "text/plain")) ++
+      gz(warcRec("http://a.com/1", bLinks + "\n" + cLinks)))
+    val parsed = Crawl.readWarc(spark, dir.toString, extractHtml = false)
+    val f = Crawl.frontier(parsed, perHostCap = 5,
+        robotsAgent = Some(agent), crawlDelayWindow = 30.0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val byHost = f.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byHost("b.org") === 3, s"delay cap: $byHost")
+    assert(byHost("c.net") === 5, s"no-delay host keeps perHostCap: $byHost")
+    // batch default (no window): delay ignored, both hosts at perHostCap
+    val f0 = Crawl.frontier(parsed, perHostCap = 5,
+        robotsAgent = Some(agent))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(f0.count(_ == "b.org") === 5)
+    // min-1 probe guarantee: a huge delay still yields one fetch
+    val f1 = Crawl.frontier(parsed, perHostCap = 5,
+        robotsAgent = Some(agent), crawlDelayWindow = 1.0)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(f1.count(_ == "b.org") === 1, "min-1 probe guarantee")
   }
 }
