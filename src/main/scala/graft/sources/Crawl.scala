@@ -1122,6 +1122,18 @@ object Crawl {
     * exploits). Round trip: `readWarc(writeWarc(df))` recovers url,
     * ts (second precision), and text exactly; doc_id and source are
     * re-derived by the reader's own rules (Record-ID hash, URL host).
+    *
+    * Robustness contract: header VALUES (url, rid) are stripped of
+    * control characters before interpolation — a JSONL-sourced url
+    * carrying `\r\n` would otherwise terminate the header early and
+    * inject attacker-chosen header lines into the record. A null `ts`
+    * round-trips as the epoch sentinel `1970-01-01T00:00:00Z` (the
+    * WARC-Date header is mandatory per ISO 28500, so "absent" is not
+    * representable; readers treating epoch captures as undated lose
+    * nothing real). Each task writes through a task-attempt-unique
+    * temp file committed by rename, so a speculative or retried
+    * attempt can never interleave bytes into a part file another
+    * attempt is writing.
     */
   def writeWarc(docFrame: DataFrame, path: String): Unit = {
     // WARC-Date is a UTC instant by spec: render through
@@ -1159,8 +1171,30 @@ object Crawl {
       else {
         val conf = new org.apache.hadoop.conf.Configuration()
         confProps.foreach { case (k, v) => conf.set(k, v) }
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.warc.gz")
-        val out = p.getFileSystem(conf).create(p, true)
+        // header-value sanitizer: control characters (CR/LF above
+        // all) must never reach a header line — "url\r\nWARC-Type: x"
+        // would end the header early and inject lines
+        def clean(s: String): String = {
+          var i = 0; var dirty = false
+          while (i < s.length && !dirty) {
+            val c = s.charAt(i)
+            if (c < ' ' || c == '\u007f') dirty = true
+            i += 1
+          }
+          if (!dirty) s
+          else s.filter(c => c >= ' ' && c != '\u007f')
+        }
+        // commit protocol: write a task-attempt-unique temp, rename
+        // into place at close — a speculative duplicate attempt
+        // writes ITS OWN temp and the losing rename just cleans up,
+        // so part files are never interleaved
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path, f".part-$idx%05d-a$attempt.warc.gz.tmp")
+        val dst = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.warc.gz")
+        val out = fsys.create(tmp, true)
         try {
           rows.foreach { r =>
             val bodyText = r.getString(3)
@@ -1169,10 +1203,10 @@ object Crawl {
               bodyText.getBytes("UTF-8")
             val hdr = new StringBuilder("WARC/1.0\r\n")
             hdr ++= "WARC-Type: response\r\n"
-            hdr ++= s"WARC-Record-ID: <urn:graft:${r.getString(1)}>\r\n"
+            hdr ++= s"WARC-Record-ID: <urn:graft:${clean(r.getString(1))}>\r\n"
             hdr ++= s"WARC-Date: ${r.getString(0)}\r\n"
             if (!r.isNullAt(2))
-              hdr ++= s"WARC-Target-URI: ${r.getString(2)}\r\n"
+              hdr ++= s"WARC-Target-URI: ${clean(r.getString(2))}\r\n"
             hdr ++= "Content-Type: application/http;msgtype=response\r\n"
             hdr ++= s"Content-Length: ${http.length}\r\n\r\n"
             val member = new java.io.ByteArrayOutputStream()
@@ -1184,6 +1218,13 @@ object Crawl {
             out.write(member.toByteArray)
           }
         } finally out.close()
+        // identical content from any attempt: first rename wins, a
+        // loser deletes its temp and moves on
+        if (!fsys.rename(tmp, dst)) {
+          if (!fsys.exists(dst)) {
+            fsys.delete(dst, false); fsys.rename(tmp, dst)
+          } else fsys.delete(tmp, false)
+        }
         Iterator.single(idx)
       }
     }.count(): Unit

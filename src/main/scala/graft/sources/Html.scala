@@ -338,8 +338,15 @@ object Html {
   def extractAnchors(html: String, baseUrl: String): Array[(String, String)] = {
     if (html == null) return Array.empty
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var baseHref: String = null
-    // open anchor state: href + text accumulator
+    // the base IN EFFECT at the current document position: hrefs
+    // resolve eagerly against it as they appear, so a link BEFORE a
+    // late <base> resolves against the capture URL and links after it
+    // against the base (the HTML position rule — a whole-document
+    // retroactive rebase would move early links to the wrong origin).
+    // Only the first <base href> is respected, per spec.
+    var curBase = baseUrl
+    var baseSeen = false
+    // open anchor state: resolved href + text accumulator
     var openHref: String = null
     val text = new java.lang.StringBuilder
     var pendingSpace = false
@@ -397,16 +404,28 @@ object Html {
             closeAnchor() // </a>, or a nested <a> ends the previous one
             if (terminated && !closing) {
               val h = attrValue(html, p, end, "href")
-              if (h != null) { openHref = h }
+              // resolve NOW, against the base in effect here; an
+              // unresolvable href opens no anchor (its pair would
+              // drop anyway, and the next <a>/EOF closes identically)
+              if (h != null) { openHref = resolveHref(h, curBase) }
             }
           } else if (terminated && !closing && name == "area") {
             closeAnchor()
             val h = attrValue(html, p, end, "href")
-            if (h != null) pairs += ((h, ""))
+            if (h != null) {
+              val r = resolveHref(h, curBase)
+              if (r != null) pairs += ((r, ""))
+            }
           } else if (terminated && !closing && name == "base" &&
-                     baseHref == null) {
+                     !baseSeen) {
             val h = attrValue(html, p, end, "href")
-            if (h != null) baseHref = h
+            if (h != null) {
+              baseSeen = true
+              // the base itself resolves against the CAPTURE url (it
+              // cannot be relative to itself); unresolvable -> keep
+              val b = resolveHref(h, baseUrl)
+              if (b != null) curBase = b
+            }
             pendingSpace = text.length > 0
           } else pendingSpace = text.length > 0
           i = end
@@ -423,17 +442,7 @@ object Html {
       } else { emitChar(c); i += 1 }
     }
     closeAnchor() // EOF closes a dangling anchor with its text so far
-    // <base href> rebases every link in the document (resolved against
-    // the capture URL itself, as a browser does)
-    val effBase = if (baseHref == null) baseUrl
-      else {
-        val b = resolveHref(baseHref, baseUrl)
-        if (b == null) baseUrl else b
-      }
-    pairs.flatMap { case (h, t) =>
-      val r = resolveHref(h, effBase)
-      if (r == null) None else Some((r, t))
-    }.toArray
+    pairs.toArray  // hrefs resolved eagerly at their document position
   }
 
   /** Value of attribute `attr` inside the tag spanning

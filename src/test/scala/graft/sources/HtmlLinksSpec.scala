@@ -75,6 +75,23 @@ class HtmlLinksSpec extends AnyFunSuite with SparkSpec {
       Seq("http://ex.com/dir/sub/x"))
   }
 
+  test("a late <base> affects only SUBSEQUENT links (position rule)") {
+    // the href before the base resolves against the capture URL; a
+    // retroactive whole-document rebase would move it to the CDN
+    assert(links(
+      """<a href="early.html">1</a>
+        |<base href="https://cdn.ex.com/assets/">
+        |<a href="late.html">2</a>""".stripMargin) === Seq(
+      "http://ex.com/dir/early.html",
+      "https://cdn.ex.com/assets/late.html"))
+    // an anchor OPEN across the base boundary: its href appeared
+    // before the base, so it keeps the capture-URL resolution
+    assert(Html.extractAnchors(
+      """<a href="open.html">text <base href="https://cdn.ex.com/x/"> more</a>""",
+      base).toSeq ===
+      Seq(("http://ex.com/dir/open.html", "text more")))
+  }
+
   test("links inside script/style/comments never extract") {
     assert(links(
       """<script>var a = '<a href="/ghost1">x</a>';</script>
