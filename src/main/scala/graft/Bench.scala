@@ -125,6 +125,12 @@ object Bench {
       // these four serve the persisted source_stats artifact
       "q112_source_drift_kl", "q125_mixture_weights", "q136_epoch_plan",
       "q149_anneal_schedule", "q153_anneal_execute",
+      // the link-graph family serves the persisted link_edges_v1 /
+      // site_edges_v1 edge tables (r17); the build — one corpus
+      // extraction pass — is paid by whichever runs first in registry
+      // order (q176 for link_edges, q182 for site_edges)
+      "q176_link_graph", "q177_host_rank", "q180_crawl_budget",
+      "q182_host_components",
       // q161/q162/q169 serve the persisted nb_scores_v1 per-doc score
       // table (the build — one tokenize+train pass — is paid by q161)
       "q161_nb_distill", "q162_nb_calibration", "q169_nb_threshold_sweep",

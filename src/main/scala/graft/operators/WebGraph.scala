@@ -182,9 +182,9 @@ object WebGraph {
   // covers all 53 hosts, has real in-degree skew.
   // ------------------------------------------------------------------
 
-  private def plantEdges(s: SparkSession, d: String): DataFrame = {
+  private def plantEdgesOf(docFrame: DataFrame): DataFrame = {
     val id = col("doc_id")
-    docs(s, d)
+    docFrame
       .select(id.as("doc_id"),
               explode(sequence(lit(0L), id % 3)).as("j"))
       .select(
@@ -194,6 +194,61 @@ object WebGraph {
           .as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  private def plantEdges(s: SparkSession, d: String): DataFrame =
+    plantEdgesOf(docs(s, d))
+
+  /** Times the link-edge artifact was DERIVED (full or delta) this JVM
+    * — the funnelDerives pin pattern: PlanSpec asserts warm q176/q177/
+    * q180/q182 reads serve from the landed edge table without this
+    * moving (zero corpus scans per read).
+    */
+  val linkEdgeDerives = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The landed host link-edge table (`link_edges_v1`) — the persisted
+    * form of the corpus link extraction, append-incremental: a nightly
+    * crawl appends WARC/parquet files, and edges are ADDITIVE under
+    * distinct-union (the one-merge monoid), so the refresh extracts
+    * links from ONLY the appended files and distinct-merges them into
+    * the landed table — old corpus bytes are never re-read
+    * (LinkEdgesIncrSpec proves it by corrupting them in place). Every
+    * expensive graph derivation (degrees q176, PageRank q177/q180,
+    * components) serves from this artifact instead of re-extracting
+    * HTML from the whole corpus per run — the last derivation family
+    * that paid a full corpus pass per read (round-16 Missing #1). On a
+    * real crawl the extraction is `edgesFromLinks(Crawl.linkEdges(_))`
+    * per file slice; the oracle corpus plants the deterministic q176
+    * graph.
+    */
+  def linkEdgesTable(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "link_edges_v1")(
+      { linkEdgeDerives.incrementAndGet()
+        plantEdgesOf(docs(s, d)) })(
+      files => { linkEdgeDerives.incrementAndGet()
+        plantEdgesOf(s.read.parquet(files: _*)) })(
+      (old, dl) => old.unionByName(dl).distinct())
+
+  /** The q182 site-family edge table (`site_edges_v1`) — the planted
+    * ring+chords host graph, landed with the same append-incremental
+    * lifecycle as [[linkEdgesTable]] (distinct-union merge). */
+  def siteEdgesTable(s: SparkSession, d: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, d, "site_edges_v1")(
+      { linkEdgeDerives.incrementAndGet()
+        siteEdgesOf(docs(s, d)) })(
+      files => { linkEdgeDerives.incrementAndGet()
+        siteEdgesOf(s.read.parquet(files: _*)) })(
+      (old, dl) => old.unionByName(dl).distinct())
+
+  private def siteEdgesOf(docFrame: DataFrame): DataFrame = {
+    val k = (col("doc_id") % 250).as("k")
+    val k0 = docFrame.select(k).distinct()
+    val h24 = col("k") % 24
+    def hn(c: Column): Column = concat(lit("h"), c.cast("string"))
+    val ring = k0.select(hn(h24).as("src"), hn((h24 + 4) % 24).as("dst"))
+    val chords = k0.filter(col("k") % 2 === 0)
+      .select(hn(h24).as("src"), hn((h24 + 8) % 24).as("dst"))
+    ring.unionByName(chords).distinct()
   }
 
   private val edgesSqlCtes: String =
@@ -425,6 +480,31 @@ object WebGraph {
     lbl
   }
 
+  /** CONVERGED weakly-connected host components — the unbounded-
+    * diameter form of [[components]]: min-label propagation is exact
+    * only out to `rounds` hops, so a chain longer than the round
+    * budget gets silently-partial labels (ComponentsSpec proves the
+    * partial behavior). This entry routes the host graph through the
+    * pointer-jumping CC engine proven on q64's document clusters
+    * ([[Curation.connectedComponents]]): label propagation PLUS a
+    * label-table self-join that halves path lengths each round —
+    * O(log diameter) rounds total — with per-round `localCheckpoint`s
+    * truncating lineage and a convergence test terminating the loop.
+    * Same output contract as [[components]] (host, component =
+    * byte-order min host of the component), so the two forms agree
+    * wherever the fixed-round budget suffices; keep [[components]] as
+    * the oracle form (fixed depth = SQL-expressible), use this for
+    * production graphs whose diameter nobody bounded.
+    */
+  def componentsConverged(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Curation.connectedComponents(
+        und.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select(col("doc_id").as("host"), col("label").as("component"))
+  }
+
   // ------------------------------------------------------------------
   // Registry queries
   // ------------------------------------------------------------------
@@ -526,7 +606,7 @@ object WebGraph {
          |  COALESCE(i.in_deg, 0) AS in_deg
          |FROM hosts h LEFT JOIN o ON o.src = h.host
          |LEFT JOIN i ON i.dst = h.host""".stripMargin) {
-      (s, d) => degrees(plantEdges(s, d))
+      (s, d) => degrees(linkEdgesTable(s, d))
     },
 
     Q("q177_host_rank",
@@ -561,7 +641,7 @@ object WebGraph {
          |         (150000000000 // n.n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
          |       FROM hosts h CROSS JOIN n LEFT JOIN s3 ON s3.dst = h.host)
          |SELECT host, r AS rank_e12 FROM r3""".stripMargin) {
-      (s, d) => pageRank(plantEdges(s, d), 3)
+      (s, d) => pageRank(linkEdgesTable(s, d), 3)
     },
 
     Q("q178_url_frontier",
@@ -699,7 +779,7 @@ object WebGraph {
          |  caps.cap, caps.rank_e12
          |FROM fr JOIN caps ON caps.host = fr.host
          |WHERE fr.rk <= caps.cap""".stripMargin) { (s, d) =>
-      val ranks = pageRank(plantEdges(s, d), 3)
+      val ranks = pageRank(linkEdgesTable(s, d), 3)
       val (crawled, disc) = plantFrontierSets(s, d)
       val fr = frontierFromSets(crawled, disc, Int.MaxValue)
         .withColumn("host", substring_index(col("host"), ".", 1))
@@ -796,14 +876,7 @@ object WebGraph {
         |           AS component
         |       FROM p3 p LEFT JOIN m4 m ON m.host = p.host)
         |SELECT host, component FROM p4""".stripMargin) { (s, d) =>
-      val k = (col("doc_id") % 250).as("k")
-      val k0 = docs(s, d).select(k).distinct()
-      val h24 = col("k") % 24
-      def hn(c: Column): Column = concat(lit("h"), c.cast("string"))
-      val ring = k0.select(hn(h24).as("src"), hn((h24 + 4) % 24).as("dst"))
-      val chords = k0.filter(col("k") % 2 === 0)
-        .select(hn(h24).as("src"), hn((h24 + 8) % 24).as("dst"))
-      components(ring.unionByName(chords).distinct(), 4)
+      components(siteEdgesTable(s, d), 4)
     }
   )
 

@@ -1015,4 +1015,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
              s"$q chain joins lost the hinted shuffle path:\n$p")
     }
   }
+
+  test("q176/q177/q180/q182: graph reads serve the landed edge artifacts — zero corpus scans") {
+    // Round 17: link extraction is a persisted append-incremental
+    // DerivedCache artifact (link_edges_v1 / site_edges_v1). The
+    // regression this pins: any graph consumer silently re-extracting
+    // edges inline — a documents scan or a Generate in a warm plan is
+    // a whole corpus pass per read at 100 TB.
+    graft.operators.WebGraph.linkEdgesTable(spark, sf).count() // land
+    graft.operators.WebGraph.siteEdgesTable(spark, sf).count()
+    val derives = graft.operators.WebGraph.linkEdgeDerives.get()
+    for (q <- Seq("q176_link_graph", "q177_host_rank",
+                  "q182_host_components")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("documents.parquet"),
+             s"$q re-extracted the link graph from the corpus:\n$p")
+      assert(!p.contains("Generate"),
+             s"$q must not re-run edge extraction (artifact serves edges):\n$p")
+    }
+    assert(graft.operators.WebGraph.linkEdgeDerives.get() === derives,
+           "a warm graph consumer re-derived a landed edge artifact")
+  }
 }

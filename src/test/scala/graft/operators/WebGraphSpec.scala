@@ -136,6 +136,37 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(partial("c") === "b" && partial("b") === "a")
   }
 
+  test("componentsConverged: exact labels on a chain whose diameter dwarfs any round budget") {
+    import spark.implicits._
+    // a 41-host chain (diameter 40) plus a separate pair: fixed-round
+    // min-label at 4 rounds is PROVABLY partial (a label moves at most
+    // 4 hops), the pointer-jumping form converges exactly — this is
+    // the production entry for graphs nobody bounded (round-16
+    // Missing #2). Names zero-padded so byte-order min == h00.
+    def hn(i: Int) = f"h$i%02d"
+    val chain = (0 until 40).map(i => hn(i) -> hn(i + 1))
+    val g = (chain :+ ("z1" -> "z2")).toDF("src", "dst")
+    val conv = WebGraph.componentsConverged(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(conv.size === 43)
+    assert((0 to 40).forall(i => conv(hn(i)) == "h00"),
+           s"chain must converge to one component: $conv")
+    assert(conv("z1") === "z1" && conv("z2") === "z1")
+    // the fixed-round form at 4 rounds is partial on the same graph —
+    // the far end cannot have heard from h00 yet
+    val fixed = WebGraph.components(g, 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fixed(hn(40)) !== "h00",
+           "4 rounds cannot label a 40-hop chain — if this passes, " +
+             "the spec's partial-label premise broke")
+    // where the budget suffices the two forms agree exactly
+    val small = Seq("b" -> "a", "b" -> "c", "y" -> "x").toDF("src", "dst")
+    assert(WebGraph.componentsConverged(small).collect()
+             .map(r => r.getString(0) -> r.getString(1)).toMap ===
+           WebGraph.components(small, 3).collect()
+             .map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
   test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
     import spark.implicits._
     val links = Seq(
