@@ -393,6 +393,88 @@ object WebGraph {
                 .as("top_share"))
   }
 
+  /** Anchor-boosted BM25 ranking — the classic web prior: what OTHER
+    * pages call a document is often a better relevance signal than its
+    * own body (the reason every web engine indexes anchor text as a
+    * field). Body side is EXACTLY q98's BM25 spelling (Robertson/Okapi
+    * k1=1.2 b=0.75, fixed-order conditional sums, rounded ordering
+    * key); the anchor field adds a per-term saturated contribution
+    * `2.0 * atf / (atf + 1.2)` — BM25 tf saturation at double field
+    * weight, NO length normalization (anchors are short and their
+    * count is itself the signal), no idf (anchor df is a popularity
+    * prior, not a rarity one). A page with matching anchors but no
+    * body match still ranks — and outranks weak body matches
+    * (WebGraphSpec pins the property). Reference analogue: the
+    * dashboard's ranked read (backend/main.py:139-151), generalized to
+    * a two-field probabilistic ranker.
+    *
+    * Inputs: `docFrame` (doc_id, text), `anchors` (doc_id, anchor) —
+    * one row per anchor OCCURRENCE pointing at the doc (compose
+    * [[anchorProfile]]'s input, [[graft.sources.Crawl.anchorEdges]],
+    * with the url→doc mapping). Scale shape: both fields are
+    * (doc, term)-partial aggregations with map-side combine; df and
+    * the corpus scalars broadcast as 1-row/k-row tables; the field
+    * merge is a full-outer join on the near-unique doc key; top-k is
+    * TakeOrderedAndProject. At 100 TB serve the body side from the
+    * persisted postings index ([[TrainingData.buildPostingsIndex]])
+    * and land the anchor field the same way.
+    */
+  def anchorBm25(docFrame: DataFrame, anchors: DataFrame,
+                 terms: Seq[String], topK: Int): DataFrame = {
+    val t = docFrame.select(col("doc_id"),
+                            size(split(col("text"), " ")).as("dl"))
+    val g = t.agg(count(lit(1)).cast("double").as("n"),
+                  sum("dl").cast("double").as("sumdl"))
+      .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
+    val tf = docFrame
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      .join(t, "doc_id")
+    val dfT = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(broadcast(dfT), "term").crossJoin(broadcast(g))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+               (col("df") + lit(0.5))) *
+           (col("tf") * lit(2.2)) /
+           (col("tf") + lit(1.2) *
+             (lit(1.0) - lit(0.75) +
+               lit(0.75) * col("dl") / col("avgdl")))).as("w"))
+    val bodyParts = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, col("w")).otherwise(lit(0.0)))
+        .as(s"w$i")
+    }
+    val body = w.groupBy("doc_id")
+      .agg(bodyParts.head,
+           (bodyParts.tail :+
+             count(lit(1)).cast("long").as("body_terms")): _*)
+    val atf = anchors
+      .select(col("doc_id"), explode(split(col("anchor"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("atf"))
+    val aParts = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm,
+               lit(2.0) * col("atf") / (col("atf") + lit(1.2)))
+            .otherwise(lit(0.0))).as(s"aw$i")
+    }
+    val aw = atf.groupBy("doc_id")
+      .agg(aParts.head,
+           (aParts.tail :+
+             count(lit(1)).cast("long").as("anchor_terms")): _*)
+    // fixed written order: body fields then anchor fields — adding an
+    // exact 0.0 for an absent field keeps the fp sum order-free
+    val score = (terms.indices.map(i => coalesce(col(s"w$i"), lit(0.0))) ++
+                 terms.indices.map(i => coalesce(col(s"aw$i"), lit(0.0))))
+      .reduceLeft(_ + _)
+    body.join(aw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), round(score, 4).as("score"),
+              coalesce(col("body_terms"), lit(0L)).as("body_terms"),
+              coalesce(col("anchor_terms"), lit(0L)).as("anchor_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Rank-proportional crawl budgeting — the scheduler that ties the
     * host-quality prior ([[pageRank]]) to the fetch list
     * ([[frontierFromSets]]): a global budget `B` splits across hosts
@@ -841,44 +923,193 @@ object WebGraph {
         "hosts h0..h23 with step-4 ring edges (+step-8 chords), so " +
         "components are exactly the residue classes mod 4 and 4 " +
         "rounds provably converge.",
-      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
-        |e0 AS (SELECT 'h' || CAST(k % 24 AS VARCHAR) AS src,
-        |         'h' || CAST((k % 24 + 4) % 24 AS VARCHAR) AS dst FROM k0
-        |       UNION
-        |       SELECT 'h' || CAST(k % 24 AS VARCHAR),
-        |         'h' || CAST((k % 24 + 8) % 24 AS VARCHAR) FROM k0
-        |       WHERE k % 2 = 0),
-        |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |h AS (SELECT DISTINCT src AS host FROM und),
-        |p0 AS (SELECT host, host AS component FROM h),
-        |m1 AS (SELECT e.src AS host, min(r.component) AS nmin
-        |       FROM und e JOIN p0 r ON r.host = e.dst GROUP BY 1),
-        |p1 AS (SELECT p.host,
-        |         least(p.component, COALESCE(m.nmin, p.component))
-        |           AS component
-        |       FROM p0 p LEFT JOIN m1 m ON m.host = p.host),
-        |m2 AS (SELECT e.src AS host, min(r.component) AS nmin
-        |       FROM und e JOIN p1 r ON r.host = e.dst GROUP BY 1),
-        |p2 AS (SELECT p.host,
-        |         least(p.component, COALESCE(m.nmin, p.component))
-        |           AS component
-        |       FROM p1 p LEFT JOIN m2 m ON m.host = p.host),
-        |m3 AS (SELECT e.src AS host, min(r.component) AS nmin
-        |       FROM und e JOIN p2 r ON r.host = e.dst GROUP BY 1),
-        |p3 AS (SELECT p.host,
-        |         least(p.component, COALESCE(m.nmin, p.component))
-        |           AS component
-        |       FROM p2 p LEFT JOIN m3 m ON m.host = p.host),
-        |m4 AS (SELECT e.src AS host, min(r.component) AS nmin
-        |       FROM und e JOIN p3 r ON r.host = e.dst GROUP BY 1),
-        |p4 AS (SELECT p.host,
-        |         least(p.component, COALESCE(m.nmin, p.component))
-        |           AS component
-        |       FROM p3 p LEFT JOIN m4 m ON m.host = p.host)
-        |SELECT host, component FROM p4""".stripMargin) { (s, d) =>
-      components(siteEdgesTable(s, d), 4)
+      s"WITH $siteComponentsSqlCtes\nSELECT host, component FROM p4") {
+      (s, d) => components(siteEdgesTable(s, d), 4)
+    },
+
+    Q("q183_site_family_caps",
+      "Site-family source caps — the q182 CONSUMER: linked hosts " +
+        "count as ONE site, so the q63 over-representation audit keys " +
+        "on the component representative instead of the raw host (a " +
+        "mirror farm otherwise splits its mass across aliases and " +
+        "every alias ducks the cap). Per-host capture counts roll up " +
+        "to the family (left join keeps zero-capture member hosts in " +
+        "n_hosts), then the q63 shape: count vs mean family count, " +
+        ">1.5x flags for down-sampling. Planted: captures skew to h0 " +
+        "(every k%5==0 class lands there), so h0's 6-host family " +
+        "provably exceeds the cap (40% of mass, ratio 1.6) while its " +
+        "member hosts individually would not all trip a host-level " +
+        "audit. Host-keyed joins on the landed edge artifact; family " +
+        "table is component-bounded; one 1-row scalar broadcast.",
+      s"""WITH $siteComponentsSqlCtes,
+         |kd AS (SELECT doc_id % 250 AS k FROM documents),
+         |hostdocs AS (SELECT CASE WHEN k % 5 = 0 THEN 'h0'
+         |               ELSE 'h' || CAST(k % 24 AS VARCHAR) END AS host
+         |             FROM kd),
+         |hd AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM hostdocs GROUP BY 1),
+         |fam AS (SELECT p4.component,
+         |          CAST(count(*) AS BIGINT) AS n_hosts,
+         |          CAST(sum(COALESCE(hd.n_docs, 0)) AS BIGINT) AS n_docs
+         |        FROM p4 LEFT JOIN hd ON hd.host = p4.host GROUP BY 1),
+         |a AS (SELECT avg(n_docs) AS mean_n FROM fam)
+         |SELECT component, n_hosts, n_docs,
+         |  round(n_docs / mean_n, 4) AS ratio,
+         |  CAST(n_docs > 1.5 * mean_n AS BIGINT) AS over_cap
+         |FROM fam CROSS JOIN a""".stripMargin) { (s, d) =>
+      val comp = components(siteEdgesTable(s, d), 4)
+      val k = col("doc_id") % 250
+      val hd = docs(s, d).select(
+          when(k % 5 === 0, lit("h0"))
+            .otherwise(concat(lit("h"), (k % 24).cast("string"))).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      val fam = comp.join(hd.hint("shuffle_hash"), Seq("host"), "left")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_hosts"),
+             sum(coalesce(col("n_docs"), lit(0L))).cast("long").as("n_docs"))
+      val a = fam.agg(avg("n_docs").as("mean_n"))
+      fam.crossJoin(broadcast(a))
+        .select(col("component"), col("n_hosts"), col("n_docs"),
+                round(col("n_docs") / col("mean_n"), 4).as("ratio"),
+                (col("n_docs") > lit(1.5) * col("mean_n"))
+                  .cast("long").as("over_cap"))
+    },
+
+    Q("q184_anchor_bm25",
+      "Anchor-boosted BM25 — q98's body ranking with q179's anchor " +
+        "texts as a second retrieval field (the classic web prior: " +
+        "what other pages call a document beats its own body as a " +
+        "relevance signal). Body side is bit-identical to q98's " +
+        "spelling; anchors add 2.0*atf/(atf+1.2) per query term — tf " +
+        "saturation at double weight, no length norm, no idf. A page " +
+        "with matching anchors and NO body match still ranks (the " +
+        "full-outer field merge), and outranks weak body matches " +
+        "(WebGraphSpec pins the property on a planted pair). Planted " +
+        "anchor occurrences key on page identity doc_id % 250 (q179 " +
+        "convention). Scale: two (doc,term) partial aggregations, " +
+        "1-row/4-row broadcasts, near-unique-key field merge, " +
+        "TakeOrderedAndProject top-20.",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |           FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'scan', 'window')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+        |          (tf.tf * 2.2) /
+        |          (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / g.avgdl)) AS w
+        |      FROM tf JOIN df USING (term) JOIN t USING (doc_id)
+        |      CROSS JOIN g),
+        |body AS (SELECT doc_id,
+        |        sum(CASE WHEN term = 'hash' THEN w ELSE 0.0 END) AS w0,
+        |        sum(CASE WHEN term = 'join' THEN w ELSE 0.0 END) AS w1,
+        |        sum(CASE WHEN term = 'scan' THEN w ELSE 0.0 END) AS w2,
+        |        sum(CASE WHEN term = 'window' THEN w ELSE 0.0 END) AS w3,
+        |        CAST(count(*) AS BIGINT) AS body_terms
+        |      FROM c GROUP BY 1),
+        |k0 AS (SELECT DISTINCT doc_id % 250 AS m FROM documents),
+        |an0 AS (SELECT m, CASE (m + j) % 11
+        |         WHEN 0 THEN 'hash join tuning' WHEN 1 THEN 'window guide'
+        |         WHEN 2 THEN 'scan' WHEN 3 THEN 'contact'
+        |         WHEN 4 THEN 'read more' WHEN 5 THEN 'home'
+        |         WHEN 6 THEN 'hash' WHEN 7 THEN 'about' WHEN 8 THEN 'news'
+        |         WHEN 9 THEN 'download' ELSE 'join now' END AS atext
+        |       FROM k0 CROSS JOIN LATERAL unnest(range(m % 3 + 1)) AS tt(j)),
+        |adoc AS (SELECT d.doc_id, an0.atext FROM documents d
+        |         JOIN an0 ON an0.m = d.doc_id % 250),
+        |atok AS (SELECT doc_id, unnest(string_split(atext, ' ')) AS term
+        |         FROM adoc),
+        |atf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS atf
+        |        FROM atok
+        |        WHERE term IN ('hash', 'join', 'scan', 'window')
+        |        GROUP BY 1, 2),
+        |aw AS (SELECT doc_id,
+        |        sum(CASE WHEN term = 'hash'
+        |            THEN 2.0 * atf / (atf + 1.2) ELSE 0.0 END) AS aw0,
+        |        sum(CASE WHEN term = 'join'
+        |            THEN 2.0 * atf / (atf + 1.2) ELSE 0.0 END) AS aw1,
+        |        sum(CASE WHEN term = 'scan'
+        |            THEN 2.0 * atf / (atf + 1.2) ELSE 0.0 END) AS aw2,
+        |        sum(CASE WHEN term = 'window'
+        |            THEN 2.0 * atf / (atf + 1.2) ELSE 0.0 END) AS aw3,
+        |        CAST(count(*) AS BIGINT) AS anchor_terms
+        |      FROM atf GROUP BY 1),
+        |s AS (SELECT COALESCE(body.doc_id, aw.doc_id) AS doc_id,
+        |        round(COALESCE(w0, 0.0) + COALESCE(w1, 0.0) +
+        |              COALESCE(w2, 0.0) + COALESCE(w3, 0.0) +
+        |              COALESCE(aw0, 0.0) + COALESCE(aw1, 0.0) +
+        |              COALESCE(aw2, 0.0) + COALESCE(aw3, 0.0), 4) AS score,
+        |        CAST(COALESCE(body_terms, 0) AS BIGINT) AS body_terms,
+        |        CAST(COALESCE(anchor_terms, 0) AS BIGINT) AS anchor_terms
+        |      FROM body FULL OUTER JOIN aw ON aw.doc_id = body.doc_id)
+        |SELECT doc_id, score, body_terms, anchor_terms FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val m = col("m")
+      val occ = docs(s, d).select((col("doc_id") % 250).as("m")).distinct()
+        .select(m, explode(sequence(lit(0L), m % 3)).as("j"))
+        .select(m, when((m + col("j")) % 11 === 0, "hash join tuning")
+          .when((m + col("j")) % 11 === 1, "window guide")
+          .when((m + col("j")) % 11 === 2, "scan")
+          .when((m + col("j")) % 11 === 3, "contact")
+          .when((m + col("j")) % 11 === 4, "read more")
+          .when((m + col("j")) % 11 === 5, "home")
+          .when((m + col("j")) % 11 === 6, "hash")
+          .when((m + col("j")) % 11 === 7, "about")
+          .when((m + col("j")) % 11 === 8, "news")
+          .when((m + col("j")) % 11 === 9, "download")
+          .otherwise("join now").as("anchor"))
+      val anchors = docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 250).as("m"))
+        .join(occ, Seq("m")).select("doc_id", "anchor")
+      anchorBm25(docs(s, d).select("doc_id", "text"), anchors,
+                 Seq("hash", "join", "scan", "window"), 20)
     }
   )
+
+  /** The q182 planted component chain (k0 distinct classes → ring +
+    * chord edges → symmetrized → 4 min-label rounds), shared by the
+    * q182 oracle and its q183 consumer.
+    */
+  private val siteComponentsSqlCtes: String =
+    """k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+      |e0 AS (SELECT 'h' || CAST(k % 24 AS VARCHAR) AS src,
+      |         'h' || CAST((k % 24 + 4) % 24 AS VARCHAR) AS dst FROM k0
+      |       UNION
+      |       SELECT 'h' || CAST(k % 24 AS VARCHAR),
+      |         'h' || CAST((k % 24 + 8) % 24 AS VARCHAR) FROM k0
+      |       WHERE k % 2 = 0),
+      |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |h AS (SELECT DISTINCT src AS host FROM und),
+      |p0 AS (SELECT host, host AS component FROM h),
+      |m1 AS (SELECT e.src AS host, min(r.component) AS nmin
+      |       FROM und e JOIN p0 r ON r.host = e.dst GROUP BY 1),
+      |p1 AS (SELECT p.host,
+      |         least(p.component, COALESCE(m.nmin, p.component))
+      |           AS component
+      |       FROM p0 p LEFT JOIN m1 m ON m.host = p.host),
+      |m2 AS (SELECT e.src AS host, min(r.component) AS nmin
+      |       FROM und e JOIN p1 r ON r.host = e.dst GROUP BY 1),
+      |p2 AS (SELECT p.host,
+      |         least(p.component, COALESCE(m.nmin, p.component))
+      |           AS component
+      |       FROM p1 p LEFT JOIN m2 m ON m.host = p.host),
+      |m3 AS (SELECT e.src AS host, min(r.component) AS nmin
+      |       FROM und e JOIN p2 r ON r.host = e.dst GROUP BY 1),
+      |p3 AS (SELECT p.host,
+      |         least(p.component, COALESCE(m.nmin, p.component))
+      |           AS component
+      |       FROM p2 p LEFT JOIN m3 m ON m.host = p.host),
+      |m4 AS (SELECT e.src AS host, min(r.component) AS nmin
+      |       FROM und e JOIN p3 r ON r.host = e.dst GROUP BY 1),
+      |p4 AS (SELECT p.host,
+      |         least(p.component, COALESCE(m.nmin, p.component))
+      |           AS component
+      |       FROM p3 p LEFT JOIN m4 m ON m.host = p.host)""".stripMargin
 
   /** The q178/q180 planted URL sets: `crawled` (captured pages) and
     * `disc` (discovered outlinks — one provably-seen link and one

@@ -167,6 +167,39 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
              .map(r => r.getString(0) -> r.getString(1)).toMap)
   }
 
+  test("anchorBm25: matching anchors with no body match outrank a weak body match") {
+    import spark.implicits._
+    // doc 1: weak body match — one 'hash' buried in a long page.
+    // doc 2: NO body match, but three inbound anchors say 'hash join'.
+    // doc 3: strong body match (control — still ranks first).
+    // doc 4: neither — must not appear.
+    val docsDf = Seq(
+      (1L, ("hash " + Seq.fill(120)("filler").mkString(" "))),
+      (2L, "completely unrelated body about gardening and weather"),
+      (3L, "hash join hash join scan window hash"),
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val anchors = Seq(
+      (2L, "hash join"), (2L, "hash join tutorial"), (2L, "hash"),
+      (3L, "hash join reference"),
+      (4L, "contact us")
+    ).toDF("doc_id", "anchor")
+    val ranked = WebGraph.anchorBm25(
+        docsDf, anchors, Seq("hash", "join", "scan", "window"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+                           r.getLong(2), r.getLong(3)))
+    val order = ranked.map(_._1).toSeq
+    assert(order.head === 3L, s"strong body+anchor match first: $ranked")
+    assert(order.indexOf(2L) >= 0 && order.indexOf(1L) >= 0 &&
+             order.indexOf(2L) < order.indexOf(1L),
+           s"anchor-only page must outrank the weak body match: $ranked")
+    assert(!order.contains(4L),
+           s"no matching field -> not retrieved: $ranked")
+    val doc2 = ranked.find(_._1 == 2L).get
+    assert(doc2._3 === 0L && doc2._4 === 2L,
+           s"doc 2 is anchor-only (0 body terms, 2 anchor terms): $doc2")
+  }
+
   test("edgesFromLinks: host edges, junk dropped, same-host self-loop dropped") {
     import spark.implicits._
     val links = Seq(
