@@ -43,6 +43,15 @@ import graft.functions.LangId
   *     them (quarantine pipelines keep `value` on corrupt rows for
   *     repair — [[crawlCorrupt]] does).
   */
+/** Per-host frontier state for [[Crawl.frontierStream]]: the xxh64
+  * hashes of the URLs this host has emitted so far. Bounded BY
+  * CONSTRUCTION: emission stops at the host's politeness cap, so the
+  * array never exceeds `cap` longs — the budget counter and the
+  * cross-batch emission dedup are the same piece of state. (Top-level
+  * so the Product encoder codegen sees a plain constructor.)
+  */
+private[sources] case class FrontierHostState(emitted: Array[Long])
+
 object Crawl {
 
   /** The crawl record contract. `doc_id` and `text` are required
@@ -217,14 +226,7 @@ object Crawl {
     // host's body to its compiled rule group (+ declared crawl
     // delay), so the per-candidate check is a longest-match over
     // compiled rules and the join ships rule strings, never bodies.
-    val compiled = robotsAgent.map { agent =>
-      robotsTexts(parsed).select(
-        col("host"),
-        Robots.robots_compile(col("robots_txt"), lit(agent))
-          .as("_robots_rules"),
-        Robots.robots_delay(col("robots_txt"), lit(agent))
-          .as("_robots_delay"))
-    }
+    val compiled = robotsAgent.map(agent => compiledRobots(parsed, agent))
     val cand = compiled match {
       case Some(rules) =>
         // host-sized table, but pinned to the shuffle path anyway —
@@ -258,6 +260,183 @@ object Crawl {
       case _ => fr
     }
   }
+
+  /** The agent's politeness metadata as a host-keyed frame — rules
+    * compiled ONCE per host ([[Robots.robots_compile]]) plus the
+    * declared Crawl-delay/Request-rate interval: (host,
+    * `_robots_rules`, `_robots_delay`). Shared by the batch
+    * [[frontier]] and the streaming [[frontierStream]] (which gates
+    * arrivals stream-static against this frame), so the two doors
+    * cannot diverge on what a host permits. Host-sized output; the
+    * body parse never leaves this projection.
+    */
+  def compiledRobots(parsed: DataFrame, agent: String): DataFrame =
+    robotsTexts(parsed).select(
+      col("host"),
+      Robots.robots_compile(col("robots_txt"), lit(agent))
+        .as("_robots_rules"),
+      Robots.robots_delay(col("robots_txt"), lit(agent))
+        .as("_robots_delay"))
+
+  /** The accumulated seen set as an O(MB) sketch: canonical URLs of
+    * every non-corrupt capture in `parsed`, folded into a Bloom filter
+    * keyed on `xxhash64(canon_url)`. [[frontierStream]] probes it as a
+    * LITERAL — no join, no per-key state, constant memory per executor
+    * regardless of corpus size (the [[graft.operators.Curation
+    * .corpusBloom]] convention, applied to URLs instead of content).
+    * Sizing: explicit when passed; otherwise capacity = 2x the current
+    * distinct-URL count (headroom for post-build crawling, floor 2^16)
+    * at 8 bits/item (~2% fpp at capacity). A false positive DROPS a
+    * genuinely-new URL from the frontier — frontier semantics accept
+    * that (a later round re-discovers it once the corpus and sketch
+    * refresh); when it doesn't, route survivors through an exact
+    * stream-static anti-join and keep this as its pre-prune.
+    */
+  def seenUrlBloom(parsed: DataFrame,
+                   expectedItems: Long = 0L,
+                   numBits: Long = 0L): Array[Byte] = {
+    val urls = parsed.filter(!col("corrupt") && col("url").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("url"))
+      .filter(col("url").isNotNull)
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(urls.distinct().count() * 2, 1L << 16)
+    val bits = if (numBits > 0L) numBits else items * 8L
+    urls.agg(graft.functions.Bloom
+        .bloomAgg(xxhash64(col("url")), items, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** STREAMING twin of [[frontier]] — the live-crawler door: arrivals
+    * ([[readCrawlStream]] / [[readWarcStream]] output) emit their
+    * discoveries per micro-batch instead of waiting for a corpus-wide
+    * batch pass. Same semantics, re-expressed stream-legal:
+    *
+    *   - candidates: canonical outlinks (+ redirect targets and
+    *     opt-in sitemap pages when the frame carries them) — pure
+    *     codegen projections + explode, identical to the batch door;
+    *   - seen set: the `seenBloom` LITERAL probe ([[seenUrlBloom]]) —
+    *     the batch anti-join against billions of captured URLs is not
+    *     stream-legal without unbounded state, and the sketch is the
+    *     documented trade (O(MB) per executor, ~2% of new URLs lost
+    *     to false positives until the next sketch refresh);
+    *   - robots: stream-static left join against [[compiledRobots]]
+    *     (host-sized, shuffle-pinned) + the same `robots_allowed_c`
+    *     fail-open check as batch;
+    *   - politeness budget + emission dedup: ONE
+    *     `flatMapGroupsWithState` keyed by host. State per host is
+    *     the xxh64 set of URLs already emitted — at most `cap` longs,
+    *     because emission stops at the cap — so a URL discovered
+    *     again in a later batch never re-emits, and a host never
+    *     exceeds its budget across the whole crawl, with total state
+    *     <= hosts x cap x 8 bytes (a few GB at 10^7 hosts, sharded
+    *     across executors). Within a batch, a host's candidates are
+    *     buffered and byte-order sorted before emission (batch-local
+    *     buffering, bounded by the batch size) so emission order is
+    *     deterministic given the same batch boundaries.
+    *
+    * `crawlDelayWindow` > 0 tightens a delay-declaring host's cap to
+    * min(perHostCap, max(1, floor(window/delay))) — the batch
+    * spelling, applied per host at state time. Output (host, url, rk)
+    * in append mode; land it with [[startFrontierSink]] and the fetch
+    * loop closes: fetched WARCs re-enter [[readWarcStream]].
+    */
+  def frontierStream(parsed: DataFrame,
+                     seenBloom: Array[Byte],
+                     perHostCap: Int = 64,
+                     robots: Option[DataFrame] = None,
+                     sitemaps: Boolean = false,
+                     crawlDelayWindow: Double = 0.0): DataFrame = {
+    val links = linkEdges(parsed)
+      .select(Urls.canonicalize(col("dst_url")).as("url"))
+      .filter(col("url").isNotNull)
+    val withRedirects = if (!parsed.columns.contains("redirect")) links
+      else links.unionByName(
+        redirectEdges(parsed)
+          .select(Urls.canonicalize(col("dst_url")).as("url"))
+          .filter(col("url").isNotNull))
+    val cand0 = if (!sitemaps) withRedirects
+      else withRedirects.unionByName(
+        sitemapEntries(parsed).filter(col("kind") === "page")
+          .select(Urls.canonicalize(col("url")).as("url"))
+          .filter(col("url").isNotNull))
+    val unseen =
+      if (seenBloom == null || seenBloom.isEmpty) cand0
+      else cand0.filter(!graft.functions.Bloom
+        .mightContainLit(seenBloom, xxhash64(col("url"))))
+    val hosted = unseen
+      .withColumn("host", Urls.host(col("url")))
+      .filter(col("host").isNotNull)
+    // robots gate + effective per-host cap, both from the STATIC
+    // politeness frame (host-sized, shuffle-pinned — the
+    // no-broadcast rule for anything that grows with the web)
+    val gated = robots match {
+      case Some(rules) =>
+        val capCol =
+          if (crawlDelayWindow > 0)
+            least(lit(perHostCap.toLong),
+              when(col("_robots_delay").isNotNull,
+                greatest(lit(1L),
+                  floor(lit(crawlDelayWindow) / col("_robots_delay"))
+                    .cast("long")))
+              .otherwise(lit(perHostCap.toLong)))
+          else lit(perHostCap.toLong)
+        hosted
+          .join(rules.hint("shuffle_hash"), Seq("host"), "left")
+          .filter(Robots.robots_allowed_c(col("url"),
+                                          col("_robots_rules")))
+          .select(col("host"), col("url"), capCol.as("cap"))
+      case None =>
+        hosted.select(col("host"), col("url"),
+                      lit(perHostCap.toLong).as("cap"))
+    }
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    gated.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FrontierHostState, (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host, rows, state) =>
+          val emitted = scala.collection.mutable.LinkedHashSet(
+            state.getOption.map(_.emitted).getOrElse(Array.empty[Long]): _*)
+          val batch = rows.toArray
+          val cap = math.min(
+            batch.iterator.map(_._3).min,
+            perHostCap.toLong)
+          val out = Vector.newBuilder[(String, String, Long)]
+          for ((_, url, _) <- batch.sortBy(_._2)
+               if emitted.size < cap) {
+            val h = org.apache.spark.sql.catalyst.expressions
+              .XxHash64Function.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(url),
+                org.apache.spark.sql.types.StringType, 42L)
+            if (!emitted.contains(h)) {
+              emitted += h
+              out += ((host, url, emitted.size.toLong))
+            }
+          }
+          state.update(FrontierHostState(emitted.toArray))
+          out.result().iterator
+      }
+      .toDF("host", "url", "rk")
+  }
+
+  /** Land the streaming frontier as parquet — the fetch list a crawler
+    * tails. Append-mode file sink with exactly-once file tracking;
+    * AvailableNow drains what has landed and stops, so a scheduler can
+    * run discovery as a cadenced job over the same checkpoint.
+    */
+  def startFrontierSink(frontier: DataFrame, dir: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frontier.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", dir)
+      .start()
 
   /** Keep the responses a curation pipeline should ingest: HTTP
     * status 2xx, statusless captures (non-HTTP blocks, JSONL-fed

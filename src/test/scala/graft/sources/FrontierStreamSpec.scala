@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Crawl.frontierStream]] — the live-crawler door. The streaming twin
+  * must agree with the batch [[Crawl.frontier]] when fed the same
+  * corpus in one micro-batch (same seen set, same robots, same caps,
+  * same byte-order ranks), and across micro-batches its single
+  * per-host state must do BOTH politeness jobs at once: a URL
+  * discovered again in a later batch never re-emits, and total
+  * emissions per host never exceed the cap — with state bounded at
+  * `cap` hashes per host by construction.
+  */
+class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def page(id: Long, url: String, links: Seq[String]): String = {
+    val html = links.zipWithIndex
+      .map { case (l, i) => s"""<a href="$l">x$i</a>""" }.mkString(" ")
+    s"""{"doc_id":$id,"url":"$url","text":"${html.replace("\"", "\\\"")}","lang":"en","ts":"2026-03-01T00:00:00"}"""
+  }
+
+  private def robotsLine(id: Long, host: String, body: String): String =
+    s"""{"doc_id":$id,"url":"http://$host/robots.txt","text":"${body.replace("\n", "\\n")}","lang":"en","ts":"2026-03-01T00:00:00"}"""
+
+  private def parsedOf(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Crawl.parseCrawl(lines.toDF("value"))
+  }
+
+  // a bloom sized far past the fixture (2^20 bits for <10 urls) so a
+  // false positive cannot flake the parity assertion
+  private def bloomOf(parsed: DataFrame): Array[Byte] =
+    Crawl.seenUrlBloom(parsed, expectedItems = 1000L, numBits = 1L << 20)
+
+  private def runStream(lines: Seq[Seq[String]], bloom: Array[Byte],
+                        cap: Int, robots: Option[DataFrame],
+                        window: Double = 0.0,
+                        name: String = "frontier_out"): Set[(String, String, Long)] = {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")), bloom,
+      perHostCap = cap, robots = robots, crawlDelayWindow = window)
+    val q = fr.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (batch <- lines) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("single batch: stream equals the batch frontier (seen set, robots gate, caps, ranks)") {
+    val robotsBody = "User-agent: *\nDisallow: /private/"
+    val lines = Seq(
+      page(1, "http://a.com/1", Seq(
+        "http://a.com/p1", "http://a.com/p2", "http://a.com/p3",
+        "http://a.com/p4",            // 4 fresh on a.com; cap 3 drops p4
+        "http://a.com/private/x",     // robots-disallowed
+        "http://a.com/seen",          // captured below -> seen
+        "http://b.org/x")),
+      page(2, "http://a.com/seen", Seq("http://a.com/p1")), // dup discovery
+      robotsLine(3, "a.com", robotsBody))
+    val batchParsed = parsedOf(lines)
+    val expected = Crawl.frontier(batchParsed, perHostCap = 3,
+        robotsAgent = Some("graftbot")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // sanity on the fixture itself: the cap bit, robots bit, seen bit
+    assert(expected === Set(
+      ("a.com", "http://a.com/p1", 1L), ("a.com", "http://a.com/p2", 2L),
+      ("a.com", "http://a.com/p3", 3L), ("b.org", "http://b.org/x", 1L)))
+    val got = runStream(Seq(lines), bloomOf(batchParsed), 3,
+      Some(Crawl.compiledRobots(batchParsed, "graftbot")),
+      name = "frontier_parity")
+    assert(got === expected)
+  }
+
+  test("cross-batch: re-discoveries never re-emit, the budget holds across batches, rk continues") {
+    val b1 = Seq(page(1, "http://s.com/1",
+      Seq("http://a.com/p1", "http://a.com/p2")))
+    val b2 = Seq(page(2, "http://s.com/2",
+      Seq("http://a.com/p1",                      // dup of batch-1 emission
+          "http://a.com/p3", "http://a.com/p4",
+          "http://a.com/p5")))                    // over the cap=4 budget
+    val got = runStream(Seq(b1, b2), Array.emptyByteArray, 4, None,
+      name = "frontier_xbatch")
+    assert(got === Set(
+      ("a.com", "http://a.com/p1", 1L), ("a.com", "http://a.com/p2", 2L),
+      ("a.com", "http://a.com/p3", 3L), ("a.com", "http://a.com/p4", 4L)))
+  }
+
+  test("crawl-delay tightens a declaring host's cap; silent hosts keep the full budget") {
+    val robotsBody = "User-agent: *\nDisallow:\nCrawl-delay: 10"
+    val lines = Seq(
+      page(1, "http://x.net/1", Seq(
+        "http://a.com/p1", "http://a.com/p2", "http://a.com/p3",
+        "http://a.com/p4",
+        "http://b.org/q1", "http://b.org/q2", "http://b.org/q3",
+        "http://b.org/q4")),
+      robotsLine(2, "a.com", robotsBody))
+    val parsed = parsedOf(lines)
+    // window 30 s / delay 10 s -> a.com may take 3; b.org keeps 8
+    val got = runStream(Seq(lines), Array.emptyByteArray, 8,
+      Some(Crawl.compiledRobots(parsed, "graftbot")), window = 30.0,
+      name = "frontier_delay")
+    val aCom = got.filter(_._1 == "a.com").map(_._2)
+    val bOrg = got.filter(_._1 == "b.org").map(_._2)
+    assert(aCom === Set("http://a.com/p1", "http://a.com/p2",
+                        "http://a.com/p3"))
+    assert(bOrg.size === 4)
+    // and the batch door agrees on the tightened cap
+    val batch = Crawl.frontier(parsed, perHostCap = 8,
+        robotsAgent = Some("graftbot"), crawlDelayWindow = 30.0)
+      .filter(col("host") === "a.com").collect().map(_.getString(1)).toSet
+    assert(batch === aCom)
+  }
+
+  test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    java.nio.file.Files.write(in.resolve("s0.jsonl"),
+      (page(1, "http://a.com/1",
+        Seq("http://a.com/p1", "http://b.org/x")) + "\n").getBytes("UTF-8"))
+    val fr = Crawl.frontierStream(
+      Crawl.readCrawlStream(spark, in.toString),
+      Array.emptyByteArray, perHostCap = 8)
+    val q = Crawl.startFrontierSink(fr, dir.resolve("out").toString,
+      dir.resolve("ckpt").toString)
+    try q.awaitTermination(60000L) finally q.stop()
+    val out = spark.read.parquet(dir.resolve("out").toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a.com", "http://a.com/p1"),
+                       ("b.org", "http://b.org/x")))
+  }
+}
