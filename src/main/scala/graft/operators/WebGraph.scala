@@ -335,6 +335,129 @@ object WebGraph {
     r.select(col("host"), col("r").as("rank_e12"))
   }
 
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): PageRank
+    * with the teleport mass restricted to a curated SEED set of
+    * trusted hosts, so trust flows outward along links and link-spam
+    * farms — which no trusted host links to — starve. The standard
+    * spam-demotion prior a crawl pipeline runs beside raw rank (q177
+    * measures popularity; this measures endorsement). Same exact
+    * integer arithmetic as [[pageRank]] (trust mass scaled to 1e12,
+    * BIGINT div throughout — summation-order-free, bit-identical
+    * across engines/partitions), same per-iteration shape: one
+    * edges-by-src join against the host-sized trust table + one
+    * dst-keyed aggregation. Dangling-host leakage follows the q177
+    * convention (mass on hosts with no outlinks evaporates rather
+    * than redistributing — fine for a RANKING prior; both engines
+    * spell it identically). Hosts unreachable from any seed get
+    * exactly 0.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame,
+                iters: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val hosts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val sd = seeds.select("host").distinct()
+    val flagged = hosts
+      .join(sd.withColumn("_s", lit(true)).hint("shuffle_hash"),
+            Seq("host"), "left")
+      .select(col("host"), coalesce(col("_s"), lit(false)).as("is_seed"))
+    // seed count: a 1-row scalar — the only broadcast in the plan
+    val nS = broadcast(sd.agg(count(lit(1)).as("ns")))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    var r = flagged.crossJoin(nS)
+      .select(col("host"), col("is_seed"),
+        when(col("is_seed"),
+          expr("cast(1000000000000 as bigint) div ns"))
+          .otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.select(col("host").as("src"), col("r"))
+               .hint("shuffle_hash"), "src")
+        .join(outd.hint("shuffle_hash"), "src")
+        .select(col("dst"), expr("r div out_deg").as("c"))
+      val sums = contrib.groupBy("dst").agg(sum("c").as("s"))
+      r = flagged.crossJoin(nS)
+        .join(sums.withColumnRenamed("dst", "host").hint("shuffle_hash"),
+              Seq("host"), "left")
+        .select(col("host"), col("is_seed"),
+          (when(col("is_seed"),
+             expr("cast(150000000000 as bigint) div ns"))
+             .otherwise(lit(0L)) +
+           expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+    }
+    r.select(col("host"), col("is_seed"), col("r").as("trust_e12"))
+  }
+
+  /** Per-page change-rate estimate from revisit history — the
+    * recrawl-scheduling prior (Cho/Garcia-Molina freshness: pages
+    * that change often earn short revisit intervals; static pages
+    * earn long ones). Input: one row per CAPTURE, (canon_url, fp)
+    * where fp is a content fingerprint (xxhash64(text) on a real
+    * frame). Changes are DETECTED as distinct fingerprints - 1 — a
+    * lower bound on true transitions (a page that flips A->B->A
+    * counts once), which is the standard sampling-blind estimator and
+    * spelled identically in both engines. change_share normalizes by
+    * revisit count (captures - 1, floor 1 so singletons stay 0);
+    * buckets: 'unknown' (1 capture — nothing observed), 'hot'
+    * (>=0.5), 'warm' (>=0.1), 'cold'. One shuffle on the near-unique
+    * page key; groups are revisit-count-sized at any corpus scale.
+    */
+  def recrawlPriority(captures: DataFrame): DataFrame = {
+    val g = captures.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_captures"),
+           countDistinct("fp").as("n_versions"))
+      .select(col("canon_url"), col("n_captures"), col("n_versions"),
+        (col("n_versions") - 1L).as("n_changes"),
+        round((col("n_versions") - 1L).cast("double") /
+          greatest(col("n_captures") - 1L, lit(1L)).cast("double"), 4)
+          .as("change_share"))
+    g.withColumn("bucket",
+      when(col("n_captures") === 1L, "unknown")
+        .when(col("change_share") >= 0.5, "hot")
+        .when(col("change_share") >= 0.1, "warm")
+        .otherwise("cold"))
+  }
+
+  /** Mirror-host detection: hosts that serve the same content under
+    * different names (CDNs, country mirrors, scraped clones) — the
+    * evidence table feeding the q182/q183 site-family tier (a mirror
+    * pair IS one site for caps/mixing). Input: distinct (host, fp)
+    * content-fingerprint incidence. Two guards make the self-join
+    * scale: fingerprints on more than `maxHostsPerFp` hosts drop
+    * FIRST (shared boilerplate — a footer served by 10^4 hosts is
+    * not mirroring evidence, and it is exactly the row that would
+    * make the join quadratic), so join cells are bounded at
+    * maxHostsPerFp^2; and pairs below `minShared` fingerprints drop
+    * after counting (one shared page is coincidence, not a mirror).
+    * overlap = n_shared / min(|a|, |b|) — containment, so a small
+    * full mirror of a big host still scores 1.0.
+    */
+  def mirrorHosts(docHosts: DataFrame, maxHostsPerFp: Int,
+                  minShared: Long): DataFrame = {
+    val hf = docHosts.select("host", "fp").distinct()
+    val ok = hf.groupBy("fp").agg(count(lit(1)).as("_nh"))
+      .filter(col("_nh") <= maxHostsPerFp).select("fp")
+    val hf2 = hf.join(ok.hint("shuffle_hash"), Seq("fp"))
+    val sizes = hf2.groupBy("host").agg(count(lit(1)).as("n_fps"))
+    val a = hf2.select(col("fp"), col("host").as("host_a"))
+    val b = hf2.select(col("fp"), col("host").as("host_b"))
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("host", "host_a")
+        .withColumnRenamed("n_fps", "_na").hint("shuffle_hash"),
+        Seq("host_a"))
+      .join(sizes.withColumnRenamed("host", "host_b")
+        .withColumnRenamed("n_fps", "_nb").hint("shuffle_hash"),
+        Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("_na"), col("_nb")).cast("double"), 4).as("overlap"))
+  }
+
   /** The crawl-loop closure: next fetch list = `candidates` (canonical
     * discovered URLs) minus `seen` (canonical already-captured URLs),
     * capped at `perHostCap` per host (the politeness budget — a
@@ -1068,6 +1191,135 @@ object WebGraph {
         .join(occ, Seq("m")).select("doc_id", "anchor")
       anchorBm25(docs(s, d).select("doc_id", "text"), anchors,
                  Seq("hash", "join", "scan", "window"), 20)
+    },
+
+    Q("q185_recrawl_priority",
+      "Recrawl scheduling: per-page change-rate estimate from revisit " +
+        "history (Cho/Garcia-Molina freshness) — detected changes = " +
+        "distinct content fingerprints - 1 (the sampling-blind lower " +
+        "bound), normalized by revisit count, bucketed hot/warm/cold/" +
+        "unknown. Planted: captures are the q172 canonical pages " +
+        "(doc_id % 250 identity, ~2x captured at sf0.01, ~20x at " +
+        "sf0.1); content version (doc_id div 250) % (1 + k % 4), so a " +
+        "quarter of pages never change and a quarter churn through 4 " +
+        "versions. Real frame: canon_url = Urls.canonicalize(url), " +
+        "fp = xxhash64(text). One shuffle on the near-unique page key.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+          |        CAST(count(DISTINCT fp) AS BIGINT) AS n_versions
+          |      FROM v GROUP BY 1),
+          |g2 AS (SELECT *, n_versions - 1 AS n_changes,
+          |        round(CAST(n_versions - 1 AS DOUBLE)
+          |              / greatest(n_captures - 1, 1), 4) AS change_share
+          |       FROM g)
+          |SELECT canon_url, n_captures, n_versions, n_changes,
+          |  change_share,
+          |  CASE WHEN n_captures = 1 THEN 'unknown'
+          |       WHEN change_share >= 0.5 THEN 'hot'
+          |       WHEN change_share >= 0.1 THEN 'warm'
+          |       ELSE 'cold' END AS bucket
+          |FROM g2""".stripMargin) { (s, d) =>
+      recrawlPriority(
+        plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .select(col("canon_url"),
+            expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp")))
+    },
+
+    Q("q186_trustrank",
+      "TrustRank (Gyongyi et al., VLDB'04): PageRank with teleport " +
+        "mass restricted to a trusted SEED set, so trust flows " +
+        "outward along links and spam farms no trusted host links to " +
+        "starve — the spam-demotion prior beside q177's popularity " +
+        "rank. Seeds: hosts whose number is divisible by 7 (a planted " +
+        "curated list). Same exact 1e12-scaled BIGINT arithmetic and " +
+        "per-iteration shape as q177 (3 iterations); hosts unreachable " +
+        "from any seed get exactly 0.",
+      s"""WITH $edgesSqlCtes,
+         |seeds AS (SELECT host FROM hosts
+         |          WHERE CAST(regexp_extract(host, '[0-9]+') AS BIGINT)
+         |                % 7 = 0),
+         |hs AS (SELECT h.host,
+         |         h.host IN (SELECT host FROM seeds) AS is_seed
+         |       FROM hosts h),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+         |r0 AS (SELECT hs.host, hs.is_seed,
+         |         CASE WHEN hs.is_seed THEN 1000000000000 // ns.ns
+         |              ELSE 0 END AS r
+         |       FROM hs CROSS JOIN ns),
+         |s1 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r0 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r1 AS (SELECT hs.host, hs.is_seed,
+         |         (CASE WHEN hs.is_seed THEN 150000000000 // ns.ns
+         |               ELSE 0 END)
+         |         + (85 * COALESCE(s1.s, 0)) // 100 AS r
+         |       FROM hs CROSS JOIN ns LEFT JOIN s1 ON s1.dst = hs.host),
+         |s2 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r1 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r2 AS (SELECT hs.host, hs.is_seed,
+         |         (CASE WHEN hs.is_seed THEN 150000000000 // ns.ns
+         |               ELSE 0 END)
+         |         + (85 * COALESCE(s2.s, 0)) // 100 AS r
+         |       FROM hs CROSS JOIN ns LEFT JOIN s2 ON s2.dst = hs.host),
+         |s3 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r2 r ON r.host = e.src
+         |       JOIN o ON o.src = e.src GROUP BY 1),
+         |r3 AS (SELECT hs.host, hs.is_seed,
+         |         (CASE WHEN hs.is_seed THEN 150000000000 // ns.ns
+         |               ELSE 0 END)
+         |         + (85 * COALESCE(s3.s, 0)) // 100 AS r
+         |       FROM hs CROSS JOIN ns LEFT JOIN s3 ON s3.dst = hs.host)
+         |SELECT host, is_seed, r AS trust_e12 FROM r3""".stripMargin) {
+      (s, d) =>
+        val edges = linkEdgesTable(s, d)
+        val hosts = edges.select(col("src").as("host"))
+          .union(edges.select(col("dst").as("host"))).distinct()
+        val seeds = hosts.filter(
+          expr("cast(regexp_extract(host, '[0-9]+', 0) as bigint)")
+            % 7 === 0)
+        trustRank(edges, seeds, 3)
+    },
+
+    Q("q187_mirror_hosts",
+      "Mirror-host detection: host pairs sharing >= 2 content " +
+        "fingerprints, with containment overlap n_shared/min(|a|,|b|) " +
+        "— the evidence table that feeds site-family resolution " +
+        "(q182/q183: a mirror pair is ONE site for caps and mixing). " +
+        "Fingerprints on > 10 hosts drop FIRST (shared boilerplate is " +
+        "not mirroring evidence, and it is exactly the row that makes " +
+        "the self-join quadratic) — join cells are bounded at " +
+        "maxHostsPerFp^2 at any corpus size. Planted: page k lives on " +
+        "host k % 53 with content class k % 97, so diff-44 host pairs " +
+        "provably share 2-3 classes. Real frame: host = " +
+        "Urls.host(url), fp = xxhash64(text).",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+        |hf AS (SELECT DISTINCT 'host' || CAST(k % 53 AS VARCHAR) AS host,
+        |         k % 97 AS fp FROM k0),
+        |ok AS (SELECT fp FROM hf GROUP BY 1 HAVING count(*) <= 10),
+        |hf2 AS (SELECT hf.* FROM hf JOIN ok USING (fp)),
+        |sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fps
+        |          FROM hf2 GROUP BY 1),
+        |pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+        |            CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM hf2 a JOIN hf2 b
+        |            ON a.fp = b.fp AND a.host < b.host
+        |          GROUP BY 1, 2)
+        |SELECT host_a, host_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |        / least(sa.n_fps, sb.n_fps), 4) AS overlap
+        |FROM pairs
+        |JOIN sizes sa ON sa.host = pairs.host_a
+        |JOIN sizes sb ON sb.host = pairs.host_b
+        |WHERE n_shared >= 2""".stripMargin) { (s, d) =>
+      val k = col("k")
+      val hf = docs(s, d).select((col("doc_id") % 250).as("k")).distinct()
+        .select(concat(lit("host"), (k % 53).cast("string")).as("host"),
+                (k % 97).as("fp"))
+      mirrorHosts(hf, maxHostsPerFp = 10, minShared = 2L)
     }
   )
 

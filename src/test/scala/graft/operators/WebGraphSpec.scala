@@ -213,4 +213,67 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(e === Set("a.com" -> "b.org"))
   }
+
+  test("trustRank: seeds hold teleport mass, spam unreachable from seeds gets exactly 0") {
+    import spark.implicits._
+    // s (seed) -> a -> b; spam1 <-> spam2 link only each other
+    val g = edges("s" -> "a", "a" -> "b",
+                  "spam1" -> "spam2", "spam2" -> "spam1")
+    val seeds = Seq("s").toDF("host")
+    val t = WebGraph.trustRank(g, seeds, 3).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // |S|=1: r0(s)=1e12, others 0. iter1: s=150e9, a=850e9, rest 0.
+    // iter2: s=150e9, a=85%*150e9=127.5e9, b=85%*850e9=722.5e9.
+    // iter3: s=150e9, a=127.5e9, b=85%*127.5e9=108375000000.
+    assert(t("s") === ((true, 150000000000L)))
+    assert(t("a") === ((false, 127500000000L)))
+    assert(t("b") === ((false, 108375000000L)))
+    // the spam clique circulates ZERO trust — the property the
+    // operator exists for (raw PageRank gives it plenty)
+    assert(t("spam1") === ((false, 0L)))
+    assert(t("spam2") === ((false, 0L)))
+    val pr = rankMap(WebGraph.pageRank(g, 3))
+    assert(pr("spam1") > 0L)
+  }
+
+  test("mirrorHosts: boilerplate fingerprints drop before pairing; containment overlap") {
+    import spark.implicits._
+    val hf = (
+      // m1/m2: full mirrors on 3 shared pages; m2 has 1 extra page
+      Seq(("m1", 1L), ("m1", 2L), ("m1", 3L),
+          ("m2", 1L), ("m2", 2L), ("m2", 3L), ("m2", 4L)) ++
+      // x shares only ONE page with m1 -> below minShared, drops
+      Seq(("x", 1L), ("x", 9L)) ++
+      // fp 100 is on 5 hosts -> over maxHostsPerFp=4, drops FIRST
+      Seq("m1", "m2", "x", "y", "z").map(_ -> 100L)
+    ).toDF("host", "fp")
+    val out = WebGraph.mirrorHosts(hf, maxHostsPerFp = 4, minShared = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    // only (m1, m2) survives: 3 shared real pages; boilerplate fp 100
+    // contributed nothing. overlap = 3 / min(3, 4) = 1.0 even though
+    // m2 is bigger (containment, not Jaccard).
+    assert(out.toSeq === Seq(("m1", "m2", 3L, 1.0)))
+  }
+
+  test("recrawlPriority: buckets and the singleton/unchanged edge cases") {
+    import spark.implicits._
+    val caps = Seq(
+      ("u_hot", 1L), ("u_hot", 2L), ("u_hot", 3L),      // 2 changes / 2
+      ("u_warm", 1L), ("u_warm", 1L), ("u_warm", 1L),
+      ("u_warm", 1L), ("u_warm", 1L), ("u_warm", 1L),
+      ("u_warm", 1L), ("u_warm", 1L), ("u_warm", 2L),   // 1 change / 8
+      ("u_cold", 7L), ("u_cold", 7L),                   // 0 changes
+      ("u_new", 5L)                                     // 1 capture
+    ).toDF("canon_url", "fp")
+    val out = WebGraph.recrawlPriority(caps).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(out("u_hot") === ((3L, 2L, 1.0, "hot")))
+    assert(out("u_warm") === ((9L, 1L, 0.125, "warm")))
+    assert(out("u_cold") === ((2L, 0L, 0.0, "cold")))
+    assert(out("u_new") === ((1L, 0L, 0.0, "unknown")))
+  }
 }
