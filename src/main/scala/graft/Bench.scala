@@ -130,7 +130,7 @@ object Bench {
       // extraction pass — is paid by whichever runs first in registry
       // order (q176 for link_edges, q182 for site_edges)
       "q176_link_graph", "q177_host_rank", "q180_crawl_budget",
-      "q182_host_components",
+      "q182_host_components", "q186_trustrank", "q188_recrawl_queue",
       // q161/q162/q169 serve the persisted nb_scores_v1 per-doc score
       // table (the build — one tokenize+train pass — is paid by q161)
       "q161_nb_distill", "q162_nb_calibration", "q169_nb_threshold_sweep",

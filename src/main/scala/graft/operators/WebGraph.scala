@@ -117,6 +117,17 @@ object WebGraph {
   private def plantedCanon(s: SparkSession, d: String): DataFrame =
     plantUrls(s, d).withColumn("canon_url", Urls.canonicalize(col("url")))
 
+  /** q185/q188 planted capture history: the q172 canonical pages with
+    * a deterministic content version — (doc_id div 250) % (1 + k % 4),
+    * so a quarter of pages never change and a quarter churn through
+    * four versions. Real frame: canon_url = Urls.canonicalize(url),
+    * fp = xxhash64(text).
+    */
+  private def plantedCaptures(s: SparkSession, d: String): DataFrame =
+    plantedCanon(s, d).filter(col("canon_url").isNotNull)
+      .select(col("canon_url"),
+        expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"))
+
   // ------------------------------------------------------------------
   // URL filter verdict (q174) — shared spelling for q174/q175.
   // ------------------------------------------------------------------
@@ -1222,10 +1233,7 @@ object WebGraph {
           |       WHEN change_share >= 0.1 THEN 'warm'
           |       ELSE 'cold' END AS bucket
           |FROM g2""".stripMargin) { (s, d) =>
-      recrawlPriority(
-        plantedCanon(s, d).filter(col("canon_url").isNotNull)
-          .select(col("canon_url"),
-            expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp")))
+      recrawlPriority(plantedCaptures(s, d))
     },
 
     Q("q186_trustrank",
@@ -1320,6 +1328,71 @@ object WebGraph {
         .select(concat(lit("host"), (k % 53).cast("string")).as("host"),
                 (k % 97).as("fp"))
       mirrorHosts(hf, maxHostsPerFp = 10, minShared = 2L)
+    },
+
+    Q("q188_recrawl_queue",
+      "Freshness-aware recrawl queue — the Cho/Garcia-Molina crawl " +
+        "ordering: refetch priority = host authority x page change " +
+        "rate, so an important fast-changing page outranks both a " +
+        "stale-but-important one and a churning-but-obscure one. " +
+        "Composes q185's per-page change stats with q177's " +
+        "exact-integer PageRank (page's host joined by its first DNS " +
+        "label, the q180 spelling): score_e12 = rank_e12 * " +
+        "(1 + n_changes) in BIGINT, top-100 by (score desc, url asc) " +
+        "-> TakeOrderedAndProject. One near-unique-key aggregation + " +
+        "one host-sized join; rank serves from the persisted edge " +
+        "artifact.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        s"""v AS (SELECT canon_url,
+           |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp
+           |      FROM canon WHERE canon_url IS NOT NULL),
+           |g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+           |        CAST(count(DISTINCT fp) AS BIGINT) AS n_versions
+           |      FROM v GROUP BY 1),
+           |$edgesSqlCtes,
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts),
+           |r0 AS (SELECT h.host, 1000000000000 // n.n AS r
+           |       FROM hosts h CROSS JOIN n),
+           |s1 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+           |       FROM edges e JOIN r0 r ON r.host = e.src
+           |       JOIN o ON o.src = e.src GROUP BY 1),
+           |r1 AS (SELECT h.host,
+           |         (150000000000 // n.n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+           |       FROM hosts h CROSS JOIN n LEFT JOIN s1 ON s1.dst = h.host),
+           |s2 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+           |       FROM edges e JOIN r1 r ON r.host = e.src
+           |       JOIN o ON o.src = e.src GROUP BY 1),
+           |r2 AS (SELECT h.host,
+           |         (150000000000 // n.n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+           |       FROM hosts h CROSS JOIN n LEFT JOIN s2 ON s2.dst = h.host),
+           |s3 AS (SELECT e.dst, CAST(sum(r.r // o.out_deg) AS BIGINT) AS s
+           |       FROM edges e JOIN r2 r ON r.host = e.src
+           |       JOIN o ON o.src = e.src GROUP BY 1),
+           |r3 AS (SELECT h.host,
+           |         (150000000000 // n.n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
+           |       FROM hosts h CROSS JOIN n LEFT JOIN s3 ON s3.dst = h.host),
+           |q AS (SELECT g.canon_url,
+           |        split_part(regexp_extract(canon_url,
+           |          '://([^/?#]+)', 1), '.', 1) AS host,
+           |        g.n_versions - 1 AS n_changes
+           |      FROM g)
+           |SELECT q.canon_url, q.host, q.n_changes, r3.r AS rank_e12,
+           |  r3.r * (1 + q.n_changes) AS score_e12
+           |FROM q JOIN r3 ON r3.host = q.host
+           |ORDER BY score_e12 DESC, canon_url LIMIT 100""".stripMargin) {
+      (s, d) =>
+        val stats = recrawlPriority(plantedCaptures(s, d))
+          .select(col("canon_url"), col("n_changes"),
+            substring_index(Urls.host(col("canon_url")), ".", 1)
+              .as("host"))
+        val ranks = pageRank(linkEdgesTable(s, d), 3)
+        // host-sized rank table: shuffle-pinned, the no-broadcast rule
+        stats.join(ranks.hint("shuffle_hash"), Seq("host"))
+          .select(col("canon_url"), col("host"), col("n_changes"),
+            col("rank_e12"),
+            (col("rank_e12") * (col("n_changes") + 1L)).as("score_e12"))
+          .orderBy(col("score_e12").desc, col("canon_url"))
+          .limit(100)
     }
   )
 
