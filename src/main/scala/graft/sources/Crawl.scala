@@ -52,6 +52,14 @@ import graft.functions.LangId
   */
 private[sources] case class FrontierHostState(emitted: Array[Long])
 
+/** Per-page state for [[Crawl.changeTrackStream]]: the last content
+  * fingerprint seen plus capture/transition counters — three longs
+  * per page, the minimum that detects changes in arrival order.
+  */
+private[sources] case class ChangeTrackState(lastFp: Long,
+                                             nCaptures: Long,
+                                             nChanges: Long)
+
 object Crawl {
 
   /** The crawl record contract. `doc_id` and `text` are required
@@ -420,6 +428,62 @@ object Crawl {
           out.result().iterator
       }
       .toDF("host", "url", "rk")
+  }
+
+  /** STREAMING change tracker — the live twin of the batch recrawl
+    * prior ([[graft.operators.WebGraph.recrawlPriority]]): each
+    * arriving capture updates its page's (last fingerprint, captures,
+    * changes) state and the page's current stats row emits per
+    * micro-batch (append mode; downstream keeps latest-per-url). The
+    * two estimators deliberately differ in what they can see: batch is
+    * ORDER-BLIND (changes = distinct fingerprints - 1, a lower bound —
+    * A->B->A counts once), while the stream sees arrival order and
+    * counts actual TRANSITIONS (A->B->A counts twice), the finer
+    * Cho/Garcia-Molina signal; captures inside one batch apply in
+    * (event time, doc_id) order so replays are deterministic. Buckets
+    * and change_share share the batch spelling (round-4dp, hot >= 0.5,
+    * warm >= 0.1, unknown at one capture). State: three longs per
+    * page, page-scale total — the standard streaming-dedup state
+    * shape, disk-backed by the state store and keyed exactly like the
+    * canonical-dedup path.
+    */
+  def changeTrackStream(parsed: DataFrame): DataFrame = {
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val caps = parsed
+      .filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("canon_url"),
+              xxhash64(col("text")).as("fp"),
+              col("ts").cast("long").as("ts_s"),
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+      .filter(col("canon_url").isNotNull)
+    caps.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ChangeTrackState,
+                              (String, Long, Long, Double, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url, rows, state) =>
+          var st = state.getOption.getOrElse(ChangeTrackState(0L, 0L, 0L))
+          for ((_, fp, _, _) <- rows.toArray.sortBy(r => (r._3, r._4))) {
+            if (st.nCaptures > 0L && fp != st.lastFp)
+              st = st.copy(nChanges = st.nChanges + 1L)
+            st = ChangeTrackState(fp, st.nCaptures + 1L, st.nChanges)
+          }
+          state.update(st)
+          val share = BigDecimal(
+              st.nChanges.toDouble / math.max(st.nCaptures - 1L, 1L))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val bucket =
+            if (st.nCaptures == 1L) "unknown"
+            else if (share >= 0.5) "hot"
+            else if (share >= 0.1) "warm"
+            else "cold"
+          Iterator.single((url, st.nCaptures, st.nChanges, share, bucket))
+      }
+      .toDF("canon_url", "n_captures", "n_changes", "change_share",
+            "bucket")
   }
 
   /** Land the streaming frontier as parquet — the fetch list a crawler

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Crawl.changeTrackStream]] — the live recrawl prior. The stream
+  * counts actual TRANSITIONS in arrival order (the signal the
+  * order-blind batch estimator cannot see: A->B->A is two changes
+  * here, one there), carries state across micro-batches, orders
+  * same-batch captures by (event time, doc_id), and collapses
+  * canonicalization-junk URL variants onto one page before tracking.
+  */
+class ChangeTrackStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def cap(id: Long, url: String, text: String, ts: String): String =
+    s"""{"doc_id":$id,"url":"$url","text":"$text","lang":"en","ts":"$ts"}"""
+
+  private def run(batches: Seq[Seq[String]], name: String)
+      : Map[String, Seq[(Long, Long, Double, String)]] = {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Crawl.changeTrackStream(Crawl.parseCrawl(mem.toDF().toDF("value")))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).sortBy(_._1).toSeq }
+  }
+
+  test("transitions count in arrival order across batches; state persists; variants collapse") {
+    val u = "http://a.com/page"
+    val b1 = Seq(
+      cap(1, u, "version A", "2026-03-01T00:00:00"),
+      // same page under tracking junk — canonicalizes onto u, and its
+      // LATER event time makes it the second capture: A -> B = 1 change
+      cap(2, u + "?utm_source=x", "version B", "2026-03-01T01:00:00"),
+      cap(3, "http://b.org/static", "same forever", "2026-03-01T00:00:00"))
+    val b2 = Seq(
+      // back to A: the stream counts the transition (batch distinct-1
+      // would not) -> 2 changes over 2 revisits = 1.0, hot
+      cap(4, u, "version A", "2026-03-02T00:00:00"),
+      cap(5, "http://b.org/static", "same forever", "2026-03-02T00:00:00"))
+    val out = run(Seq(b1, b2), "chg_basic")
+    assert(out(u) === Seq((2L, 1L, 1.0, "hot"), (3L, 2L, 1.0, "hot")))
+    assert(out("http://b.org/static") ===
+      Seq((1L, 0L, 0.0, "unknown"), (2L, 0L, 0.0, "cold")))
+  }
+
+  test("same-batch ordering is event-time then doc_id, not arrival luck") {
+    val u = "http://c.net/p"
+    // added out of order; event times say A(00) -> B(01) -> A(02):
+    // 2 transitions. A doc_id tiebreak would see A,A,B = 1 only if
+    // event order were ignored.
+    val b = Seq(
+      cap(9, u, "B", "2026-03-01T01:00:00"),
+      cap(8, u, "A", "2026-03-01T02:00:00"),
+      cap(7, u, "A", "2026-03-01T00:00:00"))
+    val out = run(Seq(b), "chg_order")
+    assert(out(u) === Seq((3L, 2L, 1.0, "hot")))
+  }
+}
