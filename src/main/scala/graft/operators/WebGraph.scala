@@ -1393,6 +1393,67 @@ object WebGraph {
             (col("rank_e12") * (col("n_changes") + 1L)).as("score_e12"))
           .orderBy(col("score_e12").desc, col("canon_url"))
           .limit(100)
+    },
+
+    Q("q189_mirror_families",
+      "Mirror evidence CONSUMED: q187's shared-fingerprint pairs " +
+        "become edges, min-label components resolve them into mirror " +
+        "FAMILIES, and each host gets its family label + size — the " +
+        "content-based sibling of q182's link-based site families (a " +
+        "real pipeline unions both edge sets before q183's caps: a " +
+        "clone farm is ONE site whether or not its members link to " +
+        "each other). Planted: 8 mirror islands of 3 hosts each, " +
+        "every pair sharing 7 content classes, so the pair graph is " +
+        "complete inside an island and empty across — complete " +
+        "subgraphs converge in one min-label round (two provisioned). " +
+        "Same shuffle shape as q182: host-keyed joins, state " +
+        "host-sized throughout.",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS k FROM documents),
+        |inc AS (SELECT DISTINCT 'm' || CAST(k % 24 AS VARCHAR) AS host,
+        |          ((k % 24) // 3) * 100 + (k // 24) % 7 AS fp
+        |        FROM k0),
+        |ok AS (SELECT fp FROM inc GROUP BY 1 HAVING count(*) <= 10),
+        |inc2 AS (SELECT inc.* FROM inc JOIN ok USING (fp)),
+        |pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+        |            CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM inc2 a JOIN inc2 b
+        |            ON a.fp = b.fp AND a.host < b.host
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT host_a AS src, host_b AS dst FROM pairs),
+        |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |h AS (SELECT DISTINCT src AS host FROM und),
+        |p0 AS (SELECT host, host AS component FROM h),
+        |m1 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p0 r ON r.host = e.dst GROUP BY 1),
+        |p1 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p0 p LEFT JOIN m1 m ON m.host = p.host),
+        |m2 AS (SELECT e.src AS host, min(r.component) AS nmin
+        |       FROM und e JOIN p1 r ON r.host = e.dst GROUP BY 1),
+        |p2 AS (SELECT p.host,
+        |         least(p.component, COALESCE(m.nmin, p.component))
+        |           AS component
+        |       FROM p1 p LEFT JOIN m2 m ON m.host = p.host),
+        |fs AS (SELECT component AS family,
+        |         CAST(count(*) AS BIGINT) AS n_hosts
+        |       FROM p2 GROUP BY 1)
+        |SELECT p2.host, p2.component AS family, fs.n_hosts
+        |FROM p2 JOIN fs ON fs.family = p2.component""".stripMargin) {
+      (s, d) =>
+        val k = col("k")
+        val inc = docs(s, d).select((col("doc_id") % 250).as("k"))
+          .distinct()
+          .select(concat(lit("m"), (k % 24).cast("string")).as("host"),
+            expr("((k % 24) div 3) * 100 + (k div 24) % 7").as("fp"))
+        val pairs = mirrorHosts(inc, maxHostsPerFp = 10, minShared = 2L)
+        val fam = components(
+          pairs.select(col("host_a").as("src"), col("host_b").as("dst")),
+          rounds = 2)
+        val sizes = fam.groupBy("component").agg(count(lit(1)).as("n_hosts"))
+        fam.join(sizes.hint("shuffle_hash"), Seq("component"))
+          .select(col("host"), col("component").as("family"),
+                  col("n_hosts"))
     }
   )
 
