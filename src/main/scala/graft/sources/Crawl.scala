@@ -60,6 +60,19 @@ private[sources] case class ChangeTrackState(lastFp: Long,
                                              nCaptures: Long,
                                              nChanges: Long)
 
+/** Per-host state for [[Crawl.frontierStreamLive]]: the host's
+  * CURRENT compiled robots rules + declared delay (with the capture
+  * recency that installed them, so stale replays never roll rules
+  * back) riding beside the emitted-URL budget set. Rules are bounded
+  * by the robots body cap; the emitted set by the politeness cap —
+  * the whole state is small and fixed per host.
+  */
+private[sources] case class LiveFrontierState(rules: String,
+                                              delayS: Double,
+                                              rulesTs: Long,
+                                              rulesDocId: Long,
+                                              emitted: Array[Long])
+
 object Crawl {
 
   /** The crawl record contract. `doc_id` and `text` are required
@@ -349,12 +362,15 @@ object Crawl {
     * in append mode; land it with [[startFrontierSink]] and the fetch
     * loop closes: fetched WARCs re-enter [[readWarcStream]].
     */
-  def frontierStream(parsed: DataFrame,
-                     seenBloom: Array[Byte],
-                     perHostCap: Int = 64,
-                     robots: Option[DataFrame] = None,
-                     sitemaps: Boolean = false,
-                     crawlDelayWindow: Double = 0.0): DataFrame = {
+  /** Canonical, Bloom-pruned, host-keyed candidate projection shared
+    * by both streaming doors: outlinks (+ redirect targets when the
+    * frame carries them, + opt-in sitemap pages), canonicalized,
+    * seen-sketch-filtered — pure codegen projections + explode,
+    * stream-legal by construction. Output (host, url).
+    */
+  private def streamCandidates(parsed: DataFrame,
+                               seenBloom: Array[Byte],
+                               sitemaps: Boolean): DataFrame = {
     val links = linkEdges(parsed)
       .select(Urls.canonicalize(col("dst_url")).as("url"))
       .filter(col("url").isNotNull)
@@ -372,9 +388,19 @@ object Crawl {
       if (seenBloom == null || seenBloom.isEmpty) cand0
       else cand0.filter(!graft.functions.Bloom
         .mightContainLit(seenBloom, xxhash64(col("url"))))
-    val hosted = unseen
+    unseen
       .withColumn("host", Urls.host(col("url")))
       .filter(col("host").isNotNull)
+      .select("host", "url")
+  }
+
+  def frontierStream(parsed: DataFrame,
+                     seenBloom: Array[Byte],
+                     perHostCap: Int = 64,
+                     robots: Option[DataFrame] = None,
+                     sitemaps: Boolean = false,
+                     crawlDelayWindow: Double = 0.0): DataFrame = {
+    val hosted = streamCandidates(parsed, seenBloom, sitemaps)
     // robots gate + effective per-host cap, both from the STATIC
     // politeness frame (host-sized, shuffle-pinned — the
     // no-broadcast rule for anything that grows with the web)
@@ -425,6 +451,101 @@ object Crawl {
             }
           }
           state.update(FrontierHostState(emitted.toArray))
+          out.result().iterator
+      }
+      .toDF("host", "url", "rk")
+  }
+
+  /** The FULLY-LIVE frontier: robots.txt captures ride the SAME
+    * stream as page captures — no static politeness frame at all.
+    * Each host's robots body compiles on arrival (one compile per
+    * capture, host-keyed) and installs into that host's state, where
+    * it gates every LATER candidate; a newer capture (event time,
+    * doc_id tie-break — the latestPerUrl recency policy, applied in
+    * state) replaces the rules, and a stale replay can never roll
+    * them back. Within a micro-batch, robots rows apply BEFORE the
+    * batch's candidates — the batch is one unordered arrival set, and
+    * politeness gates with the freshest rules it has. Hosts whose
+    * robots.txt has not arrived yet fail OPEN (the crawl-ecosystem
+    * convention, same as the batch door's missing-body policy):
+    * discovery-before-robots emits, and the budget those emissions
+    * consumed stays consumed if rules later tighten — the cap check
+    * runs against the CURRENT effective cap, so a host whose declared
+    * Crawl-delay shrinks its budget below what it already emitted
+    * simply stops emitting.
+    *
+    * Everything else is [[frontierStream]]: same candidate
+    * projections, same Bloom seen-sketch, same bounded per-host state
+    * (emitted-hash set capped at the budget; rules bounded by the
+    * robots body cap). Output (host, url, rk), append mode.
+    */
+  def frontierStreamLive(parsed: DataFrame,
+                         seenBloom: Array[Byte],
+                         agent: String,
+                         perHostCap: Int = 64,
+                         sitemaps: Boolean = false,
+                         crawlDelayWindow: Double = 0.0): DataFrame = {
+    val cand = streamCandidates(parsed, seenBloom, sitemaps)
+      .select(col("host"), lit(1).as("kind"), col("url"),
+              lit("").as("rules"), lit(0.0).as("delay_s"),
+              lit(0L).as("ts_s"), lit(0L).as("doc_id"))
+    val robots = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .filter(col("url").rlike(
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
+      .withColumn("host", Urls.host(col("url")))
+      .filter(col("host").isNotNull)
+      .select(col("host"), lit(0).as("kind"), lit("").as("url"),
+              Robots.robots_compile(col("text"), lit(agent)).as("rules"),
+              coalesce(Robots.robots_delay(col("text"), lit(agent)),
+                       lit(0.0)).as("delay_s"),
+              col("ts").cast("long").as("ts_s"),
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cand.unionByName(robots)
+      .as[(String, Int, String, String, Double, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LiveFrontierState, (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host, rows, state) =>
+          var st = state.getOption.getOrElse(
+            LiveFrontierState("", 0.0, Long.MinValue, Long.MinValue,
+                              Array.empty[Long]))
+          val batch = rows.toArray
+          // 1. newest robots capture wins (event time, then doc_id)
+          for ((_, kind, _, rules, delayS, tsS, docId) <- batch
+               if kind == 0) {
+            if (tsS > st.rulesTs ||
+                (tsS == st.rulesTs && docId > st.rulesDocId))
+              st = st.copy(rules = rules, delayS = delayS,
+                           rulesTs = tsS, rulesDocId = docId)
+          }
+          // 2. candidates gate against the installed rules, then the
+          //    budget (cap re-derived from the CURRENT declared delay)
+          val cap =
+            if (crawlDelayWindow > 0 && st.delayS > 0.0)
+              math.min(perHostCap.toLong,
+                math.max(1L, math.floor(crawlDelayWindow / st.delayS)
+                  .toLong))
+            else perHostCap.toLong
+          val emitted = scala.collection.mutable.LinkedHashSet(
+            st.emitted: _*)
+          val out = Vector.newBuilder[(String, String, Long)]
+          for ((_, kind, url, _, _, _, _) <- batch.sortBy(_._3)
+               if kind == 1 && emitted.size < cap
+               if Robots.allowedCompiled(url, st.rules)) {
+            val h = org.apache.spark.sql.catalyst.expressions
+              .XxHash64Function.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(url),
+                org.apache.spark.sql.types.StringType, 42L)
+            if (!emitted.contains(h)) {
+              emitted += h
+              out += ((host, url, emitted.size.toLong))
+            }
+          }
+          state.update(st.copy(emitted = emitted.toArray))
           out.result().iterator
       }
       .toDF("host", "url", "rk")

@@ -1039,4 +1039,69 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(graft.operators.WebGraph.linkEdgeDerives.get() === derives,
            "a warm graph consumer re-derived a landed edge artifact")
   }
+
+  test("q185: change stats are one page-keyed aggregation — no broadcast, no generate") {
+    val df = SparkEntry.queries("q185_recrawl_priority")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastHashJoin"),
+           s"q185 grew a join — it must stay a single aggregation:\n$p")
+    assert(!p.contains("Generate"), s"q185 grew an explode:\n$p")
+    // the distinct-version count plans the standard two-phase distinct
+    // aggregation: one exchange on (page, fp), one on the page key —
+    // both page-keyed, both partial-aggregated map-side. More than two
+    // means a join or a re-shuffle crept in.
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2,
+           s"q185 must shuffle exactly twice (distinct-agg two-phase):\n$p")
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+             .forall(_.contains("canon_url#")),
+           s"q185 exchanges must key on the page:\n$p")
+  }
+
+  test("q186/q188: rank consumers serve the edge artifact and keep host tables off broadcast") {
+    graft.operators.WebGraph.linkEdgesTable(spark, sf).count() // land
+    val derives = graft.operators.WebGraph.linkEdgeDerives.get()
+    for (q <- Seq("q186_trustrank", "q188_recrawl_queue")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("Generate"),
+             s"$q re-ran edge extraction (artifact serves edges):\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+             s"$q chain joins lost the hinted shuffle path:\n$p")
+      // host-sized tables (rank, out-degree, seeds) never broadcast;
+      // the 1-row scalar (seed count / host count) may
+      val bhj = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("[host#")).toSeq
+      assert(bhj.isEmpty,
+             s"$q broadcast a host-keyed table:\n${bhj.mkString("\n")}")
+    }
+    // q186 is a pure graph read; q188's ONLY corpus access is the
+    // capture-history side (one scan) — the rank side serves the
+    // landed artifact
+    val p188 = SparkEntry.queries("q188_recrawl_queue")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p188.contains("TakeOrderedAndProject"),
+           s"q188 top-100 regressed to a global sort:\n$p188")
+    assert(graft.operators.WebGraph.linkEdgeDerives.get() === derives,
+           "a warm rank consumer re-derived the landed edge artifact")
+  }
+
+  test("q187: the fingerprint self-join stays on the shuffle path") {
+    val df = SparkEntry.queries("q187_mirror_hosts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"),
+           s"q187 lost the hinted shuffle join:\n$p")
+    // the incidence table is corpus-scale on a real frame — neither
+    // side of the fp join may broadcast
+    val bhj = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") &&
+        (l.contains("[fp#") || l.contains("[host"))).toSeq
+    assert(bhj.isEmpty,
+           s"q187 broadcast a corpus-scale side:\n${bhj.mkString("\n")}")
+  }
 }

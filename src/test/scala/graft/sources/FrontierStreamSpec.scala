@@ -123,6 +123,50 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     assert(batch === aCom)
   }
 
+  test("live door: robots in-stream — fail-open before arrival, gate after, newest wins, delay tightens") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStreamLive(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, agent = "graftbot",
+      perHostCap = 8, crawlDelayWindow = 30.0)
+    val q = fr.writeStream.format("memory").queryName("frontier_live")
+      .outputMode("append").start()
+    def emitted(): Set[(String, String, Long)] =
+      spark.table("frontier_live").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      // batch 1: no robots captured yet -> fail-open, /private/ emits
+      mem.addData(page(1, "http://s.com/1",
+        Seq("http://a.com/p1", "http://a.com/private/x")))
+      q.processAllAvailable()
+      assert(emitted() === Set(
+        ("a.com", "http://a.com/p1", 1L),
+        ("a.com", "http://a.com/private/x", 2L)))
+      // batch 2: robots arrives WITH candidates — rules apply to the
+      // same batch's candidates (/private/y gated), prior emissions
+      // stay consumed
+      mem.addData(
+        robotsLine(2, "a.com", "User-agent: *\nDisallow: /private/"),
+        page(3, "http://s.com/2",
+          Seq("http://a.com/p2", "http://a.com/private/y")))
+      q.processAllAvailable()
+      assert(emitted() === Set(
+        ("a.com", "http://a.com/p1", 1L),
+        ("a.com", "http://a.com/private/x", 2L),
+        ("a.com", "http://a.com/p2", 3L)))
+      // batch 3: a NEWER robots capture (later ts) clears the path
+      // rules but declares Crawl-delay: 10 -> cap tightens to
+      // floor(30/10) = 3, already spent -> p3 must NOT emit
+      mem.addData(
+        s"""{"doc_id":4,"url":"http://a.com/robots.txt","text":"User-agent: *\\nDisallow:\\nCrawl-delay: 10","lang":"en","ts":"2026-03-02T00:00:00"}""",
+        page(5, "http://s.com/3", Seq("http://a.com/p3")))
+      q.processAllAvailable()
+      assert(emitted().size === 3, "tightened budget must stop emission")
+    } finally q.stop()
+  }
+
   test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
