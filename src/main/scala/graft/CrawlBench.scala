@@ -132,6 +132,28 @@ object CrawlBench {
       val sF = (System.nanoTime() - t1) / 1e9
       println(line("anchors-1x", e, sA, bytes))
       println(line("frontier-1x", expected, sF, bytes))
+
+      // the STREAMING door over the same corpus: readWarcStream ->
+      // frontierStream (Bloom seen-sketch + fMGWS budget state)
+      // drained in one AvailableNow pass — prices the state-store
+      // path against the batch anti-join above. The pass includes the
+      // member parse (like the batch door's timed run, which also
+      // re-parses), so the delta over frontier-1x is the honest cost
+      // of streaming statefulness.
+      val bloom = sources.Crawl.seenUrlBloom(parsed)
+      val frS = sources.Crawl.frontierStream(
+        sources.Crawl.readWarcStream(spark, dir.toString,
+          extractHtml = false), // link extraction needs raw markup
+        bloom, perHostCap = 1000)
+      val t2 = System.nanoTime()
+      val q = frS.writeStream.format("memory").queryName("cb_frontier")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sS = (System.nanoTime() - t2) / 1e9
+      val eS = spark.table("cb_frontier").count()
+      println(line("frontier-stream-1x", eS, sS, bytes))
     }
     spark.stop()
   }

@@ -84,4 +84,44 @@ class FrontierSpec extends AnyFunSuite with SparkSpec {
     assert(f === Set(("b.org", "http://b.org/fresh"),
                      ("c.net", "http://c.net/new")))
   }
+
+  test("recrawl stats and mirror evidence run off a real WARC frame (the documented glue)") {
+    import graft.sources.Urls
+    val dir = java.nio.file.Files.createTempDirectory("graft-realframe")
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      // a.com/page: three captures (one a tracking-junk variant), two
+      // distinct bodies -> 2 versions over 2 revisits
+      gz(warcRec("http://a.com/page", "content v1")) ++
+      gz(warcRec("http://a.com/page?utm_source=x", "content v2")) ++
+      gz(warcRec("http://a.com/page", "content v2")) ++
+      // b.org/static: two captures, same body -> cold
+      gz(warcRec("http://b.org/static", "never changes")) ++
+      gz(warcRec("http://b.org/static", "never changes")) ++
+      // m1.com / m2.com: identical bodies on two paths -> mirrors
+      gz(warcRec("http://m1.com/x", "mirrored doc one")) ++
+      gz(warcRec("http://m2.com/x", "mirrored doc one")) ++
+      gz(warcRec("http://m1.com/y", "mirrored doc two")) ++
+      gz(warcRec("http://m2.com/y", "mirrored doc two")))
+    val parsed = Crawl.readWarc(spark, dir.toString, extractHtml = false)
+      .filter(!col("corrupt"))
+
+    val stats = WebGraph.recrawlPriority(
+        parsed.select(Urls.canonicalize(col("url")).as("canon_url"),
+                      xxhash64(col("text")).as("fp"))
+          .filter(col("canon_url").isNotNull))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(5)))).toMap
+    assert(stats("http://a.com/page") === ((3L, 1L, "hot")),
+           "junk variant must collapse onto the page; versions = 2")
+    assert(stats("http://b.org/static") === ((2L, 0L, "cold")))
+
+    val mirrors = WebGraph.mirrorHosts(
+        parsed.select(Urls.host(col("url")).as("host"),
+                      xxhash64(col("text")).as("fp"))
+          .filter(col("host").isNotNull),
+        maxHostsPerFp = 10, minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                           r.getDouble(3)))
+    assert(mirrors.toSeq === Seq(("m1.com", "m2.com", 2L, 1.0)))
+  }
 }
