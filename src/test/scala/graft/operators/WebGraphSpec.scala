@@ -236,6 +236,24 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(pr("spam1") > 0L)
   }
 
+  test("trust is invariant under input order and partitioning") {
+    import spark.implicits._
+    val pairs = (0L until 400L).map(i =>
+      (s"h${i % 23}", s"h${(i * 7 + 3) % 23}")).filter(p => p._1 != p._2)
+    val seeds = Seq("h0", "h7", "h14").toDF("host")
+    def trust(e: DataFrame): Map[String, Long] =
+      WebGraph.trustRank(e, seeds, 3).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val base = trust(edges(pairs: _*).distinct())
+    val shuffled = trust(
+      edges(scala.util.Random.shuffle(pairs): _*).repartition(7).distinct())
+    assert(base === shuffled)
+    // trust mass never exceeds the seeded 1e12 (div truncation only
+    // loses); and seeds hold at least the teleport floor
+    assert(base.values.sum <= 1000000000000L)
+    assert(base("h0") >= 150000000000L / 3)
+  }
+
   test("mirrorHosts: boilerplate fingerprints drop before pairing; containment overlap") {
     import spark.implicits._
     val hf = (
