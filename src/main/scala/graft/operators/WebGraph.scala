@@ -429,6 +429,34 @@ object WebGraph {
         .otherwise("cold"))
   }
 
+  /** Crawl-trap detection: hosts whose URL space explodes relative to
+    * its TEMPLATE space (calendar pages, session ids, faceted-search
+    * permutations — the classic traps that eat a crawler's budget
+    * fetching the same page under infinite spellings). Template =
+    * canonical URL with digit runs collapsed to `N`; expansion =
+    * distinct URLs / distinct templates per host. A trap host shows
+    * thousands of URLs over a handful of templates; an honest host
+    * sits near 1. Consumption: cap a `trap` host's frontier budget
+    * (join on host, the crawl-delay composition shape) — the
+    * template-blind frontier would otherwise spend its whole per-host
+    * budget inside one trap. One codegen projection + one host-keyed
+    * two-distinct aggregation; host-sized output.
+    */
+  def crawlTraps(canonUrls: DataFrame, threshold: Double): DataFrame =
+    canonUrls.select(col("canon_url")).distinct()
+      .withColumn("host", Urls.host(col("canon_url")))
+      .filter(col("host").isNotNull)
+      .withColumn("template",
+        regexp_replace(col("canon_url"), "[0-9]+", "N"))
+      .groupBy("host")
+      .agg(countDistinct("canon_url").as("n_urls"),
+           countDistinct("template").as("n_templates"))
+      .select(col("host"), col("n_urls"), col("n_templates"),
+        round(col("n_urls").cast("double") /
+          col("n_templates").cast("double"), 4).as("expansion"))
+      .withColumn("verdict",
+        when(col("expansion") >= threshold, "trap").otherwise("ok"))
+
   /** Mirror-host detection: hosts that serve the same content under
     * different names (CDNs, country mirrors, scraped clones) — the
     * evidence table feeding the q182/q183 site-family tier (a mirror
@@ -1461,6 +1489,52 @@ object WebGraph {
         fam.join(sizes.hint("shuffle_hash"), Seq("component"))
           .select(col("host"), col("component").as("family"),
                   col("n_hosts"))
+    },
+
+    Q("q190_crawl_traps",
+      "Crawl-trap detection: per host, distinct canonical URLs over " +
+        "distinct URL TEMPLATES (digit runs collapsed to N) — the " +
+        "expansion ratio that exposes calendar pages, session ids, " +
+        "and faceted-search permutations eating a crawler's budget on " +
+        "one page's infinite spellings. Planted: the q172 canonical " +
+        "pages (honest hosts, expansion ~1) plus six trap hosts " +
+        "serving every capture a fresh ?sid= URL over one template. " +
+        "Verdict at expansion >= 3; consumption: cap a trap host's " +
+        "frontier budget (the crawl-delay composition shape). One " +
+        "codegen projection + one host-keyed aggregation.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """u AS (SELECT canon_url FROM canon WHERE canon_url IS NOT NULL
+          |      UNION ALL
+          |      SELECT 'http://trap' || CAST(doc_id % 6 AS VARCHAR)
+          |        || '.example/cal/' || CAST(doc_id % 1000 AS VARCHAR)
+          |        || '?sid=' || CAST(doc_id AS VARCHAR)
+          |      FROM documents),
+          |du AS (SELECT DISTINCT canon_url FROM u),
+          |t AS (SELECT canon_url,
+          |        regexp_replace(regexp_extract(canon_url,
+          |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          |          ':[0-9]+$', '') AS host,
+          |        regexp_replace(canon_url, '[0-9]+', 'N', 'g')
+          |          AS template
+          |      FROM du),
+          |g AS (SELECT host,
+          |        CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+          |        CAST(count(DISTINCT template) AS BIGINT) AS n_templates
+          |      FROM t WHERE host IS NOT NULL AND host <> ''
+          |      GROUP BY 1),
+          |g2 AS (SELECT *, round(CAST(n_urls AS DOUBLE) / n_templates, 4)
+          |         AS expansion FROM g)
+          |SELECT host, n_urls, n_templates, expansion,
+          |  CASE WHEN expansion >= 3.0 THEN 'trap' ELSE 'ok' END
+          |    AS verdict
+          |FROM g2""".stripMargin) { (s, d) =>
+      val regular = plantedCanon(s, d)
+        .filter(col("canon_url").isNotNull).select("canon_url")
+      val traps = docs(s, d).select(
+        concat(lit("http://trap"), (col("doc_id") % 6).cast("string"),
+          lit(".example/cal/"), (col("doc_id") % 1000).cast("string"),
+          lit("?sid="), col("doc_id").cast("string")).as("canon_url"))
+      crawlTraps(regular.unionByName(traps), threshold = 3.0)
     }
   )
 
