@@ -1535,6 +1535,65 @@ object WebGraph {
           lit(".example/cal/"), (col("doc_id") % 1000).cast("string"),
           lit("?sid="), col("doc_id").cast("string")).as("canon_url"))
       crawlTraps(regular.unionByName(traps), threshold = 3.0)
+    },
+
+    Q("q191_trap_capped_frontier",
+      "Trap detection CONSUMED by the scheduler: the frontier " +
+        "consults q190's verdict table and collapses a trap host's " +
+        "politeness budget to one probe URL — without it, the " +
+        "template-blind frontier spends its whole per-host budget " +
+        "inside one calendar/session trap (the q180 composition " +
+        "shape, applied to the trap signal). Honest hosts keep the " +
+        "full cap (3 here); trap hosts emit exactly their probe. One " +
+        "host-keyed window + one host-sized shuffle-pinned join.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """u AS (SELECT canon_url FROM canon WHERE canon_url IS NOT NULL
+          |      UNION ALL
+          |      SELECT 'http://trap' || CAST(doc_id % 6 AS VARCHAR)
+          |        || '.example/cal/' || CAST(doc_id % 1000 AS VARCHAR)
+          |        || '?sid=' || CAST(doc_id AS VARCHAR)
+          |      FROM documents),
+          |du AS (SELECT DISTINCT canon_url FROM u),
+          |t AS (SELECT canon_url,
+          |        regexp_replace(regexp_extract(canon_url,
+          |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          |          ':[0-9]+$', '') AS host,
+          |        regexp_replace(canon_url, '[0-9]+', 'N', 'g')
+          |          AS template
+          |      FROM du),
+          |g AS (SELECT host,
+          |        CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+          |        CAST(count(DISTINCT template) AS BIGINT) AS n_templates
+          |      FROM t WHERE host IS NOT NULL AND host <> ''
+          |      GROUP BY 1),
+          |v AS (SELECT host,
+          |        CASE WHEN round(CAST(n_urls AS DOUBLE) / n_templates, 4)
+          |               >= 3.0 THEN 'trap' ELSE 'ok' END AS verdict
+          |      FROM g),
+          |fr AS (SELECT host, canon_url AS url,
+          |         row_number() OVER (PARTITION BY host
+          |                            ORDER BY canon_url) AS rk
+          |       FROM t WHERE host IS NOT NULL AND host <> '')
+          |SELECT fr.host, fr.url, CAST(fr.rk AS BIGINT) AS rk, v.verdict
+          |FROM fr JOIN v ON v.host = fr.host
+          |WHERE fr.rk <= CASE WHEN v.verdict = 'trap' THEN 1 ELSE 3 END"""
+          .stripMargin) { (s, d) =>
+      val regular = plantedCanon(s, d)
+        .filter(col("canon_url").isNotNull).select("canon_url")
+      val traps = docs(s, d).select(
+        concat(lit("http://trap"), (col("doc_id") % 6).cast("string"),
+          lit(".example/cal/"), (col("doc_id") % 1000).cast("string"),
+          lit("?sid="), col("doc_id").cast("string")).as("canon_url"))
+      val cand = regular.unionByName(traps)
+      val verdicts = crawlTraps(cand, threshold = 3.0)
+        .select("host", "verdict")
+      val fr = frontierFromSets(
+        cand.limit(0).select(col("canon_url").as("url")),
+        cand.select(col("canon_url").as("url")), perHostCap = 3)
+      fr.join(verdicts.hint("shuffle_hash"), Seq("host"))
+        .filter(col("rk") <=
+          when(col("verdict") === "trap", 1L).otherwise(3L))
+        .select("host", "url", "rk", "verdict")
     }
   )
 
