@@ -103,8 +103,14 @@ object Functions {
     add("extract_anchors", "extract_anchors(text, base_url) - link occurrences with anchor text") {
       exprs => graft.sources.HtmlAnchors(exprs.head, exprs(1))
     }
-    add("extract_sitemap", "extract_sitemap(text) - sitemap entries (url, kind) of an XML/text sitemap") {
+    add("extract_sitemap", "extract_sitemap(text) - sitemap entries (url, kind, lastmod) of an XML/text sitemap") {
       exprs => graft.sources.SitemapEntries(exprs.head)
+    }
+    add("robots_sitemaps", "robots_sitemaps(robots_body) - Sitemap: directives of a robots.txt body (group-independent)") {
+      exprs =>
+        import org.apache.spark.sql.catalyst.expressions.Coalesce
+        graft.sources.RobotsSitemaps(
+          Coalesce(Seq(exprs.head, Literal(""))))
     }
     add("sq_dist", "sq_dist(a, b) - squared euclidean distance of two numeric arrays") {
       exprs => SqDist(exprs.head, exprs(1))

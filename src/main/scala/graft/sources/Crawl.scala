@@ -660,7 +660,21 @@ object Crawl {
       .select(col("url").as("src_url"),
               explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
       .select(col("src_url"), col("e.url").as("url"),
-              col("e.kind").as("kind"))
+              col("e.kind").as("kind"), col("e.lastmod").as("lastmod"))
+
+  /** Sitemap URLs the crawl's robots bodies DECLARE (`Sitemap:`
+    * directives — the sitemaps.org discovery channel, group-
+    * independent), host-keyed: (host, sitemap_url). The fetch list a
+    * crawler schedules next so pages nothing links to yet become
+    * reachable without waiting for organic discovery; the fetched
+    * bodies re-enter through [[sitemapEntries]] and
+    * `frontier(sitemaps = true)`. One projection + explode over the
+    * host-sized robots frame.
+    */
+  def sitemapHints(parsed: DataFrame): DataFrame =
+    robotsTexts(parsed).select(col("host"),
+      explode(Robots.robots_sitemaps(col("robots_txt")))
+        .as("sitemap_url"))
 
   /** The robots.txt bodies riding in the crawl itself: captures of
     * `<scheme>://<host>/robots.txt` lifted to a host-keyed frame

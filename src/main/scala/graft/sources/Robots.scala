@@ -171,6 +171,36 @@ object Robots {
   def parseRules(body: String, agent: String): Array[Rule] =
     parseGroup(body, agent).rules
 
+  /** `Sitemap:` directives of a robots body — the sitemaps.org
+    * discovery channel (RFC 9309 treats it as an unrecognized but
+    * well-formed line; the sitemaps protocol defines it as
+    * GROUP-INDEPENDENT, so every agent sees every declaration
+    * regardless of User-agent runs). Absolute http(s) URLs only, the
+    * [[Sitemaps.parse]] validation; comments stripped like rule
+    * lines. A crawler fetches these next and feeds the bodies through
+    * [[Sitemaps.parse]] / the frontier's sitemap leg — pages nothing
+    * links to yet become fetchable without waiting for discovery.
+    */
+  def sitemapUrls(body: String): Array[String] = {
+    if (body == null) return Array.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    body.linesIterator.foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#'); if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      if (line.length > 8 &&
+          line.regionMatches(true, 0, "sitemap:", 0, 8)) {
+        val v = line.substring(8).trim
+        if (v.length <= 2048 &&
+            (v.regionMatches(true, 0, "http://", 0, 7) ||
+             v.regionMatches(true, 0, "https://", 0, 8)))
+          out += v
+      }
+    }
+    out.toArray
+  }
+
   /** Effective fetch interval (seconds) the host requests of `agent`
     * via Crawl-delay / Request-rate; -1 when none declared (or body
     * missing). */
@@ -386,6 +416,19 @@ object Robots {
     allowedCompiled(url.toString, compiled.toString)
   def delayU8(body: UTF8String, agent: UTF8String): Double =
     crawlDelay(body.toString, agent.toString)
+  def sitemapUrlsU8(body: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemapUrls(body.toString)
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+
+  /** Column form of [[sitemapUrls]]: null body → empty array (a host
+    * without robots.txt declares nothing). */
+  def robots_sitemaps(body: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    Bridge.column(RobotsSitemaps(
+      Bridge.expression(coalesce(body, lit("")))))
+  }
 }
 
 /** `robots_allowed(url, robots_body, agent)` — null-safe ternary
@@ -468,4 +511,22 @@ case class RobotsDelay(left: Expression, right: Expression)
       l: Expression, r: Expression): RobotsDelay =
     copy(left = l, right = r)
   override def prettyName: String = "robots_delay"
+}
+
+/** `robots_sitemaps(robots_body)` — the body's `Sitemap:` directives
+  * as array<string> (group-independent per the sitemaps protocol).
+  */
+case class RobotsSitemaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType,
+                                         containsNull = false)
+  override protected def nullSafeEval(b: Any): Any =
+    Robots.sitemapUrlsU8(b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.sources.Robots.sitemapUrlsU8($b)")
+  override protected def withNewChildInternal(c: Expression): RobotsSitemaps =
+    copy(child = c)
+  override def prettyName: String = "robots_sitemaps"
 }

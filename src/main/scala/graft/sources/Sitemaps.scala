@@ -33,8 +33,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Sitemaps {
 
-  /** One entry: absolute URL + kind ("page" | "sitemap"). */
-  final case class Entry(url: String, kind: String)
+  /** One entry: absolute URL + kind ("page" | "sitemap") + the
+    * block's `<lastmod>` verbatim (null when absent — callers parse
+    * with try_to_timestamp; the protocol allows both dates and full
+    * W3C datetimes). lastmod is the AUTHORITATIVE change hint real
+    * recrawl schedulers blend with observed change rates
+    * ([[graft.operators.WebGraph.recrawlPriority]]): a host that
+    * declares fresh lastmods earns refetches without burning budget
+    * on probing.
+    */
+  final case class Entry(url: String, kind: String,
+                         lastmod: String = null)
 
   def parse(body: String): Array[Entry] = {
     if (body == null) return Array.empty
@@ -63,52 +72,80 @@ object Sitemaps {
     val n = body.length
     var i = 0
     var kind = "page" // container context; default for bare <loc>
+    // pending <url>/<sitemap> block: loc and lastmod may come in
+    // either order, so both park until the block closes (or the next
+    // block opens / EOF — missing close tags still emit)
+    var inContainer = false
+    var pendUrl: String = null
+    var pendKind = "page"
+    var pendLm: String = null
+    def flush(): Unit = {
+      if (pendUrl != null) out += Entry(pendUrl, pendKind, pendLm)
+      pendUrl = null; pendLm = null
+    }
+    // tag text content, CDATA-unwrapped; returns (text, nextIndex)
+    def tagText(lt: Int, close: String): (String, Int) = {
+      val gt = body.indexOf('>', lt)
+      if (gt < 0) return (null, n)
+      val cl = body.indexOf(close, gt + 1)
+      val end = if (cl < 0) n else cl
+      var text = body.substring(gt + 1, end).trim
+      if (text.startsWith("<![CDATA[")) {
+        text = text.substring(9)
+        val cd = text.indexOf("]]>")
+        if (cd >= 0) text = text.substring(0, cd)
+        text = text.trim
+      }
+      (text, if (cl < 0) n else cl + 1)
+    }
     while (i < n) {
       val lt = body.indexOf('<', i)
-      if (lt < 0) return out.toArray
+      if (lt < 0) { flush(); return out.toArray }
       // tagAt requires a name delimiter, so "url" can't match inside
       // "<urlset" nor "sitemap" inside "<sitemapindex". Closing
       // container tags reset the context so a bare <loc> AFTER a
       // container is a page (the documented default), not a leak of
       // the previous container's kind.
       if (tagAt(body, lt, "url")) {
-        kind = "page"; i = lt + 1
+        flush(); kind = "page"; inContainer = true; i = lt + 1
       } else if (tagAt(body, lt, "sitemap")) {
-        kind = "sitemap"; i = lt + 1
+        flush(); kind = "sitemap"; inContainer = true; i = lt + 1
       } else if (lt + 1 < n && body.charAt(lt + 1) == '/' &&
                  (tagAt(body, lt + 1, "url") ||
                   tagAt(body, lt + 1, "sitemap") ||
                   tagAt(body, lt + 1, "urlset") ||
                   tagAt(body, lt + 1, "sitemapindex"))) {
-        kind = "page"; i = lt + 2
+        flush(); kind = "page"; inContainer = false; i = lt + 2
       } else if (tagAt(body, lt, "loc")) {
-        val gt = body.indexOf('>', lt)
-        if (gt < 0) return out.toArray
-        val close = body.indexOf("</loc", gt + 1)
-        val end = if (close < 0) n else close
-        var text = body.substring(gt + 1, end).trim
-        if (text.startsWith("<![CDATA[")) {
-          text = text.substring(9)
-          val cd = text.indexOf("]]>")
-          if (cd >= 0) text = text.substring(0, cd)
-          text = text.trim
+        val (text, next) = tagText(lt, "</loc")
+        i = next
+        if (text != null) {
+          // entity-decode (&amp; in sitemap URLs is the XML norm)
+          val sb = new java.lang.StringBuilder(text.length)
+          var k = 0
+          while (k < text.length) {
+            val c = text.charAt(k)
+            if (c == '&') k = Html.entity(text, k, sb)
+            else { sb.append(c); k += 1 }
+          }
+          val url = sb.toString
+          if (url.length <= 2048 &&
+              (url.regionMatches(true, 0, "http://", 0, 7) ||
+               url.regionMatches(true, 0, "https://", 0, 8))) {
+            if (inContainer) {
+              if (pendUrl == null) { pendUrl = url; pendKind = kind }
+            } else out += Entry(url, kind)
+          }
         }
-        // entity-decode (&amp; in sitemap URLs is the XML norm)
-        val sb = new java.lang.StringBuilder(text.length)
-        var k = 0
-        while (k < text.length) {
-          val c = text.charAt(k)
-          if (c == '&') k = Html.entity(text, k, sb)
-          else { sb.append(c); k += 1 }
-        }
-        val url = sb.toString
-        if (url.length <= 2048 &&
-            (url.regionMatches(true, 0, "http://", 0, 7) ||
-             url.regionMatches(true, 0, "https://", 0, 8)))
-          out += Entry(url, kind)
-        i = if (close < 0) n else close + 1
+      } else if (tagAt(body, lt, "lastmod")) {
+        val (text, next) = tagText(lt, "</lastmod")
+        i = next
+        if (inContainer && text != null && text.nonEmpty &&
+            text.length <= 64 && pendLm == null)
+          pendLm = text
       } else i = lt + 1
     }
+    flush()
     out.toArray
   }
 
@@ -148,18 +185,23 @@ object Sitemaps {
   def entriesU8(s: UTF8String): ArrayData =
     new GenericArrayData(parse(s.toString).map { e =>
       InternalRow(UTF8String.fromString(e.url),
-                  UTF8String.fromString(e.kind)).asInstanceOf[Any]
+                  UTF8String.fromString(e.kind),
+                  if (e.lastmod == null) null
+                  else UTF8String.fromString(e.lastmod))
+        .asInstanceOf[Any]
     })
 }
 
 /** `extract_sitemap(text)` — sitemap entries of an XML/plain-text
-  * sitemap body, as array<struct<url:string, kind:string>> with kind
-  * "page" or "sitemap".
+  * sitemap body, as array<struct<url:string, kind:string,
+  * lastmod:string>> with kind "page" or "sitemap" and lastmod null
+  * when the block declares none.
   */
 case class SitemapEntries(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("url", StringType, nullable = false),
-                   StructField("kind", StringType, nullable = false))),
+                   StructField("kind", StringType, nullable = false),
+                   StructField("lastmod", StringType, nullable = true))),
     containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     Sitemaps.entriesU8(input.asInstanceOf[UTF8String])

@@ -20,9 +20,61 @@ class SitemapsSpec extends AnyFunSuite with SparkSpec {
         |  <url><loc><![CDATA[http://a.com/cdata?a=1&b=2]]></loc></url>
         |</urlset>""".stripMargin
     assert(Sitemaps.parse(xml).toSeq === Seq(
-      Sitemaps.Entry("http://a.com/page1", "page"),
+      Sitemaps.Entry("http://a.com/page1", "page", "2026-01-01"),
       Sitemaps.Entry("http://a.com/q?x=1&y=2", "page"),
       Sitemaps.Entry("http://a.com/cdata?a=1&b=2", "page")))
+  }
+
+  test("lastmod: either order inside a block, absent -> null, bare loc never binds one") {
+    val xml =
+      """<urlset>
+        |  <url><lastmod>2026-02-03T04:05:06Z</lastmod>
+        |       <loc>http://a.com/before</loc></url>
+        |  <url><loc>http://a.com/after</loc>
+        |       <lastmod>2026-02-04</lastmod></url>
+        |  <url><loc>http://a.com/none</loc></url>
+        |</urlset>
+        |<lastmod>2026-09-09</lastmod>
+        |<loc>http://a.com/bare</loc>""".stripMargin
+    assert(Sitemaps.parse(xml).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/before", "page", "2026-02-03T04:05:06Z"),
+      Sitemaps.Entry("http://a.com/after", "page", "2026-02-04"),
+      Sitemaps.Entry("http://a.com/none", "page"),
+      // the stray lastmod outside any block must NOT attach
+      Sitemaps.Entry("http://a.com/bare", "page")))
+    // index children carry lastmod too (the protocol's staleness
+    // signal for whole shards)
+    val idx =
+      """<sitemapindex><sitemap><loc>http://a/s1.xml</loc>
+        |<lastmod>2026-03-01</lastmod></sitemap></sitemapindex>""".stripMargin
+    assert(Sitemaps.parse(idx).toSeq ===
+      Seq(Sitemaps.Entry("http://a/s1.xml", "sitemap", "2026-03-01")))
+  }
+
+  test("robots Sitemap: directives — group-independent, comment-stripped, absolute-only") {
+    val body =
+      """User-agent: someoneelse
+        |Disallow: /
+        |Sitemap: http://a.com/sitemap.xml  # primary
+        |User-agent: *
+        |sitemap: https://a.com/s2.xml
+        |Sitemap: /relative/ignored.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemapUrls(body).toSeq === Seq(
+      "http://a.com/sitemap.xml", "https://a.com/s2.xml"))
+    assert(Robots.sitemapUrls(null).isEmpty)
+  }
+
+  test("Crawl.sitemapHints: host-keyed declared sitemaps off a crawl frame") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"doc_id":1,"url":"http://a.com/robots.txt","text":"User-agent: *\nDisallow: /x\nSitemap: http://a.com/s.xml\nSitemap: http://a.com/s2.xml","lang":"en","ts":"2026-03-01T00:00:00"}""",
+      """{"doc_id":2,"url":"http://b.org/robots.txt","text":"User-agent: *\nDisallow:","lang":"en","ts":"2026-03-01T00:00:00"}""")
+    val hints = Crawl.sitemapHints(Crawl.parseCrawl(lines.toDF("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hints === Set(("a.com", "http://a.com/s.xml"),
+                         ("a.com", "http://a.com/s2.xml")))
   }
 
   test("sitemapindex children are kind=sitemap; mixed bare locs default to page") {
