@@ -323,9 +323,13 @@ object Crawl {
       if (expectedItems > 0L) expectedItems
       else math.max(urls.distinct().count() * 2, 1L << 16)
     val bits = if (numBits > 0L) numBits else items * 8L
-    urls.agg(graft.functions.Bloom
+    // an EMPTY corpus aggregates to null — normalize to the empty
+    // sketch (= prune nothing), which frontierStream treats as
+    // "no seen set" rather than an NPE at probe time
+    Option(urls.agg(graft.functions.Bloom
         .bloomAgg(xxhash64(col("url")), items, bits).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0))
+      .getOrElse(Array.emptyByteArray)
   }
 
   /** STREAMING twin of [[frontier]] — the live-crawler door: arrivals
@@ -1597,11 +1601,17 @@ object Crawl {
           }
         } finally out.close()
         // identical content from any attempt: first rename wins, a
-        // loser deletes its temp and moves on
+        // loser deletes its temp and moves on. A rename that fails
+        // with NO committed dst is a real FS fault — surface it (a
+        // silent drop here is a missing shard nobody notices)
         if (!fsys.rename(tmp, dst)) {
-          if (!fsys.exists(dst)) {
-            fsys.delete(dst, false); fsys.rename(tmp, dst)
-          } else fsys.delete(tmp, false)
+          if (fsys.exists(dst)) fsys.delete(tmp, false)
+          else {
+            fsys.delete(dst, false)
+            if (!fsys.rename(tmp, dst) && !fsys.exists(dst))
+              throw new java.io.IOException(
+                s"WARC part commit failed: $tmp -> $dst")
+          }
         }
         Iterator.single(idx)
       }

@@ -83,6 +83,12 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("seenUrlBloom on an empty corpus is the empty sketch, not a null") {
+    import spark.implicits._
+    val empty = Seq.empty[(Boolean, String)].toDF("corrupt", "url")
+    assert(Crawl.seenUrlBloom(empty).isEmpty)
+  }
+
   test("cross-batch: re-discoveries never re-emit, the budget holds across batches, rk continues") {
     val b1 = Seq(page(1, "http://s.com/1",
       Seq("http://a.com/p1", "http://a.com/p2")))
