@@ -243,6 +243,59 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  test("patternMatches agrees with reference regex semantics on 20k seeded cases") {
+    // Differential fuzz of the longest-match core that now guards
+    // every frontier path: translate each robots pattern to the regex
+    // the RFC semantics describe ('*' = any run, trailing '$' = end
+    // anchor, everything else literal, match = PREFIX of the target)
+    // and compare decisions on random paths over a small alphabet
+    // (collision-rich so matches actually happen).
+    def reference(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      val full = if (anchored) rx else rx + ".*"
+      java.util.regex.Pattern.compile(s"^$full$$",
+        java.util.regex.Pattern.DOTALL).matcher(path).matches()
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "ab/*.?"
+    def randStr(maxLen: Int, withMeta: Boolean): String = {
+      val n = rnd.nextInt(maxLen + 1)
+      val chars = if (withMeta) alphabet else "ab/.?"
+      (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    var checked = 0
+    for (_ <- 1 to 20000) {
+      val path = "/" + randStr(8, withMeta = false)
+      val pattern0 = "/" + randStr(6, withMeta = true)
+      val pattern = if (rnd.nextBoolean()) pattern0 + "$" else pattern0
+      // mid-pattern '$' is literal in our parser and messy to mirror
+      // in the reference — the RFC only defines a TRAILING '$'
+      if (!pattern.dropRight(1).contains('$')) {
+        checked += 1
+        assert(Robots.patternMatches(path, pattern) ===
+                 reference(path, pattern),
+               s"path=$path pattern=$pattern")
+      }
+    }
+    assert(checked > 19000)
+  }
+
+  test("parsers never throw on seeded garbage (robots, sitemap urls, sitemap bodies)") {
+    val rnd = new scala.util.Random(20260817L)
+    val chars = "<>/&#:*$ \n\r\tabSU!][%"
+    for (_ <- 1 to 2000) {
+      val s = (0 until rnd.nextInt(400))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+      Robots.parseRules(s, "graftbot")
+      Robots.crawlDelay(s, "graftbot")
+      Robots.sitemapUrls(s)
+      Sitemaps.parse(s)
+    }
+  }
+
   test("frontier(robotsAgent): disallowed discoveries never reach the fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-robots")
     java.nio.file.Files.write(dir.resolve("s.warc.gz"),
