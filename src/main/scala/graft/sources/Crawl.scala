@@ -638,6 +638,39 @@ object Crawl {
     parsed.filter(col("corrupt") || col("http_status").isNull ||
       (col("http_status") >= 200 && col("http_status") < 300))
 
+  /** The conditional-GET table a recrawler fetches FROM: each
+    * canonical page's latest captured validators — Last-Modified (as
+    * both the verbatim header and a parsed timestamp) and ETag (RFC
+    * 9110 §8.8; sent back as If-Modified-Since / If-None-Match so an
+    * unchanged page costs a 304, not a body transfer). Latest capture
+    * wins (event time, doc_id — the [[latestPerUrl]] policy); pages
+    * whose captures carry no validator drop (nothing to revalidate
+    * with — they stay on the unconditional path). Composes with
+    * [[graft.operators.WebGraph.recrawlPriority]]: declared
+    * freshness beside the observed change rate. One window over the
+    * near-unique canonical key — the latestPerUrl shape.
+    */
+  def revisitValidators(parsed: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon_url")
+      .orderBy(col("ts").desc, col("doc_id").desc)
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        (col("last_modified").isNotNull || col("etag").isNotNull))
+      .withColumn("canon_url", Urls.canonicalize(col("url")))
+      .filter(col("canon_url").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("canon_url"), col("last_modified"),
+              // IMF-fixdate ("Sun, 06 Nov 1994 08:49:37 GMT"): the
+              // day name is redundant — strip it and pin GMT, which
+              // sidesteps Spark's ban on week-field parse patterns
+              try_to_timestamp(
+                regexp_replace(col("last_modified"), "^[A-Za-z]+, ", ""),
+                lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+                .as("last_modified_ts"),
+              col("etag"), col("ts").as("captured_ts"))
+  }
+
   /** Redirect alias edges riding in the crawl: each 3xx capture's
     * (src_url, dst_url = resolved Location, http_status). Downstream:
     * alias resolution before canonical dedup (a chain of 301s is ONE
@@ -818,11 +851,11 @@ object Crawl {
     */
   private type WarcRow =
     (String, Boolean, String, String, String, String, String, Array[Byte],
-     Option[Int], String)
+     Option[Int], String, String, String)
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
-     true, null, null, null, null, null, null, None, null)
+     true, null, null, null, null, null, null, None, null, null, null)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -976,7 +1009,8 @@ object Crawl {
     */
   private[sources] final case class HttpParts(
       status: Option[Int], location: Option[String],
-      contentType: Option[String], body: Array[Byte])
+      contentType: Option[String], body: Array[Byte],
+      lastModified: Option[String] = None, etag: Option[String] = None)
 
   /** A `response` record's block -> [[HttpParts]], or Left(reason)
     * for record-LOCAL damage (malformed chunk framing). Strips the
@@ -993,6 +1027,8 @@ object Crawl {
     var contentType: Option[String] = None
     var status: Option[Int] = None
     var location: Option[String] = None
+    var lastModified: Option[String] = None
+    var etag: Option[String] = None
     var body: Array[Byte] = block
     if (isHttp) {
       val c = indexOfBytes(block, Crlf2, 0)
@@ -1020,6 +1056,13 @@ object Crawl {
           }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
         contentType = headers.get("content-type")
         location = headers.get("location").filter(_.nonEmpty)
+        // revalidation metadata (RFC 9110 §8.8): the validators a
+        // recrawler sends back as If-Modified-Since / If-None-Match —
+        // declared freshness beside the observed change rate. Length-
+        // capped (ETags are unbounded by spec; 256 covers real ones)
+        lastModified = headers.get("last-modified")
+          .filter(_.nonEmpty).map(_.take(64))
+        etag = headers.get("etag").filter(_.nonEmpty).map(_.take(256))
         body = java.util.Arrays.copyOfRange(block, bStart, block.length)
         if (headers.get("transfer-encoding")
               .exists(_.toLowerCase(java.util.Locale.ROOT)
@@ -1033,7 +1076,8 @@ object Crawl {
           body = gunzipBody(body)
       }
     }
-    Right(HttpParts(status, location, contentType, body))
+    Right(HttpParts(status, location, contentType, body,
+                    lastModified, etag))
   }
 
   /** Decode body bytes into document text: charset precedence is the
@@ -1166,11 +1210,13 @@ object Crawl {
                 // verbatim — decoding it as text would hand the
                 // quality gates deterministic garbage
                 rows += ((null, false, uri, date, rid, null,
-                          ct.orNull, parts.body, parts.status, redirect))
+                          ct.orNull, parts.body, parts.status, redirect,
+                          parts.lastModified.orNull, parts.etag.orNull))
               case None =>
                 rows += ((null, false, uri, date, rid,
                           textOf(ct, parts.body, extract), ct.orNull,
-                          null, parts.status, redirect))
+                          null, parts.status, redirect,
+                          parts.lastModified.orNull, parts.etag.orNull))
             }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
@@ -1379,7 +1425,8 @@ object Crawl {
     files.select(col("content")).as[Array[Byte]]
       .flatMap(parseWarcMembers(_, extract))
       .toDF("value", "corrupt", "url", "wts", "rid", "text",
-            "content_type", "payload", "http_status", "redirect")
+            "content_type", "payload", "http_status", "redirect",
+            "last_modified", "etag")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
@@ -1417,7 +1464,10 @@ object Crawl {
         // plus the HTTP status and the RESOLVED 3xx redirect target
         // ([[okResponses]]/[[redirectEdges]] read them)
         col("content_type"), col("payload"),
-        col("http_status"), col("redirect"))
+        col("http_status"), col("redirect"),
+        // RFC 9110 revalidation metadata ([[revisitValidators]] reads
+        // them; absent headers are null)
+        col("last_modified"), col("etag"))
   }
 
   /** The BINARY side of a parsed WARC frame: image/audio/video

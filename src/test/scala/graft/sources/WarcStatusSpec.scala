@@ -86,4 +86,47 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
     assert(f === Set("http://a.com/linked", "http://b.org/new-home",
                      "http://a.com/relative/target"))
   }
+
+  private def recAt(uri: String, date: String,
+                    extra: Seq[String]): Array[Byte] = {
+    val block = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      extra.map(_ + "\r\n").mkString + "\r\nbody"
+    val bb = block.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\nContent-Length: ${bb.length}" +
+      "\r\n\r\n").getBytes("UTF-8") ++ bb ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("revalidation metadata lands; revisitValidators keeps the latest capture per canonical page") {
+    val d = java.nio.file.Files.createTempDirectory("graft-validators")
+    java.nio.file.Files.write(d.resolve("s.warc.gz"),
+      gz(recAt("http://a.com/p", "2026-03-01T00:00:00Z",
+        Seq("Last-Modified: Mon, 02 Feb 2026 10:00:00 GMT",
+            "ETag: \"v1\""))) ++
+      // a junk-variant recapture a day later with fresher validators:
+      // it canonicalizes onto the same page and must win
+      gz(recAt("http://a.com/p?utm_source=x", "2026-03-02T00:00:00Z",
+        Seq("Last-Modified: Tue, 03 Feb 2026 10:00:00 GMT",
+            "ETag: W/\"v2\""))) ++
+      gz(recAt("http://b.org/none", "2026-03-01T00:00:00Z", Seq.empty)))
+    val parsed = Crawl.readWarc(spark, d.toString)
+    // raw columns: appended after the contract, null when absent
+    val raw = parsed.filter(!col("corrupt"))
+      .select("url", "last_modified", "etag").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(raw("http://b.org/none") === ((None, None)))
+    assert(raw("http://a.com/p") ===
+      ((Some("Mon, 02 Feb 2026 10:00:00 GMT"), Some("\"v1\""))))
+    val v = Crawl.revisitValidators(parsed).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(3),
+          Option(r.getTimestamp(2)).map(_.toString).orNull)))
+      .toMap
+    // one row: the validator-less page has nothing to revalidate with
+    assert(v.keySet === Set("http://a.com/p"))
+    assert(v("http://a.com/p") ===
+      (("Tue, 03 Feb 2026 10:00:00 GMT", "W/\"v2\"",
+        "2026-02-03 10:00:00.0")))
+  }
 }
