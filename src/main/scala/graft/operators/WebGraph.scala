@@ -1594,6 +1594,55 @@ object WebGraph {
         .filter(col("rk") <=
           when(col("verdict") === "trap", 1L).otherwise(3L))
         .select("host", "url", "rk", "verdict")
+    },
+
+    Q("q192_revalidation_economy",
+      "The 304 economy: per host, how much of a recrawl is " +
+        "REVALIDATABLE — captures whose response carried an ETag or " +
+        "Last-Modified (RFC 9110 validators; a conditional refetch of " +
+        "an unchanged page costs a 304, not a body transfer) — and " +
+        "the byte share those captures represent. The bandwidth-" +
+        "budget report a crawl planner reads next to q188's priority " +
+        "queue; the real frame is Crawl.revisitValidators over a " +
+        "parsed WARC read. Planted validator presence keys on doc_id " +
+        "(every 3rd capture an ETag, every 5th a Last-Modified). One " +
+        "host-keyed aggregation over the canonicalize projection.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")}\n" +
+        """, t AS (SELECT n_chars,
+          |    regexp_replace(regexp_extract(canon_url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          |      ':[0-9]+$', '') AS host,
+          |    (doc_id % 3 = 0 OR doc_id % 5 = 0) AS reval
+          |  FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT host,
+          |    CAST(count(*) AS BIGINT) AS n_captures,
+          |    CAST(count(*) FILTER (WHERE reval) AS BIGINT) AS n_reval,
+          |    CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+          |    CAST(COALESCE(sum(n_chars) FILTER (WHERE reval), 0)
+          |         AS BIGINT) AS bytes_reval
+          |  FROM t WHERE host <> '' GROUP BY 1)
+          |SELECT host, n_captures, n_reval,
+          |  round(CAST(n_reval AS DOUBLE) / n_captures, 4) AS reval_share,
+          |  bytes_total, bytes_reval,
+          |  round(CAST(bytes_reval AS DOUBLE) / bytes_total, 4)
+          |    AS save_share
+          |FROM g""".stripMargin) { (s, d) =>
+      val reval = (col("doc_id") % 3 === 0) || (col("doc_id") % 5 === 0)
+      plantedCanon(s, d).filter(col("canon_url").isNotNull)
+        .withColumn("host", Urls.host(col("canon_url")))
+        .filter(col("host").isNotNull)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_captures"),
+             count(when(reval, 1)).as("n_reval"),
+             sum("n_chars").cast("long").as("bytes_total"),
+             coalesce(sum(when(reval, col("n_chars"))), lit(0L))
+               .cast("long").as("bytes_reval"))
+        .select(col("host"), col("n_captures"), col("n_reval"),
+          round(col("n_reval").cast("double") / col("n_captures"), 4)
+            .as("reval_share"),
+          col("bytes_total"), col("bytes_reval"),
+          round(col("bytes_reval").cast("double") / col("bytes_total"), 4)
+            .as("save_share"))
     }
   )
 
