@@ -173,6 +173,32 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("saturation: 200 hosts over 3 batches — budget exact, rk dense, no emission past the cap") {
+    // the bounded-state claim, exercised wide: every host saturates
+    // its cap exactly once across batches, rk is dense 1..cap per
+    // host, and re-offers of already-emitted URLs change nothing
+    val cap = 4
+    def batch(round: Int): Seq[String] = (0 until 200).map { h =>
+      // 3 candidates per host per round, overlapping one URL with the
+      // previous round (u{round} re-offers; u{round+1}, u{round+2} new)
+      page(round * 1000 + h, s"http://src$round.net/$h",
+        (round to round + 2).map(j => s"http://h$h.com/u$j"))
+    }
+    val got = runStream(Seq(batch(0), batch(1), batch(2)),
+      Array.emptyByteArray, cap, None, name = "frontier_sat")
+    val byHost = got.groupBy(_._1)
+    // sources never emit (nothing links to them); 200 content hosts
+    assert(byHost.keySet === (0 until 200).map(h => s"h$h.com").toSet)
+    for ((h, rows) <- byHost) {
+      // rounds offer u0..u4 total (5 distinct) but the cap stops at 4
+      assert(rows.size === cap, s"$h emitted ${rows.size}")
+      assert(rows.map(_._3) === (1 to cap).map(_.toLong).toSet,
+             s"$h ranks not dense: ${rows.map(_._3)}")
+      assert(rows.map(_._2).subsetOf(
+        (0 to 4).map(j => s"http://$h/u$j").toSet))
+    }
+  }
+
   test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
