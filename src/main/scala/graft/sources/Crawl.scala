@@ -60,6 +60,15 @@ private[sources] case class ChangeTrackState(lastFp: Long,
                                              nCaptures: Long,
                                              nChanges: Long)
 
+/** Per-page state for [[Crawl.validatorsStream]]: the latest-capture
+  * validators (by event time, doc_id) — three strings and two longs
+  * per page, the conditional-GET minimum.
+  */
+private[sources] case class ValidatorState(lastModified: String,
+                                           etag: String,
+                                           ts: Long,
+                                           docId: Long)
+
 /** Per-host state for [[Crawl.frontierStreamLive]]: the host's
   * CURRENT compiled robots rules + declared delay (with the capture
   * recency that installed them, so stale replays never roll rules
@@ -669,6 +678,52 @@ object Crawl {
                 lit("dd MMM yyyy HH:mm:ss 'GMT'"))
                 .as("last_modified_ts"),
               col("etag"), col("ts").as("captured_ts"))
+  }
+
+  /** STREAMING twin of [[revisitValidators]] — the conditional-GET
+    * table maintained live: each arriving capture with a validator
+    * updates its canonical page's state when it is the newest seen
+    * (event time, doc_id — the same recency policy as the batch
+    * window), and the page's current validators emit per micro-batch
+    * (append mode; downstream keeps latest-per-page, or lands them
+    * through the KV upsert path). State: three strings + two longs
+    * per validator-carrying page — the latest-per-key streaming
+    * shape. Output matches the batch columns (canon_url,
+    * last_modified, last_modified_ts, etag, captured_ts).
+    */
+  def validatorsStream(parsed: DataFrame): DataFrame = {
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val caps = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        (col("last_modified").isNotNull || col("etag").isNotNull))
+      .select(Urls.canonicalize(col("url")).as("canon_url"),
+              col("last_modified"), col("etag"),
+              col("ts").cast("long").as("ts_s"),
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+      .filter(col("canon_url").isNotNull)
+    caps.as[(String, String, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ValidatorState,
+                              (String, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url, rows, state) =>
+          var st = state.getOption.getOrElse(
+            ValidatorState(null, null, Long.MinValue, Long.MinValue))
+          for ((_, lm, et, tsS, docId) <- rows)
+            if (tsS > st.ts || (tsS == st.ts && docId > st.docId))
+              st = ValidatorState(lm, et, tsS, docId)
+          state.update(st)
+          Iterator.single((url, st.lastModified, st.etag, st.ts))
+      }
+      .toDF("canon_url", "last_modified", "etag", "ts_s")
+      .select(col("canon_url"), col("last_modified"),
+              try_to_timestamp(
+                regexp_replace(col("last_modified"), "^[A-Za-z]+, ", ""),
+                lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+                .as("last_modified_ts"),
+              col("etag"),
+              to_timestamp(col("ts_s")).as("captured_ts"))
   }
 
   /** Redirect alias edges riding in the crawl: each 3xx capture's

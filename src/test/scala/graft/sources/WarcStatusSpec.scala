@@ -129,4 +129,37 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
       (("Tue, 03 Feb 2026 10:00:00 GMT", "W/\"v2\"",
         "2026-02-03 10:00:00.0")))
   }
+
+  test("validatorsStream: live conditional-GET table agrees with the batch roll-up") {
+    val d = java.nio.file.Files.createTempDirectory("graft-valstream")
+    // two files -> two micro-batches (maxFilesPerTrigger = 1); the
+    // second batch carries the fresher capture of the SAME page under
+    // a junk variant, so state must update across batches
+    java.nio.file.Files.write(d.resolve("a.warc.gz"),
+      gz(recAt("http://a.com/p", "2026-03-01T00:00:00Z",
+        Seq("Last-Modified: Mon, 02 Feb 2026 10:00:00 GMT",
+            "ETag: \"v1\""))))
+    java.nio.file.Files.write(d.resolve("b.warc.gz"),
+      gz(recAt("http://a.com/p?utm_source=x", "2026-03-02T00:00:00Z",
+        Seq("Last-Modified: Tue, 03 Feb 2026 10:00:00 GMT",
+            "ETag: W/\"v2\""))))
+    val q = Crawl.validatorsStream(
+        Crawl.readWarcStream(spark, d.toString, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("val_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val emissions = spark.table("val_stream")
+      .orderBy(col("captured_ts"))
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    // one emission per batch, the second reflecting the update
+    assert(emissions === Seq(("http://a.com/p", "\"v1\""),
+                             ("http://a.com/p", "W/\"v2\"")))
+    // latest emission == the batch roll-up, column for column
+    val lastStream = spark.table("val_stream")
+      .orderBy(col("captured_ts").desc).limit(1)
+      .collect().map(_.toString).toSeq
+    val batch = Crawl.revisitValidators(Crawl.readWarc(spark, d.toString))
+      .collect().map(_.toString).toSeq
+    assert(lastStream === batch)
+  }
 }
