@@ -145,9 +145,15 @@ object CrawlBench {
         sources.Crawl.readWarcStream(spark, dir.toString,
           extractHtml = false), // link extraction needs raw markup
         bloom, perHostCap = 1000)
+      // checkpoint OUTSIDE the watched corpus dir: the file stream
+      // source's recursive listing would otherwise pick up its own
+      // offsets/commits files as WARC input (they parse as corrupt
+      // rows — harmless to the count, but extra parse work and
+      // nondeterminism in the timing)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cb-ckpt")
       val t2 = System.nanoTime()
       val q = frS.writeStream.format("memory").queryName("cb_frontier")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()

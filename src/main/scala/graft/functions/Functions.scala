@@ -103,7 +103,7 @@ object Functions {
     add("extract_anchors", "extract_anchors(text, base_url) - link occurrences with anchor text") {
       exprs => graft.sources.HtmlAnchors(exprs.head, exprs(1))
     }
-    add("extract_sitemap", "extract_sitemap(text) - sitemap entries (url, kind, lastmod) of an XML/text sitemap") {
+    add("extract_sitemap", "extract_sitemap(text) - sitemap entries (url, kind, lastmod, changefreq, priority) of an XML/text sitemap") {
       exprs => graft.sources.SitemapEntries(exprs.head)
     }
     add("robots_sitemaps", "robots_sitemaps(robots_body) - Sitemap: directives of a robots.txt body (group-independent)") {

@@ -502,12 +502,9 @@ object Crawl {
       .select(col("host"), lit(1).as("kind"), col("url"),
               lit("").as("rules"), lit(0.0).as("delay_s"),
               lit(0L).as("ts_s"), lit(0L).as("doc_id"))
-    val robots = parsed.filter(!col("corrupt") && col("url").isNotNull &&
-        col("text").isNotNull)
-      .filter(col("url").rlike(
-        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
-      .withColumn("host", Urls.host(col("url")))
-      .filter(col("host").isNotNull)
+    // status-gated like the batch door ([[robotsCaptures]]): an HTML
+    // 404/503 error body must not compile into the host's rule state
+    val robots = robotsCaptures(parsed)
       .select(col("host"), lit(0).as("kind"), lit("").as("url"),
               Robots.robots_compile(col("text"), lit(agent)).as("rules"),
               coalesce(Robots.robots_delay(col("text"), lit(agent)),
@@ -689,7 +686,10 @@ object Crawl {
     * through the KV upsert path). State: three strings + two longs
     * per validator-carrying page — the latest-per-key streaming
     * shape. Output matches the batch columns (canon_url,
-    * last_modified, last_modified_ts, etag, captured_ts).
+    * last_modified, last_modified_ts, etag, captured_ts); the capture
+    * timestamp threads through state at FULL epoch-microsecond
+    * precision, so WARC 1.1 millisecond dates round-trip and the
+    * stream==batch column parity is exact, not truncated-to-seconds.
     */
   def validatorsStream(parsed: DataFrame): DataFrame = {
     val s = parsed.sparkSession
@@ -699,7 +699,7 @@ object Crawl {
         (col("last_modified").isNotNull || col("etag").isNotNull))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
               col("last_modified"), col("etag"),
-              col("ts").cast("long").as("ts_s"),
+              unix_micros(col("ts")).as("ts_us"),
               coalesce(col("doc_id"), lit(0L)).as("doc_id"))
       .filter(col("canon_url").isNotNull)
     caps.as[(String, String, String, Long, Long)]
@@ -710,20 +710,20 @@ object Crawl {
         (url, rows, state) =>
           var st = state.getOption.getOrElse(
             ValidatorState(null, null, Long.MinValue, Long.MinValue))
-          for ((_, lm, et, tsS, docId) <- rows)
-            if (tsS > st.ts || (tsS == st.ts && docId > st.docId))
-              st = ValidatorState(lm, et, tsS, docId)
+          for ((_, lm, et, tsUs, docId) <- rows)
+            if (tsUs > st.ts || (tsUs == st.ts && docId > st.docId))
+              st = ValidatorState(lm, et, tsUs, docId)
           state.update(st)
           Iterator.single((url, st.lastModified, st.etag, st.ts))
       }
-      .toDF("canon_url", "last_modified", "etag", "ts_s")
+      .toDF("canon_url", "last_modified", "etag", "ts_us")
       .select(col("canon_url"), col("last_modified"),
               try_to_timestamp(
                 regexp_replace(col("last_modified"), "^[A-Za-z]+, ", ""),
                 lit("dd MMM yyyy HH:mm:ss 'GMT'"))
                 .as("last_modified_ts"),
               col("etag"),
-              to_timestamp(col("ts_s")).as("captured_ts"))
+              timestamp_micros(col("ts_us")).as("captured_ts"))
   }
 
   /** Redirect alias edges riding in the crawl: each 3xx capture's
@@ -752,7 +752,9 @@ object Crawl {
       .select(col("url").as("src_url"),
               explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
       .select(col("src_url"), col("e.url").as("url"),
-              col("e.kind").as("kind"), col("e.lastmod").as("lastmod"))
+              col("e.kind").as("kind"), col("e.lastmod").as("lastmod"),
+              col("e.changefreq").as("changefreq"),
+              col("e.priority").as("priority"))
 
   /** Sitemap URLs the crawl's robots bodies DECLARE (`Sitemap:`
     * directives — the sitemaps.org discovery channel, group-
@@ -775,18 +777,45 @@ object Crawl {
     * gate untouched on BOTH read modes (raw and extracted) —
     * `parseRules` sees original line structure. One near-unique-key
     * window over a tiny filtered slice; host-sized output.
+    *
+    * Status gating ([[robotsCaptures]]): only 2xx captures (or
+    * statusless frames — JSONL feeds carry no http_status column)
+    * compile as a host's rule group. An HTML 404/503 error body would
+    * otherwise install as rules — stray 'Disallow:'-looking text in
+    * an error page silently altering gating. RFC 9309 says 4xx means
+    * no rules (fail open — which dropping the capture yields) and
+    * 5xx should fail CLOSED; this library uniformly fails open on
+    * unavailable robots (the okResponses convention), a documented
+    * divergence shared by most production crawlers.
     */
   def robotsTexts(parsed: DataFrame): DataFrame = {
-    val r = parsed.filter(!col("corrupt") && col("url").isNotNull &&
-        col("text").isNotNull)
-      .filter(col("url").rlike(
-        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
-      .withColumn("host", Urls.host(col("url")))
-      .filter(col("host").isNotNull)
+    val r = robotsCaptures(parsed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy(col("ts").desc, col("doc_id").desc)
     r.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("host"), col("text").as("robots_txt"))
+  }
+
+  /** The host-keyed raw `/robots.txt` capture rows both robots doors
+    * compile from (batch [[robotsTexts]] and the live
+    * [[frontierStreamLive]] leg — ONE projection so the two cannot
+    * diverge on which captures count): non-corrupt, text-carrying,
+    * and — when the frame carries transport status (WARC frames do,
+    * JSONL crawl frames do not) — HTTP 2xx only, the okResponses
+    * policy: an error page's body must never compile into a host's
+    * rule group.
+    */
+  private def robotsCaptures(parsed: DataFrame): DataFrame = {
+    val base = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .filter(col("url").rlike(
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
+    val ok =
+      if (!parsed.columns.contains("http_status")) base
+      else base.filter(col("http_status").isNull ||
+        (col("http_status") >= 200 && col("http_status") < 300))
+    ok.withColumn("host", Urls.host(col("url")))
+      .filter(col("host").isNotNull)
   }
 
   /** Outlink edge frame from a RAW-body parsed crawl/WARC frame — one
@@ -1713,9 +1742,15 @@ object Crawl {
           if (fsys.exists(dst)) fsys.delete(tmp, false)
           else {
             fsys.delete(dst, false)
-            if (!fsys.rename(tmp, dst) && !fsys.exists(dst))
-              throw new java.io.IOException(
-                s"WARC part commit failed: $tmp -> $dst")
+            if (!fsys.rename(tmp, dst)) {
+              // a concurrent attempt may have committed dst between
+              // the exists-check and this retry: that is a WIN (same
+              // bytes), but the loser must still reap its temp file
+              if (fsys.exists(dst)) fsys.delete(tmp, false)
+              else
+                throw new java.io.IOException(
+                  s"WARC part commit failed: $tmp -> $dst")
+            }
           }
         }
         Iterator.single(idx)

@@ -34,16 +34,51 @@ import org.apache.spark.unsafe.types.UTF8String
 object Sitemaps {
 
   /** One entry: absolute URL + kind ("page" | "sitemap") + the
-    * block's `<lastmod>` verbatim (null when absent — callers parse
-    * with try_to_timestamp; the protocol allows both dates and full
-    * W3C datetimes). lastmod is the AUTHORITATIVE change hint real
-    * recrawl schedulers blend with observed change rates
-    * ([[graft.operators.WebGraph.recrawlPriority]]): a host that
-    * declares fresh lastmods earns refetches without burning budget
-    * on probing.
+    * block's three protocol freshness fields, null when absent:
+    *   - `<lastmod>` verbatim (callers parse with try_to_timestamp;
+    *     the protocol allows both dates and full W3C datetimes);
+    *   - `<changefreq>` normalized to its lowercase protocol token
+    *     (always/hourly/daily/weekly/monthly/yearly/never — anything
+    *     else degrades to null, never a throw);
+    *   - `<priority>` kept only when it parses as a decimal in
+    *     [0.0, 1.0] (the protocol's declared range; garbage → null).
+    * These are the AUTHORITATIVE freshness hints real recrawl
+    * schedulers blend with observed change rates
+    * ([[graft.operators.WebGraph.recrawlPriority]], the
+    * Cho/Garcia-Molina declared-x-observed blend): a host declaring
+    * fresh lastmods / short changefreqs earns refetches without
+    * burning budget on probing.
     */
   final case class Entry(url: String, kind: String,
-                         lastmod: String = null)
+                         lastmod: String = null,
+                         changefreq: String = null,
+                         priority: String = null)
+
+  /** The protocol's `<changefreq>` vocabulary (sitemaps.org §XML tag
+    * definitions); anything else is garbage and degrades to null.
+    */
+  private val ChangeFreqs = Set("always", "hourly", "daily", "weekly",
+                                "monthly", "yearly", "never")
+
+  /** `<changefreq>` text → its normalized token, or null. */
+  private[sources] def normChangeFreq(text: String): String = {
+    if (text == null) return null
+    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+    if (ChangeFreqs.contains(t)) t else null
+  }
+
+  /** `<priority>` text → itself iff it parses in [0.0, 1.0], else
+    * null (returned verbatim-trimmed, so "0.80" round-trips — callers
+    * cast to double).
+    */
+  private[sources] def normPriority(text: String): String = {
+    if (text == null) return null
+    val t = text.trim
+    try {
+      val v = java.lang.Double.parseDouble(t)
+      if (v >= 0.0 && v <= 1.0 && !v.isNaN) t else null
+    } catch { case _: NumberFormatException => null }
+  }
 
   def parse(body: String): Array[Entry] = {
     if (body == null) return Array.empty
@@ -79,9 +114,12 @@ object Sitemaps {
     var pendUrl: String = null
     var pendKind = "page"
     var pendLm: String = null
+    var pendCf: String = null
+    var pendPr: String = null
     def flush(): Unit = {
-      if (pendUrl != null) out += Entry(pendUrl, pendKind, pendLm)
-      pendUrl = null; pendLm = null
+      if (pendUrl != null)
+        out += Entry(pendUrl, pendKind, pendLm, pendCf, pendPr)
+      pendUrl = null; pendLm = null; pendCf = null; pendPr = null
     }
     // tag text content, CDATA-unwrapped; returns (text, nextIndex)
     def tagText(lt: Int, close: String): (String, Int) = {
@@ -133,7 +171,12 @@ object Sitemaps {
               (url.regionMatches(true, 0, "http://", 0, 7) ||
                url.regionMatches(true, 0, "https://", 0, 8))) {
             if (inContainer) {
-              if (pendUrl == null) { pendUrl = url; pendKind = kind }
+              // the protocol allows ONE loc per block; a malformed
+              // repeated <loc> flushes the pending entry (metadata
+              // parked so far attaches to the FIRST loc) and starts a
+              // fresh one, so no entry is silently lost
+              if (pendUrl != null) flush()
+              pendUrl = url; pendKind = kind
             } else out += Entry(url, kind)
           }
         }
@@ -143,6 +186,18 @@ object Sitemaps {
         if (inContainer && text != null && text.nonEmpty &&
             text.length <= 64 && pendLm == null)
           pendLm = text
+      } else if (tagAt(body, lt, "changefreq")) {
+        val (text, next) = tagText(lt, "</changefreq")
+        i = next
+        if (inContainer && text != null && text.length <= 64 &&
+            pendCf == null)
+          pendCf = normChangeFreq(text)
+      } else if (tagAt(body, lt, "priority")) {
+        val (text, next) = tagText(lt, "</priority")
+        i = next
+        if (inContainer && text != null && text.length <= 64 &&
+            pendPr == null)
+          pendPr = normPriority(text)
       } else i = lt + 1
     }
     flush()
@@ -184,24 +239,28 @@ object Sitemaps {
 
   def entriesU8(s: UTF8String): ArrayData =
     new GenericArrayData(parse(s.toString).map { e =>
+      def u8(v: String): UTF8String =
+        if (v == null) null else UTF8String.fromString(v)
       InternalRow(UTF8String.fromString(e.url),
                   UTF8String.fromString(e.kind),
-                  if (e.lastmod == null) null
-                  else UTF8String.fromString(e.lastmod))
+                  u8(e.lastmod), u8(e.changefreq), u8(e.priority))
         .asInstanceOf[Any]
     })
 }
 
 /** `extract_sitemap(text)` — sitemap entries of an XML/plain-text
   * sitemap body, as array<struct<url:string, kind:string,
-  * lastmod:string>> with kind "page" or "sitemap" and lastmod null
-  * when the block declares none.
+  * lastmod:string, changefreq:string, priority:string>> with kind
+  * "page" or "sitemap" and the three freshness fields null when the
+  * block declares none (or declares garbage).
   */
 case class SitemapEntries(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("url", StringType, nullable = false),
                    StructField("kind", StringType, nullable = false),
-                   StructField("lastmod", StringType, nullable = true))),
+                   StructField("lastmod", StringType, nullable = true),
+                   StructField("changefreq", StringType, nullable = true),
+                   StructField("priority", StringType, nullable = true))),
     containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     Sitemaps.entriesU8(input.asInstanceOf[UTF8String])

@@ -51,6 +51,44 @@ class SitemapsSpec extends AnyFunSuite with SparkSpec {
       Seq(Sitemaps.Entry("http://a/s1.xml", "sitemap", "2026-03-01")))
   }
 
+  test("changefreq/priority: valid values land, garbage degrades to null, either order binds") {
+    val xml =
+      """<urlset>
+        |  <url><loc>http://a.com/full</loc><lastmod>2026-01-02</lastmod>
+        |       <changefreq>Daily</changefreq><priority>0.80</priority></url>
+        |  <url><priority>1.0</priority><changefreq>never</changefreq>
+        |       <loc>http://a.com/before</loc></url>
+        |  <url><loc>http://a.com/garbage</loc>
+        |       <changefreq>fortnightly</changefreq>
+        |       <priority>2.5</priority></url>
+        |  <url><loc>http://a.com/junkpri</loc>
+        |       <priority>not-a-number</priority></url>
+        |  <url><loc>http://a.com/none</loc></url>
+        |</urlset>""".stripMargin
+    assert(Sitemaps.parse(xml).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/full", "page", "2026-01-02",
+                     "daily", "0.80"),
+      Sitemaps.Entry("http://a.com/before", "page", null, "never", "1.0"),
+      // out-of-vocabulary changefreq and out-of-range priority -> null
+      Sitemaps.Entry("http://a.com/garbage", "page"),
+      Sitemaps.Entry("http://a.com/junkpri", "page"),
+      Sitemaps.Entry("http://a.com/none", "page")))
+  }
+
+  test("repeated <loc> in one block: each emits (first keeps the parked metadata)") {
+    val xml =
+      """<urlset>
+        |  <url><lastmod>2026-01-01</lastmod>
+        |       <loc>http://a.com/first</loc>
+        |       <loc>http://a.com/second</loc></url>
+        |  <url><loc>http://a.com/next</loc></url>
+        |</urlset>""".stripMargin
+    assert(Sitemaps.parse(xml).toSeq === Seq(
+      Sitemaps.Entry("http://a.com/first", "page", "2026-01-01"),
+      Sitemaps.Entry("http://a.com/second", "page"),
+      Sitemaps.Entry("http://a.com/next", "page")))
+  }
+
   test("robots Sitemap: directives — group-independent, comment-stripped, absolute-only") {
     val body =
       """User-agent: someoneelse

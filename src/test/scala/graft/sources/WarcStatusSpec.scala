@@ -139,8 +139,11 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
       gz(recAt("http://a.com/p", "2026-03-01T00:00:00Z",
         Seq("Last-Modified: Mon, 02 Feb 2026 10:00:00 GMT",
             "ETag: \"v1\""))))
+    // WARC 1.1 millisecond-precision date: the stream threads the
+    // timestamp through state at epoch-micros, so captured_ts must
+    // round-trip the .123 — not truncate to whole seconds
     java.nio.file.Files.write(d.resolve("b.warc.gz"),
-      gz(recAt("http://a.com/p?utm_source=x", "2026-03-02T00:00:00Z",
+      gz(recAt("http://a.com/p?utm_source=x", "2026-03-02T00:00:00.123Z",
         Seq("Last-Modified: Tue, 03 Feb 2026 10:00:00 GMT",
             "ETag: W/\"v2\""))))
     val q = Crawl.validatorsStream(
@@ -161,5 +164,36 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
     val batch = Crawl.revisitValidators(Crawl.readWarc(spark, d.toString))
       .collect().map(_.toString).toSeq
     assert(lastStream === batch)
+    // and the sub-second part genuinely survived the state round-trip
+    val ts = spark.table("val_stream")
+      .orderBy(col("captured_ts").desc).limit(1)
+      .collect().head.getAs[java.sql.Timestamp]("captured_ts")
+    assert(ts.toString === "2026-03-02 00:00:00.123")
+  }
+
+  test("robots status gate: an error page's body never compiles as a host's rules") {
+    val d = java.nio.file.Files.createTempDirectory("graft-robots404")
+    // a.com serves its robots as an HTML 404 whose body HAPPENS to
+    // contain Disallow-looking text; b.org serves a real 200 one
+    java.nio.file.Files.write(d.resolve("s.warc.gz"),
+      gz(rec("http://a.com/robots.txt", "HTTP/1.1 404 Not Found",
+             "User-agent: *\nDisallow: /")) ++
+      gz(rec("http://b.org/robots.txt", "HTTP/1.1 200 OK",
+             "User-agent: *\nDisallow: /private/")) ++
+      gz(rec("http://c.net/home", "HTTP/1.1 200 OK",
+             """<a href="http://a.com/page">a</a>""" +
+             """ <a href="http://b.org/private/x">b</a>""" +
+             """ <a href="http://b.org/open">c</a>""")))
+    val parsed = Crawl.readWarc(spark, d.toString, extractHtml = false)
+    // only the 2xx capture lifts to the host-keyed robots frame
+    val hosts = Crawl.robotsTexts(parsed)
+      .collect().map(_.getString(0)).toSet
+    assert(hosts === Set("b.org"))
+    // so a.com fails OPEN (404 => no rules, RFC 9309) while b.org's
+    // real rules gate
+    val f = Crawl.frontier(parsed, perHostCap = 8,
+        robotsAgent = Some("graftbot"))
+      .collect().map(_.getString(1)).toSet
+    assert(f === Set("http://a.com/page", "http://b.org/open"))
   }
 }
