@@ -192,6 +192,27 @@ object DerivedCache {
     s.read.parquet(dir)
   }
 
+  /** [[orBuild]] for SECOND-ORDER artifacts — derivations of another
+    * LANDED artifact rather than of the corpus itself (host PageRank
+    * over the persisted `link_edges_v1` edge table): the freshness
+    * token is the SOURCE artifact dir's file manifest, so an edge
+    * append that refreshes the source invalidates exactly this
+    * derivation — and a corpus change that does NOT reach the source
+    * artifact leaves it untouched. The build must read only
+    * `sourceDir` bytes (never the corpus), which is what makes the
+    * rebuild bill edge-table-sized at any corpus scale. A `_source`
+    * sidecar records the dependency for [[status]].
+    */
+  def orBuildFromDir(s: SparkSession, d: String, artifact: String,
+                     sourceDir: String)(build: => DataFrame): DataFrame = {
+    val token = md5hex(
+      manifestLines(s, sourceDir).map(_._1).mkString("\n"))
+    val dir = serveWith(s, s"$root/${corpusKey(d)}/$artifact", token,
+                        Map("_source" -> sourceDir))(
+      staging => build.write.mode("overwrite").parquet(staging))
+    s.read.parquet(dir)
+  }
+
   /** The shared lifecycle: return the artifact dir, (re)building via
     * `materialize` into a staging dir first when the stored fingerprint
     * is absent or stale.
@@ -423,8 +444,13 @@ object DerivedCache {
           // lifecycle disambiguation: a `_manifest` sidecar marks the
           // append-incremental lifecycle, whose token is the manifest
           // digest of the table `_table` names (documents.parquet for
-          // artifacts landed before the sidecar existed); everything
-          // else is corpus-fingerprint keyed
+          // artifacts landed before the sidecar existed); a `_source`
+          // sidecar marks a second-order artifact keyed on ANOTHER
+          // artifact dir's manifest; everything else is
+          // corpus-fingerprint keyed
+          val sourceSidecar = readSidecar(fs,
+            new org.apache.hadoop.fs.Path(st.getPath, "_source"))
+            .map(_.trim).filter(_.nonEmpty)
           val expected =
             if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
                                                         "_manifest")))
@@ -432,7 +458,11 @@ object DerivedCache {
                   new org.apache.hadoop.fs.Path(st.getPath, "_table"))
                 .map(_.trim).filter(_.nonEmpty)
                 .getOrElse("documents.parquet"))
-            else corpusFp
+            else sourceSidecar match {
+              case Some(src) => md5hex(
+                manifestLines(s, src).map(_._1).mkString("\n"))
+              case None => corpusFp
+            }
           def files(p: org.apache.hadoop.fs.Path)
               : Seq[org.apache.hadoop.fs.FileStatus] =
             fs.listStatus(p).toSeq.flatMap { f =>

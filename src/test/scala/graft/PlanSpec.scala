@@ -972,17 +972,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q177: rank joins shuffle (host table never broadcast); only the 1-row n broadcasts") {
-    val df = SparkEntry.queries("q177_host_rank")(spark, sf)
+  test("rank BUILD: iteration joins shuffle (host table never broadcast); only the 1-row n broadcasts") {
+    // q177's read is now a host_rank_v1 artifact scan (pinned in the
+    // warm-consumer test below); the shuffle discipline applies to the
+    // BUILD plan hostRankTable runs on a refresh — pin it directly
+    val df = graft.operators.WebGraph.pageRank(
+      graft.operators.WebGraph.linkEdgesTable(spark, sf), 3)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(p.contains("ShuffledHashJoin"),
-           s"q177 rank joins lost the hinted shuffle path:\n$p")
+           s"rank build joins lost the hinted shuffle path:\n$p")
     // at 100 TB the rank/out-degree tables are ~1e7 hosts — a
     // BroadcastHashJoin of either would ship them to every task
     assert(!p.linesIterator.exists(l => l.contains("BroadcastHashJoin")),
-           s"q177 must not broadcast host-sized tables:\n$p")
+           s"rank build must not broadcast host-sized tables:\n$p")
   }
 
   test("q178: frontier anti-joins on the canonical key and caps below the exchange") {
@@ -1059,33 +1063,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
            s"q185 exchanges must key on the page:\n$p")
   }
 
-  test("q186/q188: rank consumers serve the edge artifact and keep host tables off broadcast") {
-    graft.operators.WebGraph.linkEdgesTable(spark, sf).count() // land
-    val derives = graft.operators.WebGraph.linkEdgeDerives.get()
-    for (q <- Seq("q186_trustrank", "q188_recrawl_queue")) {
+  test("q177/q186/q188/q193: rank consumers serve the LANDED rank artifacts — zero rank-iteration exchanges warm") {
+    // land both rank artifacts (which lands link_edges_v1 first), then
+    // pin: warm reads never re-derive (counters frozen) and the
+    // 3-iteration shuffle-join chain is GONE from every consumer plan
+    graft.operators.WebGraph.hostRankTable(spark, sf).count()
+    graft.operators.WebGraph.trustRankTable(spark, sf).count()
+    val rankDerives = graft.operators.WebGraph.rankDerives.get()
+    val edgeDerives = graft.operators.WebGraph.linkEdgeDerives.get()
+    // q177/q186 warm: ONE parquet scan of the rank artifact — no
+    // joins, no aggregation, no corpus access at all
+    for ((q, art) <- Seq("q177_host_rank" -> "host_rank_v1",
+                         "q186_trustrank" -> "trust_rank_v1")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      assert(!p.contains("Generate"),
-             s"$q re-ran edge extraction (artifact serves edges):\n$p")
+      assert(p.contains(art), s"$q does not serve the $art artifact:\n$p")
+      assert(!p.contains("ShuffledHashJoin") && !p.contains("HashAggregate"),
+             s"$q warm read must be a plain artifact scan (the rank " +
+               s"iteration belongs in the BUILD, not the read):\n$p")
+      assert(!p.contains("documents.parquet"),
+             s"$q warm read touched the corpus:\n$p")
+    }
+    // q188/q193: the capture-history side scans the corpus once; the
+    // rank side serves the artifact through the hinted shuffle join,
+    // and nothing host-keyed broadcasts
+    for (q <- Seq("q188_recrawl_queue", "q193_declared_freshness")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("host_rank_v1"),
+             s"$q does not serve the rank artifact:\n$p")
       assert(p.contains("ShuffledHashJoin"),
-             s"$q chain joins lost the hinted shuffle path:\n$p")
-      // host-sized tables (rank, out-degree, seeds) never broadcast;
-      // the 1-row scalar (seed count / host count) may
+             s"$q host join lost the hinted shuffle path:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+             s"$q top-100 regressed to a global sort:\n$p")
       val bhj = p.linesIterator.filter(l =>
         l.contains("BroadcastHashJoin") && l.contains("[host#")).toSeq
       assert(bhj.isEmpty,
              s"$q broadcast a host-keyed table:\n${bhj.mkString("\n")}")
     }
-    // q186 is a pure graph read; q188's ONLY corpus access is the
-    // capture-history side (one scan) — the rank side serves the
-    // landed artifact
-    val p188 = SparkEntry.queries("q188_recrawl_queue")(spark, sf)
-      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p188.contains("TakeOrderedAndProject"),
-           s"q188 top-100 regressed to a global sort:\n$p188")
-    assert(graft.operators.WebGraph.linkEdgeDerives.get() === derives,
+    assert(graft.operators.WebGraph.rankDerives.get() === rankDerives,
+           "a warm rank consumer re-derived a landed rank artifact")
+    assert(graft.operators.WebGraph.linkEdgeDerives.get() === edgeDerives,
            "a warm rank consumer re-derived the landed edge artifact")
   }
 

@@ -35,6 +35,45 @@ class DerivedCacheSpec extends AnyFunSuite with SparkSpec {
     assert(first == second)
   }
 
+  test("orBuildFromDir: second-order artifact keys on the SOURCE artifact, not the corpus") {
+    import spark.implicits._
+    val d = freshCorpus()
+    var srcBuilds = 0
+    var rankBuilds = 0
+    def src() = DerivedCache.orBuild(spark, d, "spec_edges_v1") {
+      srcBuilds += 1
+      spark.read.parquet(d + "/documents.parquet")
+        .selectExpr("id", "w")
+    }
+    def derived() = {
+      src() // land/refresh the source first (the hostRankTable shape)
+      DerivedCache.orBuildFromDir(spark, d, "spec_rank_v1",
+          DerivedCache.artifactDir(d, "spec_edges_v1")) {
+        rankBuilds += 1
+        spark.read.parquet(DerivedCache.artifactDir(d, "spec_edges_v1"))
+          .selectExpr("count(*) AS n")
+      }
+    }
+    assert(derived().head.getLong(0) === 3L)
+    assert(srcBuilds === 1 && rankBuilds === 1)
+    // warm: neither rebuilds
+    assert(derived().head.getLong(0) === 3L)
+    assert(srcBuilds === 1 && rankBuilds === 1,
+           "warm read must serve both artifacts from disk")
+    // corpus change -> source rebuilds -> ITS manifest moves -> the
+    // second-order artifact invalidates in turn
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "w")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    assert(derived().head.getLong(0) === 4L)
+    assert(srcBuilds === 2 && rankBuilds === 2,
+           "a refreshed source must cascade into the derived artifact")
+    // status understands the _source lifecycle: both report fresh
+    val st = DerivedCache.status(spark, d).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(st("spec_edges_v1") && st("spec_rank_v1"),
+           s"status must key spec_rank_v1 on its _source manifest: $st")
+  }
+
   test("corpus change flips the fingerprint and rebuilds") {
     import spark.implicits._
     val d = freshCorpus()

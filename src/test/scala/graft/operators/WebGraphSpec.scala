@@ -167,6 +167,96 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
              .map(r => r.getString(0) -> r.getString(1)).toMap)
   }
 
+  test("familyCaps on CONVERGED components: caps key on the true family past any round budget") {
+    import spark.implicits._
+    // a 12-host chain family (diameter 11) holding 60 docs plus two
+    // singleton hosts with 10 each: the API path (converged components
+    // -> familyCaps) must roll the WHOLE chain into one capped family.
+    // The fixed-round form at 2 rounds provably splits it — exactly
+    // the silent cap-duck the converged entry exists to close.
+    def hn(i: Int) = f"c$i%02d"
+    val chain = (0 until 11).map(i => hn(i) -> hn(i + 1))
+    val g = (chain ++ Seq("s1" -> "s1x", "s2" -> "s2x")).toDF("src", "dst")
+    val docs = ((0 until 12).map(i => hn(i) -> 5L) ++
+      Seq("s1" -> 10L, "s2" -> 10L)).toDF("host", "n_docs")
+    val conv = WebGraph.familyCaps(WebGraph.componentsConverged(g), docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(4))).toSet
+    // one 12-host family at 60 docs vs two 2-host families at 10:
+    // mean = 80/3, 60 > 1.5*mean -> over_cap
+    assert(conv === Set(("c00", 12L, 60L, 1L),
+                        ("s1", 2L, 10L, 0L), ("s2", 2L, 10L, 0L)))
+    // the fixed-round form splits the chain into multiple families,
+    // each ducking the cap — the premise the converged entry fixes
+    val fixed = WebGraph.familyCaps(WebGraph.components(g, 2), docs)
+      .collect()
+    assert(fixed.length > 3, "2 rounds must split an 11-hop chain")
+    val chainShards = fixed.filter(_.getString(0).startsWith("c"))
+    assert(chainShards.length > 1 && chainShards.forall(_.getLong(2) < 60L),
+           "the chain family's 60-doc mass must fragment across labels " +
+             "— no shard carries the true family mass")
+    // and on the landed site-edge artifact (planted ring, diameter
+    // within the oracle's 4 rounds) the API path agrees with q183's
+    // fixed-round spelling exactly
+    val sf = "/root/testdata/sf0.001"
+    val k = org.apache.spark.sql.functions.col("doc_id") % 250
+    val hd = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.when(k % 5 === 0,
+          org.apache.spark.sql.functions.lit("h0"))
+        .otherwise(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("h"),
+          (k % 24).cast("string"))).as("host"))
+      .groupBy("host")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+    val api = WebGraph.siteFamilyCaps(spark, sf, hd)
+      .collect().map(_.toString).sorted
+    val oracleForm = WebGraph.familyCaps(
+        WebGraph.components(WebGraph.siteEdgesTable(spark, sf), 4), hd)
+      .collect().map(_.toString).sorted
+    assert(api === oracleForm)
+  }
+
+  test("declaredFreshnessQueue: the declared-x-observed blend, exact and left-join-total") {
+    import spark.implicits._
+    val stats = Seq(("http://a.com/hot", "a", 3L),
+                    ("http://a.com/cold", "a", 0L),
+                    ("http://b.net/promised", "b", 0L))
+      .toDF("canon_url", "host", "n_changes")
+    val ranks = Seq(("a", 100L), ("b", 100L)).toDF("host", "rank_e12")
+    val declared = Seq(("http://b.net/promised", "hourly"),
+                       ("http://a.com/cold", "never"))
+      .toDF("canon_url", "changefreq")
+    val got = WebGraph.declaredFreshnessQueue(stats, ranks, declared, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    // hot: 100*(1+3)*(1+0 undeclared) = 400
+    // promised: 100*(1+0)*(1+6 hourly) = 700 — declared beats observed
+    // cold+never: 100*1*1 = 100
+    assert(got === Map("http://a.com/hot" -> 400L,
+                       "http://b.net/promised" -> 700L,
+                       "http://a.com/cold" -> 100L))
+  }
+
+  test("rank artifacts: hostRankTable/trustRankTable serve exactly the iterative build") {
+    val sf = "/root/testdata/sf0.001"
+    val served = rankMap(WebGraph.hostRankTable(spark, sf))
+    val direct = rankMap(WebGraph.pageRank(
+      WebGraph.linkEdgesTable(spark, sf), 3))
+    assert(served === direct,
+           "the landed host_rank_v1 bytes must be bit-identical to a rebuild")
+    val servedT = WebGraph.trustRankTable(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    import org.apache.spark.sql.functions._
+    val edges = WebGraph.linkEdgesTable(spark, sf)
+    val hosts = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val seeds = hosts.filter(
+      expr("cast(regexp_extract(host, '[0-9]+', 0) as bigint)") % 7 === 0)
+    val directT = WebGraph.trustRank(edges, seeds, 3).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(servedT === directT)
+  }
+
   test("anchorBm25: matching anchors with no body match outrank a weak body match") {
     import spark.implicits._
     // doc 1: weak body match — one 'hash' buried in a long page.
