@@ -740,18 +740,28 @@ object WebGraph {
     * — both host-sized.
     */
   def budgetByRank(frontier: DataFrame, ranks: DataFrame,
-                   budget: Long): DataFrame = {
+                   budget: Long): DataFrame =
+    // caps is host-sized (~1e7 rows / hundreds of MB at CC scale) —
+    // too big to ship to every task; keep the join on the shuffle path
+    frontier.join(rankCaps(ranks, budget).hint("shuffle_hash"), "host")
+      .filter(col("rk") <= col("cap"))
+      .select("host", "url", "rk", "cap", "rank_e12")
+
+  /** The cap table [[budgetByRank]] joins — (host, rank_e12, cap) with
+    * cap = max(1, (budget * rank) div total) in exact integer
+    * arithmetic — exposed on its own so the STREAMING frontier can
+    * consume the same derivation as a stream-static frame
+    * ([[graft.sources.Crawl.frontierStream]]'s `rankCaps` input): one
+    * scheduler spelling, two doors. One 1-row scalar broadcast; the
+    * output stays host-sized and must ride the shuffle path.
+    */
+  def rankCaps(ranks: DataFrame, budget: Long): DataFrame = {
     val total = broadcast(ranks.agg(sum("rank_e12").as("total_r")))
-    val caps = ranks.crossJoin(total)
+    ranks.crossJoin(total)
       .select(col("host"), col("rank_e12"),
         greatest(lit(1L),
           expr(s"(cast($budget as bigint) * rank_e12) div total_r"))
           .as("cap"))
-    // caps is host-sized (~1e7 rows / hundreds of MB at CC scale) —
-    // too big to ship to every task; keep the join on the shuffle path
-    frontier.join(caps.hint("shuffle_hash"), "host")
-      .filter(col("rk") <= col("cap"))
-      .select("host", "url", "rk", "cap", "rank_e12")
   }
 
   /** Resolve URLs through redirect alias chains — the pre-dedup step
@@ -1854,6 +1864,47 @@ object WebGraph {
             explode(graft.sources.Sitemaps.extract_sitemap(xml)).as("e"))
           .select(col("canon_url"), col("e.changefreq").as("changefreq"))
         declaredFreshnessQueue(stats, hostRankTable(s, d), declared, 100)
+    },
+
+    Q("q194_asset_skip",
+      "URL extension skip (the classic crawl-scheduler prior): a " +
+        "binary-asset extension verdict over the URL PATH (query/" +
+        "fragment stripped, extension bounded at 6 chars, case-" +
+        "insensitive) — .jpg/.pdf/.zip/.css/.mp4 links must never " +
+        "consume a text crawler's fetch budget, and both frontier " +
+        "doors run this gate BEFORE the seen probe and the politeness " +
+        "cap (Urls.isAsset, default on, opt-out for asset crawls). " +
+        "Planted: one URL per doc cycling 8 extension shapes incl. " +
+        "uppercase .JPG, extension-free, .html (page-shaped, kept), " +
+        "and a ?query suffix after the extension. Pure codegen " +
+        "projection — no shuffle at any corpus size.",
+      "WITH u AS (SELECT doc_id,\n" +
+        "  'http://h' || CAST(doc_id % 53 AS VARCHAR) || '.com/f'\n" +
+        "  || CAST(doc_id AS VARCHAR)\n" +
+        "  || (CASE doc_id % 8 WHEN 0 THEN '.jpg' WHEN 1 THEN '.pdf'\n" +
+        "      WHEN 2 THEN '.zip' WHEN 3 THEN '.css' WHEN 4 THEN '.html'\n" +
+        "      WHEN 5 THEN '.mp4' WHEN 6 THEN '' ELSE '.JPG' END)\n" +
+        "  || (CASE WHEN doc_id % 11 = 0 THEN '?x=1' ELSE '' END) AS url\n" +
+        "  FROM documents),\n" +
+        "e AS (SELECT doc_id, url,\n" +
+        "  lower(regexp_extract(regexp_replace(url, '(?s)[?#].*$', ''),\n" +
+        "    '\\.([A-Za-z0-9]{1,6})$', 1)) AS ext\n" +
+        "  FROM u)\n" +
+        "SELECT doc_id, url,\n" +
+        "  CAST(CASE WHEN ext IN (" +
+        graft.sources.Urls.AssetExtensions.map(x => s"'$x'")
+          .mkString(", ") +
+        ") THEN 1 ELSE 0 END AS BIGINT) AS is_asset\nFROM e") { (s, d) =>
+      val id = col("doc_id")
+      val ext = when(id % 8 === 0, ".jpg").when(id % 8 === 1, ".pdf")
+        .when(id % 8 === 2, ".zip").when(id % 8 === 3, ".css")
+        .when(id % 8 === 4, ".html").when(id % 8 === 5, ".mp4")
+        .when(id % 8 === 6, "").otherwise(".JPG")
+      val url = concat(lit("http://h"), (id % 53).cast("string"),
+        lit(".com/f"), id.cast("string"), ext,
+        when(id % 11 === 0, "?x=1").otherwise(""))
+      docs(s, d).select(id.as("doc_id"), url.as("url"),
+        Urls.isAsset(url).cast("long").as("is_asset"))
     }
   )
 

@@ -69,18 +69,50 @@ private[sources] case class ValidatorState(lastModified: String,
                                            ts: Long,
                                            docId: Long)
 
-/** Per-host state for [[Crawl.frontierStreamLive]]: the host's
-  * CURRENT compiled robots rules + declared delay (with the capture
-  * recency that installed them, so stale replays never roll rules
-  * back) riding beside the emitted-URL budget set. Rules are bounded
-  * by the robots body cap; the emitted set by the politeness cap —
-  * the whole state is small and fixed per host.
+/** Per-budget-key state for [[Crawl.frontierStreamLive]]: each member
+  * host's CURRENT compiled robots rules + declared delay (parallel
+  * arrays indexed by host, with the capture recency that installed
+  * them, so stale replays never roll rules back) riding beside the
+  * budget key's shared emitted-URL set. Without a family frame a key
+  * is one host (arrays of length <= 1 — the classic shape); with one,
+  * the arrays are bounded by the family's member count and the
+  * emitted set by the shared cap — the whole state stays small and
+  * fixed per key.
   */
-private[sources] case class LiveFrontierState(rules: String,
-                                              delayS: Double,
-                                              rulesTs: Long,
-                                              rulesDocId: Long,
-                                              emitted: Array[Long])
+private[sources] case class LiveBudgetState(hosts: Array[String],
+                                            rules: Array[String],
+                                            delays: Array[Double],
+                                            rulesTs: Array[Long],
+                                            rulesDoc: Array[Long],
+                                            emitted: Array[Long])
+
+/** Per-host state for [[Crawl.trapStream]]: the xxh64 sets of
+  * distinct canonical URLs and distinct URL templates seen so far,
+  * each tracked exactly up to `maxTrack` hashes, plus overflow
+  * counters for arrivals past the bound (which may double-count
+  * re-arrivals — an upper bound, conservative toward `trap`, which is
+  * the safe direction for a budget guard). State per host <=
+  * 2 x maxTrack x 8 bytes + 2 longs, bounded by construction.
+  */
+private[sources] case class TrapTrackState(urls: Array[Long],
+                                           urlOverflow: Long,
+                                           templates: Array[Long],
+                                           tmplOverflow: Long)
+
+/** Per-page state for [[Crawl.refetchStream]]: the change-tracking
+  * triple of [[ChangeTrackState]] fused with the latest-capture
+  * validators of [[ValidatorState]] — one state row per page instead
+  * of two stateful operators, because the refetch decision needs both
+  * signals at once (change rate prices the refetch, validators make
+  * it conditional).
+  */
+private[sources] case class RefetchState(lastFp: Long,
+                                         nCaptures: Long,
+                                         nChanges: Long,
+                                         lastModified: String,
+                                         etag: String,
+                                         valTs: Long,
+                                         valDoc: Long)
 
 object Crawl {
 
@@ -225,7 +257,8 @@ object Crawl {
   def frontier(parsed: DataFrame, perHostCap: Int = 64,
                robotsAgent: Option[String] = None,
                sitemaps: Boolean = false,
-               crawlDelayWindow: Double = 0.0): DataFrame = {
+               crawlDelayWindow: Double = 0.0,
+               skipAssets: Boolean = true): DataFrame = {
     val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
@@ -244,11 +277,16 @@ object Crawl {
     // links to yet join the candidate pool (index-file entries are
     // sitemap fetches, not page fetches; a caller crawling indexes
     // reads sitemapEntries directly)
-    val cand0 = if (!sitemaps) withRedirects
+    val cand1 = if (!sitemaps) withRedirects
       else withRedirects.unionByName(
         sitemapEntries(parsed).filter(col("kind") === "page")
           .select(Urls.canonicalize(col("url")).as("url"))
           .filter(col("url").isNotNull))
+    // asset-extension skip runs FIRST (default on — a .jpg/.zip href
+    // must never consume seen-probe work or a host's budget in a
+    // text crawl; asset crawls feeding warcAssets opt out)
+    val cand0 = if (skipAssets) cand1.filter(!Urls.isAsset(col("url")))
+                else cand1
     // robots gating runs BEFORE the politeness cap — a disallowed URL
     // must not consume a host's fetch budget. Hosts with no captured
     // robots.txt fail open (the robots_allowed_c null policy). The
@@ -319,12 +357,25 @@ object Crawl {
     * at 8 bits/item (~2% fpp at capacity). A false positive DROPS a
     * genuinely-new URL from the frontier — frontier semantics accept
     * that (a later round re-discovers it once the corpus and sketch
-    * refresh); when it doesn't, route survivors through an exact
-    * stream-static anti-join and keep this as its pre-prune.
+    * refresh); when it doesn't, pass [[seenUrls]] to the frontier
+    * door and this sketch demotes to the exact anti-join's PRE-PRUNE
+    * (bloom-negative candidates skip the join entirely, bloom-
+    * positive survivors get the exact verdict — zero false-positive
+    * losses, join traffic cut to the probably-seen slice).
+    *
+    * Size guard: the sketch ships as a PLAN LITERAL — serialized into
+    * every task binary — so `maxBytes` (default 64 MB, ~67M URLs at
+    * 8 bits/item) REFUSES an absurd inline instead of silently
+    * shipping gigabytes. At billion-URL scale pass an explicit
+    * sub-bound `numBits` and route exactness through the [[seenUrls]]
+    * tier: the sketch then only needs to be a cheap pre-prune (a
+    * higher FP rate costs join traffic, never correctness), not the
+    * source of truth.
     */
   def seenUrlBloom(parsed: DataFrame,
                    expectedItems: Long = 0L,
-                   numBits: Long = 0L): Array[Byte] = {
+                   numBits: Long = 0L,
+                   maxBytes: Long = 64L << 20): Array[Byte] = {
     val urls = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
@@ -332,6 +383,11 @@ object Crawl {
       if (expectedItems > 0L) expectedItems
       else math.max(urls.distinct().count() * 2, 1L << 16)
     val bits = if (numBits > 0L) numBits else items * 8L
+    require(bits / 8L <= maxBytes,
+      s"seenUrlBloom: a ${bits / 8L}-byte sketch exceeds the " +
+        s"$maxBytes-byte inline bound (it would ship in every task " +
+        "binary). Cap numBits and route exactness through the " +
+        "seenUrls stream-static anti-join tier.")
     // an EMPTY corpus aggregates to null — normalize to the empty
     // sketch (= prune nothing), which frontierStream treats as
     // "no seen set" rather than an NPE at probe time
@@ -341,6 +397,21 @@ object Crawl {
       .getOrElse(Array.emptyByteArray)
   }
 
+  /** The accumulated seen set EXACTLY: distinct canonical URLs of
+    * every non-corrupt capture — the static side of the frontier
+    * doors' stream-static anti-join (the `substrContaminationStream`
+    * convention, applied to URLs). At scale this is a landed parquet
+    * table, re-listed per micro-batch by the stream-static join; pair
+    * it with [[seenUrlBloom]] so only bloom-positive candidates pay
+    * the join shuffle. Unlike the sketch alone, the pair loses ZERO
+    * genuinely-new URLs to false positives.
+    */
+  def seenUrls(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("corrupt") && col("url").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+
   /** STREAMING twin of [[frontier]] — the live-crawler door: arrivals
     * ([[readCrawlStream]] / [[readWarcStream]] output) emit their
     * discoveries per micro-batch instead of waiting for a corpus-wide
@@ -349,74 +420,162 @@ object Crawl {
     *   - candidates: canonical outlinks (+ redirect targets and
     *     opt-in sitemap pages when the frame carries them) — pure
     *     codegen projections + explode, identical to the batch door;
-    *   - seen set: the `seenBloom` LITERAL probe ([[seenUrlBloom]]) —
-    *     the batch anti-join against billions of captured URLs is not
-    *     stream-legal without unbounded state, and the sketch is the
-    *     documented trade (O(MB) per executor, ~2% of new URLs lost
-    *     to false positives until the next sketch refresh);
+    *   - seen set: TIERED. The `seenBloom` LITERAL probe
+    *     ([[seenUrlBloom]]) alone is the lossy fast path; with
+    *     `seenExact` ([[seenUrls]] — the landed seen table) bloom-
+    *     positive candidates get an exact stream-static LEFT ANTI
+    *     verdict, so false positives cost a join probe, never a lost
+    *     discovery (see [[streamCandidates]]);
     *   - robots: stream-static left join against [[compiledRobots]]
     *     (host-sized, shuffle-pinned) + the same `robots_allowed_c`
     *     fail-open check as batch;
+    *   - scheduler signals, all optional stream-static frames
+    *     ([[gatedCandidates]]): `trapVerdicts` (q190 — a trap host's
+    *     cap collapses to its probe URL), `rankCaps` (q180's
+    *     rank-proportional budget, [[graft.operators.WebGraph
+    *     .rankCaps]]), `families` (q183/q189 — a mirror/site family
+    *     draws ONE shared budget keyed on its component), `skipAssets`
+    *     ([[Urls.isAsset]] links never reach the budget);
     *   - politeness budget + emission dedup: ONE
-    *     `flatMapGroupsWithState` keyed by host. State per host is
-    *     the xxh64 set of URLs already emitted — at most `cap` longs,
-    *     because emission stops at the cap — so a URL discovered
-    *     again in a later batch never re-emits, and a host never
-    *     exceeds its budget across the whole crawl, with total state
-    *     <= hosts x cap x 8 bytes (a few GB at 10^7 hosts, sharded
-    *     across executors). Within a batch, a host's candidates are
-    *     buffered and byte-order sorted before emission (batch-local
-    *     buffering, bounded by the batch size) so emission order is
+    *     `flatMapGroupsWithState` keyed by budget key (host, or
+    *     family component when `families` is given; x epoch when
+    *     `budgetEpochS` > 0). State per key is the xxh64 set of URLs
+    *     already emitted — at most `cap` longs, because emission
+    *     stops at the cap — so a URL discovered again in a later
+    *     batch never re-emits, and a key never exceeds its budget
+    *     across the whole crawl, with total state <= keys x cap x 8
+    *     bytes (a few GB at 10^7 hosts, sharded across executors).
+    *     Within a batch, a key's candidates are buffered and
+    *     byte-order sorted before emission (batch-local buffering,
+    *     bounded by the batch size) so emission order is
     *     deterministic given the same batch boundaries.
     *
     * `crawlDelayWindow` > 0 tightens a delay-declaring host's cap to
     * min(perHostCap, max(1, floor(window/delay))) — the batch
-    * spelling, applied per host at state time. Output (host, url, rk)
-    * in append mode; land it with [[startFrontierSink]] and the fetch
-    * loop closes: fetched WARCs re-enter [[readWarcStream]].
+    * spelling. `budgetEpochS` > 0 renews budgets per event-time
+    * epoch: a continuous crawler re-earns fetch capacity each window,
+    * and expired epochs' state evicts on EVENT-time timeout (one
+    * epoch past its end, under a one-epoch watermark — so live state
+    * is ~2 epochs x active budget keys, bounded however long the
+    * crawl runs). Output (host, url, rk — rank within the
+    * budget key) in append mode; land it with [[startFrontierSink]]
+    * and the fetch loop closes: fetched WARCs re-enter
+    * [[readWarcStream]].
     */
-  /** Canonical, Bloom-pruned, host-keyed candidate projection shared
+  /** Canonical, seen-pruned, host-keyed candidate projection shared
     * by both streaming doors: outlinks (+ redirect targets when the
-    * frame carries them, + opt-in sitemap pages), canonicalized,
-    * seen-sketch-filtered — pure codegen projections + explode,
-    * stream-legal by construction. Output (host, url).
+    * frame carries them, + opt-in sitemap pages), canonicalized, each
+    * carrying the DISCOVERING capture's event time (ts_s — the epoch
+    * key for budget renewal) — pure codegen projections + explode,
+    * stream-legal by construction. Output (host, url, ts_s).
+    *
+    * Seen pruning is tiered: the Bloom LITERAL alone is the lossy
+    * fast path (~fpp of new URLs drop until the sketch refreshes);
+    * with `seenExact` the sketch demotes to a pre-prune — bloom-
+    * NEGATIVE candidates are definitely new and skip the join,
+    * bloom-POSITIVE candidates get the exact stream-static LEFT ANTI
+    * verdict (shuffle-pinned; the static side is the landed seen
+    * table, page-scale, never broadcast) — so a false positive costs
+    * one join probe instead of a lost URL: ZERO discovery loss.
+    *
+    * `skipAssets` (default ON) drops [[Urls.AssetExtensions]] links
+    * BEFORE any seen probe or budget accounting — a `.jpg` href must
+    * never consume a host's politeness cap in a text crawl. Asset
+    * crawls (image corpora) opt out.
     */
-  private def streamCandidates(parsed: DataFrame,
-                               seenBloom: Array[Byte],
-                               sitemaps: Boolean): DataFrame = {
-    val links = linkEdges(parsed)
-      .select(Urls.canonicalize(col("dst_url")).as("url"))
+  private[sources] def streamCandidates(parsed: DataFrame,
+                                        seenBloom: Array[Byte],
+                                        sitemaps: Boolean,
+                                        seenExact: Option[DataFrame] = None,
+                                        skipAssets: Boolean = true)
+      : DataFrame = {
+    val base = parsed.filter(!col("corrupt") && col("url").isNotNull)
+    val tsS = coalesce(col("ts").cast("long"), lit(0L)).as("ts_s")
+    val links = base.filter(col("text").isNotNull)
+      .select(tsS,
+        explode(HtmlExpr.extract_links(col("text"), col("url")))
+          .as("dst_url"))
+      .select(col("ts_s"), Urls.canonicalize(col("dst_url")).as("url"))
       .filter(col("url").isNotNull)
     val withRedirects = if (!parsed.columns.contains("redirect")) links
       else links.unionByName(
-        redirectEdges(parsed)
-          .select(Urls.canonicalize(col("dst_url")).as("url"))
+        base.filter(col("redirect").isNotNull)
+          .select(tsS, Urls.canonicalize(col("redirect")).as("url"))
           .filter(col("url").isNotNull))
     val cand0 = if (!sitemaps) withRedirects
       else withRedirects.unionByName(
-        sitemapEntries(parsed).filter(col("kind") === "page")
-          .select(Urls.canonicalize(col("url")).as("url"))
+        base.filter(col("text").isNotNull &&
+            lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$"))
+          .select(tsS,
+            explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
+          .filter(col("e.kind") === "page")
+          .select(col("ts_s"), Urls.canonicalize(col("e.url")).as("url"))
           .filter(col("url").isNotNull))
-    val unseen =
-      if (seenBloom == null || seenBloom.isEmpty) cand0
-      else cand0.filter(!graft.functions.Bloom
-        .mightContainLit(seenBloom, xxhash64(col("url"))))
+    val cand = if (skipAssets) cand0.filter(!Urls.isAsset(col("url")))
+               else cand0
+    val unseen = (seenBloom != null && seenBloom.nonEmpty, seenExact)
+        match {
+      case (true, Some(seen)) =>
+        val p = graft.functions.Bloom
+          .mightContainLit(seenBloom, xxhash64(col("url")))
+        cand.filter(!p).unionByName(
+          cand.filter(p).join(
+            seen.select("url").hint("shuffle_hash"), Seq("url"),
+            "left_anti"))
+      case (true, None) =>
+        cand.filter(!graft.functions.Bloom
+          .mightContainLit(seenBloom, xxhash64(col("url"))))
+      case (false, Some(seen)) =>
+        cand.join(seen.select("url").hint("shuffle_hash"), Seq("url"),
+                  "left_anti")
+      case (false, None) => cand
+    }
     unseen
       .withColumn("host", Urls.host(col("url")))
       .filter(col("host").isNotNull)
-      .select("host", "url")
+      .select("host", "url", "ts_s")
   }
 
-  def frontierStream(parsed: DataFrame,
-                     seenBloom: Array[Byte],
-                     perHostCap: Int = 64,
-                     robots: Option[DataFrame] = None,
-                     sitemaps: Boolean = false,
-                     crawlDelayWindow: Double = 0.0): DataFrame = {
-    val hosted = streamCandidates(parsed, seenBloom, sitemaps)
-    // robots gate + effective per-host cap, both from the STATIC
-    // politeness frame (host-sized, shuffle-pinned — the
-    // no-broadcast rule for anything that grows with the web)
+  /** The scheduler-composed gate shared by the streaming doors (and
+    * plan-pinnable on a batch frame — the joins are ordinary
+    * stream-static equi-joins): robots rules, trap verdicts, rank
+    * budgets, and site families fold into ONE (bkey, epoch, host,
+    * url, cap) frame the budget state consumes. All four frames are
+    * host-keyed and host-SIZED, yet pinned to the shuffle path — the
+    * no-broadcast rule for anything that grows with the web (~10^7
+    * hosts is hundreds of MB; AQE's test-scale broadcast choice must
+    * never become the production plan).
+    *
+    *   - `robots`: [[compiledRobots]] — allowed-check fail-open,
+    *     Crawl-delay tightens the cap to floor(window/delay) (min 1);
+    *   - `trapVerdicts`: (host, verdict) — q190's table; a `trap`
+    *     host's cap collapses to 1 (the probe URL), the q191
+    *     composition made stream-native;
+    *   - `rankCaps`: (host, cap) — q180's rank-proportional budget
+    *     ([[graft.operators.WebGraph.rankCaps]]); hosts absent from
+    *     the rank table keep their politeness cap (new hosts have no
+    *     rank yet — fail open, the robots convention);
+    *   - `families`: (host, component) — q183/q189's site+mirror
+    *     families; the budget KEY becomes the component, so a 3-host
+    *     mirror farm draws ONE shared budget instead of 3 (the
+    *     tightest member's cap — a family containing a trap host is
+    *     budgeted as a trap, because a mirror family IS one site).
+    *
+    * `budgetEpochS` > 0 appends floor(event_ts / epoch) to the key:
+    * each epoch opens a FRESH budget (renewal — a continuous crawler
+    * re-earns fetch capacity per window), and expired epochs' state
+    * evicts on event-time timeout. Cross-epoch re-emission of a
+    * still-uncaptured URL is by design (it is exactly a recrawl
+    * candidate); captured ones die at the seen tier first.
+    */
+  private[sources] def gatedCandidates(hosted: DataFrame,
+                                       perHostCap: Int,
+                                       robots: Option[DataFrame],
+                                       crawlDelayWindow: Double,
+                                       trapVerdicts: Option[DataFrame],
+                                       families: Option[DataFrame],
+                                       rankCaps: Option[DataFrame],
+                                       budgetEpochS: Long): DataFrame = {
     val gated = robots match {
       case Some(rules) =>
         val capCol =
@@ -432,39 +591,126 @@ object Crawl {
           .join(rules.hint("shuffle_hash"), Seq("host"), "left")
           .filter(Robots.robots_allowed_c(col("url"),
                                           col("_robots_rules")))
-          .select(col("host"), col("url"), capCol.as("cap"))
+          .select(col("host"), col("url"), col("ts_s"), capCol.as("cap"))
       case None =>
-        hosted.select(col("host"), col("url"),
+        hosted.select(col("host"), col("url"), col("ts_s"),
                       lit(perHostCap.toLong).as("cap"))
     }
+    val trapped = trapVerdicts match {
+      case Some(tv) =>
+        gated.join(tv.select(col("host"), col("verdict"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select(col("host"), col("url"), col("ts_s"),
+            when(col("verdict") === "trap", least(col("cap"), lit(1L)))
+              .otherwise(col("cap")).as("cap"))
+      case None => gated
+    }
+    val ranked = rankCaps match {
+      case Some(rc) =>
+        trapped.join(rc.select(col("host"), col("cap").as("_rank_cap"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select(col("host"), col("url"), col("ts_s"),
+            least(col("cap"), coalesce(col("_rank_cap"), col("cap")))
+              .as("cap"))
+      case None => trapped
+    }
+    val keyed = families match {
+      case Some(fam) =>
+        ranked.join(fam.select(col("host"), col("component"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select(coalesce(col("component"), col("host")).as("bkey"),
+                  col("host"), col("url"), col("ts_s"), col("cap"))
+      case None =>
+        ranked.select(col("host").as("bkey"), col("host"), col("url"),
+                      col("ts_s"), col("cap"))
+    }
+    val epoch =
+      if (budgetEpochS > 0)
+        floor(col("ts_s").cast("double") / budgetEpochS).cast("long")
+      else lit(0L)
+    keyed.select(col("bkey"), epoch.as("epoch"), col("host"),
+                 col("url"), col("cap"), col("ts_s"))
+  }
+
+  def frontierStream(parsed: DataFrame,
+                     seenBloom: Array[Byte],
+                     perHostCap: Int = 64,
+                     robots: Option[DataFrame] = None,
+                     sitemaps: Boolean = false,
+                     crawlDelayWindow: Double = 0.0,
+                     seenExact: Option[DataFrame] = None,
+                     trapVerdicts: Option[DataFrame] = None,
+                     families: Option[DataFrame] = None,
+                     rankCaps: Option[DataFrame] = None,
+                     skipAssets: Boolean = true,
+                     budgetEpochS: Long = 0L): DataFrame = {
+    val hosted =
+      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
+    val gated0 = gatedCandidates(hosted, perHostCap, robots,
+      crawlDelayWindow, trapVerdicts, families, rankCaps, budgetEpochS)
+      .withColumn("_wm", timestamp_seconds(col("ts_s"))).drop("ts_s")
+    // epoch renewal rides the EVENT clock: a watermark one epoch wide
+    // lets expired epochs' budget state evict on EventTimeTimeout as
+    // the stream's own time advances — never the processing clock,
+    // whose timeout mode would trigger continuous empty micro-batches
+    // just to poll the timer. The watermark column must REACH the
+    // stateful operator (the delay rides the attribute's metadata),
+    // so it stays in the row to the end.
+    val gated =
+      if (budgetEpochS > 0)
+        gated0.withWatermark("_wm", s"$budgetEpochS seconds")
+      else gated0
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    gated.as[(String, String, Long)]
-      .groupByKey(_._1)
+    val timeoutConf =
+      if (budgetEpochS > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    gated.as[(String, Long, String, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[FrontierHostState, (String, String, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (host, rows, state) =>
-          val emitted = scala.collection.mutable.LinkedHashSet(
-            state.getOption.map(_.emitted).getOrElse(Array.empty[Long]): _*)
-          val batch = rows.toArray
-          val cap = math.min(
-            batch.iterator.map(_._3).min,
-            perHostCap.toLong)
-          val out = Vector.newBuilder[(String, String, Long)]
-          for ((_, url, _) <- batch.sortBy(_._2)
-               if emitted.size < cap) {
-            val h = org.apache.spark.sql.catalyst.expressions
-              .XxHash64Function.hash(
-                org.apache.spark.unsafe.types.UTF8String.fromString(url),
-                org.apache.spark.sql.types.StringType, 42L)
-            if (!emitted.contains(h)) {
-              emitted += h
-              out += ((host, url, emitted.size.toLong))
+        OutputMode.Append, timeoutConf) {
+        case ((_, epoch), rows, state) =>
+          if (state.hasTimedOut) {
+            // an expired epoch's budget state — evict; the epoch key
+            // has rolled past it, so no row will ever probe it again
+            state.remove()
+            Iterator.empty
+          } else {
+            val emitted = scala.collection.mutable.LinkedHashSet(
+              state.getOption.map(_.emitted)
+                .getOrElse(Array.empty[Long]): _*)
+            val batch = rows.toArray
+            // the budget group's cap: the TIGHTEST member row (for a
+            // host group all rows agree; for a family group this is
+            // the most conservative member — one trap alias budgets
+            // the whole farm as a trap)
+            val cap = math.min(
+              batch.iterator.map(_._5).min,
+              perHostCap.toLong)
+            val out = Vector.newBuilder[(String, String, Long)]
+            for ((_, _, host, url, _, _) <- batch.sortBy(_._4)
+                 if emitted.size < cap) {
+              val h = org.apache.spark.sql.catalyst.expressions
+                .XxHash64Function.hash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(url),
+                  org.apache.spark.sql.types.StringType, 42L)
+              if (!emitted.contains(h)) {
+                emitted += h
+                out += ((host, url, emitted.size.toLong))
+              }
             }
+            state.update(FrontierHostState(emitted.toArray))
+            if (budgetEpochS > 0) {
+              // evict one epoch past this epoch's end on the EVENT
+              // clock (timeout ts must sit past the watermark, so a
+              // straggler key created late still gets a full epoch)
+              val end = (epoch + 2L) * budgetEpochS * 1000L
+              state.setTimeoutTimestamp(math.max(end,
+                state.getCurrentWatermarkMs + budgetEpochS * 1000L))
+            }
+            out.result().iterator
           }
-          state.update(FrontierHostState(emitted.toArray))
-          out.result().iterator
       }
       .toDF("host", "url", "rk")
   }
@@ -488,64 +734,142 @@ object Crawl {
     * simply stops emitting.
     *
     * Everything else is [[frontierStream]]: same candidate
-    * projections, same Bloom seen-sketch, same bounded per-host state
-    * (emitted-hash set capped at the budget; rules bounded by the
-    * robots body cap). Output (host, url, rk), append mode.
+    * projections, same tiered seen set (Bloom pre-prune + optional
+    * `seenExact` stream-static anti-join), same optional scheduler
+    * frames (`trapVerdicts`, `rankCaps`, `families` — with families,
+    * the budget KEY is the component and each member host's robots
+    * rules ride the family's state, host-indexed), same bounded
+    * state (emitted-hash set capped at the budget; rules bounded by
+    * the robots body cap x member hosts). Budget-epoch renewal is
+    * deliberately NOT offered here: epoch-keyed groups would strand
+    * a host's robots rules in the epoch that captured them — renewal
+    * composes with the static-robots door ([[frontierStream]]),
+    * where rules live outside the state. Output (host, url, rk),
+    * append mode.
     */
   def frontierStreamLive(parsed: DataFrame,
                          seenBloom: Array[Byte],
                          agent: String,
                          perHostCap: Int = 64,
                          sitemaps: Boolean = false,
-                         crawlDelayWindow: Double = 0.0): DataFrame = {
-    val cand = streamCandidates(parsed, seenBloom, sitemaps)
-      .select(col("host"), lit(1).as("kind"), col("url"),
+                         crawlDelayWindow: Double = 0.0,
+                         seenExact: Option[DataFrame] = None,
+                         trapVerdicts: Option[DataFrame] = None,
+                         families: Option[DataFrame] = None,
+                         rankCaps: Option[DataFrame] = None,
+                         skipAssets: Boolean = true): DataFrame = {
+    val hosted =
+      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
+    // static scheduler caps fold into ONE per-row cap column (trap ->
+    // probe-only, rank budget -> least), all host-keyed host-sized
+    // frames on the shuffle path — the gatedCandidates composition,
+    // minus robots (which live in state here)
+    val trapped = trapVerdicts match {
+      case Some(tv) =>
+        hosted.join(tv.select(col("host"), col("verdict"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select(col("host"), col("url"), col("ts_s"),
+            when(col("verdict") === "trap", lit(1L))
+              .otherwise(lit(perHostCap.toLong)).as("scap"))
+      case None =>
+        hosted.select(col("host"), col("url"), col("ts_s"),
+                      lit(perHostCap.toLong).as("scap"))
+    }
+    val ranked = rankCaps match {
+      case Some(rc) =>
+        trapped.join(rc.select(col("host"), col("cap").as("_rank_cap"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select(col("host"), col("url"), col("ts_s"),
+            least(col("scap"), coalesce(col("_rank_cap"), col("scap")))
+              .as("scap"))
+      case None => trapped
+    }
+    def familyKeyed(df: DataFrame): DataFrame = families match {
+      case Some(fam) =>
+        df.join(fam.select(col("host"), col("component"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .select((Seq(coalesce(col("component"), col("host")).as("bkey"))
+            ++ df.columns.map(col)): _*)
+      case None =>
+        df.select((Seq(col("host").as("bkey")) ++ df.columns.map(col)): _*)
+    }
+    val cand = familyKeyed(ranked)
+      .select(col("bkey"), lit(1).as("kind"), col("host"), col("url"),
               lit("").as("rules"), lit(0.0).as("delay_s"),
-              lit(0L).as("ts_s"), lit(0L).as("doc_id"))
+              col("ts_s"), lit(0L).as("doc_id"), col("scap"))
     // status-gated like the batch door ([[robotsCaptures]]): an HTML
-    // 404/503 error body must not compile into the host's rule state
-    val robots = robotsCaptures(parsed)
-      .select(col("host"), lit(0).as("kind"), lit("").as("url"),
-              Robots.robots_compile(col("text"), lit(agent)).as("rules"),
-              coalesce(Robots.robots_delay(col("text"), lit(agent)),
-                       lit(0.0)).as("delay_s"),
-              col("ts").cast("long").as("ts_s"),
-              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+    // 404/503 error body must not compile into the host's rule state.
+    // Family-keyed too, so a member host's rules reach the family's
+    // budget group.
+    val robots = familyKeyed(robotsCaptures(parsed)
+        .select(col("host"),
+                Robots.robots_compile(col("text"), lit(agent))
+                  .as("rules"),
+                coalesce(Robots.robots_delay(col("text"), lit(agent)),
+                         lit(0.0)).as("delay_s"),
+                col("ts").cast("long").as("ts_s"),
+                coalesce(col("doc_id"), lit(0L)).as("doc_id")))
+      .select(col("bkey"), lit(0).as("kind"), col("host"),
+              lit("").as("url"), col("rules"), col("delay_s"),
+              col("ts_s"), col("doc_id"),
+              lit(perHostCap.toLong).as("scap"))
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     cand.unionByName(robots)
-      .as[(String, Int, String, String, Double, Long, Long)]
+      .as[(String, Int, String, String, String, Double, Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[LiveFrontierState, (String, String, Long)](
+      .flatMapGroupsWithState[LiveBudgetState, (String, String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (host, rows, state) =>
-          var st = state.getOption.getOrElse(
-            LiveFrontierState("", 0.0, Long.MinValue, Long.MinValue,
-                              Array.empty[Long]))
+        (_, rows, state) =>
+          var st = state.getOption.getOrElse(LiveBudgetState(
+            Array.empty, Array.empty, Array.empty, Array.empty,
+            Array.empty, Array.empty[Long]))
           val batch = rows.toArray
-          // 1. newest robots capture wins (event time, then doc_id)
-          for ((_, kind, _, rules, delayS, tsS, docId) <- batch
+          // 1. newest robots capture wins PER HOST (event time, then
+          //    doc_id) — with families, one group carries each member
+          //    host's rules side by side
+          for ((_, kind, host, _, rules, delayS, tsS, docId, _) <- batch
                if kind == 0) {
-            if (tsS > st.rulesTs ||
-                (tsS == st.rulesTs && docId > st.rulesDocId))
-              st = st.copy(rules = rules, delayS = delayS,
-                           rulesTs = tsS, rulesDocId = docId)
+            val i = st.hosts.indexOf(host)
+            if (i < 0)
+              st = LiveBudgetState(st.hosts :+ host, st.rules :+ rules,
+                st.delays :+ delayS, st.rulesTs :+ tsS,
+                st.rulesDoc :+ docId, st.emitted)
+            else if (tsS > st.rulesTs(i) ||
+                     (tsS == st.rulesTs(i) && docId > st.rulesDoc(i))) {
+              st.rules(i) = rules; st.delays(i) = delayS
+              st.rulesTs(i) = tsS; st.rulesDoc(i) = docId
+            }
           }
-          // 2. candidates gate against the installed rules, then the
-          //    budget (cap re-derived from the CURRENT declared delay)
-          val cap =
-            if (crawlDelayWindow > 0 && st.delayS > 0.0)
+          // 2. candidates gate against THEIR host's installed rules
+          //    (fail open when none arrived yet), then the budget:
+          //    group cap = tightest candidate row's static cap ∧ its
+          //    host's delay-derived cap — the conservative-member
+          //    rule of the static door
+          def delayCap(host: String): Long = {
+            val i = st.hosts.indexOf(host)
+            val d = if (i < 0) 0.0 else st.delays(i)
+            if (crawlDelayWindow > 0 && d > 0.0)
               math.min(perHostCap.toLong,
-                math.max(1L, math.floor(crawlDelayWindow / st.delayS)
-                  .toLong))
+                math.max(1L, math.floor(crawlDelayWindow / d).toLong))
             else perHostCap.toLong
+          }
+          def rulesOf(host: String): String = {
+            val i = st.hosts.indexOf(host)
+            if (i < 0) "" else st.rules(i)
+          }
+          val candRows = batch.filter(_._2 == 1)
+          val cap =
+            if (candRows.isEmpty) 0L
+            else candRows.iterator
+              .map(r => math.min(r._9, delayCap(r._3))).min
           val emitted = scala.collection.mutable.LinkedHashSet(
             st.emitted: _*)
           val out = Vector.newBuilder[(String, String, Long)]
-          for ((_, kind, url, _, _, _, _) <- batch.sortBy(_._3)
-               if kind == 1 && emitted.size < cap
-               if Robots.allowedCompiled(url, st.rules)) {
+          for ((_, _, host, url, _, _, _, _, _) <- candRows.sortBy(_._4)
+               if emitted.size < cap
+               if Robots.allowedCompiled(url, rulesOf(host))) {
             val h = org.apache.spark.sql.catalyst.expressions
               .XxHash64Function.hash(
                 org.apache.spark.unsafe.types.UTF8String.fromString(url),
@@ -615,6 +939,76 @@ object Crawl {
       }
       .toDF("canon_url", "n_captures", "n_changes", "change_share",
             "bucket")
+  }
+
+  /** STREAMING trap detector — the live twin of the batch
+    * [[graft.operators.WebGraph.crawlTraps]] (q190): each arriving
+    * capture updates its HOST's (distinct URLs, distinct templates)
+    * state and the host's current verdict row emits per micro-batch
+    * (append mode; downstream keeps latest-per-host — n_urls is
+    * monotone, so max(n_urls) IS latest). Same spelling as batch:
+    * template = canonical URL with digit runs collapsed to `N`,
+    * expansion = n_urls / n_templates, verdict `trap` at >=
+    * threshold. A trap host trips the verdict LIVE — within the
+    * micro-batch that exposes it — instead of waiting for the
+    * nightly batch pass; land the verdicts (latest per host) and the
+    * next frontier restart consumes them as its `trapVerdicts` frame.
+    *
+    * Distinct counting is EXACT up to `maxTrack` per set (xxh64 hash
+    * sets in state); past the bound, arrivals not in the tracked set
+    * count without dedup — an UPPER bound on the true distinct count
+    * (re-arrivals of untracked URLs double-count). That bias is
+    * deliberate: it can only push expansion toward `trap` for hosts
+    * already serving thousands of URLs, which is the safe failure
+    * direction for a budget guard, and the honest-host verdict
+    * (small URL space) stays exact. State per host bounded at
+    * 2 x maxTrack x 8 B by construction.
+    */
+  def trapStream(parsed: DataFrame, threshold: Double,
+                 maxTrack: Int = 4096): DataFrame = {
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val caps = parsed
+      .filter(!col("corrupt") && col("url").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("canon_url"))
+      .filter(col("canon_url").isNotNull)
+      .withColumn("host", Urls.host(col("canon_url")))
+      .filter(col("host").isNotNull)
+      .select(col("host"), xxhash64(col("canon_url")).as("uh"),
+        xxhash64(regexp_replace(col("canon_url"), "[0-9]+", "N"))
+          .as("th"))
+    caps.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TrapTrackState,
+                              (String, Long, Long, Double, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host, rows, state) =>
+          val st = state.getOption.getOrElse(
+            TrapTrackState(Array.empty, 0L, Array.empty, 0L))
+          val urls = scala.collection.mutable.LinkedHashSet(st.urls: _*)
+          val tmpls =
+            scala.collection.mutable.LinkedHashSet(st.templates: _*)
+          var uOver = st.urlOverflow
+          var tOver = st.tmplOverflow
+          for ((_, uh, th) <- rows) {
+            if (!urls.contains(uh)) {
+              if (urls.size < maxTrack) urls += uh else uOver += 1L
+            }
+            if (!tmpls.contains(th)) {
+              if (tmpls.size < maxTrack) tmpls += th else tOver += 1L
+            }
+          }
+          state.update(TrapTrackState(urls.toArray, uOver,
+                                      tmpls.toArray, tOver))
+          val nUrls = urls.size.toLong + uOver
+          val nTmpl = tmpls.size.toLong + tOver
+          val expansion = BigDecimal(nUrls.toDouble / nTmpl.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((host, nUrls, nTmpl, expansion,
+            if (expansion >= threshold) "trap" else "ok"))
+      }
+      .toDF("host", "n_urls", "n_templates", "expansion", "verdict")
   }
 
   /** Land the streaming frontier as parquet — the fetch list a crawler
@@ -725,6 +1119,122 @@ object Crawl {
               col("etag"),
               timestamp_micros(col("ts_us")).as("captured_ts"))
   }
+
+  /** The recrawl EXECUTION door: the stream that turns q188's pricing
+    * into fetchable work. Each arriving capture updates its page's
+    * fused state — the change-tracking triple
+    * ([[changeTrackStream]]'s estimator: actual TRANSITIONS in
+    * (event time, doc_id) order) beside the latest-capture validators
+    * ([[validatorsStream]]'s recency policy) — and the page's current
+    * refetch row emits per micro-batch:
+    *
+    *   (canon_url, host, n_captures, n_changes, score_e12,
+    *    if_modified_since, if_none_match)
+    *
+    * `score_e12` is q188's exact-integer spelling — rank_e12 *
+    * (1 + n_changes) — with rank joined stream-static from the landed
+    * `host_rank_v1` artifact ([[graft.operators.WebGraph
+    * .hostRankTable]] output; host-sized, shuffle-pinned, never
+    * broadcast). Hosts the rank table has never seen keep their pages
+    * at rank 0: still listed, priced last (q188's batch queue drops
+    * them — the stream door must not lose pages, a crawler can always
+    * refetch at leisure). The validator columns are the conditional
+    * GET: send `if_none_match` as If-None-Match / `if_modified_since`
+    * as If-Modified-Since and an unchanged page costs a 304, not a
+    * body (q192 prices exactly that economy). Pages with no captured
+    * validator carry nulls — unconditional refetch.
+    *
+    * Pair with [[startRefetchSink]] to land ranked per-window refetch
+    * lists, and with `frontierStream(budgetEpochS = ...)` so refetch
+    * traffic draws renewed per-epoch budgets. State: three longs +
+    * two strings + two longs per page — the two parent states fused,
+    * page-scale, disk-backed.
+    */
+  def refetchStream(parsed: DataFrame, ranks: DataFrame): DataFrame = {
+    val s = parsed.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val caps = parsed
+      .filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull)
+      .select(Urls.canonicalize(col("url")).as("canon_url"),
+              xxhash64(col("text")).as("fp"),
+              col("last_modified"), col("etag"),
+              unix_micros(col("ts")).as("ts_us"),
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+      .filter(col("canon_url").isNotNull)
+    val stats = caps
+      .as[(String, Long, String, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RefetchState,
+                              (String, Long, Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url, rows, state) =>
+          var st = state.getOption.getOrElse(
+            RefetchState(0L, 0L, 0L, null, null, Long.MinValue,
+                         Long.MinValue))
+          for ((_, fp, lm, et, tsUs, docId)
+               <- rows.toArray.sortBy(r => (r._5, r._6))) {
+            if (st.nCaptures > 0L && fp != st.lastFp)
+              st = st.copy(nChanges = st.nChanges + 1L)
+            st = st.copy(lastFp = fp, nCaptures = st.nCaptures + 1L)
+            // validators keep their own recency (a capture without
+            // one must not null out the last known validator)
+            if ((lm != null || et != null) &&
+                (tsUs > st.valTs ||
+                 (tsUs == st.valTs && docId > st.valDoc)))
+              st = st.copy(lastModified = lm, etag = et,
+                           valTs = tsUs, valDoc = docId)
+          }
+          state.update(st)
+          Iterator.single((url, st.nCaptures, st.nChanges,
+                           st.lastModified, st.etag))
+      }
+      .toDF("canon_url", "n_captures", "n_changes",
+            "if_modified_since", "if_none_match")
+      .withColumn("host", Urls.host(col("canon_url")))
+      .filter(col("host").isNotNull)
+    // host-sized rank artifact: shuffle-pinned, the no-broadcast rule
+    stats.join(ranks.select(col("host"), col("rank_e12"))
+        .hint("shuffle_hash"), Seq("host"), "left")
+      .select(col("canon_url"), col("host"), col("n_captures"),
+        col("n_changes"),
+        (coalesce(col("rank_e12"), lit(0L)) * (col("n_changes") + 1L))
+          .as("score_e12"),
+        col("if_modified_since"), col("if_none_match"))
+  }
+
+  /** Land [[refetchStream]] as ranked per-window refetch lists: each
+    * micro-batch sorts by (score_e12 desc, canon_url), keeps the top
+    * `topKPerWindow`, stamps a dense in-window rank and the window id,
+    * and overwrites `dir/window_id=<id>` — the foreachBatch idempotent
+    * per-batch-overwrite convention (cpms/Streaming K3), so a replayed
+    * batch rewrites its own window and never duplicates: exactly-once
+    * per window. A crawler tails the directory; each window file IS
+    * its conditional-GET-annotated fetch list, in fetch order. The
+    * sort runs INSIDE one micro-batch (batch context — a global
+    * orderBy is stream-illegal in append mode, and per-window ranking
+    * is exactly what a fetch scheduler wants anyway).
+    */
+  def startRefetchSink(refetch: DataFrame, dir: String,
+                       checkpointDir: String,
+                       topKPerWindow: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    refetch.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e12").desc, col("canon_url"))
+        df.orderBy(col("score_e12").desc, col("canon_url"))
+          .limit(topKPerWindow)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("window_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$dir/window_id=$batchId")
+      }
+      .start()
 
   /** Redirect alias edges riding in the crawl: each 3xx capture's
     * (src_url, dst_url = resolved Location, http_status). Downstream:

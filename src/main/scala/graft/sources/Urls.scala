@@ -97,6 +97,43 @@ object Urls {
     when(h =!= "", h).otherwise(lit(null).cast("string"))
   }
 
+  /** The classic crawl-scheduler extension skip list: path extensions
+    * that name binary assets a TEXT crawler should never spend fetch
+    * budget on (images, media, archives, office/binary blobs, and
+    * page-furniture like css/js/fonts). Deliberately excludes html/
+    * htm/php/asp/jsp/txt/xml — page-shaped, and xml/txt carry
+    * sitemaps. An ASSET crawl (favicon mining, image corpora) opts
+    * out via `skipAssets = false` on the frontier doors.
+    */
+  val AssetExtensions: Seq[String] = Seq(
+    // images
+    "jpg", "jpeg", "png", "gif", "webp", "bmp", "ico", "svg", "tif",
+    "tiff", "avif", "heic",
+    // audio / video
+    "mp3", "wav", "ogg", "oga", "flac", "aac", "m4a", "mp4", "m4v",
+    "avi", "mov", "mkv", "webm", "wmv", "flv", "mpg", "mpeg",
+    // archives / packages
+    "zip", "gz", "tgz", "bz2", "xz", "7z", "rar", "tar", "jar", "war",
+    "apk", "dmg", "iso", "deb", "rpm", "msi", "exe", "bin",
+    // documents / office blobs (binary, not HTML)
+    "pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "odt", "ods",
+    "odp", "ps", "eps", "epub",
+    // page furniture
+    "css", "js", "mjs", "map", "woff", "woff2", "ttf", "otf", "eot",
+    "swf")
+
+  /** True when the URL's PATH ends in an [[AssetExtensions]] member
+    * (query/fragment stripped first; extension bounded at 6 chars so
+    * `/v1.2026` never reads as an extension). Pure codegen projection
+    * — the frontier doors run it BEFORE any budget accounting so a
+    * `.jpg` link never consumes a host's politeness cap.
+    */
+  def isAsset(url: Column): Column = {
+    val path = regexp_replace(coalesce(url, lit("")), "(?s)[?#].*$", "")
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]{1,6})$", 1))
+    ext.isin(AssetExtensions: _*)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB spelling — single-sourced so the q172–q175 oracles evaluate
   // the very same normalization steps the Spark tree does.

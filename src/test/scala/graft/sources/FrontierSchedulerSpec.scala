@@ -1,0 +1,328 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.WebGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scheduler signals composed INTO the streaming frontier doors
+  * ([[Crawl.frontierStream]] / [[Crawl.frontierStreamLive]]): trap
+  * verdicts (q190), rank budgets (q180), site/mirror families
+  * (q183/q189), the asset-extension skip, the tiered exact seen set,
+  * and per-epoch budget renewal. The batch tier computes these as
+  * nightly artifacts; a LIVE crawler is exactly where a calendar trap
+  * or clone farm burns budget fastest, so the stream door must
+  * consume the same frames with the same semantics as the batch
+  * compositions (q191's body for traps, budgetByRank for ranks,
+  * familyCaps for families).
+  */
+class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
+
+  private def page(id: Long, url: String, links: Seq[String],
+                   ts: String = "2026-03-01T00:00:00"): String = {
+    val html = links.zipWithIndex
+      .map { case (l, i) => s"""<a href="$l">x$i</a>""" }.mkString(" ")
+    s"""{"doc_id":$id,"url":"$url","text":"${html.replace("\"", "\\\"")}","lang":"en","ts":"$ts"}"""
+  }
+
+  private def parsedOf(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Crawl.parseCrawl(lines.toDF("value"))
+  }
+
+  private def runStream(lines: Seq[Seq[String]], name: String,
+                        mk: DataFrame => DataFrame)
+      : Set[(String, String, Long)] = {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val fr = mk(Crawl.parseCrawl(mem.toDF().toDF("value")))
+    val q = fr.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (batch <- lines) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  // ------------------------------------------------------------------
+  // Trap verdicts (q190 -> the stream door)
+  // ------------------------------------------------------------------
+
+  test("trap frame: a trap host emits exactly its probe; stream == the q191 batch door") {
+    // trap.com serves 5 spellings of ONE template (expansion 5 >= 3);
+    // honest.org serves 4 digit-free paths (expansion 1)
+    val trapUrls = (1 to 5).map(i => s"http://trap.com/cal/page$i")
+    val honestUrls = Seq("a", "b", "c", "d").map(p => s"http://honest.org/$p")
+    val lines = Seq(page(1, "http://s.net/1", trapUrls ++ honestUrls))
+    import spark.implicits._
+    val cand = (trapUrls ++ honestUrls).toDF("canon_url")
+    val verdicts = WebGraph.crawlTraps(cand, threshold = 3.0)
+      .select("host", "verdict")
+    assert(verdicts.filter(col("verdict") === "trap")
+      .collect().map(_.getString(0)).toSet === Set("trap.com"))
+    // the q191 batch composition over the same candidate set
+    val expected = WebGraph.frontierFromSets(
+        cand.limit(0).select(col("canon_url").as("url")),
+        cand.select(col("canon_url").as("url")), perHostCap = 3)
+      .join(verdicts.hint("shuffle_hash"), Seq("host"))
+      .filter(col("rk") <=
+        when(col("verdict") === "trap", 1L).otherwise(3L))
+      .select("host", "url", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = runStream(Seq(lines), "sched_trap",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 3,
+        trapVerdicts = Some(verdicts)))
+    assert(got === expected)
+    assert(got.count(_._1 == "trap.com") === 1,
+           "a trap host must emit exactly its probe URL")
+    assert(got.count(_._1 == "honest.org") === 3)
+  }
+
+  // ------------------------------------------------------------------
+  // Rank budgets (q180 -> the stream door)
+  // ------------------------------------------------------------------
+
+  test("rank frame: caps split the budget rank-proportionally; unranked hosts fail open") {
+    import spark.implicits._
+    // budget 4 over ranks 3e12 : 1e12 -> caps 3 and 1 (exact integer)
+    val ranks = Seq(("big.com", 3000000000000L),
+                    ("small.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    val caps = WebGraph.rankCaps(ranks, budget = 4L)
+    assert(caps.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      === Set(("big.com", 3L), ("small.org", 1L)))
+    val links = (1 to 4).flatMap(i => Seq(
+      s"http://big.com/p$i", s"http://small.org/p$i",
+      s"http://new.net/p$i"))
+    val got = runStream(Seq(Seq(page(1, "http://s.net/1", links))),
+      "sched_rank",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 8,
+        rankCaps = Some(caps)))
+    assert(got.count(_._1 == "big.com") === 3)
+    assert(got.count(_._1 == "small.org") === 1)
+    // a host the rank table has never seen keeps its politeness cap
+    assert(got.count(_._1 == "new.net") === 4)
+  }
+
+  // ------------------------------------------------------------------
+  // Site/mirror families (q183/q189 -> the stream door)
+  // ------------------------------------------------------------------
+
+  test("family frame: a 3-host mirror family draws ONE shared budget across batches") {
+    import spark.implicits._
+    val fam = Seq(("m1.com", "m1.com"), ("m2.com", "m1.com"),
+                  ("m3.com", "m1.com")).toDF("host", "component")
+    val b1 = Seq(page(1, "http://s.net/1", Seq(
+      "http://m1.com/a", "http://m1.com/b",
+      "http://m2.com/a", "http://m2.com/b",
+      "http://solo.org/a", "http://solo.org/b")))
+    // batch 2 re-offers + the third mirror alias: budget already spent
+    val b2 = Seq(page(2, "http://s.net/2", Seq(
+      "http://m3.com/a", "http://m3.com/b", "http://solo.org/c")))
+    val got = runStream(Seq(b1, b2), "sched_family",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 3,
+        families = Some(fam)))
+    val famRows = got.filter(r => r._1.startsWith("m"))
+    // ONE budget of 3 across all three aliases (byte-order: m1/a,
+    // m1/b, m2/a land; m2/b and everything m3 finds it exhausted)
+    assert(famRows.map(_._2) === Set("http://m1.com/a", "http://m1.com/b",
+                                     "http://m2.com/a"))
+    assert(famRows.map(_._3) === Set(1L, 2L, 3L))
+    // a host outside every family keys on itself, budget untouched
+    assert(got.count(_._1 == "solo.org") === 3)
+  }
+
+  // ------------------------------------------------------------------
+  // Asset-extension skip
+  // ------------------------------------------------------------------
+
+  test("asset links never reach the budget (default on); asset crawls opt out; batch door agrees") {
+    val links = Seq("http://a.com/img.jpg", "http://a.com/bundle.zip",
+                    "http://a.com/paper.pdf", "http://a.com/page",
+                    "http://a.com/style.css")
+    val lines = Seq(page(1, "http://s.net/1", links))
+    // cap 2: if assets consumed budget, /page (byte-order after
+    // /bundle.zip and /img.jpg) would starve
+    val got = runStream(Seq(lines), "sched_assets",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 2))
+    assert(got === Set(("a.com", "http://a.com/page", 1L)))
+    val optOut = runStream(Seq(lines), "sched_assets_in",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 8,
+        skipAssets = false))
+    assert(optOut.map(_._2) === links.toSet)
+    val batch = Crawl.frontier(parsedOf(lines), perHostCap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch === Set(("a.com", "http://a.com/page")))
+  }
+
+  // ------------------------------------------------------------------
+  // Tiered exact seen set
+  // ------------------------------------------------------------------
+
+  test("seen tier: bloom-only loses false positives; bloom + exact anti-join loses ZERO") {
+    val links = Seq("http://a.com/p1", "http://a.com/p2",
+                    "http://a.com/p3", "http://a.com/p4")
+    // p2 is genuinely captured; the others are new
+    val lines = Seq(page(1, "http://s.net/1", links),
+                    page(2, "http://a.com/p2", Seq.empty))
+    val parsed = parsedOf(lines)
+    // an ADVERSARIAL sketch: built over captures of every candidate
+    // URL, so each genuinely-new candidate probes positive — the
+    // deterministic worst case of the lossy fast path (a real FP,
+    // just planted instead of probabilistic)
+    val adv = Crawl.seenUrlBloom(
+      parsedOf(links.zipWithIndex.map { case (u, i) =>
+        page(10L + i, u, Seq.empty) } ++ lines),
+      expectedItems = 1000L, numBits = 1L << 20)
+    val bloomOnly = runStream(Seq(lines), "seen_bloom_only",
+      p => Crawl.frontierStream(p, adv, perHostCap = 8))
+    assert(bloomOnly.isEmpty,
+      "the adversarial sketch must drop every candidate as probably-seen")
+    // same sketch + the exact tier: every false positive survives the
+    // anti-join; output == the batch door's exact anti-join frontier
+    val exact = runStream(Seq(lines), "seen_exact",
+      p => Crawl.frontierStream(p, adv, perHostCap = 8,
+        seenExact = Some(Crawl.seenUrls(parsed))))
+    val expected = Crawl.frontier(parsed, perHostCap = 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(exact === expected)
+    assert(exact.map(_._2) ===
+      Set("http://a.com/p1", "http://a.com/p3", "http://a.com/p4"))
+  }
+
+  test("seenUrlBloom refuses to inline a sketch past the byte bound") {
+    val parsed = parsedOf(Seq(page(1, "http://a.com/1", Seq.empty)))
+    val e = intercept[IllegalArgumentException] {
+      Crawl.seenUrlBloom(parsed, expectedItems = 10L,
+        numBits = 1L << 30, maxBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("inline bound"))
+  }
+
+  // ------------------------------------------------------------------
+  // Budget renewal per event-time epoch
+  // ------------------------------------------------------------------
+
+  test("budget epochs: a host re-earns its cap each event-time window; within-epoch budget still binds") {
+    val t0 = "2026-03-01T00:00:00" // epoch E
+    val t1 = "2026-03-01T00:05:00" // +300 s -> epoch E+3 at 100 s
+    val b1 = Seq(page(1, "http://s.net/1",
+      Seq("http://a.com/p1", "http://a.com/p2", "http://a.com/p3"),
+      ts = t0))
+    // same epoch: budget spent, p3 stays starved
+    val b2 = Seq(page(2, "http://s.net/2",
+      Seq("http://a.com/p3"), ts = t0))
+    // new epoch: fresh budget — p3 (still uncaptured -> a legitimate
+    // re-offer) and p4 emit, p5 hits the renewed cap
+    val b3 = Seq(page(3, "http://s.net/3",
+      Seq("http://a.com/p3", "http://a.com/p4", "http://a.com/p5"),
+      ts = t1))
+    val got = runStream(Seq(b1, b2, b3), "sched_epochs",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 2,
+        budgetEpochS = 100L))
+    assert(got === Set(
+      ("a.com", "http://a.com/p1", 1L), ("a.com", "http://a.com/p2", 2L),
+      ("a.com", "http://a.com/p3", 1L), ("a.com", "http://a.com/p4", 2L)))
+  }
+
+  // ------------------------------------------------------------------
+  // The live door composes the same frames
+  // ------------------------------------------------------------------
+
+  test("live door: family shares one budget AND a member host's robots still gate inside the family") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val fam = Seq(("m1.com", "m1.com"), ("m2.com", "m1.com"))
+      .toDF("host", "component")
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStreamLive(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, agent = "graftbot", perHostCap = 3,
+      families = Some(fam))
+    val q = fr.writeStream.format("memory").queryName("sched_live_fam")
+      .outputMode("append").start()
+    try {
+      // m2's robots arrive first; m1 has none (fail open)
+      mem.addData(
+        s"""{"doc_id":1,"url":"http://m2.com/robots.txt","text":"User-agent: *\\nDisallow: /private/","lang":"en","ts":"2026-03-01T00:00:00"}""",
+        page(2, "http://s.net/1", Seq(
+          "http://m1.com/a", "http://m2.com/private/x",
+          "http://m2.com/a", "http://m2.com/b")))
+      q.processAllAvailable()
+      val got = spark.table("sched_live_fam").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // byte-order across the family: m1/a, m2/a, m2/b (m2/private/x
+      // is robots-gated by ITS host's rules and consumes nothing)
+      assert(got === Set(
+        ("m1.com", "http://m1.com/a", 1L),
+        ("m2.com", "http://m2.com/a", 2L),
+        ("m2.com", "http://m2.com/b", 3L)))
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // Plan pins: every frame is web-sized — none may broadcast
+  // ------------------------------------------------------------------
+
+  test("plan: robots/trap/rank/family frames and the exact-seen anti-join all ride the shuffle path") {
+    import spark.implicits._
+    // p1 is BOTH captured and linked, so the bloom (built over
+    // captures) holds it and the seen row probes BLOOM-POSITIVE —
+    // necessary because Catalyst infers the bloom predicate onto the
+    // anti-join's right side (a free prune of the seen table at
+    // scale), folds it over a local relation, and a bloom-negative
+    // row would empty the right side and eliminate the join from the
+    // plan entirely
+    val parsed = parsedOf(Seq(
+      page(1, "http://s.net/1",
+        Seq("http://a.com/p1", "http://a.com/p2")),
+      page(2, "http://a.com/p1", Seq.empty)))
+    val seen = Seq("http://a.com/p1").toDF("url")
+    val robots = Seq(("a.com", "", 0.0))
+      .toDF("host", "_robots_rules", "_robots_delay")
+    val traps = Seq(("a.com", "ok")).toDF("host", "verdict")
+    val caps = Seq(("a.com", 4L)).toDF("host", "cap")
+    val fam = Seq(("a.com", "a.com")).toDF("host", "component")
+    // adversarial sketch so the anti-join leg is non-empty in-plan
+    val adv = Crawl.seenUrlBloom(parsed, expectedItems = 100L,
+      numBits = 1L << 16)
+    val gated = Crawl.gatedCandidates(
+      Crawl.streamCandidates(parsed, adv, sitemaps = false,
+        seenExact = Some(seen)),
+      perHostCap = 8, robots = Some(robots), crawlDelayWindow = 0.0,
+      trapVerdicts = Some(traps), families = Some(fam),
+      rankCaps = Some(caps), budgetEpochS = 0L)
+    val p = gated.queryExecution.executedPlan.toString
+    // host/url-keyed frames grow with the web: the no-broadcast rule
+    assert(!p.contains("BroadcastHashJoin"),
+           s"a web-sized frame reached a broadcast join:\n$p")
+    // 5 shuffle joins: seen anti, robots, trap, rank, family
+    assert(p.split("ShuffledHashJoin").length - 1 >= 5,
+           s"expected 5 shuffle-pinned joins:\n$p")
+    assert(p.linesIterator.exists(l =>
+             l.contains("ShuffledHashJoin") && l.contains("LeftAnti")),
+           s"the exact-seen anti-join left the shuffle path:\n$p")
+  }
+
+  test("live door: trap frame collapses a trap host to its probe") {
+    import spark.implicits._
+    val verdicts = Seq(("trap.com", "trap"), ("honest.org", "ok"))
+      .toDF("host", "verdict")
+    val got = runStream(Seq(Seq(page(1, "http://s.net/1", Seq(
+        "http://trap.com/cal/page1", "http://trap.com/cal/page2",
+        "http://honest.org/a", "http://honest.org/b")))),
+      "sched_live_trap",
+      p => Crawl.frontierStreamLive(p, Array.emptyByteArray,
+        agent = "graftbot", perHostCap = 3,
+        trapVerdicts = Some(verdicts)))
+    assert(got.count(_._1 == "trap.com") === 1)
+    assert(got.count(_._1 == "honest.org") === 2)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The recrawl EXECUTION tier: [[Crawl.trapStream]] (live q190
+  * verdicts) and [[Crawl.refetchStream]] / [[Crawl.startRefetchSink]]
+  * (q188's pricing turned into per-window conditional-GET fetch
+  * lists). Both must agree with their batch twins on the same
+  * corpus — trap verdicts with `WebGraph.crawlTraps`, refetch scores
+  * with q188's rank x (1 + changes) spelling.
+  */
+class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def cap(id: Long, url: String, text: String,
+                  ts: String = "2026-03-01T00:00:00",
+                  lastMod: String = null,
+                  etag: String = null): String = {
+    val lm = if (lastMod == null) "" else s""","last_modified":"$lastMod""""
+    val et = if (etag == null) "" else s""","etag":"$etag""""
+    s"""{"doc_id":$id,"url":"$url","text":"$text","lang":"en","ts":"$ts"$lm$et}"""
+  }
+
+  // ------------------------------------------------------------------
+  // trapStream == crawlTraps
+  // ------------------------------------------------------------------
+
+  test("trapStream: verdicts match the batch crawlTraps after N micro-batches; verdict trips live") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // trap host: 6 one-template spellings across 2 batches; honest: 3
+    def trapCap(i: Long) =
+      cap(i, s"http://trap.com/cal/page$i", s"t$i")
+    def okCap(i: Long) =
+      cap(100 + i, s"http://honest.org/${"abc".charAt(i.toInt)}", s"h$i")
+    val b1 = (1L to 3L).map(trapCap) ++ (0L to 2L).map(okCap)
+    val b2 = (4L to 6L).map(trapCap) ++ Seq(trapCap(4)) // re-arrival
+    val mem = MemoryStream[String]
+    val ts = Crawl.trapStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")), threshold = 3.0)
+    val q = ts.writeStream.format("memory").queryName("trap_stream")
+      .outputMode("append").start()
+    def latest(): Map[String, (Long, Long, Double, String)] =
+      spark.table("trap_stream").collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+        .groupBy(_._1).map { case (h, rs) =>
+          (h, rs.map(_._2).maxBy(_._1)) } // n_urls monotone -> latest
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // 3 urls / 1 template = 3.0 -> the verdict trips IN THE BATCH
+      // that exposes it, before any nightly pass
+      assert(latest()("trap.com")._4 === "trap")
+      assert(latest()("honest.org")._4 === "ok")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // parity with the batch operator over the full corpus
+    val batch = graft.operators.WebGraph.crawlTraps(
+        Crawl.parseCrawl((b1 ++ b2).toDF("value"))
+          .select(Urls.canonicalize(col("url")).as("canon_url")),
+        threshold = 3.0)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(latest() === batch)
+  }
+
+  // ------------------------------------------------------------------
+  // refetchStream: fused change+validator state, q188 pricing
+  // ------------------------------------------------------------------
+
+  test("refetchStream: q188 score from the rank frame, validators ride recency, transitions count") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 4000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf2 = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks)
+    val q = rf2.writeStream.format("memory").queryName("refetch_stream")
+      .outputMode("append").start()
+    def latest(): Map[String, (Long, Long, Long, String, String)] =
+      spark.table("refetch_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5), r.getString(6))))
+        .groupBy(_._1).map { case (u, rs) =>
+          (u, rs.map(_._2).maxBy(_._1)) } // n_captures monotone
+    try {
+      // batch 1: page A v1 with etag; page B v1, no validators
+      mem.addData(
+        cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00",
+          lastMod = "Sun, 01 Mar 2026 00:00:00 GMT", etag = "e1"),
+        cap(2, "http://b.org/y", "w1"))
+      q.processAllAvailable()
+      // batch 2: A changes (v2, new etag); B unchanged (same body)
+      mem.addData(
+        cap(3, "http://a.com/x", "v2", "2026-03-02T00:00:00",
+          etag = "e2"),
+        cap(4, "http://b.org/y", "w1", "2026-03-02T00:00:00"))
+      q.processAllAvailable()
+      val m = latest()
+      // A: 2 captures, 1 transition, score = 4e12 * (1+1); the newer
+      // capture carried only an ETag -> etag e2, last_modified keeps
+      // nothing (the newer validator row replaces the older pair)
+      assert(m("http://a.com/x") ===
+        (2L, 1L, 8000000000000L, null, "e2"))
+      // B: 2 captures, 0 transitions, score = 1e12 * 1, no validators
+      assert(m("http://b.org/y") === (2L, 0L, 1000000000000L, null, null))
+    } finally q.stop()
+  }
+
+  private def parsedWithValidators0(raw: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_modified",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("etag",
+        org.apache.spark.sql.types.StringType)))
+    raw.withColumn("e", from_json(col("value"), schema))
+      .select(lit(false).as("corrupt"),
+        col("e.doc_id").as("doc_id"), col("e.url").as("url"),
+        col("e.text").as("text"),
+        to_timestamp(col("e.ts")).as("ts"),
+        col("e.last_modified").as("last_modified"),
+        col("e.etag").as("etag"))
+  }
+
+  // ------------------------------------------------------------------
+  // startRefetchSink: ranked, windowed, exactly-once lists
+  // ------------------------------------------------------------------
+
+  test("startRefetchSink: three windows land ranked by score with conditional-GET columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-refetch")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val ranks = Seq(("a.com", 3000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // three files -> three AvailableNow windows is not guaranteed
+    // (the file source may batch them); drive three separate
+    // AvailableNow runs over ONE checkpoint instead — the cadenced-
+    // scheduler shape startFrontierSink documents
+    val windows = Seq(
+      Seq(cap(1, "http://a.com/x", "v1",
+            etag = "e1"),
+          cap(2, "http://b.org/y", "w1")),
+      Seq(cap(3, "http://a.com/x", "v2", "2026-03-02T00:00:00",
+            etag = "e2"),
+          cap(4, "http://b.org/y", "w1", "2026-03-02T00:00:00")),
+      Seq(cap(5, "http://a.com/x", "v3", "2026-03-03T00:00:00",
+            etag = "e3")))
+    for ((lines, i) <- windows.zipWithIndex) {
+      write(s"w$i.jsonl", lines)
+      val rf = Crawl.refetchStream(
+        parsedWithValidators0(spark.readStream.text(in.toString)),
+        ranks)
+      val q = Crawl.startRefetchSink(rf, dir.resolve("out").toString,
+        dir.resolve("ckpt").toString, topKPerWindow = 10)
+      q.awaitTermination(120000L)
+    }
+    val out = spark.read.parquet(dir.resolve("out").toString)
+    val wids = out.select(col("window_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(wids.size === 3, s"expected 3 windows, got $wids")
+    // window 2 (third run): only A updated -> one row, rk 1, its
+    // cumulative state (3 captures, 2 changes), newest etag
+    val w2 = out.filter(col("window_id") === wids.max).collect()
+    assert(w2.length === 1)
+    val r = w2.head
+    assert(r.getAs[String]("canon_url") === "http://a.com/x")
+    assert(r.getAs[Long]("rk") === 1L)
+    assert(r.getAs[Long]("n_changes") === 2L)
+    assert(r.getAs[Long]("score_e12") === 9000000000000L)
+    assert(r.getAs[String]("if_none_match") === "e3")
+    // the second window ranks A (score 3e12*2) above B (1e12*1)
+    val w1 = out.filter(col("window_id") === wids.toSeq.sorted.apply(1))
+      .orderBy("rk").collect()
+    assert(w1.map(_.getAs[String]("canon_url")).toSeq ===
+      Seq("http://a.com/x", "http://b.org/y"))
+    assert(w1.map(_.getAs[Long]("score_e12")).toSeq ===
+      Seq(6000000000000L, 1000000000000L))
+  }
+}
