@@ -160,6 +160,67 @@ object CrawlBench {
       val sS = (System.nanoTime() - t2) / 1e9
       val eS = spark.table("cb_frontier").count()
       println(line("frontier-stream-1x", eS, sS, bytes))
+
+      // the SCHEDULER-COMPOSED streaming door: the same corpus with
+      // every frame on — trap verdicts, rank-proportional caps, host
+      // families, and the exact seen tier behind the Bloom — so the
+      // delta over frontier-stream-1x prices the full composition
+      // (four extra shuffle joins + the anti-join leg), not guesses
+      // the frames are LANDED first (parquet artifacts, the nightly-
+      // tier shape) and joined as scans: a stream-static join
+      // re-executes its static side per micro-batch, so composing
+      // live DERIVATIONS (PageRank iterations, trap aggregations)
+      // into the stream would re-run them every batch — the artifact
+      // tier exists precisely so the doors join cheap scans
+      val canon = parsed.filter(!col("corrupt") && col("url").isNotNull)
+        .select(sources.Urls.canonicalize(col("url")).as("canon_url"))
+      val edges = operators.WebGraph.edgesFromLinks(
+        sources.Crawl.linkEdges(parsed))
+      val ranks = operators.WebGraph.pageRank(edges, iters = 3)
+      val art = java.nio.file.Files.createTempDirectory("graft-cb-art")
+      operators.WebGraph.crawlTraps(canon, threshold = 3.0)
+        .select("host", "verdict").write.parquet(s"$art/traps")
+      operators.WebGraph.rankCaps(ranks, budget = 100000L)
+        .select("host", "cap").write.parquet(s"$art/caps")
+      operators.WebGraph.components(edges, rounds = 3)
+        .write.parquet(s"$art/fams")
+      sources.Crawl.seenUrls(parsed).write.parquet(s"$art/seen")
+      val frC = sources.Crawl.frontierStream(
+        sources.Crawl.readWarcStream(spark, dir.toString,
+          extractHtml = false),
+        bloom, perHostCap = 1000,
+        seenExact = Some(spark.read.parquet(s"$art/seen")),
+        trapVerdicts = Some(spark.read.parquet(s"$art/traps")),
+        families = Some(spark.read.parquet(s"$art/fams")),
+        rankCaps = Some(spark.read.parquet(s"$art/caps")))
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cb-ck2")
+      val t3 = System.nanoTime()
+      val q2 = frC.writeStream.format("memory").queryName("cb_front_sched")
+        .option("checkpointLocation", ckpt2.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val sC = (System.nanoTime() - t3) / 1e9
+      println(line("frontier-sched-1x",
+        spark.table("cb_front_sched").count(), sC, bytes))
+
+      // the recrawl EXECUTION door: refetchStream (fused change +
+      // validator state, q188 pricing from the rank frame) drained
+      // over the same corpus — per-page state at corpus page count
+      val rf = sources.Crawl.refetchStream(
+        sources.Crawl.readWarcStream(spark, dir.toString,
+          extractHtml = false),
+        ranks)
+      val ckpt3 = java.nio.file.Files.createTempDirectory("graft-cb-ck3")
+      val t4 = System.nanoTime()
+      val q3 = rf.writeStream.format("memory").queryName("cb_refetch")
+        .option("checkpointLocation", ckpt3.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q3.awaitTermination()
+      val sR = (System.nanoTime() - t4) / 1e9
+      println(line("refetch-1x", spark.table("cb_refetch").count(),
+        sR, bytes))
     }
     spark.stop()
   }

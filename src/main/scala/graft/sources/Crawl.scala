@@ -1011,6 +1011,25 @@ object Crawl {
       .toDF("host", "n_urls", "n_templates", "expansion", "verdict")
   }
 
+  /** Reduce a LANDED [[trapStream]] output (append-mode parquet — one
+    * row per host per micro-batch that touched it) to each host's
+    * LATEST verdict row: `n_urls` is monotone per host by
+    * construction, so the argmax-by-n_urls row IS the newest (struct
+    * max — the A4 arg-max aggregation, no window sort). The result is
+    * exactly the `trapVerdicts` frame the frontier doors consume —
+    * closing the live loop: trapStream → parquet sink →
+    * latestTrapVerdicts → `frontierStream(trapVerdicts = ...)` on the
+    * next crawl cadence, no nightly batch pass in between.
+    */
+  def latestTrapVerdicts(landed: DataFrame): DataFrame =
+    landed.groupBy("host")
+      .agg(max(struct(col("n_urls"), col("n_templates"),
+        col("expansion"), col("verdict"))).as("m"))
+      .select(col("host"), col("m.n_urls").as("n_urls"),
+        col("m.n_templates").as("n_templates"),
+        col("m.expansion").as("expansion"),
+        col("m.verdict").as("verdict"))
+
   /** Land the streaming frontier as parquet — the fetch list a crawler
     * tails. Append-mode file sink with exactly-once file tracking;
     * AvailableNow drains what has landed and stops, so a scheduler can

@@ -68,6 +68,59 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     assert(latest() === batch)
   }
 
+  test("trap loop closure: landed trapStream -> latestTrapVerdicts -> the frontier's trap frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-traploop")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val lines =
+      (1L to 4L).map(i => cap(i, s"http://trap.com/cal/page$i", s"t$i")) ++
+      Seq(cap(9, "http://honest.org/about", "h"))
+    java.nio.file.Files.write(in.resolve("c0.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // live detection lands as append parquet...
+    val ts = Crawl.trapStream(
+      Crawl.readCrawlStream(spark, in.toString), threshold = 3.0)
+    val q = ts.writeStream.format("parquet")
+      .option("path", dir.resolve("verdicts").toString)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    // ...reduces to latest-per-host == the batch operator...
+    val latest = Crawl.latestTrapVerdicts(
+      spark.read.parquet(dir.resolve("verdicts").toString))
+    val batch = graft.operators.WebGraph.crawlTraps(
+        Crawl.parseCrawl(lines.toDF("value"))
+          .select(Urls.canonicalize(col("url")).as("canon_url")),
+        threshold = 3.0)
+    assert(latest.collect().map(_.toSeq).toSet ===
+           batch.collect().map(_.toSeq).toSet)
+    // ...and feeds the next cadence's frontier as its trap frame
+    val got = {
+      implicit val sctx = spark.sqlContext
+      val mem = MemoryStream[String]
+      val fr = Crawl.frontierStream(
+        Crawl.parseCrawl(mem.toDF().toDF("value")),
+        Array.emptyByteArray, perHostCap = 3,
+        trapVerdicts = Some(latest.select("host", "verdict")))
+      val q2 = fr.writeStream.format("memory").queryName("trap_loop_fr")
+        .outputMode("append").start()
+      try {
+        mem.addData(cap(20, "http://s.net/1",
+          "<a href='http://trap.com/cal/page7'>a</a>" +
+          "<a href='http://trap.com/cal/page8'>b</a>" +
+          "<a href='http://honest.org/x'>c</a>" +
+          "<a href='http://honest.org/y'>d</a>"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      spark.table("trap_loop_fr").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(got.count(_._1 == "trap.com") === 1,
+           "the landed live verdict must cap the trap host to 1 probe")
+    assert(got.count(_._1 == "honest.org") === 2)
+  }
+
   // ------------------------------------------------------------------
   // refetchStream: fused change+validator state, q188 pricing
   // ------------------------------------------------------------------
