@@ -53,10 +53,14 @@ import graft.functions.LangId
 private[sources] case class FrontierHostState(emitted: Array[Long])
 
 /** Per-page state for [[Crawl.changeTrackStream]]: the last content
-  * fingerprint seen plus capture/transition counters — three longs
-  * per page, the minimum that detects changes in arrival order.
+  * fingerprint seen (with `hasFp` marking whether any REAL body has
+  * been fingerprinted yet — a page known only through revisit records
+  * must not count its first real body as a change) plus capture/
+  * transition counters — three longs and a flag per page, the minimum
+  * that detects changes in arrival order.
   */
 private[sources] case class ChangeTrackState(lastFp: Long,
+                                             hasFp: Boolean,
                                              nCaptures: Long,
                                              nChanges: Long)
 
@@ -107,6 +111,7 @@ private[sources] case class TrapTrackState(urls: Array[Long],
   * it conditional).
   */
 private[sources] case class RefetchState(lastFp: Long,
+                                         hasFp: Boolean,
                                          nCaptures: Long,
                                          nChanges: Long,
                                          lastModified: String,
@@ -906,26 +911,41 @@ object Crawl {
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // a WARC frame's revisit rows (WARC-Type: revisit — "content
+    // unchanged", no body) COUNT as captures but never as changes;
+    // their fp is None. A JSONL frame has no revisit column — all
+    // rows are real bodies there.
+    val rev =
+      if (parsed.columns.contains("revisit"))
+        coalesce(col("revisit"), lit(false))
+      else lit(false)
     val caps = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
-        col("text").isNotNull)
+        (col("text").isNotNull || rev))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
-              xxhash64(col("text")).as("fp"),
+              when(rev, lit(null).cast("long"))
+                .otherwise(xxhash64(col("text"))).as("fp"),
               col("ts").cast("long").as("ts_s"),
               coalesce(col("doc_id"), lit(0L)).as("doc_id"))
       .filter(col("canon_url").isNotNull)
-    caps.as[(String, Long, Long, Long)]
+    caps.as[(String, Option[Long], Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ChangeTrackState,
                               (String, Long, Long, Double, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (url, rows, state) =>
-          var st = state.getOption.getOrElse(ChangeTrackState(0L, 0L, 0L))
-          for ((_, fp, _, _) <- rows.toArray.sortBy(r => (r._3, r._4))) {
-            if (st.nCaptures > 0L && fp != st.lastFp)
-              st = st.copy(nChanges = st.nChanges + 1L)
-            st = ChangeTrackState(fp, st.nCaptures + 1L, st.nChanges)
-          }
+          var st = state.getOption.getOrElse(
+            ChangeTrackState(0L, false, 0L, 0L))
+          for ((_, fpOpt, _, _) <- rows.toArray.sortBy(r => (r._3, r._4)))
+            fpOpt match {
+              case None => // revisit: a capture, asserted unchanged
+                st = st.copy(nCaptures = st.nCaptures + 1L)
+              case Some(fp) =>
+                if (st.hasFp && fp != st.lastFp)
+                  st = st.copy(nChanges = st.nChanges + 1L)
+                st = ChangeTrackState(fp, true, st.nCaptures + 1L,
+                                      st.nChanges)
+            }
           state.update(st)
           val share = BigDecimal(
               st.nChanges.toDouble / math.max(st.nCaptures - 1L, 1L))
@@ -1173,30 +1193,45 @@ object Crawl {
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // revisit rows (WARC-Type: revisit — the 304 economy's "content
+    // unchanged" capture) count as captures, never as changes, and
+    // their refreshed validators ride; fp travels as None. JSONL
+    // frames have no revisit column — every row is a real body.
+    val rev =
+      if (parsed.columns.contains("revisit"))
+        coalesce(col("revisit"), lit(false))
+      else lit(false)
     val caps = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
-        col("text").isNotNull)
+        (col("text").isNotNull || rev))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
-              xxhash64(col("text")).as("fp"),
+              when(rev, lit(null).cast("long"))
+                .otherwise(xxhash64(col("text"))).as("fp"),
               col("last_modified"), col("etag"),
               unix_micros(col("ts")).as("ts_us"),
               coalesce(col("doc_id"), lit(0L)).as("doc_id"))
       .filter(col("canon_url").isNotNull)
     val stats = caps
-      .as[(String, Long, String, String, Long, Long)]
+      .as[(String, Option[Long], String, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RefetchState,
                               (String, Long, Long, String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (url, rows, state) =>
           var st = state.getOption.getOrElse(
-            RefetchState(0L, 0L, 0L, null, null, Long.MinValue,
+            RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
                          Long.MinValue))
-          for ((_, fp, lm, et, tsUs, docId)
+          for ((_, fpOpt, lm, et, tsUs, docId)
                <- rows.toArray.sortBy(r => (r._5, r._6))) {
-            if (st.nCaptures > 0L && fp != st.lastFp)
-              st = st.copy(nChanges = st.nChanges + 1L)
-            st = st.copy(lastFp = fp, nCaptures = st.nCaptures + 1L)
+            fpOpt match {
+              case None => // revisit: capture counted, no transition
+                st = st.copy(nCaptures = st.nCaptures + 1L)
+              case Some(fp) =>
+                if (st.hasFp && fp != st.lastFp)
+                  st = st.copy(nChanges = st.nChanges + 1L)
+                st = st.copy(lastFp = fp, hasFp = true,
+                             nCaptures = st.nCaptures + 1L)
+            }
             // validators keep their own recency (a capture without
             // one must not null out the last known validator)
             if ((lm != null || et != null) &&
@@ -1457,18 +1492,24 @@ object Crawl {
     StructField("content", BinaryType)))
 
   /** A parsed-record row: (value = corrupt head or null, corrupt,
-    * url, WARC-Date, WARC-Record-ID, text, content_type, payload) —
-    * text rows carry `text` with a null payload; binary-asset rows
-    * (image/audio/video responses) carry the decoded body bytes in
-    * `payload` with a null text.
+    * url, WARC-Date, WARC-Record-ID, text, content_type, payload,
+    * http_status, redirect, last_modified, etag, revisit) — text rows
+    * carry `text` with a null payload; binary-asset rows (image/
+    * audio/video responses) carry the decoded body bytes in `payload`
+    * with a null text; `revisit` rows (WARC-Type: revisit — the
+    * ISO 28500 "content unchanged since a prior capture" record the
+    * 304 economy produces) carry NEITHER (both null), only the
+    * capture identity + whatever validators/status their HTTP header
+    * block declares.
     */
   private type WarcRow =
     (String, Boolean, String, String, String, String, String, Array[Byte],
-     Option[Int], String, String, String)
+     Option[Int], String, String, String, Boolean)
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
-     true, null, null, null, null, null, null, None, null, null, null)
+     true, null, null, null, null, null, null, None, null, null, null,
+     false)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -1824,17 +1865,43 @@ object Crawl {
                 // quality gates deterministic garbage
                 rows += ((null, false, uri, date, rid, null,
                           ct.orNull, parts.body, parts.status, redirect,
-                          parts.lastModified.orNull, parts.etag.orNull))
+                          parts.lastModified.orNull, parts.etag.orNull,
+                          false))
               case None =>
                 rows += ((null, false, uri, date, rid,
                           textOf(ct, parts.body, extract), ct.orNull,
                           null, parts.status, redirect,
-                          parts.lastModified.orNull, parts.etag.orNull))
+                          parts.lastModified.orNull, parts.etag.orNull,
+                          false))
             }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
             // the HTTP body, so count it and keep parsing the stream
             rows += corruptRow(corruptHead + "<" + reason + ">")
+        }
+      } else if (headers.get("warc-type").contains("revisit")) {
+        // ISO 28500 revisit record — "this URL was re-fetched and its
+        // content is UNCHANGED" (identical-payload-digest, or the
+        // server-not-modified profile a 304 produces). The block is
+        // the response's HTTP headers at most (no body by contract):
+        // lift the capture identity, status, and validators; text and
+        // payload stay null so the row never enters the doc pipeline,
+        // while the recency/validator tiers ([[revisitValidators]],
+        // [[validatorsStream]], [[refetchStream]], the frontier's
+        // seen set) count the capture. A headerless block (the
+        // digest-only profile) is NOT corruption — identity-only row.
+        val uri = headers.getOrElse("warc-target-uri", null)
+        val date = headers.getOrElse("warc-date", null)
+        val rid = headers.getOrElse("warc-record-id", null)
+        httpBodyBytes(block) match {
+          case Right(parts) =>
+            rows += ((null, false, uri, date, rid, null,
+                      parts.contentType.orNull, null, parts.status,
+                      null, parts.lastModified.orNull,
+                      parts.etag.orNull, true))
+          case Left(_) =>
+            rows += ((null, false, uri, date, rid, null, null, null,
+                      None, null, null, null, true))
         }
       }
     }
@@ -2039,7 +2106,7 @@ object Crawl {
       .flatMap(parseWarcMembers(_, extract))
       .toDF("value", "corrupt", "url", "wts", "rid", "text",
             "content_type", "payload", "http_status", "redirect",
-            "last_modified", "etag")
+            "last_modified", "etag", "revisit")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
@@ -2079,8 +2146,9 @@ object Crawl {
         col("content_type"), col("payload"),
         col("http_status"), col("redirect"),
         // RFC 9110 revalidation metadata ([[revisitValidators]] reads
-        // them; absent headers are null)
-        col("last_modified"), col("etag"))
+        // them; absent headers are null), and the revisit marker
+        // (WARC-Type: revisit — capture counted, content absent)
+        col("last_modified"), col("etag"), col("revisit"))
   }
 
   /** The BINARY side of a parsed WARC frame: image/audio/video
