@@ -479,6 +479,37 @@ object WebGraph {
         .otherwise("cold"))
   }
 
+  /** [[recrawlPriority]] made revisit-aware — the batch twin of the
+    * stream doors' WARC-revisit semantics: `captures` carries
+    * (canon_url, fp, revisit) where a revisit row (WARC-Type: revisit
+    * — "re-fetched, content unchanged", the 304 economy's record)
+    * counts as a CAPTURE but contributes no version: n_versions is
+    * distinct fp over REAL bodies only, n_changes =
+    * max(n_versions - 1, 0) (a page known only through revisits has
+    * zero changes, not -1), and change_share divides by the full
+    * capture count — revisits rightly DILUTE a page's change rate,
+    * because each one is an observation of sameness. Same buckets as
+    * [[recrawlPriority]]. One near-unique-key aggregation.
+    */
+  def recrawlPriorityRevisit(captures: DataFrame): DataFrame = {
+    val g = captures.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_captures"),
+           sum(col("revisit").cast("long")).as("n_revisits"),
+           countDistinct(when(!col("revisit"), col("fp")))
+             .as("n_versions"))
+      .select(col("canon_url"), col("n_captures"), col("n_revisits"),
+        col("n_versions"),
+        greatest(col("n_versions") - 1L, lit(0L)).as("n_changes"),
+        round(greatest(col("n_versions") - 1L, lit(0L)).cast("double") /
+          greatest(col("n_captures") - 1L, lit(1L)).cast("double"), 4)
+          .as("change_share"))
+    g.withColumn("bucket",
+      when(col("n_captures") === 1L, "unknown")
+        .when(col("change_share") >= 0.5, "hot")
+        .when(col("change_share") >= 0.1, "warm")
+        .otherwise("cold"))
+  }
+
   /** Crawl-trap detection: hosts whose URL space explodes relative to
     * its TEMPLATE space (calendar pages, session ids, faceted-search
     * permutations — the classic traps that eat a crawler's budget
@@ -1905,6 +1936,49 @@ object WebGraph {
         when(id % 11 === 0, "?x=1").otherwise(""))
       docs(s, d).select(id.as("doc_id"), url.as("url"),
         Urls.isAsset(url).cast("long").as("is_asset"))
+    },
+
+    Q("q195_revisit_stats",
+      "Revisit-aware recrawl statistics — q185's change-rate " +
+        "estimator taught the WARC revisit record (ISO 28500 " +
+        "WARC-Type: revisit, the 304 economy's 'content unchanged' " +
+        "capture): a revisit counts as a capture but contributes no " +
+        "content version, so n_versions is distinct fp over REAL " +
+        "bodies only, n_changes = max(n_versions - 1, 0) (a page " +
+        "known only through revisits has zero changes, not -1), and " +
+        "change_share divides by the full capture count — each " +
+        "revisit is an observation of SAMENESS that dilutes the " +
+        "change rate. Planted: the q185 capture history with every " +
+        "doc_id % 4 == 1 capture recorded as a revisit. Real frame: " +
+        "readWarc's revisit column. One page-keyed aggregation.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp,
+          |        doc_id % 4 = 1 AS revisit
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+          |        CAST(count(*) FILTER (WHERE revisit) AS BIGINT)
+          |          AS n_revisits,
+          |        CAST(count(DISTINCT CASE WHEN NOT revisit THEN fp END)
+          |          AS BIGINT) AS n_versions
+          |      FROM v GROUP BY 1),
+          |g2 AS (SELECT *,
+          |        CAST(greatest(n_versions - 1, 0) AS BIGINT) AS n_changes,
+          |        round(CAST(greatest(n_versions - 1, 0) AS DOUBLE)
+          |              / greatest(n_captures - 1, 1), 4) AS change_share
+          |       FROM g)
+          |SELECT canon_url, n_captures, n_revisits, n_versions, n_changes,
+          |  change_share,
+          |  CASE WHEN n_captures = 1 THEN 'unknown'
+          |       WHEN change_share >= 0.5 THEN 'hot'
+          |       WHEN change_share >= 0.1 THEN 'warm'
+          |       ELSE 'cold' END AS bucket
+          |FROM g2""".stripMargin) { (s, d) =>
+      recrawlPriorityRevisit(
+        plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .select(col("canon_url"),
+            expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
+            (col("doc_id") % 4 === 1).as("revisit")))
     }
   )
 
