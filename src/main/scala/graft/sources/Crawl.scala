@@ -342,14 +342,57 @@ object Crawl {
     * arrivals stream-static against this frame), so the two doors
     * cannot diverge on what a host permits. Host-sized output; the
     * body parse never leaves this projection.
+    *
+    * `failClosed5xx` opts into RFC 9309's strict unavailability rule:
+    * a host whose LATEST robots.txt capture is a 5xx compiles to
+    * complete disallow (the default door fails open uniformly — the
+    * documented production-crawler divergence — and an older 2xx body
+    * would keep ruling through an outage).
     */
-  def compiledRobots(parsed: DataFrame, agent: String): DataFrame =
-    robotsTexts(parsed).select(
-      col("host"),
-      Robots.robots_compile(col("robots_txt"), lit(agent))
-        .as("_robots_rules"),
-      Robots.robots_delay(col("robots_txt"), lit(agent))
-        .as("_robots_delay"))
+  def compiledRobots(parsed: DataFrame, agent: String,
+                     failClosed5xx: Boolean = false): DataFrame =
+    if (!failClosed5xx)
+      robotsTexts(parsed).select(
+        col("host"),
+        Robots.robots_compile(col("robots_txt"), lit(agent))
+          .as("_robots_rules"),
+        Robots.robots_delay(col("robots_txt"), lit(agent))
+          .as("_robots_delay"))
+    else {
+      // RFC 9309 §2.3.1.3/.4: 4xx means no rules (crawl freely — the
+      // fail-open this library defaults to everywhere), but 5xx means
+      // the rules are UNREACHABLE and the crawler "MUST assume
+      // complete disallow". The default door drops non-2xx captures
+      // before picking each host's latest, so an older 2xx body would
+      // keep ruling through an outage; here the latest capture of ANY
+      // status wins, and a 5xx latest compiles the universal-disallow
+      // group. Statusless captures (JSONL feeds) and 2xx compile their
+      // body; other statuses (4xx, stray 3xx) yield null rules = fail
+      // open at the allowed-check.
+      val base = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+          col("text").isNotNull)
+        .filter(col("url").rlike(
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
+        .withColumn("host", Urls.host(col("url")))
+        .filter(col("host").isNotNull)
+      val status =
+        if (parsed.columns.contains("http_status")) col("http_status")
+        else lit(null).cast("int")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(col("ts").desc, col("doc_id").desc)
+      val ok = col("_st").isNull ||
+        (col("_st") >= 200 && col("_st") < 300)
+      val srvErr = col("_st") >= 500 && col("_st") < 600
+      base.withColumn("_st", status)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("host"),
+          when(ok, Robots.robots_compile(col("text"), lit(agent)))
+            .when(srvErr, Robots.robots_compile(
+              lit("User-agent: *\nDisallow: /"), lit(agent)))
+            .otherwise(lit(null).cast("string")).as("_robots_rules"),
+          when(ok, Robots.robots_delay(col("text"), lit(agent)))
+            .otherwise(lit(null).cast("double")).as("_robots_delay"))
+    }
 
   /** The accumulated seen set as an O(MB) sketch: canonical URLs of
     * every non-corrupt capture in `parsed`, folded into a Bloom filter

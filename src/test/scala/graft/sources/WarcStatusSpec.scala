@@ -13,12 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class WarcStatusSpec extends AnyFunSuite with SparkSpec {
 
   private def rec(uri: String, statusLine: String, body: String,
-                  extra: Seq[String] = Seq.empty): Array[Byte] = {
+                  extra: Seq[String] = Seq.empty,
+                  date: String = "2026-03-01T00:00:00Z"): Array[Byte] = {
     val block = (s"$statusLine\r\nContent-Type: text/html\r\n" +
       extra.map(_ + "\r\n").mkString + "\r\n" + body)
     val bb = block.getBytes("UTF-8")
     (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-      s"WARC-Date: 2026-03-01T00:00:00Z\r\nContent-Length: ${bb.length}" +
+      s"WARC-Date: $date\r\nContent-Length: ${bb.length}" +
       "\r\n\r\n").getBytes("UTF-8") ++ bb ++ "\r\n\r\n".getBytes("UTF-8")
   }
 
@@ -195,5 +196,68 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
         robotsAgent = Some("graftbot"))
       .collect().map(_.getString(1)).toSet
     assert(f === Set("http://a.com/page", "http://b.org/open"))
+  }
+
+  test("failClosed5xx: a 5xx LATEST robots capture disallows the host; 4xx and 2xx behave as before") {
+    val d = java.nio.file.Files.createTempDirectory("graft-rb5xx")
+    java.nio.file.Files.write(d.resolve("r.warc.gz"),
+      // a.com: an old 2xx body, then a NEWER 503 outage capture
+      gz(rec("http://a.com/robots.txt", "HTTP/1.1 200 OK",
+             "User-agent: *\nDisallow: /private/")) ++
+      gz(rec("http://a.com/robots.txt",
+             "HTTP/1.1 503 Service Unavailable",
+             "<html>overloaded</html>",
+             date = "2026-03-02T00:00:00Z")) ++
+      // b.org: plain 404 — no rules either way
+      gz(rec("http://b.org/robots.txt", "HTTP/1.1 404 Not Found",
+             "<html>nope</html>")) ++
+      // c.net: healthy 2xx rules
+      gz(rec("http://c.net/robots.txt", "HTTP/1.1 200 OK",
+             "User-agent: *\nDisallow: /private/")))
+    val parsed = Crawl.readWarc(spark, d.toString, extractHtml = false)
+    def rulesOf(frame: org.apache.spark.sql.DataFrame)
+        : Map[String, String] =
+      frame.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the DEFAULT door: non-2xx captures drop before latest-per-host,
+    // so a.com's OLD 2xx body still rules through the outage
+    val open = rulesOf(Crawl.compiledRobots(parsed, "graftbot"))
+    assert(Robots.allowedCompiled("http://a.com/page", open("a.com")))
+    assert(!Robots.allowedCompiled("http://a.com/private/x",
+                                   open("a.com")))
+    // the STRICT door: the 503 is a.com's latest capture -> complete
+    // disallow (RFC 9309 unavailability); 404 stays fail-open (null
+    // rules); 2xx hosts unchanged
+    val strict = rulesOf(
+      Crawl.compiledRobots(parsed, "graftbot", failClosed5xx = true))
+    assert(!Robots.allowedCompiled("http://a.com/page", strict("a.com")))
+    assert(!Robots.allowedCompiled("http://a.com/anything",
+                                   strict("a.com")))
+    assert(strict("b.org") == null)
+    assert(Robots.allowedCompiled("http://b.org/x",
+      if (strict("b.org") == null) "" else strict("b.org")))
+    assert(!Robots.allowedCompiled("http://c.net/private/x",
+                                   strict("c.net")))
+    assert(Robots.allowedCompiled("http://c.net/page", strict("c.net")))
+    // and the frame composes into the stream door like any robots
+    // frame: a.com emits nothing, c.net's rules gate normally
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val fr = Crawl.frontierStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, perHostCap = 8,
+      robots = Some(Crawl.compiledRobots(parsed, "graftbot",
+        failClosed5xx = true)))
+    val q = fr.writeStream.format("memory").queryName("fr_5xx")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        """{"doc_id":1,"url":"http://s.net/1","text":"<a href=\"http://a.com/p1\">a</a> <a href=\"http://c.net/p1\">c</a> <a href=\"http://c.net/private/x\">p</a>","lang":"en","ts":"2026-03-01T00:00:00"}""")
+      q.processAllAvailable()
+      val got = spark.table("fr_5xx").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("c.net", "http://c.net/p1")))
+    } finally q.stop()
   }
 }
