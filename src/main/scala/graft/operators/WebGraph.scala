@@ -908,6 +908,26 @@ object WebGraph {
                 .cast("long").as("over_cap"))
   }
 
+  /** ONE family table for the caps/budget tier, from BOTH evidence
+    * families: explicit site structure (`siteEdges` — (src, dst) host
+    * pairs, q182/q183's channel) unioned with content-identity mirror
+    * evidence (`mirrorPairs` — [[mirrorHosts]] output, q187/q189's
+    * channel), resolved by the CONVERGED pointer-jumping engine. A
+    * clone farm that interlinks AND serves identical content lands in
+    * one component either way; a farm that does only one of the two
+    * still can't split across families — which is the point: caps and
+    * budgets key on this table ([[familyCaps]], and the frontier
+    * doors' `families` frame via [[graft.sources.Crawl
+    * .frontierStream]]), so an alias earns nothing. Host-keyed
+    * shuffles over host-sized state throughout.
+    */
+  def crawlFamilies(siteEdges: DataFrame,
+                    mirrorPairs: DataFrame): DataFrame =
+    componentsConverged(
+      siteEdges.select("src", "dst").unionByName(
+        mirrorPairs.select(col("host_a").as("src"),
+                           col("host_b").as("dst"))))
+
   /** The API path for site-family caps: families resolved by the
     * CONVERGED pointer-jumping engine over the landed site-edge
     * artifact — correct at ANY component diameter, where the

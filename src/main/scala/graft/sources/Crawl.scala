@@ -1312,19 +1312,36 @@ object Crawl {
     * sort runs INSIDE one micro-batch (batch context — a global
     * orderBy is stream-illegal in append mode, and per-window ranking
     * is exactly what a fetch scheduler wants anyway).
+    *
+    * `maxPerHostPerWindow` > 0 applies the politeness discipline the
+    * discovery frontier enforces to REFETCH traffic too: each host
+    * keeps only its top-scored pages per window (partial
+    * WindowGroupLimit below the exchange), BEFORE the global top-K —
+    * otherwise one hot fast-churning host could fill a whole window's
+    * fetch list and hammer itself.
     */
   def startRefetchSink(refetch: DataFrame, dir: String,
                        checkpointDir: String,
-                       topKPerWindow: Int = 10000)
+                       topKPerWindow: Int = 10000,
+                       maxPerHostPerWindow: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     refetch.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val polite =
+          if (maxPerHostPerWindow <= 0) df
+          else {
+            val hw = org.apache.spark.sql.expressions.Window
+              .partitionBy("host")
+              .orderBy(col("score_e12").desc, col("canon_url"))
+            df.withColumn("_hrk", row_number().over(hw))
+              .filter(col("_hrk") <= maxPerHostPerWindow).drop("_hrk")
+          }
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("score_e12").desc, col("canon_url"))
-        df.orderBy(col("score_e12").desc, col("canon_url"))
+        polite.orderBy(col("score_e12").desc, col("canon_url"))
           .limit(topKPerWindow)
           .withColumn("rk", row_number().over(w).cast("long"))
           .withColumn("window_id", lit(batchId))

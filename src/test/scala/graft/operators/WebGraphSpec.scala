@@ -384,4 +384,38 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(out("u_cold") === ((2L, 0L, 0.0, "cold")))
     assert(out("u_new") === ((1L, 0L, 0.0, "unknown")))
   }
+
+  test("crawlFamilies: site edges and mirror evidence resolve into ONE component table") {
+    import spark.implicits._
+    // site structure links h1-h2; mirror evidence ties h2 to its
+    // clone m1; a disjoint site pair stays its own family — an alias
+    // reachable through EITHER evidence channel cannot duck the caps
+    val site = Seq(("h1", "h2"), ("x1", "x2")).toDF("src", "dst")
+    val mirrors = Seq(("h2", "m1", 5L, 1.0))
+      .toDF("host_a", "host_b", "n_shared", "overlap")
+    val fams = WebGraph.crawlFamilies(site, mirrors).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fams("h1") === fams("h2"))
+    assert(fams("h2") === fams("m1"))
+    assert(fams("x1") === fams("x2"))
+    assert(fams("h1") !== fams("x1"))
+  }
+
+  test("recrawlPriorityRevisit: revisits dilute, never invent; revisit-only pages floor at zero changes") {
+    import spark.implicits._
+    val caps = Seq(
+      // 2 versions over 4 captures, 2 of them revisits: changes 1,
+      // share 1/3 (diluted by the sameness observations)
+      ("u_mixed", 1L, false), ("u_mixed", 2L, false),
+      ("u_mixed", 2L, true), ("u_mixed", 2L, true),
+      // known only through revisits: 0 versions -> 0 changes, not -1
+      ("u_revonly", 0L, true), ("u_revonly", 0L, true)
+    ).toDF("canon_url", "fp", "revisit")
+    val out = WebGraph.recrawlPriorityRevisit(caps).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out("u_mixed") === ((4L, 2L, 1L, 0.3333)))
+    assert(out("u_revonly") === ((2L, 2L, 0L, 0.0)))
+  }
 }

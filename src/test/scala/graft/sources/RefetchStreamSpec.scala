@@ -245,4 +245,28 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     assert(w1.map(_.getAs[Long]("score_e12")).toSeq ===
       Seq(6000000000000L, 1000000000000L))
   }
+
+  test("startRefetchSink: maxPerHostPerWindow keeps one hot host from filling a window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-refetch-ph")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val ranks = Seq(("a.com", 9000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    java.nio.file.Files.write(in.resolve("w0.jsonl"),
+      Seq(cap(1, "http://a.com/x1", "v"), cap(2, "http://a.com/x2", "v"),
+          cap(3, "http://a.com/x3", "v"), cap(4, "http://b.org/y", "w"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(spark.readStream.text(in.toString)), ranks)
+    val q = Crawl.startRefetchSink(rf, dir.resolve("out").toString,
+      dir.resolve("ckpt").toString, topKPerWindow = 10,
+      maxPerHostPerWindow = 2)
+    q.awaitTermination(120000L)
+    val got = spark.read.parquet(dir.resolve("out").toString)
+      .orderBy("rk").collect().map(_.getAs[String]("canon_url")).toSeq
+    // a.com outranks b.org 9:1 and offers 3 pages, but keeps only its
+    // top 2 per window (byte-order tie-break); b.org still lands
+    assert(got === Seq("http://a.com/x1", "http://a.com/x2",
+                       "http://b.org/y"))
+  }
 }
