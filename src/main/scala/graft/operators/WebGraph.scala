@@ -1927,18 +1927,24 @@ object WebGraph {
         "cap (Urls.isAsset, default on, opt-out for asset crawls). " +
         "Planted: one URL per doc cycling 8 extension shapes incl. " +
         "uppercase .JPG, extension-free, .html (page-shaped, kept), " +
-        "and a ?query suffix after the extension. Pure codegen " +
-        "projection — no shuffle at any corpus size.",
+        "a ?query suffix after the extension, and every 9th URL a " +
+        "PATH-LESS page on a .zip gTLD host (the extension check is " +
+        "anchored to the path, so a TLD never reads as an archive). " +
+        "Pure codegen projection — no shuffle at any corpus size.",
       "WITH u AS (SELECT doc_id,\n" +
-        "  'http://h' || CAST(doc_id % 53 AS VARCHAR) || '.com/f'\n" +
+        "  CASE WHEN doc_id % 9 = 0\n" +
+        "  THEN 'http://site' || CAST(doc_id AS VARCHAR) || '.zip'\n" +
+        "  ELSE 'http://h' || CAST(doc_id % 53 AS VARCHAR) || '.com/f'\n" +
         "  || CAST(doc_id AS VARCHAR)\n" +
         "  || (CASE doc_id % 8 WHEN 0 THEN '.jpg' WHEN 1 THEN '.pdf'\n" +
         "      WHEN 2 THEN '.zip' WHEN 3 THEN '.css' WHEN 4 THEN '.html'\n" +
         "      WHEN 5 THEN '.mp4' WHEN 6 THEN '' ELSE '.JPG' END)\n" +
-        "  || (CASE WHEN doc_id % 11 = 0 THEN '?x=1' ELSE '' END) AS url\n" +
+        "  || (CASE WHEN doc_id % 11 = 0 THEN '?x=1' ELSE '' END)\n" +
+        "  END AS url\n" +
         "  FROM documents),\n" +
         "e AS (SELECT doc_id, url,\n" +
-        "  lower(regexp_extract(regexp_replace(url, '(?s)[?#].*$', ''),\n" +
+        "  lower(regexp_extract(regexp_extract(url,\n" +
+        "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),\n" +
         "    '\\.([A-Za-z0-9]{1,6})$', 1)) AS ext\n" +
         "  FROM u)\n" +
         "SELECT doc_id, url,\n" +
@@ -1951,9 +1957,11 @@ object WebGraph {
         .when(id % 8 === 2, ".zip").when(id % 8 === 3, ".css")
         .when(id % 8 === 4, ".html").when(id % 8 === 5, ".mp4")
         .when(id % 8 === 6, "").otherwise(".JPG")
-      val url = concat(lit("http://h"), (id % 53).cast("string"),
-        lit(".com/f"), id.cast("string"), ext,
-        when(id % 11 === 0, "?x=1").otherwise(""))
+      val url = when(id % 9 === 0,
+          concat(lit("http://site"), id.cast("string"), lit(".zip")))
+        .otherwise(concat(lit("http://h"), (id % 53).cast("string"),
+          lit(".com/f"), id.cast("string"), ext,
+          when(id % 11 === 0, "?x=1").otherwise("")))
       docs(s, d).select(id.as("doc_id"), url.as("url"),
         Urls.isAsset(url).cast("long").as("is_asset"))
     },

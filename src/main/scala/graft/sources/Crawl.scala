@@ -92,16 +92,53 @@ private[sources] case class LiveBudgetState(hosts: Array[String],
 
 /** Per-host state for [[Crawl.trapStream]]: the xxh64 sets of
   * distinct canonical URLs and distinct URL templates seen so far,
-  * each tracked exactly up to `maxTrack` hashes, plus overflow
-  * counters for arrivals past the bound (which may double-count
-  * re-arrivals — an upper bound, conservative toward `trap`, which is
-  * the safe direction for a budget guard). State per host <=
-  * 2 x maxTrack x 8 bytes + 2 longs, bounded by construction.
+  * each tracked EXACTLY up to `maxTrack` hashes; past the bound a set
+  * collapses into a 256-register HyperLogLog ([[Hll]]) seeded with
+  * the tracked hashes, so the distinct count stays honest (±~7%)
+  * under re-arrivals — a per-arrival overflow counter would instead
+  * inflate with refetch traffic and could deflate a real trap's
+  * expansion (extra distinct templates) or inflate an honest host's
+  * (re-offered URLs). State per host <= 2 x maxTrack x 8 bytes
+  * before saturation, 256 bytes per saturated set after — bounded by
+  * construction either way.
   */
 private[sources] case class TrapTrackState(urls: Array[Long],
-                                           urlOverflow: Long,
+                                           urlHll: Array[Byte],
                                            templates: Array[Long],
-                                           tmplOverflow: Long)
+                                           tmplHll: Array[Byte])
+
+/** Minimal HyperLogLog over xxh64 hashes (m = 256 registers, standard
+  * error 1.04/sqrt(256) ≈ 6.5%) — the saturation fallback for
+  * [[Crawl.trapStream]]'s per-host distinct counters. Flajolet et
+  * al., AofA 2007, with the small-range linear-counting correction
+  * (rarely hit here: the sketch only activates past `maxTrack`
+  * distinct values, far above 2.5m).
+  */
+private[sources] object Hll {
+  val M = 256
+
+  def add(regs: Array[Byte], h: Long): Unit = {
+    val idx = ((h >>> 56) & 0xffL).toInt
+    val rank = math.min(
+      java.lang.Long.numberOfLeadingZeros((h << 8) | 1L) + 1, 57)
+    if (regs(idx) < rank) regs(idx) = rank.toByte
+  }
+
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += java.lang.Math.pow(2.0, -regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1 + 1.079 / M)
+    var e = alpha * M * M / sum
+    if (e <= 2.5 * M && zeros > 0) e = M * math.log(M.toDouble / zeros)
+    math.round(e)
+  }
+}
 
 /** Per-page state for [[Crawl.refetchStream]]: the change-tracking
   * triple of [[ChangeTrackState]] fused with the latest-capture
@@ -365,16 +402,13 @@ object Crawl {
       // complete disallow". The default door drops non-2xx captures
       // before picking each host's latest, so an older 2xx body would
       // keep ruling through an outage; here the latest capture of ANY
-      // status wins, and a 5xx latest compiles the universal-disallow
-      // group. Statusless captures (JSONL feeds) and 2xx compile their
-      // body; other statuses (4xx, stray 3xx) yield null rules = fail
-      // open at the allowed-check.
-      val base = parsed.filter(!col("corrupt") && col("url").isNotNull &&
-          col("text").isNotNull)
-        .filter(col("url").rlike(
-          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
-        .withColumn("host", Urls.host(col("url")))
-        .filter(col("host").isNotNull)
+      // status wins (robotsCaptures with the status gate off — one
+      // shared projection, so the doors cannot diverge on which
+      // captures count), and a 5xx latest compiles the universal-
+      // disallow group. Statusless captures (JSONL feeds) and 2xx
+      // compile their body; other statuses (4xx, stray 3xx) yield
+      // null rules = fail open at the allowed-check.
+      val base = robotsCaptures(parsed, statusGated = false)
       val status =
         if (parsed.columns.contains("http_status")) col("http_status")
         else lit(null).cast("int")
@@ -406,19 +440,17 @@ object Crawl {
     * genuinely-new URL from the frontier — frontier semantics accept
     * that (a later round re-discovers it once the corpus and sketch
     * refresh); when it doesn't, pass [[seenUrls]] to the frontier
-    * door and this sketch demotes to the exact anti-join's PRE-PRUNE
-    * (bloom-negative candidates skip the join entirely, bloom-
-    * positive survivors get the exact verdict — zero false-positive
-    * losses, join traffic cut to the probably-seen slice).
+    * door instead: the exact stream-static anti-join tier, zero
+    * false-positive losses (and the sketch is then ignored — seen
+    * rows are bloom-positive by construction, so it could only prune
+    * by re-running the candidate extraction per branch).
     *
     * Size guard: the sketch ships as a PLAN LITERAL — serialized into
     * every task binary — so `maxBytes` (default 64 MB, ~67M URLs at
     * 8 bits/item) REFUSES an absurd inline instead of silently
-    * shipping gigabytes. At billion-URL scale pass an explicit
-    * sub-bound `numBits` and route exactness through the [[seenUrls]]
-    * tier: the sketch then only needs to be a cheap pre-prune (a
-    * higher FP rate costs join traffic, never correctness), not the
-    * source of truth.
+    * shipping gigabytes. At billion-URL scale either accept a higher
+    * fpp under an explicit sub-bound `numBits`, or switch to the
+    * [[seenUrls]] exact tier and drop the sketch.
     */
   def seenUrlBloom(parsed: DataFrame,
                    expectedItems: Long = 0L,
@@ -449,10 +481,11 @@ object Crawl {
     * every non-corrupt capture — the static side of the frontier
     * doors' stream-static anti-join (the `substrContaminationStream`
     * convention, applied to URLs). At scale this is a landed parquet
-    * table, re-listed per micro-batch by the stream-static join; pair
-    * it with [[seenUrlBloom]] so only bloom-positive candidates pay
-    * the join shuffle. Unlike the sketch alone, the pair loses ZERO
-    * genuinely-new URLs to false positives.
+    * table, re-read per micro-batch by the stream-static join.
+    * Unlike the [[seenUrlBloom]] sketch, this tier loses ZERO
+    * genuinely-new URLs to false positives — the trade is one
+    * url-keyed shuffle join per micro-batch against the zero-shuffle
+    * (but lossy) literal probe.
     */
   def seenUrls(parsed: DataFrame): DataFrame =
     parsed.filter(!col("corrupt") && col("url").isNotNull)
@@ -469,11 +502,11 @@ object Crawl {
     *     opt-in sitemap pages when the frame carries them) — pure
     *     codegen projections + explode, identical to the batch door;
     *   - seen set: TIERED. The `seenBloom` LITERAL probe
-    *     ([[seenUrlBloom]]) alone is the lossy fast path; with
-    *     `seenExact` ([[seenUrls]] — the landed seen table) bloom-
-    *     positive candidates get an exact stream-static LEFT ANTI
-    *     verdict, so false positives cost a join probe, never a lost
-    *     discovery (see [[streamCandidates]]);
+    *     ([[seenUrlBloom]]) alone is the lossy zero-shuffle fast
+    *     path; `seenExact` ([[seenUrls]] — the landed seen table)
+    *     replaces it with the exact stream-static LEFT ANTI join, so
+    *     no discovery is ever lost to a false positive (see
+    *     [[streamCandidates]]);
     *   - robots: stream-static left join against [[compiledRobots]]
     *     (host-sized, shuffle-pinned) + the same `robots_allowed_c`
     *     fail-open check as batch;
@@ -503,9 +536,17 @@ object Crawl {
     * spelling. `budgetEpochS` > 0 renews budgets per event-time
     * epoch: a continuous crawler re-earns fetch capacity each window,
     * and expired epochs' state evicts on EVENT-time timeout (one
-    * epoch past its end, under a one-epoch watermark — so live state
-    * is ~2 epochs x active budget keys, bounded however long the
-    * crawl runs). Output (host, url, rk — rank within the
+    * epoch past its end, under a `budgetLateEpochs`-wide watermark —
+    * so live state is ~(1 + lateness) epochs x active budget keys,
+    * bounded however long the crawl runs). The watermark is a REAL
+    * cutoff, not bookkeeping: under EventTimeTimeout, Spark drops
+    * input rows older than it BEFORE the budget state runs, so a
+    * discovery arriving more than `budgetLateEpochs` epochs after
+    * newer traffic is LOST to this door until re-discovered — that is
+    * the price of bounded state under renewal; size `budgetLateEpochs`
+    * to the pipeline's real landing skew (slow fetches, backfills),
+    * or run renewal-free (`budgetEpochS` = 0, NoTimeout, no watermark,
+    * no drop). Output (host, url, rk — rank within the
     * budget key) in append mode; land it with [[startFrontierSink]]
     * and the fetch loop closes: fetched WARCs re-enter
     * [[readWarcStream]].
@@ -518,13 +559,14 @@ object Crawl {
     * stream-legal by construction. Output (host, url, ts_s).
     *
     * Seen pruning is tiered: the Bloom LITERAL alone is the lossy
-    * fast path (~fpp of new URLs drop until the sketch refreshes);
-    * with `seenExact` the sketch demotes to a pre-prune — bloom-
-    * NEGATIVE candidates are definitely new and skip the join,
-    * bloom-POSITIVE candidates get the exact stream-static LEFT ANTI
-    * verdict (shuffle-pinned; the static side is the landed seen
-    * table, page-scale, never broadcast) — so a false positive costs
-    * one join probe instead of a lost URL: ZERO discovery loss.
+    * zero-shuffle fast path (~fpp of new URLs drop until the sketch
+    * refreshes); `seenExact` replaces it with the exact stream-static
+    * LEFT ANTI join (shuffle-pinned; the static side is the landed
+    * seen table, page-scale, never broadcast) over ONE candidate
+    * pass — ZERO discovery loss, and the sketch is ignored when the
+    * exact tier is on (seen rows are bloom-positive by construction,
+    * so a pre-split would only re-run the parse per union branch —
+    * see the in-body note).
     *
     * `skipAssets` (default ON) drops [[Urls.AssetExtensions]] links
     * BEFORE any seen probe or budget accounting — a `.jpg` href must
@@ -563,19 +605,22 @@ object Crawl {
                else cand0
     val unseen = (seenBloom != null && seenBloom.nonEmpty, seenExact)
         match {
-      case (true, Some(seen)) =>
-        val p = graft.functions.Bloom
-          .mightContainLit(seenBloom, xxhash64(col("url")))
-        cand.filter(!p).unionByName(
-          cand.filter(p).join(
-            seen.select("url").hint("shuffle_hash"), Seq("url"),
-            "left_anti"))
+      case (_, Some(seen)) =>
+        // the EXACT tier: one stream-static LEFT ANTI join over ONE
+        // candidate pass. With this tier on, the sketch is redundant
+        // — every landed seen URL is bloom-positive by construction,
+        // so the join alone carries the dedup, exactly. (An earlier
+        // design pre-split on the bloom so definite-new rows could
+        // skip the join shuffle, but the split's two union branches
+        // each re-ran the member parse + link explode per micro-batch
+        // — predicate pushdown sinks the branch filters below any
+        // shared exchange, defeating reuse — and on a WARC stream the
+        // parse dominates the shuffle it saved.)
+        cand.join(seen.select("url").hint("shuffle_hash"), Seq("url"),
+                  "left_anti")
       case (true, None) =>
         cand.filter(!graft.functions.Bloom
           .mightContainLit(seenBloom, xxhash64(col("url"))))
-      case (false, Some(seen)) =>
-        cand.join(seen.select("url").hint("shuffle_hash"), Seq("url"),
-                  "left_anti")
       case (false, None) => cand
     }
     unseen
@@ -616,6 +661,39 @@ object Crawl {
     * still-uncaptured URL is by design (it is exactly a recrawl
     * candidate); captured ones die at the seen tier first.
     */
+  /** Fold the trap-verdict (q190) and rank-budget (q180) frames into
+    * a host-keyed row's cap column — ONE spelling shared by
+    * [[gatedCandidates]] (the static-robots door) and
+    * [[frontierStreamLive]], so the two doors cannot diverge on how a
+    * scheduler signal tightens a budget: a `trap` host collapses to
+    * its probe (least with 1), a ranked host takes the tighter of its
+    * politeness and rank caps, hosts absent from either frame fail
+    * open. Both frames host-sized, both joins shuffle-pinned.
+    */
+  private def schedulerCaps(df: DataFrame, capCol: String,
+                            trapVerdicts: Option[DataFrame],
+                            rankCaps: Option[DataFrame]): DataFrame = {
+    val trapped = trapVerdicts match {
+      case Some(tv) =>
+        df.join(tv.select(col("host"), col("verdict"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .withColumn(capCol,
+            when(col("verdict") === "trap", least(col(capCol), lit(1L)))
+              .otherwise(col(capCol)))
+          .drop("verdict")
+      case None => df
+    }
+    rankCaps match {
+      case Some(rc) =>
+        trapped.join(rc.select(col("host"), col("cap").as("_rank_cap"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+          .withColumn(capCol,
+            least(col(capCol), coalesce(col("_rank_cap"), col(capCol))))
+          .drop("_rank_cap")
+      case None => trapped
+    }
+  }
+
   private[sources] def gatedCandidates(hosted: DataFrame,
                                        perHostCap: Int,
                                        robots: Option[DataFrame],
@@ -644,24 +722,7 @@ object Crawl {
         hosted.select(col("host"), col("url"), col("ts_s"),
                       lit(perHostCap.toLong).as("cap"))
     }
-    val trapped = trapVerdicts match {
-      case Some(tv) =>
-        gated.join(tv.select(col("host"), col("verdict"))
-            .hint("shuffle_hash"), Seq("host"), "left")
-          .select(col("host"), col("url"), col("ts_s"),
-            when(col("verdict") === "trap", least(col("cap"), lit(1L)))
-              .otherwise(col("cap")).as("cap"))
-      case None => gated
-    }
-    val ranked = rankCaps match {
-      case Some(rc) =>
-        trapped.join(rc.select(col("host"), col("cap").as("_rank_cap"))
-            .hint("shuffle_hash"), Seq("host"), "left")
-          .select(col("host"), col("url"), col("ts_s"),
-            least(col("cap"), coalesce(col("_rank_cap"), col("cap")))
-              .as("cap"))
-      case None => trapped
-    }
+    val ranked = schedulerCaps(gated, "cap", trapVerdicts, rankCaps)
     val keyed = families match {
       case Some(fam) =>
         ranked.join(fam.select(col("host"), col("component"))
@@ -691,22 +752,26 @@ object Crawl {
                      families: Option[DataFrame] = None,
                      rankCaps: Option[DataFrame] = None,
                      skipAssets: Boolean = true,
-                     budgetEpochS: Long = 0L): DataFrame = {
+                     budgetEpochS: Long = 0L,
+                     budgetLateEpochs: Int = 1): DataFrame = {
     val hosted =
       streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
     val gated0 = gatedCandidates(hosted, perHostCap, robots,
       crawlDelayWindow, trapVerdicts, families, rankCaps, budgetEpochS)
       .withColumn("_wm", timestamp_seconds(col("ts_s"))).drop("ts_s")
-    // epoch renewal rides the EVENT clock: a watermark one epoch wide
-    // lets expired epochs' budget state evict on EventTimeTimeout as
-    // the stream's own time advances — never the processing clock,
-    // whose timeout mode would trigger continuous empty micro-batches
-    // just to poll the timer. The watermark column must REACH the
-    // stateful operator (the delay rides the attribute's metadata),
-    // so it stays in the row to the end.
+    // epoch renewal rides the EVENT clock: a lateness-bounded
+    // watermark lets expired epochs' budget state evict on
+    // EventTimeTimeout as the stream's own time advances — never the
+    // processing clock, whose timeout mode would trigger continuous
+    // empty micro-batches just to poll the timer. The watermark
+    // column must REACH the stateful operator (the delay rides the
+    // attribute's metadata), so it stays in the row to the end. Rows
+    // older than the watermark are DROPPED by the operator (see the
+    // frontierStream doc) — budgetLateEpochs sets that tolerance.
+    val lateS = budgetEpochS * math.max(budgetLateEpochs, 1)
     val gated =
       if (budgetEpochS > 0)
-        gated0.withWatermark("_wm", s"$budgetEpochS seconds")
+        gated0.withWatermark("_wm", s"$lateS seconds")
       else gated0
     val s = parsed.sparkSession
     import s.implicits._
@@ -750,10 +815,12 @@ object Crawl {
             }
             state.update(FrontierHostState(emitted.toArray))
             if (budgetEpochS > 0) {
-              // evict one epoch past this epoch's end on the EVENT
-              // clock (timeout ts must sit past the watermark, so a
-              // straggler key created late still gets a full epoch)
-              val end = (epoch + 2L) * budgetEpochS * 1000L
+              // evict one lateness window past this epoch's end on
+              // the EVENT clock (timeout ts must sit past the
+              // watermark, so a straggler key created late still
+              // gets a full window)
+              val end = (epoch + 1L + math.max(budgetLateEpochs, 1)) *
+                budgetEpochS * 1000L
               state.setTimeoutTimestamp(math.max(end,
                 state.getCurrentWatermarkMs + budgetEpochS * 1000L))
             }
@@ -808,30 +875,13 @@ object Crawl {
                          skipAssets: Boolean = true): DataFrame = {
     val hosted =
       streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
-    // static scheduler caps fold into ONE per-row cap column (trap ->
-    // probe-only, rank budget -> least), all host-keyed host-sized
-    // frames on the shuffle path — the gatedCandidates composition,
-    // minus robots (which live in state here)
-    val trapped = trapVerdicts match {
-      case Some(tv) =>
-        hosted.join(tv.select(col("host"), col("verdict"))
-            .hint("shuffle_hash"), Seq("host"), "left")
-          .select(col("host"), col("url"), col("ts_s"),
-            when(col("verdict") === "trap", lit(1L))
-              .otherwise(lit(perHostCap.toLong)).as("scap"))
-      case None =>
-        hosted.select(col("host"), col("url"), col("ts_s"),
-                      lit(perHostCap.toLong).as("scap"))
-    }
-    val ranked = rankCaps match {
-      case Some(rc) =>
-        trapped.join(rc.select(col("host"), col("cap").as("_rank_cap"))
-            .hint("shuffle_hash"), Seq("host"), "left")
-          .select(col("host"), col("url"), col("ts_s"),
-            least(col("scap"), coalesce(col("_rank_cap"), col("scap")))
-              .as("scap"))
-      case None => trapped
-    }
+    // static scheduler caps fold into ONE per-row cap column via the
+    // SAME composition the static door uses ([[schedulerCaps]] —
+    // trap -> probe-only, rank budget -> least), minus robots (which
+    // live in state here)
+    val ranked = schedulerCaps(
+      hosted.withColumn("scap", lit(perHostCap.toLong)),
+      "scap", trapVerdicts, rankCaps)
     def familyKeyed(df: DataFrame): DataFrame = families match {
       case Some(fam) =>
         df.join(fam.select(col("host"), col("component"))
@@ -1018,14 +1068,16 @@ object Crawl {
     * next frontier restart consumes them as its `trapVerdicts` frame.
     *
     * Distinct counting is EXACT up to `maxTrack` per set (xxh64 hash
-    * sets in state); past the bound, arrivals not in the tracked set
-    * count without dedup — an UPPER bound on the true distinct count
-    * (re-arrivals of untracked URLs double-count). That bias is
-    * deliberate: it can only push expansion toward `trap` for hosts
-    * already serving thousands of URLs, which is the safe failure
-    * direction for a budget guard, and the honest-host verdict
-    * (small URL space) stays exact. State per host bounded at
-    * 2 x maxTrack x 8 B by construction.
+    * sets in state); a set that outgrows the bound collapses into a
+    * 256-register HyperLogLog seeded from the tracked hashes, so the
+    * count stays HONEST (±~7%) no matter how often untracked values
+    * re-arrive — refetch traffic is idempotent against a sketch,
+    * where a naive overflow counter would drift with every
+    * re-arrival. Hosts small enough to matter for parity (the honest
+    * majority) never saturate and stay exact; the approximate band
+    * only starts thousands of URLs in, where the verdict margin is
+    * wide. State per host bounded at 2 x maxTrack x 8 B before
+    * saturation, 256 B per saturated set after.
     */
   def trapStream(parsed: DataFrame, threshold: Double,
                  maxTrack: Int = 4096): DataFrame = {
@@ -1048,24 +1100,41 @@ object Crawl {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (host, rows, state) =>
           val st = state.getOption.getOrElse(
-            TrapTrackState(Array.empty, 0L, Array.empty, 0L))
-          val urls = scala.collection.mutable.LinkedHashSet(st.urls: _*)
-          val tmpls =
-            scala.collection.mutable.LinkedHashSet(st.templates: _*)
-          var uOver = st.urlOverflow
-          var tOver = st.tmplOverflow
-          for ((_, uh, th) <- rows) {
-            if (!urls.contains(uh)) {
-              if (urls.size < maxTrack) urls += uh else uOver += 1L
+            TrapTrackState(Array.empty, Array.empty,
+                           Array.empty, Array.empty))
+          // one tracked set + its saturation sketch, advanced in place
+          def track(set0: Array[Long], hll0: Array[Byte],
+                    hs: Iterator[Long]): (Array[Long], Array[Byte]) = {
+            var hll = hll0
+            val set = scala.collection.mutable.LinkedHashSet(set0: _*)
+            for (h <- hs) {
+              if (hll.nonEmpty) Hll.add(hll, h)
+              else if (!set.contains(h)) {
+                if (set.size < maxTrack) set += h
+                else {
+                  // saturation: fold the exact set into the sketch —
+                  // from here on distinct counting is idempotent under
+                  // re-arrivals instead of drifting with them
+                  hll = new Array[Byte](Hll.M)
+                  set.foreach(Hll.add(hll, _))
+                  Hll.add(hll, h)
+                  set.clear()
+                }
+              }
             }
-            if (!tmpls.contains(th)) {
-              if (tmpls.size < maxTrack) tmpls += th else tOver += 1L
-            }
+            (set.toArray, hll)
           }
-          state.update(TrapTrackState(urls.toArray, uOver,
-                                      tmpls.toArray, tOver))
-          val nUrls = urls.size.toLong + uOver
-          val nTmpl = tmpls.size.toLong + tOver
+          val batch = rows.toArray
+          val (urls, uHll) =
+            track(st.urls, st.urlHll, batch.iterator.map(_._2))
+          val (tmpls, tHll) =
+            track(st.templates, st.tmplHll, batch.iterator.map(_._3))
+          state.update(TrapTrackState(urls, uHll, tmpls, tHll))
+          def n(set: Array[Long], hll: Array[Byte]): Long =
+            if (hll.isEmpty) set.length.toLong
+            else math.max(maxTrack.toLong, Hll.estimate(hll))
+          val nUrls = n(urls, uHll)
+          val nTmpl = n(tmpls, tHll)
           val expansion = BigDecimal(nUrls.toDouble / nTmpl.toDouble)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           Iterator.single((host, nUrls, nTmpl, expansion,
@@ -1429,13 +1498,14 @@ object Crawl {
     * policy: an error page's body must never compile into a host's
     * rule group.
     */
-  private def robotsCaptures(parsed: DataFrame): DataFrame = {
+  private def robotsCaptures(parsed: DataFrame,
+                             statusGated: Boolean = true): DataFrame = {
     val base = parsed.filter(!col("corrupt") && col("url").isNotNull &&
         col("text").isNotNull)
       .filter(col("url").rlike(
         "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
     val ok =
-      if (!parsed.columns.contains("http_status")) base
+      if (!statusGated || !parsed.columns.contains("http_status")) base
       else base.filter(col("http_status").isNull ||
         (col("http_status") >= 200 && col("http_status") < 300))
     ok.withColumn("host", Urls.host(col("url")))

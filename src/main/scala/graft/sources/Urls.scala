@@ -124,12 +124,19 @@ object Urls {
 
   /** True when the URL's PATH ends in an [[AssetExtensions]] member
     * (query/fragment stripped first; extension bounded at 6 chars so
-    * `/v1.2026` never reads as an extension). Pure codegen projection
-    * — the frontier doors run it BEFORE any budget accounting so a
-    * `.jpg` link never consumes a host's politeness cap.
+    * `/v1.2026` never reads as an extension). The extraction is
+    * anchored to the PATH component — `scheme://authority(/path)` —
+    * so a path-less URL contributes no extension: `https://example
+    * .zip` (the .zip/.mov gTLDs are real) is a site's front page, not
+    * an archive, and canonicalization strips the root slash, so a
+    * host-suffix match would silently blackhole whole domains. Pure
+    * codegen projection — the frontier doors run it BEFORE any budget
+    * accounting so a `.jpg` link never consumes a host's politeness
+    * cap.
     */
   def isAsset(url: Column): Column = {
-    val path = regexp_replace(coalesce(url, lit("")), "(?s)[?#].*$", "")
+    val path = regexp_extract(coalesce(url, lit("")),
+      s"$SchemePat[^/?#]*(/[^?#]*)", 1)
     val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]{1,6})$", 1))
     ext.isin(AssetExtensions: _*)
   }

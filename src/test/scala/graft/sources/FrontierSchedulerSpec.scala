@@ -146,20 +146,28 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
   test("asset links never reach the budget (default on); asset crawls opt out; batch door agrees") {
     val links = Seq("http://a.com/img.jpg", "http://a.com/bundle.zip",
                     "http://a.com/paper.pdf", "http://a.com/page",
-                    "http://a.com/style.css")
+                    "http://a.com/style.css",
+                    // a PATH-LESS page on a .zip gTLD host: the skip
+                    // is path-anchored, so a TLD never reads as an
+                    // archive and the domain's front page still crawls
+                    "http://example.zip/")
     val lines = Seq(page(1, "http://s.net/1", links))
     // cap 2: if assets consumed budget, /page (byte-order after
     // /bundle.zip and /img.jpg) would starve
     val got = runStream(Seq(lines), "sched_assets",
       p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 2))
-    assert(got === Set(("a.com", "http://a.com/page", 1L)))
+    assert(got === Set(("a.com", "http://a.com/page", 1L),
+                       ("example.zip", "http://example.zip", 1L)))
     val optOut = runStream(Seq(lines), "sched_assets_in",
       p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 8,
         skipAssets = false))
-    assert(optOut.map(_._2) === links.toSet)
+    // canonicalization strips the root slash off the path-less link
+    assert(optOut.map(_._2) ===
+      (links.dropRight(1).toSet + "http://example.zip"))
     val batch = Crawl.frontier(parsedOf(lines), perHostCap = 2)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(batch === Set(("a.com", "http://a.com/page")))
+    assert(batch === Set(("a.com", "http://a.com/page"),
+                         ("example.zip", "http://example.zip")))
   }
 
   // ------------------------------------------------------------------
@@ -273,13 +281,12 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
 
   test("plan: robots/trap/rank/family frames and the exact-seen anti-join all ride the shuffle path") {
     import spark.implicits._
-    // p1 is BOTH captured and linked, so the bloom (built over
-    // captures) holds it and the seen row probes BLOOM-POSITIVE —
-    // necessary because Catalyst infers the bloom predicate onto the
-    // anti-join's right side (a free prune of the seen table at
-    // scale), folds it over a local relation, and a bloom-negative
-    // row would empty the right side and eliminate the join from the
-    // plan entirely
+    // the streaming planner runs with AQE off, and the static
+    // ReuseExchange rule (what the streaming door actually gets) only
+    // shows in a non-adaptive plan — match that here
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val parsed = parsedOf(Seq(
       page(1, "http://s.net/1",
         Seq("http://a.com/p1", "http://a.com/p2")),
@@ -309,6 +316,12 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.exists(l =>
              l.contains("ShuffledHashJoin") && l.contains("LeftAnti")),
            s"the exact-seen anti-join left the shuffle path:\n$p")
+    // ONE candidate pass: the exact tier must not re-run the link
+    // extraction per branch (the rejected union-split design did —
+    // one Generate means one parse+explode per micro-batch)
+    assert(p.split("Generate explode\\(extract_links").length - 1 === 1,
+           s"the seen tier re-evaluates the candidate extraction:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("live door: trap frame collapses a trap host to its probe") {

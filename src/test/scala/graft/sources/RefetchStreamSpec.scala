@@ -68,6 +68,41 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     assert(latest() === batch)
   }
 
+  test("trapStream past maxTrack: the saturation sketch is idempotent under re-arrivals") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // 40 distinct one-template URLs with maxTrack 8: the URL set
+    // saturates into the HLL; templates (1 distinct) stay exact
+    def caps(lo: Int, hi: Int) = (lo until hi).map(i =>
+      cap(i.toLong, s"http://t.com/cal/page$i", s"b$i"))
+    val mem = MemoryStream[String]
+    val ts = Crawl.trapStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      threshold = 3.0, maxTrack = 8)
+    val q = ts.writeStream.format("memory").queryName("trap_sat")
+      .outputMode("append").start()
+    def latest(): (Long, Long, String) = {
+      val rows = spark.table("trap_sat").collect()
+        .filter(_.getString(0) == "t.com")
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+      rows.maxBy(_._1)
+    }
+    try {
+      mem.addData(caps(0, 40): _*); q.processAllAvailable()
+      val (n1, t1, v1) = latest()
+      assert(t1 === 1L, "template space is tiny and must stay exact")
+      assert(n1 >= 8L && n1 <= 60L,
+             s"saturated estimate out of band: $n1") // ±~7% of 40
+      assert(v1 === "trap")
+      // re-offering the SAME 40 URLs must not move the estimate — the
+      // drift a per-arrival overflow counter would have shown
+      mem.addData(caps(0, 40): _*); q.processAllAvailable()
+      val (n2, t2, _) = latest()
+      assert(n2 === n1, s"re-arrivals moved the estimate: $n1 -> $n2")
+      assert(t2 === 1L)
+    } finally q.stop()
+  }
+
   test("trap loop closure: landed trapStream -> latestTrapVerdicts -> the frontier's trap frame") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-traploop")
