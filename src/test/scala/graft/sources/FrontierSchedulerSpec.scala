@@ -276,6 +276,48 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // All frames at once — the composition a production door runs
+  // ------------------------------------------------------------------
+
+  test("capstone: robots + trap + rank + family + exact seen compose in one door across batches") {
+    import spark.implicits._
+    val robotsBody = "User-agent: *\nDisallow: /private/"
+    val corpus = parsedOf(Seq(
+      page(1, "http://seen.net/old", Seq.empty),
+      s"""{"doc_id":2,"url":"http://m1.com/robots.txt","text":"${robotsBody.replace("\n", "\\n")}","lang":"en","ts":"2026-03-01T00:00:00"}"""))
+    val seen = Crawl.seenUrls(corpus)
+    val robots = Crawl.compiledRobots(corpus, "graftbot")
+    val traps = Seq(("trap.com", "trap"), ("m1.com", "ok"),
+                    ("m2.com", "ok"), ("solo.org", "ok"))
+      .toDF("host", "verdict")
+    val caps = Seq(("solo.org", 2L)).toDF("host", "cap")
+    val fam = Seq(("m1.com", "m1.com"), ("m2.com", "m1.com"))
+      .toDF("host", "component")
+    val b1 = Seq(page(10, "http://s.net/1", Seq(
+      "http://seen.net/old",        // exact-seen: dies in the anti-join
+      "http://trap.com/cal/1", "http://trap.com/cal/2", // probe only
+      "http://m1.com/private/x",    // robots: gated, costs nothing
+      "http://m1.com/a", "http://m1.com/b",
+      "http://solo.org/a", "http://solo.org/b",
+      "http://solo.org/c",          // rank cap 2: starved
+      "http://a.com/img.jpg")))     // asset: never reaches the budget
+    // batch 2: the second mirror alias finds the family budget spent
+    val b2 = Seq(page(11, "http://s.net/2", Seq(
+      "http://m2.com/a", "http://trap.com/cal/3")))
+    val got = runStream(Seq(b1, b2), "sched_capstone",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 2,
+        robots = Some(robots), seenExact = Some(seen),
+        trapVerdicts = Some(traps), families = Some(fam),
+        rankCaps = Some(caps)))
+    assert(got === Set(
+      ("trap.com", "http://trap.com/cal/1", 1L),    // probe, once
+      ("m1.com", "http://m1.com/a", 1L),            // family budget...
+      ("m1.com", "http://m1.com/b", 2L),            // ...fills here
+      ("solo.org", "http://solo.org/a", 1L),
+      ("solo.org", "http://solo.org/b", 2L)))       // rank cap 2
+  }
+
+  // ------------------------------------------------------------------
   // Plan pins: every frame is web-sized — none may broadcast
   // ------------------------------------------------------------------
 
