@@ -43,6 +43,16 @@ import graft.functions.LangId
   *     them (quarantine pipelines keep `value` on corrupt rows for
   *     repair — [[crawlCorrupt]] does).
   */
+// CHECKPOINT COMPATIBILITY NOTE (all state classes below): the shape
+// of a flatMapGroupsWithState state class is part of the streaming
+// checkpoint format. Changing a class's fields (round 18 added
+// ChangeTrackState.hasFp and replaced LiveFrontierState with
+// LiveBudgetState; round 19 extends RefetchState and LiveBudgetState)
+// makes an EXISTING checkpoint unrestorable — the state encoder's
+// schema no longer matches the stored rows and the restarted query
+// fails. Restart such streams with a FRESH checkpoint (the state
+// re-learns from the re-played/new input); deployments that need
+// rolling upgrades should version their own state wrapper.
 /** Per-host frontier state for [[Crawl.frontierStream]]: the xxh64
   * hashes of the URLs this host has emitted so far. Bounded BY
   * CONSTRUCTION: emission stops at the host's politeness cap, so the
@@ -402,13 +412,17 @@ object Crawl {
       // complete disallow". The default door drops non-2xx captures
       // before picking each host's latest, so an older 2xx body would
       // keep ruling through an outage; here the latest capture of ANY
-      // status wins (robotsCaptures with the status gate off — one
-      // shared projection, so the doors cannot diverge on which
-      // captures count), and a 5xx latest compiles the universal-
-      // disallow group. Statusless captures (JSONL feeds) and 2xx
-      // compile their body; other statuses (4xx, stray 3xx) yield
-      // null rules = fail open at the allowed-check.
-      val base = robotsCaptures(parsed, statusGated = false)
+      // shape wins — status gate AND text gate both off, so a 5xx
+      // whose error body routed to the payload path (binary
+      // content-type) or arrived as a WARC revisit record still
+      // enters the recency window and compiles the universal-disallow
+      // group (same shared projection as the other doors, so they
+      // cannot diverge on which captures count). Statusless captures
+      // (JSONL feeds) and 2xx compile their body (a text-null 2xx
+      // compiles null rules = fail open); other statuses (4xx, stray
+      // 3xx) yield null rules = fail open at the allowed-check.
+      val base = robotsCaptures(parsed, statusGated = false,
+                                requireText = false)
       val status =
         if (parsed.columns.contains("http_status")) col("http_status")
         else lit(null).cast("int")
@@ -572,6 +586,15 @@ object Crawl {
     * BEFORE any seen probe or budget accounting — a `.jpg` href must
     * never consume a host's politeness cap in a text crawl. Asset
     * crawls (image corpora) opt out.
+    *
+    * Event-time caveat: a null capture `ts` coalesces to ts_s = 0
+    * (epoch 1970). [[readWarc]]/[[parseCrawl]] never emit null ts,
+    * but a CALLER-constructed frame can — and under `budgetEpochS` >
+    * 0 such rows land in epoch 0 with a 1970 event time, which the
+    * renewal watermark DROPS once any real-timestamped data has been
+    * seen. Budget renewal therefore requires non-null event times;
+    * frames that cannot guarantee one should run renewal-free
+    * (budgetEpochS = 0, no watermark, no drop).
     */
   private[sources] def streamCandidates(parsed: DataFrame,
                                         seenBloom: Array[Byte],
@@ -1496,12 +1519,18 @@ object Crawl {
     * and — when the frame carries transport status (WARC frames do,
     * JSONL crawl frames do not) — HTTP 2xx only, the okResponses
     * policy: an error page's body must never compile into a host's
-    * rule group.
+    * rule group. The strict RFC 9309 door ([[compiledRobots]]
+    * failClosed5xx) turns BOTH gates off (`statusGated = false,
+    * requireText = false`): there the latest capture of ANY shape —
+    * binary-routed error body, WARC revisit record — must win the
+    * recency window so a newest 5xx is never shadowed by an older
+    * 2xx body.
     */
   private def robotsCaptures(parsed: DataFrame,
-                             statusGated: Boolean = true): DataFrame = {
+                             statusGated: Boolean = true,
+                             requireText: Boolean = true): DataFrame = {
     val base = parsed.filter(!col("corrupt") && col("url").isNotNull &&
-        col("text").isNotNull)
+        (if (requireText) col("text").isNotNull else lit(true)))
       .filter(col("url").rlike(
         "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
     val ok =

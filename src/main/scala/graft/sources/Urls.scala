@@ -123,8 +123,12 @@ object Urls {
     "swf")
 
   /** True when the URL's PATH ends in an [[AssetExtensions]] member
-    * (query/fragment stripped first; extension bounded at 6 chars so
-    * `/v1.2026` never reads as an extension). The extraction is
+    * (query/fragment stripped first). What keeps a version-suffixed
+    * path like `/v1.2026` crawlable is the ALLOWLIST — `2026` does
+    * match the extension pattern but is not an asset extension; the
+    * {1,6}-char bound merely rejects long trailing tokens (a dotted
+    * slug like `release.20260816-notes` must not read as having an
+    * extension at all). The extraction is
     * anchored to the PATH component — `scheme://authority(/path)` —
     * so a path-less URL contributes no extension: `https://example
     * .zip` (the .zip/.mov gTLDs are real) is a site's front page, not

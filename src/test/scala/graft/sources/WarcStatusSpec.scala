@@ -260,4 +260,43 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
       assert(got === Set(("c.net", "http://c.net/p1")))
     } finally q.stop()
   }
+
+  test("failClosed5xx: a binary-routed 5xx latest robots capture still disallows (text-null shapes enter the recency window)") {
+    // a 503 whose error body carries a binary content-type routes to
+    // the PAYLOAD path (text null) — before round 19 it never entered
+    // the strict door's latest-capture window and the older 2xx body
+    // kept ruling through the outage, the exact divergence
+    // failClosed5xx exists to close
+    def recBin(uri: String, statusLine: String,
+               date: String): Array[Byte] = {
+      val body = Array[Byte](0x47, 0x49, 0x46, 0x38) // GIF8
+      val head = (s"$statusLine\r\nContent-Type: image/gif\r\n\r\n")
+        .getBytes("UTF-8")
+      val block = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nContent-Length: ${block.length}" +
+        "\r\n\r\n").getBytes("UTF-8") ++ block ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-rb5xxbin")
+    java.nio.file.Files.write(d.resolve("r.warc.gz"),
+      gz(rec("http://a.com/robots.txt", "HTTP/1.1 200 OK",
+             "User-agent: *\nDisallow: /private/")) ++
+      gz(recBin("http://a.com/robots.txt",
+                "HTTP/1.1 503 Service Unavailable",
+                date = "2026-03-02T00:00:00Z")))
+    val parsed = Crawl.readWarc(spark, d.toString, extractHtml = false)
+    def rulesOf(frame: org.apache.spark.sql.DataFrame)
+        : Map[String, String] =
+      frame.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val strict = rulesOf(
+      Crawl.compiledRobots(parsed, "graftbot", failClosed5xx = true))
+    assert(!Robots.allowedCompiled("http://a.com/page", strict("a.com")),
+           "the text-null 503 is the latest capture and must disallow")
+    // the default fail-open door is unchanged: 2xx body still rules
+    val open = rulesOf(Crawl.compiledRobots(parsed, "graftbot"))
+    assert(Robots.allowedCompiled("http://a.com/page", open("a.com")))
+    assert(!Robots.allowedCompiled("http://a.com/private/x",
+                                   open("a.com")))
+  }
 }
