@@ -567,10 +567,26 @@ object Crawl {
     */
   /** Canonical, seen-pruned, host-keyed candidate projection shared
     * by both streaming doors: outlinks (+ redirect targets when the
-    * frame carries them, + opt-in sitemap pages), canonicalized, each
-    * carrying the DISCOVERING capture's event time (ts_s — the epoch
-    * key for budget renewal) — pure codegen projections + explode,
-    * stream-legal by construction. Output (host, url, ts_s).
+    * frame carries them, + opt-in sitemap entries), canonicalized,
+    * each carrying the DISCOVERING capture's event time (ts_s — the
+    * epoch key for budget renewal) — pure codegen projections +
+    * explode, stream-legal by construction. Output (host, url, ts_s).
+    *
+    * `sitemaps = true` turns on RECURSIVE sitemap discovery: sitemap
+    * bodies select by content sniff (`<urlset`/`<sitemapindex` in the
+    * first 2 KiB) or protocol filename (the plain-text form), BOTH
+    * entry kinds emit (a `sitemap` child is itself a fetch candidate
+    * — an index fetched in batch k yields child sitemaps whose
+    * batch-k+1 captures yield their pages), and robots-declared
+    * `Sitemap:` hints join the candidate set.
+    *
+    * `aliases` (optional, the landed [[graft.operators.WebGraph
+    * .resolveRedirects]] output over canonical urls) collapses
+    * redirect families BEFORE the seen probe and budget: every alias
+    * spelling maps to its final target, so a 301 chain spends one
+    * budget slot and dies at the seen tier once the target is
+    * captured. Stream-static left join, page-scale static side,
+    * shuffle-pinned.
     *
     * Seen pruning is tiered: the Bloom LITERAL alone is the lossy
     * zero-shuffle fast path (~fpp of new URLs drop until the sketch
@@ -600,7 +616,8 @@ object Crawl {
                                         seenBloom: Array[Byte],
                                         sitemaps: Boolean,
                                         seenExact: Option[DataFrame] = None,
-                                        skipAssets: Boolean = true)
+                                        skipAssets: Boolean = true,
+                                        aliases: Option[DataFrame] = None)
       : DataFrame = {
     val base = parsed.filter(!col("corrupt") && col("url").isNotNull)
     val tsS = coalesce(col("ts").cast("long"), lit(0L)).as("ts_s")
@@ -616,16 +633,54 @@ object Crawl {
           .select(tsS, Urls.canonicalize(col("redirect")).as("url"))
           .filter(col("url").isNotNull))
     val cand0 = if (!sitemaps) withRedirects
-      else withRedirects.unionByName(
-        base.filter(col("text").isNotNull &&
-            lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$"))
+      else {
+        // sitemap bodies select by CONTENT sniff — `<urlset` /
+        // `<sitemapindex` in the first 2 KiB — OR by the protocol
+        // filename (which the plain-text form still needs: a txt
+        // sitemap has no XML marker). Content sniff is what makes the
+        // recursion CLOSE: an index at /maps/index.xml points at
+        // /maps/a.xml, whose name matches nothing, but whose fetched
+        // body sniffs as a urlset and parses. BOTH entry kinds emit
+        // as candidates — a `page` is a fetchable page, a `sitemap`
+        // child is the next sitemap to fetch (recursion across
+        // micro-batches; the politeness budget prices both).
+        val head = lower(substring(col("text"), 1, 2048))
+        val isSitemapBody =
+          lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$") ||
+          head.contains("<urlset") || head.contains("<sitemapindex")
+        val entries = base.filter(col("text").isNotNull && isSitemapBody)
           .select(tsS,
             explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
-          .filter(col("e.kind") === "page")
           .select(col("ts_s"), Urls.canonicalize(col("e.url")).as("url"))
-          .filter(col("url").isNotNull))
-    val cand = if (skipAssets) cand0.filter(!Urls.isAsset(col("url")))
-               else cand0
+          .filter(col("url").isNotNull)
+        // robots-declared `Sitemap:` hints (sitemaps.org discovery,
+        // group-independent) become fetch candidates too — pages
+        // nothing links to yet stay reachable without a batch pass
+        val hints = base.filter(col("text").isNotNull &&
+            col("url").rlike(
+              "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/robots\\.txt$"))
+          .select(tsS,
+            explode(Robots.robots_sitemaps(col("text"))).as("sm"))
+          .select(col("ts_s"), Urls.canonicalize(col("sm")).as("url"))
+          .filter(col("url").isNotNull)
+        withRedirects.unionByName(entries).unionByName(hints)
+      }
+    // alias collapse: resolve candidates through the LANDED redirect-
+    // resolution table (WebGraph.resolveRedirects output over
+    // CANONICAL urls, stream-static, page-scale -> shuffle-pinned,
+    // never broadcast) BEFORE the seen probe and budget, so a 301
+    // family spends ONE budget slot and a seen final target kills its
+    // alias spellings at the seen tier
+    val cand1 = aliases match {
+      case Some(al) =>
+        cand0.join(al.select(col("url"), col("final_url"))
+            .hint("shuffle_hash"), Seq("url"), "left")
+          .select(col("ts_s"),
+            coalesce(col("final_url"), col("url")).as("url"))
+      case None => cand0
+    }
+    val cand = if (skipAssets) cand1.filter(!Urls.isAsset(col("url")))
+               else cand1
     val unseen = (seenBloom != null && seenBloom.nonEmpty, seenExact)
         match {
       case (_, Some(seen)) =>
@@ -776,9 +831,11 @@ object Crawl {
                      rankCaps: Option[DataFrame] = None,
                      skipAssets: Boolean = true,
                      budgetEpochS: Long = 0L,
-                     budgetLateEpochs: Int = 1): DataFrame = {
+                     budgetLateEpochs: Int = 1,
+                     aliases: Option[DataFrame] = None): DataFrame = {
     val hosted =
-      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
+      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets,
+                       aliases)
     val gated0 = gatedCandidates(hosted, perHostCap, robots,
       crawlDelayWindow, trapVerdicts, families, rankCaps, budgetEpochS)
       .withColumn("_wm", timestamp_seconds(col("ts_s"))).drop("ts_s")
@@ -895,9 +952,11 @@ object Crawl {
                          trapVerdicts: Option[DataFrame] = None,
                          families: Option[DataFrame] = None,
                          rankCaps: Option[DataFrame] = None,
-                         skipAssets: Boolean = true): DataFrame = {
+                         skipAssets: Boolean = true,
+                         aliases: Option[DataFrame] = None): DataFrame = {
     val hosted =
-      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets)
+      streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets,
+                       aliases)
     // static scheduler caps fold into ONE per-row cap column via the
     // SAME composition the static door uses ([[schedulerCaps]] —
     // trap -> probe-only, rank budget -> least), minus robots (which

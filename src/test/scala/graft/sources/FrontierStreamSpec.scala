@@ -199,6 +199,82 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sitemap recursion: an index reaches its child's pages across micro-batches; robots hints join the candidates") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def capOf(id: Long, url: String, body: String): String =
+      s"""{"doc_id":$id,"url":"$url","text":"${body.replace("\"", "\\\"").replace("\n", "\\n")}","lang":"en","ts":"2026-03-01T00:00:00"}"""
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, perHostCap = 8, sitemaps = true)
+    val q = fr.writeStream.format("memory").queryName("frontier_smrec")
+      .outputMode("append").start()
+    def emitted(): Set[String] =
+      spark.table("frontier_smrec").collect().map(_.getString(1)).toSet
+    try {
+      // batch 1: robots declares the sitemap INDEX (name matches
+      // nothing page-like) -> the hint itself becomes a candidate
+      mem.addData(capOf(1, "http://h.com/robots.txt",
+        "User-agent: *\nDisallow:\nSitemap: http://h.com/maps/index.xml"))
+      q.processAllAvailable()
+      assert(emitted() === Set("http://h.com/maps/index.xml"))
+      // batch 2: the fetched index (sniffs as <sitemapindex>; its
+      // FILENAME matches the sitemap rlike in neither half) emits its
+      // child sitemap as a fetch candidate
+      mem.addData(capOf(2, "http://h.com/maps/index.xml",
+        "<sitemapindex><sitemap><loc>http://h.com/maps/a.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+      q.processAllAvailable()
+      assert(emitted() === Set("http://h.com/maps/index.xml",
+                               "http://h.com/maps/a.xml"))
+      // batch 3: the fetched CHILD (name 'a.xml' — only the content
+      // sniff can recognize it) yields its pages
+      mem.addData(capOf(3, "http://h.com/maps/a.xml",
+        "<urlset><url><loc>http://h.com/deep/1</loc></url>" +
+          "<url><loc>http://h.com/deep/2</loc></url></urlset>"))
+      q.processAllAvailable()
+      assert(emitted() === Set("http://h.com/maps/index.xml",
+        "http://h.com/maps/a.xml",
+        "http://h.com/deep/1", "http://h.com/deep/2"))
+    } finally q.stop()
+  }
+
+  test("alias collapse: a redirect family resolved through the landed table spends one budget slot") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // the landed redirect-resolution table: a 3-hop chain a->b->c->d,
+    // built by the REAL batch resolver over canonical urls
+    val redirects = Seq(
+      ("http://h.com/a", "http://h.com/b"),
+      ("http://h.com/b", "http://h.com/c"),
+      ("http://h.com/c", "http://h.com/d"))
+      .toDF("src_url", "dst_url")
+    val urls = Seq("http://h.com/a", "http://h.com/b", "http://h.com/c")
+      .toDF("url")
+    val aliases = graft.operators.WebGraph
+      .resolveRedirects(urls, redirects, maxHops = 4)
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, perHostCap = 8, aliases = Some(aliases))
+    val q = fr.writeStream.format("memory").queryName("frontier_alias")
+      .outputMode("append").start()
+    try {
+      // the chain's spellings arrive across batches — every one
+      // resolves to the final target, which emits exactly once
+      mem.addData(page(1, "http://s.net/1", Seq("http://h.com/a")))
+      q.processAllAvailable()
+      mem.addData(page(2, "http://s.net/2",
+        Seq("http://h.com/b", "http://h.com/c", "http://h.com/x")))
+      q.processAllAvailable()
+      val got = spark.table("frontier_alias").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(("http://h.com/d", 1L), ("http://h.com/x", 2L)),
+        s"a 3-hop alias family must consume exactly one slot: $got")
+    } finally q.stop()
+  }
+
   test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
