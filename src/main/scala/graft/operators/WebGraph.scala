@@ -761,6 +761,31 @@ object WebGraph {
       .orderBy(col("score_e12").desc, col("canon_url"))
       .limit(topK)
 
+  /** Due-time refetch pricing — the batch twin of
+    * [[graft.sources.Crawl.refetchStream]]'s event-time wakeups
+    * (q196): from a capture history (canon_url, fp, ts_s — one row
+    * per capture), each page's revisit interval is the
+    * Cho/Garcia-Molina rule in EXACT integer arithmetic,
+    * interval_s = max(dueBaseS div (1 + n_changes), 1) — observed
+    * churn earns a proportionally shorter interval — and its next-due
+    * instant is last capture + interval. Changes are the q185
+    * estimator (distinct fingerprints - 1, order-blind lower bound;
+    * the stream counts true transitions — the documented divergence).
+    * Callers take the due list at an as-of instant by filtering
+    * `due_ts_s <= asof`. One shuffle on the near-unique page key.
+    */
+  def refetchDue(captures: DataFrame, dueBaseS: Long): DataFrame =
+    captures.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_captures"),
+           countDistinct("fp").as("n_versions"),
+           max("ts_s").cast("long").as("last_ts_s"))
+      .select(col("canon_url"), col("n_captures"),
+        (col("n_versions") - 1L).as("n_changes"), col("last_ts_s"))
+      .withColumn("interval_s",
+        greatest(expr(s"cast($dueBaseS as bigint) div (1 + n_changes)"),
+                 lit(1L)))
+      .withColumn("due_ts_s", col("last_ts_s") + col("interval_s"))
+
   /** Rank-proportional crawl budgeting — the scheduler that ties the
     * host-quality prior ([[pageRank]]) to the fetch list
     * ([[frontierFromSets]]): a global budget `B` splits across hosts
@@ -2007,6 +2032,52 @@ object WebGraph {
           .select(col("canon_url"),
             expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
             (col("doc_id") % 4 === 1).as("revisit")))
+    },
+
+    Q("q196_refetch_due",
+      "Due-time refetch list (the batch twin of refetchStream's " +
+        "event-time wakeups): each page's revisit interval is the " +
+        "Cho/Garcia-Molina rule in exact BIGINT arithmetic — " +
+        "interval = max(base div (1 + n_changes), 1), next-due = " +
+        "last capture + interval — and the due list at an as-of " +
+        "instant (here one hour past the newest capture, derived " +
+        "in-plan from the data) is every page whose instant has " +
+        "passed. Planted: the q185 capture history with a per-round " +
+        "timestamp ladder (1 h per revisit round), base 7200 s — " +
+        "never-changing pages (interval = base) are NOT due, every " +
+        "churning page (interval <= 3600) is. One near-unique-key " +
+        "aggregation + a 1-row scalar broadcast.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+          |        CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
+          |      FROM v GROUP BY 1),
+          |g2 AS (SELECT canon_url, n_captures,
+          |        n_versions - 1 AS n_changes, last_ts_s,
+          |        greatest(CAST(7200 AS BIGINT) // (1 + (n_versions - 1)),
+          |                 CAST(1 AS BIGINT)) AS interval_s
+          |       FROM g),
+          |a AS (SELECT CAST(max(ts_s) AS BIGINT) + 3600 AS asof_s FROM v)
+          |SELECT canon_url, n_captures, n_changes, last_ts_s,
+          |  interval_s, last_ts_s + interval_s AS due_ts_s
+          |FROM g2 CROSS JOIN a
+          |WHERE last_ts_s + interval_s <= a.asof_s""".stripMargin) {
+      (s, d) =>
+        val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .select(col("canon_url"),
+            expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
+            expr("1700000000 + (doc_id div 250) * 3600").as("ts_s"))
+        val asof = broadcast(
+          caps.agg((max("ts_s").cast("long") + 3600L).as("asof_s")))
+        refetchDue(caps, dueBaseS = 7200L)
+          .crossJoin(asof)
+          .filter(col("due_ts_s") <= col("asof_s"))
+          .select("canon_url", "n_captures", "n_changes", "last_ts_s",
+                  "interval_s", "due_ts_s")
     }
   )
 

@@ -155,7 +155,10 @@ private[sources] object Hll {
   * validators of [[ValidatorState]] — one state row per page instead
   * of two stateful operators, because the refetch decision needs both
   * signals at once (change rate prices the refetch, validators make
-  * it conditional).
+  * it conditional). `lastCapTs` (event-time micros of the newest
+  * capture) anchors the due-time wakeup clock and the validator-age
+  * staleness term; round 19 added it — restart pre-r19 checkpoints
+  * fresh (see the compatibility note above).
   */
 private[sources] case class RefetchState(lastFp: Long,
                                          hasFp: Boolean,
@@ -164,7 +167,8 @@ private[sources] case class RefetchState(lastFp: Long,
                                          lastModified: String,
                                          etag: String,
                                          valTs: Long,
-                                         valDoc: Long)
+                                         valDoc: Long,
+                                         lastCapTs: Long)
 
 object Crawl {
 
@@ -1080,9 +1084,16 @@ object Crawl {
     * warm >= 0.1, unknown at one capture). State: three longs per
     * page, page-scale total — the standard streaming-dedup state
     * shape, disk-backed by the state store and keyed exactly like the
-    * canonical-dedup path.
+    * canonical-dedup path. `idleTtlS` > 0 bounds it for UNBOUNDED
+    * crawls: a page idle past the TTL on the event clock evicts and a
+    * re-arrival re-learns from scratch (documented loss — its change
+    * history restarts); the watermark delay equals the TTL, so the
+    * row-drop cutoff never loses a capture eviction would have kept.
+    * Default 0 = NoTimeout, no watermark, no loss — the pre-r19
+    * behavior, unchanged.
     */
-  def changeTrackStream(parsed: DataFrame): DataFrame = {
+  def changeTrackStream(parsed: DataFrame,
+                        idleTtlS: Long = 0L): DataFrame = {
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -1094,43 +1105,70 @@ object Crawl {
       if (parsed.columns.contains("revisit"))
         coalesce(col("revisit"), lit(false))
       else lit(false)
-    val caps = parsed
+    val caps0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
         (col("text").isNotNull || rev))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
               when(rev, lit(null).cast("long"))
                 .otherwise(xxhash64(col("text"))).as("fp"),
               col("ts").cast("long").as("ts_s"),
-              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+              col("ts").as("_wm"))
       .filter(col("canon_url").isNotNull)
-    caps.as[(String, Option[Long], Long, Long)]
+    // opt-in state bound for unbounded crawls: pages idle past the
+    // TTL on the EVENT clock evict (a re-arrival re-learns from
+    // scratch — documented loss); the watermark delay equals the TTL,
+    // so the drop cutoff never loses a row eviction would have kept
+    val caps =
+      if (idleTtlS > 0L) caps0.withWatermark("_wm", s"$idleTtlS seconds")
+      else caps0
+    val timeoutConf =
+      if (idleTtlS > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    caps.as[(String, Option[Long], Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ChangeTrackState,
                               (String, Long, Long, Double, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (url, rows, state) =>
-          var st = state.getOption.getOrElse(
-            ChangeTrackState(0L, false, 0L, 0L))
-          for ((_, fpOpt, _, _) <- rows.toArray.sortBy(r => (r._3, r._4)))
-            fpOpt match {
-              case None => // revisit: a capture, asserted unchanged
-                st = st.copy(nCaptures = st.nCaptures + 1L)
-              case Some(fp) =>
-                if (st.hasFp && fp != st.lastFp)
-                  st = st.copy(nChanges = st.nChanges + 1L)
-                st = ChangeTrackState(fp, true, st.nCaptures + 1L,
-                                      st.nChanges)
+          if (state.hasTimedOut) {
+            // idle eviction: the page sat unseen past the TTL on the
+            // EVENT clock — a re-arrival re-learns from scratch
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              ChangeTrackState(0L, false, 0L, 0L))
+            var lastTsS = Long.MinValue
+            for ((_, fpOpt, tsS, _, _)
+                 <- rows.toArray.sortBy(r => (r._3, r._4))) {
+              if (tsS > lastTsS) lastTsS = tsS
+              fpOpt match {
+                case None => // revisit: a capture, asserted unchanged
+                  st = st.copy(nCaptures = st.nCaptures + 1L)
+                case Some(fp) =>
+                  if (st.hasFp && fp != st.lastFp)
+                    st = st.copy(nChanges = st.nChanges + 1L)
+                  st = ChangeTrackState(fp, true, st.nCaptures + 1L,
+                                        st.nChanges)
+              }
             }
-          state.update(st)
-          val share = BigDecimal(
-              st.nChanges.toDouble / math.max(st.nCaptures - 1L, 1L))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          val bucket =
-            if (st.nCaptures == 1L) "unknown"
-            else if (share >= 0.5) "hot"
-            else if (share >= 0.1) "warm"
-            else "cold"
-          Iterator.single((url, st.nCaptures, st.nChanges, share, bucket))
+            state.update(st)
+            if (idleTtlS > 0L && lastTsS != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(
+                (lastTsS + idleTtlS) * 1000L,
+                state.getCurrentWatermarkMs + 1000L))
+            val share = BigDecimal(
+                st.nChanges.toDouble / math.max(st.nCaptures - 1L, 1L))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val bucket =
+              if (st.nCaptures == 1L) "unknown"
+              else if (share >= 0.5) "hot"
+              else if (share >= 0.1) "warm"
+              else "cold"
+            Iterator.single((url, st.nCaptures, st.nChanges, share,
+                             bucket))
+          }
       }
       .toDF("canon_url", "n_captures", "n_changes", "change_share",
             "bucket")
@@ -1317,31 +1355,52 @@ object Crawl {
     * timestamp threads through state at FULL epoch-microsecond
     * precision, so WARC 1.1 millisecond dates round-trip and the
     * stream==batch column parity is exact, not truncated-to-seconds.
+    * `idleTtlS` > 0 opts into the changeTrackStream TTL semantics
+    * (idle pages evict on the event clock; re-arrival re-learns).
     */
-  def validatorsStream(parsed: DataFrame): DataFrame = {
+  def validatorsStream(parsed: DataFrame,
+                       idleTtlS: Long = 0L): DataFrame = {
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val caps = parsed.filter(!col("corrupt") && col("url").isNotNull &&
+    val caps0 = parsed.filter(!col("corrupt") && col("url").isNotNull &&
         (col("last_modified").isNotNull || col("etag").isNotNull))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
               col("last_modified"), col("etag"),
               unix_micros(col("ts")).as("ts_us"),
-              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+              col("ts").as("_wm"))
       .filter(col("canon_url").isNotNull)
-    caps.as[(String, String, String, Long, Long)]
+    // opt-in state bound (the changeTrackStream TTL semantics): idle
+    // pages evict on the event clock; watermark delay = the TTL
+    val caps =
+      if (idleTtlS > 0L) caps0.withWatermark("_wm", s"$idleTtlS seconds")
+      else caps0
+    val timeoutConf =
+      if (idleTtlS > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    caps.as[(String, String, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ValidatorState,
                               (String, String, String, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (url, rows, state) =>
-          var st = state.getOption.getOrElse(
-            ValidatorState(null, null, Long.MinValue, Long.MinValue))
-          for ((_, lm, et, tsUs, docId) <- rows)
-            if (tsUs > st.ts || (tsUs == st.ts && docId > st.docId))
-              st = ValidatorState(lm, et, tsUs, docId)
-          state.update(st)
-          Iterator.single((url, st.lastModified, st.etag, st.ts))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              ValidatorState(null, null, Long.MinValue, Long.MinValue))
+            for ((_, lm, et, tsUs, docId, _) <- rows)
+              if (tsUs > st.ts || (tsUs == st.ts && docId > st.docId))
+                st = ValidatorState(lm, et, tsUs, docId)
+            state.update(st)
+            if (idleTtlS > 0L && st.ts != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(
+                st.ts / 1000L + idleTtlS * 1000L,
+                state.getCurrentWatermarkMs + 1000L))
+            Iterator.single((url, st.lastModified, st.etag, st.ts))
+          }
       }
       .toDF("canon_url", "last_modified", "etag", "ts_us")
       .select(col("canon_url"), col("last_modified"),
@@ -1379,11 +1438,54 @@ object Crawl {
     *
     * Pair with [[startRefetchSink]] to land ranked per-window refetch
     * lists, and with `frontierStream(budgetEpochS = ...)` so refetch
-    * traffic draws renewed per-epoch budgets. State: three longs +
+    * traffic draws renewed per-epoch budgets. State: four longs +
     * two strings + two longs per page — the two parent states fused,
     * page-scale, disk-backed.
+    *
+    * Round-19 extensions, all exact-integer (the q101 convention):
+    *
+    *   - `declared` (optional stream-static frame, (canon_url,
+    *     changefreq) — [[sitemapEntries]] hints): q193's declared-
+    *     freshness blend multiplies into the live price,
+    *     (1 + [[graft.operators.WebGraph.changefreqWeight]]). With
+    *     `staleBoostS` = 0 the stream's score equals
+    *     [[graft.operators.WebGraph.declaredFreshnessQueue]] on
+    *     shared pages (RefetchStreamSpec pins it).
+    *   - `staleBoostS` > 0 adds the validator-staleness term: x (1 +
+    *     validator_age div staleBoostS), where validator age = the
+    *     event-time gap between the page's newest capture and the
+    *     capture that last refreshed its validators — deterministic
+    *     on the event clock, 0 for pages with no validators.
+    *   - `dueBaseS` > 0 turns the door into a SCHEDULER, not a
+    *     re-pricer: each page arms an event-time timer at its
+    *     next-due instant, lastCapture + dueBaseS div (1 + n_changes)
+    *     (the Cho/Garcia-Molina interval — observed churn shortens
+    *     the revisit), and when the stream's watermark passes it with
+    *     NO new arrival the state FIRES: the page emits into that
+    *     window's fetch list with its conditional-GET columns, then
+    *     re-arms one interval ahead. A hot page the crawl stops
+    *     touching keeps surfacing — the exact page a recrawler exists
+    *     to revisit; a cold page's far-off due instant never fires
+    *     inside the horizon. `dueLateS` is the watermark delay
+    *     (arrival-lateness tolerance; rows older than it drop —
+    *     the budgetLateEpochs precedent). q196_refetch_due is the
+    *     oracled batch twin of the due rule.
+    *   - `idleTtlS` > 0 (mutually exclusive with due mode — one
+    *     event-time timer per group) bounds state for unbounded
+    *     crawls: a page idle past the TTL on the event clock EVICTS,
+    *     and a re-arrival re-learns from scratch (documented loss;
+    *     the watermark delay equals the TTL, so the drop cutoff never
+    *     loses a row eviction would have kept).
     */
-  def refetchStream(parsed: DataFrame, ranks: DataFrame): DataFrame = {
+  def refetchStream(parsed: DataFrame, ranks: DataFrame,
+                    declared: Option[DataFrame] = None,
+                    staleBoostS: Long = 0L,
+                    dueBaseS: Long = 0L,
+                    dueLateS: Long = 60L,
+                    idleTtlS: Long = 0L): DataFrame = {
+    require(dueBaseS <= 0L || idleTtlS <= 0L,
+      "refetchStream: due-time wakeups and idle-TTL eviction share " +
+        "the one per-group event-time timer — enable at most one")
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -1395,7 +1497,7 @@ object Crawl {
       if (parsed.columns.contains("revisit"))
         coalesce(col("revisit"), lit(false))
       else lit(false)
-    val caps = parsed
+    val caps0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
         (col("text").isNotNull || rev))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
@@ -1403,51 +1505,135 @@ object Crawl {
                 .otherwise(xxhash64(col("text"))).as("fp"),
               col("last_modified"), col("etag"),
               unix_micros(col("ts")).as("ts_us"),
-              coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+              coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+              // the event-time column the due/TTL timers ride (its
+              // watermark metadata must REACH the stateful operator
+              // — the frontierStream convention)
+              col("ts").as("_wm"))
       .filter(col("canon_url").isNotNull)
+    val timed = dueBaseS > 0L || idleTtlS > 0L
+    val caps =
+      if (dueBaseS > 0L)
+        caps0.withWatermark("_wm", s"${math.max(dueLateS, 0L)} seconds")
+      else if (idleTtlS > 0L)
+        // lateness tolerance = the TTL itself: a capture arriving
+        // later than the TTL would find its page state evicted anyway,
+        // so the watermark drop changes nothing it could have kept
+        caps0.withWatermark("_wm", s"$idleTtlS seconds")
+      else caps0
+    val timeoutConf =
+      if (timed) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // the Cho/Garcia-Molina interval, exact-integer (the q196
+    // spelling): base div (1 + observed changes) — a page proven to
+    // churn earns a proportionally shorter revisit interval
+    def intervalS(st: RefetchState): Long =
+      math.max(dueBaseS / (1L + math.max(st.nChanges, 0L)), 1L)
+    def valAgeS(st: RefetchState): Long =
+      if (st.valTs == Long.MinValue || st.lastCapTs == Long.MinValue) 0L
+      else math.max(st.lastCapTs - st.valTs, 0L) / 1000000L
     val stats = caps
-      .as[(String, Option[Long], String, String, Long, Long)]
+      .as[(String, Option[Long], String, String, Long, Long,
+           java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RefetchState,
-                              (String, Long, Long, String, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+                              (String, Long, Long, String, String,
+                               Long)](
+        OutputMode.Append, timeoutConf) {
         (url, rows, state) =>
-          var st = state.getOption.getOrElse(
-            RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
-                         Long.MinValue))
-          for ((_, fpOpt, lm, et, tsUs, docId)
-               <- rows.toArray.sortBy(r => (r._5, r._6))) {
-            fpOpt match {
-              case None => // revisit: capture counted, no transition
-                st = st.copy(nCaptures = st.nCaptures + 1L)
-              case Some(fp) =>
-                if (st.hasFp && fp != st.lastFp)
-                  st = st.copy(nChanges = st.nChanges + 1L)
-                st = st.copy(lastFp = fp, hasFp = true,
-                             nCaptures = st.nCaptures + 1L)
+          if (state.hasTimedOut) {
+            if (idleTtlS > 0L) {
+              // idle eviction: the page sat unseen past the TTL on
+              // the EVENT clock — drop its state (documented loss: a
+              // re-arrival re-learns from scratch)
+              state.remove()
+              Iterator.empty
+            } else {
+              // due wakeup: the page's refetch interval elapsed with
+              // NO new arrival — the exact page a recrawler exists to
+              // revisit. Emit its current row into this window's
+              // fetch list and re-arm one interval past the clock
+              // that fired it.
+              val st = state.get
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs + intervalS(st) * 1000L)
+              Iterator.single((url, st.nCaptures, st.nChanges,
+                               st.lastModified, st.etag, valAgeS(st)))
             }
-            // validators keep their own recency (a capture without
-            // one must not null out the last known validator)
-            if ((lm != null || et != null) &&
-                (tsUs > st.valTs ||
-                 (tsUs == st.valTs && docId > st.valDoc)))
-              st = st.copy(lastModified = lm, etag = et,
-                           valTs = tsUs, valDoc = docId)
+          } else {
+            var st = state.getOption.getOrElse(
+              RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
+                           Long.MinValue, Long.MinValue))
+            for ((_, fpOpt, lm, et, tsUs, docId, _)
+                 <- rows.toArray.sortBy(r => (r._5, r._6))) {
+              fpOpt match {
+                case None => // revisit: capture counted, no transition
+                  st = st.copy(nCaptures = st.nCaptures + 1L)
+                case Some(fp) =>
+                  if (st.hasFp && fp != st.lastFp)
+                    st = st.copy(nChanges = st.nChanges + 1L)
+                  st = st.copy(lastFp = fp, hasFp = true,
+                               nCaptures = st.nCaptures + 1L)
+              }
+              if (tsUs > st.lastCapTs) st = st.copy(lastCapTs = tsUs)
+              // validators keep their own recency (a capture without
+              // one must not null out the last known validator)
+              if ((lm != null || et != null) &&
+                  (tsUs > st.valTs ||
+                   (tsUs == st.valTs && docId > st.valDoc)))
+                st = st.copy(lastModified = lm, etag = et,
+                             valTs = tsUs, valDoc = docId)
+            }
+            state.update(st)
+            if (timed) {
+              // one timer per page: next-due instant (due mode) or
+              // idle-eviction instant (TTL mode), floored just past
+              // the current watermark (Spark rejects a timer the
+              // clock has already passed)
+              val horizon =
+                if (dueBaseS > 0L) intervalS(st) else idleTtlS
+              val atMs = st.lastCapTs / 1000L + horizon * 1000L
+              state.setTimeoutTimestamp(
+                math.max(atMs, state.getCurrentWatermarkMs + 1000L))
+            }
+            Iterator.single((url, st.nCaptures, st.nChanges,
+                             st.lastModified, st.etag, valAgeS(st)))
           }
-          state.update(st)
-          Iterator.single((url, st.nCaptures, st.nChanges,
-                           st.lastModified, st.etag))
       }
       .toDF("canon_url", "n_captures", "n_changes",
-            "if_modified_since", "if_none_match")
+            "if_modified_since", "if_none_match", "_val_age_s")
       .withColumn("host", Urls.host(col("canon_url")))
       .filter(col("host").isNotNull)
+    // declared sitemap freshness (q193's blend) as an optional
+    // stream-static frame: (canon_url, changefreq) — near-unique key,
+    // shuffle-pinned, never broadcast
+    val withDecl = declared match {
+      case Some(dd) =>
+        stats.join(dd.select(col("canon_url"), col("changefreq"))
+            .hint("shuffle_hash"), Seq("canon_url"), "left")
+      case None => stats.withColumn("changefreq",
+                                    lit(null).cast("string"))
+    }
+    // score_e12 = rank x (1 + observed changes) x (1 + declared
+    // changefreq weight) x (1 + validator staleness) — all BIGINT,
+    // q193's exact spelling extended by the staleness term: pages
+    // whose conditional-GET tokens have aged `staleBoostS` seconds
+    // beyond their latest capture earn a step up per elapsed unit
+    // (0 when the frame has no validators — an unconditional refetch
+    // has no token to go stale). staleBoostS = 0 disables the term,
+    // which is the q193 stream==batch parity configuration.
+    val staleFactor =
+      if (staleBoostS > 0L)
+        lit(1L) + expr(s"_val_age_s div $staleBoostS")
+      else lit(1L)
     // host-sized rank artifact: shuffle-pinned, the no-broadcast rule
-    stats.join(ranks.select(col("host"), col("rank_e12"))
+    withDecl.join(ranks.select(col("host"), col("rank_e12"))
         .hint("shuffle_hash"), Seq("host"), "left")
       .select(col("canon_url"), col("host"), col("n_captures"),
         col("n_changes"),
-        (coalesce(col("rank_e12"), lit(0L)) * (col("n_changes") + 1L))
+        (coalesce(col("rank_e12"), lit(0L)) * (col("n_changes") + 1L) *
+          (graft.operators.WebGraph.changefreqWeight(col("changefreq"))
+            + 1L) * staleFactor)
           .as("score_e12"),
         col("if_modified_since"), col("if_none_match"))
   }

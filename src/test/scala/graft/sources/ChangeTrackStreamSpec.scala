@@ -65,4 +65,43 @@ class ChangeTrackStreamSpec extends AnyFunSuite with SparkSpec {
     val out = run(Seq(b), "chg_order")
     assert(out(u) === Seq((3L, 2L, 1.0, "hot")))
   }
+
+  test("idleTtlS: a page idle past the TTL evicts on the event clock and re-learns from scratch; active pages keep state") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Crawl.changeTrackStream(
+        Crawl.parseCrawl(mem.toDF().toDF("value")), idleTtlS = 3600L)
+      .writeStream.format("memory").queryName("chg_ttl")
+      .outputMode("append").start()
+    def rowsOf(u: String): Seq[(Long, Long)] =
+      spark.table("chg_ttl").collect()
+        .filter(_.getString(0) == u)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = "http://a.com/idle"
+    val b = "http://b.org/active"
+    try {
+      // batch 1: both pages capture at T0
+      mem.addData(cap(1, a, "v1", "2026-03-01T00:00:00"),
+                  cap(2, b, "w1", "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      // batch 2: only b re-captures, 3 h later — the event clock
+      // (watermark = max event - TTL) moves past a's TTL horizon
+      mem.addData(cap(3, b, "w2", "2026-03-02T03:00:00"))
+      q.processAllAvailable()
+      // batch 3: push the clock further so a's eviction timer fires
+      mem.addData(cap(4, b, "w2", "2026-03-02T06:00:00"))
+      q.processAllAvailable()
+      // batch 4: a RE-ARRIVES (event time ahead of the watermark) —
+      // its evicted history restarts at one capture, zero changes,
+      // even though its body CHANGED (v1 -> v2 is invisible now: the
+      // documented TTL loss)
+      mem.addData(cap(5, a, "v2", "2026-03-02T06:30:00"))
+      q.processAllAvailable()
+      assert(rowsOf(a) === Seq((1L, 0L), (1L, 0L)),
+        s"evicted page must re-learn from scratch: ${rowsOf(a)}")
+      // the active page kept its cross-batch state throughout
+      assert(rowsOf(b) === Seq((1L, 0L), (2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
 }

@@ -224,6 +224,196 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // due-time wakeups: the door as a SCHEDULER, not a re-pricer
+  // ------------------------------------------------------------------
+
+  test("due wakeups: a hot page the crawl stops touching re-emits when its interval elapses; a cold page does not") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    // base 7200 s: page A (3 captures, 2 changes) earns interval
+    // 7200/3 = 2400 s; page B (1 capture) keeps the full 7200 s
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      dueBaseS = 7200L, dueLateS = 0L)
+    val q = rf.writeStream.format("memory").queryName("refetch_due")
+      .outputMode("append").start()
+    def rowsOf(u: String): Seq[(Long, Long, String)] =
+      spark.table("refetch_due").collect()
+        .filter(_.getString(0) == u)
+        .map(r => (r.getLong(2), r.getLong(3), r.getString(6))).toSeq
+    try {
+      // batch 1: A churns through 3 versions by T0+2h (due T0+2h40m);
+      // cold B captures once at T0+2h (due T0+4h)
+      mem.addData(
+        cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00",
+            etag = "e1"),
+        cap(2, "http://a.com/x", "v2", "2026-03-01T01:00:00",
+            etag = "e2"),
+        cap(3, "http://a.com/x", "v3", "2026-03-01T02:00:00",
+            etag = "e3"),
+        cap(4, "http://b.org/y", "w1", "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x") === Seq((3L, 2L, "e3")))
+      // batch 2: an unrelated page advances the event clock to T0+3h
+      // — past A's due instant, NOT past B's. A fires with NO new
+      // arrival, carrying its conditional-GET columns.
+      mem.addData(cap(5, "http://c.io/z", "c1", "2026-03-01T03:00:00"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x") ===
+        Seq((3L, 2L, "e3"), (3L, 2L, "e3")),
+        "the due wakeup must emit the page's current row once")
+      assert(rowsOf("http://b.org/y").size === 1,
+        "a cold page's far-off due instant must not fire")
+      // batch 3: clock to T0+3h30m — below A's re-armed instant
+      // (T0+3h40m) and below B's: no further fires
+      mem.addData(cap(6, "http://d.io/w", "d1", "2026-03-01T03:30:00"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x").size === 2)
+      assert(rowsOf("http://b.org/y").size === 1)
+    } finally q.stop()
+  }
+
+  test("validatorsStream idleTtlS: eviction is output-invisible (replacement recency) and the TTL watermark is the real drop cutoff") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Crawl.validatorsStream(
+        parsedWithValidators0(mem.toDF().toDF("value")), idleTtlS = 3600L)
+      .writeStream.format("memory").queryName("val_ttl")
+      .outputMode("append").start()
+    def etagsOf(u: String): Seq[String] =
+      spark.table("val_ttl").collect().filter(_.getString(0) == u)
+        .map(_.getString(3)).toSeq
+    try {
+      mem.addData(
+        cap(1, "http://a.com/idle", "v1", "2026-03-01T00:00:00",
+            lastMod = "Sun, 01 Mar 2026 00:00:00 GMT", etag = "e1"),
+        cap(2, "http://b.org/live", "w1", "2026-03-01T00:00:00",
+            etag = "f1"))
+      q.processAllAvailable()
+      // b keeps capturing; the event clock moves far past a's TTL
+      // horizon, so a's state evicts on the event clock
+      mem.addData(cap(3, "http://b.org/live", "w2",
+                      "2026-03-01T05:00:00", etag = "f2"))
+      q.processAllAvailable()
+      mem.addData(cap(4, "http://b.org/live", "w3",
+                      "2026-03-01T08:00:00", etag = "f3"))
+      q.processAllAvailable()
+      // batch 4: (i) a LATE capture of c — event time T0+2h, already
+      // 6 h behind the watermark = beyond the TTL tolerance — is
+      // DROPPED, the documented loss semantics; (ii) a's re-arrival
+      // (ahead of the watermark) re-learns and emits normally —
+      // latest-capture replacement makes the eviction itself
+      // output-invisible, which is exactly why the TTL is safe here
+      mem.addData(
+        cap(5, "http://c.net/late", "x1", "2026-03-01T02:00:00",
+            etag = "g1"),
+        cap(6, "http://a.com/idle", "v2", "2026-03-01T07:30:00",
+            etag = "e2"))
+      q.processAllAvailable()
+      assert(etagsOf("http://c.net/late") === Seq.empty,
+        "a capture older than the TTL watermark must drop")
+      val aRows = spark.table("val_ttl").collect()
+        .filter(_.getString(0) == "http://a.com/idle")
+        .map(r => (r.getString(1), r.getString(3))).toSeq
+      assert(aRows === Seq(
+        ("Sun, 01 Mar 2026 00:00:00 GMT", "e1"), (null, "e2")))
+      // the active page's validator recency was never disturbed
+      assert(etagsOf("http://b.org/live") === Seq("f1", "f2", "f3"))
+    } finally q.stop()
+  }
+
+  test("due wakeups and idle TTL are mutually exclusive (one event-time timer per group)") {
+    import spark.implicits._
+    val ranks = Seq(("a.com", 1L)).toDF("host", "rank_e12")
+    val parsed = parsedWithValidators0(Seq.empty[String].toDF("value"))
+    assertThrows[IllegalArgumentException](
+      Crawl.refetchStream(parsed, ranks, dueBaseS = 10L, idleTtlS = 10L))
+  }
+
+  // ------------------------------------------------------------------
+  // the live price: declared freshness + validator staleness
+  // ------------------------------------------------------------------
+
+  test("declared blend: stream score equals declaredFreshnessQueue (q193) on shared pages") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 4000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    val declared = Seq(("http://a.com/x", "hourly"),
+                       ("http://b.org/y", "yearly"))
+      .toDF("canon_url", "changefreq")
+    val lines = Seq(
+      cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00"),
+      cap(2, "http://a.com/x", "v2", "2026-03-02T00:00:00"),
+      cap(3, "http://b.org/y", "w1", "2026-03-01T00:00:00"),
+      cap(4, "http://b.org/y", "w1", "2026-03-02T00:00:00"),
+      cap(5, "http://a.com/z", "u1", "2026-03-01T00:00:00"))
+    // batch twin: q193's exact spelling over the same corpus
+    val stats = graft.operators.WebGraph.recrawlPriority(
+        Crawl.parseCrawl(lines.toDF("value"))
+          .select(Urls.canonicalize(col("url")).as("canon_url"),
+                  xxhash64(col("text")).as("fp")))
+      .select(col("canon_url"), col("n_changes"),
+              Urls.host(col("canon_url")).as("host"))
+    val batch = graft.operators.WebGraph
+      .declaredFreshnessQueue(stats, ranks, declared, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(batch === Map(
+      "http://a.com/x" -> 56000000000000L, // 4e12 * (1+1) * (1+6)
+      "http://b.org/y" -> 1000000000000L,  // 1e12 * 1 * 1
+      "http://a.com/z" -> 4000000000000L)) // 4e12 * 1 * 1
+    // stream: same ranks, same declared frame, staleness off
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      declared = Some(declared))
+    val q = rf.writeStream.format("memory").queryName("refetch_decl")
+      .outputMode("append").start()
+    try {
+      mem.addData(lines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("refetch_decl").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(stream === batch,
+      s"stream price must equal the q193 batch blend: $stream")
+  }
+
+  test("validator staleness: tokens aging past staleBoostS step the price up; token-less pages are neutral") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      staleBoostS = 3600L)
+    val q = rf.writeStream.format("memory").queryName("refetch_stale")
+      .outputMode("append").start()
+    try {
+      // A's validators arrive at T0; its newest capture (T0+2h)
+      // carries none -> validator age 7200 s = 2 stale steps.
+      // B never carries validators -> neutral factor 1.
+      mem.addData(
+        cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00",
+            etag = "e1"),
+        cap(2, "http://a.com/x", "v2", "2026-03-01T02:00:00"),
+        cap(3, "http://b.org/y", "w1", "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      val m = spark.table("refetch_stale").collect()
+        .map(r => r.getString(0) -> (r.getLong(4), r.getString(6))).toMap
+      // A: 1e12 * (1+1 change) * (1 + 7200 div 3600) = 6e12; the aged
+      // etag still rides as the conditional-GET token
+      assert(m("http://a.com/x") === ((6000000000000L, "e1")))
+      // B: 1e12 * 1 * 1 — no token, nothing to go stale
+      assert(m("http://b.org/y") === ((1000000000000L, null)))
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------------
   // startRefetchSink: ranked, windowed, exactly-once lists
   // ------------------------------------------------------------------
 
