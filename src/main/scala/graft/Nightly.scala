@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   * builds them once on the first-ever night), so night N+1 pays serve
   * cost, not derive cost.
   *
-  * Usage: runMain graft.Nightly <corpusDir> <outDir>
+  * Usage: runMain graft.Nightly <corpusDir> <outDir> [warcCrawlDir]
+  *
+  * With a third argument the CRAWL tier runs first: the WARC dir's
+  * link-edge / host-rank / trust-rank / trap-verdict artifacts land
+  * (or serve) through DerivedCache — so night N+1's crawl pays serve
+  * cost — and the night's frontier + refetch manifests land under
+  * `outDir/crawl/` for the next crawl cadence.
   *
   * Layout written:
   *   outDir/curated/        curated corpus, split-partitioned
@@ -24,6 +30,8 @@ import org.apache.spark.sql.functions._
   *   outDir/anneal_plan/    q149 annealed schedule (per-epoch grants)
   *   outDir/anneal_manifest/ q153 realized annealed manifests
   *   outDir/source_stats/   per-source stats (decomposes the grants)
+  *   outDir/crawl/          (with warcCrawlDir) trap_verdicts,
+  *                          frontier, refetch_queue manifests
   *   outDir/report.json     per-stage seconds + row counts + audit result
   *
   * Exit code 1 if the landed-shard audit reports violations — a nightly
@@ -46,7 +54,10 @@ object Nightly {
     "q171_markup_residue")
 
   def main(args: Array[String]): Unit = {
-    val Array(corpus, out) = args
+    val (corpus, out, crawl) = args match {
+      case Array(c, o)    => (c, o, None)
+      case Array(c, o, w) => (c, o, Some(w))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,14 +67,22 @@ object Nightly {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val report = run(spark, corpus, out)
+    val report = run(spark, corpus, out, crawl)
     println(report)
     spark.stop()
     if (!report.contains("\"audit_violations\":0")) sys.exit(1)
   }
 
-  /** The stage sequence, returning the JSON report it also writes. */
-  def run(spark: SparkSession, corpus: String, out: String): String = {
+  /** The stage sequence, returning the JSON report it also writes.
+    * `crawl` (optional) points at a WARC crawl directory: the crawl
+    * tier then runs FIRST — link edges → host/trust ranks → trap
+    * verdicts land as DerivedCache artifacts (night N+1 pays serve
+    * cost; the report's `crawl_artifacts` freshness rows prove it),
+    * and the night's frontier + refetch manifests land under
+    * `outDir/crawl/` for the next crawl cadence to consume.
+    */
+  def run(spark: SparkSession, corpus: String, out: String,
+          crawl: Option[String] = None): String = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
     def stage(name: String)(body: => Long): Long = {
       val t0 = System.nanoTime()
@@ -71,7 +90,54 @@ object Nightly {
       stages += ((name, (System.nanoTime() - t0) / 1e9, n))
       n
     }
-    import operators.{Curation, Prep}
+    import operators.{Curation, Prep, WebGraph}
+    import sources.{Crawl, Urls}
+
+    crawl.foreach { cd =>
+      stage("crawl_edges") {
+        WebGraph.crawlLinkEdgesTable(spark, cd).count()
+      }
+      stage("crawl_ranks") {
+        WebGraph.crawlHostRankTable(spark, cd).count() +
+          WebGraph.crawlTrustRankTable(spark, cd).count()
+      }
+      stage("crawl_traps") {
+        WebGraph.crawlTrapVerdictsTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/trap_verdicts")
+        spark.read.parquet(s"$out/crawl/trap_verdicts").count()
+      }
+      stage("crawl_frontier") {
+        // the next cadence's fetch list: batch frontier over the
+        // landed corpus — robots-gated, trap-capped via the verdicts
+        // just landed (the q191 composition)
+        val parsed = Crawl.readWarc(spark, cd, extractHtml = false)
+        val fr = Crawl.frontier(parsed, perHostCap = 64,
+            robotsAgent = Some("graftbot"))
+          .join(spark.read.parquet(s"$out/crawl/trap_verdicts")
+              .select(col("host"), col("verdict")).hint("shuffle_hash"),
+            Seq("host"), "left")
+          .filter(col("rk") <= when(col("verdict") === "trap", 1L)
+            .otherwise(Long.MaxValue))
+          .drop("verdict")
+        fr.write.mode("overwrite").parquet(s"$out/crawl/frontier")
+        spark.read.parquet(s"$out/crawl/frontier").count()
+      }
+      stage("crawl_refetch") {
+        // the recrawl manifest: q196's due pricing over the real
+        // capture history (raw-body fingerprints)
+        val parsed = Crawl.readWarc(spark, cd, extractHtml = false)
+        val caps = parsed
+          .filter(!col("corrupt") && col("url").isNotNull &&
+            col("text").isNotNull)
+          .select(Urls.canonicalize(col("url")).as("canon_url"),
+                  xxhash64(col("text")).as("fp"),
+                  col("ts").cast("long").as("ts_s"))
+          .filter(col("canon_url").isNotNull)
+        WebGraph.refetchDue(caps, dueBaseS = 86400L)
+          .write.mode("overwrite").parquet(s"$out/crawl/refetch_queue")
+        spark.read.parquet(s"$out/crawl/refetch_queue").count()
+      }
+    }
 
     stage("curate") {
       Curation.exportCurated(spark, corpus, s"$out/curated")
@@ -165,9 +231,16 @@ object Nightly {
     // the derive bill is visible before it is paid. After a clean
     // night every stage-backing artifact is fresh by construction; a
     // stale row here means the corpus moved under the run.
+    // crawl-tier artifact freshness rides the report beside the
+    // corpus-tier rows: night N+1's crawl serve-vs-rebuild bill is
+    // visible before it is paid
+    val crawlArtifacts = crawl
+      .map(cd => s""""crawl_artifacts":${artifactStatusJson(spark, cd)},""")
+      .getOrElse("")
     val report =
       s"""{"corpus":"$corpus","stages":$body,""" +
         s""""artifacts":${artifactStatusJson(spark, corpus)},""" +
+        crawlArtifacts +
         s""""audit_violations":$violations}"""
     // through the Hadoop FS like every other artifact — the runbook's
     // outDir may be shared storage, not the driver's local disk

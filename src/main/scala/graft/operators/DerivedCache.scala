@@ -165,7 +165,10 @@ object DerivedCache {
       delta: Seq[String] => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val dirStr = s"$root/${corpusKey(d)}/$artifact"
-    val cur = manifestLines(s, s"$d/$table")
+    // table "." keys the manifest on the corpus dir ITSELF — the
+    // whole-dir corpora (a WARC crawl directory) whose appended files
+    // land at the top level rather than under a named table
+    val cur = manifestLines(s, if (table == ".") d else s"$d/$table")
     val curText = cur.map(_._1).mkString("\n")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(conf)
@@ -429,7 +432,8 @@ object DerivedCache {
     val manifestFps = scala.collection.mutable.Map.empty[String, String]
     def manifestFp(table: String): String =
       manifestFps.getOrElseUpdate(table, md5hex(
-        manifestLines(s, s"$d/$table").map(_._1).mkString("\n")))
+        manifestLines(s, if (table == ".") d else s"$d/$table")
+          .map(_._1).mkString("\n")))
     val rows =
       if (!fs.exists(dir)) Seq.empty[(String, Boolean, Long, Long)]
       else fs.listStatus(dir).toSeq

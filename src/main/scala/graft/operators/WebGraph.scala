@@ -301,6 +301,85 @@ object WebGraph {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Crawl-tier artifacts over a REAL WARC corpus dir (the nightly's
+  // crawl stage — graft.Nightly): same DerivedCache lifecycles as the
+  // planted tables above, but the extraction is the real front end
+  // (readWarc -> linkEdges -> edgesFromLinks).
+  // ------------------------------------------------------------------
+
+  /** The landed link-edge table of a WARC crawl directory
+    * (`crawl_link_edges_v1`), append-incremental on the DIRECTORY
+    * manifest (table "."): a nightly crawl appends `.warc.gz` files,
+    * and the refresh parses links from ONLY the appended members —
+    * raw-body read (extraction destroys markup), distinct host-edge
+    * merge. The expensive pass (gunzip + HTML parse) is exactly the
+    * one this lifecycle amortizes.
+    */
+  def crawlLinkEdgesTable(s: SparkSession, warcDir: String): DataFrame =
+    DerivedCache.orBuildIncremental(s, warcDir, "crawl_link_edges_v1",
+        table = ".")(
+      { linkEdgeDerives.incrementAndGet()
+        edgesFromLinks(graft.sources.Crawl.linkEdges(
+          graft.sources.Crawl.readWarc(s, warcDir,
+                                       extractHtml = false))) })(
+      files => { linkEdgeDerives.incrementAndGet()
+        edgesFromLinks(graft.sources.Crawl.linkEdges(
+          graft.sources.Crawl.readWarcFiles(s, files,
+                                            extractHtml = false))) })(
+      (old, dl) => old.unionByName(dl).distinct())
+
+  /** Host PageRank of a WARC crawl dir (`crawl_host_rank_v1`) — the
+    * second-order lifecycle of [[hostRankTable]], keyed on the landed
+    * crawl edge artifact: an edge append invalidates exactly this,
+    * and the rebuild reads only landed edges.
+    */
+  def crawlHostRankTable(s: SparkSession, warcDir: String): DataFrame = {
+    val edges = crawlLinkEdgesTable(s, warcDir)
+    DerivedCache.orBuildFromDir(s, warcDir, "crawl_host_rank_v1",
+        DerivedCache.artifactDir(warcDir, "crawl_link_edges_v1")) {
+      rankDerives.incrementAndGet()
+      pageRank(edges, 3)
+    }
+  }
+
+  /** TrustRank of a WARC crawl dir (`crawl_trust_rank_v1`) — same
+    * lifecycle as [[crawlHostRankTable]]. Seeds: the deterministic
+    * hash placeholder (xxhash64(host) % 7 == 0 — ~1/7 of hosts); a
+    * deployment swaps in its curated seed table and bumps the version
+    * suffix (the q186 convention).
+    */
+  def crawlTrustRankTable(s: SparkSession, warcDir: String): DataFrame = {
+    val edges = crawlLinkEdgesTable(s, warcDir)
+    DerivedCache.orBuildFromDir(s, warcDir, "crawl_trust_rank_v1",
+        DerivedCache.artifactDir(warcDir, "crawl_link_edges_v1")) {
+      rankDerives.incrementAndGet()
+      val hosts = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+      val seeds = hosts.filter(pmod(xxhash64(col("host")), lit(7)) === 0)
+      trustRank(edges, seeds, 3)
+    }
+  }
+
+  /** Trap verdicts of a WARC crawl dir (`crawl_trap_verdicts_v1`) —
+    * [[crawlTraps]] over the crawl's canonical URL space, persisted
+    * with the plain corpus-fingerprint lifecycle (host-sized output;
+    * the rebuild is one projection + one host-keyed aggregation).
+    * The threshold bakes into the landed bytes — changing it means a
+    * version bump or an invalidate, the documented artifact rule.
+    */
+  def crawlTrapVerdictsTable(s: SparkSession, warcDir: String,
+                             threshold: Double = 3.0): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_trap_verdicts_v1") {
+      crawlTraps(
+        graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false)
+          .filter(!col("corrupt") && col("url").isNotNull)
+          .select(graft.sources.Urls.canonicalize(col("url"))
+            .as("canon_url"))
+          .filter(col("canon_url").isNotNull),
+        threshold)
+    }
+
   private def siteEdgesOf(docFrame: DataFrame): DataFrame = {
     val k = (col("doc_id") % 250).as("k")
     val k0 = docFrame.select(k).distinct()

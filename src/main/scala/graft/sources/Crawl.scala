@@ -87,18 +87,29 @@ private[sources] case class ValidatorState(lastModified: String,
   * host's CURRENT compiled robots rules + declared delay (parallel
   * arrays indexed by host, with the capture recency that installed
   * them, so stale replays never roll rules back) riding beside the
-  * budget key's shared emitted-URL set. Without a family frame a key
-  * is one host (arrays of length <= 1 — the classic shape); with one,
-  * the arrays are bounded by the family's member count and the
-  * emitted set by the shared cap — the whole state stays small and
-  * fixed per key.
+  * budget key's shared emitted-URL set. With live trap detection on
+  * (`trapThreshold` > 0), each member host additionally carries its
+  * distinct-URL / distinct-template tracking sets (the
+  * [[TrapTrackState]] machinery, host-indexed — exact to `maxTrack`,
+  * HyperLogLog past it), so a verdict trips in the SAME running query
+  * and collapses the host's budget with no restart. Without a family
+  * frame a key is one host (arrays of length <= 1 — the classic
+  * shape); with one, the arrays are bounded by the family's member
+  * count and the emitted set by the shared cap — the whole state
+  * stays small and fixed per key. Round 19 added the four trap
+  * arrays — restart pre-r19 checkpoints fresh (see the compatibility
+  * note above).
   */
 private[sources] case class LiveBudgetState(hosts: Array[String],
                                             rules: Array[String],
                                             delays: Array[Double],
                                             rulesTs: Array[Long],
                                             rulesDoc: Array[Long],
-                                            emitted: Array[Long])
+                                            emitted: Array[Long],
+                                            trapUrls: Array[Array[Long]],
+                                            trapUrlHll: Array[Array[Byte]],
+                                            trapTmpls: Array[Array[Long]],
+                                            trapTmplHll: Array[Array[Byte]])
 
 /** Per-host state for [[Crawl.trapStream]]: the xxh64 sets of
   * distinct canonical URLs and distinct URL templates seen so far,
@@ -945,6 +956,17 @@ object Crawl {
     * composes with the static-robots door ([[frontierStream]]),
     * where rules live outside the state. Output (host, url, rk),
     * append mode.
+    *
+    * `trapThreshold` > 0 closes the trap loop WITHOUT a restart:
+    * every capture rides into its host's budget group as a
+    * (url-hash, template-hash) observation — the exact q190 spelling
+    * [[trapStream]] runs, via the same [[trapTrack]]/[[trapCount]]
+    * machinery (exact to `trapMaxTrack`, HyperLogLog-honest past it)
+    * — and a host whose live expansion crosses the threshold has its
+    * effective cap collapse to 1 (the probe) for every later
+    * candidate, in the same running query. The static `trapVerdicts`
+    * frame still composes (landed verdicts from a previous cadence);
+    * the live gate covers what this crawl discovers mid-flight.
     */
   def frontierStreamLive(parsed: DataFrame,
                          seenBloom: Array[Byte],
@@ -957,7 +979,9 @@ object Crawl {
                          families: Option[DataFrame] = None,
                          rankCaps: Option[DataFrame] = None,
                          skipAssets: Boolean = true,
-                         aliases: Option[DataFrame] = None): DataFrame = {
+                         aliases: Option[DataFrame] = None,
+                         trapThreshold: Double = 0.0,
+                         trapMaxTrack: Int = 4096): DataFrame = {
     val hosted =
       streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets,
                        aliases)
@@ -980,7 +1004,8 @@ object Crawl {
     val cand = familyKeyed(ranked)
       .select(col("bkey"), lit(1).as("kind"), col("host"), col("url"),
               lit("").as("rules"), lit(0.0).as("delay_s"),
-              col("ts_s"), lit(0L).as("doc_id"), col("scap"))
+              col("ts_s"), lit(0L).as("doc_id"), col("scap"),
+              lit(0L).as("uh"), lit(0L).as("th"))
     // status-gated like the batch door ([[robotsCaptures]]): an HTML
     // 404/503 error body must not compile into the host's rule state.
     // Family-keyed too, so a member host's rules reach the family's
@@ -996,41 +1021,90 @@ object Crawl {
       .select(col("bkey"), lit(0).as("kind"), col("host"),
               lit("").as("url"), col("rules"), col("delay_s"),
               col("ts_s"), col("doc_id"),
-              lit(perHostCap.toLong).as("scap"))
+              lit(perHostCap.toLong).as("scap"),
+              lit(0L).as("uh"), lit(0L).as("th"))
+    // live trap detection (`trapThreshold` > 0): every CAPTURE rides
+    // into its host's budget group as a (url-hash, template-hash)
+    // observation — the q190 spelling, applied in state like robots —
+    // so a host whose URL space explodes collapses to its probe in
+    // the SAME running query, no restart, no nightly pass between
+    val trapRows =
+      if (trapThreshold <= 0.0) None
+      else Some(familyKeyed(parsed
+          .filter(!col("corrupt") && col("url").isNotNull)
+          .select(Urls.canonicalize(col("url")).as("canon_url"))
+          .filter(col("canon_url").isNotNull)
+          .select(Urls.host(col("canon_url")).as("host"),
+                  xxhash64(col("canon_url")).as("uh"),
+                  xxhash64(regexp_replace(col("canon_url"), "[0-9]+", "N"))
+                    .as("th"))
+          .filter(col("host").isNotNull))
+        .select(col("bkey"), lit(2).as("kind"), col("host"),
+                lit("").as("url"), lit("").as("rules"),
+                lit(0.0).as("delay_s"), lit(0L).as("ts_s"),
+                lit(0L).as("doc_id"), lit(perHostCap.toLong).as("scap"),
+                col("uh"), col("th")))
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    cand.unionByName(robots)
-      .as[(String, Int, String, String, String, Double, Long, Long, Long)]
+    trapRows.foldLeft(cand.unionByName(robots))(_ unionByName _)
+      .as[(String, Int, String, String, String, Double, Long, Long, Long,
+           Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LiveBudgetState, (String, String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           var st = state.getOption.getOrElse(LiveBudgetState(
             Array.empty, Array.empty, Array.empty, Array.empty,
-            Array.empty, Array.empty[Long]))
+            Array.empty, Array.empty[Long],
+            Array.empty, Array.empty, Array.empty, Array.empty))
           val batch = rows.toArray
+          // member-host slot: robots rules and trap tracking are both
+          // host-indexed within the (possibly family-keyed) group
+          def slot(host: String): Int = {
+            val i = st.hosts.indexOf(host)
+            if (i >= 0) i
+            else {
+              st = LiveBudgetState(st.hosts :+ host, st.rules :+ "",
+                st.delays :+ 0.0, st.rulesTs :+ Long.MinValue,
+                st.rulesDoc :+ Long.MinValue, st.emitted,
+                st.trapUrls :+ Array.empty[Long],
+                st.trapUrlHll :+ Array.empty[Byte],
+                st.trapTmpls :+ Array.empty[Long],
+                st.trapTmplHll :+ Array.empty[Byte])
+              st.hosts.length - 1
+            }
+          }
           // 1. newest robots capture wins PER HOST (event time, then
           //    doc_id) — with families, one group carries each member
           //    host's rules side by side
-          for ((_, kind, host, _, rules, delayS, tsS, docId, _) <- batch
-               if kind == 0) {
-            val i = st.hosts.indexOf(host)
-            if (i < 0)
-              st = LiveBudgetState(st.hosts :+ host, st.rules :+ rules,
-                st.delays :+ delayS, st.rulesTs :+ tsS,
-                st.rulesDoc :+ docId, st.emitted)
-            else if (tsS > st.rulesTs(i) ||
-                     (tsS == st.rulesTs(i) && docId > st.rulesDoc(i))) {
+          for ((_, kind, host, _, rules, delayS, tsS, docId, _, _, _)
+               <- batch if kind == 0) {
+            val i = slot(host)
+            if (tsS > st.rulesTs(i) ||
+                (tsS == st.rulesTs(i) && docId > st.rulesDoc(i))) {
               st.rules(i) = rules; st.delays(i) = delayS
               st.rulesTs(i) = tsS; st.rulesDoc(i) = docId
             }
           }
+          // 1b. capture observations advance their host's trap sets
+          //     BEFORE this batch's candidates gate (the trapStream
+          //     convention: a verdict trips in the batch that exposes
+          //     it) — exact to trapMaxTrack, HLL-honest past it
+          for ((host, rs) <- batch.filter(_._2 == 2).groupBy(_._3)) {
+            val i = slot(host)
+            val (u, uH) = trapTrack(st.trapUrls(i), st.trapUrlHll(i),
+              rs.iterator.map(_._10), trapMaxTrack)
+            st.trapUrls(i) = u; st.trapUrlHll(i) = uH
+            val (t, tH) = trapTrack(st.trapTmpls(i), st.trapTmplHll(i),
+              rs.iterator.map(_._11), trapMaxTrack)
+            st.trapTmpls(i) = t; st.trapTmplHll(i) = tH
+          }
           // 2. candidates gate against THEIR host's installed rules
           //    (fail open when none arrived yet), then the budget:
           //    group cap = tightest candidate row's static cap ∧ its
-          //    host's delay-derived cap — the conservative-member
-          //    rule of the static door
+          //    host's delay-derived cap ∧ the live trap collapse —
+          //    the conservative-member rule of the static door
           def delayCap(host: String): Long = {
             val i = st.hosts.indexOf(host)
             val d = if (i < 0) 0.0 else st.delays(i)
@@ -1043,15 +1117,28 @@ object Crawl {
             val i = st.hosts.indexOf(host)
             if (i < 0) "" else st.rules(i)
           }
+          def trapped(host: String): Boolean = trapThreshold > 0.0 && {
+            val i = st.hosts.indexOf(host)
+            i >= 0 && {
+              val nU = trapCount(st.trapUrls(i), st.trapUrlHll(i),
+                                 trapMaxTrack)
+              val nT = trapCount(st.trapTmpls(i), st.trapTmplHll(i),
+                                 trapMaxTrack)
+              nT > 0L && trapExpansion(nU, nT) >= trapThreshold
+            }
+          }
           val candRows = batch.filter(_._2 == 1)
           val cap =
             if (candRows.isEmpty) 0L
-            else candRows.iterator
-              .map(r => math.min(r._9, delayCap(r._3))).min
+            else candRows.iterator.map { r =>
+              val c = math.min(r._9, delayCap(r._3))
+              if (trapped(r._3)) math.min(c, 1L) else c
+            }.min
           val emitted = scala.collection.mutable.LinkedHashSet(
             st.emitted: _*)
           val out = Vector.newBuilder[(String, String, Long)]
-          for ((_, _, host, url, _, _, _, _, _) <- candRows.sortBy(_._4)
+          for ((_, _, host, url, _, _, _, _, _, _, _)
+               <- candRows.sortBy(_._4)
                if emitted.size < cap
                if Robots.allowedCompiled(url, rulesOf(host))) {
             val h = org.apache.spark.sql.catalyst.expressions
@@ -1222,46 +1309,63 @@ object Crawl {
           val st = state.getOption.getOrElse(
             TrapTrackState(Array.empty, Array.empty,
                            Array.empty, Array.empty))
-          // one tracked set + its saturation sketch, advanced in place
-          def track(set0: Array[Long], hll0: Array[Byte],
-                    hs: Iterator[Long]): (Array[Long], Array[Byte]) = {
-            var hll = hll0
-            val set = scala.collection.mutable.LinkedHashSet(set0: _*)
-            for (h <- hs) {
-              if (hll.nonEmpty) Hll.add(hll, h)
-              else if (!set.contains(h)) {
-                if (set.size < maxTrack) set += h
-                else {
-                  // saturation: fold the exact set into the sketch —
-                  // from here on distinct counting is idempotent under
-                  // re-arrivals instead of drifting with them
-                  hll = new Array[Byte](Hll.M)
-                  set.foreach(Hll.add(hll, _))
-                  Hll.add(hll, h)
-                  set.clear()
-                }
-              }
-            }
-            (set.toArray, hll)
-          }
           val batch = rows.toArray
-          val (urls, uHll) =
-            track(st.urls, st.urlHll, batch.iterator.map(_._2))
-          val (tmpls, tHll) =
-            track(st.templates, st.tmplHll, batch.iterator.map(_._3))
+          val (urls, uHll) = trapTrack(st.urls, st.urlHll,
+            batch.iterator.map(_._2), maxTrack)
+          val (tmpls, tHll) = trapTrack(st.templates, st.tmplHll,
+            batch.iterator.map(_._3), maxTrack)
           state.update(TrapTrackState(urls, uHll, tmpls, tHll))
-          def n(set: Array[Long], hll: Array[Byte]): Long =
-            if (hll.isEmpty) set.length.toLong
-            else math.max(maxTrack.toLong, Hll.estimate(hll))
-          val nUrls = n(urls, uHll)
-          val nTmpl = n(tmpls, tHll)
-          val expansion = BigDecimal(nUrls.toDouble / nTmpl.toDouble)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val nUrls = trapCount(urls, uHll, maxTrack)
+          val nTmpl = trapCount(tmpls, tHll, maxTrack)
+          val expansion = trapExpansion(nUrls, nTmpl)
           Iterator.single((host, nUrls, nTmpl, expansion,
             if (expansion >= threshold) "trap" else "ok"))
       }
       .toDF("host", "n_urls", "n_templates", "expansion", "verdict")
   }
+
+  /** Advance one trap-tracking set + its saturation sketch (shared by
+    * [[trapStream]] and [[frontierStreamLive]]'s in-state trap gate —
+    * ONE spelling, so the standalone detector and the live door
+    * cannot diverge): exact LinkedHashSet membership up to `maxTrack`
+    * distinct hashes; at saturation the set folds into a 256-register
+    * HyperLogLog, from which point distinct counting is idempotent
+    * under re-arrivals instead of drifting with them.
+    */
+  private[sources] def trapTrack(set0: Array[Long], hll0: Array[Byte],
+                                 hs: Iterator[Long], maxTrack: Int)
+      : (Array[Long], Array[Byte]) = {
+    var hll = hll0
+    val set = scala.collection.mutable.LinkedHashSet(set0: _*)
+    for (h <- hs) {
+      if (hll.nonEmpty) Hll.add(hll, h)
+      else if (!set.contains(h)) {
+        if (set.size < maxTrack) set += h
+        else {
+          hll = new Array[Byte](Hll.M)
+          set.foreach(Hll.add(hll, _))
+          Hll.add(hll, h)
+          set.clear()
+        }
+      }
+    }
+    (set.toArray, hll)
+  }
+
+  /** Distinct count of a tracked set: exact below saturation, the
+    * sketch estimate (floored at `maxTrack` — the count can never be
+    * below what was exactly tracked) after.
+    */
+  private[sources] def trapCount(set: Array[Long], hll: Array[Byte],
+                                 maxTrack: Int): Long =
+    if (hll.isEmpty) set.length.toLong
+    else math.max(maxTrack.toLong, Hll.estimate(hll))
+
+  /** The q190 expansion spelling: urls / templates, round-4dp. */
+  private[sources] def trapExpansion(nUrls: Long, nTmpl: Long): Double =
+    if (nTmpl <= 0L) 0.0
+    else BigDecimal(nUrls.toDouble / nTmpl.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Reduce a LANDED [[trapStream]] output (append-mode parquet — one
     * row per host per micro-batch that touched it) to each host's
@@ -2596,6 +2700,16 @@ object Crawl {
                extractHtml: Boolean = true,
                mainContent: Boolean = false): DataFrame =
     parseWarcFiles(s.read.format("binaryFile").load(path),
+                   extractor(extractHtml, mainContent))
+
+  /** Batch read of an EXPLICIT WARC file list — the incremental-
+    * refresh primitive: a DerivedCache delta pass reads only the
+    * files appended since the landed manifest, never the whole dir.
+    */
+  def readWarcFiles(s: SparkSession, files: Seq[String],
+                    extractHtml: Boolean = true,
+                    mainContent: Boolean = false): DataFrame =
+    parseWarcFiles(s.read.format("binaryFile").load(files: _*),
                    extractor(extractHtml, mainContent))
 
   /** Streaming read: newly landed WARC files become micro-batches,

@@ -32,6 +32,67 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     dst.toString
   }
 
+  test("Nightly with a WARC crawl dir: crawl artifacts land fresh, manifests land, night N+1 serves") {
+    import spark.implicits._
+    import sources.Crawl
+    val corpus = copyCorpus("/root/testdata/sf0.001")
+    // a small real WARC corpus: 5 hosts cross-linked, one trap host
+    // serving one-template ?sid spellings
+    val warc = java.nio.file.Files
+      .createTempDirectory("graft-nightly-warc").toString
+    val docs = ((1 to 20).map { i =>
+      val host = s"h${i % 5}.com"
+      val links =
+        s"<a href='http://h${(i + 1) % 5}.com/p$i'>x</a>" +
+          s"<a href='http://h${(i + 2) % 5}.com/q$i'>y</a>"
+      // letter paths: an honest host's pages must not collapse onto
+      // one digit-template (that is exactly what a TRAP looks like)
+      val path = ('a' + (i % 26)).toChar
+      (i.toLong, s"http://$host/$path", links,
+       java.sql.Timestamp.valueOf(s"2026-03-01 0${i % 9}:00:00"))
+    } ++ (21 to 32).map { i =>
+      (i.toLong, s"http://trap.example/cal/$i?sid=$i", "<p>cal</p>",
+       java.sql.Timestamp.valueOf("2026-03-01 01:00:00"))
+    }).toDF("doc_id", "url", "text", "ts")
+    Crawl.writeWarc(docs, warc)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-nightly-crawl").toString
+    val report = Nightly.run(spark, corpus, out, Some(warc))
+    assert(report.contains("\"audit_violations\":0"), report)
+    for (st <- Seq("crawl_edges", "crawl_ranks", "crawl_traps",
+                   "crawl_frontier", "crawl_refetch"))
+      assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
+    // the crawl-tier freshness table rides the report, all fresh
+    assert(report.contains("\"crawl_artifacts\":[{"), report)
+    val crawlSect = report.split("\"crawl_artifacts\":")(1)
+    assert(crawlSect.contains("\"fresh\":true") &&
+           !crawlSect.contains("\"fresh\":false"), crawlSect)
+    for (a <- Seq("crawl_link_edges_v1", "crawl_host_rank_v1",
+                  "crawl_trust_rank_v1", "crawl_trap_verdicts_v1"))
+      assert(crawlSect.contains(s""""artifact":"$a""""), crawlSect)
+    // the manifests landed and carry real content
+    val verdicts = spark.read.parquet(s"$out/crawl/trap_verdicts")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(verdicts("trap.example") === "trap")
+    assert(verdicts.count(_._2 == "ok") >= 5)
+    val frontier = spark.read.parquet(s"$out/crawl/frontier")
+    assert(frontier.count() > 0)
+    // the trap host's frontier collapsed to its probe
+    assert(frontier.filter(col("host") === "trap.example").count() <= 1)
+    assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
+    // night N+1 pays SERVE cost: the derive counters do not move
+    val e0 = operators.WebGraph.linkEdgeDerives.get()
+    val r0 = operators.WebGraph.rankDerives.get()
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-nightly-crawl2").toString
+    val report2 = Nightly.run(spark, corpus, out2, Some(warc))
+    assert(report2.contains("\"audit_violations\":0"), report2)
+    assert(operators.WebGraph.linkEdgeDerives.get() === e0,
+           "night N+1 re-derived the crawl edge table")
+    assert(operators.WebGraph.rankDerives.get() === r0,
+           "night N+1 re-derived a rank table")
+  }
+
   test("Nightly.run lands every artifact and the audit gate is clean") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-nightly-spec").toString

@@ -156,6 +156,57 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_._1 == "honest.org") === 2)
   }
 
+  test("live trap loop: a host trips in batch k inside ONE running frontier and its emission collapses to the probe in batch k+1") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def page(id: Long, url: String, links: Seq[String]): String = {
+      val html = links.zipWithIndex
+        .map { case (l, i) => s"""<a href='$l'>x$i</a>""" }.mkString(" ")
+      cap(id, url, html)
+    }
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStreamLive(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, agent = "graftbot", perHostCap = 3,
+      trapThreshold = 3.0)
+    val q = fr.writeStream.format("memory").queryName("trap_live_loop")
+      .outputMode("append").start()
+    def byHost(): Map[String, Set[String]] =
+      spark.table("trap_live_loop").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2).toSet }
+    try {
+      // batch 1: honest traffic — trap.com has shown 2 urls over 2
+      // templates (expansion 1.0), so its candidates emit normally
+      mem.addData(
+        page(1, "http://trap.com/a", Seq("http://trap.com/cal/page1")),
+        page(2, "http://trap.com/b", Seq.empty),
+        page(3, "http://honest.org/1", Seq("http://honest.org/x")))
+      q.processAllAvailable()
+      assert(byHost()("trap.com") === Set("http://trap.com/cal/page1"))
+      // batch 2 (= batch k): the crawl fetches trap.com's calendar —
+      // 9 one-template spellings take the host to 11 urls over 3
+      // templates (expansion 3.67 >= 3): TRIPPED, in the same running
+      // query, no restart, no nightly pass
+      mem.addData((1L to 9L).map(i =>
+        page(10 + i, s"http://trap.com/cal/p$i", Seq.empty)): _*)
+      q.processAllAvailable()
+      // batch 3 (= batch k+1): new discoveries on both hosts — the
+      // tripped host's effective cap is 1 and it already emitted 2,
+      // so NOTHING more emits; the honest host keeps its budget
+      mem.addData(
+        page(30, "http://s.net/1", Seq(
+          "http://trap.com/cal/p77", "http://trap.com/cal/p78",
+          "http://honest.org/y")))
+      q.processAllAvailable()
+      val m = byHost()
+      assert(m("trap.com") === Set("http://trap.com/cal/page1"),
+        s"a tripped host must stop emitting past its probe: $m")
+      assert(m("honest.org") === Set("http://honest.org/x",
+                                     "http://honest.org/y"))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // refetchStream: fused change+validator state, q188 pricing
   // ------------------------------------------------------------------
