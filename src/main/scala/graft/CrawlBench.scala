@@ -221,6 +221,56 @@ object CrawlBench {
       val sR = (System.nanoTime() - t4) / 1e9
       println(line("refetch-1x", spark.table("cb_refetch").count(),
         sR, bytes))
+
+      // the round-19 SCHEDULER refetch door: due-time wakeups armed
+      // (event-time timers per page) + the declared-freshness frame
+      // joined stream-static + the staleness term — the delta over
+      // refetch-1x prices one more near-unique-key shuffle join plus
+      // the timer bookkeeping in the state store
+      val declared = canon.distinct()
+        .select(col("canon_url"),
+          element_at(typedLit(Seq("always", "hourly", "daily", "weekly",
+                                  "monthly", "yearly")),
+            (pmod(xxhash64(col("canon_url")), lit(6)) + 1).cast("int"))
+            .as("changefreq"))
+      declared.write.parquet(s"$art/declared")
+      val rfD = sources.Crawl.refetchStream(
+        sources.Crawl.readWarcStream(spark, dir.toString,
+          extractHtml = false),
+        ranks,
+        declared = Some(spark.read.parquet(s"$art/declared")),
+        staleBoostS = 3600L,
+        dueBaseS = 86400L)
+      val ckpt4 = java.nio.file.Files.createTempDirectory("graft-cb-ck4")
+      val t5 = System.nanoTime()
+      val q4 = rfD.writeStream.format("memory").queryName("cb_refetch_due")
+        .option("checkpointLocation", ckpt4.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q4.awaitTermination()
+      val sD = (System.nanoTime() - t5) / 1e9
+      println(line("refetch-due-1x", spark.table("cb_refetch_due").count(),
+        sD, bytes))
+
+      // the FULLY-LIVE door with in-state trap detection: every
+      // capture rides into its host's budget group as a trap
+      // observation — the delta over frontier-stream-1x prices the
+      // live q190 gate (one more union leg + per-host tracked sets)
+      val frT = sources.Crawl.frontierStreamLive(
+        sources.Crawl.readWarcStream(spark, dir.toString,
+          extractHtml = false),
+        bloom, agent = "graftbot", perHostCap = 1000,
+        trapThreshold = 3.0)
+      val ckpt5 = java.nio.file.Files.createTempDirectory("graft-cb-ck5")
+      val t6 = System.nanoTime()
+      val q5 = frT.writeStream.format("memory").queryName("cb_front_trap")
+        .option("checkpointLocation", ckpt5.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q5.awaitTermination()
+      val sT = (System.nanoTime() - t6) / 1e9
+      println(line("frontier-livetrap-1x",
+        spark.table("cb_front_trap").count(), sT, bytes))
     }
     spark.stop()
   }
