@@ -366,6 +366,45 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("plan: the r19 alias and declared frames ride the shuffle path (both page-scale)") {
+    import spark.implicits._
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parsed = parsedOf(Seq(
+        page(1, "http://s.net/1",
+          Seq("http://a.com/p1", "http://a.com/p2"))))
+      // alias table = resolveRedirects output: page-scale, must never
+      // broadcast into the candidate projection
+      val aliases = Seq(("http://a.com/p1", "http://a.com/final"))
+        .toDF("url", "final_url")
+      val cand = Crawl.streamCandidates(parsed, Array.emptyByteArray,
+        sitemaps = false, aliases = Some(aliases))
+      val pc = cand.queryExecution.executedPlan.toString
+      assert(!pc.contains("BroadcastHashJoin"),
+             s"the page-scale alias table reached a broadcast join:\n$pc")
+      assert(pc.contains("ShuffledHashJoin"), pc)
+      // declared-freshness frame in the refetch door: near-unique page
+      // key — same rule (the rank join was already pinned in r18)
+      val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+      val declared = Seq(("http://a.com/p1", "hourly"))
+        .toDF("canon_url", "changefreq")
+      // refetch frames carry validator columns (the WARC shape)
+      val rparsed = Seq((false, 1L, "http://a.com/p1", "v1",
+          java.sql.Timestamp.valueOf("2026-03-01 00:00:00"),
+          null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("corrupt", "doc_id", "url", "text", "ts",
+              "last_modified", "etag")
+      val rf = Crawl.refetchStream(rparsed, ranks,
+        declared = Some(declared))
+      val pr = rf.queryExecution.executedPlan.toString
+      assert(!pr.contains("BroadcastHashJoin"),
+             s"a page/host-scale refetch frame reached a broadcast:\n$pr")
+      assert(pr.split("ShuffledHashJoin").length - 1 >= 2,
+             s"expected declared + rank joins shuffle-pinned:\n$pr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("live door: trap frame collapses a trap host to its probe") {
     import spark.implicits._
     val verdicts = Seq(("trap.com", "trap"), ("honest.org", "ok"))
