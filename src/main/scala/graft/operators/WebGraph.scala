@@ -865,6 +865,34 @@ object WebGraph {
                  lit(1L)))
       .withColumn("due_ts_s", col("last_ts_s") + col("interval_s"))
 
+  /** Declared-INSTANT recrawl trigger — the `<lastmod>` half of the
+    * sitemap freshness vocabulary (q193/q196 blend the RATE half): a
+    * page whose declared last-modification is NEWER than our last
+    * capture is due NOW, no interval arithmetic — the host just told
+    * us it changed (sitemaps.org; the signal conditional GET
+    * revalidates cheaply). Day-granular, the protocol's common form
+    * (full W3C datetimes compare by their date prefix), computed as
+    * epoch-day INTEGERS via calendar datediff — exact in both
+    * engines, no timezone parse in the comparison path. Inputs:
+    * `lastCaptures` (canon_url, last_ts_s), `declared` (canon_url,
+    * lastmod — the verbatim [[graft.sources.Sitemaps]] entry text).
+    * Undeclared or garbage lastmods are never due on THIS channel
+    * (the q196 interval channel still prices them). One
+    * near-unique-key left join.
+    */
+  def lastmodDue(lastCaptures: DataFrame,
+                 declared: DataFrame): DataFrame =
+    lastCaptures
+      .join(declared.hint("shuffle_hash"), Seq("canon_url"), "left")
+      .select(col("canon_url"), col("last_ts_s"), col("lastmod"),
+        datediff(
+          try_to_timestamp(substring(col("lastmod"), 1, 10),
+                           lit("yyyy-MM-dd")).cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("lastmod_day"))
+      .withColumn("due_now",
+        coalesce(col("lastmod_day") > expr("last_ts_s div 86400"),
+                 lit(false)).cast("long"))
+
   /** Rank-proportional crawl budgeting — the scheduler that ties the
     * host-quality prior ([[pageRank]]) to the fetch list
     * ([[frontierFromSets]]): a global budget `B` splits across hosts
@@ -2157,6 +2185,140 @@ object WebGraph {
           .filter(col("due_ts_s") <= col("asof_s"))
           .select("canon_url", "n_captures", "n_changes", "last_ts_s",
                   "interval_s", "due_ts_s")
+    },
+
+    Q("q197_lastmod_due",
+      "Declared-instant recrawl trigger: the sitemap <lastmod> half " +
+        "of the freshness vocabulary (q193/q196 blend the rate half) " +
+        "— a page whose declared last-modification is NEWER than our " +
+        "last capture is due NOW, no interval arithmetic; the host " +
+        "just said it changed. Day-granular epoch-day integers via " +
+        "calendar datediff (exact both engines, no timezone in the " +
+        "comparison). The Spark side renders planted hints as sitemap " +
+        "XML and parses them back through extract_sitemap, so the " +
+        "parser provably feeds the trigger; every 5th page declares " +
+        "nothing and is never due on this channel. One near-unique-" +
+        "key left join + a 1-row scalar broadcast.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url, doc_id % 250 AS k,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url, CAST(min(k) AS BIGINT) AS k,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
+          |      FROM v GROUP BY 1),
+          |a AS (SELECT CAST(max(ts_s) AS BIGINT) AS max_ts FROM v),
+          |d AS (SELECT canon_url,
+          |        CAST(DATE '1970-01-01' + CAST(
+          |          (a.max_ts + (g.k % 7 - 3) * 86400) // 86400 AS INT)
+          |          AS VARCHAR) AS lastmod
+          |      FROM g CROSS JOIN a WHERE g.k % 5 <> 0)
+          |SELECT g.canon_url, g.last_ts_s, d.lastmod,
+          |  CAST(date_diff('day', DATE '1970-01-01',
+          |    TRY_CAST(substring(d.lastmod, 1, 10) AS DATE)) AS BIGINT)
+          |    AS lastmod_day,
+          |  CAST(COALESCE(date_diff('day', DATE '1970-01-01',
+          |      TRY_CAST(substring(d.lastmod, 1, 10) AS DATE))
+          |      > g.last_ts_s // 86400, false) AS BIGINT) AS due_now
+          |FROM g LEFT JOIN d USING (canon_url)""".stripMargin) {
+      (s, d) =>
+        val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .select(col("canon_url"), (col("doc_id") % 250).as("k"),
+            expr("1700000000 + (doc_id div 250) * 3600").as("ts_s"))
+        val g = caps.groupBy("canon_url")
+          .agg(min("k").as("k"), max("ts_s").cast("long").as("last_ts_s"))
+        val mx = broadcast(caps.agg(max("ts_s").cast("long").as("max_ts")))
+        // render the planted instants as sitemap XML and parse them
+        // BACK through the real expression — the parser feeds the
+        // trigger (the q193 convention, applied to <lastmod>)
+        val lm = date_add(to_date(lit("1970-01-01")),
+          expr("cast((max_ts + (k % 7 - 3) * 86400) div 86400 as int)"))
+          .cast("string")
+        val xml = concat(lit("<urlset><url><loc>"), col("canon_url"),
+          lit("</loc><lastmod>"), lm,
+          lit("</lastmod></url></urlset>"))
+        val declared = g.crossJoin(mx).filter(col("k") % 5 =!= 0)
+          .select(col("canon_url"),
+            explode(graft.sources.Sitemaps.extract_sitemap(xml)).as("e"))
+          .select(col("canon_url"), col("e.lastmod").as("lastmod"))
+        lastmodDue(g.select("canon_url", "last_ts_s"), declared)
+    },
+
+    Q("q198_due_queue",
+      "The composed due WORK LIST — both freshness channels consumed " +
+        "together: a page enters the queue when its q196 interval " +
+        "(observed change rate) has elapsed at the as-of instant OR " +
+        "its q197 declared <lastmod> is newer than our last capture, " +
+        "with channel provenance (interval / lastmod / both) so an " +
+        "operator reads WHY each fetch is scheduled. This is the " +
+        "table a recrawler drains; conditional-GET columns ride from " +
+        "the validator table at fetch time. Two near-unique-key " +
+        "aggregations + one union + one group-by; all exact-integer.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url, doc_id % 250 AS k,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url, CAST(min(k) AS BIGINT) AS k,
+          |        CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
+          |      FROM v GROUP BY 1),
+          |a AS (SELECT CAST(max(ts_s) AS BIGINT) AS max_ts FROM v),
+          |iv AS (SELECT canon_url FROM g CROSS JOIN a
+          |       WHERE last_ts_s + greatest(
+          |           CAST(7200 AS BIGINT) // (1 + (n_versions - 1)),
+          |           CAST(1 AS BIGINT)) <= a.max_ts + 3600),
+          |d AS (SELECT canon_url,
+          |        CAST(DATE '1970-01-01' + CAST(
+          |          (a.max_ts + (g.k % 7 - 3) * 86400) // 86400 AS INT)
+          |          AS VARCHAR) AS lastmod
+          |      FROM g CROSS JOIN a WHERE g.k % 5 <> 0),
+          |lm AS (SELECT g.canon_url FROM g JOIN d USING (canon_url)
+          |       WHERE date_diff('day', DATE '1970-01-01',
+          |           TRY_CAST(substring(d.lastmod, 1, 10) AS DATE))
+          |           > g.last_ts_s // 86400),
+          |u AS (SELECT canon_url, 1 AS iv, 0 AS lm FROM iv
+          |      UNION ALL SELECT canon_url, 0, 1 FROM lm),
+          |q AS (SELECT canon_url, max(iv) AS iv, max(lm) AS lm
+          |      FROM u GROUP BY 1)
+          |SELECT canon_url,
+          |  CASE WHEN iv = 1 AND lm = 1 THEN 'both'
+          |       WHEN iv = 1 THEN 'interval' ELSE 'lastmod' END
+          |    AS channel
+          |FROM q""".stripMargin) { (s, d) =>
+      val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+        .select(col("canon_url"), (col("doc_id") % 250).as("k"),
+          expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
+          expr("1700000000 + (doc_id div 250) * 3600").as("ts_s"))
+      val g = caps.groupBy("canon_url")
+        .agg(min("k").as("k"), max("ts_s").cast("long").as("last_ts_s"))
+      val mx = broadcast(caps.agg(max("ts_s").cast("long").as("max_ts")))
+      val asof = broadcast(
+        caps.agg((max("ts_s").cast("long") + 3600L).as("asof_s")))
+      val iv = refetchDue(caps.select("canon_url", "fp", "ts_s"),
+          dueBaseS = 7200L)
+        .crossJoin(asof).filter(col("due_ts_s") <= col("asof_s"))
+        .select("canon_url")
+      val lmDate = date_add(to_date(lit("1970-01-01")),
+        expr("cast((max_ts + (k % 7 - 3) * 86400) div 86400 as int)"))
+        .cast("string")
+      val xml = concat(lit("<urlset><url><loc>"), col("canon_url"),
+        lit("</loc><lastmod>"), lmDate,
+        lit("</lastmod></url></urlset>"))
+      val declared = g.crossJoin(mx).filter(col("k") % 5 =!= 0)
+        .select(col("canon_url"),
+          explode(graft.sources.Sitemaps.extract_sitemap(xml)).as("e"))
+        .select(col("canon_url"), col("e.lastmod").as("lastmod"))
+      val lm = lastmodDue(g.select("canon_url", "last_ts_s"), declared)
+        .filter(col("due_now") === 1L).select("canon_url")
+      iv.select(col("canon_url"), lit(1).as("iv"), lit(0).as("lm"))
+        .unionByName(
+          lm.select(col("canon_url"), lit(0).as("iv"), lit(1).as("lm")))
+        .groupBy("canon_url")
+        .agg(max("iv").as("iv"), max("lm").as("lm"))
+        .select(col("canon_url"),
+          when(col("iv") === 1 && col("lm") === 1, "both")
+            .when(col("iv") === 1, "interval")
+            .otherwise("lastmod").as("channel"))
     }
   )
 

@@ -418,4 +418,26 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(out("u_mixed") === ((4L, 2L, 1L, 0.3333)))
     assert(out("u_revonly") === ((2L, 2L, 0L, 0.0)))
   }
+
+  test("lastmodDue: datetime prefixes compare by date; garbage and undeclared lastmods are never due on this channel") {
+    import spark.implicits._
+    // all pages last captured on epoch day 100
+    val lastCaps = Seq("u1", "u2", "u3", "u4")
+      .map(u => (u, 86400L * 100)).toDF("canon_url", "last_ts_s")
+    val declared = Seq(
+      // full W3C datetime, day 104 (> 100): due, by its DATE prefix
+      ("u1", "1970-04-15T08:30:00+02:00"),
+      // plain date, day 98 (<= 100): not due
+      ("u2", "1970-04-09"),
+      // protocol garbage: parses to null, never due
+      ("u3", "next tuesday")).toDF("canon_url", "lastmod")
+    val out = WebGraph.lastmodDue(lastCaps, declared).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)), r.getLong(4)))
+      .toMap
+    assert(out("u1") === ((104L, 1L)))
+    assert(out("u2") === ((98L, 0L)))
+    assert(out("u3") === ((-1L, 0L)), "garbage lastmod must not be due")
+    assert(out("u4") === ((-1L, 0L)), "undeclared page must not be due")
+  }
 }
