@@ -168,8 +168,11 @@ private[sources] object Hll {
   * signals at once (change rate prices the refetch, validators make
   * it conditional). `lastCapTs` (event-time micros of the newest
   * capture) anchors the due-time wakeup clock and the validator-age
-  * staleness term; round 19 added it — restart pre-r19 checkpoints
-  * fresh (see the compatibility note above).
+  * staleness term; `declaredDay` remembers the newest sitemap
+  * `<lastmod>` epoch-day announced for the page, so a re-offered
+  * sitemap never re-triggers the declared-instant emission. Round 19
+  * added both — restart pre-r19 checkpoints fresh (see the
+  * compatibility note above).
   */
 private[sources] case class RefetchState(lastFp: Long,
                                          hasFp: Boolean,
@@ -179,7 +182,8 @@ private[sources] case class RefetchState(lastFp: Long,
                                          etag: String,
                                          valTs: Long,
                                          valDoc: Long,
-                                         lastCapTs: Long)
+                                         lastCapTs: Long,
+                                         declaredDay: Long)
 
 object Crawl {
 
@@ -1580,13 +1584,23 @@ object Crawl {
     *     and a re-arrival re-learns from scratch (documented loss;
     *     the watermark delay equals the TTL, so the drop cutoff never
     *     loses a row eviction would have kept).
+    *   - `sitemapLastmod` = true runs the declared-INSTANT channel
+    *     (q197) live: sitemap bodies riding the same stream announce
+    *     per-page `<lastmod>` days, and an announcement newer than
+    *     BOTH the page's last capture day and every previously-
+    *     announced day surfaces the page into this window's fetch
+    *     list — no capture of the page itself, the sitemap capture
+    *     IS the arrival. Re-offered sitemaps never re-trigger
+    *     (`declaredDay` in state); never-captured pages create no
+    *     state (discovery is the frontier's job, not the recrawler's).
     */
   def refetchStream(parsed: DataFrame, ranks: DataFrame,
                     declared: Option[DataFrame] = None,
                     staleBoostS: Long = 0L,
                     dueBaseS: Long = 0L,
                     dueLateS: Long = 60L,
-                    idleTtlS: Long = 0L): DataFrame = {
+                    idleTtlS: Long = 0L,
+                    sitemapLastmod: Boolean = false): DataFrame = {
     require(dueBaseS <= 0L || idleTtlS <= 0L,
       "refetchStream: due-time wakeups and idle-TTL eviction share " +
         "the one per-group event-time timer — enable at most one")
@@ -1601,20 +1615,60 @@ object Crawl {
       if (parsed.columns.contains("revisit"))
         coalesce(col("revisit"), lit(false))
       else lit(false)
-    val caps0 = parsed
+    val capRows0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
         (col("text").isNotNull || rev))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
+              lit(0).as("kind"),
               when(rev, lit(null).cast("long"))
                 .otherwise(xxhash64(col("text"))).as("fp"),
               col("last_modified"), col("etag"),
               unix_micros(col("ts")).as("ts_us"),
               coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+              lit(0L).as("lm_day"),
               // the event-time column the due/TTL timers ride (its
               // watermark metadata must REACH the stateful operator
               // — the frontierStream convention)
               col("ts").as("_wm"))
       .filter(col("canon_url").isNotNull)
+    // the declared-instant channel LIVE (`sitemapLastmod`): sitemap
+    // bodies riding the same stream (content sniff — the
+    // streamCandidates rule) announce per-page <lastmod> days; an
+    // announcement NEWER than a page's last capture surfaces the page
+    // into this window's fetch list with no capture of the page
+    // itself — the q197 trigger, stream-native (the sitemap capture
+    // IS the arrival)
+    val caps0 =
+      if (!sitemapLastmod) capRows0
+      else {
+        val head = lower(substring(col("text"), 1, 2048))
+        val isSitemapBody =
+          lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$") ||
+          head.contains("<urlset") || head.contains("<sitemapindex")
+        val lmRows = parsed
+          .filter(!col("corrupt") && col("url").isNotNull &&
+            col("text").isNotNull && isSitemapBody)
+          .select(unix_micros(col("ts")).as("ts_us"),
+                  col("ts").as("_wm"),
+                  explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
+          .filter(col("e.kind") === "page" && col("e.lastmod").isNotNull)
+          .select(Urls.canonicalize(col("e.url")).as("canon_url"),
+                  lit(1).as("kind"),
+                  lit(null).cast("long").as("fp"),
+                  lit(null).cast("string").as("last_modified"),
+                  lit(null).cast("string").as("etag"),
+                  col("ts_us"), lit(0L).as("doc_id"),
+                  // the q197 epoch-day spelling: date prefix,
+                  // calendar datediff, garbage -> null -> dropped
+                  datediff(
+                    try_to_timestamp(substring(col("e.lastmod"), 1, 10),
+                                     lit("yyyy-MM-dd")).cast("date"),
+                    to_date(lit("1970-01-01"))).cast("long")
+                    .as("lm_day"),
+                  col("_wm"))
+          .filter(col("canon_url").isNotNull && col("lm_day").isNotNull)
+        capRows0.unionByName(lmRows)
+      }
     val timed = dueBaseS > 0L || idleTtlS > 0L
     val caps =
       if (dueBaseS > 0L)
@@ -1637,7 +1691,7 @@ object Crawl {
       if (st.valTs == Long.MinValue || st.lastCapTs == Long.MinValue) 0L
       else math.max(st.lastCapTs - st.valTs, 0L) / 1000000L
     val stats = caps
-      .as[(String, Option[Long], String, String, Long, Long,
+      .as[(String, Int, Option[Long], String, String, Long, Long, Long,
            java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RefetchState,
@@ -1665,11 +1719,14 @@ object Crawl {
                                st.lastModified, st.etag, valAgeS(st)))
             }
           } else {
+            val arr = rows.toArray
+            val capRows = arr.filter(_._2 == 0)
+            val hadState = state.exists
             var st = state.getOption.getOrElse(
               RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
-                           Long.MinValue, Long.MinValue))
-            for ((_, fpOpt, lm, et, tsUs, docId, _)
-                 <- rows.toArray.sortBy(r => (r._5, r._6))) {
+                           Long.MinValue, Long.MinValue, Long.MinValue))
+            for ((_, _, fpOpt, lm, et, tsUs, docId, _, _)
+                 <- capRows.sortBy(r => (r._6, r._7))) {
               fpOpt match {
                 case None => // revisit: capture counted, no transition
                   st = st.copy(nCaptures = st.nCaptures + 1L)
@@ -1688,20 +1745,41 @@ object Crawl {
                 st = st.copy(lastModified = lm, etag = et,
                              valTs = tsUs, valDoc = docId)
             }
-            state.update(st)
-            if (timed) {
-              // one timer per page: next-due instant (due mode) or
-              // idle-eviction instant (TTL mode), floored just past
-              // the current watermark (Spark rejects a timer the
-              // clock has already passed)
-              val horizon =
-                if (dueBaseS > 0L) intervalS(st) else idleTtlS
-              val atMs = st.lastCapTs / 1000L + horizon * 1000L
-              state.setTimeoutTimestamp(
-                math.max(atMs, state.getCurrentWatermarkMs + 1000L))
+            // declared-instant trigger: the newest <lastmod> day any
+            // sitemap in this batch announced for the page. Emits
+            // when it is (a) newer than every previously-announced
+            // day (a re-offered sitemap never re-triggers) AND (b)
+            // newer than the page's own last capture day. Pages never
+            // captured have nothing to refetch — no state is created
+            // for them (discovery is the frontier's job).
+            val announced = arr.iterator.filter(_._2 == 1).map(_._8)
+              .foldLeft(Long.MinValue)(math.max)
+            val lastCapDay =
+              if (st.lastCapTs == Long.MinValue) Long.MinValue
+              else st.lastCapTs / 1000000L / 86400L
+            val declaredFired = announced != Long.MinValue &&
+              st.nCaptures > 0L && announced > st.declaredDay &&
+              announced > lastCapDay
+            if (announced > st.declaredDay && st.nCaptures > 0L)
+              st = st.copy(declaredDay = announced)
+            if (capRows.nonEmpty || hadState) {
+              state.update(st)
+              if (timed) {
+                // one timer per page: next-due instant (due mode) or
+                // idle-eviction instant (TTL mode), floored just past
+                // the current watermark (Spark rejects a timer the
+                // clock has already passed)
+                val horizon =
+                  if (dueBaseS > 0L) intervalS(st) else idleTtlS
+                val atMs = st.lastCapTs / 1000L + horizon * 1000L
+                state.setTimeoutTimestamp(
+                  math.max(atMs, state.getCurrentWatermarkMs + 1000L))
+              }
             }
-            Iterator.single((url, st.nCaptures, st.nChanges,
-                             st.lastModified, st.etag, valAgeS(st)))
+            if (capRows.nonEmpty || declaredFired)
+              Iterator.single((url, st.nCaptures, st.nChanges,
+                               st.lastModified, st.etag, valAgeS(st)))
+            else Iterator.empty
           }
       }
       .toDF("canon_url", "n_captures", "n_changes",

@@ -376,6 +376,61 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sitemapLastmod: a sitemap announcing a NEWER lastmod surfaces the page with no capture of it; re-offers and stale declares never trigger") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    def smap(id: Long, url: String, entries: (String, String)*): String = {
+      val body = entries.map { case (u, lm) =>
+        s"<url><loc>$u</loc><lastmod>$lm</lastmod></url>" }
+        .mkString("<urlset>", "", "</urlset>")
+      cap(id, url, body)
+    }
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      sitemapLastmod = true)
+    val q = rf.writeStream.format("memory").queryName("refetch_lastmod")
+      .outputMode("append").start()
+    def rowsOf(u: String): Seq[(Long, String)] =
+      spark.table("refetch_lastmod").collect()
+        .filter(_.getString(0) == u)
+        .map(r => (r.getLong(2), r.getString(6))).toSeq
+    try {
+      // batch 1: page A captured on 2026-03-01 with an etag
+      mem.addData(cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00",
+                      etag = "e1"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x").size === 1)
+      // batch 2: a sitemap (name matches nothing — content sniff)
+      // announces A changed on 03-03 and an UNKNOWN page on 03-09.
+      // A surfaces with its conditional-GET token, no capture of A;
+      // the never-captured page creates nothing (not refetchable).
+      mem.addData(smap(2, "http://a.com/maps/m.xml",
+        "http://a.com/x" -> "2026-03-03",
+        "http://a.com/never" -> "2026-03-09"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x") === Seq((1L, "e1"), (1L, "e1")),
+        "the declared-newer announcement must surface the page once")
+      assert(rowsOf("http://a.com/never") === Seq.empty)
+      // batch 3: the SAME sitemap re-offered, plus a STALE declare
+      // (02-20, older than the capture): neither triggers
+      mem.addData(smap(3, "http://a.com/maps/m.xml",
+        "http://a.com/x" -> "2026-03-03"))
+      q.processAllAvailable()
+      mem.addData(smap(4, "http://a.com/maps/m2.xml",
+        "http://a.com/x" -> "2026-02-20"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x").size === 2,
+        "re-offers and stale declares must not re-trigger")
+      // batch 5: a genuinely newer declare (03-07) triggers again
+      mem.addData(smap(5, "http://a.com/maps/m3.xml",
+        "http://a.com/x" -> "2026-03-07"))
+      q.processAllAvailable()
+      assert(rowsOf("http://a.com/x").size === 3)
+    } finally q.stop()
+  }
+
   test("due wakeups and idle TTL are mutually exclusive (one event-time timer per group)") {
     import spark.implicits._
     val ranks = Seq(("a.com", 1L)).toDF("host", "rank_e12")
