@@ -91,7 +91,6 @@ object Nightly {
       n
     }
     import operators.{Curation, Prep, WebGraph}
-    import sources.{Crawl, Urls}
 
     crawl.foreach { cd =>
       stage("crawl_edges") {
@@ -108,32 +107,18 @@ object Nightly {
       }
       stage("crawl_frontier") {
         // the next cadence's fetch list: batch frontier over the
-        // landed corpus — robots-gated, trap-capped via the verdicts
-        // just landed (the q191 composition)
-        val parsed = Crawl.readWarc(spark, cd, extractHtml = false)
-        val fr = Crawl.frontier(parsed, perHostCap = 64,
-            robotsAgent = Some("graftbot"))
-          .join(spark.read.parquet(s"$out/crawl/trap_verdicts")
-              .select(col("host"), col("verdict")).hint("shuffle_hash"),
-            Seq("host"), "left")
-          .filter(col("rk") <= when(col("verdict") === "trap", 1L)
-            .otherwise(Long.MaxValue))
-          .drop("verdict")
-        fr.write.mode("overwrite").parquet(s"$out/crawl/frontier")
+        // landed corpus — robots-gated, trap-capped via the verdict
+        // artifact (the q191 composition) — SERVED from the
+        // crawl_frontier_v1 artifact, so an unchanged corpus pays no
+        // gunzip+parse on night N+1; the night's copy lands in outDir
+        WebGraph.crawlFrontierTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/frontier")
         spark.read.parquet(s"$out/crawl/frontier").count()
       }
       stage("crawl_refetch") {
         // the recrawl manifest: q196's due pricing over the real
-        // capture history (raw-body fingerprints)
-        val parsed = Crawl.readWarc(spark, cd, extractHtml = false)
-        val caps = parsed
-          .filter(!col("corrupt") && col("url").isNotNull &&
-            col("text").isNotNull)
-          .select(Urls.canonicalize(col("url")).as("canon_url"),
-                  xxhash64(col("text")).as("fp"),
-                  col("ts").cast("long").as("ts_s"))
-          .filter(col("canon_url").isNotNull)
-        WebGraph.refetchDue(caps, dueBaseS = 86400L)
+        // capture history — same serve-or-build lifecycle
+        WebGraph.crawlRefetchQueueTable(spark, cd)
           .write.mode("overwrite").parquet(s"$out/crawl/refetch_queue")
         spark.read.parquet(s"$out/crawl/refetch_queue").count()
       }

@@ -380,6 +380,60 @@ object WebGraph {
         threshold)
     }
 
+  /** Times a crawl MANIFEST artifact (frontier / refetch queue) was
+    * derived this JVM — the derive-counter pin pattern: NightlySpec
+    * asserts night N+1 serves both without this moving (zero WARC
+    * re-parses for unchanged corpora).
+    */
+  val crawlManifestDerives = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The night's frontier manifest (`crawl_frontier_v1`): the batch
+    * frontier over the WARC corpus — robots-gated, trap-capped via
+    * the landed verdict artifact (the q191 composition) — persisted
+    * with the corpus-fingerprint lifecycle so an unchanged corpus
+    * pays ZERO gunzip+parse on the next night (the build is the only
+    * corpus pass). Parameters bake into the landed bytes — change
+    * them means a version bump or invalidate, the artifact rule.
+    */
+  def crawlFrontierTable(s: SparkSession, warcDir: String,
+                         perHostCap: Int = 64,
+                         agent: String = "graftbot",
+                         trapThreshold: Double = 3.0): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_frontier_v1") {
+      crawlManifestDerives.incrementAndGet()
+      val parsed = graft.sources.Crawl.readWarc(s, warcDir,
+                                                extractHtml = false)
+      val verdicts = crawlTrapVerdictsTable(s, warcDir, trapThreshold)
+      graft.sources.Crawl.frontier(parsed, perHostCap,
+          robotsAgent = Some(agent))
+        .join(verdicts.select(col("host"), col("verdict"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+        .filter(col("rk") <= when(col("verdict") === "trap", 1L)
+          .otherwise(Long.MaxValue))
+        .drop("verdict")
+    }
+
+  /** The night's recrawl manifest (`crawl_refetch_queue_v1`): q196's
+    * due pricing over the real capture history (raw-body
+    * fingerprints), persisted like [[crawlFrontierTable]] — the
+    * corpus parse happens once per corpus change, not once per night.
+    */
+  def crawlRefetchQueueTable(s: SparkSession, warcDir: String,
+                             dueBaseS: Long = 86400L): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_refetch_queue_v1") {
+      crawlManifestDerives.incrementAndGet()
+      val caps = graft.sources.Crawl.readWarc(s, warcDir,
+          extractHtml = false)
+        .filter(!col("corrupt") && col("url").isNotNull &&
+          col("text").isNotNull)
+        .select(graft.sources.Urls.canonicalize(col("url"))
+            .as("canon_url"),
+          xxhash64(col("text")).as("fp"),
+          col("ts").cast("long").as("ts_s"))
+        .filter(col("canon_url").isNotNull)
+      refetchDue(caps, dueBaseS)
+    }
+
   private def siteEdgesOf(docFrame: DataFrame): DataFrame = {
     val k = (col("doc_id") % 250).as("k")
     val k0 = docFrame.select(k).distinct()
@@ -858,8 +912,14 @@ object WebGraph {
       .agg(count(lit(1)).as("n_captures"),
            countDistinct("fp").as("n_versions"),
            max("ts_s").cast("long").as("last_ts_s"))
+      // floor at 0: a page whose history is ALL revisit rows (fp null
+      // — the readWarc 304-economy shape) has n_versions = 0, and
+      // without the floor n_changes = -1 would reach the output and
+      // the interval division would hit zero — scheduling the
+      // provably-unchanged page for an immediate refetch
       .select(col("canon_url"), col("n_captures"),
-        (col("n_versions") - 1L).as("n_changes"), col("last_ts_s"))
+        greatest(col("n_versions") - 1L, lit(0L)).as("n_changes"),
+        col("last_ts_s"))
       .withColumn("interval_s",
         greatest(expr(s"cast($dueBaseS as bigint) div (1 + n_changes)"),
                  lit(1L)))
@@ -885,10 +945,8 @@ object WebGraph {
     lastCaptures
       .join(declared.hint("shuffle_hash"), Seq("canon_url"), "left")
       .select(col("canon_url"), col("last_ts_s"), col("lastmod"),
-        datediff(
-          try_to_timestamp(substring(col("lastmod"), 1, 10),
-                           lit("yyyy-MM-dd")).cast("date"),
-          to_date(lit("1970-01-01"))).cast("long").as("lastmod_day"))
+        graft.sources.Sitemaps.lastmod_day(col("lastmod"))
+          .as("lastmod_day"))
       .withColumn("due_now",
         coalesce(col("lastmod_day") > expr("last_ts_s div 86400"),
                  lit(false)).cast("long"))
@@ -2164,8 +2222,9 @@ object WebGraph {
           |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
           |      FROM v GROUP BY 1),
           |g2 AS (SELECT canon_url, n_captures,
-          |        n_versions - 1 AS n_changes, last_ts_s,
-          |        greatest(CAST(7200 AS BIGINT) // (1 + (n_versions - 1)),
+          |        greatest(n_versions - 1, 0) AS n_changes, last_ts_s,
+          |        greatest(CAST(7200 AS BIGINT)
+          |                   // (1 + greatest(n_versions - 1, 0)),
           |                 CAST(1 AS BIGINT)) AS interval_s
           |       FROM g),
           |a AS (SELECT CAST(max(ts_s) AS BIGINT) + 3600 AS asof_s FROM v)
@@ -2265,7 +2324,8 @@ object WebGraph {
           |a AS (SELECT CAST(max(ts_s) AS BIGINT) AS max_ts FROM v),
           |iv AS (SELECT canon_url FROM g CROSS JOIN a
           |       WHERE last_ts_s + greatest(
-          |           CAST(7200 AS BIGINT) // (1 + (n_versions - 1)),
+          |           CAST(7200 AS BIGINT)
+          |             // (1 + greatest(n_versions - 1, 0)),
           |           CAST(1 AS BIGINT)) <= a.max_ts + 3600),
           |d AS (SELECT canon_url,
           |        CAST(DATE '1970-01-01' + CAST(

@@ -66,13 +66,16 @@ private[sources] case class FrontierHostState(emitted: Array[Long])
   * fingerprint seen (with `hasFp` marking whether any REAL body has
   * been fingerprinted yet — a page known only through revisit records
   * must not count its first real body as a change) plus capture/
-  * transition counters — three longs and a flag per page, the minimum
-  * that detects changes in arrival order.
+  * transition counters and the NEWEST capture's event time in seconds
+  * (`lastTsS` — the idle-TTL eviction clock anchors on state recency,
+  * never a batch-local value: a late older duplicate must not pull
+  * eviction earlier; added r19, see the checkpoint note above).
   */
 private[sources] case class ChangeTrackState(lastFp: Long,
                                              hasFp: Boolean,
                                              nCaptures: Long,
-                                             nChanges: Long)
+                                             nChanges: Long,
+                                             lastTsS: Long)
 
 /** Per-page state for [[Crawl.validatorsStream]]: the latest-capture
   * validators (by event time, doc_id) — three strings and two longs
@@ -431,17 +434,27 @@ object Crawl {
       // complete disallow". The default door drops non-2xx captures
       // before picking each host's latest, so an older 2xx body would
       // keep ruling through an outage; here the latest capture of ANY
-      // shape wins — status gate AND text gate both off, so a 5xx
-      // whose error body routed to the payload path (binary
-      // content-type) or arrived as a WARC revisit record still
-      // enters the recency window and compiles the universal-disallow
-      // group (same shared projection as the other doors, so they
-      // cannot diverge on which captures count). Statusless captures
-      // (JSONL feeds) and 2xx compile their body (a text-null 2xx
-      // compiles null rules = fail open); other statuses (4xx, stray
-      // 3xx) yield null rules = fail open at the allowed-check.
+      // shape decides the host's STATE — status gate and text gate
+      // both off, so a 5xx whose error body routed to the payload
+      // path (binary content-type) still enters the recency window
+      // and compiles the universal-disallow group. The latest
+      // capture's ROLE depends on its shape:
+      //   - 5xx latest -> complete disallow;
+      //   - text-carrying 2xx/statusless/revisit latest -> its body;
+      //   - text-NULL 2xx/3xx-revisit/statusless latest (a WARC
+      //     revisit record asserts "content unchanged"; a binary 2xx
+      //     has no parseable body) -> the newest VALID body still
+      //     rules — falling open here would let a routine 304
+      //     revisit erase a host's captured Disallow rules, the
+      //     exact inversion of what the revisit asserts;
+      //   - 4xx latest -> null rules = fail open (no rules exist).
+      val rev =
+        if (parsed.columns.contains("revisit"))
+          coalesce(col("revisit"), lit(false))
+        else lit(false)
       val base = robotsCaptures(parsed, statusGated = false,
                                 requireText = false)
+        .withColumn("_rev", rev)
       val status =
         if (parsed.columns.contains("http_status")) col("http_status")
         else lit(null).cast("int")
@@ -450,14 +463,30 @@ object Crawl {
       val ok = col("_st").isNull ||
         (col("_st") >= 200 && col("_st") < 300)
       val srvErr = col("_st") >= 500 && col("_st") < 600
-      base.withColumn("_st", status)
+      val stamped = base.withColumn("_st", status)
+      // the newest VALID rule body per host (ok status, real text, not
+      // a revisit stub) — what a content-unchanged/bodyless latest
+      // capture defers to. Arg-max by (ts, doc_id), host-sized.
+      val newestBody = stamped
+        .filter(ok && col("text").isNotNull && !col("_rev"))
+        .groupBy("host")
+        .agg(max(struct(col("ts"), col("doc_id"), col("text"))).as("m"))
+        .select(col("host"), col("m.text").as("_body"))
+      stamped
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(newestBody.hint("shuffle_hash"), Seq("host"), "left")
         .select(col("host"),
-          when(ok, Robots.robots_compile(col("text"), lit(agent)))
-            .when(srvErr, Robots.robots_compile(
+          when(srvErr, Robots.robots_compile(
               lit("User-agent: *\nDisallow: /"), lit(agent)))
+            .when(ok && col("text").isNotNull && !col("_rev"),
+              Robots.robots_compile(col("text"), lit(agent)))
+            .when(ok || col("_rev"),
+              Robots.robots_compile(col("_body"), lit(agent)))
             .otherwise(lit(null).cast("string")).as("_robots_rules"),
-          when(ok, Robots.robots_delay(col("text"), lit(agent)))
+          when(ok && col("text").isNotNull && !col("_rev"),
+              Robots.robots_delay(col("text"), lit(agent)))
+            .when(ok || col("_rev"),
+              Robots.robots_delay(col("_body"), lit(agent)))
             .otherwise(lit(null).cast("double")).as("_robots_delay"))
     }
 
@@ -653,21 +682,17 @@ object Crawl {
           .filter(col("url").isNotNull))
     val cand0 = if (!sitemaps) withRedirects
       else {
-        // sitemap bodies select by CONTENT sniff — `<urlset` /
-        // `<sitemapindex` in the first 2 KiB — OR by the protocol
-        // filename (which the plain-text form still needs: a txt
-        // sitemap has no XML marker). Content sniff is what makes the
-        // recursion CLOSE: an index at /maps/index.xml points at
-        // /maps/a.xml, whose name matches nothing, but whose fetched
-        // body sniffs as a urlset and parses. BOTH entry kinds emit
-        // as candidates — a `page` is a fetchable page, a `sitemap`
-        // child is the next sitemap to fetch (recursion across
-        // micro-batches; the politeness budget prices both).
-        val head = lower(substring(col("text"), 1, 2048))
-        val isSitemapBody =
-          lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$") ||
-          head.contains("<urlset") || head.contains("<sitemapindex")
-        val entries = base.filter(col("text").isNotNull && isSitemapBody)
+        // sitemap bodies select by the shared [[isSitemapCapture]]
+        // rule (content sniff OR protocol filename). Content sniff is
+        // what makes the recursion CLOSE: an index at /maps/index.xml
+        // points at /maps/a.xml, whose name matches nothing, but
+        // whose fetched body sniffs as a urlset and parses. BOTH
+        // entry kinds emit as candidates — a `page` is a fetchable
+        // page, a `sitemap` child is the next sitemap to fetch
+        // (recursion across micro-batches; the politeness budget
+        // prices both).
+        val entries = base.filter(col("text").isNotNull &&
+            isSitemapCapture(col("url"), col("text")))
           .select(tsS,
             explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
           .select(col("ts_s"), Urls.canonicalize(col("e.url")).as("url"))
@@ -1132,11 +1157,17 @@ object Crawl {
             }
           }
           val candRows = batch.filter(_._2 == 1)
+          // memoized per host: the trap sets cannot change mid-loop
+          // (observations applied in 1b), and trapCount's HLL
+          // estimate is not free — compute once per member host, not
+          // once per candidate row
+          val trappedByHost = candRows.iterator.map(_._3).toSet
+            .map((h: String) => h -> trapped(h)).toMap
           val cap =
             if (candRows.isEmpty) 0L
             else candRows.iterator.map { r =>
               val c = math.min(r._9, delayCap(r._3))
-              if (trapped(r._3)) math.min(c, 1L) else c
+              if (trappedByHost(r._3)) math.min(c, 1L) else c
             }.min
           val emitted = scala.collection.mutable.LinkedHashSet(
             st.emitted: _*)
@@ -1229,25 +1260,27 @@ object Crawl {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(
-              ChangeTrackState(0L, false, 0L, 0L))
-            var lastTsS = Long.MinValue
+              ChangeTrackState(0L, false, 0L, 0L, Long.MinValue))
             for ((_, fpOpt, tsS, _, _)
                  <- rows.toArray.sortBy(r => (r._3, r._4))) {
-              if (tsS > lastTsS) lastTsS = tsS
               fpOpt match {
                 case None => // revisit: a capture, asserted unchanged
                   st = st.copy(nCaptures = st.nCaptures + 1L)
                 case Some(fp) =>
                   if (st.hasFp && fp != st.lastFp)
                     st = st.copy(nChanges = st.nChanges + 1L)
-                  st = ChangeTrackState(fp, true, st.nCaptures + 1L,
-                                        st.nChanges)
+                  st = st.copy(lastFp = fp, hasFp = true,
+                               nCaptures = st.nCaptures + 1L)
               }
+              if (tsS > st.lastTsS) st = st.copy(lastTsS = tsS)
             }
             state.update(st)
-            if (idleTtlS > 0L && lastTsS != Long.MinValue)
+            // eviction anchors on the STATE's newest capture: a late
+            // older duplicate in this batch must not pull the timer
+            // earlier than TTL-since-newest
+            if (idleTtlS > 0L && st.lastTsS != Long.MinValue)
               state.setTimeoutTimestamp(math.max(
-                (lastTsS + idleTtlS) * 1000L,
+                (st.lastTsS + idleTtlS) * 1000L,
                 state.getCurrentWatermarkMs + 1000L))
             val share = BigDecimal(
                 st.nChanges.toDouble / math.max(st.nCaptures - 1L, 1L))
@@ -1641,13 +1674,10 @@ object Crawl {
     val caps0 =
       if (!sitemapLastmod) capRows0
       else {
-        val head = lower(substring(col("text"), 1, 2048))
-        val isSitemapBody =
-          lower(col("url")).rlike("sitemap[^/?#]*\\.(xml|txt)$") ||
-          head.contains("<urlset") || head.contains("<sitemapindex")
         val lmRows = parsed
           .filter(!col("corrupt") && col("url").isNotNull &&
-            col("text").isNotNull && isSitemapBody)
+            col("text").isNotNull &&
+            isSitemapCapture(col("url"), col("text")))
           .select(unix_micros(col("ts")).as("ts_us"),
                   col("ts").as("_wm"),
                   explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
@@ -1658,13 +1688,9 @@ object Crawl {
                   lit(null).cast("string").as("last_modified"),
                   lit(null).cast("string").as("etag"),
                   col("ts_us"), lit(0L).as("doc_id"),
-                  // the q197 epoch-day spelling: date prefix,
-                  // calendar datediff, garbage -> null -> dropped
-                  datediff(
-                    try_to_timestamp(substring(col("e.lastmod"), 1, 10),
-                                     lit("yyyy-MM-dd")).cast("date"),
-                    to_date(lit("1970-01-01"))).cast("long")
-                    .as("lm_day"),
+                  // the q197 epoch-day spelling (ONE helper, shared
+                  // with the batch twin): garbage -> null -> dropped
+                  Sitemaps.lastmod_day(col("e.lastmod")).as("lm_day"),
                   col("_wm"))
           .filter(col("canon_url").isNotNull && col("lm_day").isNotNull)
         capRows0.unionByName(lmRows)
@@ -1764,11 +1790,16 @@ object Crawl {
               st = st.copy(declaredDay = announced)
             if (capRows.nonEmpty || hadState) {
               state.update(st)
-              if (timed) {
-                // one timer per page: next-due instant (due mode) or
-                // idle-eviction instant (TTL mode), floored just past
-                // the current watermark (Spark rejects a timer the
-                // clock has already passed)
+              // one timer per page: next-due instant (due mode) or
+              // idle-eviction instant (TTL mode), floored just past
+              // the current watermark (Spark rejects a timer the
+              // clock has already passed). Re-armed ONLY when this
+              // batch carried CAPTURES: an announcement-only batch
+              // must leave the existing timer alone — re-deriving it
+              // from the unchanged lastCapTs after a past due fire
+              // would floor to watermark+1s and force a spurious
+              // premature wakeup per sitemap re-offer.
+              if (timed && capRows.nonEmpty) {
                 val horizon =
                   if (dueBaseS > 0L) intervalS(st) else idleTtlS
                 val atMs = st.lastCapTs / 1000L + horizon * 1000L
@@ -1879,6 +1910,20 @@ object Crawl {
         col("redirect").isNotNull)
       .select(col("url").as("src_url"), col("redirect").as("dst_url"),
               col("http_status"))
+
+  /** Does this capture carry a sitemap body? The ONE selection rule
+    * shared by [[streamCandidates]]' recursion and [[refetchStream]]'s
+    * live lastmod channel: content sniff (`<urlset`/`<sitemapindex`
+    * in the first 2 KiB — how a child sitemap with an arbitrary
+    * filename is recognized) OR the protocol filename (which the
+    * plain-text form still needs — a txt sitemap has no XML marker).
+    */
+  private[sources] def isSitemapCapture(url: Column,
+                                        text: Column): Column = {
+    val head = lower(substring(text, 1, 2048))
+    lower(url).rlike("sitemap[^/?#]*\\.(xml|txt)$") ||
+      head.contains("<urlset") || head.contains("<sitemapindex")
+  }
 
   /** Sitemap entries riding in the crawl: captures whose URL names a
     * sitemap (`...sitemap*.xml` / `.txt`), parsed to

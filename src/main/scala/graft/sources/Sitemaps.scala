@@ -237,6 +237,22 @@ object Sitemaps {
   def extract_sitemap(text: Column): Column =
     Bridge.column(SitemapEntries(Bridge.expression(text)))
 
+  /** Declared `<lastmod>` text → its epoch DAY (long; null on
+    * garbage) — the ONE spelling of the declared-instant comparison,
+    * shared by [[graft.operators.WebGraph.lastmodDue]] (the q197
+    * batch twin) and the stream door's live channel
+    * ([[Crawl.refetchStream]] `sitemapLastmod`): date prefix (full
+    * W3C datetimes compare by their date), calendar datediff — exact
+    * across engines, no timezone in the comparison path.
+    */
+  def lastmod_day(lastmod: Column): Column = {
+    import org.apache.spark.sql.functions._
+    datediff(
+      try_to_timestamp(substring(lastmod, 1, 10), lit("yyyy-MM-dd"))
+        .cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+  }
+
   def entriesU8(s: UTF8String): ArrayData =
     new GenericArrayData(parse(s.toString).map { e =>
       def u8(v: String): UTF8String =

@@ -104,4 +104,40 @@ class ChangeTrackStreamSpec extends AnyFunSuite with SparkSpec {
       assert(rowsOf(b) === Seq((1L, 0L), (2L, 1L), (3L, 1L)))
     } finally q.stop()
   }
+
+  test("idleTtlS: a LATE older duplicate must not pull eviction earlier than TTL-since-newest-capture") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Crawl.changeTrackStream(
+        Crawl.parseCrawl(mem.toDF().toDF("value")), idleTtlS = 3600L)
+      .writeStream.format("memory").queryName("chg_ttl_late")
+      .outputMode("append").start()
+    val a = "http://a.com/p"
+    def aRows(): Seq[(Long, Long)] =
+      spark.table("chg_ttl_late").collect()
+        .filter(_.getString(0) == a)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    try {
+      // newest capture at T0+2h -> honest eviction instant T0+3h
+      mem.addData(cap(1, a, "v1", "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      // a LATE older duplicate (T0+1h30m — inside the watermark
+      // tolerance): before the r19 review fix the timer was rewritten
+      // from this batch-local value to T0+2h30m, evicting the page
+      // half an hour before it had been idle a full TTL
+      mem.addData(cap(2, a, "v1", "2026-03-01T01:30:00"))
+      q.processAllAvailable()
+      // clock to T0+3h45m: watermark reaches T0+2h45m — past the
+      // buggy instant, short of the honest one. The page must survive.
+      mem.addData(cap(3, "http://b.org/x", "w", "2026-03-01T03:45:00"))
+      q.processAllAvailable()
+      // the page re-arrives: continued history (3 captures), not a
+      // from-scratch re-learn
+      mem.addData(cap(4, a, "v2", "2026-03-01T03:00:00"))
+      q.processAllAvailable()
+      assert(aRows().last === ((3L, 1L)),
+        s"late duplicate pulled eviction early: ${aRows()}")
+    } finally q.stop()
+  }
 }

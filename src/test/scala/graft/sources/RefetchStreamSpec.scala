@@ -431,6 +431,42 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("due wakeups + sitemapLastmod: a stale announcement-only batch must NOT re-arm the timer into a premature fire") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      dueBaseS = 7200L, dueLateS = 0L, sitemapLastmod = true)
+    val q = rf.writeStream.format("memory").queryName("refetch_rearm")
+      .outputMode("append").start()
+    def aCount(): Int = spark.table("refetch_rearm").collect()
+      .count(_.getString(0) == "http://a.com/x")
+    try {
+      // A captured at T0 (1 capture -> interval 7200 s, due T0+2h)
+      mem.addData(cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      // clock to T0+3h: A due-fires once, re-arms at ~T0+5h
+      mem.addData(cap(2, "http://c.io/z", "c1", "2026-03-01T03:00:00"))
+      q.processAllAvailable()
+      assert(aCount() === 2)
+      // a STALE sitemap re-offer for A (announcement-only batch for
+      // A's key): before the r19 review fix this re-derived the timer
+      // from the unchanged lastCapTs — already past — flooring it to
+      // watermark+1s and forcing a spurious wakeup on the next clock
+      // advance
+      mem.addData(
+        s"""{"doc_id":3,"url":"http://a.com/maps/m.xml","text":"<urlset><url><loc>http://a.com/x</loc><lastmod>2026-02-20</lastmod></url></urlset>","ts":"2026-03-01T03:30:00"}""")
+      q.processAllAvailable()
+      // clock to T0+4h — below the honest re-arm (~T0+5h): no fire
+      mem.addData(cap(4, "http://d.io/w", "d1", "2026-03-01T04:00:00"))
+      q.processAllAvailable()
+      assert(aCount() === 2,
+        "a stale announcement-only batch must not cause a wakeup")
+    } finally q.stop()
+  }
+
   test("due wakeups and idle TTL are mutually exclusive (one event-time timer per group)") {
     import spark.implicits._
     val ranks = Seq(("a.com", 1L)).toDF("host", "rank_e12")

@@ -299,4 +299,35 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
     assert(!Robots.allowedCompiled("http://a.com/private/x",
                                    open("a.com")))
   }
+
+  test("failClosed5xx: a robots.txt REVISIT record (content unchanged) keeps the newest real body ruling, never fails open") {
+    // a conditional re-fetch of robots.txt answered 304 lands as a
+    // WARC revisit record (text null). It is the host's LATEST
+    // capture — but it asserts the previous body is STILL VALID, so
+    // the strict door must keep enforcing the captured Disallow
+    // rules, not fall open because the latest row has no text
+    def revisit304(uri: String, date: String): Array[Byte] = {
+      val block = "HTTP/1.1 304 Not Modified\r\nETag: \"r1\"\r\n\r\n"
+        .getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nWARC-Profile: http://netpreserve.org/" +
+        s"warc/1.1/revisit/server-not-modified\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8") ++
+        block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-rbrev")
+    java.nio.file.Files.write(d.resolve("r.warc.gz"),
+      gz(rec("http://a.com/robots.txt", "HTTP/1.1 200 OK",
+             "User-agent: *\nDisallow: /private/")) ++
+      gz(revisit304("http://a.com/robots.txt",
+                    "2026-03-02T00:00:00Z")))
+    val parsed = Crawl.readWarc(spark, d.toString, extractHtml = false)
+    val strict = Crawl.compiledRobots(parsed, "graftbot",
+        failClosed5xx = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!Robots.allowedCompiled("http://a.com/private/x",
+                                   strict("a.com")),
+      "a 304 revisit must not erase the captured Disallow rules")
+    assert(Robots.allowedCompiled("http://a.com/page", strict("a.com")))
+  }
 }
