@@ -80,9 +80,13 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     // the trap host's frontier collapsed to its probe
     assert(frontier.filter(col("host") === "trap.example").count() <= 1)
     assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
-    // night N+1 pays SERVE cost: the derive counters do not move
+    // night N+1 pays SERVE cost: the derive counters do not move —
+    // edges, ranks, AND the frontier/refetch manifests (the two
+    // full-corpus gunzip+parse passes the review pass moved behind
+    // DerivedCache)
     val e0 = operators.WebGraph.linkEdgeDerives.get()
     val r0 = operators.WebGraph.rankDerives.get()
+    val m0 = operators.WebGraph.crawlManifestDerives.get()
     val out2 = java.nio.file.Files
       .createTempDirectory("graft-nightly-crawl2").toString
     val report2 = Nightly.run(spark, corpus, out2, Some(warc))
@@ -91,6 +95,11 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
            "night N+1 re-derived the crawl edge table")
     assert(operators.WebGraph.rankDerives.get() === r0,
            "night N+1 re-derived a rank table")
+    assert(operators.WebGraph.crawlManifestDerives.get() === m0,
+           "night N+1 re-parsed the corpus for a manifest")
+    // the per-night outDir copies still land from the served artifact
+    for (a <- Seq("trap_verdicts", "frontier", "refetch_queue"))
+      assert(spark.read.parquet(s"$out2/crawl/$a").count() > 0)
   }
 
   test("Nightly.run lands every artifact and the audit gate is clean") {
