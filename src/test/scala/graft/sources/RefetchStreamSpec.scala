@@ -207,6 +207,49 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("live trap + families: one member tripping collapses the WHOLE family's budget (the conservative-member rule, live)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def page(id: Long, url: String, links: Seq[String]): String = {
+      val html = links.zipWithIndex
+        .map { case (l, i) => s"""<a href='$l'>x$i</a>""" }.mkString(" ")
+      cap(id, url, html)
+    }
+    // m1.com and m2.com are one mirror family; m2 is the trap alias
+    val fam = Seq(("m1.com", "fam1"), ("m2.com", "fam1"))
+      .toDF("host", "component")
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStreamLive(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, agent = "graftbot", perHostCap = 4,
+      families = Some(fam), trapThreshold = 3.0)
+    val q = fr.writeStream.format("memory").queryName("trap_live_fam")
+      .outputMode("append").start()
+    def famEmits(): Set[String] =
+      spark.table("trap_live_fam").collect()
+        .filter(r => r.getString(0).startsWith("m"))
+        .map(_.getString(1)).toSet
+    try {
+      // batch 1: one emission on the family budget (via m1)
+      mem.addData(page(1, "http://s.net/1", Seq("http://m1.com/a")))
+      q.processAllAvailable()
+      assert(famEmits() === Set("http://m1.com/a"))
+      // batch 2: the trap ALIAS m2 exposes itself — 9 one-template
+      // captures (9 urls / 1 template, expansion 9 >= 3)
+      mem.addData((1L to 9L).map(i =>
+        page(10 + i, s"http://m2.com/cal/p$i", Seq.empty)): _*)
+      q.processAllAvailable()
+      // batch 3: new discoveries on BOTH members — the family's
+      // effective cap is now 1 (the tripped member budgets the whole
+      // farm: a mirror family IS one site) and 1 is already spent
+      mem.addData(page(30, "http://s.net/2",
+        Seq("http://m1.com/b", "http://m2.com/cal/p77")))
+      q.processAllAvailable()
+      assert(famEmits() === Set("http://m1.com/a"),
+        s"a tripped member must cap the whole family: ${famEmits()}")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // refetchStream: fused change+validator state, q188 pricing
   // ------------------------------------------------------------------
@@ -429,6 +472,56 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       assert(rowsOf("http://a.com/x").size === 3)
     } finally q.stop()
+  }
+
+  test("due wakeups land: a page captured only in window 1 appears in a later WINDOW's parquet with its conditional-GET columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-due-land")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val ranks = Seq(("a.com", 3000000000000L), ("b.org", 1000000000000L))
+      .toDF("host", "rank_e12")
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // cadenced AvailableNow runs over ONE checkpoint — the
+    // startFrontierSink scheduler shape. Window 0: hot page A (3
+    // captures, 2 changes -> interval 2400 s) plus cold B. Window 1:
+    // only unrelated traffic far past A's due instant — A must FIRE
+    // during the drain and land in that window's list, B must not.
+    val windows = Seq(
+      Seq(cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00",
+              etag = "e1"),
+          cap(2, "http://a.com/x", "v2", "2026-03-01T01:00:00",
+              etag = "e2"),
+          cap(3, "http://a.com/x", "v3", "2026-03-01T02:00:00",
+              etag = "e3"),
+          cap(4, "http://b.org/y", "w1", "2026-03-01T02:00:00")),
+      Seq(cap(5, "http://c.io/z", "c1", "2026-03-01T03:00:00")),
+      Seq(cap(6, "http://d.io/w", "d1", "2026-03-01T03:10:00")))
+    for ((lines, i) <- windows.zipWithIndex) {
+      write(s"w$i.jsonl", lines)
+      val rf = Crawl.refetchStream(
+        parsedWithValidators0(spark.readStream.text(in.toString)),
+        ranks, dueBaseS = 7200L, dueLateS = 0L)
+      val q = Crawl.startRefetchSink(rf, dir.resolve("out").toString,
+        dir.resolve("ckpt").toString, topKPerWindow = 10)
+      q.awaitTermination(120000L)
+    }
+    val out = spark.read.parquet(dir.resolve("out").toString)
+    // A's due fire lands in SOME later window (the timeout batch may
+    // run inside the same AvailableNow drain or at the next cadence —
+    // either way it is a window with NO arrival of A), carrying the
+    // cumulative state (2 changes) and the newest conditional-GET
+    // token; cold B never surfaces past its arrival window
+    val later = out.filter(col("window_id").cast("long") >= 1L)
+      .collect().map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("n_changes"), r.getAs[String]("if_none_match"))))
+    val aFires = later.filter(_._1 == "http://a.com/x").map(_._2)
+    assert(aFires.nonEmpty,
+      s"the due fire must land in a later window: ${later.map(_._1).toSeq}")
+    assert(aFires.toSet === Set((2L, "e3")))
+    assert(!later.exists(_._1 == "http://b.org/y"),
+      "a cold page must not surface in a due window")
   }
 
   test("due wakeups + sitemapLastmod: a stale announcement-only batch must NOT re-arm the timer into a premature fire") {
