@@ -1944,6 +1944,37 @@ object Crawl {
               col("e.changefreq").as("changefreq"),
               col("e.priority").as("priority"))
 
+  /** The per-page declared-freshness table a REAL crawl yields: each
+    * canonical page's LATEST sitemap hints — (canon_url, changefreq,
+    * lastmod) — from every sitemap body riding the crawl (selected by
+    * [[isSitemapCapture]]: content sniff or protocol filename),
+    * latest by capture recency (event time, doc_id — the latestPerUrl
+    * policy; a host that re-publishes its sitemap with new hints
+    * wins). This IS the `declared` frame the scheduler consumes:
+    * [[graft.operators.WebGraph.declaredFreshnessQueue]] (q193) and
+    * [[refetchStream]]'s blend take the changefreq column;
+    * [[graft.operators.WebGraph.lastmodDue]] (q197) takes lastmod.
+    * One projection + explode + one near-unique-key window.
+    */
+  def declaredHints(parsed: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon_url")
+      .orderBy(col("ts").desc, col("doc_id").desc)
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull &&
+        isSitemapCapture(col("url"), col("text")))
+      .select(col("ts"), coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+              explode(Sitemaps.extract_sitemap(col("text"))).as("e"))
+      .filter(col("e.kind") === "page")
+      .select(Urls.canonicalize(col("e.url")).as("canon_url"),
+              col("e.changefreq").as("changefreq"),
+              col("e.lastmod").as("lastmod"),
+              col("ts"), col("doc_id"))
+      .filter(col("canon_url").isNotNull)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("canon_url", "changefreq", "lastmod")
+  }
+
   /** Sitemap URLs the crawl's robots bodies DECLARE (`Sitemap:`
     * directives — the sitemaps.org discovery channel, group-
     * independent), host-keyed: (host, sitemap_url). The fetch list a

@@ -219,4 +219,49 @@ class SitemapsSpec extends AnyFunSuite with SparkSpec {
       .select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds === Set("page"))
   }
+
+  test("declaredHints: latest sitemap hints per page win by capture recency; arbitrary filenames sniff by content") {
+    def recAt(uri: String, body: String, date: String): Array[Byte] = {
+      val block = ("HTTP/1.1 200 OK\r\nContent-Type: application/xml" +
+        "\r\n\r\n" + body).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nContent-Length: ${block.length}" +
+        "\r\n\r\n").getBytes("UTF-8") ++ block ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-declhints")
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      // day 1: the host declares daily churn, lastmod 02-20; the
+      // file's NAME matches nothing — only the content sniff admits it
+      gz(recAt("http://a.com/maps/feed.xml",
+        "<urlset><url><loc>http://a.com/x</loc>" +
+          "<changefreq>daily</changefreq>" +
+          "<lastmod>2026-02-20</lastmod></url></urlset>",
+        "2026-03-01T00:00:00Z")) ++
+      // day 2: a re-published sitemap updates the hints — latest wins
+      gz(recAt("http://a.com/maps/feed.xml",
+        "<urlset><url><loc>http://a.com/x</loc>" +
+          "<changefreq>hourly</changefreq>" +
+          "<lastmod>2026-03-02</lastmod></url>" +
+          "<url><loc>http://a.com/y</loc></url></urlset>",
+        "2026-03-02T00:00:00Z")))
+    val parsed = Crawl.readWarc(spark, dir.toString, extractHtml = false)
+    val hints = Crawl.declaredHints(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(hints("http://a.com/x") === (("hourly", "2026-03-02")))
+    assert(hints("http://a.com/y") === ((null, null)))
+    // and the frame feeds BOTH scheduler consumers directly: the
+    // lastmod column drives q197's trigger...
+    import spark.implicits._
+    val lastCaps = Seq(("http://a.com/x",
+        java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+          .getTime / 1000))
+      .toDF("canon_url", "last_ts_s")
+    val due = graft.operators.WebGraph.lastmodDue(
+        lastCaps, Crawl.declaredHints(parsed))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(due("http://a.com/x") === 1L,
+      "the re-published lastmod (03-02) is newer than the capture")
+  }
 }
