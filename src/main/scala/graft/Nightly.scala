@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *   outDir/anneal_manifest/ q153 realized annealed manifests
   *   outDir/source_stats/   per-source stats (decomposes the grants)
   *   outDir/crawl/          (with warcCrawlDir) trap_verdicts,
-  *                          frontier, refetch_queue manifests
+  *                          frontier, refetch_queue, due_queue
+  *                          manifests
   *   outDir/report.json     per-stage seconds + row counts + audit result
   *
   * Exit code 1 if the landed-shard audit reports violations — a nightly
@@ -121,6 +122,14 @@ object Nightly {
         WebGraph.crawlRefetchQueueTable(spark, cd)
           .write.mode("overwrite").parquet(s"$out/crawl/refetch_queue")
         spark.read.parquet(s"$out/crawl/refetch_queue").count()
+      }
+      stage("crawl_due") {
+        // the night's actionable work list: q198 over the real corpus
+        // — interval channel at the snapshot's as-of, lastmod channel
+        // from the sitemap hints the crawl actually captured
+        WebGraph.crawlDueQueueTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/due_queue")
+        spark.read.parquet(s"$out/crawl/due_queue").count()
       }
     }
 

@@ -434,6 +434,52 @@ object WebGraph {
       refetchDue(caps, dueBaseS)
     }
 
+  /** The night's actionable due WORK LIST (`crawl_due_queue_v1`) —
+    * q198 computed over the REAL corpus: the interval channel
+    * ([[refetchDue]] at the snapshot's own as-of instant, the
+    * corpus's newest capture — a nightly prices "due as of now") is
+    * unioned with the declared-instant channel ([[lastmodDue]] over
+    * [[graft.sources.Crawl.declaredHints]] — the sitemap lastmods the
+    * crawl actually captured), with channel provenance
+    * (interval / lastmod / both). Same serve-or-build lifecycle as
+    * the sibling manifests; one corpus pass on build, zero on an
+    * unchanged corpus.
+    */
+  def crawlDueQueueTable(s: SparkSession, warcDir: String,
+                         dueBaseS: Long = 86400L): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_due_queue_v1") {
+      crawlManifestDerives.incrementAndGet()
+      val parsed = graft.sources.Crawl.readWarc(s, warcDir,
+                                                extractHtml = false)
+      val caps = parsed
+        .filter(!col("corrupt") && col("url").isNotNull &&
+          col("text").isNotNull)
+        .select(graft.sources.Urls.canonicalize(col("url"))
+            .as("canon_url"),
+          xxhash64(col("text")).as("fp"),
+          col("ts").cast("long").as("ts_s"))
+        .filter(col("canon_url").isNotNull)
+      val asof = broadcast(
+        caps.agg(max("ts_s").cast("long").as("asof_s")))
+      val iv = refetchDue(caps, dueBaseS)
+        .crossJoin(asof).filter(col("due_ts_s") <= col("asof_s"))
+        .select("canon_url")
+      val lastCaps = caps.groupBy("canon_url")
+        .agg(max("ts_s").cast("long").as("last_ts_s"))
+      val lm = lastmodDue(lastCaps,
+          graft.sources.Crawl.declaredHints(parsed))
+        .filter(col("due_now") === 1L).select("canon_url")
+      iv.select(col("canon_url"), lit(1).as("iv"), lit(0).as("lm"))
+        .unionByName(
+          lm.select(col("canon_url"), lit(0).as("iv"), lit(1).as("lm")))
+        .groupBy("canon_url")
+        .agg(max("iv").as("iv"), max("lm").as("lm"))
+        .select(col("canon_url"),
+          when(col("iv") === 1 && col("lm") === 1, "both")
+            .when(col("iv") === 1, "interval")
+            .otherwise("lastmod").as("channel"))
+    }
+
   private def siteEdgesOf(docFrame: DataFrame): DataFrame = {
     val k = (col("doc_id") % 250).as("k")
     val k0 = docFrame.select(k).distinct()

@@ -46,14 +46,24 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
         s"<a href='http://h${(i + 1) % 5}.com/p$i'>x</a>" +
           s"<a href='http://h${(i + 2) % 5}.com/q$i'>y</a>"
       // letter paths: an honest host's pages must not collapse onto
-      // one digit-template (that is exactly what a TRAP looks like)
+      // one digit-template (that is exactly what a TRAP looks like).
+      // Captures spread over three DAYS so the due-queue's interval
+      // channel (base 86400 s) has both due and not-yet-due pages.
       val path = ('a' + (i % 26)).toChar
       (i.toLong, s"http://$host/$path", links,
-       java.sql.Timestamp.valueOf(s"2026-03-01 0${i % 9}:00:00"))
+       java.sql.Timestamp.valueOf(
+         s"2026-03-0${1 + (i % 3)} 0${i % 9}:00:00"))
     } ++ (21 to 32).map { i =>
       (i.toLong, s"http://trap.example/cal/$i?sid=$i", "<p>cal</p>",
        java.sql.Timestamp.valueOf("2026-03-01 01:00:00"))
-    }).toDF("doc_id", "url", "text", "ts")
+    } :+ ((100L, "http://h0.com/maps/feed.xml",
+      // a captured sitemap declaring a page changed AFTER its last
+      // capture — the due-queue's lastmod channel (name matches
+      // nothing; the content sniff must admit it)
+      "<urlset><url><loc>http://h0.com/f</loc>" +
+        "<lastmod>2026-03-09</lastmod></url></urlset>",
+      java.sql.Timestamp.valueOf("2026-03-01 02:00:00")))
+    ).toDF("doc_id", "url", "text", "ts")
     Crawl.writeWarc(docs, warc)
     val out = java.nio.file.Files
       .createTempDirectory("graft-nightly-crawl").toString
@@ -80,6 +90,17 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     // the trap host's frontier collapsed to its probe
     assert(frontier.filter(col("host") === "trap.example").count() <= 1)
     assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
+    // the actionable work list: interval-due pages (captured days
+    // before the snapshot's as-of) plus the sitemap-declared page
+    val dq = spark.read.parquet(s"$out/crawl/due_queue")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dq.nonEmpty, "the due queue must carry interval-due pages")
+    assert(dq.values.toSet.subsetOf(Set("interval", "lastmod", "both")))
+    assert(dq.contains("http://h0.com/f") &&
+           dq("http://h0.com/f") != "interval",
+      s"the declared-newer page must be due on the lastmod channel: $dq")
+    assert(dq.valuesIterator.contains("interval"),
+      s"day-1 captures must be interval-due at the day-3 as-of: $dq")
     // night N+1 pays SERVE cost: the derive counters do not move —
     // edges, ranks, AND the frontier/refetch manifests (the two
     // full-corpus gunzip+parse passes the review pass moved behind
