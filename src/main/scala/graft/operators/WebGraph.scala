@@ -413,28 +413,49 @@ object WebGraph {
         .drop("verdict")
     }
 
-  /** The night's recrawl manifest (`crawl_refetch_queue_v1`): q196's
+  /** (canon_url, fp, ts_s) capture rows from a parsed WARC frame —
+    * ONE spelling for the batch queue builders, mirroring the stream
+    * doors' revisit semantics ([[graft.sources.Crawl.refetchStream]]
+    * / changeTrackStream): a WARC revisit record (text null,
+    * revisit = true — the 304 economy's "content unchanged" capture)
+    * COUNTS as a capture with a null fp (no version, but fresh
+    * recency), so `last_ts_s` reflects a page recently CONFIRMED
+    * unchanged and the due queue never schedules it prematurely.
+    * Before round 20 these builders filtered on `text.isNotNull`
+    * alone, dropping revisits — [[refetchDue]]'s n_changes floor
+    * anticipated the null-fp rows that never arrived.
+    */
+  private def warcCaptureRows(parsed: DataFrame): DataFrame = {
+    val rev = coalesce(col("revisit"), lit(false))
+    parsed
+      .filter(!col("corrupt") && col("url").isNotNull &&
+        (col("text").isNotNull || rev))
+      .select(graft.sources.Urls.canonicalize(col("url"))
+          .as("canon_url"),
+        when(rev, lit(null).cast("long"))
+          .otherwise(xxhash64(col("text"))).as("fp"),
+        col("ts").cast("long").as("ts_s"))
+      .filter(col("canon_url").isNotNull)
+  }
+
+  /** The night's recrawl manifest (`crawl_refetch_queue_v2`): q196's
     * due pricing over the real capture history (raw-body
-    * fingerprints), persisted like [[crawlFrontierTable]] — the
-    * corpus parse happens once per corpus change, not once per night.
+    * fingerprints; revisit records count as captures via
+    * [[warcCaptureRows]]), persisted like [[crawlFrontierTable]] —
+    * the corpus parse happens once per corpus change, not once per
+    * night. v2: revisit-aware capture rows (v1 dropped them, so
+    * last_ts_s understated recency for revisit-confirmed pages).
     */
   def crawlRefetchQueueTable(s: SparkSession, warcDir: String,
                              dueBaseS: Long = 86400L): DataFrame =
-    DerivedCache.orBuild(s, warcDir, "crawl_refetch_queue_v1") {
+    DerivedCache.orBuild(s, warcDir, "crawl_refetch_queue_v2") {
       crawlManifestDerives.incrementAndGet()
-      val caps = graft.sources.Crawl.readWarc(s, warcDir,
-          extractHtml = false)
-        .filter(!col("corrupt") && col("url").isNotNull &&
-          col("text").isNotNull)
-        .select(graft.sources.Urls.canonicalize(col("url"))
-            .as("canon_url"),
-          xxhash64(col("text")).as("fp"),
-          col("ts").cast("long").as("ts_s"))
-        .filter(col("canon_url").isNotNull)
-      refetchDue(caps, dueBaseS)
+      refetchDue(warcCaptureRows(
+        graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false)),
+        dueBaseS)
     }
 
-  /** The night's actionable due WORK LIST (`crawl_due_queue_v1`) —
+  /** The night's actionable due WORK LIST (`crawl_due_queue_v2`) —
     * q198 computed over the REAL corpus: the interval channel
     * ([[refetchDue]] at the snapshot's own as-of instant, the
     * corpus's newest capture — a nightly prices "due as of now") is
@@ -443,22 +464,17 @@ object WebGraph {
     * crawl actually captured), with channel provenance
     * (interval / lastmod / both). Same serve-or-build lifecycle as
     * the sibling manifests; one corpus pass on build, zero on an
-    * unchanged corpus.
+    * unchanged corpus. v2: revisit-aware capture rows
+    * ([[warcCaptureRows]] — v1 dropped revisit records, scheduling
+    * revisit-confirmed pages prematurely).
     */
   def crawlDueQueueTable(s: SparkSession, warcDir: String,
                          dueBaseS: Long = 86400L): DataFrame =
-    DerivedCache.orBuild(s, warcDir, "crawl_due_queue_v1") {
+    DerivedCache.orBuild(s, warcDir, "crawl_due_queue_v2") {
       crawlManifestDerives.incrementAndGet()
       val parsed = graft.sources.Crawl.readWarc(s, warcDir,
                                                 extractHtml = false)
-      val caps = parsed
-        .filter(!col("corrupt") && col("url").isNotNull &&
-          col("text").isNotNull)
-        .select(graft.sources.Urls.canonicalize(col("url"))
-            .as("canon_url"),
-          xxhash64(col("text")).as("fp"),
-          col("ts").cast("long").as("ts_s"))
-        .filter(col("canon_url").isNotNull)
+      val caps = warcCaptureRows(parsed)
       val asof = broadcast(
         caps.agg(max("ts_s").cast("long").as("asof_s")))
       val iv = refetchDue(caps, dueBaseS)

@@ -147,4 +147,26 @@ class WarcRevisitSpec extends AnyFunSuite with SparkSpec {
       assert(m("http://b.org/only-revisits")._2 === 0L)
     } finally q.stop()
   }
+
+  test("batch queue builders count revisits as captures: last_ts_s reflects revisit recency") {
+    // the stream twins above count a.com/x as 3 captures; before the
+    // round-20 fix the BATCH queue builders filtered text.isNotNull
+    // only, so its two revisits vanished, last_ts_s regressed to the
+    // day-1 real body, and the due queue scheduled the revisit-
+    // confirmed page two days early
+    val q = graft.operators.WebGraph
+      .crawlRefetchQueueTable(spark, dir, dueBaseS = 86400L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_captures"), r.getAs[Long]("n_changes"),
+          r.getAs[Long]("last_ts_s"))))
+      .toMap
+    assert(q("http://a.com/x") === ((3L, 0L,
+      java.time.Instant.parse("2026-03-03T00:00:00Z").getEpochSecond)))
+    // a page known ONLY through revisits now reaches the queue with
+    // zero changes (refetchDue's n_changes floor finally has live
+    // input) and interval = base
+    assert(q("http://b.org/only-revisits") === ((1L, 0L,
+      java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond)))
+  }
 }
