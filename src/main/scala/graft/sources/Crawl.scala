@@ -358,8 +358,12 @@ object Crawl {
           .filter(col("url").isNotNull))
     // asset-extension skip runs FIRST (default on — a .jpg/.zip href
     // must never consume seen-probe work or a host's budget in a
-    // text crawl; asset crawls feeding warcAssets opt out)
-    val cand0 = if (skipAssets) cand1.filter(!Urls.isAsset(col("url")))
+    // text crawl; asset crawls feeding warcAssets opt out). Gzipped
+    // sitemaps are exempt: sitemaps.org allows sitemap.xml.gz, and
+    // the skip would dead-end every discovery path into one.
+    val cand0 = if (skipAssets)
+                  cand1.filter(!Urls.isAsset(col("url")) ||
+                    Urls.isSitemapGz(col("url")))
                 else cand1
     // robots gating runs BEFORE the politeness cap — a disallowed URL
     // must not consume a host's fetch budget. Hosts with no captured
@@ -723,7 +727,11 @@ object Crawl {
             coalesce(col("final_url"), col("url")).as("url"))
       case None => cand0
     }
-    val cand = if (skipAssets) cand1.filter(!Urls.isAsset(col("url")))
+    // gzipped sitemaps exempt from the asset skip (the batch door's
+    // rule — see there); their BODIES still don't sniff as sitemaps.
+    val cand = if (skipAssets)
+                 cand1.filter(!Urls.isAsset(col("url")) ||
+                   Urls.isSitemapGz(col("url")))
                else cand1
     val unseen = (seenBloom != null && seenBloom.nonEmpty, seenExact)
         match {

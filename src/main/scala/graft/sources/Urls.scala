@@ -145,6 +145,28 @@ object Urls {
     ext.isin(AssetExtensions: _*)
   }
 
+  /** Sitemap-shaped gzip URL — `.../sitemap*.xml.gz`, the compressed
+    * form sitemaps.org explicitly allows and large indexes routinely
+    * publish. `gz` sits in [[AssetExtensions]] (correctly: archives
+    * are not text-crawl targets), so without this exemption the
+    * frontier doors' asset skip silently dead-ends every discovery
+    * path into a gzipped sitemap (robots `Sitemap:` hints and
+    * `<sitemapindex>` children alike). The frontier doors keep such
+    * URLs as FETCH candidates: `!isAsset(url) || isSitemapGz(url)`.
+    * Note the recursion still stops at the BODY — gz sitemap bodies
+    * are not decoded by the capture-side content sniff
+    * ([[Crawl.isSitemapCapture]] reads text, and a gz body never
+    * decodes to one); a crawler that fetches one re-enters it
+    * DECOMPRESSED (the fetcher's Content-Encoding layer), at which
+    * point the sniff admits it. Anchored to the path's last segment,
+    * like [[isAsset]], so a query string never hides the shape.
+    */
+  def isSitemapGz(url: Column): Column = {
+    val path = regexp_extract(coalesce(url, lit("")),
+      s"$SchemePat[^/?#]*(/[^?#]*)", 1)
+    lower(path).rlike("sitemap[^/?#]*\\.xml\\.gz$")
+  }
+
   // ------------------------------------------------------------------
   // DuckDB spelling — single-sourced so the q172–q175 oracles evaluate
   // the very same normalization steps the Spark tree does.

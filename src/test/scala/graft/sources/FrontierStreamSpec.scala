@@ -214,20 +214,29 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
       spark.table("frontier_smrec").collect().map(_.getString(1)).toSet
     try {
       // batch 1: robots declares the sitemap INDEX (name matches
-      // nothing page-like) -> the hint itself becomes a candidate
+      // nothing page-like) -> the hint itself becomes a candidate.
+      // The GZIPPED sitemap hint survives too: 'gz' is an asset
+      // extension, but sitemap-shaped .xml.gz URLs are exempt from
+      // the skip (before round 20 the hint silently died here).
       mem.addData(capOf(1, "http://h.com/robots.txt",
-        "User-agent: *\nDisallow:\nSitemap: http://h.com/maps/index.xml"))
-      q.processAllAvailable()
-      assert(emitted() === Set("http://h.com/maps/index.xml"))
-      // batch 2: the fetched index (sniffs as <sitemapindex>; its
-      // FILENAME matches the sitemap rlike in neither half) emits its
-      // child sitemap as a fetch candidate
-      mem.addData(capOf(2, "http://h.com/maps/index.xml",
-        "<sitemapindex><sitemap><loc>http://h.com/maps/a.xml</loc>" +
-          "</sitemap></sitemapindex>"))
+        "User-agent: *\nDisallow:\n" +
+          "Sitemap: http://h.com/maps/index.xml\n" +
+          "Sitemap: http://h.com/maps/sitemap-big.xml.gz"))
       q.processAllAvailable()
       assert(emitted() === Set("http://h.com/maps/index.xml",
-                               "http://h.com/maps/a.xml"))
+                               "http://h.com/maps/sitemap-big.xml.gz"))
+      // batch 2: the fetched index (sniffs as <sitemapindex>; its
+      // FILENAME matches the sitemap rlike in neither half) emits its
+      // child sitemap as a fetch candidate — including a GZ child
+      mem.addData(capOf(2, "http://h.com/maps/index.xml",
+        "<sitemapindex><sitemap><loc>http://h.com/maps/a.xml</loc>" +
+          "</sitemap><sitemap><loc>http://h.com/maps/sitemap2.xml.gz" +
+          "</loc></sitemap></sitemapindex>"))
+      q.processAllAvailable()
+      assert(emitted() === Set("http://h.com/maps/index.xml",
+                               "http://h.com/maps/sitemap-big.xml.gz",
+                               "http://h.com/maps/a.xml",
+                               "http://h.com/maps/sitemap2.xml.gz"))
       // batch 3: the fetched CHILD (name 'a.xml' — only the content
       // sniff can recognize it) yields its pages
       mem.addData(capOf(3, "http://h.com/maps/a.xml",
@@ -235,7 +244,8 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
           "<url><loc>http://h.com/deep/2</loc></url></urlset>"))
       q.processAllAvailable()
       assert(emitted() === Set("http://h.com/maps/index.xml",
-        "http://h.com/maps/a.xml",
+        "http://h.com/maps/sitemap-big.xml.gz",
+        "http://h.com/maps/a.xml", "http://h.com/maps/sitemap2.xml.gz",
         "http://h.com/deep/1", "http://h.com/deep/2"))
     } finally q.stop()
   }

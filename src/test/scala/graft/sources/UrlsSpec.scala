@@ -95,4 +95,23 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       "http://b.com:99999/x") === Seq(
       Some("ex.com"), Some("a.com"), None, Some("b.com")))
   }
+
+  test("isSitemapGz: the gz-sitemap exemption matches the shape and nothing else") {
+    import spark.implicits._
+    def gz(urls: String*): Seq[Boolean] =
+      urls.toDF("url").select(Urls.isSitemapGz(col("url")).as("g"))
+        .collect().toIndexedSeq.map(_.getBoolean(0))
+    assert(gz(
+      "http://h.com/sitemap.xml.gz",          // the canonical form
+      "http://h.com/maps/Sitemap-big.XML.GZ", // case-insensitive
+      "http://h.com/sitemap.xml.gz?page=2",   // query never hides it
+      "http://h.com/sitemap.xml",             // not gz (isAsset no-op)
+      "http://h.com/archive.tar.gz",          // a real archive
+      "http://h.com/sitemap.gz",              // not the .xml.gz shape
+      "http://h.com/dir.sitemap.xml.gz/file"  // not the LAST segment
+    ) === Seq(true, true, true, false, false, false, false))
+    // the exemption is load-bearing: isAsset alone WOULD drop the form
+    assert(Seq("http://h.com/sitemap.xml.gz").toDF("url")
+      .select(Urls.isAsset(col("url"))).collect().head.getBoolean(0))
+  }
 }
