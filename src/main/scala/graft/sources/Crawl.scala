@@ -1616,8 +1616,14 @@ object Crawl {
     *     touching keeps surfacing — the exact page a recrawler exists
     *     to revisit; a cold page's far-off due instant never fires
     *     inside the horizon. `dueLateS` is the watermark delay
-    *     (arrival-lateness tolerance; rows older than it drop —
-    *     the budgetLateEpochs precedent). q196_refetch_due is the
+    *     (arrival-lateness tolerance; rows older than it DROP —
+    *     the budgetLateEpochs precedent), a cost the non-due door
+    *     never pays: enabling due mode is what introduces the drop
+    *     cutoff. The default is one hour; WARC backfills carry
+    *     widely out-of-order timestamps, so replay-heavy callers
+    *     should size dueLateS to their batch skew EXPLICITLY (the
+    *     trade: a larger delay fires due wakeups later by the same
+    *     amount on the event clock). q196_refetch_due is the
     *     oracled batch twin of the due rule.
     *   - `idleTtlS` > 0 (mutually exclusive with due mode — one
     *     event-time timer per group) bounds state for unbounded
@@ -1639,7 +1645,7 @@ object Crawl {
                     declared: Option[DataFrame] = None,
                     staleBoostS: Long = 0L,
                     dueBaseS: Long = 0L,
-                    dueLateS: Long = 60L,
+                    dueLateS: Long = 3600L,
                     idleTtlS: Long = 0L,
                     sitemapLastmod: Boolean = false): DataFrame = {
     require(dueBaseS <= 0L || idleTtlS <= 0L,

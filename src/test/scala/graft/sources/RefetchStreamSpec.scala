@@ -369,6 +369,38 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("due mode's default lateness tolerance absorbs an half-hour-late capture (the old 60s default silently dropped it)") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    // dueLateS left at its DEFAULT: the watermark delay is the drop
+    // cutoff due mode introduces, and a WARC replay batch routinely
+    // carries captures half an hour out of order
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      dueBaseS = 7200L)
+    val q = rf.writeStream.format("memory").queryName("refetch_due_late")
+      .outputMode("append").start()
+    def capsOf(u: String): Seq[Long] =
+      spark.table("refetch_due_late").collect()
+        .filter(_.getString(0) == u).map(_.getLong(2)).toSeq
+    try {
+      // batch 1 ends with the event clock at T0+1h -> watermark T0
+      mem.addData(
+        cap(1, "http://a.com/x", "v1", "2026-03-01T00:00:00"),
+        cap(2, "http://a.com/clock", "m1", "2026-03-01T01:00:00"))
+      q.processAllAvailable()
+      // batch 2: a capture 30 min behind the clock — INSIDE the
+      // default hour tolerance, so it must count (under the pre-r20
+      // 60 s default the watermark sat at T0+59m and this row died)
+      mem.addData(cap(3, "http://a.com/x", "v2", "2026-03-01T00:30:00"))
+      q.processAllAvailable()
+      assert(capsOf("http://a.com/x") === Seq(1L, 2L),
+        "an half-hour-late capture must survive the default tolerance")
+    } finally q.stop()
+  }
+
   test("validatorsStream idleTtlS: eviction is output-invisible (replacement recency) and the TTL watermark is the real drop cutoff") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
