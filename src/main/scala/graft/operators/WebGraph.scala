@@ -413,60 +413,80 @@ object WebGraph {
         .drop("verdict")
     }
 
-  /** (canon_url, fp, ts_s) capture rows from a parsed WARC frame —
-    * ONE spelling for the batch queue builders, mirroring the stream
-    * doors' revisit semantics ([[graft.sources.Crawl.refetchStream]]
-    * / changeTrackStream): a WARC revisit record (text null,
-    * revisit = true — the 304 economy's "content unchanged" capture)
-    * COUNTS as a capture with a null fp (no version, but fresh
-    * recency), so `last_ts_s` reflects a page recently CONFIRMED
-    * unchanged and the due queue never schedules it prematurely.
-    * Before round 20 these builders filtered on `text.isNotNull`
-    * alone, dropping revisits — [[refetchDue]]'s n_changes floor
-    * anticipated the null-fp rows that never arrived.
+  /** (canon_url, fp, ts_s, http_status, revisit, doc_id) capture
+    * rows from a parsed WARC frame — ONE spelling for the batch queue
+    * builders, mirroring the stream doors' revisit semantics
+    * ([[graft.sources.Crawl.refetchStream]] / changeTrackStream): a
+    * WARC revisit record (text null, revisit = true — the 304
+    * economy's "content unchanged" capture) COUNTS as a capture with
+    * a null fp (no version, but fresh recency), so `last_ts_s`
+    * reflects a page recently CONFIRMED unchanged and the due queue
+    * never schedules it prematurely. Before round 20 these builders
+    * filtered on `text.isNotNull` alone, dropping revisits —
+    * [[refetchDue]]'s n_changes floor anticipated the null-fp rows
+    * that never arrived.
     */
   private def warcCaptureRows(parsed: DataFrame): DataFrame = {
     val rev = coalesce(col("revisit"), lit(false))
+    val status = col("http_status")
+    val isErr = status.isNotNull && status >= 400 && !rev
     parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
-        (col("text").isNotNull || rev))
+        (col("text").isNotNull || rev || isErr))
       .select(graft.sources.Urls.canonicalize(col("url"))
           .as("canon_url"),
-        when(rev, lit(null).cast("long"))
+        // fp is the RAW body fingerprint wherever a body exists —
+        // the status gate (error bodies never fingerprint) is
+        // recrawlStatus's job, one spelling, not the reader's.
+        // Bodyless ERROR responses (status >= 400, no text — rare
+        // but legal) ride as observations recrawlStatus prices.
+        when(rev || col("text").isNull, lit(null).cast("long"))
           .otherwise(xxhash64(col("text"))).as("fp"),
-        col("ts").cast("long").as("ts_s"))
+        col("ts").cast("long").as("ts_s"),
+        col("http_status"), rev.as("revisit"),
+        coalesce(col("doc_id"), lit(0L)).as("doc_id"))
       .filter(col("canon_url").isNotNull)
   }
 
-  /** The night's recrawl manifest (`crawl_refetch_queue_v2`): q196's
-    * due pricing over the real capture history (raw-body
-    * fingerprints; revisit records count as captures via
-    * [[warcCaptureRows]]), persisted like [[crawlFrontierTable]] —
-    * the corpus parse happens once per corpus change, not once per
-    * night. v2: revisit-aware capture rows (v1 dropped them, so
-    * last_ts_s understated recency for revisit-confirmed pages).
+  /** The night's recrawl manifest (`crawl_refetch_queue_v2`): due
+    * pricing over the real capture history via [[recrawlStatusQueue]]
+    * (q199 — the status-aware, order-aware upgrade of q196's rule:
+    * error bodies never fingerprint, entering error counts one
+    * change, and pages whose trailing two captures are errors LEAVE
+    * the queue), persisted like [[crawlFrontierTable]] — the corpus
+    * parse happens once per corpus change, not once per night.
+    * Documented divergence from the planted q196/q198 twins: changes
+    * here are the stream's TRANSITION count, not the order-blind
+    * distinct-fingerprint lower bound (equal whenever no version
+    * recurs). v2: revisit-aware + status-aware capture rows (v1
+    * dropped revisits and let error bodies register transitions).
     */
   def crawlRefetchQueueTable(s: SparkSession, warcDir: String,
                              dueBaseS: Long = 86400L): DataFrame =
     DerivedCache.orBuild(s, warcDir, "crawl_refetch_queue_v2") {
       crawlManifestDerives.incrementAndGet()
-      refetchDue(warcCaptureRows(
+      recrawlStatusQueue(warcCaptureRows(
         graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false)),
         dueBaseS)
     }
 
   /** The night's actionable due WORK LIST (`crawl_due_queue_v2`) —
     * q198 computed over the REAL corpus: the interval channel
-    * ([[refetchDue]] at the snapshot's own as-of instant, the
+    * ([[recrawlStatusQueue]] at the snapshot's own as-of instant, the
     * corpus's newest capture — a nightly prices "due as of now") is
     * unioned with the declared-instant channel ([[lastmodDue]] over
     * [[graft.sources.Crawl.declaredHints]] — the sitemap lastmods the
     * crawl actually captured), with channel provenance
     * (interval / lastmod / both). Same serve-or-build lifecycle as
     * the sibling manifests; one corpus pass on build, zero on an
-    * unchanged corpus. v2: revisit-aware capture rows
-    * ([[warcCaptureRows]] — v1 dropped revisit records, scheduling
-    * revisit-confirmed pages prematurely).
+    * unchanged corpus. v2: revisit-aware + status-aware capture rows
+    * (v1 dropped revisit records, scheduling revisit-confirmed pages
+    * prematurely, and let error bodies register transitions). The
+    * interval channel prices via [[recrawlStatusQueue]], so DEMOTED
+    * pages (trailing error streak) leave it; the lastmod channel is
+    * deliberately NOT demoted — the host explicitly declared the
+    * page changed, the one signal that plausibly means a dead page
+    * came back, and the conditional GET it triggers is cheap.
     */
   def crawlDueQueueTable(s: SparkSession, warcDir: String,
                          dueBaseS: Long = 86400L): DataFrame =
@@ -477,7 +497,7 @@ object WebGraph {
       val caps = warcCaptureRows(parsed)
       val asof = broadcast(
         caps.agg(max("ts_s").cast("long").as("asof_s")))
-      val iv = refetchDue(caps, dueBaseS)
+      val iv = recrawlStatusQueue(caps, dueBaseS)
         .crossJoin(asof).filter(col("due_ts_s") <= col("asof_s"))
         .select("canon_url")
       val lastCaps = caps.groupBy("canon_url")
@@ -686,6 +706,91 @@ object WebGraph {
     * because each one is an observation of sameness. Same buckets as
     * [[recrawlPriority]]. One near-unique-key aggregation.
     */
+  /** STATUS-AWARE capture statistics — the order-aware batch twin of
+    * the stream doors' round-20 error semantics
+    * ([[graft.sources.Crawl.refetchStream]] / changeTrackStream), for
+    * recrawl pricing that must not mistake a dying page for a hot
+    * one. Input: one row per capture, (canon_url, fp, ts_s,
+    * http_status, revisit, doc_id) — fp the raw body fingerprint
+    * (null on revisits), status null for statusless feeds. Classes:
+    * OK (2xx/statusless real body — fingerprints), ERROR (>= 400 —
+    * never fingerprints; ENTERING error from a fingerprinted history
+    * counts exactly one change, staying in error none, so a
+    * 200→404→200 flap prices once and a page serving rotating error
+    * bodies prices zero), REVISIT and 1xx/3xx (neutral capture
+    * observations). Unlike [[recrawlPriorityRevisit]]'s order-blind
+    * lower bound, changes here are true TRANSITIONS (the stream's
+    * count): per-page event-order windows — the partition key is the
+    * near-unique page, so groups are history-sized at any corpus
+    * scale and the one shuffle is the same canon_url exchange the
+    * order-blind aggregation pays. Output: (canon_url, n_captures,
+    * n_changes, err_streak, last_ts_s) where err_streak = trailing
+    * consecutive errors (reset only by an OK capture — the dead-page
+    * demotion signal).
+    */
+  def recrawlStatus(captures: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = coalesce(col("revisit"), lit(false))
+    val st = col("http_status")
+    val isErr = st.isNotNull && st >= 400 && !rev
+    val isOk = (st.isNull || (st >= 200 && st < 300)) &&
+      col("fp").isNotNull && !rev
+    val cf = captures.select(col("canon_url"), col("fp"),
+      col("ts_s").cast("long").as("ts_s"),
+      coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+      when(rev, lit(1)).when(isErr, lit(2)).when(isOk, lit(0))
+        .otherwise(lit(3)).as("cls"))
+    val win = Window.partitionBy("canon_url")
+      .orderBy(col("ts_s"), col("doc_id"))
+    // transition + trailing-error indicators over the NON-NEUTRAL
+    // subsequence (revisits and 1xx/3xx never enter or leave the
+    // error episode; the stream applies the identical skip)
+    val nn = cf.filter(col("cls").isin(0, 2))
+      .withColumn("prev_cls", lag("cls", 1).over(win))
+      .withColumn("prev_ok_fp",
+        last(when(col("cls") === 0, col("fp")), ignoreNulls = true)
+          .over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ok_after",
+        max(when(col("cls") === 0, 1).otherwise(0))
+          .over(win.rowsBetween(Window.currentRow,
+                                Window.unboundedFollowing)))
+      .groupBy("canon_url")
+      .agg(
+        sum(when(col("cls") === 0 && col("prev_ok_fp").isNotNull &&
+                   col("fp") =!= col("prev_ok_fp"), 1L)
+              .when(col("cls") === 2 && col("prev_cls") === 0, 1L)
+              .otherwise(0L)).as("n_changes"),
+        sum(when(col("cls") === 2 && col("ok_after") === 0, 1L)
+              .otherwise(0L)).as("err_streak"))
+    cf.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_captures"),
+           max("ts_s").cast("long").as("last_ts_s"))
+      .join(nn.hint("shuffle_hash"), Seq("canon_url"), "left")
+      .select(col("canon_url"), col("n_captures"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"),
+        coalesce(col("err_streak"), lit(0L)).as("err_streak"),
+        col("last_ts_s"))
+  }
+
+  /** [[refetchDue]]'s status-aware successor (q199): due pricing over
+    * [[recrawlStatus]] — interval = max(dueBaseS div (1 + n_changes),
+    * 1) with the TRANSITION change count (error entries count once,
+    * error bodies never) — plus dead-page DEMOTION: a page whose
+    * trailing `errDemote` captures (default 2) are all errors LEAVES
+    * the queue entirely (the exact page a recrawler exists to NOT
+    * revisit; errDemote <= 0 disables). A recovered page (any later
+    * 2xx) resets its streak and re-enters with its learned history.
+    */
+  def recrawlStatusQueue(captures: DataFrame, dueBaseS: Long,
+                         errDemote: Int = 2): DataFrame = {
+    val q = recrawlStatus(captures)
+      .withColumn("interval_s",
+        greatest(expr(s"cast($dueBaseS as bigint) div (1 + n_changes)"),
+                 lit(1L)))
+      .withColumn("due_ts_s", col("last_ts_s") + col("interval_s"))
+    if (errDemote > 0) q.filter(col("err_streak") < errDemote) else q
+  }
+
   def recrawlPriorityRevisit(captures: DataFrame): DataFrame = {
     val g = captures.groupBy("canon_url")
       .agg(count(lit(1)).as("n_captures"),
@@ -2441,6 +2546,101 @@ object WebGraph {
           when(col("iv") === 1 && col("lm") === 1, "both")
             .when(col("iv") === 1, "interval")
             .otherwise("lastmod").as("channel"))
+    },
+
+    Q("q199_status_demotion",
+      "Status-aware recrawl pricing with dead-page demotion " +
+        "(recrawlStatusQueue — the batch twin of refetchStream's " +
+        "round-20 error semantics): an ERROR capture (status >= 400) " +
+        "never fingerprints — its body is not content, so a page " +
+        "that starts serving rotating 404 pages cannot register " +
+        "transitions and climb its own queue — ENTERING error from a " +
+        "fingerprinted history counts exactly one change (a " +
+        "200→404→200 flap prices once, not twice), and a page whose " +
+        "trailing TWO captures are errors LEAVES the queue entirely " +
+        "(the page a recrawler exists to NOT revisit; any later 2xx " +
+        "resets the streak and re-enters it with learned history). " +
+        "Planted: the q196 capture ladder with per-(page, round) " +
+        "statuses — k%7=0 is dead on arrival (every capture 404, so " +
+        "the demotion filter provably bites even at the two-capture " +
+        "sf0.01 histories), k%7=1 flaps 200/404, k%7=2 dies 410 " +
+        "after round 0, k%7=3 dies 404 after round 0, the rest stay " +
+        "200 with the q185 version churn — and every error body is " +
+        "a UNIQUE fingerprint, the exact bait naive fingerprint " +
+        "counting takes. Changes are true TRANSITIONS via per-page " +
+        "event-order windows (the partition key is the near-unique " +
+        "page — history-sized groups, one canon_url shuffle at any " +
+        "corpus scale).",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url, doc_id, doc_id % 250 AS k,
+          |        doc_id // 250 AS r,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |s AS (SELECT canon_url, doc_id, ts_s,
+          |        CASE WHEN k % 7 = 0 THEN 404
+          |             WHEN k % 7 = 1 AND r % 2 = 1 THEN 404
+          |             WHEN k % 7 = 2 AND r > 0 THEN 410
+          |             WHEN k % 7 = 3 AND r > 0 THEN 404
+          |             ELSE 200 END AS http_status,
+          |        CASE WHEN k % 7 = 0
+          |               OR (k % 7 = 1 AND r % 2 = 1)
+          |               OR (k % 7 = 2 AND r > 0)
+          |               OR (k % 7 = 3 AND r > 0)
+          |             THEN 990000 + r
+          |             ELSE r % (1 + k % 4) END AS fp
+          |      FROM v),
+          |nn AS (SELECT *, CASE WHEN http_status < 300 THEN 0 ELSE 2
+          |         END AS cls FROM s),
+          |w AS (SELECT canon_url, cls, fp,
+          |        lag(cls) OVER win AS prev_cls,
+          |        last_value(CASE WHEN cls = 0 THEN fp END IGNORE NULLS)
+          |          OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+          |                AND 1 PRECEDING) AS prev_ok_fp,
+          |        max(CASE WHEN cls = 0 THEN 1 ELSE 0 END)
+          |          OVER (win ROWS BETWEEN CURRENT ROW
+          |                AND UNBOUNDED FOLLOWING) AS ok_after
+          |      FROM nn
+          |      WINDOW win AS (PARTITION BY canon_url
+          |                     ORDER BY ts_s, doc_id)),
+          |g AS (SELECT canon_url,
+          |        CAST(sum(CASE
+          |          WHEN cls = 0 AND prev_ok_fp IS NOT NULL
+          |               AND fp <> prev_ok_fp THEN 1
+          |          WHEN cls = 2 AND prev_cls = 0 THEN 1
+          |          ELSE 0 END) AS BIGINT) AS n_changes,
+          |        CAST(sum(CASE WHEN cls = 2 AND ok_after = 0
+          |          THEN 1 ELSE 0 END) AS BIGINT) AS err_streak
+          |      FROM w GROUP BY 1),
+          |c AS (SELECT canon_url, CAST(count(*) AS BIGINT)
+          |          AS n_captures,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
+          |      FROM s GROUP BY 1),
+          |q AS (SELECT c.canon_url, c.n_captures, g.n_changes,
+          |        g.err_streak, c.last_ts_s,
+          |        greatest(CAST(86400 AS BIGINT) // (1 + g.n_changes),
+          |                 CAST(1 AS BIGINT)) AS interval_s
+          |      FROM c JOIN g USING (canon_url))
+          |SELECT canon_url, n_captures, n_changes, err_streak,
+          |  last_ts_s, interval_s, last_ts_s + interval_s AS due_ts_s
+          |FROM q WHERE err_streak < 2""".stripMargin) { (s, d) =>
+      val k = col("doc_id") % 250
+      val r = expr("doc_id div 250")
+      val isErrRow = (k % 7 === 0) ||
+        (k % 7 === 1 && r % 2 === 1) || (k % 7 === 2 && r > 0) ||
+        (k % 7 === 3 && r > 0)
+      val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+        .select(col("canon_url"),
+          when(isErrRow, lit(990000L) + r)
+            .otherwise(expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)"))
+            .as("fp"),
+          expr("1700000000 + (doc_id div 250) * 3600").as("ts_s"),
+          when(k % 7 === 0, 404)
+            .when(k % 7 === 1 && r % 2 === 1, 404)
+            .when(k % 7 === 2 && r > 0, 410)
+            .when(k % 7 === 3 && r > 0, 404)
+            .otherwise(200).as("http_status"),
+          lit(false).as("revisit"), col("doc_id"))
+      recrawlStatusQueue(caps, dueBaseS = 86400L, errDemote = 2)
     }
   )
 

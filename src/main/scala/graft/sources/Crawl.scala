@@ -47,12 +47,22 @@ import graft.functions.LangId
 // of a flatMapGroupsWithState state class is part of the streaming
 // checkpoint format. Changing a class's fields (round 18 added
 // ChangeTrackState.hasFp and replaced LiveFrontierState with
-// LiveBudgetState; round 19 extends RefetchState and LiveBudgetState)
-// makes an EXISTING checkpoint unrestorable — the state encoder's
-// schema no longer matches the stored rows and the restarted query
-// fails. Restart such streams with a FRESH checkpoint (the state
-// re-learns from the re-played/new input); deployments that need
-// rolling upgrades should version their own state wrapper.
+// LiveBudgetState; round 19 extends RefetchState and LiveBudgetState;
+// round 20 extends ChangeTrackState, RefetchState, and
+// LiveBudgetState) makes an EXISTING checkpoint unrestorable — the
+// state encoder's schema no longer matches the stored rows and the
+// restarted query fails. Restart such streams with a FRESH checkpoint
+// (the state re-learns from the re-played/new input); deployments
+// that need rolling upgrades should version their own state wrapper.
+//
+// RESERVED-SLOT POLICY (round 20, ending the break-per-round cycle):
+// the page-keyed classes now carry spare fields (`rsvL1`/`rsvL2`
+// longs, `rsvS1` string, all with neutral defaults) that future
+// features CONSUME instead of widening the schema — a feature that
+// needs one more long renames a reserved slot's USE, not the encoder
+// schema, so existing checkpoints keep restoring. Only a feature that
+// exhausts the spares (or needs a new collection type) breaks format
+// again, and must both replenish the spares and bump this note.
 /** Per-host frontier state for [[Crawl.frontierStream]]: the xxh64
   * hashes of the URLs this host has emitted so far. Bounded BY
   * CONSTRUCTION: emission stops at the host's politeness cap, so the
@@ -70,12 +80,21 @@ private[sources] case class FrontierHostState(emitted: Array[Long])
   * (`lastTsS` — the idle-TTL eviction clock anchors on state recency,
   * never a batch-local value: a late older duplicate must not pull
   * eviction earlier; added r19, see the checkpoint note above).
+  * Round 20 adds `errStreak` (consecutive trailing ERROR captures —
+  * status >= 400; an error body is not content, so it never
+  * fingerprints, and ENTERING error from a fingerprinted history
+  * counts exactly one change) plus the reserved slots — restart
+  * pre-r20 checkpoints fresh.
   */
 private[sources] case class ChangeTrackState(lastFp: Long,
                                              hasFp: Boolean,
                                              nCaptures: Long,
                                              nChanges: Long,
-                                             lastTsS: Long)
+                                             lastTsS: Long,
+                                             errStreak: Long = 0L,
+                                             rsvL1: Long = 0L,
+                                             rsvL2: Long = 0L,
+                                             rsvS1: String = null)
 
 /** Per-page state for [[Crawl.validatorsStream]]: the latest-capture
   * validators (by event time, doc_id) — three strings and two longs
@@ -174,8 +193,13 @@ private[sources] object Hll {
   * staleness term; `declaredDay` remembers the newest sitemap
   * `<lastmod>` epoch-day announced for the page, so a re-offered
   * sitemap never re-triggers the declared-instant emission. Round 19
-  * added both — restart pre-r19 checkpoints fresh (see the
-  * compatibility note above).
+  * added both. Round 20 adds `errStreak` (consecutive trailing error
+  * captures — prices dead-page demotion and the due-timer cancel),
+  * `dueFires` (due wakeups since the last capture — the opt-in
+  * due-state bound), `maxAgeS` (the latest OK capture's RFC 9111
+  * declared freshness lifetime, Long.MinValue = none declared — caps
+  * the Cho/Garcia-Molina interval), and the reserved slots — restart
+  * pre-r20 checkpoints fresh (see the compatibility note above).
   */
 private[sources] case class RefetchState(lastFp: Long,
                                          hasFp: Boolean,
@@ -186,7 +210,13 @@ private[sources] case class RefetchState(lastFp: Long,
                                          valTs: Long,
                                          valDoc: Long,
                                          lastCapTs: Long,
-                                         declaredDay: Long)
+                                         declaredDay: Long,
+                                         errStreak: Long = 0L,
+                                         dueFires: Long = 0L,
+                                         maxAgeS: Long = Long.MinValue,
+                                         rsvL1: Long = 0L,
+                                         rsvL2: Long = 0L,
+                                         rsvS1: String = null)
 
 object Crawl {
 
@@ -1230,20 +1260,35 @@ object Crawl {
     // a WARC frame's revisit rows (WARC-Type: revisit — "content
     // unchanged", no body) COUNT as captures but never as changes;
     // their fp is None. A JSONL frame has no revisit column — all
-    // rows are real bodies there.
+    // rows are real bodies there. Status-aware like refetchStream
+    // (round 20): an error capture (status >= 400) never fingerprints
+    // — a page that starts serving 404/503 error pages must not
+    // register its error BODY as a content transition and read as
+    // "hot" — entering error from a fingerprinted history counts one
+    // change, staying in error none; 1xx/3xx are neutral. Frames
+    // without an http_status column are all-OK, the pre-r20 behavior.
     val rev =
       if (parsed.columns.contains("revisit"))
         coalesce(col("revisit"), lit(false))
       else lit(false)
+    val status =
+      if (parsed.columns.contains("http_status")) col("http_status")
+      else lit(null).cast("int")
+    val isErr = status.isNotNull && status >= 400 && !rev
+    val isOk = (status.isNull || (status >= 200 && status < 300)) &&
+      col("text").isNotNull && !rev
+    val clsCol = when(rev, lit(1)).when(isErr, lit(2))
+      .when(isOk, lit(0)).otherwise(lit(3))
     val caps0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
-        (col("text").isNotNull || rev))
+        (col("text").isNotNull || rev || isErr))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
-              when(rev, lit(null).cast("long"))
+              when(clsCol =!= 0, lit(null).cast("long"))
                 .otherwise(xxhash64(col("text"))).as("fp"),
               col("ts").cast("long").as("ts_s"),
               coalesce(col("doc_id"), lit(0L)).as("doc_id"),
-              col("ts").as("_wm"))
+              col("ts").as("_wm"),
+              clsCol.as("cls"))
       .filter(col("canon_url").isNotNull)
     // opt-in state bound for unbounded crawls: pages idle past the
     // TTL on the EVENT clock evict (a re-arrival re-learns from
@@ -1255,7 +1300,7 @@ object Crawl {
     val timeoutConf =
       if (idleTtlS > 0L) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    caps.as[(String, Option[Long], Long, Long, java.sql.Timestamp)]
+    caps.as[(String, Option[Long], Long, Long, java.sql.Timestamp, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ChangeTrackState,
                               (String, Long, Long, Double, String)](
@@ -1269,16 +1314,25 @@ object Crawl {
           } else {
             var st = state.getOption.getOrElse(
               ChangeTrackState(0L, false, 0L, 0L, Long.MinValue))
-            for ((_, fpOpt, tsS, _, _)
+            for ((_, fpOpt, tsS, _, _, cls)
                  <- rows.toArray.sortBy(r => (r._3, r._4))) {
-              fpOpt match {
-                case None => // revisit: a capture, asserted unchanged
+              cls match {
+                case 1 => // revisit: a capture, asserted unchanged
                   st = st.copy(nCaptures = st.nCaptures + 1L)
-                case Some(fp) =>
+                case 2 => // error: one change on ENTRY, none after
+                  if (st.hasFp && st.errStreak == 0L)
+                    st = st.copy(nChanges = st.nChanges + 1L)
+                  st = st.copy(nCaptures = st.nCaptures + 1L,
+                               errStreak = st.errStreak + 1L)
+                case 3 => // neutral 1xx/3xx observation
+                  st = st.copy(nCaptures = st.nCaptures + 1L)
+                case _ =>
+                  val fp = fpOpt.get
                   if (st.hasFp && fp != st.lastFp)
                     st = st.copy(nChanges = st.nChanges + 1L)
                   st = st.copy(lastFp = fp, hasFp = true,
-                               nCaptures = st.nCaptures + 1L)
+                               nCaptures = st.nCaptures + 1L,
+                               errStreak = 0L)
               }
               if (tsS > st.lastTsS) st = st.copy(lastTsS = tsS)
             }
@@ -1640,14 +1694,36 @@ object Crawl {
     *     IS the arrival. Re-offered sitemaps never re-trigger
     *     (`declaredDay` in state); never-captured pages create no
     *     state (discovery is the frontier's job, not the recrawler's).
+    *   - STATUS-AWARE pricing (round 20; frames without an
+    *     `http_status` column — JSONL feeds — are all-OK): an error
+    *     capture (status >= 400) never fingerprints, so an error BODY
+    *     cannot register content transitions; entering error from a
+    *     fingerprinted history counts ONE change (a 200→404→200 flap
+    *     prices once, not twice), 1xx/3xx are neutral observations,
+    *     and the output's `err_streak` column (trailing consecutive
+    *     errors, reset by any 2xx) DIVIDES the live price — a dying
+    *     page sinks instead of climbing. In due mode, `dueErrCancel`
+    *     consecutive errors (default 3; <= 0 disables) CANCEL the
+    *     page's due timer: a deleted page stops waking up at base
+    *     interval forever, and a later OK capture re-arms it with its
+    *     learned history intact. q199_status_demotion is the oracled
+    *     batch twin of the error rule.
     */
+  /** "Cancelled" due-timer sentinel: the GroupState API has no
+    * removeTimeout, so a cancelled timer parks at an event-time
+    * instant no real watermark reaches (~74 million years AD; /4
+    * keeps every downstream ms/us arithmetic overflow-free).
+    */
+  private val NeverMs = Long.MaxValue / 4
+
   def refetchStream(parsed: DataFrame, ranks: DataFrame,
                     declared: Option[DataFrame] = None,
                     staleBoostS: Long = 0L,
                     dueBaseS: Long = 0L,
                     dueLateS: Long = 3600L,
                     idleTtlS: Long = 0L,
-                    sitemapLastmod: Boolean = false): DataFrame = {
+                    sitemapLastmod: Boolean = false,
+                    dueErrCancel: Int = 3): DataFrame = {
     require(dueBaseS <= 0L || idleTtlS <= 0L,
       "refetchStream: due-time wakeups and idle-TTL eviction share " +
         "the one per-group event-time timer — enable at most one")
@@ -1662,12 +1738,31 @@ object Crawl {
       if (parsed.columns.contains("revisit"))
         coalesce(col("revisit"), lit(false))
       else lit(false)
+    // status-aware capture classes (round 20): an ERROR body
+    // (http_status >= 400) is not content — it never fingerprints, so
+    // a page that starts serving 404/503 error pages cannot register
+    // fingerprint transitions and climb its own queue. ENTERING error
+    // from a fingerprinted history counts exactly ONE change (the
+    // page did change: it went away), staying in error counts none,
+    // and recovering to the same body counts none — a 200→404→200
+    // flap prices as one change, not two. Statusless rows (JSONL
+    // frames carry no http_status column) stay on the OK path; 1xx/
+    // 3xx captures are NEUTRAL (not content, not death — a redirect
+    // body neither fingerprints nor touches the error streak).
+    val status =
+      if (parsed.columns.contains("http_status")) col("http_status")
+      else lit(null).cast("int")
+    val isErr = status.isNotNull && status >= 400 && !rev
+    val isOk = (status.isNull || (status >= 200 && status < 300)) &&
+      col("text").isNotNull && !rev
+    val clsCol = when(rev, lit(1)).when(isErr, lit(2))
+      .when(isOk, lit(0)).otherwise(lit(3))
     val capRows0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
-        (col("text").isNotNull || rev))
+        (col("text").isNotNull || rev || isErr))
       .select(Urls.canonicalize(col("url")).as("canon_url"),
               lit(0).as("kind"),
-              when(rev, lit(null).cast("long"))
+              when(clsCol =!= 0, lit(null).cast("long"))
                 .otherwise(xxhash64(col("text"))).as("fp"),
               col("last_modified"), col("etag"),
               unix_micros(col("ts")).as("ts_us"),
@@ -1676,7 +1771,8 @@ object Crawl {
               // the event-time column the due/TTL timers ride (its
               // watermark metadata must REACH the stateful operator
               // — the frontierStream convention)
-              col("ts").as("_wm"))
+              col("ts").as("_wm"),
+              clsCol.as("cls"))
       .filter(col("canon_url").isNotNull)
     // the declared-instant channel LIVE (`sitemapLastmod`): sitemap
     // bodies riding the same stream (content sniff — the
@@ -1705,7 +1801,7 @@ object Crawl {
                   // the q197 epoch-day spelling (ONE helper, shared
                   // with the batch twin): garbage -> null -> dropped
                   Sitemaps.lastmod_day(col("e.lastmod")).as("lm_day"),
-                  col("_wm"))
+                  col("_wm"), lit(3).as("cls"))
           .filter(col("canon_url").isNotNull && col("lm_day").isNotNull)
         capRows0.unionByName(lmRows)
       }
@@ -1732,11 +1828,11 @@ object Crawl {
       else math.max(st.lastCapTs - st.valTs, 0L) / 1000000L
     val stats = caps
       .as[(String, Int, Option[Long], String, String, Long, Long, Long,
-           java.sql.Timestamp)]
+           java.sql.Timestamp, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RefetchState,
                               (String, Long, Long, String, String,
-                               Long)](
+                               Long, Long)](
         OutputMode.Append, timeoutConf) {
         (url, rows, state) =>
           if (state.hasTimedOut) {
@@ -1751,12 +1847,21 @@ object Crawl {
               // NO new arrival — the exact page a recrawler exists to
               // revisit. Emit its current row into this window's
               // fetch list and re-arm one interval past the clock
-              // that fired it.
+              // that fired it. A stale timer on a DEMOTED page (error
+              // streak at the cancel bound — the timer armed before
+              // the page started erroring) fires silently once and
+              // never re-arms: a dead page must not surface in fetch
+              // lists at base interval forever.
               val st = state.get
-              state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs + intervalS(st) * 1000L)
-              Iterator.single((url, st.nCaptures, st.nChanges,
-                               st.lastModified, st.etag, valAgeS(st)))
+              if (dueErrCancel > 0 && st.errStreak >= dueErrCancel) {
+                Iterator.empty
+              } else {
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs + intervalS(st) * 1000L)
+                Iterator.single((url, st.nCaptures, st.nChanges,
+                                 st.lastModified, st.etag, valAgeS(st),
+                                 st.errStreak))
+              }
             }
           } else {
             val arr = rows.toArray
@@ -1765,16 +1870,34 @@ object Crawl {
             var st = state.getOption.getOrElse(
               RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
                            Long.MinValue, Long.MinValue, Long.MinValue))
-            for ((_, _, fpOpt, lm, et, tsUs, docId, _, _)
+            for ((_, _, fpOpt, lm, et, tsUs, docId, _, _, cls)
                  <- capRows.sortBy(r => (r._6, r._7))) {
-              fpOpt match {
-                case None => // revisit: capture counted, no transition
+              cls match {
+                case 1 => // revisit: capture counted, no transition,
+                          // error streak untouched (it asserts the
+                          // prior content — whatever it was — stands)
                   st = st.copy(nCaptures = st.nCaptures + 1L)
-                case Some(fp) =>
+                case 2 => // error capture: never fingerprints;
+                          // ENTERING error from a fingerprinted
+                          // history is ONE change (the page went
+                          // away), staying in error is none
+                  if (st.hasFp && st.errStreak == 0L)
+                    st = st.copy(nChanges = st.nChanges + 1L)
+                  st = st.copy(nCaptures = st.nCaptures + 1L,
+                               errStreak = st.errStreak + 1L)
+                case 3 => // neutral (1xx/3xx): a capture observation,
+                          // not content and not death
+                  st = st.copy(nCaptures = st.nCaptures + 1L)
+                case _ => // OK body: fingerprint + transition count;
+                          // recovery to the SAME body after an error
+                          // episode adds nothing (the flap already
+                          // counted once, on entry)
+                  val fp = fpOpt.get
                   if (st.hasFp && fp != st.lastFp)
                     st = st.copy(nChanges = st.nChanges + 1L)
                   st = st.copy(lastFp = fp, hasFp = true,
-                               nCaptures = st.nCaptures + 1L)
+                               nCaptures = st.nCaptures + 1L,
+                               errStreak = 0L)
               }
               if (tsUs > st.lastCapTs) st = st.copy(lastCapTs = tsUs)
               // validators keep their own recency (a capture without
@@ -1814,21 +1937,35 @@ object Crawl {
               // would floor to watermark+1s and force a spurious
               // premature wakeup per sitemap re-offer.
               if (timed && capRows.nonEmpty) {
-                val horizon =
-                  if (dueBaseS > 0L) intervalS(st) else idleTtlS
-                val atMs = st.lastCapTs / 1000L + horizon * 1000L
-                state.setTimeoutTimestamp(
-                  math.max(atMs, state.getCurrentWatermarkMs + 1000L))
+                if (dueBaseS > 0L && dueErrCancel > 0 &&
+                    st.errStreak >= dueErrCancel) {
+                  // dead-page demotion: dueErrCancel consecutive
+                  // error captures CANCEL the due timer (pushed past
+                  // any reachable watermark — the GroupState API has
+                  // no removeTimeout). The state stays: a later OK
+                  // capture resets the streak and the next re-arm
+                  // resumes scheduling — a recovered page re-enters
+                  // the rotation with its learned history intact.
+                  state.setTimeoutTimestamp(NeverMs)
+                } else {
+                  val horizon =
+                    if (dueBaseS > 0L) intervalS(st) else idleTtlS
+                  val atMs = st.lastCapTs / 1000L + horizon * 1000L
+                  state.setTimeoutTimestamp(
+                    math.max(atMs, state.getCurrentWatermarkMs + 1000L))
+                }
               }
             }
             if (capRows.nonEmpty || declaredFired)
               Iterator.single((url, st.nCaptures, st.nChanges,
-                               st.lastModified, st.etag, valAgeS(st)))
+                               st.lastModified, st.etag, valAgeS(st),
+                               st.errStreak))
             else Iterator.empty
           }
       }
       .toDF("canon_url", "n_captures", "n_changes",
-            "if_modified_since", "if_none_match", "_val_age_s")
+            "if_modified_since", "if_none_match", "_val_age_s",
+            "err_streak")
       .withColumn("host", Urls.host(col("canon_url")))
       .filter(col("host").isNotNull)
     // declared sitemap freshness (q193's blend) as an optional
@@ -1853,16 +1990,24 @@ object Crawl {
       if (staleBoostS > 0L)
         lit(1L) + expr(s"_val_age_s div $staleBoostS")
       else lit(1L)
-    // host-sized rank artifact: shuffle-pinned, the no-broadcast rule
+    // host-sized rank artifact: shuffle-pinned, the no-broadcast rule.
+    // Dead-page decay divides the price by (1 + trailing error
+    // streak) in exact BIGINT — a page whose latest captures are
+    // 404/410/5xx sinks in the queue instead of climbing it (its
+    // error bodies no longer register transitions either — the
+    // round-20 status gate), and err_streak = 0 leaves the q193
+    // stream==batch parity spelling bit-identical.
     withDecl.join(ranks.select(col("host"), col("rank_e12"))
         .hint("shuffle_hash"), Seq("host"), "left")
-      .select(col("canon_url"), col("host"), col("n_captures"),
-        col("n_changes"),
-        (coalesce(col("rank_e12"), lit(0L)) * (col("n_changes") + 1L) *
+      .withColumn("_score0",
+        coalesce(col("rank_e12"), lit(0L)) * (col("n_changes") + 1L) *
           (graft.operators.WebGraph.changefreqWeight(col("changefreq"))
             + 1L) * staleFactor)
-          .as("score_e12"),
-        col("if_modified_since"), col("if_none_match"))
+      .select(col("canon_url"), col("host"), col("n_captures"),
+        col("n_changes"),
+        expr("_score0 div (1 + err_streak)").as("score_e12"),
+        col("if_modified_since"), col("if_none_match"),
+        col("err_streak"))
   }
 
   /** Land [[refetchStream]] as ranked per-window refetch lists: each

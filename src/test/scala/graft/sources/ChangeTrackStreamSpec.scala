@@ -140,4 +140,63 @@ class ChangeTrackStreamSpec extends AnyFunSuite with SparkSpec {
         s"late duplicate pulled eviction early: ${aRows()}")
     } finally q.stop()
   }
+
+  test("status gate: rotating error bodies are not churn — a dying page prices cold, a flap counts once") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def scap(id: Long, url: String, text: String, status: Int,
+             ts: String): String =
+      s"""{"doc_id":$id,"url":"$url","text":"$text","ts":"$ts","http_status":$status}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("http_status",
+        org.apache.spark.sql.types.IntegerType)))
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF().toDF("value")
+      .withColumn("e", org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value"), schema))
+      .selectExpr("false as corrupt", "e.doc_id as doc_id",
+        "e.url as url", "e.text as text", "to_timestamp(e.ts) as ts",
+        "e.http_status as http_status")
+    val q = Crawl.changeTrackStream(parsed)
+      .writeStream.format("memory").queryName("chg_status")
+      .outputMode("append").start()
+    def latest(u: String): (Long, Long, String) =
+      spark.table("chg_status").collect().filter(_.getString(0) == u)
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+        .maxBy(_._1)
+    try {
+      // dying page: one real body, then three DISTINCT 404 bodies —
+      // naive fingerprinting would read 3 changes over 3 revisits
+      // (share 1.0, "hot"); the status gate prices the death as ONE
+      // change (entering error) and the page cools
+      mem.addData(
+        scap(1, "http://a.com/dying", "real content", 200,
+             "2026-03-01T00:00:00"),
+        scap(2, "http://a.com/dying", "404 page v1", 404,
+             "2026-03-01T01:00:00"),
+        scap(3, "http://a.com/dying", "404 page v2", 404,
+             "2026-03-01T02:00:00"),
+        scap(4, "http://a.com/dying", "404 page v3", 404,
+             "2026-03-01T03:00:00"),
+        // flap: 200 A -> 404 -> 200 A = one change total
+        scap(5, "http://b.org/flap", "A", 200, "2026-03-01T00:00:00"),
+        scap(6, "http://b.org/flap", "oops", 503,
+             "2026-03-01T01:00:00"),
+        scap(7, "http://b.org/flap", "A", 200, "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      val dying = latest("http://a.com/dying")
+      assert(dying === ((4L, 1L, "warm")),
+        s"error bodies must not register transitions: $dying")
+      val flap = latest("http://b.org/flap")
+      assert(flap === ((3L, 1L, "hot")), s"a flap counts once: $flap")
+    } finally q.stop()
+  }
 }

@@ -317,6 +317,156 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
         col("e.etag").as("etag"))
   }
 
+  /** [[parsedWithValidators0]] + an `http_status` column — the
+    * status-aware door's WARC-shaped input.
+    */
+  private def parsedWithStatus(raw: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("http_status",
+        org.apache.spark.sql.types.IntegerType)))
+    raw.withColumn("e", from_json(col("value"), schema))
+      .select(lit(false).as("corrupt"),
+        col("e.doc_id").as("doc_id"), col("e.url").as("url"),
+        col("e.text").as("text"),
+        to_timestamp(col("e.ts")).as("ts"),
+        lit(null).cast("string").as("last_modified"),
+        lit(null).cast("string").as("etag"),
+        col("e.http_status").as("http_status"))
+  }
+
+  private def scap(id: Long, url: String, text: String, status: Int,
+                   ts: String): String =
+    s"""{"doc_id":$id,"url":"$url","text":"$text","ts":"$ts","http_status":$status}"""
+
+  // ------------------------------------------------------------------
+  // status-aware pricing (round 20): error bodies are not content
+  // ------------------------------------------------------------------
+
+  test("status-aware pricing: error bodies never fingerprint, a 200-404-200 flap counts once, err_streak decays the price; recrawlStatus agrees") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithStatus(mem.toDF().toDF("value")), ranks)
+    val q = rf.writeStream.format("memory").queryName("refetch_status")
+      .outputMode("append").start()
+    def latest(u: String): (Long, Long, Long, Long) = {
+      val rows = spark.table("refetch_status").collect()
+        .filter(_.getString(0) == u)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+                   r.getLong(7)))
+      rows.maxBy(_._1) // n_captures is monotone -> latest
+    }
+    // the history, one batch per capture so arrival order is pinned:
+    // 200 A, 404 (unique error body), 404 (ANOTHER unique error
+    // body — the naive-fingerprint bait), 200 A (same body back)
+    try {
+      mem.addData(scap(1, "http://a.com/p", "A", 200,
+                       "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      assert(latest("http://a.com/p") ===
+        ((1L, 0L, 1000000000000L, 0L)))
+      mem.addData(scap(2, "http://a.com/p", "err body 1", 404,
+                       "2026-03-01T01:00:00"))
+      q.processAllAvailable()
+      // entering error: ONE change, streak 1 -> price
+      // 1e12 * (1+1) div (1+1) = 1e12
+      assert(latest("http://a.com/p") ===
+        ((2L, 1L, 1000000000000L, 1L)))
+      mem.addData(scap(3, "http://a.com/p", "err body 2", 404,
+                       "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      // a DIFFERENT error body is not a transition: still 1 change,
+      // streak 2 -> price 2e12 div 3 (exact BIGINT floor)
+      assert(latest("http://a.com/p") ===
+        ((3L, 1L, 666666666666L, 2L)))
+      mem.addData(scap(4, "http://a.com/p", "A", 200,
+                       "2026-03-01T03:00:00"))
+      q.processAllAvailable()
+      // recovery to the SAME body: the flap counted once in total;
+      // the streak resets and the price recovers to 1e12 * 2
+      assert(latest("http://a.com/p") ===
+        ((4L, 1L, 2000000000000L, 0L)))
+    } finally q.stop()
+    // the batch twin on the identical history agrees column-for-column
+    val caps = Seq(
+      ("http://a.com/p", java.lang.Long.valueOf(11L), 1000L,
+       Integer.valueOf(200), false, 1L),
+      ("http://a.com/p", java.lang.Long.valueOf(22L), 2000L,
+       Integer.valueOf(404), false, 2L),
+      ("http://a.com/p", java.lang.Long.valueOf(33L), 3000L,
+       Integer.valueOf(404), false, 3L),
+      ("http://a.com/p", java.lang.Long.valueOf(11L), 4000L,
+       Integer.valueOf(200), false, 4L))
+      .toDF("canon_url", "fp", "ts_s", "http_status", "revisit",
+            "doc_id")
+    val b = graft.operators.WebGraph.recrawlStatus(caps).collect().head
+    assert((b.getAs[Long]("n_captures"), b.getAs[Long]("n_changes"),
+            b.getAs[Long]("err_streak")) === ((4L, 1L, 0L)))
+  }
+
+  test("due mode: dueErrCancel cancels a dead page's timer; a recovery re-arms it with learned history") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithStatus(mem.toDF().toDF("value")), ranks,
+      dueBaseS = 7200L, dueLateS = 0L, dueErrCancel = 2)
+    val q = rf.writeStream.format("memory").queryName("refetch_dead")
+      .outputMode("append").start()
+    def nRows(u: String): Int =
+      spark.table("refetch_dead").collect()
+        .count(_.getString(0) == u)
+    try {
+      // T0: healthy capture; then two error captures -> streak 2 =
+      // the cancel bound. (Due instants shrink as changes accrue but
+      // the cancel must keep every one of them from firing.)
+      mem.addData(scap(1, "http://a.com/dead", "A", 200,
+                       "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      mem.addData(scap(2, "http://a.com/dead", "e1", 404,
+                       "2026-03-01T00:10:00"))
+      q.processAllAvailable()
+      mem.addData(scap(3, "http://a.com/dead", "e2", 404,
+                       "2026-03-01T00:20:00"))
+      q.processAllAvailable()
+      assert(nRows("http://a.com/dead") === 3) // the capture emissions
+      // the event clock sails hours past every plausible due instant:
+      // a dead page must NOT keep surfacing in fetch lists (pre-r20
+      // it re-fired at base interval forever)
+      mem.addData(scap(4, "http://a.com/clock", "c", 200,
+                       "2026-03-01T06:00:00"))
+      q.processAllAvailable()
+      mem.addData(scap(5, "http://a.com/clock2", "c", 200,
+                       "2026-03-01T12:00:00"))
+      q.processAllAvailable()
+      assert(nRows("http://a.com/dead") === 3,
+        "a cancelled due timer must not fire")
+      // the page comes back: streak resets, the timer re-arms from
+      // the recovery capture (n_changes 1 -> interval 3600 s), and
+      // the next quiet hour fires it again
+      mem.addData(scap(6, "http://a.com/dead", "A", 200,
+                       "2026-03-01T13:00:00"))
+      q.processAllAvailable()
+      assert(nRows("http://a.com/dead") === 4) // the capture emission
+      mem.addData(scap(7, "http://a.com/clock3", "c", 200,
+                       "2026-03-01T15:00:00"))
+      q.processAllAvailable()
+      assert(nRows("http://a.com/dead") === 5,
+        "a recovered page re-enters the due rotation")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // due-time wakeups: the door as a SCHEDULER, not a re-pricer
   // ------------------------------------------------------------------
