@@ -444,7 +444,12 @@ object WebGraph {
           .otherwise(xxhash64(col("text"))).as("fp"),
         col("ts").cast("long").as("ts_s"),
         col("http_status"), rev.as("revisit"),
-        coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+        coalesce(col("doc_id"), lit(0L)).as("doc_id"),
+        // the capture's declared RFC 9111 lifetime, for the
+        // cache_control due channel ([[declaredLifetime]] keeps the
+        // newest OK one per page)
+        graft.sources.Crawl.max_age_s(col("cache_control"),
+          col("expires"), col("ts")).as("max_age_s"))
       .filter(col("canon_url").isNotNull)
   }
 
@@ -465,9 +470,10 @@ object WebGraph {
                              dueBaseS: Long = 86400L): DataFrame =
     DerivedCache.orBuild(s, warcDir, "crawl_refetch_queue_v2") {
       crawlManifestDerives.incrementAndGet()
-      recrawlStatusQueue(warcCaptureRows(
-        graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false)),
-        dueBaseS)
+      val caps = warcCaptureRows(
+        graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false))
+      recrawlStatusQueue(caps, dueBaseS,
+        declared = Some(declaredLifetime(caps)))
     }
 
   /** The night's actionable due WORK LIST (`crawl_due_queue_v2`) —
@@ -497,23 +503,30 @@ object WebGraph {
       val caps = warcCaptureRows(parsed)
       val asof = broadcast(
         caps.agg(max("ts_s").cast("long").as("asof_s")))
-      val iv = recrawlStatusQueue(caps, dueBaseS)
+      // interval channel, RFC 9111-capped: a page due only because
+      // its declared max-age elapsed carries 'cache_control'
+      // provenance — the host's own published interval put it here
+      val iv = recrawlStatusQueue(caps, dueBaseS,
+          declared = Some(declaredLifetime(caps)))
         .crossJoin(asof).filter(col("due_ts_s") <= col("asof_s"))
-        .select("canon_url")
+        .select(col("canon_url"), col("interval_src"))
       val lastCaps = caps.groupBy("canon_url")
         .agg(max("ts_s").cast("long").as("last_ts_s"))
       val lm = lastmodDue(lastCaps,
           graft.sources.Crawl.declaredHints(parsed))
         .filter(col("due_now") === 1L).select("canon_url")
-      iv.select(col("canon_url"), lit(1).as("iv"), lit(0).as("lm"))
+      iv.select(col("canon_url"), lit(1).as("iv"), lit(0).as("lm"),
+          col("interval_src").as("src"))
         .unionByName(
-          lm.select(col("canon_url"), lit(0).as("iv"), lit(1).as("lm")))
+          lm.select(col("canon_url"), lit(0).as("iv"), lit(1).as("lm"),
+            lit("").as("src")))
         .groupBy("canon_url")
-        .agg(max("iv").as("iv"), max("lm").as("lm"))
+        .agg(max("iv").as("iv"), max("lm").as("lm"),
+             max("src").as("src"))
         .select(col("canon_url"),
           when(col("iv") === 1 && col("lm") === 1, "both")
-            .when(col("iv") === 1, "interval")
-            .otherwise("lastmod").as("channel"))
+            .when(col("iv") === 1, col("src"))
+            .otherwise(lit("lastmod")).as("channel"))
     }
 
   private def siteEdgesOf(docFrame: DataFrame): DataFrame = {
@@ -772,6 +785,29 @@ object WebGraph {
         col("last_ts_s"))
   }
 
+  /** Each page's declared RFC 9111 freshness lifetime: the NEWEST OK
+    * capture's non-null `max_age_s` (by event time, doc_id — the
+    * latestPerUrl recency policy; [[graft.sources.Crawl.max_age_s]]
+    * computes the per-capture value from the verbatim Cache-Control/
+    * Expires headers). Input rows: (canon_url, ts_s, doc_id,
+    * http_status, revisit, max_age_s); error/revisit captures never
+    * install a lifetime — an error page's headers describe the error,
+    * not the content. One near-unique-key window. Output: (canon_url,
+    * max_age_s).
+    */
+  def declaredLifetime(captures: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = coalesce(col("revisit"), lit(false))
+    val st = col("http_status")
+    val w = Window.partitionBy("canon_url")
+      .orderBy(col("ts_s").desc, col("doc_id").desc)
+    captures
+      .filter(!rev && (st.isNull || (st >= 200 && st < 300)) &&
+        col("max_age_s").isNotNull)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("canon_url"), col("max_age_s"))
+  }
+
   /** [[refetchDue]]'s status-aware successor (q199): due pricing over
     * [[recrawlStatus]] — interval = max(dueBaseS div (1 + n_changes),
     * 1) with the TRANSITION change count (error entries count once,
@@ -780,14 +816,42 @@ object WebGraph {
     * the queue entirely (the exact page a recrawler exists to NOT
     * revisit; errDemote <= 0 disables). A recovered page (any later
     * 2xx) resets its streak and re-enters with its learned history.
+    *
+    * `declared` (optional, (canon_url, max_age_s) —
+    * [[declaredLifetime]]) blends the RFC 9111 channel (q200):
+    * interval = max(least(observed, declared lifetime), 1) — the
+    * host's own published revisit interval CAPS the learned one —
+    * and the output gains `max_age_s` plus `interval_src`
+    * ('cache_control' when the declaration was the binding term,
+    * 'interval' otherwise), the due queue's third provenance. The
+    * join is near-unique-key, shuffle-pinned.
     */
   def recrawlStatusQueue(captures: DataFrame, dueBaseS: Long,
-                         errDemote: Int = 2): DataFrame = {
-    val q = recrawlStatus(captures)
-      .withColumn("interval_s",
-        greatest(expr(s"cast($dueBaseS as bigint) div (1 + n_changes)"),
-                 lit(1L)))
-      .withColumn("due_ts_s", col("last_ts_s") + col("interval_s"))
+                         errDemote: Int = 2,
+                         declared: Option[DataFrame] = None)
+      : DataFrame = {
+    val base = recrawlStatus(captures)
+    val cho =
+      greatest(expr(s"cast($dueBaseS as bigint) div (1 + n_changes)"),
+               lit(1L))
+    val priced = declared match {
+      case None => base.withColumn("interval_s", cho)
+      case Some(dl) =>
+        base.join(dl.select(col("canon_url"), col("max_age_s"))
+            .hint("shuffle_hash"), Seq("canon_url"), "left")
+          .withColumn("_cho", cho)
+          .withColumn("interval_s",
+            greatest(least(col("_cho"),
+                           coalesce(col("max_age_s"), col("_cho"))),
+                     lit(1L)))
+          .withColumn("interval_src",
+            when(col("max_age_s").isNotNull &&
+                   col("max_age_s") < col("_cho"), "cache_control")
+              .otherwise("interval"))
+          .drop("_cho")
+    }
+    val q = priced.withColumn("due_ts_s",
+      col("last_ts_s") + col("interval_s"))
     if (errDemote > 0) q.filter(col("err_streak") < errDemote) else q
   }
 
@@ -2641,6 +2705,118 @@ object WebGraph {
             .otherwise(200).as("http_status"),
           lit(false).as("revisit"), col("doc_id"))
       recrawlStatusQueue(caps, dueBaseS = 86400L, errDemote = 2)
+    },
+
+    Q("q200_declared_interval",
+      "RFC 9111 declared freshness as the THIRD recrawl channel: a " +
+        "valid Cache-Control max-age (or Expires) is the host's OWN " +
+        "published revisit interval, and it CAPS the learned " +
+        "Cho/Garcia-Molina one — interval = max(least(observed, " +
+        "declared), 1), with interval_src = 'cache_control' when the " +
+        "declaration was the binding term. The headers are planted " +
+        "VERBATIM and interpreted through the real parser column " +
+        "(Crawl.max_age_s): no-store -> 0 (revalidate now), " +
+        "max-age=N -> N, garbage directives ignored, an Expires " +
+        "IMF-fixdate -> seconds from capture to expiry, undeclared " +
+        "-> null (the observed rate alone prices the page). Planted " +
+        "per page: k%5=0 max-age=3600+k (always binds), k%5=1 " +
+        "no-store, k%5=2 garbage max-age (falls through to " +
+        "undeclared), k%5=3 Expires 12h past each capture (binds " +
+        "only for never-changing pages), k%5=4 silent. One " +
+        "near-unique-key window for the newest declaration + the " +
+        "q199 pricing shuffle.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url, doc_id, doc_id % 250 AS k,
+          |        doc_id // 250 AS r,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |h AS (SELECT canon_url, doc_id, ts_s,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp,
+          |        CASE WHEN k % 5 = 0
+          |               THEN 'public, max-age=' ||
+          |                    CAST(3600 + k AS VARCHAR)
+          |             WHEN k % 5 = 1 THEN 'no-store'
+          |             WHEN k % 5 = 2 THEN 'max-age=oops, private'
+          |             END AS cc,
+          |        CASE WHEN k % 5 = 3
+          |               THEN 'Thu, ' || strftime(make_timestamp(
+          |                 CAST((ts_s + 43200) AS BIGINT) * 1000000),
+          |                 '%d %b %Y %H:%M:%S') || ' GMT'
+          |             END AS exp
+          |      FROM v),
+          |m AS (SELECT *,
+          |        CASE WHEN regexp_matches(coalesce(cc, ''),
+          |               '(?i)(^|[,\s])no-(cache|store)($|[,\s=])')
+          |             THEN CAST(0 AS BIGINT)
+          |             WHEN regexp_extract(coalesce(cc, ''),
+          |               '(?i)(^|[,\s])max-age=([0-9]{1,15})($|[,\s])',
+          |               2) <> ''
+          |             THEN CAST(regexp_extract(coalesce(cc, ''),
+          |               '(?i)(^|[,\s])max-age=([0-9]{1,15})($|[,\s])',
+          |               2) AS BIGINT)
+          |             WHEN try_strptime(regexp_replace(
+          |                 coalesce(exp, ''), '^[A-Za-z]+, ', ''),
+          |                 '%d %b %Y %H:%M:%S GMT') IS NOT NULL
+          |             THEN greatest(CAST(epoch(try_strptime(
+          |                 regexp_replace(exp, '^[A-Za-z]+, ', ''),
+          |                 '%d %b %Y %H:%M:%S GMT')) AS BIGINT) - ts_s,
+          |               CAST(0 AS BIGINT))
+          |             END AS ma
+          |      FROM h),
+          |w AS (SELECT canon_url, fp,
+          |        last_value(fp) OVER (win ROWS BETWEEN UNBOUNDED
+          |          PRECEDING AND 1 PRECEDING) AS prev_fp
+          |      FROM m
+          |      WINDOW win AS (PARTITION BY canon_url
+          |                     ORDER BY ts_s, doc_id)),
+          |g AS (SELECT canon_url,
+          |        CAST(sum(CASE WHEN prev_fp IS NOT NULL
+          |          AND fp <> prev_fp THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS n_changes
+          |      FROM w GROUP BY 1),
+          |c AS (SELECT canon_url,
+          |        CAST(count(*) AS BIGINT) AS n_captures,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s,
+          |        max(ma) AS max_age_s
+          |      FROM m GROUP BY 1),
+          |q AS (SELECT c.canon_url, c.n_captures, g.n_changes,
+          |        CAST(0 AS BIGINT) AS err_streak, c.last_ts_s,
+          |        c.max_age_s,
+          |        greatest(CAST(86400 AS BIGINT) // (1 + g.n_changes),
+          |                 CAST(1 AS BIGINT)) AS cho
+          |      FROM c JOIN g USING (canon_url))
+          |SELECT canon_url, n_captures, n_changes, err_streak,
+          |  last_ts_s, max_age_s,
+          |  greatest(least(cho, coalesce(max_age_s, cho)),
+          |           CAST(1 AS BIGINT)) AS interval_s,
+          |  CASE WHEN max_age_s IS NOT NULL AND max_age_s < cho
+          |       THEN 'cache_control' ELSE 'interval' END
+          |    AS interval_src,
+          |  last_ts_s + greatest(least(cho, coalesce(max_age_s, cho)),
+          |                       CAST(1 AS BIGINT)) AS due_ts_s
+          |FROM q""".stripMargin) { (s, d) =>
+      val k = col("doc_id") % 250
+      val tsS = expr("1700000000 + (doc_id div 250) * 3600")
+      val cc = when(k % 5 === 0,
+          concat(lit("public, max-age="), (lit(3600L) + k).cast("string")))
+        .when(k % 5 === 1, lit("no-store"))
+        .when(k % 5 === 2, lit("max-age=oops, private"))
+        .otherwise(lit(null).cast("string"))
+      val ex = when(k % 5 === 3,
+          concat(lit("Thu, "),
+            date_format(timestamp_seconds(tsS + 43200L),
+                        "dd MMM yyyy HH:mm:ss"),
+            lit(" GMT")))
+        .otherwise(lit(null).cast("string"))
+      val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+        .select(col("canon_url"),
+          expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
+          tsS.as("ts_s"), lit(200).as("http_status"),
+          lit(false).as("revisit"), col("doc_id"),
+          graft.sources.Crawl.max_age_s(cc, ex,
+            timestamp_seconds(tsS)).as("max_age_s"))
+      recrawlStatusQueue(caps, dueBaseS = 86400L, errDemote = 2,
+        declared = Some(declaredLifetime(caps)))
     }
   )
 

@@ -196,10 +196,11 @@ private[sources] object Hll {
   * added both. Round 20 adds `errStreak` (consecutive trailing error
   * captures — prices dead-page demotion and the due-timer cancel),
   * `dueFires` (due wakeups since the last capture — the opt-in
-  * due-state bound), `maxAgeS` (the latest OK capture's RFC 9111
-  * declared freshness lifetime, Long.MinValue = none declared — caps
-  * the Cho/Garcia-Molina interval), and the reserved slots — restart
-  * pre-r20 checkpoints fresh (see the compatibility note above).
+  * due-state bound), `maxAgeS` + `maTs` (the newest OK capture's
+  * RFC 9111 declared freshness lifetime and the recency that
+  * installed it; -1 = none declared — caps the Cho/Garcia-Molina
+  * interval), and the reserved slots — restart pre-r20 checkpoints
+  * fresh (see the compatibility note above).
   */
 private[sources] case class RefetchState(lastFp: Long,
                                          hasFp: Boolean,
@@ -213,8 +214,8 @@ private[sources] case class RefetchState(lastFp: Long,
                                          declaredDay: Long,
                                          errStreak: Long = 0L,
                                          dueFires: Long = 0L,
-                                         maxAgeS: Long = Long.MinValue,
-                                         rsvL1: Long = 0L,
+                                         maxAgeS: Long = -1L,
+                                         maTs: Long = Long.MinValue,
                                          rsvL2: Long = 0L,
                                          rsvS1: String = null)
 
@@ -1524,6 +1525,41 @@ object Crawl {
     * freshness beside the observed change rate. One window over the
     * near-unique canonical key — the latestPerUrl shape.
     */
+  /** RFC 9111 declared freshness LIFETIME in seconds, or null when
+    * nothing usable is declared — ONE spelling (pure column math, a
+    * codegen'd projection) consumed by the batch due pricing
+    * ([[graft.operators.WebGraph.declaredLifetime]], q200) and
+    * [[refetchStream]]'s interval cap alike. Precedence per the RFC:
+    *   - `no-cache` / `no-store` directives -> 0 (the host demands
+    *     revalidation every time — the declared interval is "now");
+    *   - `max-age=N` (delta-seconds token, digit-run with a directive
+    *     boundary on both sides — `max-age=60x`, `max-age=abc`, and
+    *     the quoted form are garbage and fall through) -> N;
+    *   - else a parseable `Expires` IMF-fixdate -> seconds from the
+    *     CAPTURE instant to expiry, floored at 0 (the response's own
+    *     Date header is not lifted; capture time is the WARC-Date —
+    *     the documented approximation, biased late by transit time);
+    *   - else null (undeclared — the observed change rate alone
+    *     prices the revisit).
+    * `s-maxage` is deliberately ignored: it binds shared caches, and
+    * a crawler re-serving nothing is closer to a private consumer.
+    */
+  def max_age_s(cacheControl: Column, expires: Column,
+                capturedTs: Column): Column = {
+    val cc = coalesce(cacheControl, lit(""))
+    val noCache = cc.rlike("(?i)(^|[,\\s])no-(cache|store)($|[,\\s=])")
+    val ma = regexp_extract(cc,
+      "(?i)(^|[,\\s])max-age=([0-9]{1,15})($|[,\\s])", 2)
+    val exp = try_to_timestamp(
+      regexp_replace(expires, "^[A-Za-z]+, ", ""),
+      lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    when(noCache, lit(0L))
+      .when(ma =!= "", ma.cast("long"))
+      .when(exp.isNotNull,
+        greatest(unix_seconds(exp) - capturedTs.cast("long"), lit(0L)))
+      .otherwise(lit(null).cast("long"))
+  }
+
   def revisitValidators(parsed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("canon_url")
@@ -1757,6 +1793,14 @@ object Crawl {
       col("text").isNotNull && !rev
     val clsCol = when(rev, lit(1)).when(isErr, lit(2))
       .when(isOk, lit(0)).otherwise(lit(3))
+    // RFC 9111 declared lifetime riding each OK capture (WARC frames;
+    // JSONL feeds carry no header columns -> none declared). -1 =
+    // undeclared, so the Option never round-trips through state.
+    val maCol =
+      if (parsed.columns.contains("cache_control"))
+        coalesce(max_age_s(col("cache_control"), col("expires"),
+                           col("ts")), lit(-1L))
+      else lit(-1L)
     val capRows0 = parsed
       .filter(!col("corrupt") && col("url").isNotNull &&
         (col("text").isNotNull || rev || isErr))
@@ -1772,7 +1816,8 @@ object Crawl {
               // watermark metadata must REACH the stateful operator
               // — the frontierStream convention)
               col("ts").as("_wm"),
-              clsCol.as("cls"))
+              clsCol.as("cls"),
+              maCol.as("ma"))
       .filter(col("canon_url").isNotNull)
     // the declared-instant channel LIVE (`sitemapLastmod`): sitemap
     // bodies riding the same stream (content sniff — the
@@ -1801,7 +1846,7 @@ object Crawl {
                   // the q197 epoch-day spelling (ONE helper, shared
                   // with the batch twin): garbage -> null -> dropped
                   Sitemaps.lastmod_day(col("e.lastmod")).as("lm_day"),
-                  col("_wm"), lit(3).as("cls"))
+                  col("_wm"), lit(3).as("cls"), lit(-1L).as("ma"))
           .filter(col("canon_url").isNotNull && col("lm_day").isNotNull)
         capRows0.unionByName(lmRows)
       }
@@ -1820,15 +1865,21 @@ object Crawl {
       else GroupStateTimeout.NoTimeout
     // the Cho/Garcia-Molina interval, exact-integer (the q196
     // spelling): base div (1 + observed changes) — a page proven to
-    // churn earns a proportionally shorter revisit interval
-    def intervalS(st: RefetchState): Long =
-      math.max(dueBaseS / (1L + math.max(st.nChanges, 0L)), 1L)
+    // churn earns a proportionally shorter revisit interval. A
+    // declared RFC 9111 lifetime CAPS it (q200's least(observed,
+    // declared) rule): the host saying "fresh for N seconds" is the
+    // one interval it published itself.
+    def intervalS(st: RefetchState): Long = {
+      val cho = math.max(dueBaseS / (1L + math.max(st.nChanges, 0L)), 1L)
+      if (st.maxAgeS >= 0L) math.max(math.min(cho, st.maxAgeS), 1L)
+      else cho
+    }
     def valAgeS(st: RefetchState): Long =
       if (st.valTs == Long.MinValue || st.lastCapTs == Long.MinValue) 0L
       else math.max(st.lastCapTs - st.valTs, 0L) / 1000000L
     val stats = caps
       .as[(String, Int, Option[Long], String, String, Long, Long, Long,
-           java.sql.Timestamp, Int)]
+           java.sql.Timestamp, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RefetchState,
                               (String, Long, Long, String, String,
@@ -1870,8 +1921,13 @@ object Crawl {
             var st = state.getOption.getOrElse(
               RefetchState(0L, false, 0L, 0L, null, null, Long.MinValue,
                            Long.MinValue, Long.MinValue, Long.MinValue))
-            for ((_, _, fpOpt, lm, et, tsUs, docId, _, _, cls)
+            for ((_, _, fpOpt, lm, et, tsUs, docId, _, _, cls, ma)
                  <- capRows.sortBy(r => (r._6, r._7))) {
+              // the newest OK capture's declared lifetime installs
+              // with its own recency (the validator convention — a
+              // late replay must not roll a fresher declaration back)
+              if (cls == 0 && ma >= 0L && tsUs > st.maTs)
+                st = st.copy(maxAgeS = ma, maTs = tsUs)
               cls match {
                 case 1 => // revisit: capture counted, no transition,
                           // error streak untouched (it asserts the
@@ -2314,23 +2370,25 @@ object Crawl {
 
   /** A parsed-record row: (value = corrupt head or null, corrupt,
     * url, WARC-Date, WARC-Record-ID, text, content_type, payload,
-    * http_status, redirect, last_modified, etag, revisit) — text rows
-    * carry `text` with a null payload; binary-asset rows (image/
-    * audio/video responses) carry the decoded body bytes in `payload`
-    * with a null text; `revisit` rows (WARC-Type: revisit — the
-    * ISO 28500 "content unchanged since a prior capture" record the
-    * 304 economy produces) carry NEITHER (both null), only the
-    * capture identity + whatever validators/status their HTTP header
-    * block declares.
+    * http_status, redirect, last_modified, etag, revisit,
+    * cache_control, expires) — text rows carry `text` with a null
+    * payload; binary-asset rows (image/audio/video responses) carry
+    * the decoded body bytes in `payload` with a null text; `revisit`
+    * rows (WARC-Type: revisit — the ISO 28500 "content unchanged
+    * since a prior capture" record the 304 economy produces) carry
+    * NEITHER (both null), only the capture identity + whatever
+    * validators/status their HTTP header block declares. The last two
+    * are the RFC 9111 declared-freshness headers, verbatim
+    * ([[max_age_s]] interprets them).
     */
   private type WarcRow =
     (String, Boolean, String, String, String, String, String, Array[Byte],
-     Option[Int], String, String, String, Boolean)
+     Option[Int], String, String, String, Boolean, String, String)
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
      true, null, null, null, null, null, null, None, null, null, null,
-     false)
+     false, null, null)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -2485,7 +2543,8 @@ object Crawl {
   private[sources] final case class HttpParts(
       status: Option[Int], location: Option[String],
       contentType: Option[String], body: Array[Byte],
-      lastModified: Option[String] = None, etag: Option[String] = None)
+      lastModified: Option[String] = None, etag: Option[String] = None,
+      cacheControl: Option[String] = None, expires: Option[String] = None)
 
   /** A `response` record's block -> [[HttpParts]], or Left(reason)
     * for record-LOCAL damage (malformed chunk framing). Strips the
@@ -2504,6 +2563,8 @@ object Crawl {
     var location: Option[String] = None
     var lastModified: Option[String] = None
     var etag: Option[String] = None
+    var cacheControl: Option[String] = None
+    var expires: Option[String] = None
     var body: Array[Byte] = block
     if (isHttp) {
       val c = indexOfBytes(block, Crlf2, 0)
@@ -2538,6 +2599,17 @@ object Crawl {
         lastModified = headers.get("last-modified")
           .filter(_.nonEmpty).map(_.take(64))
         etag = headers.get("etag").filter(_.nonEmpty).map(_.take(256))
+        // declared freshness LIFETIME (RFC 9111): Cache-Control
+        // carries max-age (the web's most common declared revisit
+        // interval — a host saying "this is fresh for N seconds"),
+        // Expires the HTTP-date fallback it overrides. Lifted
+        // VERBATIM (capped like the validators); interpretation —
+        // directive extraction, precedence, garbage tolerance — is
+        // column math in [[Crawl.max_age_s]], one spelling for batch
+        // and stream.
+        cacheControl = headers.get("cache-control")
+          .filter(_.nonEmpty).map(_.take(256))
+        expires = headers.get("expires").filter(_.nonEmpty).map(_.take(64))
         body = java.util.Arrays.copyOfRange(block, bStart, block.length)
         if (headers.get("transfer-encoding")
               .exists(_.toLowerCase(java.util.Locale.ROOT)
@@ -2552,7 +2624,7 @@ object Crawl {
       }
     }
     Right(HttpParts(status, location, contentType, body,
-                    lastModified, etag))
+                    lastModified, etag, cacheControl, expires))
   }
 
   /** Decode body bytes into document text: charset precedence is the
@@ -2687,13 +2759,15 @@ object Crawl {
                 rows += ((null, false, uri, date, rid, null,
                           ct.orNull, parts.body, parts.status, redirect,
                           parts.lastModified.orNull, parts.etag.orNull,
-                          false))
+                          false, parts.cacheControl.orNull,
+                          parts.expires.orNull))
               case None =>
                 rows += ((null, false, uri, date, rid,
                           textOf(ct, parts.body, extract), ct.orNull,
                           null, parts.status, redirect,
                           parts.lastModified.orNull, parts.etag.orNull,
-                          false))
+                          false, parts.cacheControl.orNull,
+                          parts.expires.orNull))
             }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
@@ -2719,10 +2793,11 @@ object Crawl {
             rows += ((null, false, uri, date, rid, null,
                       parts.contentType.orNull, null, parts.status,
                       null, parts.lastModified.orNull,
-                      parts.etag.orNull, true))
+                      parts.etag.orNull, true, parts.cacheControl.orNull,
+                      parts.expires.orNull))
           case Left(_) =>
             rows += ((null, false, uri, date, rid, null, null, null,
-                      None, null, null, null, true))
+                      None, null, null, null, true, null, null))
         }
       }
     }
@@ -2927,7 +3002,8 @@ object Crawl {
       .flatMap(parseWarcMembers(_, extract))
       .toDF("value", "corrupt", "url", "wts", "rid", "text",
             "content_type", "payload", "http_status", "redirect",
-            "last_modified", "etag", "revisit")
+            "last_modified", "etag", "revisit", "cache_control",
+            "expires")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
@@ -2967,9 +3043,12 @@ object Crawl {
         col("content_type"), col("payload"),
         col("http_status"), col("redirect"),
         // RFC 9110 revalidation metadata ([[revisitValidators]] reads
-        // them; absent headers are null), and the revisit marker
-        // (WARC-Type: revisit — capture counted, content absent)
-        col("last_modified"), col("etag"), col("revisit"))
+        // them; absent headers are null), the revisit marker
+        // (WARC-Type: revisit — capture counted, content absent), and
+        // the RFC 9111 declared-freshness headers, verbatim
+        // ([[max_age_s]] interprets them)
+        col("last_modified"), col("etag"), col("revisit"),
+        col("cache_control"), col("expires"))
   }
 
   /** The BINARY side of a parsed WARC frame: image/audio/video

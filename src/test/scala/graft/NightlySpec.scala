@@ -95,7 +95,8 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     val dq = spark.read.parquet(s"$out/crawl/due_queue")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(dq.nonEmpty, "the due queue must carry interval-due pages")
-    assert(dq.values.toSet.subsetOf(Set("interval", "lastmod", "both")))
+    assert(dq.values.toSet.subsetOf(
+      Set("interval", "cache_control", "lastmod", "both")))
     assert(dq.contains("http://h0.com/f") &&
            dq("http://h0.com/f") != "interval",
       s"the declared-newer page must be due on the lastmod channel: $dq")

@@ -330,4 +330,106 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
       "a 304 revisit must not erase the captured Disallow rules")
     assert(Robots.allowedCompiled("http://a.com/page", strict("a.com")))
   }
+
+  test("RFC 9111 headers land verbatim; max_age_s interprets them (garbage directives ignored)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cc")
+    java.nio.file.Files.write(d.resolve("cc.warc.gz"),
+      gz(rec("http://c.com/ma", "HTTP/1.1 200 OK", "body",
+             Seq("Cache-Control: public, max-age=3600"))) ++
+      gz(rec("http://c.com/nostore", "HTTP/1.1 200 OK", "body",
+             Seq("Cache-Control: NO-STORE, private"))) ++
+      gz(rec("http://c.com/garbage", "HTTP/1.1 200 OK", "body",
+             Seq("Cache-Control: max-age=soon, stale-while-revalidate=60"))) ++
+      gz(rec("http://c.com/smaxage", "HTTP/1.1 200 OK", "body",
+             Seq("Cache-Control: s-maxage=30"))) ++
+      gz(rec("http://c.com/expires", "HTTP/1.1 200 OK", "body",
+             // capture date 2026-03-01T00:00:00Z; expiry 2 h later
+             Seq("Expires: Sun, 01 Mar 2026 02:00:00 GMT"))) ++
+      gz(rec("http://c.com/expired", "HTTP/1.1 200 OK", "body",
+             Seq("Expires: Sat, 01 Mar 2025 00:00:00 GMT"))) ++
+      gz(rec("http://c.com/silent", "HTTP/1.1 200 OK", "body")))
+    val parsed = Crawl.readWarc(spark, d.toString)
+      .select(col("url"), col("cache_control"), col("expires"),
+        Crawl.max_age_s(col("cache_control"), col("expires"),
+                        col("ts")).as("ma"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // headers land verbatim
+    assert(parsed("http://c.com/ma")._1 === "public, max-age=3600")
+    assert(parsed("http://c.com/expires")._2 ===
+      "Sun, 01 Mar 2026 02:00:00 GMT")
+    // interpretation: the declared lifetime in seconds
+    assert(parsed("http://c.com/ma")._3 === Some(3600L))
+    assert(parsed("http://c.com/nostore")._3 === Some(0L),
+      "no-store = revalidate now")
+    assert(parsed("http://c.com/garbage")._3 === None,
+      "a non-numeric max-age is garbage, not zero")
+    assert(parsed("http://c.com/smaxage")._3 === None,
+      "s-maxage binds shared caches, not this consumer")
+    assert(parsed("http://c.com/expires")._3 === Some(7200L),
+      "Expires minus capture instant")
+    assert(parsed("http://c.com/expired")._3 === Some(0L),
+      "a past Expires floors at zero, never negative")
+    assert(parsed("http://c.com/silent")._3 === None)
+  }
+
+  test("due mode: a declared max-age caps the Cho/Garcia-Molina interval (the host's own revisit clock wins)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("c.com", 1000000000000L)).toDF("host", "rank_e12")
+    // a never-changing page (cho interval = full base 7200 s) that
+    // declares max-age=1800: the due wakeup must fire on the
+    // DECLARED clock, 4x sooner
+    def ccap(id: Long, url: String, cc: String, ts: String): String = {
+      val c = if (cc == null) "null" else s""""$cc""""
+      s"""{"doc_id":$id,"url":"$url","text":"same body","ts":"$ts","cache_control":$c}"""
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cache_control",
+        org.apache.spark.sql.types.StringType)))
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF().toDF("value")
+      .withColumn("e", from_json(col("value"), schema))
+      .selectExpr("false as corrupt", "e.doc_id as doc_id",
+        "e.url as url", "e.text as text", "to_timestamp(e.ts) as ts",
+        "cast(null as string) as last_modified",
+        "cast(null as string) as etag",
+        "e.cache_control as cache_control",
+        "cast(null as string) as expires")
+    val q = Crawl.refetchStream(parsed, ranks,
+        dueBaseS = 7200L, dueLateS = 0L)
+      .writeStream.format("memory").queryName("refetch_maxage")
+      .outputMode("append").start()
+    def nRows(u: String): Int =
+      spark.table("refetch_maxage").collect().count(_.getString(0) == u)
+    try {
+      mem.addData(
+        ccap(1, "http://c.com/capped", "max-age=1800",
+             "2026-03-01T00:00:00"),
+        ccap(2, "http://c.com/plain", null, "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      // clock to T0+45m: past the DECLARED due instant (T0+30m),
+      // far short of the learned one (T0+2h) — only the declaring
+      // page fires
+      mem.addData(ccap(3, "http://c.com/clock", null,
+                       "2026-03-01T00:45:00"))
+      q.processAllAvailable()
+      assert(nRows("http://c.com/capped") === 2,
+        "the declared max-age must bind the due instant")
+      assert(nRows("http://c.com/plain") === 1,
+        "an undeclared page keeps the learned interval")
+    } finally q.stop()
+  }
 }
