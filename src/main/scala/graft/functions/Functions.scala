@@ -103,6 +103,9 @@ object Functions {
     add("extract_anchors", "extract_anchors(text, base_url) - link occurrences with anchor text") {
       exprs => graft.sources.HtmlAnchors(exprs.head, exprs(1))
     }
+    add("extract_canonical", "extract_canonical(text, base_url) - the document's declared <link rel=canonical> URL, absolute; NULL when none parses") {
+      exprs => graft.sources.HtmlCanonical(exprs.head, exprs(1))
+    }
     add("extract_sitemap", "extract_sitemap(text) - sitemap entries (url, kind, lastmod, changefreq, priority) of an XML/text sitemap") {
       exprs => graft.sources.SitemapEntries(exprs.head)
     }

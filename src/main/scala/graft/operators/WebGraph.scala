@@ -1246,6 +1246,29 @@ object WebGraph {
              col("hops").as("n_hops"))
   }
 
+  /** [[resolveRedirects]] over the UNIFIED alias channel
+    * ([[graft.sources.Crawl.aliasEdges]]: 3xx chains + `<link
+    * rel=canonical>` declarations, q201): each source's competing
+    * edges dedupe under the documented CONFLICT POLICY — a redirect
+    * beats a canonical (the transport actually sent the client
+    * elsewhere; the document merely suggested an identity), then max
+    * target within a channel (the resolveRedirects tie rule) — and
+    * the surviving one-edge-per-source set resolves through the same
+    * fixed-depth hop loop. Cross-channel chains compose: a 301 into
+    * a page that declares a canonical follows BOTH hops. One
+    * aggregation + maxHops near-unique-key joins.
+    */
+  def resolveAliasEdges(urls: DataFrame, edges: DataFrame,
+                        maxHops: Int): DataFrame = {
+    val e = edges.filter(col("src_url") =!= col("dst_url"))
+      .groupBy("src_url")
+      .agg(max(struct(
+        when(col("via") === "redirect", 1).otherwise(0).as("pri"),
+        col("dst_url").as("d"))).as("m"))
+      .select(col("src_url"), col("m.d").as("dst_url"))
+    resolveRedirects(urls, e, maxHops)
+  }
+
   /** Weakly-connected components of a host graph by fixed-round
     * min-label propagation — the mirror/site-family detector (hosts
     * linked into one cluster are one "site" for caps/mixing, the way
@@ -2817,6 +2840,78 @@ object WebGraph {
             timestamp_seconds(tsS)).as("max_age_s"))
       recrawlStatusQueue(caps, dueBaseS = 86400L, errDemote = 2,
         declared = Some(declaredLifetime(caps)))
+    },
+
+    Q("q201_alias_channels",
+      "Unified alias resolution across BOTH declaration channels " +
+        "(resolveAliasEdges over Crawl.aliasEdges): transport 3xx " +
+        "chains and document <link rel=canonical> declarations " +
+        "resolve through one fixed-depth hop loop, with the " +
+        "documented CONFLICT POLICY — a redirect beats a canonical " +
+        "(the transport actually sent the client elsewhere; the " +
+        "document merely suggested an identity), then max target " +
+        "within a channel. Planted on the q181 ring: m%4=0 pages " +
+        "redirect to their successor AND declare a CONFLICTING " +
+        "canonical (the redirect must win), m%4=1 declare canonical " +
+        "only, m%4=3 redirect and declare AGREEING targets, m%4=2 " +
+        "redirect only — so cross-channel chains compose (a 301 into " +
+        "a canonical-declaring page follows both hops). One " +
+        "aggregation + 3 near-unique-key joins.",
+      """WITH k0 AS (SELECT DISTINCT doc_id % 250 AS m FROM documents),
+        |u AS (SELECT m, 'http://h' || CAST(m % 31 AS VARCHAR)
+        |        || '.com/p' || CAST(m AS VARCHAR) AS url FROM k0),
+        |ed AS (SELECT e0.url AS src_url, u2.url AS dst_url, 1 AS pri
+        |       FROM u e0 JOIN u u2 ON u2.m = (e0.m + 1) % 250
+        |       WHERE e0.m % 4 IN (0, 2, 3)
+        |       UNION ALL
+        |       SELECT url, 'http://c' || CAST(m AS VARCHAR)
+        |         || '.example/x', 0 FROM u WHERE m % 4 = 0
+        |       UNION ALL
+        |       SELECT e0.url, u2.url, 0
+        |       FROM u e0 JOIN u u2 ON u2.m = (e0.m + 1) % 250
+        |       WHERE e0.m % 4 IN (1, 3)),
+        |eds AS (SELECT src_url, dst_url FROM (
+        |         SELECT src_url, dst_url, row_number() OVER (
+        |           PARTITION BY src_url
+        |           ORDER BY pri DESC, dst_url DESC) AS rn
+        |         FROM ed WHERE src_url <> dst_url) WHERE rn = 1),
+        |r1 AS (SELECT u.url, COALESCE(e.dst_url, u.url) AS cur,
+        |         CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END AS hops
+        |       FROM u LEFT JOIN eds e ON e.src_url = u.url),
+        |r2 AS (SELECT r1.url, COALESCE(e.dst_url, r1.cur) AS cur,
+        |         r1.hops + CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM r1 LEFT JOIN eds e ON e.src_url = r1.cur),
+        |r3 AS (SELECT r2.url, COALESCE(e.dst_url, r2.cur) AS cur,
+        |         r2.hops + CASE WHEN e.dst_url IS NULL THEN 0 ELSE 1 END
+        |           AS hops
+        |       FROM r2 LEFT JOIN eds e ON e.src_url = r2.cur)
+        |SELECT url, cur AS final_url, CAST(hops AS BIGINT) AS n_hops
+        |FROM r3""".stripMargin) { (s, d) =>
+      val m = col("m")
+      val u = docs(s, d).select((col("doc_id") % 250).as("m")).distinct()
+        .select(m, concat(lit("http://h"), (m % 31).cast("string"),
+                          lit(".com/p"), m.cast("string")).as("url"))
+      val succ = u.select(col("m").as("m2"), col("url").as("dst_url"))
+      def toSucc(mods: Seq[Int]): DataFrame =
+        u.filter(m % 4 isin (mods.map(x => x: Any): _*))
+          .select(((col("m") + 1) % 250).as("mn"),
+                  col("url").as("src_url"))
+          .join(succ, col("mn") === col("m2"))
+          .select("src_url", "dst_url")
+      val redirects = toSucc(Seq(0, 2, 3))
+        .select(col("src_url"), col("dst_url"),
+                lit("redirect").as("via"))
+      val conflicts = u.filter(m % 4 === 0)
+        .select(col("url").as("src_url"),
+          concat(lit("http://c"), m.cast("string"), lit(".example/x"))
+            .as("dst_url"),
+          lit("canonical").as("via"))
+      val agreeing = toSucc(Seq(1, 3))
+        .select(col("src_url"), col("dst_url"),
+                lit("canonical").as("via"))
+      resolveAliasEdges(u.select("url"),
+        redirects.unionByName(conflicts).unionByName(agreeing), 3)
     }
   )
 

@@ -2126,6 +2126,52 @@ object Crawl {
       .select(col("url").as("src_url"), col("redirect").as("dst_url"),
               col("http_status"))
 
+  /** Canonical alias edges declared IN documents — `<link
+    * rel="canonical">` (RFC 6596), the HTML channel production dedup
+    * leans on at least as heavily as 301 chains: each 2xx/statusless
+    * HTML capture's declared canonical becomes a (src_url, dst_url)
+    * edge (error bodies never declare — their markup describes the
+    * error, the okResponses convention). Exact self-declarations
+    * (the most common form, "I am my own canonical") drop; a
+    * DIFFERENT raw spelling declaring the clean form is exactly the
+    * edge that collapses tracking variants. Needs RAW markup
+    * (`readWarc(extractHtml = false)` — the extractLinks convention);
+    * one codegen'd projection. Union with [[redirectEdges]] via
+    * [[aliasEdges]] and resolve with
+    * [[graft.operators.WebGraph.resolveAliasEdges]].
+    */
+  def canonicalEdges(parsed: DataFrame): DataFrame = {
+    val st =
+      if (parsed.columns.contains("http_status")) col("http_status")
+      else lit(null).cast("int")
+    parsed.filter(!col("corrupt") && col("url").isNotNull &&
+        col("text").isNotNull &&
+        (st.isNull || (st >= 200 && st < 300)))
+      .select(col("url").as("src_url"),
+        HtmlExpr.extract_canonical(col("text"), col("url"))
+          .as("dst_url"))
+      .filter(col("dst_url").isNotNull &&
+        col("dst_url") =!= col("src_url"))
+  }
+
+  /** The UNIFIED alias channel: transport-declared 301/302 chains
+    * ([[redirectEdges]]) beside document-declared canonicals
+    * ([[canonicalEdges]]), each edge tagged `via` ('redirect' |
+    * 'canonical') so the resolver can apply the conflict policy
+    * (redirect wins — see
+    * [[graft.operators.WebGraph.resolveAliasEdges]], q201). This is
+    * the frame to resolve and hand to the frontier doors' `aliases`
+    * parameter: a page declaring a canonical twin then spends ONE
+    * budget slot, like a 301 family.
+    */
+  def aliasEdges(parsed: DataFrame): DataFrame =
+    redirectEdges(parsed)
+      .select(col("src_url"), col("dst_url"),
+              lit("redirect").as("via"))
+      .unionByName(canonicalEdges(parsed)
+        .select(col("src_url"), col("dst_url"),
+                lit("canonical").as("via")))
+
   /** Does this capture carry a sitemap body? The ONE selection rule
     * shared by [[streamCandidates]]' recursion and [[refetchStream]]'s
     * live lastmod channel: content sniff (`<urlset`/`<sitemapindex`

@@ -321,6 +321,86 @@ object Html {
     seen.toArray
   }
 
+  /** The document's declared canonical URL (`<link rel="canonical"
+    * href=...>` — RFC 6596), resolved absolute, or null when none
+    * parses. The HTML-declared alias channel production dedup leans
+    * on at least as heavily as 301 chains: a page saying "I am a
+    * spelling of THAT url" collapses with it before content dedup.
+    * Rules: the FIRST usable declaration wins (the de-facto consumer
+    * rule for the duplicate-declaration corner); `rel` is a
+    * space-separated token list matched case-insensitively
+    * (`rel="canonical alternate"` counts); the href entity-decodes
+    * and resolves against the `<base>` in effect at the link's
+    * position (the [[extractAnchors]] position rule); declarations
+    * anywhere in the document count (lenient — spec-strict head-only
+    * would miss the broken-but-common body placements), but
+    * script/style/comment/CDATA text is never markup. Unresolvable
+    * or non-navigational hrefs are skipped, and scanning continues —
+    * a later usable declaration still counts. Same degradation
+    * discipline as [[extractText]]: malformed markup yields what
+    * parses, never a throw.
+    */
+  def extractCanonical(html: String, baseUrl: String): String = {
+    if (html == null) return null
+    var curBase = baseUrl
+    var baseSeen = false
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (html.regionMatches(true, i, "<script", 0, 7) &&
+                   nameEnds(html, i + 7)) {
+          i = skipRawText(html, skipTag(html, i), "script")
+        } else if (html.regionMatches(true, i, "<style", 0, 6) &&
+                   nameEnds(html, i + 6)) {
+          i = skipRawText(html, skipTag(html, i), "style")
+        } else if (html.regionMatches(false, i, "<![CDATA[", 0, 9)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+                   (Character.isLetter(html.charAt(i + 1)) ||
+                    html.charAt(i + 1) == '/')) {
+          var p = i + 1
+          val closing = html.charAt(p) == '/'
+          if (closing) p += 1
+          val start = p
+          while (p < n && Character.isLetterOrDigit(html.charAt(p))) p += 1
+          val name = if (nameEnds(html, p))
+              html.substring(start, p).toLowerCase(java.util.Locale.ROOT)
+            else ""
+          val end = skipTag(html, i)
+          val terminated = end > i + 1 && html.charAt(end - 1) == '>'
+          if (terminated && !closing && name == "base" && !baseSeen) {
+            val h = attrValue(html, p, end, "href")
+            if (h != null) {
+              baseSeen = true
+              val b = resolveHref(h, baseUrl)
+              if (b != null) curBase = b
+            }
+          } else if (terminated && !closing && name == "link") {
+            val rel = attrValue(html, p, end, "rel")
+            if (rel != null && rel.split("\\s+")
+                  .exists(_.equalsIgnoreCase("canonical"))) {
+              val h = attrValue(html, p, end, "href")
+              if (h != null) {
+                val r = resolveHref(h, curBase)
+                if (r != null) return r
+              }
+            }
+          }
+          i = end
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' ||
+                                 html.charAt(i + 1) == '?')) {
+          i = skipTag(html, i)
+        } else i += 1
+      } else i += 1
+    }
+    null
+  }
+
   /** Anchor-text cap — enough for any real anchor, bounds the row. */
   private val MaxAnchorChars = 256
 

@@ -72,6 +72,22 @@ object HtmlExpr {
         .asInstanceOf[Any]
     })
   }
+
+  /** Column form of the `<link rel=canonical>` extractor: the
+    * document's declared canonical URL, absolute, or null when none
+    * parses. Same null policy as [[extract_links]] on the base.
+    */
+  def extract_canonical(text: Column, baseUrl: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    Bridge.column(HtmlCanonical(Bridge.expression(text),
+                                Bridge.expression(coalesce(baseUrl,
+                                                           lit("")))))
+  }
+
+  def canonicalU8(s: UTF8String, base: UTF8String): UTF8String = {
+    val r = Html.extractCanonical(s.toString, base.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }
 
 /** `extract_html(text)` — deterministic HTML tag-strip extraction. */
@@ -131,6 +147,33 @@ case class HtmlAnchors(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HtmlAnchors =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "extract_anchors"
+}
+
+/** `extract_canonical(text, base_url)` — the document's declared
+  * canonical URL ([[Html.extractCanonical]]: first usable
+  * `<link rel=canonical>`, entity-decoded, base-aware, resolved
+  * absolute), or NULL when none parses. The result is genuinely
+  * nullable on non-null inputs, so codegen updates isNull from the
+  * returned value (defineCodeGen would hand downstream a null value
+  * flagged non-null).
+  */
+case class HtmlCanonical(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any, b: Any): Any =
+    HtmlExpr.canonicalU8(t.asInstanceOf[UTF8String],
+                         b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, b) => s"""
+      ${ev.value} = graft.sources.HtmlExpr.canonicalU8($t, $b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlCanonical =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "extract_canonical"
 }
 
 /** `extract_main_html(text)` — boilerplate-filtered main content. */

@@ -285,6 +285,48 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("canonical twins collapse at the frontier: a page declaring a canonical spends one budget slot") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // the landed alias table from the CANONICAL channel this time: a
+    // prior crawl captured the AMP twin declaring its clean form — an
+    // alias URL canonicalization alone can NEVER collapse (different
+    // path), built by the REAL extractors end to end
+    val captured = Seq(
+      (1L, "http://h.com/p.amp",
+       """<link rel="canonical" href="http://h.com/p">"""))
+      .toDF("doc_id", "url", "text")
+      .withColumn("corrupt", lit(false))
+    val edges = Crawl.aliasEdges(
+      captured.withColumn("http_status", lit(200))
+        .withColumn("redirect", lit(null).cast("string")))
+    // NOTE the frontier resolves CANONICALIZED candidate urls, so the
+    // alias table must be keyed the same way (the streamCandidates
+    // contract) — canonicalize both sides before resolution
+    val canonEdges = edges.select(
+      Urls.canonicalize(col("src_url")).as("src_url"),
+      Urls.canonicalize(col("dst_url")).as("dst_url"), col("via"))
+    val aliases = graft.operators.WebGraph.resolveAliasEdges(
+      canonEdges.select(col("src_url").as("url")), canonEdges, 2)
+    val mem = MemoryStream[String]
+    val fr = Crawl.frontierStream(
+      Crawl.parseCrawl(mem.toDF().toDF("value")),
+      Array.emptyByteArray, perHostCap = 8, aliases = Some(aliases))
+    val q = fr.writeStream.format("memory").queryName("frontier_canon")
+      .outputMode("append").start()
+    try {
+      // both spellings of the page arrive as candidates — the
+      // canonical-declared twin collapses to ONE emission
+      mem.addData(page(1, "http://s.net/1",
+        Seq("http://h.com/p.amp", "http://h.com/p")))
+      q.processAllAvailable()
+      val got = spark.table("frontier_canon").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(("http://h.com/p", 1L)),
+        s"a canonical twin must spend one budget slot: $got")
+    } finally q.stop()
+  }
+
   test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)

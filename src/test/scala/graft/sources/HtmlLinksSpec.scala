@@ -247,4 +247,87 @@ class HtmlLinksSpec extends AnyFunSuite with SparkSpec {
     assert(d === Map("a.com" -> ((2L, 1L)), "b.org" -> ((1L, 1L)),
                      "c.net" -> ((0L, 1L))))
   }
+
+  // ------------------------------------------------------------------
+  // <link rel=canonical> (round 20): the HTML-declared alias channel
+  // ------------------------------------------------------------------
+
+  private def canon(html: String, b: String = base): Option[String] =
+    Option(Html.extractCanonical(html, b))
+
+  test("rel=canonical: token-list rel, case-insensitivity, relative href, entity decode") {
+    assert(canon(
+      """<link rel="canonical" href="https://ex.com/clean">""")
+      === Some("https://ex.com/clean"))
+    // rel is a token LIST, matched case-insensitively
+    assert(canon(
+      """<link rel="Alternate CANONICAL" href="/c?a=1&amp;b=2">""")
+      === Some("http://ex.com/c?a=1&b=2"))
+    // a relative href resolves against the page
+    assert(canon("""<link rel=canonical href=clean.html>""")
+      === Some("http://ex.com/dir/clean.html"))
+    // substring tokens never match; stylesheet links ignored
+    assert(canon(
+      """<link rel="canonicalish" href="/no">
+        |<link rel="stylesheet" href="/style.css">""".stripMargin)
+      === None)
+  }
+
+  test("rel=canonical: first usable declaration wins; unresolvable ones are skipped, not fatal") {
+    assert(canon(
+      """<link rel="canonical" href="javascript:void(0)">
+        |<link rel="canonical" href="https://ex.com/first-usable">
+        |<link rel="canonical" href="https://ex.com/second">"""
+        .stripMargin) === Some("https://ex.com/first-usable"))
+  }
+
+  test("rel=canonical: base-aware at the link's position; script/comment text never declares") {
+    assert(canon(
+      """<base href="https://cdn.example/a/">
+        |<link rel="canonical" href="c.html">""".stripMargin)
+      === Some("https://cdn.example/a/c.html"))
+    assert(canon(
+      """<script>var s='<link rel="canonical" href="/ghost">';</script>
+        |<!-- <link rel="canonical" href="/ghost2"> -->"""
+        .stripMargin) === None)
+  }
+
+  test("canonicalEdges: 2xx pages declare, error pages never do, self-declarations drop; aliasEdges resolves with redirect priority") {
+    import spark.implicits._
+    val parsed = Seq(
+      // a tracking variant declaring its clean form
+      (1L, "http://a.com/p?utm_x=1",
+       """<link rel="canonical" href="http://a.com/p">""",
+       Integer.valueOf(200), null.asInstanceOf[String]),
+      // self-declaration: no edge
+      (2L, "http://a.com/self",
+       """<link rel="canonical" href="http://a.com/self">""",
+       Integer.valueOf(200), null.asInstanceOf[String]),
+      // an error page's markup describes the error, not the document
+      (3L, "http://a.com/err",
+       """<link rel="canonical" href="http://a.com/ghost">""",
+       Integer.valueOf(404), null.asInstanceOf[String]),
+      // a page captured twice — once as a 200 declaring a canonical,
+      // later as a 301: both channels emit an edge, the redirect wins
+      (4L, "http://a.com/both",
+       """<link rel="canonical" href="http://a.com/doc-says">""",
+       Integer.valueOf(200), null.asInstanceOf[String]),
+      (5L, "http://a.com/both", "<html>moved</html>",
+       Integer.valueOf(301), "http://a.com/transport-says"))
+      .toDF("doc_id", "url", "text", "http_status", "redirect")
+      .withColumn("corrupt", lit(false))
+    val ce = Crawl.canonicalEdges(parsed).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ce === Map(
+      "http://a.com/p?utm_x=1" -> "http://a.com/p",
+      "http://a.com/both" -> "http://a.com/doc-says"))
+    val resolved = graft.operators.WebGraph.resolveAliasEdges(
+        parsed.select(col("url")), Crawl.aliasEdges(parsed), 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved("http://a.com/p?utm_x=1") === "http://a.com/p")
+    assert(resolved("http://a.com/both") ===
+      "http://a.com/transport-says",
+      "conflict policy: the transport beats the document")
+    assert(resolved("http://a.com/err") === "http://a.com/err")
+  }
 }
