@@ -1744,6 +1744,19 @@ object Crawl {
     *     interval forever, and a later OK capture re-arms it with its
     *     learned history intact. q199_status_demotion is the oracled
     *     batch twin of the error rule.
+    *   - QUIET-CRAWL CAVEAT (due mode): event-time timers fire when
+    *     the WATERMARK passes them, and the watermark only advances
+    *     on new arrivals — a crawl that goes fully quiet never fires
+    *     its due pages. This is how Spark event time works, not a
+    *     bug, and the production fix is `heartbeats`: an optional
+    *     streaming frame of bare `ts` ticks (a rate/interval source
+    *     mapped to timestamps) unioned into the capture stream. Tick
+    *     rows advance the watermark and create NO page state (they
+    *     ride under one sentinel key that never stores anything), so
+    *     a batch containing ONLY heartbeats still fires every due
+    *     timer the ticks' event time has passed. Ticks should carry
+    *     the crawler's own clock; they are dropped rows like any
+    *     other if they lag the watermark.
     */
   /** "Cancelled" due-timer sentinel: the GroupState API has no
     * removeTimeout, so a cancelled timer parks at an event-time
@@ -1759,7 +1772,8 @@ object Crawl {
                     dueLateS: Long = 3600L,
                     idleTtlS: Long = 0L,
                     sitemapLastmod: Boolean = false,
-                    dueErrCancel: Int = 3): DataFrame = {
+                    dueErrCancel: Int = 3,
+                    heartbeats: Option[DataFrame] = None): DataFrame = {
     require(dueBaseS <= 0L || idleTtlS <= 0L,
       "refetchStream: due-time wakeups and idle-TTL eviction share " +
         "the one per-group event-time timer — enable at most one")
@@ -1850,16 +1864,32 @@ object Crawl {
           .filter(col("canon_url").isNotNull && col("lm_day").isNotNull)
         capRows0.unionByName(lmRows)
       }
+    // heartbeat ticks (kind = 2): watermark fuel for quiet crawls —
+    // they reach the stateful operator (the watermark column must),
+    // land under one sentinel group that never updates state, and
+    // emit nothing. See the quiet-crawl caveat in the doc.
+    val caps1 = heartbeats match {
+      case Some(hb) =>
+        caps0.unionByName(hb.select(
+          lit("tick://heartbeat").as("canon_url"),
+          lit(2).as("kind"), lit(null).cast("long").as("fp"),
+          lit(null).cast("string").as("last_modified"),
+          lit(null).cast("string").as("etag"),
+          unix_micros(col("ts")).as("ts_us"),
+          lit(0L).as("doc_id"), lit(0L).as("lm_day"),
+          col("ts").as("_wm"), lit(3).as("cls"), lit(-1L).as("ma")))
+      case None => caps0
+    }
     val timed = dueBaseS > 0L || idleTtlS > 0L
     val caps =
       if (dueBaseS > 0L)
-        caps0.withWatermark("_wm", s"${math.max(dueLateS, 0L)} seconds")
+        caps1.withWatermark("_wm", s"${math.max(dueLateS, 0L)} seconds")
       else if (idleTtlS > 0L)
         // lateness tolerance = the TTL itself: a capture arriving
         // later than the TTL would find its page state evicted anyway,
         // so the watermark drop changes nothing it could have kept
-        caps0.withWatermark("_wm", s"$idleTtlS seconds")
-      else caps0
+        caps1.withWatermark("_wm", s"$idleTtlS seconds")
+      else caps1
     val timeoutConf =
       if (timed) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout

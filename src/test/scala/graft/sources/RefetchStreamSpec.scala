@@ -467,6 +467,42 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("heartbeats fire due timers on a fully quiet crawl: a batch of ONLY ticks wakes the due page") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val capsMem = MemoryStream[String]
+    val tickMem = MemoryStream[java.sql.Timestamp]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(capsMem.toDF().toDF("value")), ranks,
+      dueBaseS = 7200L, dueLateS = 0L,
+      heartbeats = Some(tickMem.toDF().toDF("ts")))
+    val q = rf.writeStream.format("memory").queryName("refetch_hb")
+      .outputMode("append").start()
+    def rows(): Seq[String] =
+      spark.table("refetch_hb").collect().map(_.getString(0)).toSeq
+    try {
+      // the page's ONLY capture; due instant T0+2h. Then the crawl
+      // goes fully quiet — no further captures at all.
+      capsMem.addData(cap(1, "http://a.com/x", "v1",
+                          "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      assert(rows() === Seq("http://a.com/x"))
+      // batches of ONLY heartbeat ticks: the crawler's clock advances
+      // the watermark past the due instant, the timer fires, and no
+      // page state was created for the ticks themselves
+      tickMem.addData(java.sql.Timestamp.valueOf("2026-03-01 01:00:00"))
+      q.processAllAvailable()
+      assert(rows() === Seq("http://a.com/x"), "not due yet at T0+1h")
+      tickMem.addData(java.sql.Timestamp.valueOf("2026-03-01 03:00:00"))
+      q.processAllAvailable()
+      assert(rows() === Seq("http://a.com/x", "http://a.com/x"),
+        "a tick-only batch must fire the due page")
+      assert(!rows().exists(_.contains("tick://")),
+        "heartbeats must never emit or key real output")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // due-time wakeups: the door as a SCHEDULER, not a re-pricer
   // ------------------------------------------------------------------
