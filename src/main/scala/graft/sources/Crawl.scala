@@ -1757,6 +1757,14 @@ object Crawl {
     *     timer the ticks' event time has passed. Ticks should carry
     *     the crawler's own clock; they are dropped rows like any
     *     other if they lag the watermark.
+    *   - `dueMaxFires` > 0 BOUNDS due-mode state (which otherwise
+    *     grows monotonically — due and idleTtlS are mutually
+    *     exclusive, one timer per group): a page whose wakeups go
+    *     unanswered `dueMaxFires` times in a row — no capture between
+    *     fires — emits its last wakeup and EVICTS. A cold page stops
+    *     firing forever and stops occupying the state store
+    *     (documented loss, the idleTtlS precedent: a re-arrival
+    *     re-learns from scratch); any capture resets the count.
     */
   /** "Cancelled" due-timer sentinel: the GroupState API has no
     * removeTimeout, so a cancelled timer parks at an event-time
@@ -1773,7 +1781,8 @@ object Crawl {
                     idleTtlS: Long = 0L,
                     sitemapLastmod: Boolean = false,
                     dueErrCancel: Int = 3,
-                    heartbeats: Option[DataFrame] = None): DataFrame = {
+                    heartbeats: Option[DataFrame] = None,
+                    dueMaxFires: Int = 0): DataFrame = {
     require(dueBaseS <= 0L || idleTtlS <= 0L,
       "refetchStream: due-time wakeups and idle-TTL eviction share " +
         "the one per-group event-time timer — enable at most one")
@@ -1936,7 +1945,20 @@ object Crawl {
               val st = state.get
               if (dueErrCancel > 0 && st.errStreak >= dueErrCancel) {
                 Iterator.empty
+              } else if (dueMaxFires > 0 &&
+                         st.dueFires + 1L >= dueMaxFires) {
+                // due-state bound (opt-in): this is the page's LAST
+                // unanswered wakeup — emit it, then EVICT. A page the
+                // crawler never touches back stops waking forever and
+                // its state stops occupying the store (documented
+                // loss: a re-arrival re-learns from scratch, the
+                // idleTtlS precedent). Any capture resets the count.
+                state.remove()
+                Iterator.single((url, st.nCaptures, st.nChanges,
+                                 st.lastModified, st.etag, valAgeS(st),
+                                 st.errStreak))
               } else {
+                state.update(st.copy(dueFires = st.dueFires + 1L))
                 state.setTimeoutTimestamp(
                   state.getCurrentWatermarkMs + intervalS(st) * 1000L)
                 Iterator.single((url, st.nCaptures, st.nChanges,
@@ -2011,6 +2033,10 @@ object Crawl {
               announced > lastCapDay
             if (announced > st.declaredDay && st.nCaptures > 0L)
               st = st.copy(declaredDay = announced)
+            // a capture answers the outstanding wakeups: the unfired
+            // count behind the dueMaxFires bound restarts
+            if (capRows.nonEmpty && st.dueFires != 0L)
+              st = st.copy(dueFires = 0L)
             if (capRows.nonEmpty || hadState) {
               state.update(st)
               // one timer per page: next-due instant (due mode) or

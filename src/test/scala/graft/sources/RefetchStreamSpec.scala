@@ -503,6 +503,53 @@ class RefetchStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dueMaxFires bounds due-mode state: unanswered wakeups evict after k fires; a re-arrival re-learns") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val ranks = Seq(("a.com", 1000000000000L)).toDF("host", "rank_e12")
+    val mem = MemoryStream[String]
+    val rf = Crawl.refetchStream(
+      parsedWithValidators0(mem.toDF().toDF("value")), ranks,
+      dueBaseS = 3600L, dueLateS = 0L, dueMaxFires = 2)
+    val q = rf.writeStream.format("memory").queryName("refetch_bound")
+      .outputMode("append").start()
+    def capsOf(u: String): Seq[Long] =
+      spark.table("refetch_bound").collect()
+        .filter(_.getString(0) == u).map(_.getLong(2)).toSeq
+    try {
+      mem.addData(cap(1, "http://a.com/cold", "v1",
+                      "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      // two quiet hours -> two unanswered wakeups = the bound: the
+      // second fire is the LAST, then the state evicts
+      mem.addData(cap(2, "http://a.com/clock", "c",
+                      "2026-03-01T01:30:00"))
+      q.processAllAvailable()
+      mem.addData(cap(3, "http://a.com/clock2", "c",
+                      "2026-03-01T02:40:00"))
+      q.processAllAvailable()
+      assert(capsOf("http://a.com/cold") === Seq(1L, 1L, 1L),
+        "capture + exactly two unanswered wakeups")
+      // hours more of quiet clock: NO further fires — the state is
+      // gone, not just silent
+      mem.addData(cap(4, "http://a.com/clock3", "c",
+                      "2026-03-01T09:00:00"))
+      q.processAllAvailable()
+      assert(capsOf("http://a.com/cold") === Seq(1L, 1L, 1L))
+      // the page re-arrives: a from-scratch history (n_captures
+      // restarts at 1 — the documented eviction loss) and the due
+      // rotation resumes
+      mem.addData(cap(5, "http://a.com/cold", "v1",
+                      "2026-03-01T10:00:00"))
+      q.processAllAvailable()
+      mem.addData(cap(6, "http://a.com/clock4", "c",
+                      "2026-03-01T11:30:00"))
+      q.processAllAvailable()
+      assert(capsOf("http://a.com/cold") === Seq(1L, 1L, 1L, 1L, 1L),
+        "re-learned page fires again after eviction")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // due-time wakeups: the door as a SCHEDULER, not a re-pricer
   // ------------------------------------------------------------------
