@@ -52,10 +52,22 @@ object WebGraph {
     val ui = when(id % 31 === 3,
       concat(lit("u"), id.cast("string"), lit(":pw@"))).otherwise(lit(""))
     val www = when(id % 4 === 0, lit("WWW.")).otherwise(lit(""))
-    val hostc = concat(lit("host"), (k % 53).cast("string"),
-      when(k % 5 === 0, ".com").when(k % 5 === 1, ".org")
-        .when(k % 5 === 2, ".net").when(k % 5 === 3, ".edu")
-        .otherwise(".info"))
+    // IDN pages (k%43=9): the host is one of the Urls.IdnOracleVectors
+    // unicode hosts, spelled UNICODE on even capture rounds and
+    // PUNYCODE on odd ones — two spellings of one host that only the
+    // IDN step can collapse (r20; the DuckDB twin maps the vectors
+    // literally, UrlsSpec pins them against java.net.IDN)
+    val vs = Urls.IdnOracleVectors
+    val idnU = when(k % 3 === 0, vs(0)._1).when(k % 3 === 1, vs(1)._1)
+      .otherwise(vs(2)._1)
+    val idnA = when(k % 3 === 0, vs(0)._2).when(k % 3 === 1, vs(1)._2)
+      .otherwise(vs(2)._2)
+    val hostc = when(k % 43 === 9,
+        when(expr("(doc_id div 250) % 2") === 0, idnU).otherwise(idnA))
+      .otherwise(concat(lit("host"), (k % 53).cast("string"),
+        when(k % 5 === 0, ".com").when(k % 5 === 1, ".org")
+          .when(k % 5 === 2, ".net").when(k % 5 === 3, ".edu")
+          .otherwise(".info")))
     val portc = when(k % 6 === 0, lit(":443"))
       .when(k % 10 === 1, lit(":80"))
       .when(k % 17 === 2, lit(":8080")).otherwise(lit(""))
@@ -80,8 +92,9 @@ object WebGraph {
   }
 
   /** The identical plant in DuckDB (k pre-computed in `plant0`). */
-  private val plantSqlCtes: String =
-    """plant0 AS (SELECT doc_id, n_chars, doc_id % 250 AS k FROM documents),
+  private val plantSqlCtes: String = {
+    val vs = Urls.IdnOracleVectors
+    s"""plant0 AS (SELECT doc_id, n_chars, doc_id % 250 AS k FROM documents),
       |plant AS (SELECT doc_id, n_chars,
       |  CASE WHEN doc_id % 23 = 5 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
       |  ELSE
@@ -92,10 +105,18 @@ object WebGraph {
       |    || (CASE WHEN doc_id % 31 = 3
       |             THEN 'u' || CAST(doc_id AS VARCHAR) || ':pw@' ELSE '' END)
       |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
-      |    || 'host' || CAST(k % 53 AS VARCHAR)
+      |    || (CASE WHEN k % 43 = 9 THEN
+      |          (CASE WHEN (doc_id // 250) % 2 = 0
+      |                THEN (CASE k % 3 WHEN 0 THEN '${vs(0)._1}'
+      |                                WHEN 1 THEN '${vs(1)._1}'
+      |                                ELSE '${vs(2)._1}' END)
+      |                ELSE (CASE k % 3 WHEN 0 THEN '${vs(0)._2}'
+      |                                WHEN 1 THEN '${vs(1)._2}'
+      |                                ELSE '${vs(2)._2}' END) END)
+      |        ELSE 'host' || CAST(k % 53 AS VARCHAR)
       |    || (CASE k % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
       |                   WHEN 2 THEN '.net' WHEN 3 THEN '.edu'
-      |                   ELSE '.info' END)
+      |                   ELSE '.info' END) END)
       |    || (CASE WHEN k % 6 = 0 THEN ':443' WHEN k % 10 = 1 THEN ':80'
       |             WHEN k % 17 = 2 THEN ':8080' ELSE '' END)
       |    || '/' || (CASE k % 17 WHEN 0 THEN 'casino' WHEN 1 THEN 'pills'
@@ -113,6 +134,7 @@ object WebGraph {
       |             THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
       |  END AS url
       |FROM plant0)""".stripMargin
+  }
 
   private def plantedCanon(s: SparkSession, d: String): DataFrame =
     plantUrls(s, d).withColumn("canon_url", Urls.canonicalize(col("url")))

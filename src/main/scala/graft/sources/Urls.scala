@@ -1,7 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL canonicalization — the stage every web-crawl curation pipeline
   * runs between fetch and dedup (the reference stops at per-row scoring,
@@ -48,6 +53,49 @@ object Urls {
 
   private val SchemePat = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
+  /** IDN oracle vectors — the unicode hosts the PLANTED q172 capture
+    * URLs spell and their punycode forms. Single-sourced three ways:
+    * [[canonSqlCtes]] maps exactly these spellings (DuckDB cannot
+    * punycode — the oracle carries the vectors literally, while the
+    * Spark side runs the GENERAL java.net.IDN conversion), the q172
+    * plant cycles through them, and UrlsSpec pins each pair against
+    * `java.net.IDN.toASCII` so the literals provably cannot drift
+    * from the real implementation.
+    */
+  val IdnOracleVectors: Seq[(String, String)] = Seq(
+    "bücher.example" -> "xn--bcher-kva.example",
+    "münchen.example" -> "xn--mnchen-3ya.example",
+    "büro.example" -> "xn--bro-hoa.example")
+
+  /** JVM shim the [[IdnHost]] codegen calls: a non-ASCII host maps to
+    * its IDNA ASCII (punycode) form, lowercased — two spellings of
+    * one Unicode host must not escape family caps, seen dedup, and
+    * rank joins as distinct hosts. ASCII hosts (the universal case,
+    * including already-encoded `xn--` forms) return UNTOUCHED via the
+    * fast path — zero allocation on the hot form. A host IDNA cannot
+    * convert (embedded whitespace, overlong labels) keeps its input
+    * spelling: deterministic, never a throw — such hosts were never
+    * fetchable anyway, and NULLing them here would silently drop rows
+    * canonicalize's host guard already handles.
+    */
+  def idnAsciiHost(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      if (str.charAt(i) > 127) {
+        return try UTF8String.fromString(
+          java.net.IDN.toASCII(str)
+            .toLowerCase(java.util.Locale.ROOT))
+        catch { case scala.util.control.NonFatal(_) => s }
+      }
+      i += 1
+    }
+    s
+  }
+
+  private def idnHost(h: Column): Column =
+    Bridge.column(IdnHost(Bridge.expression(h)))
+
   /** Canonical URL of `url`, or NULL when no `scheme://host` parses.
     * Pure built-in column math — see the object doc for the exact
     * normalization steps.
@@ -59,8 +107,11 @@ object Urls {
     val hostport = regexp_replace(
       regexp_extract(u, s"$SchemePat([^/?#]*)", 1), "^[^@]*@", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val host = regexp_replace(
-      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    // IDN step LAST (after lowercase + www-strip): a Unicode host
+    // maps to its punycode ASCII form, so bücher.example and
+    // xn--bcher-kva.example are ONE host everywhere downstream
+    val host = idnHost(regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", ""))
     val portPart = when(
       port === "" ||
         (schemeName === "http" && port === "80") ||
@@ -92,8 +143,8 @@ object Urls {
   def host(url: Column): Column = {
     val auth = regexp_replace(regexp_extract(
       coalesce(url, lit("")), s"$SchemePat([^/?#]*)", 1), "^[^@]*@", "")
-    val h = regexp_replace(
-      regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", "")
+    val h = idnHost(regexp_replace(
+      regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", ""))
     when(h =!= "", h).otherwise(lit(null).cast("string"))
   }
 
@@ -175,6 +226,19 @@ object Urls {
   private def trackingInList: String =
     TrackingParams.map(p => s"'$p'").mkString(", ")
 
+  /** The oracle's IDN step: DuckDB cannot punycode, so the SQL twin
+    * maps the [[IdnOracleVectors]] spellings LITERALLY (UrlsSpec pins
+    * each literal against java.net.IDN.toASCII — the vectors cannot
+    * drift from the general implementation the Spark tree runs).
+    * Hosts outside the vector table pass through unchanged, exactly
+    * like [[idnAsciiHost]]'s ASCII fast path.
+    */
+  private def idnCaseSql(hostExpr: String): String = {
+    val whens = IdnOracleVectors
+      .map { case (u, a) => s"WHEN '$u' THEN '$a'" }.mkString(" ")
+    s"(CASE $hostExpr $whens ELSE $hostExpr END)"
+  }
+
   /** CTE chain text computing `canon_url` from a relation `src` that
     * carries a `url` column (all of `src`'s columns pass through).
     * Splice as: `WITH <yourCtes>, ${Urls.canonSqlCtes("plant")} SELECT
@@ -191,8 +255,8 @@ object Urls {
        |    regexp_extract(u, '(?s)\\?(.*)$$', 1) AS qraw
        |  FROM uc0),
        |uc2 AS (SELECT *,
-       |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
-       |                   '^www\\.', '') AS chost,
+       |    ${idnCaseSql("""regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+       |                   '^www\.', '')""")} AS chost,
        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS cport,
        |    list_sort(list_filter(string_split(qraw, '&'),
        |      p -> p <> '' AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
@@ -209,4 +273,23 @@ object Urls {
        |           THEN '?' || array_to_string(cparams, '&') ELSE '' END
        |    ELSE NULL END AS canon_url
        |  FROM uc2)""".stripMargin
+}
+
+/** `idn_ascii_host(host)` — IDNA ASCII (punycode) form of a host,
+  * lowercased; ASCII inputs (including `xn--` forms) pass through on
+  * a zero-copy fast path, unconvertible inputs keep their spelling
+  * ([[Urls.idnAsciiHost]]). Codegen'd static call; result is non-null
+  * on non-null input, so defineCodeGen's null contract holds.
+  */
+case class IdnHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Urls.idnAsciiHost(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.sources.Urls.idnAsciiHost($c)")
+  override protected def withNewChildInternal(c: Expression): IdnHost =
+    copy(child = c)
+  override def prettyName: String = "idn_ascii_host"
 }

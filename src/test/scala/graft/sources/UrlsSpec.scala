@@ -96,6 +96,35 @@ class UrlsSpec extends AnyFunSuite with SparkSpec {
       Some("ex.com"), Some("a.com"), None, Some("b.com")))
   }
 
+  test("IDN hosts: unicode and punycode spellings collapse to ONE host; oracle vectors pinned to java.net.IDN") {
+    // the single-sourcing guarantee: the literals the DuckDB oracle
+    // maps are exactly what the general implementation computes
+    for ((u, a) <- Urls.IdnOracleVectors)
+      assert(java.net.IDN.toASCII(u)
+               .toLowerCase(java.util.Locale.ROOT) === a,
+        s"oracle vector drifted from java.net.IDN: $u")
+    assert(canon(
+      "http://bücher.example/p",
+      "http://xn--bcher-kva.example/p",
+      "https://WWW.BÜCHER.example:443/p/",   // case+www+port junk too
+      "http://münchen.example/x?utm_source=s") === Seq(
+      Some("http://xn--bcher-kva.example/p"),
+      Some("http://xn--bcher-kva.example/p"),
+      Some("https://xn--bcher-kva.example/p"),
+      Some("http://xn--mnchen-3ya.example/x")))
+    assert(host("http://büro.example/a", "http://xn--bro-hoa.example/b")
+      === Seq(Some("xn--bro-hoa.example"), Some("xn--bro-hoa.example")))
+    // degradation: a convertible-but-garbage host converts
+    // deterministically (no STD3 gate — it was never fetchable
+    // anyway), and one IDNA cannot convert (overlong label) keeps
+    // its spelling — never a throw, never a silent null
+    assert(host("http://bü cher.example/x") ===
+      Seq(Some("xn--b cher-3ya.example")))
+    val overlong = "ü" + ("a" * 70)
+    assert(host(s"http://$overlong.example/x") ===
+      Seq(Some(s"$overlong.example")))
+  }
+
   test("isSitemapGz: the gz-sitemap exemption matches the shape and nothing else") {
     import spark.implicits._
     def gz(urls: String*): Seq[Boolean] =
