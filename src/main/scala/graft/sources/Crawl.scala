@@ -119,8 +119,14 @@ private[sources] case class ValidatorState(lastModified: String,
   * shape); with one, the arrays are bounded by the family's member
   * count and the emitted set by the shared cap — the whole state
   * stays small and fixed per key. Round 19 added the four trap
-  * arrays — restart pre-r19 checkpoints fresh (see the compatibility
-  * note above).
+  * arrays. Round 20 adds the LIVE ALIAS map (`aliasSrc` xxh64 source
+  * hashes beside `aliasDst` target urls — a 3xx capture riding the
+  * stream installs src→dst into its host's group, so a 301 family
+  * discovered MID-RUN collapses without waiting for the nightly
+  * resolveRedirects landing; capped at [[Crawl.AliasMaxTrack]]
+  * entries per group — past it, new aliases wait for the nightly,
+  * documented loss) — restart pre-r20 checkpoints fresh (see the
+  * compatibility note above).
   */
 private[sources] case class LiveBudgetState(hosts: Array[String],
                                             rules: Array[String],
@@ -131,7 +137,9 @@ private[sources] case class LiveBudgetState(hosts: Array[String],
                                             trapUrls: Array[Array[Long]],
                                             trapUrlHll: Array[Array[Byte]],
                                             trapTmpls: Array[Array[Long]],
-                                            trapTmplHll: Array[Array[Byte]])
+                                            trapTmplHll: Array[Array[Byte]],
+                                            aliasSrc: Array[Long],
+                                            aliasDst: Array[String])
 
 /** Per-host state for [[Crawl.trapStream]]: the xxh64 sets of
   * distinct canonical URLs and distinct URL templates seen so far,
@@ -1025,6 +1033,21 @@ object Crawl {
     * where rules live outside the state. Output (host, url, rk),
     * append mode.
     *
+    * LIVE ALIAS LEARNING (round 20; automatic when the frame carries
+    * a `redirect` column): each 3xx capture installs src→dst into its
+    * source host's budget group — the robots/trap precedent, one tier
+    * deeper — and every later candidate resolves through the live map
+    * (bounded hops, max-target tie rule — the batch resolveRedirects
+    * spelling) BEFORE the emitted-hash dedup, so a 301 family
+    * discovered mid-run spends ONE budget slot in the SAME running
+    * query instead of waiting for the nightly landing. The static
+    * `aliases` frame still composes (landed resolutions from a
+    * previous cadence); the live map covers what THIS crawl
+    * discovers. Per-group map capped at [[AliasMaxTrack]] entries;
+    * cross-GROUP hops resolve no further in-run (each group holds its
+    * own hosts' aliases — the nightly resolver closes cross-site
+    * chains).
+    *
     * `trapThreshold` > 0 closes the trap loop WITHOUT a restart:
     * every capture rides into its host's budget group as a
     * (url-hash, template-hash) observation — the exact q190 spelling
@@ -1036,6 +1059,33 @@ object Crawl {
     * frame still composes (landed verdicts from a previous cadence);
     * the live gate covers what this crawl discovers mid-flight.
     */
+  /** Live alias-map bound per budget group: a group learns at most
+    * this many src→dst pairs in-run; past it, new 301 families wait
+    * for the nightly resolveRedirects landing (documented loss — the
+    * cap is what keeps [[LiveBudgetState]] bounded on hosts that
+    * redirect everything).
+    */
+  private[sources] val AliasMaxTrack = 1024
+
+  /** Host of an already-CANONICAL url (lowercase, userinfo and www
+    * gone, IDN-encoded — the streamCandidates precondition): the
+    * authority minus any explicit :port. None when no scheme://host
+    * parses — callers keep their original host attribution then.
+    */
+  private def canonHostOf(url: String): Option[String] = {
+    val i = url.indexOf("://")
+    if (i < 0) return None
+    var j = i + 3
+    val n = url.length
+    while (j < n && url.charAt(j) != '/' && url.charAt(j) != '?' &&
+           url.charAt(j) != '#') j += 1
+    var hp = url.substring(i + 3, j)
+    val c = hp.lastIndexOf(':')
+    if (c >= 0 && c + 1 < hp.length &&
+        hp.substring(c + 1).forall(_.isDigit)) hp = hp.substring(0, c)
+    if (hp.isEmpty) None else Some(hp)
+  }
+
   def frontierStreamLive(parsed: DataFrame,
                          seenBloom: Array[Byte],
                          agent: String,
@@ -1112,10 +1162,40 @@ object Crawl {
                 lit(0.0).as("delay_s"), lit(0L).as("ts_s"),
                 lit(0L).as("doc_id"), lit(perHostCap.toLong).as("scap"),
                 col("uh"), col("th")))
+    // LIVE alias learning (kind = 3; automatic when the frame carries
+    // a `redirect` column — the WARC shape): each 3xx capture rides
+    // into its SOURCE host's budget group as (src-canon xxh64 in
+    // `uh`, dst canon url in `url`), installing src→dst into the
+    // group's alias map — so a 301 family discovered MID-RUN spends
+    // one budget slot in the SAME running query, without waiting for
+    // the nightly resolveRedirects landing (the robots/trap
+    // precedent, one tier deeper).
+    val aliasRows =
+      if (!parsed.columns.contains("redirect")) None
+      else Some(familyKeyed(parsed
+          .filter(!col("corrupt") && col("url").isNotNull &&
+            col("redirect").isNotNull)
+          .select(Urls.canonicalize(col("url")).as("src_canon"),
+                  Urls.canonicalize(col("redirect")).as("dst_canon"),
+                  col("ts").cast("long").as("ts_s"),
+                  coalesce(col("doc_id"), lit(0L)).as("doc_id"))
+          .filter(col("src_canon").isNotNull &&
+            col("dst_canon").isNotNull &&
+            col("src_canon") =!= col("dst_canon"))
+          .select(Urls.host(col("src_canon")).as("host"),
+                  col("dst_canon"), col("ts_s"), col("doc_id"),
+                  xxhash64(col("src_canon")).as("uh"))
+          .filter(col("host").isNotNull))
+        .select(col("bkey"), lit(3).as("kind"), col("host"),
+                col("dst_canon").as("url"), lit("").as("rules"),
+                lit(0.0).as("delay_s"), col("ts_s"), col("doc_id"),
+                lit(perHostCap.toLong).as("scap"),
+                col("uh"), lit(0L).as("th")))
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    trapRows.foldLeft(cand.unionByName(robots))(_ unionByName _)
+    (trapRows.toSeq ++ aliasRows.toSeq)
+      .foldLeft(cand.unionByName(robots))(_ unionByName _)
       .as[(String, Int, String, String, String, Double, Long, Long, Long,
            Long, Long)]
       .groupByKey(_._1)
@@ -1125,7 +1205,8 @@ object Crawl {
           var st = state.getOption.getOrElse(LiveBudgetState(
             Array.empty, Array.empty, Array.empty, Array.empty,
             Array.empty, Array.empty[Long],
-            Array.empty, Array.empty, Array.empty, Array.empty))
+            Array.empty, Array.empty, Array.empty, Array.empty,
+            Array.empty[Long], Array.empty[String]))
           val batch = rows.toArray
           // member-host slot: robots rules and trap tracking are both
           // host-indexed within the (possibly family-keyed) group
@@ -1139,7 +1220,8 @@ object Crawl {
                 st.trapUrls :+ Array.empty[Long],
                 st.trapUrlHll :+ Array.empty[Byte],
                 st.trapTmpls :+ Array.empty[Long],
-                st.trapTmplHll :+ Array.empty[Byte])
+                st.trapTmplHll :+ Array.empty[Byte],
+                st.aliasSrc, st.aliasDst)
               st.hosts.length - 1
             }
           }
@@ -1167,6 +1249,45 @@ object Crawl {
             val (t, tH) = trapTrack(st.trapTmpls(i), st.trapTmplHll(i),
               rs.iterator.map(_._11), trapMaxTrack)
             st.trapTmpls(i) = t; st.trapTmplHll(i) = tH
+          }
+          // 1c. alias installs from this batch's 3xx captures, BEFORE
+          //     candidates resolve (a family collapses in the batch
+          //     that exposes it). Deduplication is the batch
+          //     resolveRedirects tie rule — max target per source —
+          //     so replays and arrival order cannot flip the map.
+          //     Capped at AliasMaxTrack entries per group: past it,
+          //     new aliases wait for the nightly landing (documented
+          //     loss; the cap keeps the state bounded).
+          for ((_, kind, _, dst, _, _, _, _, _, srcH, _)
+               <- batch if kind == 3) {
+            val i = st.aliasSrc.indexOf(srcH)
+            if (i >= 0) {
+              if (dst > st.aliasDst(i)) st.aliasDst(i) = dst
+            } else if (st.aliasSrc.length < AliasMaxTrack) {
+              st = st.copy(aliasSrc = st.aliasSrc :+ srcH,
+                           aliasDst = st.aliasDst :+ dst)
+            }
+          }
+          // candidate resolution through the LIVE map (bounded hops —
+          // the resolveRedirects depth discipline); a hop landing on
+          // a host outside this group resolves no further here (its
+          // aliases live in ITS group), which is exactly the nightly
+          // resolver's remit
+          def resolveLive(url: String): String = {
+            var cur = url
+            var hops = 0
+            while (hops < 4) {
+              val h = org.apache.spark.sql.catalyst.expressions
+                .XxHash64Function.hash(
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(cur),
+                  org.apache.spark.sql.types.StringType, 42L)
+              val i = st.aliasSrc.indexOf(h)
+              if (i < 0) return cur
+              cur = st.aliasDst(i)
+              hops += 1
+            }
+            cur
           }
           // 2. candidates gate against THEIR host's installed rules
           //    (fail open when none arrived yet), then the budget:
@@ -1211,17 +1332,26 @@ object Crawl {
           val emitted = scala.collection.mutable.LinkedHashSet(
             st.emitted: _*)
           val out = Vector.newBuilder[(String, String, Long)]
-          for ((_, _, host, url, _, _, _, _, _, _, _)
+          for ((_, _, host, url0, _, _, _, _, _, _, _)
                <- candRows.sortBy(_._4)
-               if emitted.size < cap
-               if Robots.allowedCompiled(url, rulesOf(host))) {
-            val h = org.apache.spark.sql.catalyst.expressions
-              .XxHash64Function.hash(
-                org.apache.spark.unsafe.types.UTF8String.fromString(url),
-                org.apache.spark.sql.types.StringType, 42L)
-            if (!emitted.contains(h)) {
-              emitted += h
-              out += ((host, url, emitted.size.toLong))
+               if emitted.size < cap) {
+            // every spelling resolves to its live final target FIRST:
+            // the emitted-hash dedup then charges the whole family
+            // ONE budget slot, and robots gate the url that will
+            // actually be fetched (target host's rules when it is a
+            // group member; fail open otherwise — the convention)
+            val url = resolveLive(url0)
+            val rhost = if (url eq url0) host
+                        else canonHostOf(url).getOrElse(host)
+            if (Robots.allowedCompiled(url, rulesOf(rhost))) {
+              val h = org.apache.spark.sql.catalyst.expressions
+                .XxHash64Function.hash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(url),
+                  org.apache.spark.sql.types.StringType, 42L)
+              if (!emitted.contains(h)) {
+                emitted += h
+                out += ((rhost, url, emitted.size.toLong))
+              }
             }
           }
           state.update(st.copy(emitted = emitted.toArray))

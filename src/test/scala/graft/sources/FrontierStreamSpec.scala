@@ -327,6 +327,68 @@ class FrontierStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("live alias learning: a 301 family discovered mid-run collapses in the SAME running query") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("redirect",
+        org.apache.spark.sql.types.StringType)))
+    def row(id: Long, url: String, text: String, redirect: String,
+            ts: String = "2026-03-01T00:00:00"): String = {
+      val t = if (text == null) "null" else s""""$text""""
+      val r = if (redirect == null) "null" else s""""$redirect""""
+      s"""{"doc_id":$id,"url":"$url","text":$t,"ts":"$ts","redirect":$r}"""
+    }
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF().toDF("value")
+      .withColumn("e", from_json(col("value"), schema))
+      .selectExpr("false as corrupt", "e.doc_id as doc_id",
+        "e.url as url", "e.text as text", "to_timestamp(e.ts) as ts",
+        "e.redirect as redirect")
+    val fr = Crawl.frontierStreamLive(parsed, Array.emptyByteArray,
+      agent = "graftbot", perHostCap = 8)
+    val q = fr.writeStream.format("memory").queryName("frontier_lalias")
+      .outputMode("append").start()
+    def emitted(): Seq[(String, Long)] =
+      spark.table("frontier_lalias").collect()
+        .filter(_.getString(0) == "h.com")
+        .map(r => (r.getString(1), r.getLong(2))).sortBy(_._2).toSeq
+    try {
+      // batch 1: the crawl DISCOVERS a 301 a->b (the redirect target
+      // rides as a candidate — that is discovery; the alias installs
+      // into h.com's state in the same batch)
+      mem.addData(row(1, "http://h.com/a", null, "http://h.com/b"))
+      q.processAllAvailable()
+      assert(emitted() === Seq(("http://h.com/b", 1L)))
+      // batch 2: b turns out to 301 too, b->c — the second hop
+      mem.addData(row(2, "http://h.com/b", null, "http://h.com/c",
+                      ts = "2026-03-01T01:00:00"))
+      q.processAllAvailable()
+      assert(emitted() === Seq(("http://h.com/b", 1L),
+                               ("http://h.com/c", 2L)))
+      // batch 3: EVERY spelling of the family arrives as a candidate
+      // — all three resolve through the LIVE map (a needs both hops)
+      // onto the already-fetched final target: ZERO new slots spent,
+      // in the same running query, no nightly landing in between
+      mem.addData(row(3, "http://s.net/1",
+        """<a href="http://h.com/a">x</a><a href="http://h.com/b">y</a>""" +
+          """<a href="http://h.com/c">z</a>""", null,
+        ts = "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      assert(emitted() === Seq(("http://h.com/b", 1L),
+                               ("http://h.com/c", 2L)),
+        "a discovered 301 family must spend no further budget slots")
+    } finally q.stop()
+  }
+
   test("file-based loop closure: readCrawlStream -> frontierStream -> parquet fetch list") {
     val dir = java.nio.file.Files.createTempDirectory("graft-frstream")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
