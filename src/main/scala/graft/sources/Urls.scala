@@ -79,12 +79,15 @@ object Urls {
     * canonicalize's host guard already handles.
     */
   def idnAsciiHost(s: UTF8String): UTF8String = {
-    val str = s.toString
+    // ASCII detection on the UTF-8 BYTES (a non-ASCII code point
+    // always carries a high bit): the universal all-ASCII host takes
+    // this path with zero allocation — no toString copy per row
     var i = 0
-    while (i < str.length) {
-      if (str.charAt(i) > 127) {
+    val n = s.numBytes
+    while (i < n) {
+      if (s.getByte(i) < 0) {
         return try UTF8String.fromString(
-          java.net.IDN.toASCII(str)
+          java.net.IDN.toASCII(s.toString)
             .toLowerCase(java.util.Locale.ROOT))
         catch { case scala.util.control.NonFatal(_) => s }
       }
