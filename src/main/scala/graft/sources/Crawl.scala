@@ -204,11 +204,12 @@ private[sources] object Hll {
   * added both. Round 20 adds `errStreak` (consecutive trailing error
   * captures — prices dead-page demotion and the due-timer cancel),
   * `dueFires` (due wakeups since the last capture — the opt-in
-  * due-state bound), `maxAgeS` + `maTs` (the newest OK capture's
-  * RFC 9111 declared freshness lifetime and the recency that
-  * installed it; -1 = none declared — caps the Cho/Garcia-Molina
-  * interval), and the reserved slots — restart pre-r20 checkpoints
-  * fresh (see the compatibility note above).
+  * due-state bound), `maxAgeS` + `maTs`/`maDoc` (the newest OK
+  * capture's RFC 9111 declared freshness lifetime and the ts/doc_id
+  * recency that installed it, the validator tie convention; -1 =
+  * none declared — caps the Cho/Garcia-Molina interval), and the
+  * reserved slot — restart pre-r20 checkpoints fresh (see the
+  * compatibility note above).
   */
 private[sources] case class RefetchState(lastFp: Long,
                                          hasFp: Boolean,
@@ -224,7 +225,7 @@ private[sources] case class RefetchState(lastFp: Long,
                                          dueFires: Long = 0L,
                                          maxAgeS: Long = -1L,
                                          maTs: Long = Long.MinValue,
-                                         rsvL2: Long = 0L,
+                                         maDoc: Long = Long.MinValue,
                                          rsvS1: String = null)
 
 object Crawl {
@@ -1046,7 +1047,12 @@ object Crawl {
     * discovers. Per-group map capped at [[AliasMaxTrack]] entries;
     * cross-GROUP hops resolve no further in-run (each group holds its
     * own hosts' aliases — the nightly resolver closes cross-site
-    * chains).
+    * chains). Known in-run limit: the SEEN tier probes the candidate
+    * spelling UPSTREAM of live resolution, so a new alias of an
+    * already-landed page can emit its final target once this run (the
+    * in-group emitted-hash dedup still bounds it to once); the next
+    * cadence's landed alias table resolves that spelling BEFORE the
+    * seen probe and closes the gap.
     *
     * `trapThreshold` > 0 closes the trap loop WITHOUT a restart:
     * every capture rides into its host's budget group as a
@@ -2106,10 +2112,15 @@ object Crawl {
             for ((_, _, fpOpt, lm, et, tsUs, docId, _, _, cls, ma)
                  <- capRows.sortBy(r => (r._6, r._7))) {
               // the newest OK capture's declared lifetime installs
-              // with its own recency (the validator convention — a
-              // late replay must not roll a fresher declaration back)
-              if (cls == 0 && ma >= 0L && tsUs > st.maTs)
-                st = st.copy(maxAgeS = ma, maTs = tsUs)
+              // with its own recency (the validator convention, ts
+              // then doc_id — a late replay must not roll a fresher
+              // declaration back, and a same-second pair must pick
+              // the same winner the batch declaredLifetime window
+              // picks)
+              if (cls == 0 && ma >= 0L &&
+                  (tsUs > st.maTs ||
+                   (tsUs == st.maTs && docId > st.maDoc)))
+                st = st.copy(maxAgeS = ma, maTs = tsUs, maDoc = docId)
               cls match {
                 case 1 => // revisit: capture counted, no transition,
                           // error streak untouched (it asserts the

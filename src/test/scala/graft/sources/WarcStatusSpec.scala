@@ -430,6 +430,38 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
         "the declared max-age must bind the due instant")
       assert(nRows("http://c.com/plain") === 1,
         "an undeclared page keeps the learned interval")
+      // same-second declaration pair in ONE batch, added in arrival-
+      // REVERSED order: the state fold's (ts, doc_id) tiebreak must
+      // pick the batch declaredLifetime window's winner (newest
+      // doc_id = max-age 1800), not the arrival winner
+      mem.addData(
+        ccap(20, "http://c.com/tie", "max-age=1800",
+             "2026-03-01T01:00:00"),
+        ccap(10, "http://c.com/tie", "max-age=600",
+             "2026-03-01T01:00:00"))
+      q.processAllAvailable()
+      // clock to +12m past the tie pair: the 600 s lifetime would be
+      // due, the winning 1800 s one is not
+      mem.addData(ccap(30, "http://c.com/clock2", null,
+                       "2026-03-01T01:12:00"))
+      q.processAllAvailable()
+      assert(nRows("http://c.com/tie") === 1,
+        "the losing same-second declaration must not shorten the clock")
+      // clock past +30m: now it fires
+      mem.addData(ccap(31, "http://c.com/clock3", null,
+                       "2026-03-01T01:35:00"))
+      q.processAllAvailable()
+      assert(nRows("http://c.com/tie") === 2)
+      // and the batch twin picks the same winner
+      val caps = Seq(
+        ("http://c.com/tie", 3600L, Integer.valueOf(200), false, 20L,
+         java.lang.Long.valueOf(1800L)),
+        ("http://c.com/tie", 3600L, Integer.valueOf(200), false, 10L,
+         java.lang.Long.valueOf(600L)))
+        .toDF("canon_url", "ts_s", "http_status", "revisit", "doc_id",
+              "max_age_s")
+      val dl = graft.operators.WebGraph.declaredLifetime(caps).collect()
+      assert(dl.length === 1 && dl.head.getLong(1) === 1800L)
     } finally q.stop()
   }
 }
