@@ -106,11 +106,20 @@ object Nightly {
           .write.mode("overwrite").parquet(s"$out/crawl/trap_verdicts")
         spark.read.parquet(s"$out/crawl/trap_verdicts").count()
       }
+      stage("crawl_aliases") {
+        // the unified alias-resolution manifest (301 chains +
+        // rel=canonical, conflict policy applied): the `aliases`
+        // frame the next cadence's frontier doors consume — landed
+        // beside the frontier that itself collapses through it
+        WebGraph.crawlAliasTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/aliases")
+        spark.read.parquet(s"$out/crawl/aliases").count()
+      }
       stage("crawl_frontier") {
         // the next cadence's fetch list: batch frontier over the
         // landed corpus — robots-gated, trap-capped via the verdict
         // artifact (the q191 composition) — SERVED from the
-        // crawl_frontier_v1 artifact, so an unchanged corpus pays no
+        // crawl_frontier_v2 artifact, so an unchanged corpus pays no
         // gunzip+parse on night N+1; the night's copy lands in outDir
         WebGraph.crawlFrontierTable(spark, cd)
           .write.mode("overwrite").parquet(s"$out/crawl/frontier")

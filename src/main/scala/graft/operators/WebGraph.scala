@@ -409,7 +409,7 @@ object WebGraph {
     */
   val crawlManifestDerives = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The night's frontier manifest (`crawl_frontier_v1`): the batch
+  /** The night's frontier manifest (`crawl_frontier_v2`): the batch
     * frontier over the WARC corpus — robots-gated, trap-capped via
     * the landed verdict artifact (the q191 composition) — persisted
     * with the corpus-fingerprint lifecycle so an unchanged corpus
@@ -421,18 +421,50 @@ object WebGraph {
                          perHostCap: Int = 64,
                          agent: String = "graftbot",
                          trapThreshold: Double = 3.0): DataFrame =
-    DerivedCache.orBuild(s, warcDir, "crawl_frontier_v1") {
+    DerivedCache.orBuild(s, warcDir, "crawl_frontier_v2") {
       crawlManifestDerives.incrementAndGet()
       val parsed = graft.sources.Crawl.readWarc(s, warcDir,
                                                 extractHtml = false)
       val verdicts = crawlTrapVerdictsTable(s, warcDir, trapThreshold)
+      // v2: candidates collapse through the landed alias manifest
+      // (301 chains + rel=canonical) before the seen probe and budget
       graft.sources.Crawl.frontier(parsed, perHostCap,
-          robotsAgent = Some(agent))
+          robotsAgent = Some(agent),
+          aliases = Some(crawlAliasTable(s, warcDir)))
         .join(verdicts.select(col("host"), col("verdict"))
             .hint("shuffle_hash"), Seq("host"), "left")
         .filter(col("rk") <= when(col("verdict") === "trap", 1L)
           .otherwise(Long.MaxValue))
         .drop("verdict")
+    }
+
+  /** The night's alias-resolution manifest (`crawl_aliases_v1`): the
+    * UNIFIED alias channel over the real corpus — 301/302 chains plus
+    * `<link rel=canonical>` declarations
+    * ([[graft.sources.Crawl.aliasEdges]]), canonicalized on both
+    * sides (the frontier keys candidates by canonical url), resolved
+    * through [[resolveAliasEdges]] (redirect beats canonical, max
+    * target within a channel, 3 hops), identity rows dropped (they
+    * add nothing to the frontier's left join). This is the `aliases`
+    * frame both frontier doors consume next cadence — the landed
+    * closure of what [[graft.sources.Crawl.frontierStreamLive]]
+    * learns live. Same serve-or-build lifecycle as the sibling
+    * manifests.
+    */
+  def crawlAliasTable(s: SparkSession, warcDir: String): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_aliases_v1") {
+      crawlManifestDerives.incrementAndGet()
+      val edges = graft.sources.Crawl.aliasEdges(
+        graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false))
+        .select(
+          graft.sources.Urls.canonicalize(col("src_url")).as("src_url"),
+          graft.sources.Urls.canonicalize(col("dst_url")).as("dst_url"),
+          col("via"))
+        .filter(col("src_url").isNotNull && col("dst_url").isNotNull &&
+          col("src_url") =!= col("dst_url"))
+      resolveAliasEdges(edges.select(col("src_url").as("url"))
+          .distinct(), edges, 3)
+        .filter(col("url") =!= col("final_url"))
     }
 
   /** (canon_url, fp, ts_s, http_status, revisit, doc_id) capture

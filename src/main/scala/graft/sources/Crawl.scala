@@ -367,12 +367,17 @@ object Crawl {
     * [[graft.operators.WebGraph.frontierFromSets]] for the operator
     * shape. Output (host, url, rk) feeds the next fetch round; re-feed
     * the fetched WARCs through [[readWarc]] and the loop closes.
+    * `aliases` (optional, (url, final_url) over CANONICAL urls — the
+    * [[graft.operators.WebGraph.crawlAliasTable]] manifest) collapses
+    * alias families before the seen probe and budget, the
+    * [[streamCandidates]] rule.
     */
   def frontier(parsed: DataFrame, perHostCap: Int = 64,
                robotsAgent: Option[String] = None,
                sitemaps: Boolean = false,
                crawlDelayWindow: Double = 0.0,
-               skipAssets: Boolean = true): DataFrame = {
+               skipAssets: Boolean = true,
+               aliases: Option[DataFrame] = None): DataFrame = {
     val seen = parsed.filter(!col("corrupt") && col("url").isNotNull)
       .select(Urls.canonicalize(col("url")).as("url"))
       .filter(col("url").isNotNull)
@@ -391,11 +396,24 @@ object Crawl {
     // links to yet join the candidate pool (index-file entries are
     // sitemap fetches, not page fetches; a caller crawling indexes
     // reads sitemapEntries directly)
-    val cand1 = if (!sitemaps) withRedirects
+    val cand2 = if (!sitemaps) withRedirects
       else withRedirects.unionByName(
         sitemapEntries(parsed).filter(col("kind") === "page")
           .select(Urls.canonicalize(col("url")).as("url"))
           .filter(col("url").isNotNull))
+    // alias collapse BEFORE the seen probe and budget (the
+    // streamCandidates rule): candidates resolve through the LANDED
+    // alias table (resolveAliasEdges over canonical urls — 301 chains
+    // + rel=canonical declarations), so an alias family spends one
+    // budget slot and a seen final target kills its spellings at the
+    // seen tier. Page-scale frame, shuffle-pinned, never broadcast.
+    val cand1 = aliases match {
+      case Some(al) =>
+        cand2.join(al.select(col("url"), col("final_url"))
+            .hint("shuffle_hash"), Seq("url"), "left")
+          .select(coalesce(col("final_url"), col("url")).as("url"))
+      case None => cand2
+    }
     // asset-extension skip runs FIRST (default on — a .jpg/.zip href
     // must never consume seen-probe work or a host's budget in a
     // text crawl; asset crawls feeding warcAssets opt out). Gzipped

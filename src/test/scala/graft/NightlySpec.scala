@@ -62,7 +62,18 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
       // nothing; the content sniff must admit it)
       "<urlset><url><loc>http://h0.com/f</loc>" +
         "<lastmod>2026-03-09</lastmod></url></urlset>",
-      java.sql.Timestamp.valueOf("2026-03-01 02:00:00")))
+      java.sql.Timestamp.valueOf("2026-03-01 02:00:00"))) :+
+      // an AMP twin declaring its canonical — the only capture that
+      // knows http://h1.com/clean exists. The alias manifest must
+      // land the pair, and the frontier must DISCOVER the clean form
+      // through it: the sole inbound link points at the captured
+      // (hence seen-dead) amp spelling
+      ((101L, "http://h1.com/amp",
+        "<link rel=\"canonical\" href=\"http://h1.com/clean\">amp body",
+        java.sql.Timestamp.valueOf("2026-03-01 03:00:00"))) :+
+      ((102L, "http://h2.com/linker",
+        "<a href='http://h1.com/amp'>the amp spelling</a>",
+        java.sql.Timestamp.valueOf("2026-03-01 03:00:00")))
     ).toDF("doc_id", "url", "text", "ts")
     Crawl.writeWarc(docs, warc)
     val out = java.nio.file.Files
@@ -70,7 +81,7 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     val report = Nightly.run(spark, corpus, out, Some(warc))
     assert(report.contains("\"audit_violations\":0"), report)
     for (st <- Seq("crawl_edges", "crawl_ranks", "crawl_traps",
-                   "crawl_frontier", "crawl_refetch"))
+                   "crawl_aliases", "crawl_frontier", "crawl_refetch"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
     // the crawl-tier freshness table rides the report, all fresh
     assert(report.contains("\"crawl_artifacts\":[{"), report)
@@ -89,6 +100,19 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     assert(frontier.count() > 0)
     // the trap host's frontier collapsed to its probe
     assert(frontier.filter(col("host") === "trap.example").count() <= 1)
+    // the alias manifest landed the canonical declaration, and the
+    // frontier DISCOVERED the clean form through it: the only inbound
+    // link names the captured amp spelling, which is seen-dead — only
+    // alias resolution can surface the declared target
+    val aliases = spark.read.parquet(s"$out/crawl/aliases")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(aliases("http://h1.com/amp") === "http://h1.com/clean")
+    val h1 = frontier.filter(col("host") === "h1.com")
+      .collect().map(_.getString(1)).toSet
+    assert(h1.contains("http://h1.com/clean"),
+      s"the canonical target must be discovered through the alias: $h1")
+    assert(!h1.contains("http://h1.com/amp"),
+      "the captured amp spelling must not re-enter the frontier")
     assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
     // the actionable work list: interval-due pages (captured days
     // before the snapshot's as-of) plus the sitemap-declared page
