@@ -467,6 +467,79 @@ object WebGraph {
         .filter(col("url") =!= col("final_url"))
     }
 
+  /** Host-level Retry-After backoff (RFC 9110 §10.2.3, q202): a 429
+    * or 503 carrying Retry-After is the host ITSELF asking for a
+    * pause — the politeness signal every production fetcher honors
+    * before any learned schedule. Input: capture rows (host,
+    * http_status, ts_s, retry_after_s —
+    * [[graft.sources.Crawl.retry_after_s]] over the verbatim
+    * header). Output per host: n_backoffs (how many times it asked)
+    * and backoff_until_s = max(capture + requested delay) — the
+    * instant its LATEST request expires. One host-keyed aggregation;
+    * host-sized at any corpus scale. Compose via [[backoffCaps]].
+    */
+  def hostBackoff(captures: DataFrame): DataFrame =
+    captures
+      .filter(col("http_status").isin(429, 503) &&
+        col("retry_after_s").isNotNull)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_backoffs"),
+           max(col("ts_s").cast("long") + col("retry_after_s"))
+             .as("backoff_until_s"))
+
+  /** [[hostBackoff]] rendered as a cap frame for the frontier doors'
+    * `rankCaps` slot (the least-composition of [[schedulerCaps]]):
+    * hosts still inside their requested window at `asofS` get cap 0 —
+    * NOT the trap probe: the host explicitly said "not yet", and a
+    * probe is exactly a violation. Expired windows drop out (fail
+    * open — the robots convention).
+    */
+  def backoffCaps(backoff: DataFrame, asofS: Long): DataFrame =
+    backoff.filter(col("backoff_until_s") > asofS)
+      .select(col("host"), lit(0L).as("cap"))
+
+  /** Host health from capture statuses (q203) — the circuit breaker
+    * ABOVE the page-level demotion q199 runs: a host answering mostly
+    * errors is burning fetch budget host-wide, whatever each page's
+    * streak looks like. Per host: n_captures, n_err (status >= 400;
+    * revisits carry 304/no status and never count), err_share
+    * (round 4dp — the q185 spelling), verdict 'dead' (share >= 0.9),
+    * 'degraded' (>= 0.5), else 'ok' — hosts with fewer than
+    * `minCaptures` observations stay 'ok' (fail open, the robots
+    * convention: you don't demote a host you barely know). One
+    * host-keyed aggregation. Compose via [[healthCaps]].
+    */
+  def hostHealth(captures: DataFrame, minCaptures: Long = 5L)
+      : DataFrame = {
+    val st = col("http_status")
+    val g = captures.groupBy("host")
+      .agg(count(lit(1)).as("n_captures"),
+           sum(when(st.isNotNull && st >= 400, 1L).otherwise(0L))
+             .as("n_err"))
+      .select(col("host"), col("n_captures"), col("n_err"),
+        round(col("n_err").cast("double") /
+          col("n_captures").cast("double"), 4).as("err_share"))
+    g.withColumn("verdict",
+      when(col("n_captures") < minCaptures, "ok")
+        .when(col("err_share") >= 0.9, "dead")
+        .when(col("err_share") >= 0.5, "degraded")
+        .otherwise("ok"))
+  }
+
+  /** [[hostHealth]] rendered as a cap frame for the `rankCaps` slot:
+    * a dead host collapses to its probe (cap 1 — unlike
+    * [[backoffCaps]]' explicit "not yet", a dead host said nothing,
+    * and ONE fetch per cadence is how the crawler notices recovery —
+    * the trap-probe convention), a degraded host halves (floor 1),
+    * healthy hosts drop out (fail open).
+    */
+  def healthCaps(health: DataFrame, perHostCap: Long): DataFrame =
+    health.filter(col("verdict") =!= "ok")
+      .select(col("host"),
+        when(col("verdict") === "dead", 1L)
+          .otherwise(greatest(lit(perHostCap / 2), lit(1L)))
+          .as("cap"))
+
   /** (canon_url, fp, ts_s, http_status, revisit, doc_id) capture
     * rows from a parsed WARC frame — ONE spelling for the batch queue
     * builders, mirroring the stream doors' revisit semantics
@@ -2966,6 +3039,104 @@ object WebGraph {
                 lit("canonical").as("via"))
       resolveAliasEdges(u.select("url"),
         redirects.unionByName(conflicts).unionByName(agreeing), 3)
+    },
+
+    Q("q202_host_backoff",
+      "RFC 9110 Retry-After backoff (hostBackoff): a 429/503 carrying " +
+        "Retry-After is the host ITSELF asking for a pause — the " +
+        "politeness signal a fetcher honors before any learned " +
+        "schedule. Per host: how many times it asked and the instant " +
+        "its latest request expires (max over capture + requested " +
+        "delay). The header is planted VERBATIM in both spec forms — " +
+        "delay-seconds and IMF-fixdate — plus a garbage spelling " +
+        "(ignored, never zero) and silence, and interpreted through " +
+        "the real parser column (Crawl.retry_after_s). One host-keyed " +
+        "aggregation; backoffCaps renders the active windows as cap-0 " +
+        "rows for the frontier's rank-cap slot.",
+      """WITH v AS (SELECT doc_id,
+        |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+        |        CASE WHEN doc_id % 3 = 0 THEN 503 ELSE 200 END
+        |          AS http_status,
+        |        1700000000 + doc_id AS ts_s, doc_id % 40 AS hc
+        |      FROM documents),
+        |r AS (SELECT *,
+        |        CASE WHEN hc % 4 = 0 THEN CAST(60 + hc AS VARCHAR)
+        |             WHEN hc % 4 = 1 THEN 'Thu, ' ||
+        |               strftime(make_timestamp(
+        |                 CAST((ts_s + 600) AS BIGINT) * 1000000),
+        |                 '%d %b %Y %H:%M:%S') || ' GMT'
+        |             WHEN hc % 4 = 2 THEN 'soon' END AS ra
+        |      FROM v),
+        |m AS (SELECT *,
+        |        CASE WHEN regexp_extract(coalesce(ra, ''),
+        |               '^([0-9]{1,15})$', 1) <> ''
+        |             THEN CAST(ra AS BIGINT)
+        |             WHEN try_strptime(regexp_replace(coalesce(ra, ''),
+        |                 '^[A-Za-z]+, ', ''),
+        |                 '%d %b %Y %H:%M:%S GMT') IS NOT NULL
+        |             THEN greatest(CAST(epoch(try_strptime(
+        |                 regexp_replace(ra, '^[A-Za-z]+, ', ''),
+        |                 '%d %b %Y %H:%M:%S GMT')) AS BIGINT) - ts_s,
+        |               CAST(0 AS BIGINT))
+        |             END AS ra_s
+        |      FROM r)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_backoffs,
+        |  CAST(max(ts_s + ra_s) AS BIGINT) AS backoff_until_s
+        |FROM m WHERE http_status IN (429, 503) AND ra_s IS NOT NULL
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val hc = col("doc_id") % 40
+      val tsS = expr("1700000000 + doc_id")
+      val ra = when(hc % 4 === 0, (lit(60L) + hc).cast("string"))
+        .when(hc % 4 === 1,
+          concat(lit("Thu, "),
+            date_format(timestamp_seconds(tsS + 600L),
+                        "dd MMM yyyy HH:mm:ss"), lit(" GMT")))
+        .when(hc % 4 === 2, lit("soon"))
+        .otherwise(lit(null).cast("string"))
+      hostBackoff(docs(s, d).select(
+        concat(lit("h"), hc.cast("string"), lit(".com")).as("host"),
+        when(col("doc_id") % 3 === 0, 503).otherwise(200)
+          .as("http_status"),
+        tsS.as("ts_s"),
+        graft.sources.Crawl.retry_after_s(ra, timestamp_seconds(tsS))
+          .as("retry_after_s")))
+    },
+
+    Q("q203_host_health",
+      "Host-level health verdicts (hostHealth) — the circuit breaker " +
+        "ABOVE q199's page demotion: a host answering mostly errors " +
+        "burns fetch budget host-wide whatever each page's streak " +
+        "looks like. Per host: captures, errors (status >= 400), " +
+        "error share (round 4dp, the q185 spelling), and verdict — " +
+        "dead at share >= 0.9, degraded at >= 0.5, ok otherwise and " +
+        "ALWAYS ok under 5 observations (fail open: you don't demote " +
+        "a host you barely know). Planted: 40 hosts whose per-round " +
+        "error indicator (round % 10 < host % 11) sweeps shares from " +
+        "0.0 to 1.0 across both thresholds. One host-keyed " +
+        "aggregation; healthCaps renders dead hosts as probes and " +
+        "degraded ones at half cap for the frontier's rank-cap slot.",
+      """WITH v AS (SELECT doc_id,
+        |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+        |        CASE WHEN (doc_id // 40) % 10 < (doc_id % 40) % 11
+        |             THEN 404 ELSE 200 END AS http_status
+        |      FROM documents),
+        |g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_captures,
+        |        CAST(count(*) FILTER (WHERE http_status >= 400)
+        |          AS BIGINT) AS n_err
+        |      FROM v GROUP BY 1),
+        |g2 AS (SELECT *, round(CAST(n_err AS DOUBLE) / n_captures, 4)
+        |          AS err_share FROM g)
+        |SELECT host, n_captures, n_err, err_share,
+        |  CASE WHEN n_captures < 5 THEN 'ok'
+        |       WHEN err_share >= 0.9 THEN 'dead'
+        |       WHEN err_share >= 0.5 THEN 'degraded'
+        |       ELSE 'ok' END AS verdict
+        |FROM g2""".stripMargin) { (s, d) =>
+      hostHealth(docs(s, d).select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string"),
+               lit(".com")).as("host"),
+        when(expr("(doc_id div 40) % 10") < (col("doc_id") % 40) % 11,
+             404).otherwise(200).as("http_status")))
     }
   )
 

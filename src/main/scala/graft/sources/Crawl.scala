@@ -1714,6 +1714,26 @@ object Crawl {
       .otherwise(lit(null).cast("long"))
   }
 
+  /** RFC 9110 §10.2.3 Retry-After in seconds, or null when absent or
+    * garbage — the 429/503 politeness signal: the host itself asking
+    * for a pause before the next attempt. Accepts both spec forms —
+    * delay-seconds (a bare digit run) and an IMF-fixdate (seconds
+    * from the CAPTURE instant, floored at 0, the [[max_age_s]]
+    * approximation). Pure codegen'd column math; consumed by
+    * [[graft.operators.WebGraph.hostBackoff]] (q202).
+    */
+  def retry_after_s(retryAfter: Column, capturedTs: Column): Column = {
+    val ra = coalesce(retryAfter, lit(""))
+    val secs = regexp_extract(ra, "^([0-9]{1,15})$", 1)
+    val date = try_to_timestamp(
+      regexp_replace(ra, "^[A-Za-z]+, ", ""),
+      lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    when(secs =!= "", secs.cast("long"))
+      .when(date.isNotNull,
+        greatest(unix_seconds(date) - capturedTs.cast("long"), lit(0L)))
+      .otherwise(lit(null).cast("long"))
+  }
+
   def revisitValidators(parsed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("canon_url")
@@ -2638,18 +2658,20 @@ object Crawl {
     * rows (WARC-Type: revisit — the ISO 28500 "content unchanged
     * since a prior capture" record the 304 economy produces) carry
     * NEITHER (both null), only the capture identity + whatever
-    * validators/status their HTTP header block declares. The last two
-    * are the RFC 9111 declared-freshness headers, verbatim
-    * ([[max_age_s]] interprets them).
+    * validators/status their HTTP header block declares. The last
+    * three are the RFC 9111 declared-freshness headers and the
+    * RFC 9110 Retry-After, verbatim ([[max_age_s]] /
+    * [[retry_after_s]] interpret them).
     */
   private type WarcRow =
     (String, Boolean, String, String, String, String, String, Array[Byte],
-     Option[Int], String, String, String, Boolean, String, String)
+     Option[Int], String, String, String, Boolean, String, String,
+     String)
 
   private def corruptRow(head: String): WarcRow =
     ((if (head.length > 2048) head.substring(0, 2048) else head),
      true, null, null, null, null, null, null, None, null, null, null,
-     false, null, null)
+     false, null, null, null)
 
   /** Inflated-body cap for `Content-Encoding: gzip` HTTP bodies — a
     * compression bomb must not allocate unbounded heap inside a task;
@@ -2805,7 +2827,8 @@ object Crawl {
       status: Option[Int], location: Option[String],
       contentType: Option[String], body: Array[Byte],
       lastModified: Option[String] = None, etag: Option[String] = None,
-      cacheControl: Option[String] = None, expires: Option[String] = None)
+      cacheControl: Option[String] = None, expires: Option[String] = None,
+      retryAfter: Option[String] = None)
 
   /** A `response` record's block -> [[HttpParts]], or Left(reason)
     * for record-LOCAL damage (malformed chunk framing). Strips the
@@ -2826,6 +2849,7 @@ object Crawl {
     var etag: Option[String] = None
     var cacheControl: Option[String] = None
     var expires: Option[String] = None
+    var retryAfter: Option[String] = None
     var body: Array[Byte] = block
     if (isHttp) {
       val c = indexOfBytes(block, Crlf2, 0)
@@ -2871,6 +2895,11 @@ object Crawl {
         cacheControl = headers.get("cache-control")
           .filter(_.nonEmpty).map(_.take(256))
         expires = headers.get("expires").filter(_.nonEmpty).map(_.take(64))
+        // RFC 9110 §10.2.3: how long the sender asks us to wait
+        // before retrying — the 429/503 politeness signal
+        // ([[retry_after_s]] interprets; [[hostBackoff]] consumes)
+        retryAfter = headers.get("retry-after")
+          .filter(_.nonEmpty).map(_.take(64))
         body = java.util.Arrays.copyOfRange(block, bStart, block.length)
         if (headers.get("transfer-encoding")
               .exists(_.toLowerCase(java.util.Locale.ROOT)
@@ -2885,7 +2914,8 @@ object Crawl {
       }
     }
     Right(HttpParts(status, location, contentType, body,
-                    lastModified, etag, cacheControl, expires))
+                    lastModified, etag, cacheControl, expires,
+                    retryAfter))
   }
 
   /** Decode body bytes into document text: charset precedence is the
@@ -3021,14 +3051,14 @@ object Crawl {
                           ct.orNull, parts.body, parts.status, redirect,
                           parts.lastModified.orNull, parts.etag.orNull,
                           false, parts.cacheControl.orNull,
-                          parts.expires.orNull))
+                          parts.expires.orNull, parts.retryAfter.orNull))
               case None =>
                 rows += ((null, false, uri, date, rid,
                           textOf(ct, parts.body, extract), ct.orNull,
                           null, parts.status, redirect,
                           parts.lastModified.orNull, parts.etag.orNull,
                           false, parts.cacheControl.orNull,
-                          parts.expires.orNull))
+                          parts.expires.orNull, parts.retryAfter.orNull))
             }
           case Left(reason) =>
             // the block WAS correctly delimited — the damage is inside
@@ -3055,10 +3085,10 @@ object Crawl {
                       parts.contentType.orNull, null, parts.status,
                       null, parts.lastModified.orNull,
                       parts.etag.orNull, true, parts.cacheControl.orNull,
-                      parts.expires.orNull))
+                      parts.expires.orNull, parts.retryAfter.orNull))
           case Left(_) =>
             rows += ((null, false, uri, date, rid, null, null, null,
-                      None, null, null, null, true, null, null))
+                      None, null, null, null, true, null, null, null))
         }
       }
     }
@@ -3264,7 +3294,7 @@ object Crawl {
       .toDF("value", "corrupt", "url", "wts", "rid", "text",
             "content_type", "payload", "http_status", "redirect",
             "last_modified", "etag", "revisit", "cache_control",
-            "expires")
+            "expires", "retry_after")
       .select(
         col("value"), col("corrupt"),
         when(!col("corrupt"),
@@ -3309,7 +3339,7 @@ object Crawl {
         // the RFC 9111 declared-freshness headers, verbatim
         // ([[max_age_s]] interprets them)
         col("last_modified"), col("etag"), col("revisit"),
-        col("cache_control"), col("expires"))
+        col("cache_control"), col("expires"), col("retry_after"))
   }
 
   /** The BINARY side of a parsed WARC frame: image/audio/video

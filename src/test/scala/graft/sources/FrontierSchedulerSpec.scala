@@ -111,6 +111,38 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_._1 == "new.net") === 4)
   }
 
+  test("health + backoff frames compose through the rank-cap slot: a dead host probes, a backing-off host emits nothing") {
+    import spark.implicits._
+    // q203's verdicts rendered as caps: dead -> probe 1, degraded ->
+    // half cap; q202's active window -> cap 0 ("not yet" is explicit)
+    val health = Seq(
+      ("dead.com", 10L, 10L, 1.0, "dead"),
+      ("flaky.org", 10L, 6L, 0.6, "degraded"),
+      ("fine.net", 10L, 0L, 0.0, "ok"))
+      .toDF("host", "n_captures", "n_err", "err_share", "verdict")
+    val backoff = Seq(("wait.io", 3L, 2000L))
+      .toDF("host", "n_backoffs", "backoff_until_s")
+    val caps = WebGraph.healthCaps(health, perHostCap = 8L)
+      .unionByName(WebGraph.backoffCaps(backoff, asofS = 1000L))
+    assert(caps.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("dead.com" -> 1L, "flaky.org" -> 4L, "wait.io" -> 0L))
+    val links = (1 to 6).flatMap(i => Seq(s"http://dead.com/p$i",
+      s"http://flaky.org/p$i", s"http://wait.io/p$i",
+      s"http://fine.net/p$i"))
+    val got = runStream(Seq(Seq(page(1, "http://s.net/1", links))),
+      "sched_health",
+      p => Crawl.frontierStream(p, Array.emptyByteArray, perHostCap = 8,
+        rankCaps = Some(caps)))
+    assert(got.count(_._1 == "dead.com") === 1,
+      "a dead host earns exactly its recovery probe")
+    assert(got.count(_._1 == "flaky.org") === 4)
+    assert(got.count(_._1 == "wait.io") === 0,
+      "an active Retry-After window means zero fetches, not a probe")
+    assert(got.count(_._1 == "fine.net") === 6, "healthy hosts fail open")
+    // an EXPIRED backoff window drops out entirely — fail open
+    assert(WebGraph.backoffCaps(backoff, asofS = 3000L).count() === 0)
+  }
+
   // ------------------------------------------------------------------
   // Site/mirror families (q183/q189 -> the stream door)
   // ------------------------------------------------------------------

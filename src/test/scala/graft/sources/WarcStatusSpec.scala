@@ -376,6 +376,50 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
     assert(parsed("http://c.com/silent")._3 === None)
   }
 
+  test("Retry-After lands verbatim; retry_after_s accepts both spec forms and ignores garbage") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ra")
+    java.nio.file.Files.write(d.resolve("ra.warc.gz"),
+      gz(rec("http://r.com/secs", "HTTP/1.1 503 Service Unavailable",
+             "overloaded", Seq("Retry-After: 120"))) ++
+      gz(rec("http://r.com/date", "HTTP/1.1 429 Too Many Requests",
+             "slow down",
+             // capture date 2026-03-01T00:00:00Z; retry 10 min later
+             Seq("Retry-After: Sun, 01 Mar 2026 00:10:00 GMT"))) ++
+      gz(rec("http://r.com/garbage", "HTTP/1.1 503 Service Unavailable",
+             "x", Seq("Retry-After: soon"))) ++
+      gz(rec("http://r.com/past", "HTTP/1.1 503 Service Unavailable",
+             "x", Seq("Retry-After: Sat, 01 Mar 2025 00:00:00 GMT"))) ++
+      gz(rec("http://r.com/silent", "HTTP/1.1 503 Service Unavailable",
+             "x")))
+    val rows = Crawl.readWarc(spark, d.toString)
+      .select(col("url"), col("retry_after"),
+        Crawl.retry_after_s(col("retry_after"), col("ts")).as("ra"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(rows("http://r.com/secs") === (("120", Some(120L))))
+    assert(rows("http://r.com/date")._2 === Some(600L))
+    assert(rows("http://r.com/garbage") === (("soon", None)),
+      "a garbage Retry-After is ignored, never zero")
+    assert(rows("http://r.com/past")._2 === Some(0L),
+      "a past date floors at zero")
+    assert(rows("http://r.com/silent") === ((null, None)))
+    // and hostBackoff prices the host from the usable signals only:
+    // 120 at T0 loses to 600 at T0 (max of the expiry instants)
+    val b = graft.operators.WebGraph.hostBackoff(
+        Crawl.readWarc(spark, d.toString)
+          .select(graft.sources.Urls.host(col("url")).as("host"),
+            col("http_status"), col("ts").cast("long").as("ts_s"),
+            Crawl.retry_after_s(col("retry_after"), col("ts"))
+              .as("retry_after_s")))
+      .collect()
+    assert(b.length === 1)
+    assert(b.head.getAs[Long]("n_backoffs") === 3L) // secs, date, past
+    assert(b.head.getAs[Long]("backoff_until_s") ===
+      java.time.Instant.parse("2026-03-01T00:10:00Z").getEpochSecond)
+  }
+
   test("due mode: a declared max-age caps the Cho/Garcia-Molina interval (the host's own revisit clock wins)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
