@@ -106,6 +106,17 @@ object Nightly {
           .write.mode("overwrite").parquet(s"$out/crawl/trap_verdicts")
         spark.read.parquet(s"$out/crawl/trap_verdicts").count()
       }
+      stage("crawl_health") {
+        // host health + Retry-After manifests: the circuit breaker
+        // and the politeness windows the next cadence's frontier
+        // composes into per-host caps (the frontier manifest below
+        // already consumes both)
+        WebGraph.crawlHealthTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/health")
+        WebGraph.crawlBackoffTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/backoff")
+        spark.read.parquet(s"$out/crawl/health").count()
+      }
       stage("crawl_aliases") {
         // the unified alias-resolution manifest (301 chains +
         // rel=canonical, conflict policy applied): the `aliases`

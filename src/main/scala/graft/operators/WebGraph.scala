@@ -427,15 +427,66 @@ object WebGraph {
                                                 extractHtml = false)
       val verdicts = crawlTrapVerdictsTable(s, warcDir, trapThreshold)
       // v2: candidates collapse through the landed alias manifest
-      // (301 chains + rel=canonical) before the seen probe and budget
+      // (301 chains + rel=canonical) before the seen probe and
+      // budget, and the health/backoff manifests tighten per-host
+      // caps — a dead host keeps one recovery probe, a host inside
+      // its Retry-After window (at the snapshot's own as-of instant,
+      // the due-queue convention) gets NOTHING: it asked. The 1-row
+      // aggregate head is the seenUrlBloom precedent; per-night cost
+      // only on corpus change.
+      val asofS = parsed
+        .agg(coalesce(max(col("ts").cast("long")), lit(0L)))
+        .head().getLong(0)
+      val caps = healthCaps(crawlHealthTable(s, warcDir),
+          perHostCap.toLong)
+        .unionByName(backoffCaps(crawlBackoffTable(s, warcDir), asofS))
+        .groupBy("host").agg(min("cap").as("cap"))
       graft.sources.Crawl.frontier(parsed, perHostCap,
           robotsAgent = Some(agent),
           aliases = Some(crawlAliasTable(s, warcDir)))
         .join(verdicts.select(col("host"), col("verdict"))
             .hint("shuffle_hash"), Seq("host"), "left")
-        .filter(col("rk") <= when(col("verdict") === "trap", 1L)
-          .otherwise(Long.MaxValue))
-        .drop("verdict")
+        .join(caps.hint("shuffle_hash"), Seq("host"), "left")
+        .filter(col("rk") <= least(
+          when(col("verdict") === "trap", 1L).otherwise(Long.MaxValue),
+          coalesce(col("cap"), lit(Long.MaxValue))))
+        .drop("verdict", "cap")
+    }
+
+  /** The night's host-health manifest (`crawl_health_v1`): q203's
+    * verdicts over the real corpus — same serve-or-build lifecycle as
+    * the sibling manifests.
+    */
+  def crawlHealthTable(s: SparkSession, warcDir: String): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_health_v1") {
+      crawlManifestDerives.incrementAndGet()
+      hostHealth(graft.sources.Crawl
+        .readWarc(s, warcDir, extractHtml = false)
+        .filter(!col("corrupt") && col("url").isNotNull)
+        .select(graft.sources.Urls.host(
+            graft.sources.Urls.canonicalize(col("url"))).as("host"),
+          col("http_status"))
+        .filter(col("host").isNotNull))
+    }
+
+  /** The night's Retry-After manifest (`crawl_backoff_v1`): q202's
+    * per-host backoff windows over the real corpus. Consumers filter
+    * to their own as-of instant via [[backoffCaps]] — the landed
+    * table carries every window, because "active" depends on when
+    * the next cadence runs, not on when the nightly did.
+    */
+  def crawlBackoffTable(s: SparkSession, warcDir: String): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_backoff_v1") {
+      crawlManifestDerives.incrementAndGet()
+      hostBackoff(graft.sources.Crawl
+        .readWarc(s, warcDir, extractHtml = false)
+        .filter(!col("corrupt") && col("url").isNotNull)
+        .select(graft.sources.Urls.host(
+            graft.sources.Urls.canonicalize(col("url"))).as("host"),
+          col("http_status"), col("ts").cast("long").as("ts_s"),
+          graft.sources.Crawl.retry_after_s(col("retry_after"),
+            col("ts")).as("retry_after_s"))
+        .filter(col("host").isNotNull))
     }
 
   /** The night's alias-resolution manifest (`crawl_aliases_v1`): the

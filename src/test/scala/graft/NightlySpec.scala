@@ -72,16 +72,52 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
         "<link rel=\"canonical\" href=\"http://h1.com/clean\">amp body",
         java.sql.Timestamp.valueOf("2026-03-01 03:00:00"))) :+
       ((102L, "http://h2.com/linker",
-        "<a href='http://h1.com/amp'>the amp spelling</a>",
+        "<a href='http://h1.com/amp'>the amp spelling</a>" +
+          // links into the dead and backing-off hosts planted below
+          // (uncaptured pages, so only the health/backoff caps can
+          // decide their frontier fate)
+          (1 to 4).map(i =>
+            s"<a href='http://down.example/new$i'>d$i</a>").mkString +
+          "<a href='http://busy.example/other'>b</a>",
         java.sql.Timestamp.valueOf("2026-03-01 03:00:00")))
     ).toDF("doc_id", "url", "text", "ts")
     Crawl.writeWarc(docs, warc)
+    // writeWarc emits 200s only — the error-serving hosts are crafted
+    // raw records appended into the same corpus dir: down.example
+    // answers SIX straight 404s (health verdict 'dead' -> one
+    // recovery probe), busy.example answers a 503 with a Retry-After
+    // window still open at the corpus' own as-of instant (cap 0)
+    def rawRec(uri: String, statusLine: String, body: String,
+               extra: Seq[String] = Seq.empty): Array[Byte] = {
+      val block = s"$statusLine\r\nContent-Type: text/html\r\n" +
+        extra.map(_ + "\r\n").mkString + "\r\n" + body
+      val bb = block.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-03-01T04:00:00Z\r\n" +
+        s"Content-Length: ${bb.length}\r\n\r\n").getBytes("UTF-8") ++
+        bb ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def gzBytes(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val os = new java.util.zip.GZIPOutputStream(bos)
+      os.write(b); os.close()
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(warc, "errors.warc.gz"),
+      (1 to 6).map(i => gzBytes(rawRec(s"http://down.example/n$i",
+        "HTTP/1.1 404 Not Found", "<html>gone</html>")))
+        .reduce(_ ++ _) ++
+      gzBytes(rawRec("http://busy.example/hot",
+        "HTTP/1.1 503 Service Unavailable", "overloaded",
+        Seq("Retry-After: 2592000"))))
     val out = java.nio.file.Files
       .createTempDirectory("graft-nightly-crawl").toString
     val report = Nightly.run(spark, corpus, out, Some(warc))
     assert(report.contains("\"audit_violations\":0"), report)
     for (st <- Seq("crawl_edges", "crawl_ranks", "crawl_traps",
-                   "crawl_aliases", "crawl_frontier", "crawl_refetch"))
+                   "crawl_health", "crawl_aliases", "crawl_frontier",
+                   "crawl_refetch"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
     // the crawl-tier freshness table rides the report, all fresh
     assert(report.contains("\"crawl_artifacts\":[{"), report)
@@ -113,6 +149,21 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
       s"the canonical target must be discovered through the alias: $h1")
     assert(!h1.contains("http://h1.com/amp"),
       "the captured amp spelling must not re-enter the frontier")
+    // the health and backoff manifests landed with the planted
+    // verdicts, and the frontier composed them into per-host caps:
+    // the dead host keeps ONE recovery probe of its four unseen
+    // links; the host inside its Retry-After window gets nothing
+    val health = spark.read.parquet(s"$out/crawl/health")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(health("down.example") === "dead", health.toString)
+    assert(health("h0.com") === "ok")
+    val backoff = spark.read.parquet(s"$out/crawl/backoff")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(backoff.keySet === Set("busy.example"))
+    assert(frontier.filter(col("host") === "down.example").count() === 1,
+      "a dead host earns exactly its recovery probe")
+    assert(frontier.filter(col("host") === "busy.example").count() === 0,
+      "an open Retry-After window means zero fetches")
     assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
     // the actionable work list: interval-due pages (captured days
     // before the snapshot's as-of) plus the sitemap-declared page
