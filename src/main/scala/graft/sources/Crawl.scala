@@ -125,8 +125,11 @@ private[sources] case class ValidatorState(lastModified: String,
   * discovered MID-RUN collapses without waiting for the nightly
   * resolveRedirects landing; capped at [[Crawl.AliasMaxTrack]]
   * entries per group — past it, new aliases wait for the nightly,
-  * documented loss) — restart pre-r20 checkpoints fresh (see the
-  * compatibility note above).
+  * documented loss), and the live HOST-STATUS tier (per-member-host
+  * `backoffUntil` — the newest Retry-After expiry instant — beside
+  * `okN`/`errN` health counters: three longs per member host) —
+  * restart pre-r20 checkpoints fresh (see the compatibility note
+  * above).
   */
 private[sources] case class LiveBudgetState(hosts: Array[String],
                                             rules: Array[String],
@@ -139,7 +142,10 @@ private[sources] case class LiveBudgetState(hosts: Array[String],
                                             trapTmpls: Array[Array[Long]],
                                             trapTmplHll: Array[Array[Byte]],
                                             aliasSrc: Array[Long],
-                                            aliasDst: Array[String])
+                                            aliasDst: Array[String],
+                                            backoffUntil: Array[Long],
+                                            okN: Array[Long],
+                                            errN: Array[Long])
 
 /** Per-host state for [[Crawl.trapStream]]: the xxh64 sets of
   * distinct canonical URLs and distinct URL templates seen so far,
@@ -1052,6 +1058,18 @@ object Crawl {
     * where rules live outside the state. Output (host, url, rk),
     * append mode.
     *
+    * LIVE HOST STATUS (round 20): with statuses in the frame, a
+    * 429/503 carrying Retry-After installs its host's pause window
+    * in-state, and every candidate whose event second sits inside it
+    * is SKIPPED without spending a slot (zero fetches, not a probe —
+    * the host asked; expiry is on the event clock, so replays agree);
+    * `healthMinCaptures` > 0 additionally applies the q203 verdicts
+    * LIVE — a member host answering >= 90% errors over at least that
+    * many in-run observations collapses to its recovery probe, >= 50%
+    * halves, fewer observations fail open. One union leg serves both
+    * signals; the landed crawl_health/crawl_backoff manifests remain
+    * the cross-cadence memory (in-run counters start from zero).
+    *
     * LIVE ALIAS LEARNING (round 20; automatic when the frame carries
     * a `redirect` column): each 3xx capture installs src→dst into its
     * source host's budget group — the robots/trap precedent, one tier
@@ -1123,7 +1141,8 @@ object Crawl {
                          skipAssets: Boolean = true,
                          aliases: Option[DataFrame] = None,
                          trapThreshold: Double = 0.0,
-                         trapMaxTrack: Int = 4096): DataFrame = {
+                         trapMaxTrack: Int = 4096,
+                         healthMinCaptures: Long = 0L): DataFrame = {
     val hosted =
       streamCandidates(parsed, seenBloom, sitemaps, seenExact, skipAssets,
                        aliases)
@@ -1215,10 +1234,45 @@ object Crawl {
                 lit(0.0).as("delay_s"), col("ts_s"), col("doc_id"),
                 lit(perHostCap.toLong).as("scap"),
                 col("uh"), lit(0L).as("th")))
+    // LIVE host status observations (kind = 4): every status-bearing
+    // capture rides into its host's budget group carrying (status in
+    // `doc_id`, event second in `ts_s`, Retry-After seconds in `uh`,
+    // -1 = none) — ONE leg serving both signals: an open Retry-After
+    // window gates the host's candidates ON THE EVENT CLOCK (the host
+    // said "not yet" — zero fetches, not a probe), and with
+    // `healthMinCaptures` > 0 the in-run error share collapses a dead
+    // host to its recovery probe / halves a degraded one (the q203
+    // thresholds, applied live like traps). Added only when the frame
+    // carries statuses and a consumer exists.
+    val statusRows = {
+      val hasSt = parsed.columns.contains("http_status")
+      val hasRa = parsed.columns.contains("retry_after")
+      if (!hasSt || (!hasRa && healthMinCaptures <= 0L)) None
+      else {
+        val raS =
+          if (hasRa) coalesce(retry_after_s(col("retry_after"),
+                                            col("ts")), lit(-1L))
+          else lit(-1L)
+        Some(familyKeyed(parsed
+            .filter(!col("corrupt") && col("url").isNotNull &&
+              col("http_status").isNotNull)
+            .select(Urls.host(Urls.canonicalize(col("url"))).as("host"),
+                    col("http_status").cast("long").as("status"),
+                    col("ts").cast("long").as("ts_s"),
+                    raS.as("ra_s"))
+            .filter(col("host").isNotNull))
+          .select(col("bkey"), lit(4).as("kind"), col("host"),
+                  lit("").as("url"), lit("").as("rules"),
+                  lit(0.0).as("delay_s"), col("ts_s"),
+                  col("status").as("doc_id"),
+                  lit(perHostCap.toLong).as("scap"),
+                  col("ra_s").as("uh"), lit(0L).as("th")))
+      }
+    }
     val s = parsed.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    (trapRows.toSeq ++ aliasRows.toSeq)
+    (trapRows.toSeq ++ aliasRows.toSeq ++ statusRows.toSeq)
       .foldLeft(cand.unionByName(robots))(_ unionByName _)
       .as[(String, Int, String, String, String, Double, Long, Long, Long,
            Long, Long)]
@@ -1230,7 +1284,8 @@ object Crawl {
             Array.empty, Array.empty, Array.empty, Array.empty,
             Array.empty, Array.empty[Long],
             Array.empty, Array.empty, Array.empty, Array.empty,
-            Array.empty[Long], Array.empty[String]))
+            Array.empty[Long], Array.empty[String],
+            Array.empty[Long], Array.empty[Long], Array.empty[Long]))
           val batch = rows.toArray
           // member-host slot: robots rules and trap tracking are both
           // host-indexed within the (possibly family-keyed) group
@@ -1245,7 +1300,9 @@ object Crawl {
                 st.trapUrlHll :+ Array.empty[Byte],
                 st.trapTmpls :+ Array.empty[Long],
                 st.trapTmplHll :+ Array.empty[Byte],
-                st.aliasSrc, st.aliasDst)
+                st.aliasSrc, st.aliasDst,
+                st.backoffUntil :+ Long.MinValue,
+                st.okN :+ 0L, st.errN :+ 0L)
               st.hosts.length - 1
             }
           }
@@ -1291,6 +1348,19 @@ object Crawl {
               st = st.copy(aliasSrc = st.aliasSrc :+ srcH,
                            aliasDst = st.aliasDst :+ dst)
             }
+          }
+          // 1d. status observations install per member host BEFORE
+          //     candidates gate: error/ok counters (the live q203
+          //     health signal) and the newest Retry-After expiry
+          //     instant (max — a host keeps its longest request)
+          for ((_, kind, host, _, _, _, tsS, status, _, raS, _)
+               <- batch if kind == 4) {
+            val i = slot(host)
+            if (status >= 400L) st.errN(i) = st.errN(i) + 1L
+            else st.okN(i) = st.okN(i) + 1L
+            if (raS >= 0L && (status == 429L || status == 503L) &&
+                tsS + raS > st.backoffUntil(i))
+              st.backoffUntil(i) = tsS + raS
           }
           // candidate resolution through the LIVE map (bounded hops —
           // the resolveRedirects depth discipline); a hop landing on
@@ -1347,18 +1417,51 @@ object Crawl {
           // once per candidate row
           val trappedByHost = candRows.iterator.map(_._3).toSet
             .map((h: String) => h -> trapped(h)).toMap
+          // live q203 health: a dead member host (error share >= 0.9
+          // over >= healthMinCaptures in-run observations) collapses
+          // to its recovery probe, a degraded one (>= 0.5) halves —
+          // fail open below the observation floor, like the batch
+          def healthCap(host: String): Long =
+            if (healthMinCaptures <= 0L) Long.MaxValue
+            else {
+              val i = st.hosts.indexOf(host)
+              if (i < 0) Long.MaxValue
+              else {
+                val n = st.okN(i) + st.errN(i)
+                if (n < healthMinCaptures) Long.MaxValue
+                else {
+                  val share = st.errN(i).toDouble / n
+                  if (share >= 0.9) 1L
+                  else if (share >= 0.5)
+                    math.max(perHostCap.toLong / 2L, 1L)
+                  else Long.MaxValue
+                }
+              }
+            }
+          val healthByHost = candRows.iterator.map(_._3).toSet
+            .map((h: String) => h -> healthCap(h)).toMap
+          // live Retry-After: a candidate whose event second sits
+          // inside its host's requested window is SKIPPED without
+          // spending a slot — the host said "not yet", and the event
+          // clock (not arrival luck) decides, so replays agree
+          def backedOff(host: String, tsS: Long): Boolean = {
+            val i = st.hosts.indexOf(host)
+            i >= 0 && tsS < st.backoffUntil(i)
+          }
           val cap =
             if (candRows.isEmpty) 0L
             else candRows.iterator.map { r =>
-              val c = math.min(r._9, delayCap(r._3))
+              val c = math.min(math.min(r._9, delayCap(r._3)),
+                               healthByHost(r._3))
               if (trappedByHost(r._3)) math.min(c, 1L) else c
             }.min
           val emitted = scala.collection.mutable.LinkedHashSet(
             st.emitted: _*)
           val out = Vector.newBuilder[(String, String, Long)]
-          for ((_, _, host, url0, _, _, _, _, _, _, _)
+          for ((_, _, host, url0, _, _, tsS, _, _, _, _)
                <- candRows.sortBy(_._4)
-               if emitted.size < cap) {
+               if emitted.size < cap
+               if !backedOff(host, tsS)) {
             // every spelling resolves to its live final target FIRST:
             // the emitted-hash dedup then charges the whole family
             // ONE budget slot, and robots gate the url that will

@@ -143,6 +143,78 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
     assert(WebGraph.backoffCaps(backoff, asofS = 3000L).count() === 0)
   }
 
+  test("live door: a 503 Retry-After pauses its host in the SAME query; a dying host collapses to its probe") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("http_status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("retry_after",
+        org.apache.spark.sql.types.StringType)))
+    def row(id: Long, url: String, text: String, status: Integer,
+            ra: String, ts: String): String = {
+      val t = if (text == null) "null" else s""""$text""""
+      val r = if (ra == null) "null" else s""""$ra""""
+      s"""{"doc_id":$id,"url":"$url","text":$t,"ts":"$ts","http_status":$status,"retry_after":$r}"""
+    }
+    def linksTo(id: Long, urls: Seq[String], ts: String): String =
+      row(id, s"http://s.net/$id",
+        urls.map(u => s"<a href='$u'>x</a>").mkString, 200, null, ts)
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF().toDF("value")
+      .withColumn("e", org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value"), schema))
+      .selectExpr("false as corrupt", "e.doc_id as doc_id",
+        "e.url as url", "e.text as text", "to_timestamp(e.ts) as ts",
+        "e.http_status as http_status", "e.retry_after as retry_after")
+    val fr = Crawl.frontierStreamLive(parsed, Array.emptyByteArray,
+      agent = "graftbot", perHostCap = 8, healthMinCaptures = 4L)
+    val q = fr.writeStream.format("memory").queryName("frontier_status")
+      .outputMode("append").start()
+    def hostRows(h: String): Int =
+      spark.table("frontier_status").collect()
+        .count(_.getString(0) == h)
+    try {
+      // batch 1: busy.io answers 503 + Retry-After 3600 at T0. Its
+      // window is open until T0+1h on the EVENT clock.
+      mem.addData(row(1, "http://busy.io/hot", "overloaded", 503,
+                      "3600", "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      // batch 2: candidates INSIDE the window (T0+10m) are skipped
+      // without spending a slot — in the same running query
+      mem.addData(linksTo(2, Seq("http://busy.io/a", "http://busy.io/b"),
+                          "2026-03-01T00:10:00"))
+      q.processAllAvailable()
+      assert(hostRows("busy.io") === 0,
+        "an open Retry-After window means zero fetches")
+      // batch 3: candidates PAST the window (T0+2h) emit normally
+      mem.addData(linksTo(3, Seq("http://busy.io/a", "http://busy.io/b"),
+                          "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      assert(hostRows("busy.io") === 2, "an expired window fails open")
+      // dying.net: four straight 404s cross the observation floor
+      // with share 1.0 — the NEXT batch's five candidates collapse
+      // to the single recovery probe, live
+      mem.addData((1 to 4).map(i =>
+        row(10L + i, s"http://dying.net/p$i", "err body", 404, null,
+            "2026-03-01T03:00:00")): _*)
+      q.processAllAvailable()
+      mem.addData(linksTo(20, (1 to 5).map(i => s"http://dying.net/new$i"),
+                          "2026-03-01T04:00:00"))
+      q.processAllAvailable()
+      assert(hostRows("dying.net") === 1,
+        "a dead host earns exactly its recovery probe, in-run")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // Site/mirror families (q183/q189 -> the stream door)
   // ------------------------------------------------------------------
