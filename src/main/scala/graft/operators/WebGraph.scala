@@ -3188,6 +3188,57 @@ object WebGraph {
                lit(".com")).as("host"),
         when(expr("(doc_id div 40) % 10") < (col("doc_id") % 40) % 11,
              404).otherwise(200).as("http_status")))
+    },
+
+    Q("q204_soft404",
+      "Soft-404 detection (Crawl.soft404 — Bar-Yossef et al., " +
+        "WWW'04): a 200 whose BODY is an error page is the transport " +
+        "lying, and the lie poisons everything downstream — the " +
+        "error body fingerprints as content (the page reads as " +
+        "CHANGED, defeating q199's status gate), enters dedup, and " +
+        "pollutes the corpus. Deterministic heuristic: an error " +
+        "phrase in the first 4 KiB AND a short body (< 2048 chars — " +
+        "long real articles that merely MENTION a phrase stay " +
+        "clear); genuine error statuses return false (already priced " +
+        "honestly). Planted over the REAL documents text: every 7th " +
+        "doc becomes a short error body (flagged), every 7th+1 " +
+        "appends the phrase to its full text (long -> clear), every " +
+        "7th+2 keeps the phrase under a genuine 404 (clear — not a " +
+        "LIE), the rest ride verbatim (real text that happens to " +
+        "match is decided identically by both engines). Pure codegen " +
+        "projection — no shuffle at any corpus size.",
+      """WITH v AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN '<html>Page Not Found - the requested URL '
+        |               || 'does not exist on this server</html>'
+        |             WHEN doc_id % 7 = 1
+        |             THEN text || ' ... page not found ...'
+        |             WHEN doc_id % 7 = 2
+        |             THEN '<html>page not found</html>'
+        |             ELSE text END AS body,
+        |        CASE WHEN doc_id % 7 = 2 THEN 404 ELSE 200 END
+        |          AS http_status
+        |      FROM documents)
+        |SELECT doc_id,
+        |  CAST((http_status BETWEEN 200 AND 299) AND regexp_matches(
+        |    lower(substring(body, 1, 4096)),
+        |    '(page|file|document)\s+not\s+found|error\s*404|' ||
+        |    'no\s+longer\s+(available|exists)|' ||
+        |    '(does\s+not|doesn.t)\s+exist|' ||
+        |    'has\s+been\s+(removed|deleted)')
+        |    AND length(body) < 2048 AS BIGINT) AS is_soft404
+        |FROM v""".stripMargin) { (s, d) =>
+      val body = when(col("doc_id") % 7 === 0,
+          lit("<html>Page Not Found - the requested URL " +
+            "does not exist on this server</html>"))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" ... page not found ...")))
+        .when(col("doc_id") % 7 === 2, lit("<html>page not found</html>"))
+        .otherwise(col("text"))
+      val status = when(col("doc_id") % 7 === 2, 404).otherwise(200)
+      docs(s, d).select(col("doc_id"),
+        graft.sources.Crawl.soft404(body, status).cast("long")
+          .as("is_soft404"))
     }
   )
 

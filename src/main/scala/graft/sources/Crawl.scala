@@ -1837,6 +1837,33 @@ object Crawl {
       .otherwise(lit(null).cast("long"))
   }
 
+  /** Soft-404 heuristic (q204): a 2xx/statusless capture whose BODY
+    * is an error page — the classic transport lie (Bar-Yossef et al.,
+    * "Sic transit gloria telae", WWW'04) that poisons everything
+    * downstream: the error body fingerprints as content (so the page
+    * reads as CHANGED — the exact failure q199's status gate closes
+    * for honest 404s), enters content dedup, and pollutes the doc
+    * corpus. Deterministic column math, no model: an error PHRASE in
+    * the first 4 KiB ("page not found", "error 404", "no longer
+    * available/exists", "does not exist", "has been removed/
+    * deleted") AND a short body (< 2048 chars — real articles that
+    * merely mention a phrase stay clear). Real error statuses return
+    * FALSE — they are already priced honestly; this flag exists for
+    * the lying 200s. Compose by re-mapping status before the pricing
+    * operators: `when(soft404(text, status), 404).otherwise(status)`
+    * hands q199/q203 the truth the transport withheld.
+    */
+  def soft404(text: Column, httpStatus: Column): Column = {
+    val head = lower(substring(coalesce(text, lit("")), 1, 4096))
+    val phrase = head.rlike(
+      "(page|file|document)\\s+not\\s+found|error\\s*404|" +
+        "no\\s+longer\\s+(available|exists)|" +
+        "(does\\s+not|doesn.t)\\s+exist|" +
+        "has\\s+been\\s+(removed|deleted)")
+    (httpStatus.isNull || (httpStatus >= 200 && httpStatus < 300)) &&
+      phrase && length(coalesce(text, lit(""))) < 2048
+  }
+
   def revisitValidators(parsed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("canon_url")

@@ -420,6 +420,40 @@ class WarcStatusSpec extends AnyFunSuite with SparkSpec {
       java.time.Instant.parse("2026-03-01T00:10:00Z").getEpochSecond)
   }
 
+  test("soft-404: the documented status-remap composition demotes a lying 200") {
+    import spark.implicits._
+    // page history: a real body, then two DISTINCT short error bodies
+    // served as 200s — the transport lie. Naive pricing reads two
+    // content changes and keeps the page hot; the remap hands the
+    // pricing the truth and the dead page leaves the queue.
+    val caps0 = Seq(
+      (1L, "http://a.com/p", "a real article with substance", 1000L),
+      (2L, "http://a.com/p",
+       "<html>Page Not Found - v1</html>", 2000L),
+      (3L, "http://a.com/p",
+       "<html>sorry, this page does not exist - v2</html>", 3000L))
+      .toDF("doc_id", "url", "body", "ts_s")
+      .select(col("url").as("canon_url"),
+        org.apache.spark.sql.functions.xxhash64(col("body")).as("fp"),
+        col("ts_s"), lit(200).as("http_status"),
+        lit(false).as("revisit"), col("doc_id"), col("body"))
+    def queue(remap: Boolean) = {
+      val st = if (remap)
+          when(Crawl.soft404(col("body"), col("http_status")), 404)
+            .otherwise(col("http_status"))
+        else col("http_status")
+      graft.operators.WebGraph.recrawlStatusQueue(
+        caps0.withColumn("http_status", st), dueBaseS = 7200L,
+        errDemote = 2).collect()
+    }
+    val naive = queue(remap = false)
+    assert(naive.length === 1 &&
+      naive.head.getAs[Long]("n_changes") === 2L,
+      "without the remap the lie prices as churn")
+    assert(queue(remap = true).isEmpty,
+      "the remap demotes the lying page out of the queue")
+  }
+
   test("due mode: a declared max-age caps the Cho/Garcia-Molina interval (the host's own revisit clock wins)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
