@@ -151,6 +151,14 @@ object Nightly {
           .write.mode("overwrite").parquet(s"$out/crawl/due_queue")
         spark.read.parquet(s"$out/crawl/due_queue").count()
       }
+      stage("crawl_fetch_plan") {
+        // the composed revalidation plan (q205): the due queue joined
+        // with each page's newest captured validators — WHEN + HOW,
+        // the table a recrawler drains
+        WebGraph.crawlFetchPlanTable(spark, cd)
+          .write.mode("overwrite").parquet(s"$out/crawl/fetch_plan")
+        spark.read.parquet(s"$out/crawl/fetch_plan").count()
+      }
     }
 
     stage("curate") {

@@ -489,6 +489,94 @@ object WebGraph {
         .filter(col("host").isNotNull))
     }
 
+  /** The composed revalidation PLAN (q205): the due queue says WHEN
+    * ([[crawlDueQueueTable]] / q198 — channel provenance riding), the
+    * validator table says HOW ([[graft.sources.Crawl
+    * .revisitValidators]] — the newest captured ETag/Last-Modified).
+    * One near-unique-key left join: each due page leaves with its
+    * If-Modified-Since / If-None-Match request headers and a
+    * `conditional` flag — 1 means the fetch can cost a 304, 0 means
+    * the page never served a validator and the fetch is
+    * unconditional. This IS the table a recrawler drains.
+    */
+  def fetchPlan(due: DataFrame, validators: DataFrame): DataFrame =
+    due.join(validators.select(col("canon_url"),
+        col("last_modified").as("if_modified_since"),
+        col("etag").as("if_none_match")).hint("shuffle_hash"),
+      Seq("canon_url"), "left")
+      .withColumn("conditional",
+        (col("if_modified_since").isNotNull ||
+          col("if_none_match").isNotNull).cast("long"))
+
+  /** The DRAINABLE plan (q206): [[fetchPlan]] sequenced by host
+    * politeness — a due page on a host inside an open RFC 9110
+    * Retry-After window ([[hostBackoff]]) is not fetchable at its
+    * due instant; its fetch slides to the window's expiry.
+    * `fetch_at_s = greatest(due_ts_s, backoff_until_s)` when the
+    * host asked for a pause, `due_ts_s` otherwise; `deferred` = 1
+    * when politeness moved it. Nothing LEAVES the plan here — the
+    * host said "not yet", not "never" (contrast robots disallow,
+    * which evicts: [[crawlFetchPlanTable]]). One host-keyed left
+    * join, shuffle-pinned: the hosts-that-asked frame is unbounded
+    * at web scale, never broadcast.
+    */
+  def drainablePlan(plan: DataFrame, backoff: DataFrame): DataFrame =
+    plan.withColumn("host", graft.sources.Urls.host(col("canon_url")))
+      .join(backoff.select(col("host"), col("backoff_until_s"))
+          .hint("shuffle_hash"), Seq("host"), "left")
+      .withColumn("fetch_at_s",
+        greatest(col("due_ts_s"),
+                 coalesce(col("backoff_until_s"), col("due_ts_s"))))
+      .withColumn("deferred",
+        (col("fetch_at_s") > col("due_ts_s")).cast("long"))
+      .drop("backoff_until_s")
+
+  /** The night's fetch-plan manifest (`crawl_fetch_plan_v2`):
+    * [[fetchPlan]] over the real corpus — the due queue joined with
+    * the latest captured validators — with the two host-level gates
+    * a polite recrawler owes before draining it:
+    *   - robots DISALLOW evicts (the frontier rule, shared
+    *     [[graft.sources.Crawl.compiledRobots]] frame): a page whose
+    *     host's CURRENT robots.txt forbids it must not be refetched
+    *     however due it is — the host said "never" (RFC 9309;
+    *     fail-open on absent/unparseable robots, the repo-wide
+    *     convention);
+    *   - an OPEN Retry-After window at the snapshot's own as-of
+    *     instant (the frontier-v2 convention) only annotates:
+    *     `not_before_s` carries the window's expiry, null when the
+    *     host is free — the host said "not yet", and the due verdict
+    *     still stands.
+    * Landed beside its inputs under the same serve-or-build
+    * lifecycle; the 1-row as-of aggregate is the seenUrlBloom
+    * precedent and runs only on build.
+    */
+  def crawlFetchPlanTable(s: SparkSession, warcDir: String,
+                          dueBaseS: Long = 86400L,
+                          agent: String = "graftbot"): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_fetch_plan_v2") {
+      crawlManifestDerives.incrementAndGet()
+      val parsed = graft.sources.Crawl.readWarc(s, warcDir,
+                                                extractHtml = false)
+      val asofS = parsed
+        .agg(coalesce(max(col("ts").cast("long")), lit(0L)))
+        .head().getLong(0)
+      fetchPlan(crawlDueQueueTable(s, warcDir, dueBaseS),
+          graft.sources.Crawl.revisitValidators(parsed)
+            .select(col("canon_url"), col("last_modified"), col("etag")))
+        .withColumn("host", graft.sources.Urls.host(col("canon_url")))
+        .join(graft.sources.Crawl.compiledRobots(parsed, agent)
+            .drop("_robots_delay").hint("shuffle_hash"),
+          Seq("host"), "left")
+        .filter(graft.sources.Robots.robots_allowed_c(
+          col("canon_url"), col("_robots_rules")))
+        .drop("_robots_rules")
+        .join(crawlBackoffTable(s, warcDir)
+            .filter(col("backoff_until_s") > asofS)
+            .select(col("host"), col("backoff_until_s").as("not_before_s"))
+            .hint("shuffle_hash"), Seq("host"), "left")
+        .drop("host")
+    }
+
   /** The night's alias-resolution manifest (`crawl_aliases_v1`): the
     * UNIFIED alias channel over the real corpus — 301/302 chains plus
     * `<link rel=canonical>` declarations
@@ -3104,34 +3192,8 @@ object WebGraph {
         "the real parser column (Crawl.retry_after_s). One host-keyed " +
         "aggregation; backoffCaps renders the active windows as cap-0 " +
         "rows for the frontier's rank-cap slot.",
-      """WITH v AS (SELECT doc_id,
-        |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
-        |        CASE WHEN doc_id % 3 = 0 THEN 503 ELSE 200 END
-        |          AS http_status,
-        |        1700000000 + doc_id AS ts_s, doc_id % 40 AS hc
-        |      FROM documents),
-        |r AS (SELECT *,
-        |        CASE WHEN hc % 4 = 0 THEN CAST(60 + hc AS VARCHAR)
-        |             WHEN hc % 4 = 1 THEN 'Thu, ' ||
-        |               strftime(make_timestamp(
-        |                 CAST((ts_s + 600) AS BIGINT) * 1000000),
-        |                 '%d %b %Y %H:%M:%S') || ' GMT'
-        |             WHEN hc % 4 = 2 THEN 'soon' END AS ra
-        |      FROM v),
-        |m AS (SELECT *,
-        |        CASE WHEN regexp_extract(coalesce(ra, ''),
-        |               '^([0-9]{1,15})$', 1) <> ''
-        |             THEN CAST(ra AS BIGINT)
-        |             WHEN try_strptime(regexp_replace(coalesce(ra, ''),
-        |                 '^[A-Za-z]+, ', ''),
-        |                 '%d %b %Y %H:%M:%S GMT') IS NOT NULL
-        |             THEN greatest(CAST(epoch(try_strptime(
-        |                 regexp_replace(ra, '^[A-Za-z]+, ', ''),
-        |                 '%d %b %Y %H:%M:%S GMT')) AS BIGINT) - ts_s,
-        |               CAST(0 AS BIGINT))
-        |             END AS ra_s
-        |      FROM r)
-        |SELECT host, CAST(count(*) AS BIGINT) AS n_backoffs,
+      s"WITH $retryAfterSqlCtes\n" +
+        """SELECT host, CAST(count(*) AS BIGINT) AS n_backoffs,
         |  CAST(max(ts_s + ra_s) AS BIGINT) AS backoff_until_s
         |FROM m WHERE http_status IN (429, 503) AND ra_s IS NOT NULL
         |GROUP BY 1""".stripMargin) { (s, d) =>
@@ -3239,8 +3301,195 @@ object WebGraph {
       docs(s, d).select(col("doc_id"),
         graft.sources.Crawl.soft404(body, status).cast("long")
           .as("is_soft404"))
+    },
+
+    Q("q205_fetch_plan",
+      "The composed revalidation PLAN (fetchPlan) — the table a " +
+        "recrawler actually drains: the due queue says WHEN (here " +
+        "q196's interval channel at a one-hour-past as-of; the real " +
+        "path passes the q198 composed queue with channel provenance " +
+        "riding through), the validator table says HOW — each due " +
+        "page leaves with its If-Modified-Since / If-None-Match " +
+        "request headers from the NEWEST validator-bearing capture " +
+        "(the revisitValidators recency window, run REAL on the " +
+        "Spark side) and a conditional flag: 1 = the fetch can cost " +
+        "a 304, 0 = no validator was ever served, unconditional. " +
+        "Planted: the q196 capture ladder with validators keyed " +
+        "doc%3 (Last-Modified) / doc%5 (ETag). Two near-unique-key " +
+        "shuffles + one left join.",
+      s"WITH $plantSqlCtes,\n${Urls.canonSqlCtes("plant")},\n" +
+        """v AS (SELECT canon_url, doc_id,
+          |        (doc_id // 250) % (1 + (doc_id % 250) % 4) AS fp,
+          |        1700000000 + (doc_id // 250) * 3600 AS ts_s,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN 'lm-' || CAST(doc_id AS VARCHAR) END AS lm,
+          |        CASE WHEN doc_id % 5 = 0
+          |             THEN 'et-' || CAST(doc_id AS VARCHAR) END AS et
+          |      FROM canon WHERE canon_url IS NOT NULL),
+          |g AS (SELECT canon_url,
+          |        CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+          |        CAST(max(ts_s) AS BIGINT) AS last_ts_s
+          |      FROM v GROUP BY 1),
+          |a AS (SELECT CAST(max(ts_s) AS BIGINT) + 3600 AS asof_s
+          |      FROM v),
+          |due AS (SELECT canon_url,
+          |          last_ts_s + greatest(CAST(7200 AS BIGINT)
+          |            // (1 + greatest(n_versions - 1, 0)),
+          |            CAST(1 AS BIGINT)) AS due_ts_s
+          |        FROM g CROSS JOIN a
+          |        WHERE last_ts_s + greatest(CAST(7200 AS BIGINT)
+          |            // (1 + greatest(n_versions - 1, 0)),
+          |            CAST(1 AS BIGINT)) <= a.asof_s),
+          |w AS (SELECT canon_url, lm, et, row_number() OVER (
+          |          PARTITION BY canon_url
+          |          ORDER BY ts_s DESC, doc_id DESC) AS rn
+          |      FROM v WHERE lm IS NOT NULL OR et IS NOT NULL),
+          |vals AS (SELECT canon_url, lm AS if_modified_since,
+          |           et AS if_none_match FROM w WHERE rn = 1)
+          |SELECT d.canon_url, d.due_ts_s, vals.if_modified_since,
+          |  vals.if_none_match,
+          |  CAST(vals.if_modified_since IS NOT NULL
+          |       OR vals.if_none_match IS NOT NULL AS BIGINT)
+          |    AS conditional
+          |FROM due d LEFT JOIN vals USING (canon_url)""".stripMargin) {
+      (s, d) =>
+        val caps = plantedCanon(s, d).filter(col("canon_url").isNotNull)
+          .select(col("canon_url"),
+            expr("(doc_id div 250) % (1 + (doc_id % 250) % 4)").as("fp"),
+            expr("1700000000 + (doc_id div 250) * 3600").as("ts_s"))
+        val asof = broadcast(
+          caps.agg((max("ts_s").cast("long") + 3600L).as("asof_s")))
+        val due = refetchDue(caps, dueBaseS = 7200L)
+          .crossJoin(asof).filter(col("due_ts_s") <= col("asof_s"))
+          .select("canon_url", "due_ts_s")
+        // the validator table built by the REAL operator over the
+        // planted parsed shape (corrupt/url/validators/ts/doc_id)
+        val parsedV = plantUrls(s, d).select(
+          lit(false).as("corrupt"), col("url"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("lm-"), col("doc_id").cast("string")))
+            .otherwise(lit(null).cast("string")).as("last_modified"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("et-"), col("doc_id").cast("string")))
+            .otherwise(lit(null).cast("string")).as("etag"),
+          timestamp_seconds(expr("1700000000 + (doc_id div 250) * 3600"))
+            .as("ts"),
+          col("doc_id"))
+        fetchPlan(due,
+          graft.sources.Crawl.revisitValidators(parsedV)
+            .select("canon_url", "last_modified", "etag"))
+    },
+
+    Q("q206_drainable_plan",
+      "The DRAINABLE plan (drainablePlan): q205's revalidation plan " +
+        "sequenced by host politeness — a due page on a host inside " +
+        "an open RFC 9110 Retry-After window (q202's hostBackoff, " +
+        "the header interpreted through the real parser column) is " +
+        "not fetchable at its due instant; fetch_at_s slides to the " +
+        "window's expiry and deferred flags the move. Nothing LEAVES " +
+        "the plan — the host said 'not yet', not 'never' (robots " +
+        "disallow evicts, the nightly manifest's other gate). " +
+        "Planted: one due page per document over the q202 hosts, " +
+        "due instants fanned across ~28 hours, validators keyed " +
+        "doc%3/doc%5 — low-doc_id pages on backoff hosts defer, the " +
+        "rest drain on time. Real chain: fetchPlan -> hostBackoff -> " +
+        "drainablePlan; one host-keyed left join, shuffle-pinned.",
+      s"WITH $retryAfterSqlCtes,\n" +
+        """b AS (SELECT host, CAST(max(ts_s + ra_s) AS BIGINT)
+          |          AS backoff_until_s
+          |       FROM m WHERE http_status IN (429, 503)
+          |         AND ra_s IS NOT NULL
+          |       GROUP BY 1),
+          |p AS (SELECT doc_id,
+          |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+          |        'http://h' || CAST(doc_id % 40 AS VARCHAR) ||
+          |          '.com/p' || CAST(doc_id AS VARCHAR) AS canon_url,
+          |        CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT)
+          |          AS due_ts_s,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN 'lm-' || CAST(doc_id AS VARCHAR) END AS lm,
+          |        CASE WHEN doc_id % 5 = 0
+          |             THEN 'et-' || CAST(doc_id AS VARCHAR) END AS et
+          |      FROM documents)
+          |SELECT p.host, p.canon_url, p.due_ts_s,
+          |  p.lm AS if_modified_since, p.et AS if_none_match,
+          |  CAST(p.lm IS NOT NULL OR p.et IS NOT NULL AS BIGINT)
+          |    AS conditional,
+          |  greatest(p.due_ts_s, coalesce(b.backoff_until_s,
+          |    p.due_ts_s)) AS fetch_at_s,
+          |  CAST(greatest(p.due_ts_s, coalesce(b.backoff_until_s,
+          |    p.due_ts_s)) > p.due_ts_s AS BIGINT) AS deferred
+          |FROM p LEFT JOIN b USING (host)""".stripMargin) { (s, d) =>
+      val due = docs(s, d).select(
+        concat(lit("http://h"), (col("doc_id") % 40).cast("string"),
+          lit(".com/p"), col("doc_id").cast("string")).as("canon_url"),
+        expr("cast(1700000000 + (doc_id * 37) % 100000 as bigint)")
+          .as("due_ts_s"))
+      val vals = docs(s, d).select(
+        concat(lit("http://h"), (col("doc_id") % 40).cast("string"),
+          lit(".com/p"), col("doc_id").cast("string")).as("canon_url"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("lm-"), col("doc_id").cast("string")))
+          .otherwise(lit(null).cast("string")).as("last_modified"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("et-"), col("doc_id").cast("string")))
+          .otherwise(lit(null).cast("string")).as("etag"))
+        .filter(col("last_modified").isNotNull || col("etag").isNotNull)
+      val hc = col("doc_id") % 40
+      val tsS = expr("1700000000 + doc_id")
+      val ra = when(hc % 4 === 0, (lit(60L) + hc).cast("string"))
+        .when(hc % 4 === 1,
+          concat(lit("Thu, "),
+            date_format(timestamp_seconds(tsS + 600L),
+                        "dd MMM yyyy HH:mm:ss"), lit(" GMT")))
+        .when(hc % 4 === 2, lit("soon"))
+        .otherwise(lit(null).cast("string"))
+      val backoff = hostBackoff(docs(s, d).select(
+        concat(lit("h"), hc.cast("string"), lit(".com")).as("host"),
+        when(col("doc_id") % 3 === 0, 503).otherwise(200)
+          .as("http_status"),
+        tsS.as("ts_s"),
+        graft.sources.Crawl.retry_after_s(ra, timestamp_seconds(tsS))
+          .as("retry_after_s")))
+      drainablePlan(fetchPlan(due, vals), backoff)
     }
   )
+
+  /** The q202 planted Retry-After capture frame (hosts h0..h39, a
+    * 503 every third capture, the header planted VERBATIM in both
+    * RFC 9110 forms plus a garbage spelling and silence) with the
+    * parsed delay `ra_s` — the DuckDB twin of
+    * [[graft.sources.Crawl.retry_after_s]], single-sourced and
+    * shared by the q202 oracle and its q206 consumer.
+    */
+  private val retryAfterSqlCtes: String =
+    """v AS (SELECT doc_id,
+      |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+      |        CASE WHEN doc_id % 3 = 0 THEN 503 ELSE 200 END
+      |          AS http_status,
+      |        1700000000 + doc_id AS ts_s, doc_id % 40 AS hc
+      |      FROM documents),
+      |r AS (SELECT *,
+      |        CASE WHEN hc % 4 = 0 THEN CAST(60 + hc AS VARCHAR)
+      |             WHEN hc % 4 = 1 THEN 'Thu, ' ||
+      |               strftime(make_timestamp(
+      |                 CAST((ts_s + 600) AS BIGINT) * 1000000),
+      |                 '%d %b %Y %H:%M:%S') || ' GMT'
+      |             WHEN hc % 4 = 2 THEN 'soon' END AS ra
+      |      FROM v),
+      |m AS (SELECT *,
+      |        CASE WHEN regexp_extract(coalesce(ra, ''),
+      |               '^([0-9]{1,15})$', 1) <> ''
+      |             THEN CAST(ra AS BIGINT)
+      |             WHEN try_strptime(regexp_replace(coalesce(ra, ''),
+      |                 '^[A-Za-z]+, ', ''),
+      |                 '%d %b %Y %H:%M:%S GMT') IS NOT NULL
+      |             THEN greatest(CAST(epoch(try_strptime(
+      |                 regexp_replace(ra, '^[A-Za-z]+, ', ''),
+      |                 '%d %b %Y %H:%M:%S GMT')) AS BIGINT) - ts_s,
+      |               CAST(0 AS BIGINT))
+      |             END AS ra_s
+      |      FROM r)""".stripMargin
 
   /** The q182 planted component chain (k0 distinct classes → ring +
     * chord edges → symmetrized → 4 min-label rounds), shared by the

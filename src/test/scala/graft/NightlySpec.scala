@@ -79,7 +79,19 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
           (1 to 4).map(i =>
             s"<a href='http://down.example/new$i'>d$i</a>").mkString +
           "<a href='http://busy.example/other'>b</a>",
-        java.sql.Timestamp.valueOf("2026-03-01 03:00:00")))
+        java.sql.Timestamp.valueOf("2026-03-01 03:00:00"))) :+
+      // the fetch-plan gates: an interval-due page whose host's
+      // robots.txt has since DISALLOWED it (evicts from the plan —
+      // "never"), and an interval-due page whose host later asked
+      // for a pause via Retry-After (defers — "not yet", planted as
+      // a raw 503 below)
+      ((103L, "http://stale.example/old", "<p>old stale page</p>",
+        java.sql.Timestamp.valueOf("2026-03-01 01:00:00"))) :+
+      ((104L, "http://stale.example/robots.txt",
+        "User-agent: *\nDisallow: /old",
+        java.sql.Timestamp.valueOf("2026-03-01 01:00:00"))) :+
+      ((105L, "http://throttle.example/page", "<p>throttled page</p>",
+        java.sql.Timestamp.valueOf("2026-03-01 01:00:00")))
     ).toDF("doc_id", "url", "text", "ts")
     Crawl.writeWarc(docs, warc)
     // writeWarc emits 200s only — the error-serving hosts are crafted
@@ -110,6 +122,11 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
         .reduce(_ ++ _) ++
       gzBytes(rawRec("http://busy.example/hot",
         "HTTP/1.1 503 Service Unavailable", "overloaded",
+        Seq("Retry-After: 2592000"))) ++
+      // throttle.example's pause rides a DIFFERENT path than its due
+      // page: the window is host-level, the due verdict page-level
+      gzBytes(rawRec("http://throttle.example/api",
+        "HTTP/1.1 503 Service Unavailable", "overloaded",
         Seq("Retry-After: 2592000"))))
     val out = java.nio.file.Files
       .createTempDirectory("graft-nightly-crawl").toString
@@ -117,7 +134,7 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     assert(report.contains("\"audit_violations\":0"), report)
     for (st <- Seq("crawl_edges", "crawl_ranks", "crawl_traps",
                    "crawl_health", "crawl_aliases", "crawl_frontier",
-                   "crawl_refetch"))
+                   "crawl_refetch", "crawl_fetch_plan"))
       assert(report.contains(s""""stage":"$st""""), s"missing stage $st")
     // the crawl-tier freshness table rides the report, all fresh
     assert(report.contains("\"crawl_artifacts\":[{"), report)
@@ -159,11 +176,42 @@ class NightlySpec extends AnyFunSuite with SparkSpec {
     assert(health("h0.com") === "ok")
     val backoff = spark.read.parquet(s"$out/crawl/backoff")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(backoff.keySet === Set("busy.example"))
+    assert(backoff.keySet === Set("busy.example", "throttle.example"))
     assert(frontier.filter(col("host") === "down.example").count() === 1,
       "a dead host earns exactly its recovery probe")
     assert(frontier.filter(col("host") === "busy.example").count() === 0,
       "an open Retry-After window means zero fetches")
+    // the fetch plan composes the due queue with the validators and
+    // the two host-level gates: robots disallow EVICTS (stale
+    // .example/old is interval-due but its host's current robots.txt
+    // forbids it — the one evicted row), an open Retry-After window
+    // only ANNOTATES (throttle.example/page keeps its due verdict,
+    // not_before_s carries the window's expiry)
+    val plan = spark.read.parquet(s"$out/crawl/fetch_plan")
+    val dueRows = spark.read.parquet(s"$out/crawl/due_queue")
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    assert(dueRows.contains("http://stale.example/old"),
+      s"the robots-blocked page must still be DUE: $dueRows")
+    val planRows = plan.select("canon_url").collect()
+      .map(_.getString(0)).toSet
+    assert(!planRows.contains("http://stale.example/old"),
+      "a page the host's current robots.txt forbids must leave the plan")
+    assert(plan.count() === dueRows.size - 1,
+      "the plan is the due queue minus the robots-evicted row")
+    assert(plan.columns.toSet === Set("canon_url", "channel",
+      "if_modified_since", "if_none_match", "conditional",
+      "not_before_s"))
+    val throttled = plan
+      .filter(col("canon_url") === "http://throttle.example/page")
+      .collect()
+    assert(throttled.length === 1, "the throttled page stays due")
+    val expectNb = java.time.Instant.parse("2026-03-01T04:00:00Z")
+      .getEpochSecond + 2592000L
+    assert(throttled.head.getAs[Long]("not_before_s") === expectNb,
+      "not_before_s is the host's requested window expiry")
+    assert(plan.filter(col("canon_url") === "http://h0.com/f" &&
+        col("not_before_s").isNull).count() === 1,
+      "a host that never asked for a pause drains unannotated")
     assert(spark.read.parquet(s"$out/crawl/refetch_queue").count() > 0)
     // the actionable work list: interval-due pages (captured days
     // before the snapshot's as-of) plus the sitemap-declared page
