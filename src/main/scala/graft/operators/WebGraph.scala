@@ -531,6 +531,43 @@ object WebGraph {
         (col("fetch_at_s") > col("due_ts_s")).cast("long"))
       .drop("backoff_until_s")
 
+  /** The PACED plan (q207): per-host politeness pacing — a host
+    * that declares a fetch interval (robots Crawl-delay /
+    * Request-rate, [[graft.sources.Robots.robots_delay]]) must see
+    * its due pages SPACED by it, not burst at their due instants.
+    * The serial recurrence `f(i) = max(due_i, f(i-1) + d)` (first
+    * page at its due time, each next no sooner than the previous
+    * fetch plus the declared delay) has the exact closed form
+    * `f(i) = i*d + max_{j<=i}(due_j - j*d)` — a running max over the
+    * per-host order — so the whole schedule is two window passes
+    * sharing ONE exchange + sort on host (row_number, then the
+    * prefix max), no driver loop, exact BIGINT throughout. Hosts
+    * with no declared delay pace at 0 (fetch_at_s = due_ts_s).
+    * Order within a host: due instant, then canon_url — the full
+    * tie-break both engines agree on. Per-host sequences are the
+    * SEMANTICS (pacing is inherently serial per host), so partition
+    * width = the host's due-page count; the frontier's per-host
+    * budget caps bound it long before a window would skew.
+    * `paced` = 1 where politeness moved the instant.
+    */
+  def pacedPlan(plan: DataFrame, delays: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("due_ts_s"), col("canon_url"))
+    plan.join(delays.select(col("host"), col("delay_s"))
+        .hint("shuffle_hash"), Seq("host"), "left")
+      .withColumn("_d", coalesce(col("delay_s"), lit(0L)))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_base", col("due_ts_s") - col("_rn") * col("_d"))
+      .withColumn("fetch_at_s",
+        max("_base").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) +
+          col("_rn") * col("_d"))
+      .withColumn("paced",
+        (col("fetch_at_s") > col("due_ts_s")).cast("long"))
+      .drop("delay_s", "_d", "_rn", "_base")
+  }
+
   /** The night's fetch-plan manifest (`crawl_fetch_plan_v2`):
     * [[fetchPlan]] over the real corpus — the due queue joined with
     * the latest captured validators — with the two host-level gates
@@ -3452,6 +3489,59 @@ object WebGraph {
         graft.sources.Crawl.retry_after_s(ra, timestamp_seconds(tsS))
           .as("retry_after_s")))
       drainablePlan(fetchPlan(due, vals), backoff)
+    },
+
+    Q("q207_paced_plan",
+      "Per-host politeness pacing (pacedPlan): a host that declares " +
+        "a fetch interval (robots Crawl-delay / Request-rate) must " +
+        "see its due pages SPACED by it, not burst at their due " +
+        "instants — first page at its due time, each next no sooner " +
+        "than the previous fetch plus the delay. The serial " +
+        "recurrence f(i)=max(due_i, f(i-1)+d) runs as its exact " +
+        "closed form f(i)=i*d+max_over_j<=i(due_j - j*d): row_number " +
+        "then a running max, two window passes sharing ONE exchange " +
+        "+ sort on host, no driver loop, exact BIGINT. Planted: one " +
+        "due page per document over 40 hosts, due instants fanned " +
+        "across a 10-minute burst window, every third host declaring " +
+        "a 30+hc second delay — pacing provably bites there and " +
+        "fetch_at_s==due_ts_s everywhere else.",
+      """WITH p AS (SELECT doc_id,
+        |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+        |        'http://h' || CAST(doc_id % 40 AS VARCHAR) ||
+        |          '.com/p' || CAST(doc_id AS VARCHAR) AS canon_url,
+        |        CAST(1700000000 + (doc_id * 53) % 600 AS BIGINT)
+        |          AS due_ts_s
+        |      FROM documents),
+        |dl AS (SELECT DISTINCT doc_id % 40 AS hc FROM documents),
+        |d2 AS (SELECT 'h' || CAST(hc AS VARCHAR) || '.com' AS host,
+        |         CAST(30 + hc AS BIGINT) AS delay_s
+        |       FROM dl WHERE hc % 3 = 0),
+        |j AS (SELECT p.*, coalesce(d2.delay_s, 0) AS d
+        |      FROM p LEFT JOIN d2 USING (host)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+        |          ORDER BY due_ts_s, canon_url) AS BIGINT) AS rn
+        |      FROM j),
+        |x AS (SELECT *, max(due_ts_s - rn * d) OVER (
+        |          PARTITION BY host ORDER BY due_ts_s, canon_url
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        + rn * d AS fetch_at_s
+        |      FROM r)
+        |SELECT host, canon_url, due_ts_s, fetch_at_s,
+        |  CAST(fetch_at_s > due_ts_s AS BIGINT) AS paced
+        |FROM x""".stripMargin) { (s, d) =>
+      val hostC = concat(lit("h"), (col("doc_id") % 40).cast("string"),
+                         lit(".com"))
+      val plan = docs(s, d).select(hostC.as("host"),
+        concat(lit("http://"), hostC, lit("/p"),
+          col("doc_id").cast("string")).as("canon_url"),
+        expr("cast(1700000000 + (doc_id * 53) % 600 as bigint)")
+          .as("due_ts_s"))
+      val delays = docs(s, d).select((col("doc_id") % 40).as("hc"))
+        .distinct().filter(col("hc") % 3 === 0)
+        .select(concat(lit("h"), col("hc").cast("string"),
+            lit(".com")).as("host"),
+          (lit(30L) + col("hc")).cast("long").as("delay_s"))
+      pacedPlan(plan, delays)
     }
   )
 

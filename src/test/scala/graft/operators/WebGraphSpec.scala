@@ -440,4 +440,33 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(out("u3") === ((-1L, 0L)), "garbage lastmod must not be due")
     assert(out("u4") === ((-1L, 0L)), "undeclared page must not be due")
   }
+
+  test("pacedPlan: the closed form equals the serial recurrence f(i)=max(due_i, f(i-1)+d)") {
+    import spark.implicits._
+    // one declared host (d=50): a burst of simultaneous dues, a page
+    // already inside the paced train, and a far-future page the train
+    // never catches; one silent host (no delay row): untouched
+    val plan = Seq(
+      ("a.com", "http://a.com/p1", 100L),
+      ("a.com", "http://a.com/p2", 100L),
+      ("a.com", "http://a.com/p3", 105L),
+      ("a.com", "http://a.com/p4", 400L),
+      ("b.com", "http://b.com/p1", 100L),
+      ("b.com", "http://b.com/p2", 100L))
+      .toDF("host", "canon_url", "due_ts_s")
+    val delays = Seq(("a.com", 50L)).toDF("host", "delay_s")
+    val out = WebGraph.pacedPlan(plan, delays).collect()
+      .map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("fetch_at_s"), r.getAs[Long]("paced")))).toMap
+    // hand-run recurrence on a.com: f1=100, f2=max(100,150)=150,
+    // f3=max(105,200)=200, f4=max(400,250)=400
+    assert(out("http://a.com/p1") === ((100L, 0L)))
+    assert(out("http://a.com/p2") === ((150L, 1L)))
+    assert(out("http://a.com/p3") === ((200L, 1L)))
+    assert(out("http://a.com/p4") === ((400L, 0L)),
+      "a gap wider than the paced train resets to the due instant")
+    assert(out("http://b.com/p1") === ((100L, 0L)))
+    assert(out("http://b.com/p2") === ((100L, 0L)),
+      "a host with no declared delay is never paced")
+  }
 }
