@@ -1126,4 +1126,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(bhj.isEmpty,
            s"q187 broadcast a corpus-scale side:\n${bhj.mkString("\n")}")
   }
+
+  test("q207: the pacing windows reuse the delay join's host partitioning — one exchange per side, one sort") {
+    val p = plan("q207_paced_plan").split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"),
+           s"q207 lost the hinted shuffle join:\n$p")
+    // both windows (row_number, then the prefix max) and the join
+    // agree on hashpartitioning(host): every Exchange sits BELOW the
+    // join (its inputs + the plant's distinct), none between the join
+    // and the windows above it
+    val joinIdx = p.indexOf("ShuffledHashJoin")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(joinIdx >= 0 && exchangeIdx > joinIdx,
+           s"q207 re-shuffles the paced train above the join:\n$p")
+    // the shared (host, due_ts_s, canon_url) order sorts once
+    val sorts = p.linesIterator.count(_.trim.startsWith("Sort "))
+    assert(sorts <= 1, s"q207 re-sorts between window passes:\n$p")
+  }
 }
