@@ -553,7 +553,10 @@ object WebGraph {
   def pacedPlan(plan: DataFrame, delays: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy(col("due_ts_s"), col("canon_url"))
+    // non-positive delays read as undeclared (robots_delay spells
+    // "none" as -1) — they must not run the recurrence backwards
     plan.join(delays.select(col("host"), col("delay_s"))
+        .filter(col("delay_s") > 0L)
         .hint("shuffle_hash"), Seq("host"), "left")
       .withColumn("_d", coalesce(col("delay_s"), lit(0L)))
       .withColumn("_rn", row_number().over(w).cast("long"))
@@ -567,6 +570,22 @@ object WebGraph {
         (col("fetch_at_s") > col("due_ts_s")).cast("long"))
       .drop("delay_s", "_d", "_rn", "_base")
   }
+
+  /** [[pacedPlan]]'s real-corpus delay frame: each host's declared
+    * fetch interval from the robots Crawl-delay / Request-rate
+    * channel ([[graft.sources.Robots.robots_delay]] through the
+    * shared [[graft.sources.Crawl.compiledRobots]] projection — ONE
+    * body parse per host), ceiled to whole seconds for the exact
+    * BIGINT schedule. Hosts that declare nothing are absent (robots
+    * spells that -1): they pace at 0.
+    */
+  def declaredDelays(parsed: DataFrame,
+                     agent: String = "graftbot"): DataFrame =
+    graft.sources.Crawl.compiledRobots(parsed, agent)
+      .filter(col("_robots_delay").isNotNull &&
+        col("_robots_delay") > 0.0)
+      .select(col("host"),
+        ceil(col("_robots_delay")).cast("long").as("delay_s"))
 
   /** The night's fetch-plan manifest (`crawl_fetch_plan_v2`):
     * [[fetchPlan]] over the real corpus — the due queue joined with

@@ -468,5 +468,29 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
     assert(out("http://b.com/p1") === ((100L, 0L)))
     assert(out("http://b.com/p2") === ((100L, 0L)),
       "a host with no declared delay is never paced")
+    // robots_delay spells "none declared" as -1: it must read as
+    // undeclared, never run the recurrence backwards
+    val neg = Seq(("b.com", -1L)).toDF("host", "delay_s")
+    val outNeg = WebGraph.pacedPlan(plan.filter($"host" === "b.com"), neg)
+      .collect().map(r => r.getAs[Long]("fetch_at_s")).toSeq
+    assert(outNeg === Seq(100L, 100L),
+      "a -1 delay must pace at 0, not shift instants")
+  }
+
+  test("declaredDelays: the robots Crawl-delay channel feeds pacedPlan, ceiled; silence is absence") {
+    import spark.implicits._
+    val parsed = Seq(
+      (1L, "http://slow.com/robots.txt",
+       "User-agent: *\nCrawl-delay: 2.5", false),
+      (2L, "http://quiet.com/robots.txt",
+       "User-agent: *\nDisallow: /tmp", false),
+      (3L, "http://slow.com/page", "<p>x</p>", false))
+      .toDF("doc_id", "url", "text", "corrupt")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2026-03-01 00:00:00")))
+    val d = WebGraph.declaredDelays(parsed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("slow.com" -> 3L),
+      "2.5s ceils to 3; a robots body with no delay declares nothing")
   }
 }
