@@ -130,7 +130,7 @@ object Nightly {
         // the next cadence's fetch list: batch frontier over the
         // landed corpus — robots-gated, trap-capped via the verdict
         // artifact (the q191 composition) — SERVED from the
-        // crawl_frontier_v2 artifact, so an unchanged corpus pays no
+        // crawl_frontier_v3 artifact, so an unchanged corpus pays no
         // gunzip+parse on night N+1; the night's copy lands in outDir
         WebGraph.crawlFrontierTable(spark, cd)
           .write.mode("overwrite").parquet(s"$out/crawl/frontier")

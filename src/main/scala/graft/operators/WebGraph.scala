@@ -409,7 +409,7 @@ object WebGraph {
     */
   val crawlManifestDerives = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The night's frontier manifest (`crawl_frontier_v2`): the batch
+  /** The night's frontier manifest (`crawl_frontier_v3`): the batch
     * frontier over the WARC corpus — robots-gated, trap-capped via
     * the landed verdict artifact (the q191 composition) — persisted
     * with the corpus-fingerprint lifecycle so an unchanged corpus
@@ -421,22 +421,24 @@ object WebGraph {
                          perHostCap: Int = 64,
                          agent: String = "graftbot",
                          trapThreshold: Double = 3.0): DataFrame =
-    DerivedCache.orBuild(s, warcDir, "crawl_frontier_v2") {
+    DerivedCache.orBuild(s, warcDir, "crawl_frontier_v3") {
       crawlManifestDerives.incrementAndGet()
       val parsed = graft.sources.Crawl.readWarc(s, warcDir,
                                                 extractHtml = false)
       val verdicts = crawlTrapVerdictsTable(s, warcDir, trapThreshold)
-      // v2: candidates collapse through the landed alias manifest
+      // v2 collapsed candidates through the landed alias manifest
       // (301 chains + rel=canonical) before the seen probe and
-      // budget, and the health/backoff manifests tighten per-host
-      // caps — a dead host keeps one recovery probe, a host inside
+      // budget; v3 bakes in the health/backoff manifests tightening
+      // per-host caps (the gates changed the landed BYTES, so the
+      // name must change — the artifact rule: a v2 landed before the
+      // gates must never serve an ungated frontier) — a dead host
+      // keeps one recovery probe, a host inside
       // its Retry-After window (at the snapshot's own as-of instant,
-      // the due-queue convention) gets NOTHING: it asked. The 1-row
-      // aggregate head is the seenUrlBloom precedent; per-night cost
-      // only on corpus change.
-      val asofS = parsed
-        .agg(coalesce(max(col("ts").cast("long")), lit(0L)))
-        .head().getLong(0)
+      // the due-queue convention) gets NOTHING: it asked. The as-of
+      // instant serves from its own landed 1-row artifact — one
+      // corpus parse per corpus CHANGE, shared by every consumer,
+      // instead of a dedicated full gunzip+parse per build.
+      val asofS = crawlAsofS(s, warcDir)
       val caps = healthCaps(crawlHealthTable(s, warcDir),
           perHostCap.toLong)
         .unionByName(backoffCaps(crawlBackoffTable(s, warcDir), asofS))
@@ -452,6 +454,25 @@ object WebGraph {
           coalesce(col("cap"), lit(Long.MaxValue))))
         .drop("verdict", "cap")
     }
+
+  /** The corpus' as-of instant (`crawl_asof_v1`): max capture ts
+    * over the WARC dir, landed as a 1-ROW artifact so every consumer
+    * that needs "the snapshot's own clock" (the frontier's backoff
+    * caps, the fetch plan's open-window slice) reads one tiny
+    * parquet instead of paying a dedicated full gunzip+parse for a
+    * single max. Serve-or-build like every sibling manifest.
+    */
+  def crawlAsofTable(s: SparkSession, warcDir: String): DataFrame =
+    DerivedCache.orBuild(s, warcDir, "crawl_asof_v1") {
+      crawlManifestDerives.incrementAndGet()
+      graft.sources.Crawl.readWarc(s, warcDir, extractHtml = false)
+        .agg(coalesce(max(col("ts").cast("long")), lit(0L))
+          .as("asof_s"))
+    }
+
+  /** [[crawlAsofTable]] read down to the scalar. */
+  def crawlAsofS(s: SparkSession, warcDir: String): Long =
+    crawlAsofTable(s, warcDir).head().getLong(0)
 
   /** The night's host-health manifest (`crawl_health_v1`): q203's
     * verdicts over the real corpus — same serve-or-build lifecycle as
@@ -553,9 +574,12 @@ object WebGraph {
   def pacedPlan(plan: DataFrame, delays: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy(col("due_ts_s"), col("canon_url"))
-    // non-positive delays read as undeclared (robots_delay spells
-    // "none" as -1) — they must not run the recurrence backwards
-    plan.join(delays.select(col("host"), col("delay_s"))
+    // host derives from canon_url (the drainablePlan convention —
+    // callers need not carry it); non-positive delays read as
+    // undeclared (robots_delay spells "none" as -1) — they must not
+    // run the recurrence backwards
+    plan.withColumn("host", graft.sources.Urls.host(col("canon_url")))
+      .join(delays.select(col("host"), col("delay_s"))
         .filter(col("delay_s") > 0L)
         .hint("shuffle_hash"), Seq("host"), "left")
       .withColumn("_d", coalesce(col("delay_s"), lit(0L)))
@@ -613,9 +637,7 @@ object WebGraph {
       crawlManifestDerives.incrementAndGet()
       val parsed = graft.sources.Crawl.readWarc(s, warcDir,
                                                 extractHtml = false)
-      val asofS = parsed
-        .agg(coalesce(max(col("ts").cast("long")), lit(0L)))
-        .head().getLong(0)
+      val asofS = crawlAsofS(s, warcDir)
       fetchPlan(crawlDueQueueTable(s, warcDir, dueBaseS),
           graft.sources.Crawl.revisitValidators(parsed)
             .select(col("canon_url"), col("last_modified"), col("etag")))
@@ -707,9 +729,14 @@ object WebGraph {
   def hostHealth(captures: DataFrame, minCaptures: Long = 5L)
       : DataFrame = {
     val st = col("http_status")
-    val g = captures.groupBy("host")
+    // only status-bearing observations enter the ledger at all:
+    // a null-status row (WARC revisit, JSONL frame) is not evidence
+    // either way, and counting it in the denominator alone would
+    // dilute err_share — the live door's statusRows filter, mirrored
+    // so batch and stream verdicts agree on the same thresholds
+    val g = captures.filter(st.isNotNull).groupBy("host")
       .agg(count(lit(1)).as("n_captures"),
-           sum(when(st.isNotNull && st >= 400, 1L).otherwise(0L))
+           sum(when(st >= 400, 1L).otherwise(0L))
              .as("n_err"))
       .select(col("host"), col("n_captures"), col("n_err"),
         round(col("n_err").cast("double") /

@@ -1460,17 +1460,21 @@ object Crawl {
           val out = Vector.newBuilder[(String, String, Long)]
           for ((_, _, host, url0, _, _, tsS, _, _, _, _)
                <- candRows.sortBy(_._4)
-               if emitted.size < cap
-               if !backedOff(host, tsS)) {
+               if emitted.size < cap) {
             // every spelling resolves to its live final target FIRST:
             // the emitted-hash dedup then charges the whole family
-            // ONE budget slot, and robots gate the url that will
-            // actually be fetched (target host's rules when it is a
-            // group member; fail open otherwise — the convention)
+            // ONE budget slot, and robots AND the Retry-After window
+            // gate the url that will actually be FETCHED (target
+            // host's rules/window when it is a group member; fail
+            // open otherwise — the convention). A backing-off
+            // spelling must not suppress a fetch whose resolved
+            // target is free, and a free spelling must not smuggle a
+            // fetch into its target's requested pause.
             val url = resolveLive(url0)
             val rhost = if (url eq url0) host
                         else canonHostOf(url).getOrElse(host)
-            if (Robots.allowedCompiled(url, rulesOf(rhost))) {
+            if (!backedOff(rhost, tsS) &&
+                Robots.allowedCompiled(url, rulesOf(rhost))) {
               val h = org.apache.spark.sql.catalyst.expressions
                 .XxHash64Function.hash(
                   org.apache.spark.unsafe.types.UTF8String.fromString(url),

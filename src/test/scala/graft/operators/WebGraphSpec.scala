@@ -477,6 +477,23 @@ class WebGraphSpec extends AnyFunSuite with SparkSpec {
       "a -1 delay must pace at 0, not shift instants")
   }
 
+  test("hostHealth: null-status revisits are not evidence — out of BOTH sides of the share") {
+    import spark.implicits._
+    // 5 straight 404s plus 5 status-null revisit rows: the share is
+    // 5/5 = 1.0 (dead), not 5/10 = 0.5 (degraded) — batch must agree
+    // with the live door's status-bearing-only counters
+    val caps = ((1 to 5).map(_ => ("sick.com", Some(404))) ++
+      (1 to 5).map(_ => ("sick.com", None: Option[Int])) ++
+      (1 to 6).map(_ => ("fine.com", Some(200))))
+      .toDF("host", "http_status")
+    val out = WebGraph.hostHealth(caps).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(4))))
+      .toMap
+    assert(out("sick.com") === ((5L, "dead")),
+      "revisits diluted the error share")
+    assert(out("fine.com") === ((6L, "ok")))
+  }
+
   test("declaredDelays: the robots Crawl-delay channel feeds pacedPlan, ceiled; silence is absence") {
     import spark.implicits._
     val parsed = Seq(

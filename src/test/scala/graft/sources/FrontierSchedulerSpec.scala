@@ -215,6 +215,81 @@ class FrontierSchedulerSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("live door: the Retry-After gate holds for the RESOLVED fetch target, not the spelling") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("http_status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("retry_after",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("redirect",
+        org.apache.spark.sql.types.StringType)))
+    def row(id: Long, url: String, text: String, status: Integer,
+            ra: String, redirect: String, ts: String): String = {
+      val t = if (text == null) "null" else s""""$text""""
+      val r = if (ra == null) "null" else s""""$ra""""
+      val rd = if (redirect == null) "null" else s""""$redirect""""
+      s"""{"doc_id":$id,"url":"$url","text":$t,"ts":"$ts","http_status":$status,"retry_after":$r,"redirect":$rd}"""
+    }
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF().toDF("value")
+      .withColumn("e", org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value"), schema))
+      .selectExpr("false as corrupt", "e.doc_id as doc_id",
+        "e.url as url", "e.text as text", "to_timestamp(e.ts) as ts",
+        "e.http_status as http_status", "e.retry_after as retry_after",
+        "e.redirect as redirect")
+    // the spelling and target hosts share one budget group, so the
+    // live 301 map can carry a candidate across them
+    val fam = Seq(("sp.com", "tg.com"), ("tg.com", "tg.com"))
+      .toDF("host", "component")
+    val fr = Crawl.frontierStreamLive(parsed, Array.emptyByteArray,
+      agent = "graftbot", perHostCap = 8, families = Some(fam))
+    val q = fr.writeStream.format("memory").queryName("frontier_rback")
+      .outputMode("append").start()
+    def rows(): Seq[String] =
+      spark.table("frontier_rback").collect().map(_.getString(1)).toSeq
+    try {
+      // batch 1 at T0: tg.com asks for an hour's pause, and a 301
+      // sp.com/x -> tg.com/x is discovered (its target candidate is
+      // itself inside the fresh window — nothing emits)
+      mem.addData(
+        row(1, "http://tg.com/hot", "overloaded", 503, "3600", null,
+            "2026-03-01T00:00:00"),
+        row(2, "http://sp.com/x", null, 301, null, "http://tg.com/x",
+            "2026-03-01T00:00:00"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "the discovery candidate sits in the window")
+      // batch 2 at T0+10m: the SPELLING is offered as a link. sp.com
+      // never asked for a pause — but the fetch this emission buys
+      // goes to tg.com, whose window is open: emitting it here is
+      // exactly the violation the header forbids
+      mem.addData(row(3, "http://s.net/1",
+        "<a href='http://sp.com/x'>x</a>", 200, null, null,
+        "2026-03-01T00:10:00"))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "a free spelling must not smuggle a fetch into its target's open window")
+      // batch 3 at T0+2h: the window expired — the same offer emits
+      // the resolved target
+      mem.addData(row(4, "http://s.net/2",
+        "<a href='http://sp.com/x'>x</a>", 200, null, null,
+        "2026-03-01T02:00:00"))
+      q.processAllAvailable()
+      assert(rows() === Seq("http://tg.com/x"),
+        "past the window the resolved target emits normally")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // Site/mirror families (q183/q189 -> the stream door)
   // ------------------------------------------------------------------
