@@ -571,29 +571,60 @@ object WebGraph {
     * budget caps bound it long before a window would skew.
     * `paced` = 1 where politeness moved the instant.
     */
-  def pacedPlan(plan: DataFrame, delays: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("host").orderBy(col("due_ts_s"), col("canon_url"))
+  def pacedPlan(plan: DataFrame, delays: DataFrame): DataFrame =
     // host derives from canon_url (the drainablePlan convention —
-    // callers need not carry it); non-positive delays read as
-    // undeclared (robots_delay spells "none" as -1) — they must not
-    // run the recurrence backwards
-    plan.withColumn("host", graft.sources.Urls.host(col("canon_url")))
+    // callers need not carry it)
+    paceFrom(plan.withColumn("host",
+        graft.sources.Urls.host(col("canon_url"))),
+      delays, "due_ts_s")
+
+  /** The shared pacing core of [[pacedPlan]] / [[dispatchPlan]]:
+    * the closed-form recurrence over `base` (each page's earliest
+    * permissible instant). Non-positive delays read as undeclared
+    * (robots_delay spells "none" as -1) — they must not run the
+    * recurrence backwards. Input must carry `host`.
+    */
+  private def paceFrom(planWithHost: DataFrame, delays: DataFrame,
+                       base: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col(base), col("canon_url"))
+    planWithHost
       .join(delays.select(col("host"), col("delay_s"))
         .filter(col("delay_s") > 0L)
         .hint("shuffle_hash"), Seq("host"), "left")
       .withColumn("_d", coalesce(col("delay_s"), lit(0L)))
       .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_base", col("due_ts_s") - col("_rn") * col("_d"))
+      .withColumn("_base", col(base) - col("_rn") * col("_d"))
       .withColumn("fetch_at_s",
         max("_base").over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)) +
           col("_rn") * col("_d"))
       .withColumn("paced",
-        (col("fetch_at_s") > col("due_ts_s")).cast("long"))
+        (col("fetch_at_s") > col(base)).cast("long"))
       .drop("delay_s", "_d", "_rn", "_base")
   }
+
+  /** The DISPATCH plan (q208) — the full politeness algebra in ONE
+    * table: "fetch this URL at this instant with these headers",
+    * respecting the due verdict, the host's requested Retry-After
+    * pause, and its declared crawl-delay simultaneously.
+    * [[drainablePlan]] first slides each page's earliest permissible
+    * instant past its host's open window (`ready_ts_s`, `deferred`);
+    * the [[paceFrom]] closed form then spaces each host's queue from
+    * those READY instants (`fetch_at_s`, `paced`) — which is where
+    * the composition earns its keep: a Retry-After window compresses
+    * every deferred page onto the same expiry instant, and pacing
+    * fans that burst back out at the declared interval instead of
+    * letting the recrawler hammer the host the second it reopens.
+    * Same shapes as the parts: one host-keyed join each for backoff
+    * and delays, one exchange + sort for both windows.
+    */
+  def dispatchPlan(plan: DataFrame, backoff: DataFrame,
+                   delays: DataFrame): DataFrame =
+    paceFrom(drainablePlan(plan, backoff)
+        .withColumnRenamed("fetch_at_s", "ready_ts_s"),
+      delays, "ready_ts_s")
 
   /** [[pacedPlan]]'s real-corpus delay frame: each host's declared
     * fetch interval from the robots Crawl-delay / Request-rate
@@ -3588,6 +3619,106 @@ object WebGraph {
             lit(".com")).as("host"),
           (lit(30L) + col("hc")).cast("long").as("delay_s"))
       pacedPlan(plan, delays)
+    },
+
+    Q("q208_dispatch_plan",
+      "The DISPATCH plan (dispatchPlan): the full politeness algebra " +
+        "in one table — 'fetch this URL at this instant with these " +
+        "headers', respecting the due verdict, the host's Retry-After " +
+        "pause (q206's deferral -> ready_ts_s), and its declared " +
+        "crawl-delay (q207's closed-form pacing from the READY " +
+        "instants) simultaneously. The composition's teeth: an open " +
+        "window compresses every deferred page of a host onto the " +
+        "same expiry instant, and pacing fans that burst back out at " +
+        "the declared interval instead of hammering the host the " +
+        "second it reopens. Planted: one due page per document over " +
+        "the q202 hosts, dues fanned across a 10-minute burst that " +
+        "backoff windows overlap, validators doc%3/doc%5, every " +
+        "third host declaring a 30+hc delay — all four quadrants " +
+        "(deferred/paced) are populated. One host-keyed join each " +
+        "for backoff and delays; one exchange + sort for both " +
+        "windows.",
+      s"WITH $retryAfterSqlCtes,\n" +
+        """b AS (SELECT host, CAST(max(ts_s + ra_s) AS BIGINT)
+          |          AS backoff_until_s
+          |       FROM m WHERE http_status IN (429, 503)
+          |         AND ra_s IS NOT NULL
+          |       GROUP BY 1),
+          |p AS (SELECT doc_id,
+          |        'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+          |        'http://h' || CAST(doc_id % 40 AS VARCHAR) ||
+          |          '.com/p' || CAST(doc_id AS VARCHAR) AS canon_url,
+          |        CAST(1700000000 + (doc_id * 37) % 600 AS BIGINT)
+          |          AS due_ts_s,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN 'lm-' || CAST(doc_id AS VARCHAR) END AS lm,
+          |        CASE WHEN doc_id % 5 = 0
+          |             THEN 'et-' || CAST(doc_id AS VARCHAR) END AS et
+          |      FROM documents),
+          |rdy AS (SELECT p.*,
+          |          greatest(p.due_ts_s, coalesce(b.backoff_until_s,
+          |            p.due_ts_s)) AS ready_ts_s,
+          |          CAST(greatest(p.due_ts_s, coalesce(
+          |            b.backoff_until_s, p.due_ts_s)) > p.due_ts_s
+          |            AS BIGINT) AS deferred
+          |        FROM p LEFT JOIN b USING (host)),
+          |dl AS (SELECT DISTINCT doc_id % 40 AS hc FROM documents),
+          |d2 AS (SELECT 'h' || CAST(hc AS VARCHAR) || '.com' AS host,
+          |         CAST(30 + hc AS BIGINT) AS delay_s
+          |       FROM dl WHERE hc % 3 = 0),
+          |j AS (SELECT rdy.*, coalesce(d2.delay_s, 0) AS dd
+          |      FROM rdy LEFT JOIN d2 USING (host)),
+          |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+          |          ORDER BY ready_ts_s, canon_url) AS BIGINT) AS rn
+          |      FROM j),
+          |x AS (SELECT *, max(ready_ts_s - rn * dd) OVER (
+          |          PARTITION BY host ORDER BY ready_ts_s, canon_url
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |        + rn * dd AS fetch_at_s
+          |      FROM rr)
+          |SELECT host, canon_url, due_ts_s, lm AS if_modified_since,
+          |  et AS if_none_match,
+          |  CAST(lm IS NOT NULL OR et IS NOT NULL AS BIGINT)
+          |    AS conditional,
+          |  ready_ts_s, deferred, fetch_at_s,
+          |  CAST(fetch_at_s > ready_ts_s AS BIGINT) AS paced
+          |FROM x""".stripMargin) { (s, d) =>
+      val urlC = concat(lit("http://h"),
+        (col("doc_id") % 40).cast("string"), lit(".com/p"),
+        col("doc_id").cast("string"))
+      val due = docs(s, d).select(urlC.as("canon_url"),
+        expr("cast(1700000000 + (doc_id * 37) % 600 as bigint)")
+          .as("due_ts_s"))
+      val vals = docs(s, d).select(urlC.as("canon_url"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("lm-"), col("doc_id").cast("string")))
+          .otherwise(lit(null).cast("string")).as("last_modified"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("et-"), col("doc_id").cast("string")))
+          .otherwise(lit(null).cast("string")).as("etag"))
+        .filter(col("last_modified").isNotNull || col("etag").isNotNull)
+      val hc = col("doc_id") % 40
+      val tsS = expr("1700000000 + doc_id")
+      val ra = when(hc % 4 === 0, (lit(60L) + hc).cast("string"))
+        .when(hc % 4 === 1,
+          concat(lit("Thu, "),
+            date_format(timestamp_seconds(tsS + 600L),
+                        "dd MMM yyyy HH:mm:ss"), lit(" GMT")))
+        .when(hc % 4 === 2, lit("soon"))
+        .otherwise(lit(null).cast("string"))
+      val backoff = hostBackoff(docs(s, d).select(
+        concat(lit("h"), hc.cast("string"), lit(".com")).as("host"),
+        when(col("doc_id") % 3 === 0, 503).otherwise(200)
+          .as("http_status"),
+        tsS.as("ts_s"),
+        graft.sources.Crawl.retry_after_s(ra, timestamp_seconds(tsS))
+          .as("retry_after_s")))
+      val delays = docs(s, d).select((col("doc_id") % 40).as("hc"))
+        .distinct().filter(col("hc") % 3 === 0)
+        .select(concat(lit("h"), col("hc").cast("string"),
+            lit(".com")).as("host"),
+          (lit(30L) + col("hc")).cast("long").as("delay_s"))
+      dispatchPlan(fetchPlan(due, vals), backoff, delays)
     }
   )
 
