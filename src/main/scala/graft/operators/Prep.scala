@@ -4416,7 +4416,18 @@ object Prep {
         .filter(size(col("tok")) >= 3)
       // trigrams via two padded zips — null neighbors null the gram, so
       // the tail positions drop and the projection stays token-linear
-      val tg = t.select(col("doc_id"), explode(
+      // r20 (guide §2.3-2.4): per-doc dedup runs in-array BEFORE the
+      // explode — the old `.distinct()` keyed on (doc_id, g), and
+      // doc_id in the key means it only ever removed repeats WITHIN one
+      // document, a set already in hand as the trigram array — same
+      // rows, minus one exchange and two hash aggregates over a
+      // near-unique key. The gram identity is its xxhash64 (taken
+      // AFTER the null filter — xxhash64(null) is the seed, not null),
+      // so the first-doc aggregate, its exchange, and the probe join
+      // all run on fixed-width longs instead of ~30-byte strings (the
+      // q38 token-hash convention, verified collision-free on the
+      // deterministic driver corpora by the oracle gate).
+      val tg = t.select(col("doc_id"), explode(array_distinct(transform(
           filter(
             zip_with(
               zip_with(
@@ -4425,10 +4436,10 @@ object Prep {
                 (a, b) => concat(a, lit(" "), b)),
               slice(col("tok"), lit(3), greatest(size(col("tok")) - 2, lit(0))),
               (ab, c) => concat(ab, lit(" "), c)),
-            g => g.isNotNull)).as("g"))
+            g => g.isNotNull),
+          g => xxhash64(g)))).as("g"))
         // align with the join-pushed constraint (the q112/q117 lesson)
         .filter(col("g").isNotNull)
-        .distinct()
       // the first-doc table is VOCABULARY-sized: broadcasting it is the
       // q112 OOM-at-scale hazard the static planner happily picks at toy
       // scale — force the co-partitioned hash join (both sides already

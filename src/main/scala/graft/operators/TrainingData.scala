@@ -1211,6 +1211,15 @@ object TrainingData {
     * deterministic split labels. The n-gram key is near-unique by
     * construction (n tokens of context), so downstream shuffles on it
     * stay tiny-blocked at any corpus size.
+    *
+    * r20: the gram IDENTITY is its xxhash64 (computed inside the
+    * transform lambda, so the ~60-byte gram string dies before the
+    * first exchange and every downstream distinct/join/aggregate runs
+    * on fixed-width 8-byte longs — guide §2.3 "shuffle keys and
+    * metadata instead of payloads"). Collision-free in practice (the
+    * q38 token-hash convention: xxhash64 over ~60-gram/doc sets), and
+    * verified collision-free on the deterministic driver corpora by
+    * the oracle gate, so counts are unchanged.
     */
   private def contaminationGrams(s: SparkSession, d: String, n: Int = 8): DataFrame = {
     val tok = tokens(col("text"))
@@ -1221,7 +1230,7 @@ object TrainingData {
       .select(col("doc_id"), splitCol.as("split"),
               explode(when(size(tok) >= n,
                 transform(sequence(lit(1), size(tok) - (n - 1)),
-                          i => concat_ws(" ", slice(tok, i, lit(n)))))
+                          i => xxhash64(concat_ws(" ", slice(tok, i, lit(n))))))
                 .otherwise(array())).as("ngram"))
       .distinct()
   }
@@ -1900,13 +1909,18 @@ object TrainingData {
       // from the other consumers' canonical form and AQE re-tokenizes
       // the corpus for it. Pre-filtering makes every inferred predicate
       // redundant, so all three consumers share ONE distinct exchange
-      // (PlanSpec pins the reuse).
+      // (PlanSpec pins the reuse). r20: the gram identity is its
+      // xxhash64, computed inside the transform lambda — the ~50-byte
+      // gram string dies before the exchange and the distinct/join/
+      // aggregates all run on fixed-width longs (guide §2.3; q38's
+      // token-hash convention, verified collision-free on the
+      // deterministic driver corpora by the oracle gate).
       val grams = spread(docs(s, d))
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"),
                 explode(when(size(tok) >= n,
                   transform(sequence(lit(1), size(tok) - (n - 1)),
-                            i => concat_ws(" ", slice(tok, i, lit(n)))))
+                            i => xxhash64(concat_ws(" ", slice(tok, i, lit(n))))))
                   .otherwise(array())).as("ngram"))
         .filter(col("ngram").isNotNull)
         .distinct()
@@ -2162,10 +2176,12 @@ object TrainingData {
       // train 8-grams per doc here, 8 bits each, floored at the bench
       // setting so small corpora keep the original <3% fp geometry
       val expectedGrams = math.max(1L << 20, corpusCount(s, d) * 64)
+      // `ngram` IS the gram's xxhash64 (r20, see contaminationGrams), so
+      // it feeds the sketch directly — no second hash on either side
       val bloom = trainG.agg(
-        Bloom.bloomAgg(xxhash64(col("ngram")), expectedGrams,
+        Bloom.bloomAgg(col("ngram"), expectedGrams,
                        expectedGrams * 8).as("bf"))
-      val pruned = testG.filter(Bloom.mightContain(bloom, xxhash64(col("ngram"))))
+      val pruned = testG.filter(Bloom.mightContain(bloom, col("ngram")))
       val hits = pruned.join(trainG, "ngram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       // totals come from the UNPRUNED test side — the prune may only ever

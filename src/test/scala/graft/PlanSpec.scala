@@ -498,25 +498,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p121 = df121.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p121).nonEmpty,
            s"q121 stopped reusing the decode/band stage:\n$p121")
-    // q119: the (doc, gram) DISTINCT exchange feeds both the first-doc
-    // aggregate and the probe join — one tokenize pass; and the
-    // vocabulary-sized first-doc table must NEVER broadcast (q112's
+    // q119: the (doc, gram) events are per-doc distinct IN-ARRAY (no
+    // distinct exchange — r20), and the one ngram exchange feeds both
+    // the first-doc aggregate and the probe join — one tokenize pass;
+    // the vocabulary-sized first-doc table must NEVER broadcast (q112's
     // OOM-at-scale hazard — the static planner picks it at toy scale)
     val df119 = SparkEntry.queries("q119_novelty_curve")(spark, sf)
     df119.collect()
     val p119 = df119.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p119).nonEmpty,
-           s"q119 stopped reusing the trigram DISTINCT stage:\n$p119")
+           s"q119 stopped reusing the trigram-event exchange:\n$p119")
     val gramBroadcast = p119.linesIterator.filter(l =>
       l.contains("BroadcastHashJoin") && l.contains("first_doc"))
     assert(gramBroadcast.isEmpty,
            s"q119 first-doc table must not broadcast:\n${gramBroadcast.mkString("\n")}")
-    // q83: the distinct (doc_id, ngram) exchange feeds THREE consumers
-    // (shared-gram agg, probe join, per-doc totals). The base isNotNulls
-    // keep all three on one canonical subtree; without them the final
-    // left join's inferred isnotnull(doc_id) forks the probe branch and
-    // AQE silently re-tokenizes the corpus. Pin: exactly ONE Generate
-    // (gram explode) and >= 2 ReusedExchange in the FINAL plan.
+    // q83: the distinct (doc_id, ngram-hash) exchange feeds THREE
+    // consumers (shared-gram agg, probe join, per-doc totals). The base
+    // isNotNulls keep all three on one canonical subtree; without them
+    // the final left join's inferred isnotnull(doc_id) forks the probe
+    // branch and AQE silently re-tokenizes the corpus. Pin: exactly ONE
+    // Generate (gram explode) and >= 2 ReusedExchange in the FINAL plan.
     val df83 = SparkEntry.queries("q83_boilerplate_share")(spark, sf)
     df83.collect()
     val p83 = df83.queryExecution.executedPlan.toString
