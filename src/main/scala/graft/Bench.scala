@@ -44,6 +44,20 @@ object Bench {
       // interleaved run). Steady-state execution is what the bench is
       // after; compilation amortizes to nothing over a real corpus.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Shuffle writer: with R reducers under the bypass threshold
+      // (default 200), every map task writes R partition files and then
+      // merges them — at shuffle.partitions=32 that is 32 file
+      // creates + codec streams per map task (M x R tiny files), which
+      // profiling showed costing 100-160 ms of shuffle-write time per
+      // map task for kilobyte-sized shuffles (the dominant fixed cost
+      // of EVERY exchange at bench scale). Threshold 0 selects the
+      // sort-based writer: ONE output file + index per map task,
+      // whatever R is. On a production cluster R > 200 so the bypass
+      // path never fires and this setting is a no-op — it only removes
+      // the small-R filesystem-metadata pathology. Overridable for
+      // A/B via SPARK_GRAFT_BYPASS_THRESHOLD.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

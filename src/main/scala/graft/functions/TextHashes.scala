@@ -161,6 +161,43 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** All g-gram hashes of a token array in ONE O(n) pass (r20): each
+    * token hashes once ([[hash64]]), a degree-(g-1) polynomial in an odd
+    * 64-bit base slides over the hashes (mod 2^64 — subtract the
+    * outgoing term times B^(g-1), shift, add the incoming term), and
+    * every window value is finalized with [[mix64]]. Output length is
+    * n-g+1 (empty below g tokens). Replaces the O(n*g) per-position
+    * slice+join+digest spelling wherever the gram identity stays
+    * ENGINE-LOCAL (dedup/contamination classes whose oracles recompute
+    * their own identities): equal windows collide by construction,
+    * unequal windows collide with ~2^-64 probability — the q38
+    * token-hash convention, verified collision-free on the
+    * deterministic oracle corpora by the correctness gate.
+    */
+  def rollingGramHashes(toks: ArrayData, g: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < g) return new GenericArrayData(Array.empty[Long])
+    val B = 0x100000001b3L // FNV prime, odd
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = hash64(toks.getUTF8String(i)); i += 1 }
+    var bg = 1L // B^(g-1): weight of the outgoing term
+    i = 1
+    while (i < g) { bg *= B; i += 1 }
+    val out = new Array[Long](n - g + 1)
+    var h = 0L
+    i = 0
+    while (i < g) { h = h * B + th(i); i += 1 }
+    out(0) = mix64(h)
+    i = g
+    while (i < n) {
+      h = (h - th(i - g) * bg) * B + th(i)
+      out(i - g + 1) = mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----------------------------------------------------
 
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -178,6 +215,28 @@ object TextHashes {
 
   def srp_sig(vec: Column, bits: Int, table: Int): Column =
     Bridge.column(SrpSig(e(vec), bits, table))
+
+  def rolling_gram_hash(tokens: Column, g: Int): Column =
+    Bridge.column(RollingGramHash(e(tokens), g))
+}
+
+/** `rolling_gram_hash(tokens, g)` — all g-gram hashes of a token array in
+  * one O(n) pass ([[TextHashes.rollingGramHashes]]); array<long>, length
+  * n-g+1, empty below g tokens. Codegen'd static call, non-null on
+  * non-null input.
+  */
+case class RollingGramHash(child: Expression, g: Int)
+    extends UnaryExpression {
+  require(g >= 1, s"gram width out of range: $g")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.rollingGramHashes(input.asInstanceOf[ArrayData], g)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.rollingGramHashes($c, $g)")
+  override protected def withNewChildInternal(c: Expression): RollingGramHash =
+    copy(child = c)
+  override def prettyName: String = "rolling_gram_hash"
 }
 
 /** Signed-random-projection LSH signature of an array<double> vector:

@@ -2042,9 +2042,15 @@ object Prep {
     * pairs shuffle; span windows are bounded by single-doc length.
     */
   /** Shared gram pass for q130/q134: every [[SubstrG]]-token run as
-    * (doc_id, n, p, h) — gram bodies collapse to 16-byte md5 digests
-    * inside the scan projection; the doc length rides along as
-    * 8 bytes/gram so no downstream corpus-sized doc join is needed.
+    * (doc_id, n, p, h). r20: gram identity is the O(n) rolling 64-bit
+    * hash ([[graft.functions.TextHashes.rollingGramHashes]]) instead of
+    * a per-position O(G) slice+join+md5 — the gram identity is
+    * engine-local (both engines recompute their own duplicate classes;
+    * only counts and the cleaned-text digest cross the oracle), so the
+    * digest only has to SEPARATE grams, and an 8-byte long shuffles and
+    * window-sorts at a quarter of the 32-hex-char md5's width
+    * (guide §2.3). The doc length rides along as 8 bytes/gram so no
+    * downstream corpus-sized doc join is needed.
     */
   private def substrGrams(docFrame: DataFrame): DataFrame = {
     val G = SubstrG
@@ -2053,10 +2059,8 @@ object Prep {
       .withColumn("n", size(col("tok")).cast("long"))
       .filter(col("n") >= G)
       .select(col("doc_id"), col("n"),
-        posexplode(transform(sequence(lit(0L), col("n") - G),
-          i => md5(array_join(
-            slice(col("tok"), (i + 1).cast("int"), lit(G.toInt)), " ")
-            .cast("binary")))))
+        posexplode(graft.functions.TextHashes.rolling_gram_hash(
+          col("tok"), G.toInt)))
       .select(col("doc_id"), col("n"),
               col("pos").cast("long").as("p"), col("col").as("h"))
   }
@@ -4421,23 +4425,15 @@ object Prep {
       // doc_id in the key means it only ever removed repeats WITHIN one
       // document, a set already in hand as the trigram array — same
       // rows, minus one exchange and two hash aggregates over a
-      // near-unique key. The gram identity is its xxhash64 (taken
-      // AFTER the null filter — xxhash64(null) is the seed, not null),
-      // so the first-doc aggregate, its exchange, and the probe join
-      // all run on fixed-width longs instead of ~30-byte strings (the
-      // q38 token-hash convention, verified collision-free on the
-      // deterministic driver corpora by the oracle gate).
-      val tg = t.select(col("doc_id"), explode(array_distinct(transform(
-          filter(
-            zip_with(
-              zip_with(
-                col("tok"),
-                slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-                (a, b) => concat(a, lit(" "), b)),
-              slice(col("tok"), lit(3), greatest(size(col("tok")) - 2, lit(0))),
-              (ab, c) => concat(ab, lit(" "), c)),
-            g => g.isNotNull),
-          g => xxhash64(g)))).as("g"))
+      // near-unique key. The gram identity is the O(n) rolling 64-bit
+      // hash (TextHashes.rollingGramHashes — one pass, no intermediate
+      // trigram strings), so the first-doc aggregate, its exchange, and
+      // the probe join all run on fixed-width longs (the q38 token-hash
+      // convention, verified collision-free on the deterministic driver
+      // corpora by the oracle gate).
+      val tg = t.select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextHashes.rolling_gram_hash(col("tok"), 3)))
+        .as("g"))
         // align with the join-pushed constraint (the q112/q117 lesson)
         .filter(col("g").isNotNull)
       // the first-doc table is VOCABULARY-sized: broadcasting it is the
@@ -4516,20 +4512,16 @@ object Prep {
         .select(col("doc_id"), tokens(col("text")).as("tok"))
         .filter(size(col("tok")) >= 3)
       val ids = docs(s, d).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      // r20: trigram identity is the O(n) rolling 64-bit hash (the q119
+      // device — engine-local: only counts cross the oracle), so the
+      // (dec, g) count table aggregates fixed-width longs and no
+      // intermediate trigram strings are built (guide §2.3).
       val ev = t.crossJoin(broadcast(ids)).select(
           least(lit(9),
             floor((col("doc_id") - col("lo")) * lit(10.0)
                   / (col("hi") - col("lo") + 1)).cast("long")).as("dec"),
-          explode(
-            filter(
-              zip_with(
-                zip_with(
-                  col("tok"),
-                  slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
-                  (a, b) => concat(a, lit(" "), b)),
-                slice(col("tok"), lit(3), greatest(size(col("tok")) - 2, lit(0))),
-                (ab, cc) => concat(ab, lit(" "), cc)),
-              g => g.isNotNull)).as("g"))
+          explode(graft.functions.TextHashes.rolling_gram_hash(col("tok"), 3))
+            .as("g"))
       val cdt = ev.groupBy("dec", "g").agg(count(lit(1)).as("c"))
       val tokd = cdt.groupBy("dec").agg(sum("c").as("nt"))
       val fd = cdt.groupBy("g").agg(min("dec").as("fdec"))

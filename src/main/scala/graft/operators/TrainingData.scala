@@ -1212,14 +1212,15 @@ object TrainingData {
     * construction (n tokens of context), so downstream shuffles on it
     * stay tiny-blocked at any corpus size.
     *
-    * r20: the gram IDENTITY is its xxhash64 (computed inside the
-    * transform lambda, so the ~60-byte gram string dies before the
-    * first exchange and every downstream distinct/join/aggregate runs
-    * on fixed-width 8-byte longs — guide §2.3 "shuffle keys and
-    * metadata instead of payloads"). Collision-free in practice (the
-    * q38 token-hash convention: xxhash64 over ~60-gram/doc sets), and
-    * verified collision-free on the deterministic driver corpora by
-    * the oracle gate, so counts are unchanged.
+    * r20: the gram IDENTITY is the O(n) rolling 64-bit hash
+    * (TextHashes.rollingGramHashes — one pass instead of a per-position
+    * O(n_gram) slice+concat), so the ~60-byte gram string never
+    * materializes and every downstream distinct/join/aggregate runs on
+    * fixed-width 8-byte longs — guide §2.3 "shuffle keys and metadata
+    * instead of payloads". Collision-free in practice (the q38
+    * token-hash convention), and verified collision-free on the
+    * deterministic driver corpora by the oracle gate, so counts are
+    * unchanged.
     */
   private def contaminationGrams(s: SparkSession, d: String, n: Int = 8): DataFrame = {
     val tok = tokens(col("text"))
@@ -1228,10 +1229,8 @@ object TrainingData {
       .when(split8 <= "d", "val").otherwise("test")
     spread(docs(s, d))
       .select(col("doc_id"), splitCol.as("split"),
-              explode(when(size(tok) >= n,
-                transform(sequence(lit(1), size(tok) - (n - 1)),
-                          i => xxhash64(concat_ws(" ", slice(tok, i, lit(n))))))
-                .otherwise(array())).as("ngram"))
+              explode(graft.functions.TextHashes.rolling_gram_hash(tok, n))
+                .as("ngram"))
       .distinct()
   }
 
@@ -1909,19 +1908,18 @@ object TrainingData {
       // from the other consumers' canonical form and AQE re-tokenizes
       // the corpus for it. Pre-filtering makes every inferred predicate
       // redundant, so all three consumers share ONE distinct exchange
-      // (PlanSpec pins the reuse). r20: the gram identity is its
-      // xxhash64, computed inside the transform lambda — the ~50-byte
-      // gram string dies before the exchange and the distinct/join/
-      // aggregates all run on fixed-width longs (guide §2.3; q38's
-      // token-hash convention, verified collision-free on the
-      // deterministic driver corpora by the oracle gate).
+      // (PlanSpec pins the reuse). r20: the gram identity is the O(n)
+      // rolling 64-bit hash (TextHashes.rollingGramHashes — one pass
+      // instead of a per-position O(5) slice+concat), so the gram
+      // string never materializes and the distinct/join/aggregates all
+      // run on fixed-width longs (guide §2.3; q38's token-hash
+      // convention, verified collision-free on the deterministic
+      // driver corpora by the oracle gate).
       val grams = spread(docs(s, d))
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"),
-                explode(when(size(tok) >= n,
-                  transform(sequence(lit(1), size(tok) - (n - 1)),
-                            i => xxhash64(concat_ws(" ", slice(tok, i, lit(n))))))
-                  .otherwise(array())).as("ngram"))
+                explode(graft.functions.TextHashes.rolling_gram_hash(tok, n))
+                  .as("ngram"))
         .filter(col("ngram").isNotNull)
         .distinct()
       val shared = grams.groupBy("ngram").agg(count(lit(1)).as("nd"))

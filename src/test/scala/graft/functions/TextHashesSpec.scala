@@ -63,4 +63,44 @@ class TextHashesSpec extends AnyFunSuite with SparkSpec {
     val d = java.lang.Long.bitCount(h1 ^ h2)
     assert(d > 16 && d < 48)
   }
+
+  test("rolling_gram_hash: window identity matches a naive per-window recompute") {
+    import graft.functions.TextHashes.rolling_gram_hash
+    // naive reference: same polynomial + finalizer, recomputed per window
+    def naive(toks: Seq[String], g: Int): Seq[Long] = {
+      val th: Seq[Long] = toks.map(t => TextHashes.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      (0 to toks.length - g).map { i =>
+        var h = 0L
+        for (j <- i until i + g) h = h * 0x100000001b3L + th(j)
+        TextHashes.mix64(h)
+      }
+    }
+    val toks = Seq("a", "b", "c", "a", "b", "c", "d", "xx", "b", "c")
+    for (g <- Seq(1, 3, 4, 10)) {
+      val got = Seq(Tuple1(toks)).toDF("tok")
+        .select(rolling_gram_hash($"tok", g)).as[Seq[Long]].collect()(0)
+      assert(got === naive(toks, g), s"g=$g rolling != naive")
+    }
+    // length contract: n-g+1, empty below g
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("tok")
+      .select(rolling_gram_hash($"tok", 3)).as[Seq[Long]].collect()(0)
+    assert(short.isEmpty)
+  }
+
+  test("rolling_gram_hash: equal windows collide, shifted/unequal windows separate") {
+    import graft.functions.TextHashes.rolling_gram_hash
+    // the repeated run a b c yields equal 3-gram hashes at both sites
+    val toks = Seq("a", "b", "c", "z", "a", "b", "c")
+    val hs = Seq(Tuple1(toks)).toDF("tok")
+      .select(rolling_gram_hash($"tok", 3)).as[Seq[Long]].collect()(0)
+    assert(hs.length === 5)
+    assert(hs(0) === hs(4), "identical 3-token runs must hash equal")
+    // all other windows are pairwise distinct (and token-order-sensitive:
+    // a run and its rotation must not collide)
+    assert(hs.distinct.length === 4)
+    val rot = Seq(Tuple1(Seq("b", "c", "a"))).toDF("tok")
+      .select(rolling_gram_hash($"tok", 3)).as[Seq[Long]].collect()(0)
+    assert(rot(0) !== hs(0), "rotation must hash differently")
+  }
 }
