@@ -36,7 +36,16 @@ object Relational2 {
     * one bucket, so it matches on the build doc's bucket exactly once —
     * no distinct needed).
     */
-  def fuzzyPairs(s: SparkSession, d: String, maxBlock: Int = 4096): DataFrame = {
+  /** maxBlock default: a task's candidate workload is bounded by
+    * maxBlock x |block| pairs, each paying a thresholded levenshtein —
+    * at 4096 a single dominant (lang, bucket) block kept the whole DP
+    * bill on one or two tasks (measured ~1.4 s single-threaded at
+    * sf0.1); 512 splits a hot block ~8x for a probe-fanout duplication
+    * that is linear in nsalt. The candidate SET is invariant under
+    * maxBlock (RecallSpec pins row identity under forced maxBlock=8),
+    * so this is purely a parallelism knob.
+    */
+  def fuzzyPairs(s: SparkSession, d: String, maxBlock: Int = 512): DataFrame = {
     val base = Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("n_chars"),
       substring(col("text"), 1, 32).as("head"),
@@ -61,7 +70,25 @@ object Relational2 {
       .join(broadcast(salts), Seq("lang", "bucket"))
       .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
       .drop("nsalt")
-    build.join(probe, Seq("lang", "bucket", "salt"))
+    // r20: pin the candidate join to the shuffle path AND pin its
+    // partition count. Two separate planner choices were serializing
+    // the per-pair levenshtein bill onto 1-2 tasks at bench scale
+    // (measured ~1.4 s single-threaded): the planner BROADCASTS the
+    // exploded probe side (leaving the stream side as the unsplit
+    // scan), and with the shuffle forced, AQE coalesces the
+    // kilobyte-sized exchanges to ONE partition — partition sizing is
+    // byte-based and blind to per-row CPU. An explicit keyed
+    // repartition at defaultParallelism is AQE-coalesce-proof
+    // (REPARTITION_BY_NUM) and scale-adaptive (cluster cores); the
+    // join reuses its partitioning, so no extra exchange. At corpus
+    // scale the probe side could never broadcast anyway (the q112
+    // no-broadcast rule) and the shuffle carries the same bytes it
+    // always did.
+    val p = s.sparkContext.defaultParallelism
+    val keys = Seq(col("lang"), col("bucket"), col("salt"))
+    build.repartition(p, keys: _*)
+      .join(probe.repartition(p, keys: _*).hint("shuffle_hash"),
+            Seq("lang", "bucket", "salt"))
       .filter(col("doc_id") < col("p_id") &&
               abs(col("n_chars") - col("p_chars")) <= 20)
       .select(col("doc_id").as("id_a"), col("p_id").as("id_b"),

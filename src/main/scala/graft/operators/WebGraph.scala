@@ -1666,18 +1666,31 @@ object WebGraph {
     val e = edges.select("src", "dst")
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val hosts = und.select(col("src").as("host")).distinct()
-    var lbl = hosts.select(col("host"), col("host").as("component"))
+    // materialize the (host-sized) edge and label tables per round when
+    // the round budget is deep: each round references `lbl` TWICE
+    // (probe + neighbor derivation), so an unmaterialized chain doubles
+    // the subtree per round — 2^rounds copies of the edge scan in the
+    // logical plan, ~350 codegen pipelines at 4 rounds, and the
+    // planning/stage overhead dwarfs the toy data (guide §3.3
+    // "materialise an intermediate to truncate the plan"; the same
+    // per-round device as Curation.connectedComponents). At <= 2 rounds
+    // the blowup is 4x and the checkpoint jobs cost more than they save
+    // (measured on q189), so shallow budgets keep the lazy chain.
+    val deep = rounds >= 3
+    val undM = if (deep) und.localCheckpoint() else und
+    var lbl = undM.select(col("src").as("host")).distinct()
+      .select(col("host"), col("host").as("component"))
     for (_ <- 1 to rounds) {
-      val neigh = und
+      val neigh = undM
         .join(lbl.withColumnRenamed("host", "dst").hint("shuffle_hash"),
               Seq("dst"))
         .groupBy(col("src").as("host"))
         .agg(min("component").as("nmin"))
-      lbl = lbl.join(neigh.hint("shuffle_hash"), Seq("host"), "left")
+      val next = lbl.join(neigh.hint("shuffle_hash"), Seq("host"), "left")
         .select(col("host"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
+      lbl = if (deep) next.localCheckpoint() else next
     }
     lbl
   }
