@@ -100,10 +100,24 @@ object Urls {
     Bridge.column(IdnHost(Bridge.expression(h)))
 
   /** Canonical URL of `url`, or NULL when no `scheme://host` parses.
-    * Pure built-in column math — see the object doc for the exact
-    * normalization steps.
+    * r20: one codegen'd JVM scan per row ([[canonicalizeJvm]]) — the
+    * column-math spelling below ([[canonicalizeRef]]) ran ~15 chained
+    * regex/array expressions per row, each re-scanning the string; the
+    * scanner does one pass and only allocates the output. Behavior is
+    * bit-identical: [[canonicalizeRef]] stays as the executable
+    * reference and UrlsDiffSpec proves equality over the full planted
+    * URL corpus plus adversarial edge cases; the q172-q200 oracles
+    * re-verify the collapsed behavior end-to-end.
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column): Column =
+    Bridge.column(CanonUrl(Bridge.expression(url)))
+
+  /** The original column-math canonicalizer — kept as the executable
+    * REFERENCE for [[canonicalize]] (UrlsDiffSpec pins the JVM scanner
+    * against this tree input-for-input; the DuckDB twin in
+    * [[canonSqlCtes]] spells the same steps for the oracles).
+    */
+  private[sources] def canonicalizeRef(url: Column): Column = {
     val u = regexp_replace(coalesce(url, lit("")), "(?s)#.*$", "")
     val schemeName =
       lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -141,14 +155,163 @@ object Urls {
     * `scheme://host` parses — the strict sibling of
     * [[Crawl.hostOf]]'s `'warc'`-fallback stratum key, for link-graph
     * vertices where a fallback would alias every garbage URL into one
-    * mega-node.
+    * mega-node. r20: one JVM scan ([[hostJvm]]); [[hostRef]] is the
+    * original column-math reference UrlsDiffSpec pins it against.
     */
-  def host(url: Column): Column = {
+  def host(url: Column): Column =
+    Bridge.column(HostOf(Bridge.expression(url)))
+
+  private[sources] def hostRef(url: Column): Column = {
     val auth = regexp_replace(regexp_extract(
       coalesce(url, lit("")), s"$SchemePat([^/?#]*)", 1), "^[^@]*@", "")
     val h = idnHost(regexp_replace(
       regexp_replace(lower(auth), ":[0-9]+$", ""), "^www\\.", ""))
     when(h =!= "", h).otherwise(lit(null).cast("string"))
+  }
+
+  // ------------------------------------------------------------------
+  // One-pass JVM scanners behind [[canonicalize]] / [[host]] (r20).
+  // Semantics replicate the reference column trees EXACTLY — every
+  // structural character is ASCII, so scanning on the decoded string is
+  // safe, and the two case-folds that can see non-ASCII (the host) go
+  // through UTF8String.toLowerCase, the same kernel Spark's lower()
+  // uses. UrlsDiffSpec proves input-for-input equality.
+  // ------------------------------------------------------------------
+
+  private val TrackingSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TrackingParams.foreach(s.add)
+    s
+  }
+
+  private def isSchemeChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+
+  /** (authorityStart, authorityEnd, userinfoStrippedStart) of `s` bounded
+    * by `end`, or null when no `scheme://` parses at position 0. The
+    * extra terminator set matches the reference regexes: authority stops
+    * at '/', '?', '#'.
+    */
+  private def scanAuthority(s: String, end: Int): Array[Int] = {
+    if (end == 0) return null
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return null
+    var i = 1
+    while (i < end && isSchemeChar(s.charAt(i))) i += 1
+    if (i + 3 > end || s.charAt(i) != ':' || s.charAt(i + 1) != '/' ||
+        s.charAt(i + 2) != '/') return null
+    val aStart = i + 3
+    var aEnd = aStart
+    while (aEnd < end && {
+        val c = s.charAt(aEnd); c != '/' && c != '?' && c != '#' }) aEnd += 1
+    // userinfo: strip through the FIRST '@' ("^[^@]*@" cannot cross one)
+    var hpStart = aStart
+    var j = aStart
+    while (j < aEnd && hpStart == aStart) {
+      if (s.charAt(j) == '@') hpStart = j + 1
+      j += 1
+    }
+    Array(i, aStart, aEnd, hpStart)
+  }
+
+  /** Trailing ":digits+" port of s[from, end): (hostEnd, portStart) —
+    * portStart == end means no port (the ":([0-9]+)$" reference regex
+    * needs >= 1 digit and matches only at the very end).
+    */
+  private def scanPort(s: String, from: Int, end: Int): (Int, Int) = {
+    var k = end - 1
+    while (k >= from && s.charAt(k) >= '0' && s.charAt(k) <= '9') k -= 1
+    if (k >= from && k < end - 1 && s.charAt(k) == ':') (k, k + 1) else (end, end)
+  }
+
+  /** Lowercase + `www.`-strip + IDN of a raw host slice (the shared tail
+    * of both scanners). Returns "" for an empty slice.
+    */
+  private def foldHost(raw: String): String = {
+    var host = UTF8String.fromString(raw).toLowerCase.toString
+    if (host.startsWith("www.")) host = host.substring(4)
+    idnAsciiHost(UTF8String.fromString(host)).toString
+  }
+
+  /** One-pass JVM body of [[canonicalize]]; null input and unparseable
+    * inputs both map to null (the reference's coalesce-then-guard).
+    */
+  def canonicalizeJvm(u0: UTF8String): UTF8String = {
+    if (u0 == null) return null
+    val s = u0.toString
+    // fragment strips first: "(?s)#.*$" cuts at the FIRST '#'
+    val hEnd = { val i = s.indexOf('#'); if (i >= 0) i else s.length }
+    val auth = scanAuthority(s, hEnd)
+    if (auth == null) return null
+    val schemeEnd = auth(0); val aEnd = auth(2); val hpStart = auth(3)
+    val scheme = s.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    val (hostEnd, portStart) = scanPort(s, hpStart, aEnd)
+    val port = if (portStart < aEnd) s.substring(portStart, aEnd) else ""
+    val host = foldHost(s.substring(hpStart, hostEnd))
+    if (host.isEmpty) return null
+    // path: authority end up to the first '?' (fragment already gone),
+    // with every trailing '/' stripped ("/+$")
+    var qMark = -1
+    var m = aEnd
+    while (m < hEnd && qMark < 0) {
+      if (s.charAt(m) == '?') qMark = m
+      m += 1
+    }
+    val pathEnd0 = if (qMark >= 0) qMark else hEnd
+    var pathEnd = pathEnd0
+    while (pathEnd > aEnd && s.charAt(pathEnd - 1) == '/') pathEnd -= 1
+    val path = s.substring(aEnd, pathEnd)
+    // query: split on '&', drop empties and tracking names, byte-sort
+    val qs = if (qMark < 0) "" else {
+      val parts = s.substring(qMark + 1, hEnd).split("&", -1)
+      val kept = new java.util.ArrayList[UTF8String]()
+      var x = 0
+      while (x < parts.length) {
+        val p = parts(x)
+        if (p.nonEmpty) {
+          val eq = p.indexOf('=')
+          val name = if (eq >= 0) p.substring(0, eq) else p
+          if (!(name.startsWith("utm_") || TrackingSet.contains(name)))
+            kept.add(UTF8String.fromString(p))
+        }
+        x += 1
+      }
+      if (kept.isEmpty) ""
+      else {
+        // array_sort on strings = UTF8String binary (unsigned byte) order
+        java.util.Collections.sort(kept)
+        val sb = new java.lang.StringBuilder("?")
+        var y = 0
+        while (y < kept.size) {
+          if (y > 0) sb.append('&')
+          sb.append(kept.get(y).toString)
+          y += 1
+        }
+        sb.toString
+      }
+    }
+    val portPart =
+      if (port.isEmpty || (scheme == "http" && port == "80") ||
+          (scheme == "https" && port == "443")) ""
+      else ":" + port
+    UTF8String.fromString(scheme + "://" + host + portPart + path + qs)
+  }
+
+  /** One-pass JVM body of [[host]]. Unlike [[canonicalizeJvm]] the
+    * reference tree never strips the fragment (authority just also
+    * terminates at '#'), and folds case BEFORE the port strip — both
+    * orders agree because port digits are case-blind.
+    */
+  def hostJvm(u0: UTF8String): UTF8String = {
+    if (u0 == null) return null
+    val s = u0.toString
+    val auth = scanAuthority(s, s.length)
+    if (auth == null) return null
+    val hpStart = auth(3)
+    val (hostEnd, _) = scanPort(s, hpStart, auth(2))
+    val host = foldHost(s.substring(hpStart, hostEnd))
+    if (host.isEmpty) null else UTF8String.fromString(host)
   }
 
   /** The classic crawl-scheduler extension skip list: path extensions
@@ -284,6 +447,45 @@ object Urls {
   * ([[Urls.idnAsciiHost]]). Codegen'd static call; result is non-null
   * on non-null input, so defineCodeGen's null contract holds.
   */
+/** `canon_url(url)` — one-pass canonical URL ([[Urls.canonicalizeJvm]]);
+  * null for null/unparseable input, so codegen carries the explicit
+  * null-out (defineCodeGen's non-null contract does not hold here).
+  */
+case class CanonUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Urls.canonicalizeJvm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.Urls.canonicalizeJvm($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): CanonUrl =
+    copy(child = c)
+  override def prettyName: String = "canon_url"
+}
+
+/** `url_host(url)` — one-pass bare host ([[Urls.hostJvm]]); same null
+  * contract as [[CanonUrl]].
+  */
+case class HostOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Urls.hostJvm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.Urls.hostJvm($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): HostOf =
+    copy(child = c)
+  override def prettyName: String = "url_host"
+}
+
 case class IdnHost(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
