@@ -2007,7 +2007,14 @@ object TrainingData {
         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
         |FROM pairs WHERE n_shared >= 2""".stripMargin) { (s, d) =>
       val cap = 50; val minShared = 2
+      // r20: the winnowing SELECTION stays md5-ordered (oracle-pinned —
+      // the window minimum depends on digest ordering), but everything
+      // downstream only tests fp EQUALITY, so the df filter and the
+      // pair self-join run on the digest's xxhash64 — an 8-byte key
+      // instead of a 16-char hex string (guide §2.3; q38 convention,
+      // collision-free on the oracle corpora by the gate).
       val fps = winnowFingerprints(docs(s, d), k = 4, w = 4)
+        .select(col("doc_id"), xxhash64(col("fp")).as("fp"))
       val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("fp")
       val f2 = fps.join(rare, "fp")
