@@ -37,10 +37,27 @@ object TrainingData {
     * NOTHING (no shuffle). The explicit numPartitions pins AQE so it
     * cannot coalesce the small exchange back to one task.
     */
+  /** Scan-partition probe cache (r20): `df.rdd.getNumPartitions` plans
+    * the whole query AND builds its RDD DAG — measured ~130 ms per call
+    * on the bench host — and spread() runs on every invocation of ~60
+    * registry queries, several frames each. The partition count of a
+    * given logical plan under a given session is stable, so memoize it
+    * on the CANONICALIZED analyzed plan (expression-id-normalized, the
+    * same equality the exchange-reuse machinery keys on). Planning
+    * metadata only — never rows — and session-scoped like the BPE/vocab
+    * caches (stopped sessions evicted on access).
+    */
+  private val spreadCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Int]
+
   private[operators] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch planning sizes stream tasks
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    spreadCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(spreadCache.remove)
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val n = spreadCache.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target) else df
   }
 
   /** Cosine similarity in double precision, sequential fold (deterministic
