@@ -749,18 +749,27 @@ object Multimodal {
         // correlated across docs and unrelated fingerprints collide
         val steps = Array.tabulate(65)(w =>
           0.3 + 0.7 * math.floorMod(h(100 + w), 1000) / 1000.0)
-        def sample(i: Int, gain: Double): Short = {
+        // r21: synthesize the (pre-gain) signal ONCE per doc — the planted
+        // half-volume dup re-QUANTIZES the same samples instead of paying
+        // the two-sine synthesis a second time. v, the gain multiply, and
+        // the rounding are the exact expressions of the previous
+        // per-gain sample(), in the same order: bytes are bit-identical.
+        val vals = new Array[Double](n)
+        var i = 0
+        while (i < n) {
           val t = i.toDouble / sr
           val env = steps((i * 65) / n)
-          val v = env * (a1 * math.sin(2 * math.Pi * f1 * t) +
-                         a2 * math.sin(2 * math.Pi * f2 * t))
-          math.round(v * gain * 32767).toShort
+          vals(i) = env * (a1 * math.sin(2 * math.Pi * f1 * t) +
+                           a2 * math.sin(2 * math.Pi * f2 * t))
+          i += 1
         }
-        val full = encodeWav(sr, Array.tabulate(n)(i => sample(i, 1.0)))
+        def quant(gain: Double): Array[Short] =
+          Array.tabulate(n)(i => math.round(vals(i) * gain * 32767).toShort)
+        val full = encodeWav(sr, quant(1.0))
         val src = r.getString(2)
         val main = Row(docId, "audio", full, Row(src, full.length.toLong))
         if (dupEvery > 0 && docId % dupEvery == 0) {
-          val half = encodeWav(sr, Array.tabulate(n)(i => sample(i, 0.5)))
+          val half = encodeWav(sr, quant(0.5))
           main :: Row(docId + NearDupOffset, "audio", half,
                       Row(src, half.length.toLong)) :: Nil
         } else main :: Nil

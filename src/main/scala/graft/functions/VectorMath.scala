@@ -81,6 +81,16 @@ object VectorMath {
 
   def cosine_sim(a: Column, b: Column): Column = Bridge.column(CosineSim(e(a), e(b)))
 
+  /** Bare dot product — the pair-loop kernel of [[cosine_sim]] exposed so
+    * brute-force/audit scans can PRECOMPUTE the two norms once per row
+    * (a cross join recomputes them once per PAIR otherwise):
+    * `dot_product(a, b) / (l2_norm(a) * l2_norm(b))` performs the exact
+    * double operations of `cosine_sim(a, b)` in the exact order —
+    * dot fold, normSq folds, sqrt each, multiply, divide — so results
+    * are bit-identical while the per-pair work drops to the dot fold.
+    */
+  def dot_product(a: Column, b: Column): Column = Bridge.column(DotProduct(e(a), e(b)))
+
   def sq_dist(a: Column, b: Column): Column = Bridge.column(SqDist(e(a), e(b)))
 
   def l2_norm(a: Column): Column = {
@@ -114,6 +124,24 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Dot product of two numeric arrays (double result) — [[VectorMath.dot]],
+  * the same sequential fold [[CosineSim]] runs, as a standalone expression.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VecArg {
+  override def dataType: DataType = DoubleType
+  private lazy val lF = isFloatArray(left.dataType)
+  private lazy val rF = isFloatArray(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.dot($a, $b, $lF, $rF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
 }
 
 /** Squared euclidean distance of two numeric arrays (double result). */

@@ -568,6 +568,12 @@ object Curation {
       .select(col("split"), col("bin"), col("p_start"), col("doc_start"),
               posexplode(col("piece")).as(Seq("j", "w")))
       .join(wids, "w")
+      // pinned-width regroup (the q51 device, as in tokenizedDocs): the
+      // bin reassembly + md5-of-ids projection is CPU-heavy per bin while
+      // its shuffle is small — keep it AQE-coalesce-proof and let the
+      // groupBy reuse the partitioning
+      .repartition(s.sparkContext.defaultParallelism,
+                   col("split"), col("bin"))
       .groupBy("split", "bin")
       .agg(flatten(transform(
              sort_array(collect_list(
@@ -741,6 +747,13 @@ object Curation {
               posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
       .join(wids, "w")
+      // pinned-width regroup (the q51 device): the per-doc reassembly +
+      // md5-of-ids projection is CPU-heavy while its shuffle is a few MB,
+      // so byte-based AQE coalescing would serialize it onto 2-3 tasks;
+      // REPARTITION_BY_NUM is coalesce-proof and scale-adaptive, and the
+      // groupBy reuses its partitioning (no extra exchange)
+      .repartition(docFrame.sparkSession.sparkContext.defaultParallelism,
+                   col("split"), col("doc_id"))
       .groupBy("split", "doc_id")
       .agg(flatten(transform(
              sort_array(collect_list(struct(col("pos"), col("ids")))),

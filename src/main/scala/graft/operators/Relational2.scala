@@ -673,7 +673,13 @@ object Relational2 {
         "count — the scale path for distincts (exact is oracle-checked in " +
         "q18; the sketch estimate is engine-specific by construction).") {
       (s, d) =>
-        ev(s, d).groupBy("event_type").agg(
+        // spread (r21): the HLL++/distinct partial aggregates are CPU-bound
+        // per-row work off a single-split local scan — project the two
+        // needed columns first (guide §2.3) so the spread exchange carries
+        // 16 bytes/row. Register maxima are merge-order-independent, so
+        // the estimate is partitioning-invariant (output unchanged).
+        TrainingData.spread(ev(s, d).select("event_type", "user_id"))
+          .groupBy("event_type").agg(
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           count(lit(1)).as("n"))

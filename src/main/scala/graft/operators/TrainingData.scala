@@ -1324,8 +1324,15 @@ object TrainingData {
                            (acc, x) => shiftleft(acc, 7).bitwiseXOR(x)).as("bkey"))))
           .as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val pairs = bands.as("l")
-        .join(bands.as("r"),
+      // r21 (guide §2.4): both band sides are the SAME subtree; forcing
+      // the shuffle join (the planner broadcast one side — a 120k-row
+      // collect, and a corpus-sized broadcast at scale) makes the two
+      // (band, bkey) exchanges canonicalize equal, so the shingle +
+      // 96-hash signature pipeline runs ONCE and the other side reads a
+      // ReusedExchange — the hashNearDup device from the multimodal
+      // banding.
+      val pairs = bands.as("l").hint("shuffle_hash")
+        .join(bands.as("r").hint("shuffle_hash"),
               col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
                 col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
@@ -1561,7 +1568,11 @@ object TrainingData {
         |FROM (SELECT *, row_number() OVER
         |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
         |WHERE rk <= 3""".stripMargin) { (s, d) =>
-      val tok = docs(s, d).select(col("doc_id"),
+      // spread (r21): tokenize + the near-unique-key (doc, term) partial
+      // aggregate are CPU-bound and ran on the scan's 1-2 local splits;
+      // both tf and df derive from the same spread subtree so the
+      // exchange reuse below is unaffected
+      val tok = spread(docs(s, d)).select(col("doc_id"),
                                   explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df DERIVES from the per-(doc, term) table — one row per doc that
@@ -2030,13 +2041,35 @@ object TrainingData {
       // pair self-join run on the digest's xxhash64 — an 8-byte key
       // instead of a 16-char hex string (guide §2.3; q38 convention,
       // collision-free on the oracle corpora by the gate).
-      val fps = winnowFingerprints(docs(s, d), k = 4, w = 4)
+      // r21 (guide §2.4): ONE fingerprint pass. The previous plan computed
+      // winnowFingerprints TWICE — once under the df-count aggregate and
+      // once as the BROADCAST build of the f2 join (plan-identical
+      // subtrees dedup only through a shared Exchange, and a broadcast
+      // side has none). An explicit repartition(fp) gives every consumer
+      // the same hash(fp) exchange to reuse: the df aggregate runs
+      // directly on it (no partial/exchange of its own), the df join and
+      // the pair self-join are co-partitioned on fp (zero additional
+      // exchanges), and shuffle_hash keeps the fingerprint-cardinality
+      // sides off the broadcast path (corpus-sized at scale).
+      // the isNotNull is a no-op (doc_id is the table key) that mirrors
+      // the null filter the pair join's doc_a < doc_b infers on its own
+      // branch — without it the aggregate branch's exchange subtree
+      // differs by exactly that pushed scan filter and the reuse is lost
+      val fps = winnowFingerprints(
+          docs(s, d).filter(col("doc_id").isNotNull), k = 4, w = 4)
         .select(col("doc_id"), xxhash64(col("fp")).as("fp"))
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .repartition(col("fp"))
+      // count(doc_id), not count(*): doc_id is never null so the counts
+      // are identical, but referencing it keeps this branch's pruned
+      // schema below the repartition equal to the join branch's
+      // (doc_id, fp) — otherwise column pruning specializes the two
+      // exchanges apart and the fingerprint pass runs twice again
+      val rare = fps.groupBy("fp").agg(count(col("doc_id")).as("df"))
         .filter(col("df") <= cap).select("fp")
-      val f2 = fps.join(rare, "fp")
+      val f2 = fps.join(rare.hint("shuffle_hash"), "fp")
       f2.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .join(f2.select(col("fp"), col("doc_id").as("doc_b"))
+                .hint("shuffle_hash"), "fp")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("long").as("n_shared"))
         .filter(col("n_shared") >= minShared)
@@ -2504,43 +2537,79 @@ object TrainingData {
         |LIMIT 30""".stripMargin) { (s, d) =>
       val base = spread(docs(s, d)).select(col("doc_id"), tokens(col("text")).as("arr"))
       val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
-      // ONE corpus pass for every term statistic: per-(doc, term) counts
-      // first (map-side partials collapse a doc's repeats in place), then
-      // tf = sum of those counts and df = their cardinality from the same
-      // bounded table — the previous spelling re-tokenized the corpus
-      // three times (df, tf, and the token total each had their own
-      // explode) and the total is just sum(tf), no pass at all.
-      val dt = base.select(col("doc_id"), explode(col("arr")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      val stats = dt.groupBy("term")
-        .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      // ONE corpus pass for every term statistic, with NO (doc, term)
+      // aggregate at all (r21): df is "docs containing the term", so
+      // array_distinct per doc replaces the near-unique-key (doc, term)
+      // shuffle the old dt derivation paid (116k groups, avgHashProbe
+      // 150, 134 MB partial hash tables) — each doc emits (term, 1, 0)
+      // per token and (term, 0, 1) per DISTINCT token, and one
+      // vocabulary-keyed aggregate (map-side partials collapse to the
+      // vocabulary immediately) yields tf and df exactly.
+      // Vocabulary-bounded and consumed four ways (band x2, marginal
+      // attach x2): every consumer references BOTH aggregate outputs
+      // (the always-true tf > 0 / df > 0 guards below, the q55 device),
+      // so column pruning cannot specialize their partial aggregates
+      // apart and all four read ONE reused (term) exchange — a
+      // localCheckpoint was tried here and cost more than it saved
+      // (~0.6 s of eager-job overhead per invocation).
+      val stats = base.select(explode(concat(
+          transform(col("arr"),
+                    x => struct(x.as("term"), lit(1L).as("c"), lit(0L).as("dc"))),
+          transform(array_distinct(col("arr")),
+                    x => struct(x.as("term"), lit(0L).as("c"), lit(1L).as("dc")))))
+          .as("e"))
+        .select(col("e.term").as("term"), col("e.c").as("c"), col("e.dc").as("dc"))
+        .groupBy("term")
+        .agg(sum("c").as("tf"), sum("dc").as("df"))
+      // r21 (guide §2.3): pair EVENTS carry the terms' 64-bit hashes, not
+      // the strings — the q38/q85 engine-local-identity convention (the
+      // oracle recomputes its own pairs; only the 30 surviving rows remap
+      // to strings below, and the gate verifies collision-freedom on the
+      // driver corpora). The corpus-token-sized event stream drops from
+      // two strings to two longs per row, the pair aggregate probes a
+      // 16-byte key, and least/greatest orientation by hash picks the
+      // same canonical UNORDERED pair (counts identical; the final
+      // projection restores the lexicographic column order).
       val band = stats.crossJoin(broadcast(n))
-        .filter(col("df") >= 5 && col("df") <= lit(0.9) * col("n"))
-        .select("term")
-      val tf = stats.select("term", "tf")
-      val tot = stats.agg(sum("tf").cast("double").as("t"))
+        .filter(col("df") >= 5 && col("df") <= lit(0.9) * col("n") &&
+                col("tf") > 0)
+        .select(xxhash64(col("term")).as("h"))
+      val tfh = stats.filter(col("df") > 0)
+        .select(col("term"), col("tf"), xxhash64(col("term")).as("h"))
+      // total tokens = sum of per-doc lengths — one explode-free pass
+      // over base, not a fifth stats derivation (equal to sum(tf) by
+      // construction)
+      val tot = base.agg(sum(size(col("arr"))).cast("double").as("t"))
       // window-bounded events: position i pairs with positions i+1..i+4
       // (1-based slice start i+2), entirely inside codegen'd array HOFs
-      val events = base.select(explode(flatten(transform(col("arr"), (x, i) =>
-          transform(filter(slice(col("arr"), i + lit(2), lit(4)), y => y =!= x),
+      val events = base
+        .select(transform(col("arr"), x => xxhash64(x)).as("harr"))
+        .select(explode(flatten(transform(col("harr"), (x, i) =>
+          transform(filter(slice(col("harr"), i + lit(2), lit(4)), y => y =!= x),
                     y => struct(least(x, y).as("ta"), greatest(x, y).as("tb"))))))
         .as("e"))
-        .select(col("e.ta").as("term_a"), col("e.tb").as("term_b"))
+        .select(col("e.ta").as("ha"), col("e.tb").as("hb"))
       val p = events
-        .join(broadcast(band.select(col("term").as("term_a"))), "term_a")
-        .join(broadcast(band.select(col("term").as("term_b"))), "term_b")
-        .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(band.select(col("h").as("ha"))), "ha")
+        .join(broadcast(band.select(col("h").as("hb"))), "hb")
+        .groupBy("ha", "hb").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
       // marginal attach: broadcast the bounded pair table into the
       // vocabulary-sized tf scan (tf may not fit in a broadcast at
-      // open-web vocabulary; p always fits after the n_ab floor)
-      val withA = tf.select(col("term").as("term_a"), col("tf").as("n_a"))
-        .join(broadcast(p), "term_a")
-      val withB = tf.select(col("term").as("term_b"), col("tf").as("n_b"))
-        .join(broadcast(withA), "term_b")
+      // open-web vocabulary; p always fits after the n_ab floor). n_a*n_b
+      // is symmetric, so hash-orientation vs string-orientation cannot
+      // change pmi; term_a/term_b restore lexicographic order explicitly.
+      val withA = tfh.select(col("h").as("ha"), col("term").as("sa"),
+                             col("tf").as("n_a"))
+        .join(broadcast(p), "ha")
+      val withB = tfh.select(col("h").as("hb"), col("term").as("sb"),
+                             col("tf").as("n_b"))
+        .join(broadcast(withA), "hb")
       withB
         .crossJoin(broadcast(tot))
-        .select(col("term_a"), col("term_b"), col("n_ab").cast("long").as("n_ab"),
+        .select(least(col("sa"), col("sb")).as("term_a"),
+                greatest(col("sa"), col("sb")).as("term_b"),
+                col("n_ab").cast("long").as("n_ab"),
                 round(log((col("n_ab").cast("double") * col("t")) /
                           (col("n_a").cast("double") * col("n_b"))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("n_ab").desc, col("term_a"), col("term_b"))
@@ -2555,6 +2624,8 @@ object TrainingData {
         "MultimodalSpec owns the per-stage assertions; this registers the " +
         "pipeline with the driver.") { (s, d) =>
       import graft.cpms.Multimodal
+      // (r21: spread() tried here and reverted — the stub decode is too
+      // cheap to amortize the extra exchange; measured 0.23 -> 0.28 s)
       val assets = Multimodal.assetsFromDocuments(docs(s, d))
       val decoded = Multimodal.decode(assets)
       val resized = Multimodal.resize(decoded, 512)
@@ -2580,7 +2651,9 @@ object TrainingData {
         "Hamming <= 3. MultimodalSpec owns the planted-pair/invariance " +
         "assertions; no SQL oracle (DuckDB cannot decode WAV payloads).") { (s, d) =>
       import graft.cpms.Multimodal
-      val assets = Multimodal.syntheticAudioAssets(docs(s, d))
+      // spread: synth + codec are CPU-bound mapPartitions work that a
+      // single-split local scan would otherwise serialize onto ~1 task
+      val assets = Multimodal.syntheticAudioAssets(spread(docs(s, d)))
       Multimodal.audioNearDup(Multimodal.decode(assets))
         .orderBy("id_a", "id_b")
     },
@@ -2599,7 +2672,9 @@ object TrainingData {
         "MultimodalSpec owns the planted-pair/recall assertions; no SQL " +
         "oracle (DuckDB cannot decode image payloads).") { (s, d) =>
       import graft.cpms.Multimodal
-      val assets = Multimodal.syntheticImageAssets(docs(s, d))
+      // spread: synth + codec are CPU-bound mapPartitions work that a
+      // single-split local scan would otherwise serialize onto ~1 task
+      val assets = Multimodal.syntheticImageAssets(spread(docs(s, d)))
       Multimodal.imageNearDup(Multimodal.decode(assets))
         .orderBy("id_a", "id_b")
     },
@@ -2820,16 +2895,28 @@ object TrainingData {
       val e = embs(s, d).select(col("vec_id").as("doc_id"),
                                 col("embedding").as("v"))
         .join(sp, "doc_id")
-      val tr = e.filter(col("split") === "train")
-        .select(col("v").as("tv"))
+      // r21 (guide §1.2 step 2 + §2.6): the pair loop is dot-only — both
+      // norms PRECOMPUTE once per row (train-side in the scan projection,
+      // held-side in the bounded broadcast), where the previous
+      // cosine_sim(v, tv) recomputed them once per PAIR (EvalPoolCap
+      // times per train row). dot / (vn * tvn) runs the exact double ops
+      // of cosine_sim in the exact order (dot fold, normSq folds, sqrt
+      // each, multiply, divide) — bit-identical. spread() unserializes
+      // the train scan: the whole audit ran as one task off a
+      // single-split parquet scan.
+      import graft.functions.VectorMath.{dot_product, l2_norm}
+      val tr = spread(e.filter(col("split") === "train"))
+        .select(col("v").as("tv"), l2_norm(col("v")).as("tvn"))
       // fixed-size eval pool: TakeOrdered, so the broadcast is capped
       // regardless of corpus size
       val held = e.filter(col("split") =!= "train")
         .select(col("doc_id"), col("split"), col("v"))
         .orderBy("doc_id").limit(EvalPoolCap)
+        .withColumn("vn", l2_norm(col("v")))
       tr.crossJoin(broadcast(held))
         .select(col("doc_id"), col("split"),
-                cosine(col("v"), col("tv")).as("cos"))
+                (dot_product(col("v"), col("tv")) /
+                  (col("vn") * col("tvn"))).as("cos"))
         .groupBy("doc_id", "split")
         .agg(round(max("cos"), 4).as("max_train_cos"),
              (max("cos") >= 0.4).cast("long").as("leaked"))
