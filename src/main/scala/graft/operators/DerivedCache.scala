@@ -69,6 +69,32 @@ object DerivedCache {
     md5hex(entries(p, 2).sorted.mkString("\n"))
   }
 
+  /** Session-scoped memo of the READ side of a landed artifact (r21,
+    * guide §5 driver work / §6 file-listing caching): `s.read.parquet`
+    * re-infers the schema from parquet footers and rebuilds the file
+    * index ON THE DRIVER at every call — ~30-100 ms per artifact per
+    * invocation, paid by every cache-served registry query. The
+    * DataFrame (resolved relation + file index) is PLANNING METADATA
+    * only — execution still reads the parquet bytes each run — and the
+    * key carries the artifact's freshness TOKEN, so a rebuild under a
+    * new token mints a new entry and a stale one is never served.
+    * [[invalidate]] additionally drops every entry under the corpus
+    * (covering out-of-band deletion + same-token rebuild). Same class
+    * and lifecycle as the spread()/corpusCount plan-statistic caches:
+    * session-keyed, swept on session stop.
+    */
+  private val readCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.ml.PipelineModel]
+
+  private def readCached(s: SparkSession, dir: String,
+                         token: String): DataFrame = {
+    readCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(readCache.remove)
+    readCache.getOrElseUpdate((s, dir, token), s.read.parquet(dir))
+  }
+
   /** Serve `<artifact>` for corpus `d`: the persisted parquet if its
     * fingerprint matches the corpus as it stands, else run `build`,
     * persist with staging→sidecar→swap, and serve the freshly-landed
@@ -78,22 +104,28 @@ object DerivedCache {
     */
   def orBuild(s: SparkSession, d: String, artifact: String)
              (build: => DataFrame): DataFrame = {
-    val dir = serve(s, d, artifact)(
+    val fp = fingerprint(s, d)
+    val dir = serveWith(s, s"$root/${corpusKey(d)}/$artifact", fp, Map.empty)(
       staging => build.write.mode("overwrite").parquet(staging))
-    s.read.parquet(dir)
+    readCached(s, dir, fp)
   }
 
   /** As [[orBuild]] for fitted ML models (q132's distilled quality
     * classifier): the artifact is the saved PipelineModel, loaded back
     * on a hit — a fresh session serves the model without re-running the
-    * LBFGS passes.
+    * LBFGS passes. The loaded model memoizes like [[readCached]] (load
+    * re-reads metadata + coefficient parquet per call otherwise).
     */
   def orBuildModel(s: SparkSession, d: String, artifact: String)
                   (build: => org.apache.spark.ml.PipelineModel)
       : org.apache.spark.ml.PipelineModel = {
-    val dir = serve(s, d, artifact)(
+    val fp = fingerprint(s, d)
+    val dir = serveWith(s, s"$root/${corpusKey(d)}/$artifact", fp, Map.empty)(
       staging => build.write.overwrite().save(staging + "/model"))
-    org.apache.spark.ml.PipelineModel.load(dir + "/model")
+    modelCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(modelCache.remove)
+    modelCache.getOrElseUpdate((s, dir, fp),
+      org.apache.spark.ml.PipelineModel.load(dir + "/model"))
   }
 
   /** One manifest line per data file under `tablePath` — relative
@@ -170,12 +202,13 @@ object DerivedCache {
     // land at the top level rather than under a named table
     val cur = manifestLines(s, if (table == ".") d else s"$d/$table")
     val curText = cur.map(_._1).mkString("\n")
+    val token = md5hex(curText)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(conf)
     // the `_table` sidecar names the manifest's table so [[status]] can
     // re-derive THIS artifact's freshness token (not just the default
     // documents.parquet one) without touching the serve path
-    val dir = serveWith(s, dirStr, md5hex(curText),
+    val dir = serveWith(s, dirStr, token,
                         Map("_manifest" -> curText, "_table" -> table)) {
         staging =>
       // decide delta-vs-full HERE, while the previous version is still
@@ -192,7 +225,7 @@ object DerivedCache {
         else full
       out.write.mode("overwrite").parquet(staging)
     }
-    s.read.parquet(dir)
+    readCached(s, dir, token)
   }
 
   /** [[orBuild]] for SECOND-ORDER artifacts — derivations of another
@@ -213,19 +246,10 @@ object DerivedCache {
     val dir = serveWith(s, s"$root/${corpusKey(d)}/$artifact", token,
                         Map("_source" -> sourceDir))(
       staging => build.write.mode("overwrite").parquet(staging))
-    s.read.parquet(dir)
+    readCached(s, dir, token)
   }
 
-  /** The shared lifecycle: return the artifact dir, (re)building via
-    * `materialize` into a staging dir first when the stored fingerprint
-    * is absent or stale.
-    */
-  private def serve(s: SparkSession, d: String, artifact: String)
-                   (materialize: String => Unit): String =
-    serveWith(s, s"$root/${corpusKey(d)}/$artifact", fingerprint(s, d),
-              Map.empty)(materialize)
-
-  /** [[serve]] with the freshness token and extra sidecars made
+  /** The shared lifecycle with the freshness token and extra sidecars made
     * explicit — the append-aware path supplies a TABLE-scoped manifest
     * digest instead of the corpus-wide fingerprint, plus the manifest
     * text itself as a `_manifest` sidecar (underscore-prefixed, so
@@ -401,6 +425,11 @@ object DerivedCache {
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    // drop memoized read plans under this corpus — they may reference
+    // files the delete just removed (same-token rebuilds included)
+    val prefix = s"$root/${corpusKey(d)}/"
+    readCache.keys.filter(_._2.startsWith(prefix)).foreach(readCache.remove)
+    modelCache.keys.filter(_._2.startsWith(prefix)).foreach(modelCache.remove)
   }
 
   /** Operability read — the "are my artifacts fresh" table an operator
