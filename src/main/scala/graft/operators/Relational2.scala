@@ -678,11 +678,27 @@ object Relational2 {
         // needed columns first (guide §2.3) so the spread exchange carries
         // 16 bytes/row. Register maxima are merge-order-independent, so
         // the estimate is partitioning-invariant (output unchanged).
-        TrainingData.spread(ev(s, d).select("event_type", "user_id"))
-          .groupBy("event_type").agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n"))
+        //
+        // r21: exact and sketch run as SEPARATE aggregates joined on the
+        // 5-row type key. Mixed together, Catalyst's distinct rewrite
+        // groups by (event_type, user_id) first and the HLL++ buffer
+        // rides that near-unique key — ~7.5k multi-KB sketch buffers
+        // per pass (25 MB through the exchange) merged pairwise, for 5
+        // output rows. Split, the sketch aggregate keeps 5 buffers per
+        // task and the distinct path shuffles bare 16-byte keys; both
+        // sides share the spread exchange (same pruned columns). Values
+        // are unchanged: same input set per type on both paths.
+        {
+          val e = TrainingData.spread(ev(s, d).select("event_type", "user_id"))
+          val exact = e.groupBy("event_type").agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n"))
+          val approx = e.groupBy("event_type").agg(
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          exact.join(broadcast(approx), "event_type")
+            .select(col("event_type"), col("exact_users"),
+                    col("approx_users"), col("n"))
+        }
     },
 
     Q("q104_decayed_engagement",
